@@ -1,0 +1,68 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's t2 correctness gate.
+
+Usage: python3 scripts/check.py <sfDir> <verifyOutDir>
+
+For each query dumped by graft.Verify: read the Spark parquet result,
+run the oracle SQL in DuckDB against views over the same parquet tables,
+sort columns by name, and compare row count, schema-ish dtypes, and
+exact values.
+"""
+import sys, json, glob, os
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings"]
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name in sorted(oracle):
+        sql = oracle[name]
+        res_dir = f"{out_dir}/{name}"
+        if not glob.glob(f"{res_dir}/*.parquet"):
+            print(f"FAIL {name}: no spark result written"); n_fail += 1; continue
+        try:
+            spark_df = con.sql(
+                f"SELECT * FROM read_parquet('{res_dir}/*.parquet')").df()
+            duck_df = con.sql(sql).df()
+        except Exception as e:
+            print(f"FAIL {name}: {str(e)[:200]}"); n_fail += 1; continue
+        spark_df = spark_df[sorted(spark_df.columns)]
+        duck_df = duck_df[sorted(duck_df.columns)]
+        if list(spark_df.columns) != list(duck_df.columns):
+            print(f"FAIL {name}: cols spark={list(spark_df.columns)} "
+                  f"duck={list(duck_df.columns)}"); n_fail += 1; continue
+        if len(spark_df) != len(duck_df):
+            print(f"FAIL {name}: rows spark={len(spark_df)} duck={len(duck_df)}")
+            n_fail += 1; continue
+        if list(map(str, spark_df.dtypes)) != list(map(str, duck_df.dtypes)):
+            print(f"WARN {name}: dtypes spark={list(map(str, spark_df.dtypes))} "
+                  f"duck={list(map(str, duck_df.dtypes))}")
+        bad = None
+        for c in spark_df.columns:
+            a, b = spark_df[c], duck_df[c]
+            try:
+                eq = (a.isna() & b.isna()) | (a == b)
+            except Exception:
+                eq = a.astype(str) == b.astype(str)
+            if not eq.all():
+                i = int((~eq).idxmax())
+                bad = (c, i, a[i], b[i], int((~eq).sum()))
+                break
+        if bad:
+            c, i, av, bv, n = bad
+            print(f"FAIL {name}: col {c} row {i}: spark={av!r} duck={bv!r} ({n} diffs)")
+            n_fail += 1
+        else:
+            print(f"PASS {name} ({len(spark_df)} rows)"); n_pass += 1
+    print(f"== {n_pass} pass / {n_fail} fail ==")
+    return 1 if n_fail else 0
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))

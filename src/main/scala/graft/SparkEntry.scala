@@ -1,13 +1,29 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.core.Q
+import graft.ops.{Cdc, LlmPipeline, Relational, Temporal}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  * Operator inventory lives in graft.ops.*; each module exposes `all: Seq[Q]`
+  * pairing the Spark plan with its DuckDB oracle SQL (column names aligned —
+  * the driver sorts columns by name before hashing).
+  */
 object SparkEntry {
+  /** All declared operators, in SURVEY.md §2B order. */
+  def declared: Seq[Q] =
+    Cdc.all ++ Relational.all ++ Temporal.all ++ LlmPipeline.all
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Cdc.snapshotEnvelope.fn(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    declared.map(q => q.name -> q.fn).toMap
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] =
+    declared.flatMap(q => q.oracle.map(q.name -> _)).toMap
 }

@@ -1,0 +1,97 @@
+package graft.core
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Cross-engine-deterministic building blocks (SURVEY.md §2D H1-H6).
+  *
+  * Every declared query's result must hash-match a DuckDB oracle run on the
+  * same parquet. The hazards and the mitigations used here:
+  *
+  *  - H1: `hash()` is engine-private → all digests are md5 over canonical
+  *    strings; order-independent sums use the leading 48 bits of the md5
+  *    re-interpreted as an integer (integer math is exact in both engines).
+  *  - H2: double→string formatting differs between engines → doubles are
+  *    never cast to string directly; money-grid doubles go through
+  *    DECIMAL(18,2) first (both engines render scale-padded "123.40").
+  *  - H3: float sums are partition-order dependent → sums are computed over
+  *    exact DECIMAL and cast back to DOUBLE at the end; averages are
+  *    exact-decimal-sum / count.
+  *  - H4: `to_json` spacing/key-order differs → envelope JSON is built with
+  *    explicit concat of '"k":v' pieces.
+  *  - H5: timestamps are compared as `unix_micros` BIGINT, never strings.
+  *  - H6: every query ends in a total ORDER BY over a unique key chain.
+  *
+  * Scale note (100 TB): all helpers are pure `Column` expressions — they
+  * stay inside whole-stage codegen and put no work on the driver. The
+  * decimal sums are Spark's native `Sum(Decimal)` with partial (map-side)
+  * aggregation; exactness costs no extra shuffle.
+  */
+object Canonical {
+  /** NULL sentinel + field separator for row canonicalization. Control
+    * chars cannot appear in the data, so `('a,b','')` vs `('a','b')`
+    * collisions (reference bug B1, duckdb_cdc.go:171-173) are impossible.
+    */
+  val NullMark = "\u0001"
+  val Sep      = "\u0002"
+
+  /** Exact sum of a 2-decimal-grid double column, returned as DOUBLE.
+    * DuckDB mirror: CAST(SUM(CAST(x AS DECIMAL(18,2))) AS DOUBLE). */
+  def dsum(c: Column): Column = sum(c.cast(DecimalType(18, 2))).cast(DoubleType)
+
+  /** Exact sum at 6-decimal precision for derived per-row products (e.g.
+    * price*(1-disc), a 4-dp quantity). DuckDB: DECIMAL(27,6). */
+  def dsum6(c: Column): Column = sum(c.cast(DecimalType(27, 6))).cast(DoubleType)
+
+  /** Deterministic average: exact decimal sum / count (DuckDB mirror:
+    * CAST(SUM(CAST(x AS DECIMAL(18,2))) AS DOUBLE) / COUNT(x)). */
+  def davg(c: Column): Column = dsum(c) / count(c)
+
+  /** Leading 48 bits of md5(s) as a non-negative LongType. 48 bits keeps
+    * SUM over millions of rows inside signed-64 range (2^48 * 2^20 = 2^68
+    * would overflow — callers summing beyond ~30k rows should mod-reduce
+    * or partition first; see tableChecksum).
+    * DuckDB mirror: ('0x' || substr(md5(s), 1, 12))::BIGINT. */
+  def md5Long48(c: Column): Column =
+    conv(substring(md5(c), 1, 12), 16, 10).cast(LongType)
+
+  /** Canonical string form of one column, engine-portable:
+    *  - DOUBLE → DECIMAL(18,2) → string (scale-padded, identical renders)
+    *  - TIMESTAMP → epoch micros → string
+    *  - everything else → plain cast to string
+    * NULL → NullMark (distinct from empty string). */
+  def canonCol(c: Column, dt: DataType): Column = {
+    val s = dt match {
+      case DoubleType    => c.cast(DecimalType(18, 2)).cast(StringType)
+      case FloatType     => c.cast(DecimalType(18, 2)).cast(StringType)
+      case TimestampType => unix_micros(c).cast(StringType)
+      case _             => c.cast(StringType)
+    }
+    coalesce(s, lit(NullMark))
+  }
+
+  /** The same canonicalization spelled in DuckDB SQL, for oracle strings. */
+  def canonColSql(name: String, dt: DataType): String = dt match {
+    case DoubleType | FloatType =>
+      s"coalesce(CAST(CAST($name AS DECIMAL(18,2)) AS VARCHAR), chr(1))"
+    case TimestampType =>
+      s"coalesce(CAST(epoch_us($name) AS VARCHAR), chr(1))"
+    case _ => s"coalesce(CAST($name AS VARCHAR), chr(1))"
+  }
+
+  /** Canonical one-string form of an entire row (schema-driven, mirrors the
+    * reference's reflect-then-generate pattern, duckdb_cdc.go:168-173, but
+    * producing Columns instead of SQL text). */
+  def rowCanon(df: DataFrame): Column =
+    concat_ws(Sep, df.schema.fields.map(f => canonCol(col(f.name), f.dataType)).toIndexedSeq: _*)
+
+  def rowCanonSql(df: DataFrame): String =
+    "concat_ws(chr(2), " +
+      df.schema.fields.map(f => canonColSql(f.name, f.dataType)).mkString(", ") + ")"
+
+  /** Per-row 48-bit digest; order-independent table digest = SUM of these.
+    * Faithful to the reference's count+sum(hash) scheme
+    * (duckdb_cdc.go:175-183) but engine-portable (H1). */
+  def rowDigest48(df: DataFrame): Column = md5Long48(rowCanon(df))
+}

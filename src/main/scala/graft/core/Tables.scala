@@ -1,0 +1,45 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Loaders for the driver-generated parquet tables (repo:TESTDATA.md).
+  *
+  * One parquet file per table under the scale-factor dir. At 100 TB these
+  * would be partitioned directories; `spark.read.parquet` handles both —
+  * nothing here assumes single-file inputs. Column pruning and predicate
+  * pushdown happen automatically because every operator builds a
+  * declarative plan on top of these scans (verified via
+  * `.explain("formatted")`: `PushedFilters`/`ReadSchema` show up).
+  */
+object Tables {
+  val all: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame     = table(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame     = table(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame   = table(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame   = table(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame       = table(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame     = table(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame   = table(s, d, "lineitem")
+
+  /** events.ts is nanosecond-precision parquet, which Spark only reads as
+    * LongType (spark.sql.legacy.parquet.nanosAsLong — set in Session).
+    * Normalize to TimestampType here (integer `div`, no double round-trip:
+    * epoch-nanos exceed 2^53). Sub-microsecond parts are zero in the data,
+    * so this is lossless. */
+  def events(s: SparkSession, d: String): DataFrame = {
+    val raw = table(s, d, "events")
+    if (raw.schema("ts").dataType == LongType)
+      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else raw
+  }
+  def documents(s: SparkSession, d: String): DataFrame  = table(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+}

@@ -1,0 +1,169 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.core.{Canonical => C, Q, Tables => T}
+
+/** Reference-faithful CDC surface, re-expressed Spark-first.
+  *
+  * The reference (TomKlimovski/cdc-lite) detects change via a per-table
+  * digest `md5(count || ',' || sum(hash(row)))` pushed into DuckDB
+  * (/root/reference/pkg/duckdb/duckdb_cdc.go:161-215), then snapshots the
+  * whole table into change envelopes (duckdb_cdc.go:217-258). Here each of
+  * those behaviors is a declarative Spark plan:
+  *
+  *  - the checksum is one shuffle-free global aggregate (partial per
+  *    partition + a single final reduce — O(1) rows cross the wire, so it
+  *    scales to any table size; at 100 TB you'd run the same expression
+  *    per-partition and only re-digest changed partitions);
+  *  - the snapshot envelope is a narrow projection (no shuffle at all other
+  *    than the final presentation sort, which exists only for the oracle's
+  *    determinism requirement);
+  *  - the diff upgrade (q_cdc_diff) is a key-partitioned full-outer join —
+  *    the row-level INSERT/UPDATE/DELETE classification the reference never
+  *    does (its `operation` is always "SNAPSHOT", duckdb_cdc.go:248).
+  */
+object Cdc {
+
+  /** customer's canonicalization spelled in DuckDB SQL (schema from
+    * FIXTURES.md §4; must stay in parquet column order to match
+    * Canonical.rowCanon, which is schema-driven). */
+  private val customerCanonSql: String =
+    "concat_ws(chr(2), " +
+      "coalesce(CAST(c_custkey AS VARCHAR), chr(1)), " +
+      "coalesce(CAST(c_name AS VARCHAR), chr(1)), " +
+      "coalesce(CAST(c_nationkey AS VARCHAR), chr(1)), " +
+      "coalesce(CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS VARCHAR), chr(1)), " +
+      "coalesce(CAST(c_mktsegment AS VARCHAR), chr(1)))"
+
+  /** R11-R16 (duckdb_cdc.go:175-183): the flagship table checksum, in the
+    * cross-engine-safe md5/48-bit form (SURVEY.md §2D H1). */
+  val tableChecksum: Q = Q(
+    "q_table_checksum",
+    s"""SELECT 'customer' AS table_name,
+       |  md5(concat_ws(',',
+       |    CAST(count(*) AS VARCHAR),
+       |    CAST(CAST(sum(('0x' || substr(md5($customerCanonSql), 1, 12))::BIGINT) AS BIGINT) AS VARCHAR)
+       |  )) AS checksum
+       |FROM customer""".stripMargin
+  ) { (s, d) =>
+    val c = T.customer(s, d)
+    c.agg(count(lit(1)).as("cnt"), sum(C.rowDigest48(c)).as("dig"))
+      .select(
+        lit("customer").as("table_name"),
+        md5(concat_ws(",", col("cnt").cast(StringType), col("dig").cast(StringType)))
+          .as("checksum"))
+  }
+
+  /** R17+R19 (duckdb_cdc.go:240-250): full-snapshot capture into change
+    * envelopes. `data_json` is built with explicit concat pieces, not
+    * to_json, so both engines render byte-identically (H4). The capture
+    * timestamp is deliberately excluded from the compared surface (it is
+    * wall-clock in the reference). */
+  val snapshotEnvelope: Q = Q(
+    "q_snapshot_envelope",
+    """SELECT 'customer' AS tbl, 'SNAPSHOT' AS operation,
+      |  '{"c_custkey":' || CAST(c_custkey AS VARCHAR)
+      |    || ',"c_name":"' || c_name
+      |    || '","c_nationkey":' || CAST(c_nationkey AS VARCHAR)
+      |    || ',"c_acctbal":' || CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS VARCHAR)
+      |    || ',"c_mktsegment":"' || c_mktsegment || '"}' AS data_json,
+      |  c_custkey AS key
+      |FROM customer ORDER BY key""".stripMargin
+  ) { (s, d) =>
+    T.customer(s, d)
+      .select(
+        lit("customer").as("tbl"),
+        lit("SNAPSHOT").as("operation"),
+        concat(
+          lit("{\"c_custkey\":"), col("c_custkey").cast(StringType),
+          lit(",\"c_name\":\""), col("c_name"),
+          lit("\",\"c_nationkey\":"), col("c_nationkey").cast(StringType),
+          lit(",\"c_acctbal\":"), col("c_acctbal").cast(DecimalType(18, 2)).cast(StringType),
+          lit(",\"c_mktsegment\":\""), col("c_mktsegment"), lit("\"}")
+        ).as("data_json"),
+        col("c_custkey").as("key"))
+      .orderBy("key")
+  }
+
+  /** R10+R18 (duckdb_cdc.go:190-195): latest checksum per table from an
+    * append-only history — per-group top-1 via max_by, no sort of the whole
+    * history. History is synthesized from events (event_type plays
+    * table_name) so both engines derive identical input from parquet. */
+  val latestChecksumPerTable: Q = Q(
+    "q_latest_checksum_per_table",
+    """SELECT event_type AS table_name,
+      |  max_by(md5(CAST(event_id AS VARCHAR)), ts) AS checksum,
+      |  epoch_us(max(ts)) AS ts_us
+      |FROM events GROUP BY event_type ORDER BY table_name""".stripMargin
+  ) { (s, d) =>
+    T.events(s, d)
+      .groupBy(col("event_type").as("table_name"))
+      .agg(
+        max_by(md5(col("event_id").cast(StringType)), col("ts")).as("checksum"),
+        unix_micros(max(col("ts"))).as("ts_us"))
+      .orderBy("table_name")
+  }
+
+  /** North-star upgrade of R19 (BASELINE.json north_star): row-level
+    * INSERT/UPDATE/DELETE between two snapshots, classified by a
+    * key-partitioned full-outer join. At scale both sides shuffle once on
+    * the key (or zero times if the snapshots are bucketed by key); AQE
+    * handles skew. Snapshots A/B are derived in-query from events
+    * (FIXTURES.md §4) so the oracle constructs identical inputs. */
+  val cdcDiff: Q = Q(
+    "q_cdc_diff",
+    """WITH a AS (
+      |  SELECT event_id, user_id, event_type, value FROM events WHERE event_id % 10 != 0
+      |), b AS (
+      |  SELECT event_id, user_id, event_type,
+      |         CASE WHEN event_id % 13 = 0 THEN value * 2 ELSE value END AS value
+      |  FROM events WHERE event_id % 9 != 0
+      |)
+      |SELECT coalesce(a.event_id, b.event_id) AS event_id,
+      |  CASE WHEN a.event_id IS NULL THEN 'INSERT'
+      |       WHEN b.event_id IS NULL THEN 'DELETE'
+      |       ELSE 'UPDATE' END AS op,
+      |  a.value AS old_value, b.value AS new_value
+      |FROM a FULL OUTER JOIN b ON a.event_id = b.event_id
+      |WHERE a.event_id IS NULL OR b.event_id IS NULL OR a.value != b.value
+      |ORDER BY event_id""".stripMargin
+  ) { (s, d) =>
+    val e = T.events(s, d).select("event_id", "user_id", "event_type", "value")
+    val a = e.filter(col("event_id") % 10 =!= 0)
+    val b = e.filter(col("event_id") % 9 =!= 0)
+      .withColumn("value",
+        when(col("event_id") % 13 === 0, col("value") * 2).otherwise(col("value")))
+    val j = a.as("a").join(b.as("b"), col("a.event_id") === col("b.event_id"), "full_outer")
+    j.select(
+        coalesce(col("a.event_id"), col("b.event_id")).as("event_id"),
+        when(col("a.event_id").isNull, "INSERT")
+          .when(col("b.event_id").isNull, "DELETE")
+          .otherwise("UPDATE").as("op"),
+        col("a.value").as("old_value"),
+        col("b.value").as("new_value"))
+      .filter(col("old_value").isNull || col("new_value").isNull ||
+        col("old_value") =!= col("new_value"))
+      .orderBy("event_id")
+  }
+
+  /** Watermark analogue of R18: "rows since the last processed point".
+    * The predicate pushes down to the parquet scan (PushedFilters), which
+    * is exactly the incremental-read shape that makes this O(new data) at
+    * 100 TB when the table is date-partitioned. */
+  val incrementalSince: Q = Q(
+    "q_incremental_since",
+    """SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us
+      |FROM events WHERE ts > TIMESTAMP '2024-01-01 06:00:00'
+      |ORDER BY event_id""".stripMargin
+  ) { (s, d) =>
+    T.events(s, d)
+      .filter(col("ts") > to_timestamp(lit("2024-01-01 06:00:00")))
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"))
+      .orderBy("event_id")
+  }
+
+  val all: Seq[Q] = Seq(
+    tableChecksum, snapshotEnvelope, latestChecksumPerTable, cdcDiff, incrementalSince)
+}

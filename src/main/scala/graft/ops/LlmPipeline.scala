@@ -1,0 +1,157 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.core.{Q, Tables => T}
+
+/** LLM-training-data pipeline operators (north star, BASELINE.json:6):
+  * dedup, text analysis, JSON extraction, similarity search, array/
+  * multimodal column processing. Everything is built from codegen'd
+  * built-in functions — no UDFs — so the hot paths stay inside
+  * whole-stage codegen.
+  */
+object LlmPipeline {
+
+  /** Exact dedup keeping the smallest id per duplicate group. Deliberately
+    * NOT dropDuplicates (nondeterministic row pick, H6): group-by + min is
+    * deterministic and plans identically (hash aggregate). At 100 TB: one
+    * shuffle on the dedup key; pre-aggregation collapses per-partition
+    * duplicates before the exchange. */
+  val dedupExact: Q = Q(
+    "q_dedup_exact",
+    """SELECT user_id, event_type, value, MIN(event_id) AS keeper, COUNT(*) AS n
+      |FROM events GROUP BY user_id, event_type, value
+      |ORDER BY user_id, event_type, value""".stripMargin
+  ) { (s, d) =>
+    T.events(s, d)
+      .groupBy("user_id", "event_type", "value")
+      .agg(min(col("event_id")).as("keeper"), count(lit(1)).as("n"))
+      .orderBy("user_id", "event_type", "value")
+  }
+
+  /** Near-dup detection via normalized-token-multiset digest: docs whose
+    * sorted token list md5-collides are duplicates up to word order.
+    * Shuffle carries (16-byte digest, id) pairs only — documents
+    * themselves never move, which is what makes this viable at 100 TB. */
+  val dedupText: Q = Q(
+    "q_dedup_text",
+    """SELECT digest, COUNT(*) AS n, MIN(doc_id) AS keeper FROM (
+      |  SELECT doc_id,
+      |    md5(array_to_string(list_sort(string_split(lower(text), ' ')), ',')) AS digest
+      |  FROM documents)
+      |GROUP BY digest
+      |ORDER BY digest""".stripMargin
+  ) { (s, d) =>
+    T.documents(s, d)
+      .select(col("doc_id"),
+        md5(concat_ws(",", sort_array(split(lower(col("text")), " ")))).as("digest"))
+      .groupBy("digest")
+      .agg(count(lit(1)).as("n"), min(col("doc_id")).as("keeper"))
+      .orderBy("digest")
+  }
+
+  /** Global top-20 token frequency (explode → count → top-k). The heavy
+    * groupBy is on the token (bounded vocabulary), and the final top-k is
+    * TakeOrderedAndProject — no global sort of the vocabulary. */
+  val tokenTopK: Q = Q(
+    "q_token_topk",
+    """SELECT token, COUNT(*) AS n FROM (
+      |  SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+      |GROUP BY token ORDER BY n DESC, token LIMIT 20""".stripMargin
+  ) { (s, d) =>
+    T.documents(s, d)
+      .select(explode(split(col("text"), " ")).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token").asc)
+      .limit(20)
+  }
+
+  /** JSON field extraction from the events.props payload column. Spark's
+    * get_json_object is a codegen'd path expression — no full JSON parse
+    * materialized per row. */
+  val jsonExtract: Q = Q(
+    "q_json_extract",
+    """SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 AS bucket,
+      |  COUNT(*) AS n
+      |FROM events GROUP BY 1 ORDER BY bucket""".stripMargin
+  ) { (s, d) =>
+    T.events(s, d)
+      .groupBy((get_json_object(col("props"), "$.k").cast(IntegerType) % 10).as("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("bucket")
+  }
+
+  /** Dot product of two float-array columns, computed in DOUBLE with a
+    * strict left-to-right fold so both engines sum in identical order. */
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
+      lit(0.0), (acc, v) => acc + v)
+
+  private def l2(a: Column): Column = sqrt(dot(a, a))
+
+  /** Brute-force cosine top-k ANN baseline: 5 query vectors (lowest
+    * vec_ids) × all candidates. The tiny query side is broadcast; the scan
+    * side streams once — at 100 TB this exact plan still works (broadcast
+    * nested loop over the fact), and the LSH-bucketed variant in
+    * graft.ops.Similarity is the sub-linear path. Scores are rounded to
+    * 4 dp (only rounding in the compared surface; float-fold drift is
+    * ~1e-15 so boundary flips are negligible). */
+  val similarityTopK: Q = Q(
+    "q_similarity_topk",
+    """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe
+      |           FROM embeddings WHERE vec_id < 5),
+      |c AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+      |s AS (SELECT qid, vec_id,
+      |        round(list_inner_product(e, qe) /
+      |              (sqrt(list_inner_product(e, e)) * sqrt(list_inner_product(qe, qe))), 4)
+      |          AS score
+      |      FROM c, q WHERE vec_id != qid)
+      |SELECT qid, CAST(rn AS INTEGER) AS rn, vec_id, score FROM (
+      |  SELECT qid, vec_id, score,
+      |    row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rn
+      |  FROM s)
+      |WHERE rn <= 5 ORDER BY qid, rn""".stripMargin
+  ) { (s, d) =>
+    val e = T.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val scored = e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        round(dot(col("embedding"), col("qe")) /
+          (l2(col("embedding")) * l2(col("qe"))), 4).as("score"))
+    val w = Window.partitionBy("qid").orderBy(col("score").desc, col("vec_id").asc)
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .select("qid", "rn", "vec_id", "score")
+      .orderBy("qid", "rn")
+  }
+
+  /** Array/multimodal column stats: per-label count, average L2 norm of
+    * the embedding, dimensionality check. Norms are computed in double and
+    * snapped to DECIMAL(18,6) before averaging so the cross-row sum is
+    * exact (H3). */
+  val multimodalStats: Q = Q(
+    "q_multimodal_stats",
+    """SELECT label, COUNT(*) AS n,
+      |  CAST(SUM(CAST(sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+      |       AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_norm,
+      |  CAST(MAX(len(embedding)) AS INTEGER) AS dim
+      |FROM embeddings GROUP BY label ORDER BY label""".stripMargin
+  ) { (s, d) =>
+    T.embeddings(s, d)
+      .groupBy("label")
+      .agg(
+        count(lit(1)).as("n"),
+        (sum(l2(col("embedding")).cast(DecimalType(18, 6))).cast(DoubleType) /
+          count(lit(1))).as("avg_norm"),
+        max(size(col("embedding"))).as("dim"))
+      .orderBy("label")
+  }
+
+  val all: Seq[Q] = Seq(
+    dedupExact, dedupText, tokenTopK, jsonExtract, similarityTopK, multimodalStats)
+}

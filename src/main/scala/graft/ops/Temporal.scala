@@ -1,0 +1,104 @@
+package graft.ops
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.core.{Canonical => C, Q, Tables => T}
+
+/** Temporal operators: time bucketing, sessionization, as-of join.
+  * Batch-expressible analogues of the streaming windows in
+  * graft.streaming (SURVEY.md §2B); all time math is integer epoch-micros
+  * so results are engine-exact (H5).
+  */
+object Temporal {
+
+  /** Tumbling 1-hour aggregation (streaming-window analogue). At scale this
+    * is the classic date-partitioned rollup: partial aggregation collapses
+    * each input partition to ≤ hours-spanned rows before the shuffle. */
+  val timeBucket: Q = Q(
+    "q_time_bucket",
+    """SELECT epoch_us(date_trunc('hour', ts)) AS bucket_us, COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY 1 ORDER BY bucket_us""".stripMargin
+  ) { (s, d) =>
+    T.events(s, d)
+      .groupBy(unix_micros(date_trunc("hour", col("ts"))).as("bucket_us"))
+      .agg(count(lit(1)).as("n"), C.dsum(col("value")).as("sum_value"))
+      .orderBy("bucket_us")
+  }
+
+  /** Gaps-and-islands sessionization: 30-minute inactivity gap. One window
+    * shuffle on user_id; the lag → flag → running-count chain stays inside
+    * that single sort. Mirrors Structured Streaming's session_window (see
+    * graft.streaming.Windows) in batch form. */
+  val sessionize: Q = Q(
+    "q_sessionize",
+    """WITH flagged AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+      |    CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+      |         OR lag(epoch_us(ts)) OVER w IS NULL THEN 1 ELSE 0 END AS new_sess
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |), sess AS (
+      |  SELECT user_id, event_id, ts_us,
+      |    CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+      |  FROM flagged)
+      |SELECT user_id, session_id, COUNT(*) AS n_events,
+      |  MIN(ts_us) AS start_us, MAX(ts_us) - MIN(ts_us) AS duration_us
+      |FROM sess GROUP BY user_id, session_id
+      |ORDER BY user_id, session_id""".stripMargin
+  ) { (s, d) =>
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val wRun = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    T.events(s, d)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"),
+        lag(unix_micros(col("ts")), 1).over(w).as("prev_us"))
+      .withColumn("new_sess",
+        when(col("prev_us").isNull || col("ts_us") - col("prev_us") > 1800000000L, 1)
+          .otherwise(0))
+      .withColumn("session_id", sum(col("new_sess")).over(wRun))
+      .groupBy("user_id", "session_id")
+      .agg(count(lit(1)).as("n_events"), min(col("ts_us")).as("start_us"),
+        (max(col("ts_us")) - min(col("ts_us"))).as("duration_us"))
+      .orderBy("user_id", "session_id")
+  }
+
+  /** As-of (backward) join: each purchase matched to the user's most recent
+    * signup at-or-before it. Spark has no native as-of operator; this is
+    * the union-tag + last(_, ignoreNulls) running-window formulation — one
+    * shuffle on user_id, one sort, no range explosion. DuckDB's native
+    * ASOF JOIN is the oracle, which cross-checks the hand-built operator.
+    * At equal timestamps the signup sorts before the purchase, matching
+    * ASOF's inclusive `>=` bound. */
+  val asofJoin: Q = Q(
+    "q_asof_join",
+    """SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us,
+      |  s.event_id AS signup_event_id, epoch_us(s.ts) AS signup_ts_us
+      |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+      |  ON p.user_id = s.user_id AND p.ts >= s.ts
+      |ORDER BY p.event_id""".stripMargin
+  ) { (s, d) =>
+    val e = T.events(s, d)
+      .filter(col("event_type").isin("signup", "purchase"))
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"))
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts_us"),
+        when(col("event_type") === "signup", 0).otherwise(1), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    e.withColumn("last_signup",
+        last(when(col("event_type") === "signup",
+          struct(col("ts_us").as("ts_us"), col("event_id").as("event_id"))),
+          ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts_us"),
+        col("last_signup.event_id").as("signup_event_id"),
+        col("last_signup.ts_us").as("signup_ts_us"))
+      .orderBy("event_id")
+  }
+
+  val all: Seq[Q] = Seq(timeBucket, sessionize, asofJoin)
+}
