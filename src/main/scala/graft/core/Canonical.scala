@@ -48,13 +48,16 @@ object Canonical {
     * CAST(SUM(CAST(x AS DECIMAL(18,2))) AS DOUBLE) / COUNT(x)). */
   def davg(c: Column): Column = dsum(c) / count(c)
 
-  /** Leading 48 bits of md5(s) as a non-negative LongType. 48 bits keeps
-    * SUM over millions of rows inside signed-64 range (2^48 * 2^20 = 2^68
-    * would overflow — callers summing beyond ~30k rows should mod-reduce
-    * or partition first; see tableChecksum).
-    * DuckDB mirror: ('0x' || substr(md5(s), 1, 12))::BIGINT. */
-  def md5Long48(c: Column): Column =
-    conv(substring(md5(c), 1, 12), 16, 10).cast(LongType)
+  /** Leading `nHex` hex digits (4·nHex bits) of md5(s) as a non-negative
+    * LongType. Callers choose the width so downstream integer sums stay
+    * inside signed-64 range. DuckDB mirror:
+    * ('0x' || substr(md5(s), 1, nHex))::BIGINT. */
+  def md5LongHex(c: Column, nHex: Int): Column =
+    conv(substring(md5(c), 1, nHex), 16, 10).cast(LongType)
+
+  /** 48-bit md5 digest: safe to SUM over ~30k rows (2^48 · 2^15 = 2^63).
+    * Beyond that, mod-reduce or partition first; see tableChecksum. */
+  def md5Long48(c: Column): Column = md5LongHex(c, 12)
 
   /** Canonical string form of one column, engine-portable:
     *  - DOUBLE → DECIMAL(18,2) → string (scale-padded, identical renders)

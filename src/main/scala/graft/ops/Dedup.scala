@@ -1,0 +1,150 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.core.{Canonical => C, Q, Tables => T}
+
+/** Scalable near-duplicate detection: MinHash+LSH, SimHash, and n-gram
+  * Jaccard — the standard toolkit for training-corpus dedup at 100 TB
+  * (exact dedup lives in LlmPipeline.dedupExact; the multiset digest in
+  * LlmPipeline.dedupText).
+  *
+  * Scale shape shared by all three: the document text never crosses a
+  * shuffle. Tokens are exploded, hashed to fixed-width integers, and
+  * reduced per doc_id (partial aggregation), so the exchange carries
+  * (doc_id, few integers) regardless of document size. The LSH band join
+  * then buckets 16-byte keys — candidate generation is O(n·bands), not
+  * O(n²), which is the whole point of MinHash at corpus scale.
+  *
+  * All hash functions are md5-derived (H1: engine-portable), seeded by
+  * prefixing the seed index to the token.
+  */
+object Dedup {
+
+  private val K = 8          // minhash signature length
+  private val Bands = 4      // LSH bands (rows per band = K / Bands = 2)
+
+  /** MinHash + LSH banding: per-doc K-wide signature of min-hashed tokens,
+    * banded into `Bands` buckets; docs sharing a (band, bucket) are
+    * near-dup candidates. Output: every LSH bucket with its population and
+    * keeper (min doc_id). */
+  val dedupMinhash: Q = {
+    val hashCols = (0 until K).map(i =>
+      s"min(('0x' || substr(md5('$i:' || tok), 1, 12))::BIGINT) AS h$i").mkString(", ")
+    val bandCase = (0 until Bands).map(b =>
+      s"WHEN ${b} THEN md5(concat_ws(',', CAST(h${2 * b} AS VARCHAR), CAST(h${2 * b + 1} AS VARCHAR)))")
+      .mkString(" ")
+    Q(
+      "q_dedup_minhash",
+      s"""WITH toks AS (
+         |  SELECT DISTINCT doc_id, tok FROM (
+         |    SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+         |), sig AS (
+         |  SELECT doc_id, $hashCols FROM toks GROUP BY doc_id
+         |), bands AS (
+         |  SELECT doc_id, band, CASE band $bandCase END AS bucket
+         |  FROM sig, (SELECT unnest([${(0 until Bands).mkString(", ")}]) AS band)
+         |)
+         |SELECT band, bucket, count(*) AS n, min(doc_id) AS keeper
+         |FROM bands GROUP BY band, bucket
+         |ORDER BY band, bucket""".stripMargin
+    ) { (s, d) =>
+      val toks = T.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .distinct()
+      val aggs = (0 until K).map(i =>
+        min(C.md5Long48(concat(lit(s"$i:"), col("tok")))).as(s"h$i"))
+      val sig = toks.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+      val bandKeys = (0 until Bands).map(b =>
+        md5(concat_ws(",", col(s"h${2 * b}").cast(StringType),
+          col(s"h${2 * b + 1}").cast(StringType))))
+      sig.select(col("doc_id"), posexplode(array(bandKeys: _*)).as(Seq("band", "bucket")))
+        .groupBy("band", "bucket")
+        .agg(count(lit(1)).as("n"), min(col("doc_id")).as("keeper"))
+        .orderBy("band", "bucket")
+    }
+  }
+
+  /** SimHash (32-bit): per-bit majority vote over token hashes, with token
+    * multiplicity. Documents with equal (or near-equal, by Hamming
+    * distance) simhash are near-dups. One explode + one 32-way aggregate. */
+  val dedupSimhash: Q = {
+    val bitSums = (0 until 32).map(j =>
+      s"sum(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS s$j").mkString(", ")
+    val assemble = (0 until 32).map(j =>
+      s"CASE WHEN s$j > 0 THEN ${1L << j} ELSE 0 END").mkString(" + ")
+    Q(
+      "q_dedup_simhash",
+      s"""WITH toks AS (
+         |  SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h FROM (
+         |    SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+         |), bits AS (
+         |  SELECT doc_id, $bitSums FROM toks GROUP BY doc_id
+         |)
+         |SELECT doc_id, CAST($assemble AS BIGINT) AS simhash
+         |FROM bits ORDER BY doc_id""".stripMargin
+    ) { (s, d) =>
+      val toks = T.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .select(col("doc_id"), C.md5LongHex(col("tok"), 8).as("h"))
+      val bitAggs = (0 until 32).map(j =>
+        sum(when(shiftright(col("h"), j) % 2 === 1, 1).otherwise(-1)).as(s"s$j"))
+      val assembled = (0 until 32)
+        .map(j => when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+        .reduce(_ + _)
+      toks.groupBy("doc_id").agg(bitAggs.head, bitAggs.tail: _*)
+        .select(col("doc_id"), assembled.cast(LongType).as("simhash"))
+        .orderBy("doc_id")
+    }
+  }
+
+  /** Token-set Jaccard similarity over consecutive doc pairs (d, d+1) —
+    * the bounded-pair formulation of n-gram Jaccard (candidate pairs in
+    * production come from the MinHash buckets above; pairing by adjacent
+    * id keeps the oracle's output size linear). */
+  val ngramJaccard: Q = Q(
+    "q_ngram_jaccard",
+    """WITH toks AS (
+      |  SELECT DISTINCT doc_id, tok FROM (
+      |    SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+      |), cnt AS (
+      |  SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id
+      |), inter AS (
+      |  SELECT a.doc_id AS a_id, count(*) AS n_inter
+      |  FROM toks a JOIN toks b ON b.doc_id = a.doc_id + 1 AND b.tok = a.tok
+      |  GROUP BY a.doc_id
+      |)
+      |SELECT ca.doc_id AS a_id, cb.doc_id AS b_id,
+      |  coalesce(n_inter, 0) AS n_inter,
+      |  ca.n + cb.n - coalesce(n_inter, 0) AS n_union,
+      |  coalesce(n_inter, 0) / (ca.n + cb.n - coalesce(n_inter, 0)) AS jaccard
+      |FROM cnt ca
+      |JOIN cnt cb ON cb.doc_id = ca.doc_id + 1
+      |LEFT JOIN inter ON inter.a_id = ca.doc_id
+      |ORDER BY a_id""".stripMargin
+  ) { (s, d) =>
+    val toks = T.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .distinct()
+    val cnt = toks.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = toks.as("a")
+      .join(toks.as("b"),
+        col("b.doc_id") === col("a.doc_id") + 1 && col("b.tok") === col("a.tok"))
+      .groupBy(col("a.doc_id").as("a_id"))
+      .agg(count(lit(1)).as("n_inter"))
+    val ca = cnt.as("ca")
+    val cb = cnt.as("cb")
+    ca.join(cb, col("cb.doc_id") === col("ca.doc_id") + 1)
+      .join(inter, col("a_id") === col("ca.doc_id"), "left")
+      .select(
+        col("ca.doc_id").as("a_id"), col("cb.doc_id").as("b_id"),
+        coalesce(col("n_inter"), lit(0L)).as("n_inter"),
+        (col("ca.n") + col("cb.n") - coalesce(col("n_inter"), lit(0L))).as("n_union"),
+        (coalesce(col("n_inter"), lit(0L)) /
+          (col("ca.n") + col("cb.n") - coalesce(col("n_inter"), lit(0L)))).as("jaccard"))
+      .orderBy("a_id")
+  }
+
+  val all: Seq[Q] = Seq(dedupMinhash, dedupSimhash, ngramJaccard)
+}

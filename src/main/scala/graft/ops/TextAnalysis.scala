@@ -1,0 +1,101 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.core.{Canonical => C, Q, Tables => T}
+
+/** Text-analysis operators for training-data curation (north star):
+  * language ID, quality scoring, token counting, document fingerprinting.
+  * All heuristics are chosen to be expressible identically in Spark
+  * Columns and DuckDB SQL (the oracle cross-checks the semantics, not just
+  * the plumbing). Every operator is a single explode → aggregate pass:
+  * one shuffle on doc_id, partial aggregation before it.
+  */
+object TextAnalysis {
+
+  private val stopwords = Seq("the", "and", "of", "to", "in", "is", "a", "for")
+  private val stopSql = stopwords.map(w => s"'$w'").mkString(", ")
+
+  /** n-gram-heuristic language ID: English stopword density. The verdict
+    * threshold is integer math (n_stop·10 >= n_tok ⇔ ratio >= 0.1) so no
+    * float compare crosses engines. */
+  val langId: Q = Q(
+    "q_lang_id",
+    s"""SELECT doc_id, count(*) AS n_tok,
+       |  CAST(sum(CASE WHEN tok IN ($stopSql) THEN 1 ELSE 0 END) AS BIGINT) AS n_stop,
+       |  CASE WHEN sum(CASE WHEN tok IN ($stopSql) THEN 1 ELSE 0 END) * 10 >= count(*)
+       |       THEN 'en' ELSE 'other' END AS pred
+       |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  ) { (s, d) =>
+    val nStop = sum(when(col("tok").isin(stopwords: _*), 1).otherwise(0))
+    T.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tok"), nStop.cast(LongType).as("n_stop"),
+        when(nStop * 10 >= count(lit(1)), "en").otherwise("other").as("pred"))
+      .orderBy("doc_id")
+  }
+
+  /** Quality scoring: token count, unique-token count, type-token ratio,
+    * average token length. Ratios are BIGINT/BIGINT true division — the
+    * one float op both engines perform identically. */
+  val qualityScore: Q = Q(
+    "q_quality_score",
+    """SELECT doc_id, count(*) AS n_tok, count(DISTINCT tok) AS n_uniq,
+      |  count(DISTINCT tok) / count(*) AS ttr,
+      |  CAST(sum(length(tok)) AS BIGINT) / count(*) AS avg_len
+      |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  ) { (s, d) =>
+    T.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tok"), countDistinct(col("tok")).as("n_uniq"),
+        (countDistinct(col("tok")) / count(lit(1))).as("ttr"),
+        (sum(length(col("tok"))) / count(lit(1))).as("avg_len"))
+      .orderBy("doc_id")
+  }
+
+  /** Token counting three ways: whitespace split, alpha-run regex (the
+    * BPE-ish pre-tokenizer shape), and a chars/4 BPE-size estimate.
+    * Pure per-row map — no shuffle at all besides the presentation sort. */
+  val tokenCount: Q = Q(
+    "q_token_count",
+    """SELECT doc_id,
+      |  CAST(len(string_split(text, ' ')) AS INTEGER) AS n_ws,
+      |  CAST(len(regexp_extract_all(text, '[a-z]+')) AS INTEGER) AS n_alpha,
+      |  CAST(ceil(length(text) / 4.0) AS BIGINT) AS n_bpe_est
+      |FROM documents ORDER BY doc_id""".stripMargin
+  ) { (s, d) =>
+    T.documents(s, d)
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).as("n_ws"),
+        size(regexp_extract_all(col("text"), lit("[a-z]+"), lit(0))).as("n_alpha"),
+        ceil(length(col("text")) / 4.0).as("n_bpe_est"))
+      .orderBy("doc_id")
+  }
+
+  /** Document fingerprint: position-weighted rolling digest
+    * sum(i · h40(token_i)) — order-sensitive (unlike the multiset digest in
+    * q_dedup_text), so re-ordered documents fingerprint differently.
+    * 40-bit token hashes × position ≤ 2^40·n² keeps the per-doc sum well
+    * inside signed-64 for documents up to ~50k tokens. */
+  val fingerprint: Q = Q(
+    "q_fingerprint",
+    """SELECT doc_id,
+      |  CAST(list_sum(list_transform(range(1, len(toks) + 1),
+      |    i -> i * ('0x' || substr(md5(toks[i]), 1, 10))::BIGINT)) AS BIGINT)
+      |    AS fingerprint
+      |FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+      |ORDER BY doc_id""".stripMargin
+  ) { (s, d) =>
+    T.documents(s, d)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+      .groupBy("doc_id")
+      .agg(sum((col("pos") + 1) * C.md5LongHex(col("tok"), 10)).as("fingerprint"))
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[Q] = Seq(langId, qualityScore, tokenCount, fingerprint)
+}
