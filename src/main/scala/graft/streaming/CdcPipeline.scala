@@ -1,0 +1,125 @@
+package graft.streaming
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.{StringType, StructType}
+
+import graft.core.{Canonical => C}
+
+/** The cdc-lite pipeline as Structured Streaming (s_poll_pipeline).
+  *
+  * Reference behavior being reproduced (/root/reference/pkg/duckdb/
+  * duckdb_cdc.go): a 1 s poll loop (91-99) copies the source DB for a
+  * consistent read (100-113), computes a per-table checksum inside the
+  * engine (161-215), compares it to the last stored checksum (188-197),
+  * and on change captures the full table as SNAPSHOT envelopes to a JSONL
+  * file (217-294), then appends the new checksum to a metadata store
+  * (205-208).
+  *
+  * Spark-first mapping:
+  *  - the poll loop        → a file-source stream over snapshot drops +
+  *                           Trigger.ProcessingTime (micro-batch = tick);
+  *  - the consistent copy  → parquet immutability (no copy needed);
+  *  - the checksum         → one shuffle-free global aggregate per batch;
+  *  - changed? + capture   → foreachBatch: compare vs metadata state, and
+  *                           only then write envelopes;
+  *  - the JSONL sink       → df.write.json (one file per partition — the
+  *                           reference's same-second-overwrite bug B2
+  *                           cannot happen);
+  *  - the metadata store   → append-only parquet dir, read back with
+  *                           max_by(checksum, ts) (R10).
+  *
+  * Delivery is at-least-once, like the reference (capture precedes the
+  * checksum record, SURVEY.md §5.3 B5); the streaming checkpoint bounds
+  * reprocessing to one batch.
+  */
+object CdcPipeline {
+
+  final case class Config(
+      inputDir: String,
+      outputDir: String,
+      metadataDir: String,
+      checkpointDir: String,
+      tableName: String,
+      triggerMs: Long = 1000L)
+
+  /** Envelope projection (R17): one row per captured row, reference
+    * envelope shape (FIXTURES.md §2). data_json uses to_json here — no
+    * cross-engine oracle reads this surface, and to_json is codegen'd. */
+  def toEnvelope(df: DataFrame, tableName: String): DataFrame =
+    df.select(
+      current_timestamp().as("timestamp"),
+      lit(tableName).as("table"),
+      lit("SNAPSHOT").as("operation"),
+      to_json(struct(df.columns.map(col).toIndexedSeq: _*)).as("data"))
+
+  /** The reference's digest (R11-R16) over an arbitrary batch: count +
+    * order-independent sum of per-row digests, md5-combined. Pure
+    * aggregate — one Spark job, O(1) result rows. */
+  def batchChecksum(df: DataFrame): String = {
+    val row = df
+      .agg(count(lit(1)).cast(StringType).as("cnt"),
+        coalesce(sum(C.rowDigest48(df)), lit(0L)).cast(StringType).as("dig"))
+      .select(md5(concat_ws(",", col("cnt"), col("dig"))).as("checksum"))
+      .head()
+    row.getString(0)
+  }
+
+  /** Latest stored checksum for a table, or None on bootstrap (mirrors the
+    * reference's sql.ErrNoRows branch, duckdb_cdc.go:196-197). */
+  def lastChecksum(spark: SparkSession, metadataDir: String, table: String): Option[String] = {
+    if (!Files.exists(Paths.get(metadataDir))) return None
+    val meta = spark.read.parquet(metadataDir)
+    if (meta.isEmpty) None
+    else meta.filter(col("table_name") === table)
+      .agg(max_by(col("checksum"), col("ts")).as("checksum"))
+      .head() match {
+        case r if r.isNullAt(0) => None
+        case r                  => Some(r.getString(0))
+      }
+  }
+
+  private def recordChecksum(
+      spark: SparkSession, metadataDir: String, table: String, checksum: String): Unit = {
+    import spark.implicits._
+    Seq((table, checksum, new java.sql.Timestamp(System.currentTimeMillis())))
+      .toDF("table_name", "checksum", "ts")
+      .write.mode("append").parquet(metadataDir)
+  }
+
+  /** One poll tick over an already-materialized batch: detect + capture +
+    * record. Factored out of the stream so batch tests (and batch
+    * backfills) run the identical code path. Returns true if a change was
+    * captured. */
+  def processBatch(spark: SparkSession, batch: DataFrame, cfg: Config): Boolean = {
+    if (batch.isEmpty) return false
+    val current = batchChecksum(batch)
+    val changed = !lastChecksum(spark, cfg.metadataDir, cfg.tableName).contains(current)
+    if (changed) {
+      // Capture-then-record, the reference's ordering (at-least-once, B5).
+      toEnvelope(batch, cfg.tableName)
+        .write.mode("append").json(cfg.outputDir)
+      recordChecksum(spark, cfg.metadataDir, cfg.tableName, current)
+    }
+    changed
+  }
+
+  /** Start the monitoring stream: snapshot drops under inputDir/ are
+    * discovered per trigger (the reference's ticker, R21) and run through
+    * processBatch. */
+  def start(spark: SparkSession, cfg: Config, schema: StructType): StreamingQuery =
+    spark.readStream
+      .schema(schema)
+      .parquet(cfg.inputDir)
+      .writeStream
+      .trigger(Trigger.ProcessingTime(cfg.triggerMs))
+      .option("checkpointLocation", cfg.checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        processBatch(batch.sparkSession, batch, cfg)
+        ()
+      }
+      .start()
+}

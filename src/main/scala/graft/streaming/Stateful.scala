@@ -1,0 +1,64 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming state machines and event-time windows (SURVEY.md §2B
+  * streaming rows). These are DataFrame→DataFrame transforms so tests
+  * drive them with MemoryStream and production wires them to any source.
+  */
+object Stateful {
+
+  final case class TableDigest(table: String, checksum: String)
+  final case class ChangeSignal(table: String, previous: Option[String], current: String)
+
+  /** s_stateful_checksum: the reference's per-table changed/unchanged
+    * state machine (duckdb_cdc.go:188-212) as flatMapGroupsWithState —
+    * keyed state holds the last checksum; a row is emitted only on
+    * bootstrap or change. State is O(monitored tables), not O(rows). */
+  def changeSignals(digests: Dataset[TableDigest]): Dataset[ChangeSignal] = {
+    import digests.sparkSession.implicits._
+    digests
+      .groupByKey(_.table)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (table: String, rows: Iterator[TableDigest], state: GroupState[String]) =>
+          var last = state.getOption
+          val out = Iterator.unfold(rows) { it =>
+            if (!it.hasNext) None
+            else {
+              val d = it.next()
+              val sig =
+                if (last.contains(d.checksum)) None
+                else Some(ChangeSignal(table, last, d.checksum))
+              last = Some(d.checksum)
+              Some((sig, it))
+            }
+          }.flatten.toList
+          last.foreach(state.update)
+          out.iterator
+      }
+  }
+
+  /** s_watermark_late: event-time tumbling counts with a 10-minute
+    * watermark — late rows beyond the watermark are dropped, the upgrade
+    * over the reference's no-late-data story (SURVEY.md §2C). */
+  def watermarkedCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .select(col("window.start").as("bucket_start"), col("n"), col("sum_value"))
+
+  /** s_session_window: native session windows, 30-minute gap per user —
+    * the streaming twin of the batch gaps-and-islands in
+    * graft.ops.Temporal.sessionize. */
+  def sessionCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("session_window.start").as("session_start"),
+        col("n_events"))
+}

@@ -1,0 +1,71 @@
+package graft.ops
+
+import graft.SparkSuite
+import graft.functions.MultimodalDecode
+import graft.functions.MultimodalDecode.Asset
+
+/** Spot checks of declared operators on sf0.001 (full value-level
+  * verification is the DuckDB oracle gate — scripts/check.py; these catch
+  * regressions without the oracle in the loop) plus the typed multimodal
+  * decode plumbing. */
+class OperatorSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+  private def run(name: String) = graft.SparkEntry.queries(name)(spark, sf)
+
+  test("every declared query has an oracle or a documented exemption") {
+    val noOracle = graft.SparkEntry.declared.filter(_.oracle.isEmpty).map(_.name)
+    assert(noOracle.isEmpty, s"queries without oracle: $noOracle")
+  }
+
+  test("q_topk is ordered by price desc with key tiebreak") {
+    val rows = run("q_topk").collect()
+    assert(rows.length == 10)
+    val prices = rows.map(_.getDouble(2))
+    assert(prices.sameElements(prices.sorted.reverse))
+  }
+
+  test("q_table_checksum is stable across runs") {
+    val a = run("q_table_checksum").collect().head.getString(1)
+    val b = run("q_table_checksum").collect().head.getString(1)
+    assert(a == b && a.length == 32)
+  }
+
+  test("q_cdc_diff classifies all three operation kinds") {
+    val ops = run("q_cdc_diff").select("op").distinct().as[String].collect().toSet
+    assert(ops == Set("INSERT", "UPDATE", "DELETE"))
+  }
+
+  test("q_similarity_topk returns 5 neighbors per query vector, ranked") {
+    val rows = run("q_similarity_topk").collect()
+    assert(rows.length == 25)
+    val byQ = rows.groupBy(_.getLong(0))
+    assert(byQ.keySet == Set(0L, 1L, 2L, 3L, 4L))
+    byQ.values.foreach { g =>
+      val scores = g.sortBy(_.getInt(1)).map(_.getDouble(3))
+      assert(scores.sameElements(scores.sorted.reverse))
+    }
+  }
+
+  test("q_dedup_minhash buckets cover all docs in every band") {
+    val perBand = run("q_dedup_minhash")
+      .groupBy("band").sum("n").collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val nDocs = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(perBand.keySet == Set(0, 1, 2, 3))
+    assert(perBand.values.forall(_ == nDocs))
+  }
+
+  test("multimodal decode stub: typed partition-local decode") {
+    val assets = Seq(
+      Asset(1L, "image/png", Array[Byte](0x10, 0x20, 0x30, 0x40, 0x50, 0x60, 0x70, 0x7f, 1, 2)),
+      Asset(2L, "audio/wav", Array[Byte](3, 4)),
+      Asset(3L, "video/mp4", Array.empty[Byte])).toDS()
+    val feats = MultimodalDecode.decode(assets).collect().sortBy(_.asset_id)
+    assert(feats.map(_.n_bytes).toSeq == Seq(10, 2, 0))
+    assert(feats.head.header_hex == "102030405060707F")
+    assert(feats.head.width == 0x10 + 1 && feats.head.height == 0x20 + 1)
+    assert(feats(2).frame_sample.isEmpty)
+  }
+}

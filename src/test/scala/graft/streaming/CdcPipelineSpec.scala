@@ -1,0 +1,99 @@
+package graft.streaming
+
+import java.nio.file.{Files, Paths}
+import java.sql.Timestamp
+
+import scala.jdk.CollectionConverters._
+
+import graft.SparkSuite
+
+/** Port of the reference's test scenarios (duckdb_cdc_test.go):
+  * TestChangeDetection (125-208) without the wall-clock sleep, plus
+  * checksum no-change and mutation cases the reference only exercises
+  * via its README demo.
+  */
+class CdcPipelineSpec extends SparkSuite {
+  import spark.implicits._
+
+  /** The reference fixture: users(id, name, email, created_at)
+    * (FIXTURES.md §1, setup.sql:5-15). */
+  private val t0 = Timestamp.valueOf("2024-12-20 10:00:00")
+  private def seedUsers = Seq(
+    (1, "John Doe", "john@example.com", t0),
+    (2, "Jane Smith", "jane@example.com", t0)
+  ).toDF("id", "name", "email", "created_at")
+
+  private def cfg(base: String) = CdcPipeline.Config(
+    inputDir = s"$base/in", outputDir = s"$base/out",
+    metadataDir = s"$base/meta", checkpointDir = s"$base/ckpt",
+    tableName = "users")
+
+  private def jsonlLines(dir: String): Seq[String] = {
+    val d = Paths.get(dir)
+    if (!Files.exists(d)) Seq.empty
+    else Files.walk(d).iterator().asScala
+      .filter(p => p.toString.endsWith(".json"))
+      .flatMap(p => Files.readAllLines(p).asScala)
+      .toSeq
+  }
+
+  test("bootstrap capture: first snapshot is captured as SNAPSHOT envelopes") {
+    val base = tmpDir("cdc")
+    val c = cfg(base)
+    assert(CdcPipeline.processBatch(spark, seedUsers, c))
+    val lines = jsonlLines(c.outputDir)
+    assert(lines.size == 2)
+    assert(lines.forall(_.contains("\"table\":\"users\"")))
+    assert(lines.forall(_.contains("\"operation\":\"SNAPSHOT\"")))
+    assert(lines.exists(_.contains("john@example.com")))
+  }
+
+  test("no-change: identical snapshot (even reordered) is not re-captured") {
+    val base = tmpDir("cdc")
+    val c = cfg(base)
+    assert(CdcPipeline.processBatch(spark, seedUsers, c))
+    val reordered = seedUsers.orderBy($"id".desc)
+    assert(!CdcPipeline.processBatch(spark, reordered, c))
+    assert(jsonlLines(c.outputDir).size == 2)
+  }
+
+  test("change detection: INSERT + UPDATE + DELETE each trigger a capture") {
+    val base = tmpDir("cdc")
+    val c = cfg(base)
+    assert(CdcPipeline.processBatch(spark, seedUsers, c))
+    // the reference README demo mutations (README.md:58-67)
+    val afterInsert = seedUsers.unionAll(
+      Seq((3, "Bob Wilson", "bob@example.com", t0))
+        .toDF("id", "name", "email", "created_at"))
+    assert(CdcPipeline.processBatch(spark, afterInsert, c))
+    val afterUpdate = afterInsert
+      .withColumn("email",
+        org.apache.spark.sql.functions.when($"id" === 1,
+          org.apache.spark.sql.functions.lit("john.doe@example.com"))
+          .otherwise($"email"))
+    assert(CdcPipeline.processBatch(spark, afterUpdate, c))
+    val afterDelete = afterUpdate.filter($"id" =!= 2)
+    assert(CdcPipeline.processBatch(spark, afterDelete, c))
+    // captures: 2 + 3 + 3 + 2 envelope rows
+    assert(jsonlLines(c.outputDir).size == 10)
+    // metadata history holds one checksum per capture
+    assert(spark.read.parquet(c.metadataDir).count() == 4)
+  }
+
+  test("streaming end-to-end: snapshot drops are discovered and captured") {
+    val base = tmpDir("cdc")
+    val c = cfg(base)
+    Files.createDirectories(Paths.get(c.inputDir))
+    seedUsers.write.mode("append").parquet(c.inputDir)
+    val q = CdcPipeline.start(spark, c, seedUsers.schema)
+    q.processAllAvailable()
+    assert(jsonlLines(c.outputDir).size == 2)
+    // drop a changed snapshot (new row) — discovered on the next tick
+    Seq((3, "Bob Wilson", "bob@example.com", t0))
+      .toDF("id", "name", "email", "created_at")
+      .write.mode("append").parquet(c.inputDir)
+    q.processAllAvailable()
+    q.stop()
+    assert(jsonlLines(c.outputDir).size == 3)
+  }
+}

@@ -1,0 +1,85 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.SparkSuite
+import graft.streaming.Stateful.TableDigest
+
+/** MemoryStream-driven streaming tests — synchronous via
+  * processAllAvailable, no wall-clock sleeps (unlike the reference's
+  * flaky 2 s sleep, duckdb_cdc_test.go:159). */
+class StatefulSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("s_stateful_checksum: emits on bootstrap and change, silent otherwise") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[TableDigest]
+    val q = Stateful.changeSignals(in.toDS())
+      .writeStream.format("memory").queryName("signals")
+      .outputMode(OutputMode.Append).start()
+    in.addData(TableDigest("users", "c1"))       // bootstrap → emit
+    q.processAllAvailable()
+    in.addData(TableDigest("users", "c1"))       // unchanged → silent
+    q.processAllAvailable()
+    in.addData(TableDigest("users", "c2"),       // change → emit
+               TableDigest("orders", "z1"))      // new table bootstrap → emit
+    q.processAllAvailable()
+    val rows = spark.table("signals").as[Stateful.ChangeSignal].collect()
+    q.stop()
+    assert(rows.length == 3)
+    assert(rows.exists(r => r.table == "users" && r.previous.isEmpty && r.current == "c1"))
+    assert(rows.exists(r => r.table == "users" && r.previous.contains("c1") && r.current == "c2"))
+    assert(rows.exists(r => r.table == "orders" && r.previous.isEmpty && r.current == "z1"))
+  }
+
+  test("s_watermark_late: closed windows emit; late rows beyond watermark drop") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, Long, Double)]
+    val events = in.toDF().toDF("ts", "user_id", "value")
+    val q = Stateful.watermarkedCounts(events)
+      .writeStream.format("memory").queryName("wm")
+      .outputMode(OutputMode.Append).start()
+    in.addData((ts("2024-01-01 10:05:00"), 1L, 1.0), (ts("2024-01-01 10:40:00"), 2L, 2.0))
+    q.processAllAvailable()
+    // advance watermark far past the 10:00 window
+    in.addData((ts("2024-01-01 13:00:00"), 3L, 3.0))
+    q.processAllAvailable()
+    // a very late row for the already-closed 10:00 window must be dropped
+    in.addData((ts("2024-01-01 10:10:00"), 4L, 4.0))
+    q.processAllAvailable()
+    in.addData((ts("2024-01-01 15:00:00"), 5L, 5.0))
+    q.processAllAvailable()
+    val rows = spark.table("wm").collect()
+    q.stop()
+    val w10 = rows.filter(_.getTimestamp(0) == ts("2024-01-01 10:00:00"))
+    assert(w10.length == 1)
+    assert(w10.head.getLong(1) == 2)        // late row NOT counted
+    assert(w10.head.getDouble(2) == 3.0)
+  }
+
+  test("s_session_window: 30-minute gap splits sessions per user") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, Long, Double)]
+    val events = in.toDF().toDF("ts", "user_id", "value")
+    val q = Stateful.sessionCounts(events)
+      .writeStream.format("memory").queryName("sess")
+      .outputMode(OutputMode.Append).start()
+    in.addData(
+      (ts("2024-01-01 10:00:00"), 1L, 1.0),
+      (ts("2024-01-01 10:10:00"), 1L, 1.0),   // same session (gap 10 min)
+      (ts("2024-01-01 11:30:00"), 1L, 1.0))   // new session (gap 80 min)
+    q.processAllAvailable()
+    in.addData((ts("2024-01-01 20:00:00"), 9L, 0.0)) // advance watermark
+    q.processAllAvailable()
+    val rows = spark.table("sess").collect()
+    q.stop()
+    val u1 = rows.filter(_.getLong(0) == 1L)
+    assert(u1.length == 2)
+    assert(u1.map(_.getLong(2)).sorted.toSeq == Seq(1L, 2L))
+  }
+}
