@@ -28,18 +28,26 @@ object Dedup {
   /** MinHash + LSH banding: per-doc K-wide signature of min-hashed tokens,
     * banded into `Bands` buckets; docs sharing a (band, bucket) are
     * near-dup candidates. Output: every LSH bucket with its population and
-    * keeper (min doc_id). */
+    * keeper (min doc_id).
+    *
+    * The K hash functions are derived from ONE md5 per token via
+    * Kirsch-Mitzenmacher double hashing (h_i = a + i·b from the two md5
+    * halves) — 1/K-th the hashing cost, and min over the token multiset
+    * equals min over the token set, so no dedup shuffle is needed before
+    * the per-doc aggregate. */
   val dedupMinhash: Q = {
     val hashCols = (0 until K).map(i =>
-      s"min(('0x' || substr(md5('$i:' || tok), 1, 12))::BIGINT) AS h$i").mkString(", ")
+      s"min(a + $i * b) AS h$i").mkString(", ")
     val bandCase = (0 until Bands).map(b =>
       s"WHEN ${b} THEN md5(concat_ws(',', CAST(h${2 * b} AS VARCHAR), CAST(h${2 * b + 1} AS VARCHAR)))")
       .mkString(" ")
     Q(
       "q_dedup_minhash",
       s"""WITH toks AS (
-         |  SELECT DISTINCT doc_id, tok FROM (
-         |    SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+         |  SELECT doc_id,
+         |    ('0x' || substr(md5(tok), 1, 12))::BIGINT AS a,
+         |    ('0x' || substr(md5(tok), 13, 12))::BIGINT AS b
+         |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
          |), sig AS (
          |  SELECT doc_id, $hashCols FROM toks GROUP BY doc_id
          |), bands AS (
@@ -52,9 +60,11 @@ object Dedup {
     ) { (s, d) =>
       val toks = T.documents(s, d)
         .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-        .distinct()
+        .select(col("doc_id"),
+          C.md5Long48(col("tok")).as("a"),
+          conv(substring(md5(col("tok")), 13, 12), 16, 10).cast(LongType).as("b"))
       val aggs = (0 until K).map(i =>
-        min(C.md5Long48(concat(lit(s"$i:"), col("tok")))).as(s"h$i"))
+        min(col("a") + lit(i) * col("b")).as(s"h$i"))
       val sig = toks.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
       val bandKeys = (0 until Bands).map(b =>
         md5(concat_ws(",", col(s"h${2 * b}").cast(StringType),

@@ -68,13 +68,20 @@ object Similarity {
     def dot(a: Column, b: Column): Column =
       aggregate(zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
         lit(0.0), (acc, v) => acc + v)
-    val v = T.embeddings(s, d).select(col("vec_id"), sigCol.as("sig"), col("embedding"))
-    val a = v.select(col("vec_id").as("a_id"), col("sig"), col("embedding").as("ea"))
-    val b = v.select(col("vec_id").as("b_id"), col("sig").as("sigb"), col("embedding").as("eb"))
+    // Norms are computed once per vector BEFORE the pair join (linear
+    // work), so each of the O(pairs) rows evaluates one dot product, not
+    // three. Numerically identical to the per-pair form — sqrt(dot(e,e))
+    // on the same doubles — so oracle parity holds.
+    val v = T.embeddings(s, d)
+      .select(col("vec_id"), sigCol.as("sig"), col("embedding"),
+        sqrt(dot(col("embedding"), col("embedding"))).as("nrm"))
+    val a = v.select(col("vec_id").as("a_id"), col("sig"),
+      col("embedding").as("ea"), col("nrm").as("nrm_a"))
+    val b = v.select(col("vec_id").as("b_id"), col("sig").as("sigb"),
+      col("embedding").as("eb"), col("nrm").as("nrm_b"))
     a.join(b, col("sig") === col("sigb") && col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"),
-        round(dot(col("ea"), col("eb")) /
-          (sqrt(dot(col("ea"), col("ea"))) * sqrt(dot(col("eb"), col("eb")))), 4)
+        round(dot(col("ea"), col("eb")) / (col("nrm_a") * col("nrm_b")), 4)
           .as("score"))
       .filter(col("score") >= 0.25)
       .orderBy("a_id", "b_id")
