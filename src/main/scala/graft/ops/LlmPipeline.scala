@@ -84,13 +84,14 @@ object LlmPipeline {
       .orderBy("bucket")
   }
 
-  /** Dot product of two float-array columns, computed in DOUBLE with a
-    * strict left-to-right fold so both engines sum in identical order. */
-  private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
-      lit(0.0), (acc, v) => acc + v)
+  /** Dot product of two float-array columns in DOUBLE — the codegen'd
+    * native expression (graft.functions.FloatVecDot); same strict
+    * left-to-right fold as aggregate(zip_with(...)), so engine-exact. */
+  private def dot(s: org.apache.spark.sql.SparkSession)(a: Column, b: Column): Column =
+    graft.functions.VectorOps.vecDot(s, a, b)
 
-  private def l2(a: Column): Column = sqrt(dot(a, a))
+  private def l2(s: org.apache.spark.sql.SparkSession)(a: Column): Column =
+    sqrt(dot(s)(a, a))
 
   /** Brute-force cosine top-k ANN baseline: 5 query vectors (lowest
     * vec_ids) × all candidates. The tiny query side is broadcast; the scan
@@ -121,8 +122,8 @@ object LlmPipeline {
     val scored = e.crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id"),
-        round(dot(col("embedding"), col("qe")) /
-          (l2(col("embedding")) * l2(col("qe"))), 4).as("score"))
+        round(dot(s)(col("embedding"), col("qe")) /
+          (l2(s)(col("embedding")) * l2(s)(col("qe"))), 4).as("score"))
     val w = Window.partitionBy("qid").orderBy(col("score").desc, col("vec_id").asc)
     scored.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 5)
@@ -146,7 +147,7 @@ object LlmPipeline {
       .groupBy("label")
       .agg(
         count(lit(1)).as("n"),
-        (sum(l2(col("embedding")).cast(DecimalType(18, 6))).cast(DoubleType) /
+        (sum(l2(s)(col("embedding")).cast(DecimalType(18, 6))).cast(DoubleType) /
           count(lit(1))).as("avg_norm"),
         max(size(col("embedding"))).as("dim"))
       .orderBy("label")

@@ -65,9 +65,10 @@ object Similarity {
       |      (sqrt(list_inner_product(a.e, a.e)) * sqrt(list_inner_product(b.e, b.e))), 4) >= 0.25
       |ORDER BY a_id, b_id""".stripMargin
   ) { (s, d) =>
+    // Codegen'd native dot product (graft.functions.FloatVecDot) — same
+    // left-to-right double fold as the higher-order-function form.
     def dot(a: Column, b: Column): Column =
-      aggregate(zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
-        lit(0.0), (acc, v) => acc + v)
+      graft.functions.VectorOps.vecDot(s, a, b)
     // Norms are computed once per vector BEFORE the pair join (linear
     // work), so each of the O(pairs) rows evaluates one dot product, not
     // three. Numerically identical to the per-pair form — sqrt(dot(e,e))

@@ -1,0 +1,47 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+import graft.SparkSuite
+
+/** FloatVecDot must be bit-identical to the composable higher-order
+  * formulation it replaces (same left-to-right double fold). */
+class VectorOpsSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def hofDot = aggregate(
+    zip_with(col("a"), col("b"), (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
+    lit(0.0), (acc, v) => acc + v)
+
+  test("vec_dot matches aggregate(zip_with(...)) bit-for-bit") {
+    val df = Seq(
+      (Seq(1.5f, -2.25f, 0.125f), Seq(4.0f, 0.5f, -8.0f)),
+      (Seq(0.1f, 0.2f, 0.3f), Seq(0.3f, 0.2f, 0.1f)),
+      (Seq.empty[Float], Seq.empty[Float])
+    ).toDF("a", "b")
+    val rows = df.select(
+      VectorOps.vecDot(spark, col("a"), col("b")).as("native"),
+      hofDot.as("hof")).collect()
+    rows.foreach(r => assert(
+      java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(1))))
+  }
+
+  test("vec_dot on the real embeddings matches the HOF form everywhere") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("embedding").as("a"), col("embedding").as("b"))
+    val diff = e.select(
+      VectorOps.vecDot(spark, col("a"), col("b")).as("native"), hofDot.as("hof"))
+      .filter(col("native") =!= col("hof")).count()
+    assert(diff == 0)
+  }
+
+  test("vec_dot is null-safe and SQL-callable") {
+    VectorOps.register(spark)
+    val r = spark.sql(
+      "SELECT vec_dot(CAST(NULL AS ARRAY<FLOAT>), array(CAST(1.0 AS FLOAT)))")
+      .collect().head
+    assert(r.isNullAt(0))
+  }
+}
