@@ -88,5 +88,73 @@ object Similarity {
       .orderBy("a_id", "b_id")
   }
 
-  val all: Seq[Q] = Seq(similarityLsh, embedNearDup)
+  /** IVF (inverted-file) ANN probe: vectors are assigned to the nearest
+    * of 16 centroids (here the 16 lowest vec_ids — a deterministic
+    * stand-in for trained k-means centroids); a query searches only its
+    * own cell. Assignment is a broadcast of the tiny centroid set against
+    * one streaming scan (50k×16 codegen'd dot products at bench scale);
+    * probe work is cell-local. At 100 TB the cell id becomes the
+    * partition/bucketing key and probes touch one partition per query.
+    * Cosines are rounded to 6 dp before ranking so both engines order
+    * identically. */
+  val similarityIvf: Q = Q(
+    "q_similarity_ivf",
+    """WITH c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS ce,
+      |    sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS cn
+      |  FROM embeddings WHERE vec_id < 16),
+      |v AS (SELECT vec_id, embedding::DOUBLE[] AS e,
+      |    sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS vn
+      |  FROM embeddings),
+      |scored AS (SELECT v.vec_id, c.cid,
+      |    round(list_inner_product(e, ce) / (vn * cn), 6) AS cos FROM v, c),
+      |assign AS (SELECT vec_id, cid FROM (
+      |  SELECT vec_id, cid,
+      |    row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
+      |  FROM scored) WHERE rn = 1),
+      |qa AS (SELECT vec_id AS qid, cid FROM assign WHERE vec_id BETWEEN 16 AND 20),
+      |cand AS (SELECT qa.qid, a.vec_id AS cand_id
+      |  FROM qa JOIN assign a ON a.cid = qa.cid AND a.vec_id != qa.qid),
+      |cscore AS (SELECT qid, cand_id,
+      |    round(list_inner_product(vq.e, vc.e) / (vq.vn * vc.vn), 6) AS score
+      |  FROM cand
+      |  JOIN v vq ON vq.vec_id = qid
+      |  JOIN v vc ON vc.vec_id = cand_id)
+      |SELECT qid, CAST(rn AS INTEGER) AS rn, cand_id AS vec_id, score FROM (
+      |  SELECT qid, cand_id, score,
+      |    row_number() OVER (PARTITION BY qid ORDER BY score DESC, cand_id) AS rn
+      |  FROM cscore)
+      |WHERE rn <= 3 ORDER BY qid, rn""".stripMargin
+  ) { (s, d) =>
+    def dot(a: Column, b: Column): Column =
+      graft.functions.VectorOps.vecDot(s, a, b)
+    val base = T.embeddings(s, d)
+      .select(col("vec_id"), col("embedding"),
+        sqrt(dot(col("embedding"), col("embedding"))).as("nrm"))
+    val cents = base.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"), col("nrm").as("cn"))
+    val scored = base.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("cid"),
+        round(dot(col("embedding"), col("ce")) / (col("nrm") * col("cn")), 6).as("cos"))
+    val wAssign = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id").orderBy(col("cos").desc, col("cid").asc)
+    val assign = scored.withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") === 1).select(col("vec_id"), col("cid"))
+    val qa = assign.filter(col("vec_id").between(16, 20))
+      .select(col("vec_id").as("qid"), col("cid"))
+    val cand = qa.join(assign.select(col("vec_id").as("cand_id"), col("cid")), Seq("cid"))
+      .filter(col("cand_id") =!= col("qid"))
+    val vq = base.select(col("vec_id").as("qid"), col("embedding").as("qe"), col("nrm").as("qn"))
+    val vc = base.select(col("vec_id").as("cand_id"), col("embedding").as("cande"), col("nrm").as("candn"))
+    val cscore = cand.join(vq, Seq("qid")).join(vc, Seq("cand_id"))
+      .select(col("qid"), col("cand_id"),
+        round(dot(col("qe"), col("cande")) / (col("qn") * col("candn")), 6).as("score"))
+    val wRank = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("score").desc, col("cand_id").asc)
+    cscore.withColumn("rn", row_number().over(wRank))
+      .filter(col("rn") <= 3)
+      .select(col("qid"), col("rn"), col("cand_id").as("vec_id"), col("score"))
+      .orderBy("qid", "rn")
+  }
+
+  val all: Seq[Q] = Seq(similarityLsh, embedNearDup, similarityIvf)
 }

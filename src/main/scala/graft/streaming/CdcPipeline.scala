@@ -68,6 +68,36 @@ object CdcPipeline {
     row.getString(0)
   }
 
+  /** Scale path for change detection: one digest per horizontal bucket
+    * instead of one per table. The reference re-checksums the whole table
+    * every tick (duckdb_cdc.go:175-183) — O(table) per tick forever. With
+    * per-bucket digests, a re-check scans only buckets whose digest is
+    * missing or stale, and capture re-emits only changed buckets:
+    * O(changed data). `bucket` is any deterministic expression — a date
+    * column for date-partitioned tables, a key range, or a hash bucket.
+    * Same shuffle shape as the global digest (partial agg per input
+    * partition, then one row per bucket crosses the exchange). */
+  def partitionChecksums(df: DataFrame, bucket: org.apache.spark.sql.Column): DataFrame =
+    df.groupBy(bucket.as("bucket"))
+      .agg(count(lit(1)).cast(StringType).as("cnt"),
+        sum(C.rowDigest48(df)).cast(StringType).as("dig"))
+      .select(col("bucket"),
+        md5(concat_ws(",", col("cnt"), col("dig"))).as("checksum"))
+
+  /** Buckets whose digest differs between two snapshots (added, removed,
+    * or changed) — the capture set for an incremental re-snapshot. */
+  def changedBuckets(prev: DataFrame, current: DataFrame): DataFrame = {
+    val p = prev.select(col("bucket"), col("checksum").as("prev_checksum"))
+    val c = current.select(col("bucket"), col("checksum").as("cur_checksum"))
+    p.join(c, Seq("bucket"), "full_outer")
+      .filter(col("prev_checksum").isNull || col("cur_checksum").isNull ||
+        col("prev_checksum") =!= col("cur_checksum"))
+      .select(col("bucket"),
+        when(col("prev_checksum").isNull, "ADDED")
+          .when(col("cur_checksum").isNull, "REMOVED")
+          .otherwise("CHANGED").as("status"))
+  }
+
   /** Latest stored checksum for a table, or None on bootstrap (mirrors the
     * reference's sql.ErrNoRows branch, duckdb_cdc.go:196-197). */
   def lastChecksum(spark: SparkSession, metadataDir: String, table: String): Option[String] = {

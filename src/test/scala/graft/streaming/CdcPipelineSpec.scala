@@ -80,6 +80,24 @@ class CdcPipelineSpec extends SparkSuite {
     assert(spark.read.parquet(c.metadataDir).count() == 4)
   }
 
+  test("partition checksums localize change to the touched bucket") {
+    import org.apache.spark.sql.functions.{col, pmod}
+    val bucket = pmod(col("id"), org.apache.spark.sql.functions.lit(2))
+    val before = CdcPipeline.partitionChecksums(seedUsers, bucket)
+    // mutate only id=1 (bucket 1); bucket 0 must keep its digest
+    val mutated = seedUsers.withColumn("email",
+      org.apache.spark.sql.functions.when($"id" === 1,
+        org.apache.spark.sql.functions.lit("new@example.com")).otherwise($"email"))
+    val after = CdcPipeline.partitionChecksums(mutated, bucket)
+    val changed = CdcPipeline.changedBuckets(before, after).collect()
+    assert(changed.length == 1)
+    assert(changed.head.getInt(0) == 1 && changed.head.getString(1) == "CHANGED")
+    // removing all rows of a bucket reports REMOVED
+    val dropped = CdcPipeline.partitionChecksums(seedUsers.filter($"id" =!= 2), bucket)
+    val removed = CdcPipeline.changedBuckets(before, dropped).collect()
+    assert(removed.map(r => (r.getInt(0), r.getString(1))).toSet == Set((0, "REMOVED")))
+  }
+
   test("streaming end-to-end: snapshot drops are discovered and captured") {
     val base = tmpDir("cdc")
     val c = cfg(base)
