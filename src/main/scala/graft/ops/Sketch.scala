@@ -1,0 +1,40 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.core.{Q, Tables => T}
+
+/** Approximate / sampling operators (SURVEY.md §2C: excluded from the
+  * hash-compare gate by nature — HLL estimates and sample membership are
+  * engine-specific). Declared without oracle SQL (the driver records a
+  * weaker rows-only check); value-level guarantees are asserted in
+  * SketchSpec (estimate within HLL error bounds of the exact count;
+  * sampling deterministic under a fixed seed).
+  *
+  * Scale role: these are the O(1)-memory substitutes for exact distinct /
+  * full scans — an HLL sketch per partition merges associatively (one
+  * tiny buffer per group crosses the shuffle), and seeded Bernoulli
+  * sampling is a narrow scan with no shuffle at all.
+  */
+object Sketch {
+
+  /** HLL distinct users per event_type next to the exact count's shape:
+    * (event_type, approx). rsd=0.01 → ±1% typical error. */
+  val approxDistinct: Q = Q.noOracle("q_approx_distinct") { (s, d) =>
+    T.events(s, d)
+      .groupBy("event_type")
+      .agg(approx_count_distinct(col("user_id"), 0.01).as("approx_users"))
+      .orderBy("event_type")
+  }
+
+  /** Seeded 1% Bernoulli sample of lineitem — the training-corpus
+    * subset-selection primitive. Deterministic for a fixed seed and input
+    * partitioning. */
+  val sampleSeeded: Q = Q.noOracle("q_sample") { (s, d) =>
+    T.lineitem(s, d)
+      .sample(withReplacement = false, fraction = 0.01, seed = 42L)
+      .select(col("l_orderkey"), col("l_linenumber"))
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  val all: Seq[Q] = Seq(approxDistinct, sampleSeeded)
+}

@@ -49,12 +49,14 @@ object Temporal {
       |FROM sess GROUP BY user_id, session_id
       |ORDER BY user_id, session_id""".stripMargin
   ) { (s, d) =>
-    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
-    val wRun = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // Both windows order by (ts_us, event_id) — identical ordering to the
+    // oracle's (ts, event_id) since ts_us is monotone in ts — so the
+    // lag pass and the running-sum pass share one partition sort.
+    val w = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     T.events(s, d)
-      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"),
-        lag(unix_micros(col("ts")), 1).over(w).as("prev_us"))
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"))
+      .withColumn("prev_us", lag(col("ts_us"), 1).over(w))
       .withColumn("new_sess",
         when(col("prev_us").isNull || col("ts_us") - col("prev_us") > 1800000000L, 1)
           .otherwise(0))

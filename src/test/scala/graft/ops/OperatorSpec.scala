@@ -15,8 +15,11 @@ class OperatorSpec extends SparkSuite {
   private def run(name: String) = graft.SparkEntry.queries(name)(spark, sf)
 
   test("every declared query has an oracle or a documented exemption") {
+    // approximate/sampling ops are engine-specific by nature (SURVEY §2C)
+    // and verified in SketchSpec instead of by hash-compare.
+    val exempt = Set("q_approx_distinct", "q_sample")
     val noOracle = graft.SparkEntry.declared.filter(_.oracle.isEmpty).map(_.name)
-    assert(noOracle.isEmpty, s"queries without oracle: $noOracle")
+    assert(noOracle.toSet == exempt, s"queries without oracle: $noOracle")
   }
 
   test("q_topk is ordered by price desc with key tiebreak") {
