@@ -114,9 +114,9 @@ object Cdc {
   val cdcDiff: Q = Q(
     "q_cdc_diff",
     """WITH a AS (
-      |  SELECT event_id, user_id, event_type, value FROM events WHERE event_id % 10 != 0
+      |  SELECT event_id, value FROM events WHERE event_id % 10 != 0
       |), b AS (
-      |  SELECT event_id, user_id, event_type,
+      |  SELECT event_id,
       |         CASE WHEN event_id % 13 = 0 THEN value * 2 ELSE value END AS value
       |  FROM events WHERE event_id % 9 != 0
       |)
@@ -129,7 +129,9 @@ object Cdc {
       |WHERE a.event_id IS NULL OR b.event_id IS NULL OR a.value != b.value
       |ORDER BY event_id""".stripMargin
   ) { (s, d) =>
-    val e = T.events(s, d).select("event_id", "user_id", "event_type", "value")
+    // Only (key, value) cross the join shuffle — payload columns the diff
+    // doesn't emit are pruned before the exchange.
+    val e = T.events(s, d).select("event_id", "value")
     val a = e.filter(col("event_id") % 10 =!= 0)
     val b = e.filter(col("event_id") % 9 =!= 0)
       .withColumn("value",

@@ -137,8 +137,12 @@ object Similarity {
         round(dot(col("embedding"), col("ce")) / (col("nrm") * col("cn")), 6).as("cos"))
     val wAssign = org.apache.spark.sql.expressions.Window
       .partitionBy("vec_id").orderBy(col("cos").desc, col("cid").asc)
+    // assign is referenced on both sides of the probe self-join; without
+    // persistence Spark would run the 16-way assignment scan (the
+    // expensive part) twice. The cached table is just (vec_id, cid).
     val assign = scored.withColumn("rn", row_number().over(wAssign))
       .filter(col("rn") === 1).select(col("vec_id"), col("cid"))
+      .cache()
     val qa = assign.filter(col("vec_id").between(16, 20))
       .select(col("vec_id").as("qid"), col("cid"))
     val cand = qa.join(assign.select(col("vec_id").as("cand_id"), col("cid")), Seq("cid"))

@@ -137,6 +137,13 @@ object CdcPipeline {
     changed
   }
 
+  /** Multi-table fan-out (R22, duckdb_cdc.go:116-120): the reference
+    * checks tables sequentially inside one tick; here each table is its
+    * own concurrent streaming query with its own checkpoint — per-table
+    * failure isolation and parallelism for free. */
+  def startAll(spark: SparkSession, tables: Seq[(Config, StructType)]): Seq[StreamingQuery] =
+    tables.map { case (cfg, schema) => start(spark, cfg, schema) }
+
   /** Start the monitoring stream: snapshot drops under inputDir/ are
     * discovered per trigger (the reference's ticker, R21) and run through
     * processBatch. */
