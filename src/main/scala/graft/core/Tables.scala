@@ -18,8 +18,21 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+  /** Reads require two session configs (ns-timestamps as long, no NTZ
+    * inference — see Session.tune). Set them defensively here too so the
+    * operators work under any caller-provided session, not only ones
+    * built through graft.core.Session. Both are dynamic SQL confs. */
+  private def ensureConfs(spark: SparkSession): Unit = {
+    try {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    } catch { case _: Throwable => () }
+  }
+
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    ensureConfs(spark)
     spark.read.parquet(s"$sfDir/$name.parquet")
+  }
 
   def region(s: SparkSession, d: String): DataFrame     = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame     = table(s, d, "nation")

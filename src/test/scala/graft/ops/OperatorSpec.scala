@@ -60,6 +60,13 @@ class OperatorSpec extends SparkSuite {
     assert(perBand.values.forall(_ == nDocs))
   }
 
+  test("queries run under a plain (untuned) session — Tables self-configures") {
+    val plain = spark.newSession()   // fresh SQLConf without Session.tune
+    assert(graft.SparkEntry.queries("q_time_bucket")(plain, sf).count() > 0)
+    assert(graft.SparkEntry.queries("q_window_rank")(plain, sf).count() > 0)
+    assert(graft.SparkEntry.entry(plain).count() > 0)
+  }
+
   test("multimodal decode stub: typed partition-local decode") {
     val assets = Seq(
       Asset(1L, "image/png", Array[Byte](0x10, 0x20, 0x30, 0x40, 0x50, 0x60, 0x70, 0x7f, 1, 2)),
