@@ -29,7 +29,7 @@ object CdcMain {
       tableName = tableName)
     if (args.length >= 4) {
       val batch = spark.read.parquet(args(3))
-      val changed = CdcPipeline.processBatch(spark, batch, cfg)
+      val changed = CdcPipeline.processBatch(spark, batch, cfg, captureEmpty = true)
       println(s"[cdc] table=$tableName changed=$changed rows=${batch.count()}")
     } else {
       val schema = spark.read.parquet(inputDir).schema

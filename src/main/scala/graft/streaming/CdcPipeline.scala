@@ -123,9 +123,17 @@ object CdcPipeline {
   /** One poll tick over an already-materialized batch: detect + capture +
     * record. Factored out of the stream so batch tests (and batch
     * backfills) run the identical code path. Returns true if a change was
-    * captured. */
-  def processBatch(spark: SparkSession, batch: DataFrame, cfg: Config): Boolean = {
-    if (batch.isEmpty) return false
+    * captured.
+    *
+    * `captureEmpty`: an empty batch is ambiguous in the streaming path
+    * (a spurious empty micro-batch vs an actually-empty snapshot), so the
+    * stream skips them; direct callers (one-shot mode, backfills) pass
+    * true so a truncated table is captured as a 0-row snapshot with its
+    * checksum recorded — matching the reference, which checksums and
+    * captures empty tables too (duckdb_cdc.go:175-183, 217-258). */
+  def processBatch(spark: SparkSession, batch: DataFrame, cfg: Config,
+      captureEmpty: Boolean = false): Boolean = {
+    if (!captureEmpty && batch.isEmpty) return false
     val current = batchChecksum(batch)
     val changed = !lastChecksum(spark, cfg.metadataDir, cfg.tableName).contains(current)
     if (changed) {

@@ -80,6 +80,19 @@ class CdcPipelineSpec extends SparkSuite {
     assert(spark.read.parquet(c.metadataDir).count() == 4)
   }
 
+  test("truncation: an empty snapshot is captured when captureEmpty is set") {
+    val base = tmpDir("cdc")
+    val c = cfg(base)
+    assert(CdcPipeline.processBatch(spark, seedUsers, c))
+    val empty = seedUsers.filter($"id" < 0)
+    assert(CdcPipeline.processBatch(spark, empty, c, captureEmpty = true))
+    // no envelope rows, but the new (empty-table) checksum is recorded …
+    assert(jsonlLines(c.outputDir).size == 2)
+    assert(spark.read.parquet(c.metadataDir).count() == 2)
+    // … so re-seeing the empty table is a no-op
+    assert(!CdcPipeline.processBatch(spark, empty, c, captureEmpty = true))
+  }
+
   test("partition checksums localize change to the touched bucket") {
     import org.apache.spark.sql.functions.{col, pmod}
     val bucket = pmod(col("id"), org.apache.spark.sql.functions.lit(2))
