@@ -93,8 +93,16 @@ object Canonical {
     "concat_ws(chr(2), " +
       df.schema.fields.map(f => canonColSql(f.name, f.dataType)).mkString(", ") + ")"
 
-  /** Per-row 48-bit digest; order-independent table digest = SUM of these.
+  /** Modulus for summable row digests: each term < 2^30, so a signed-64
+    * SUM holds ~2^33 (8.6 B) rows without overflow — which would THROW
+    * under Spark 4's default ANSI mode, not wrap. DuckDB mirror:
+    * ('0x' || substr(md5(s), 1, 12))::BIGINT % 1000000007. */
+  val DigestMod = 1000000007L
+
+  /** Per-row digest; order-independent table digest = SUM of these.
     * Faithful to the reference's count+sum(hash) scheme
-    * (duckdb_cdc.go:175-183) but engine-portable (H1). */
-  def rowDigest48(df: DataFrame): Column = md5Long48(rowCanon(df))
+    * (duckdb_cdc.go:175-183) but engine-portable (H1) and overflow-safe
+    * at 100 TB row counts (mod-reduced, see DigestMod). */
+  def rowDigest48(df: DataFrame): Column =
+    md5Long48(rowCanon(df)) % DigestMod
 }

@@ -43,7 +43,7 @@ object Cdc {
     s"""SELECT 'customer' AS table_name,
        |  md5(concat_ws(',',
        |    CAST(count(*) AS VARCHAR),
-       |    CAST(CAST(sum(('0x' || substr(md5($customerCanonSql), 1, 12))::BIGINT) AS BIGINT) AS VARCHAR)
+       |    CAST(CAST(sum(('0x' || substr(md5($customerCanonSql), 1, 12))::BIGINT % 1000000007) AS BIGINT) AS VARCHAR)
        |  )) AS checksum
        |FROM customer""".stripMargin
   ) { (s, d) =>
