@@ -77,23 +77,25 @@ object TextAnalysis {
   }
 
   /** Document fingerprint: position-weighted rolling digest
-    * sum(i · h40(token_i)) — order-sensitive (unlike the multiset digest in
-    * q_dedup_text), so re-ordered documents fingerprint differently.
-    * 40-bit token hashes × position ≤ 2^40·n² keeps the per-doc sum well
-    * inside signed-64 for documents up to ~50k tokens. */
+    * sum((i · h40(token_i)) mod p) — order-sensitive (unlike the multiset
+    * digest in q_dedup_text), so re-ordered documents fingerprint
+    * differently. Each term is mod-reduced (< 2^30) before the sum, so
+    * the per-doc aggregate stays inside signed-64 (no ANSI overflow) for
+    * documents up to ~1M tokens. */
   val fingerprint: Q = Q(
     "q_fingerprint",
     """SELECT doc_id,
       |  CAST(list_sum(list_transform(range(1, len(toks) + 1),
-      |    i -> i * ('0x' || substr(md5(toks[i]), 1, 10))::BIGINT)) AS BIGINT)
-      |    AS fingerprint
+      |    i -> (i * ('0x' || substr(md5(toks[i]), 1, 10))::BIGINT) % 1000000007))
+      |    AS BIGINT) AS fingerprint
       |FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
       |ORDER BY doc_id""".stripMargin
   ) { (s, d) =>
     T.documents(s, d)
       .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
       .groupBy("doc_id")
-      .agg(sum((col("pos") + 1) * C.md5LongHex(col("tok"), 10)).as("fingerprint"))
+      .agg(sum(((col("pos") + 1) * C.md5LongHex(col("tok"), 10)) % C.DigestMod)
+        .as("fingerprint"))
       .orderBy("doc_id")
   }
 
