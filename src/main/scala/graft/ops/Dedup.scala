@@ -161,5 +161,40 @@ object Dedup {
       .orderBy("a_id")
   }
 
-  val all: Seq[Q] = Seq(dedupMinhash, dedupSimhash, ngramJaccard)
+  /** SimHash Hamming distance over consecutive doc pairs: the comparison
+    * half of the SimHash pipeline (bit_count of xor — near-dups are pairs
+    * within a small radius). Bounded to adjacent ids like ngramJaccard;
+    * production candidates come from bucketing on simhash prefixes. */
+  val simhashHamming: Q = {
+    val bitSums = (0 until 32).map(j =>
+      s"sum(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS s$j").mkString(", ")
+    val assemble = (0 until 32).map(j =>
+      s"CASE WHEN s$j > 0 THEN ${1L << j} ELSE 0 END").mkString(" + ")
+    Q(
+      "q_simhash_hamming",
+      s"""WITH toks AS (
+         |  SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h FROM (
+         |    SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+         |), sh AS (
+         |  SELECT doc_id, CAST($assemble AS BIGINT) AS simhash
+         |  FROM (SELECT doc_id, $bitSums FROM toks GROUP BY doc_id)
+         |)
+         |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+         |FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
+         |ORDER BY a_id""".stripMargin
+    ) { (s, d) =>
+      // (doc_id, simhash) — cached: both sides of the adjacent-pair
+      // self-join reference it, and it is tiny (two longs per doc).
+      val sh = dedupSimhash.fn(s, d).cache()
+      val a = sh.select(col("doc_id").as("a_id"), col("simhash").as("sh_a"))
+      val b = sh.select(col("doc_id").as("b_id"), col("simhash").as("sh_b"))
+      a.join(b, col("b_id") === col("a_id") + 1)
+        .select(col("a_id"), col("b_id"),
+          bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
+        .orderBy("a_id")
+    }
+  }
+
+  val all: Seq[Q] = Seq(dedupMinhash, dedupSimhash, ngramJaccard, simhashHamming)
 }

@@ -242,7 +242,58 @@ object Relational {
         |ORDER BY gid, r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin)
   }
 
+  /** RANGE-frame window: per order, how many orders the same customer
+    * placed in the trailing 30 days (inclusive). Range frames matter at
+    * scale because the sliding bound is evaluated within the one
+    * partition sort — no self-join against a time band. */
+  val windowRange: Q = Q(
+    "q_window_range",
+    """SELECT o_orderkey,
+      |  CAST(count(*) OVER (PARTITION BY o_custkey ORDER BY epoch_us(o_orderdate)
+      |    RANGE BETWEEN 2592000000000 PRECEDING AND CURRENT ROW) AS BIGINT)
+      |    AS n_trailing_30d
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+  ) { (s, d) =>
+    val w = Window.partitionBy("o_custkey").orderBy(col("od_us"))
+      .rangeBetween(-2592000000000L, Window.currentRow)
+    T.orders(s, d)
+      .select(col("o_orderkey"), col("o_custkey"),
+        unix_micros(col("o_orderdate")).as("od_us"))
+      .select(col("o_orderkey"), count(lit(1)).over(w).as("n_trailing_30d"))
+      .orderBy("o_orderkey")
+  }
+
+  /** Deterministic per-group column statistics: min/max/avg/stddev from
+    * exact decimal sums (S1, S2), so the only float ops are the final
+    * sqrt/divisions — identical in both engines (H3). */
+  val columnStats: Q = Q(
+    "q_column_stats",
+    """SELECT l_returnflag,
+      |  min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
+      |  sqrt((CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(27,4))) AS DOUBLE)
+      |        - CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+      |          * CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*))
+      |       / (count(*) - 1)) AS std_qty,
+      |  count(*) AS n
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+  ) { (s, d) =>
+    val s1 = sum(col("l_quantity").cast(DecimalType(18, 2))).cast(DoubleType)
+    val s2 = sum((col("l_quantity") * col("l_quantity")).cast(DecimalType(27, 4)))
+      .cast(DoubleType)
+    val n = count(lit(1))
+    T.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        min(col("l_quantity")).as("min_qty"),
+        max(col("l_quantity")).as("max_qty"),
+        (s1 / n).as("avg_qty"),
+        sqrt((s2 - s1 * s1 / n) / (n - lit(1))).as("std_qty"),
+        n.as("n"))
+      .orderBy("l_returnflag")
+  }
+
   val all: Seq[Q] = Seq(
     scanProjectFilter, schemaProbe, groupAgg, join3Way, semiAnti,
-    topK, windowRank, windowRunning, setOps, rollup)
+    topK, windowRank, windowRunning, windowRange, setOps, rollup, columnStats)
 }

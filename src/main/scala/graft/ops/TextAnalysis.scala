@@ -99,5 +99,31 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
-  val all: Seq[Q] = Seq(langId, qualityScore, tokenCount, fingerprint)
+  /** Bigram (2-token shingle) top-20 — the n-gram upgrade of q_token_topk
+    * and the shingling primitive MinHash would use for order-sensitive
+    * near-dup at scale. Shingles are built per-row from adjacent array
+    * slices (zip_with over the token array); no positional join. */
+  val bigramTopK: Q = Q(
+    "q_bigram_topk",
+    """SELECT bigram, count(*) AS n FROM (
+      |  SELECT unnest(list_transform(range(1, len(toks)),
+      |    i -> toks[i] || '_' || toks[i + 1])) AS bigram
+      |  FROM (SELECT string_split(text, ' ') AS toks FROM documents))
+      |GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20""".stripMargin
+  ) { (s, d) =>
+    val toks = split(col("text"), " ")
+    val len1 = greatest(size(toks) - 1, lit(0))
+    val bigrams = zip_with(
+      slice(toks, lit(1), len1),
+      slice(toks, lit(2), len1),
+      (x, y) => concat(x, lit("_"), y))
+    T.documents(s, d)
+      .select(explode(bigrams).as("bigram"))
+      .groupBy("bigram")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("bigram").asc)
+      .limit(20)
+  }
+
+  val all: Seq[Q] = Seq(langId, qualityScore, tokenCount, fingerprint, bigramTopK)
 }
