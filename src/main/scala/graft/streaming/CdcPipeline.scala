@@ -44,7 +44,10 @@ object CdcPipeline {
       metadataDir: String,
       checkpointDir: String,
       tableName: String,
-      triggerMs: Long = 1000L)
+      triggerMs: Long = 1000L,
+      /** Cap on snapshot files discovered per trigger — bounds micro-batch
+        * size (and so executor memory) when a backlog of drops exists. */
+      maxFilesPerTrigger: Option[Int] = None)
 
   /** Envelope projection (R17): one row per captured row, reference
     * envelope shape (FIXTURES.md §2). data_json uses to_json here — no
@@ -132,14 +135,22 @@ object CdcPipeline {
     * checksum recorded — matching the reference, which checksums and
     * captures empty tables too (duckdb_cdc.go:175-183, 217-258). */
   def processBatch(spark: SparkSession, batch: DataFrame, cfg: Config,
-      captureEmpty: Boolean = false): Boolean = {
+      captureEmpty: Boolean = false, batchId: Option[Long] = None): Boolean = {
     if (!captureEmpty && batch.isEmpty) return false
     val current = batchChecksum(batch)
     val changed = !lastChecksum(spark, cfg.metadataDir, cfg.tableName).contains(current)
     if (changed) {
-      // Capture-then-record, the reference's ordering (at-least-once, B5).
-      toEnvelope(batch, cfg.tableName)
-        .write.mode("append").json(cfg.outputDir)
+      // Capture-then-record, the reference's ordering (B5). With a
+      // batchId (streaming path) the capture lands in a per-batch dir
+      // written with overwrite — re-running a batch after a crash
+      // replaces rather than duplicates its output, upgrading the
+      // reference's at-least-once floor to idempotent capture. (The
+      // reference instead TRUNCATES on same-second filenames — bug B2.)
+      val writer = toEnvelope(batch, cfg.tableName).write
+      batchId match {
+        case Some(id) => writer.mode("overwrite").json(s"${cfg.outputDir}/batch=$id")
+        case None     => writer.mode("append").json(cfg.outputDir)
+      }
       recordChecksum(spark, cfg.metadataDir, cfg.tableName, current)
     }
     changed
@@ -155,16 +166,17 @@ object CdcPipeline {
   /** Start the monitoring stream: snapshot drops under inputDir/ are
     * discovered per trigger (the reference's ticker, R21) and run through
     * processBatch. */
-  def start(spark: SparkSession, cfg: Config, schema: StructType): StreamingQuery =
-    spark.readStream
-      .schema(schema)
-      .parquet(cfg.inputDir)
+  def start(spark: SparkSession, cfg: Config, schema: StructType): StreamingQuery = {
+    val reader = spark.readStream.schema(schema)
+    cfg.maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    reader.parquet(cfg.inputDir)
       .writeStream
       .trigger(Trigger.ProcessingTime(cfg.triggerMs))
       .option("checkpointLocation", cfg.checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        processBatch(batch.sparkSession, batch, cfg)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        processBatch(batch.sparkSession, batch, cfg, batchId = Some(id))
         ()
       }
       .start()
+  }
 }
