@@ -166,6 +166,41 @@ object Cdc {
       .orderBy("event_id")
   }
 
+  /** Snapshot capture at fact-table scale (lineitem): same envelope
+    * projection as q_snapshot_envelope but over the largest table — this
+    * is the reference's true hot path (it rewrites the whole table per
+    * detected change, duckdb_cdc.go:218) and what Bench measures as
+    * capture throughput. Narrow per-row map; no shuffle but the
+    * determinism sort. */
+  val snapshotThroughput: Q = Q(
+    "q_snapshot_throughput",
+    """SELECT 'lineitem' AS tbl, 'SNAPSHOT' AS operation,
+      |  '{"l_orderkey":' || CAST(l_orderkey AS VARCHAR)
+      |    || ',"l_linenumber":' || CAST(l_linenumber AS VARCHAR)
+      |    || ',"l_quantity":' || CAST(CAST(l_quantity AS DECIMAL(18,2)) AS VARCHAR)
+      |    || ',"l_extendedprice":' || CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS VARCHAR)
+      |    || ',"l_shipdate_us":' || CAST(epoch_us(l_shipdate) AS VARCHAR)
+      |    || ',"l_returnflag":"' || l_returnflag || '"}' AS data_json,
+      |  l_orderkey AS k1, l_linenumber AS k2
+      |FROM lineitem ORDER BY k1, k2""".stripMargin
+  ) { (s, d) =>
+    T.lineitem(s, d)
+      .select(
+        lit("lineitem").as("tbl"),
+        lit("SNAPSHOT").as("operation"),
+        concat(
+          lit("{\"l_orderkey\":"), col("l_orderkey").cast(StringType),
+          lit(",\"l_linenumber\":"), col("l_linenumber").cast(StringType),
+          lit(",\"l_quantity\":"), col("l_quantity").cast(DecimalType(18, 2)).cast(StringType),
+          lit(",\"l_extendedprice\":"), col("l_extendedprice").cast(DecimalType(18, 2)).cast(StringType),
+          lit(",\"l_shipdate_us\":"), unix_micros(col("l_shipdate")).cast(StringType),
+          lit(",\"l_returnflag\":\""), col("l_returnflag"), lit("\"}")
+        ).as("data_json"),
+        col("l_orderkey").as("k1"), col("l_linenumber").as("k2"))
+      .orderBy("k1", "k2")
+  }
+
   val all: Seq[Q] = Seq(
-    tableChecksum, snapshotEnvelope, latestChecksumPerTable, cdcDiff, incrementalSince)
+    tableChecksum, snapshotEnvelope, snapshotThroughput, latestChecksumPerTable,
+    cdcDiff, incrementalSince)
 }
