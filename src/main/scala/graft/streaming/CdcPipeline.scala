@@ -47,7 +47,11 @@ object CdcPipeline {
       triggerMs: Long = 1000L,
       /** Cap on snapshot files discovered per trigger — bounds micro-batch
         * size (and so executor memory) when a backlog of drops exists. */
-      maxFilesPerTrigger: Option[Int] = None)
+      maxFilesPerTrigger: Option[Int] = None,
+      /** Snapshot drop format: "parquet" (default), "json" (JSONL), or
+        * "csv" (with header). The checksum/envelope path is
+        * format-agnostic — it works off the batch DataFrame's schema. */
+      inputFormat: String = "parquet")
 
   /** Envelope projection (R17): one row per captured row, reference
     * envelope shape (FIXTURES.md §2). data_json uses to_json here — no
@@ -101,14 +105,22 @@ object CdcPipeline {
           .otherwise("CHANGED").as("status"))
   }
 
+  /** Checksum history lives in a hive-style per-table subdirectory —
+    * concurrent per-table monitors (startAll) never share an output path
+    * (two appending jobs on one dir race on the shared _temporary commit
+    * dir), and a read of the metadata root still reconstructs table_name
+    * via partition discovery. */
+  private def tableMetaDir(metadataDir: String, table: String): String =
+    s"$metadataDir/table_name=$table"
+
   /** Latest stored checksum for a table, or None on bootstrap (mirrors the
     * reference's sql.ErrNoRows branch, duckdb_cdc.go:196-197). */
   def lastChecksum(spark: SparkSession, metadataDir: String, table: String): Option[String] = {
-    if (!Files.exists(Paths.get(metadataDir))) return None
-    val meta = spark.read.parquet(metadataDir)
+    val dir = tableMetaDir(metadataDir, table)
+    if (!Files.exists(Paths.get(dir))) return None
+    val meta = spark.read.parquet(dir)
     if (meta.isEmpty) None
-    else meta.filter(col("table_name") === table)
-      .agg(max_by(col("checksum"), col("ts")).as("checksum"))
+    else meta.agg(max_by(col("checksum"), col("ts")).as("checksum"))
       .head() match {
         case r if r.isNullAt(0) => None
         case r                  => Some(r.getString(0))
@@ -118,9 +130,9 @@ object CdcPipeline {
   private def recordChecksum(
       spark: SparkSession, metadataDir: String, table: String, checksum: String): Unit = {
     import spark.implicits._
-    Seq((table, checksum, new java.sql.Timestamp(System.currentTimeMillis())))
-      .toDF("table_name", "checksum", "ts")
-      .write.mode("append").parquet(metadataDir)
+    Seq((checksum, new java.sql.Timestamp(System.currentTimeMillis())))
+      .toDF("checksum", "ts")
+      .write.mode("append").parquet(tableMetaDir(metadataDir, table))
   }
 
   /** One poll tick over an already-materialized batch: detect + capture +
@@ -169,7 +181,8 @@ object CdcPipeline {
   def start(spark: SparkSession, cfg: Config, schema: StructType): StreamingQuery = {
     val reader = spark.readStream.schema(schema)
     cfg.maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
-    reader.parquet(cfg.inputDir)
+    if (cfg.inputFormat == "csv") reader.option("header", "true")
+    reader.format(cfg.inputFormat).load(cfg.inputDir)
       .writeStream
       .trigger(Trigger.ProcessingTime(cfg.triggerMs))
       .option("checkpointLocation", cfg.checkpointDir)

@@ -111,6 +111,32 @@ class CdcPipelineSpec extends SparkSuite {
     assert(removed.map(r => (r.getInt(0), r.getString(1))).toSet == Set((0, "REMOVED")))
   }
 
+  test("multi-table fan-out over JSONL drops: independent captures per table") {
+    val base = tmpDir("cdc")
+    val users = cfg(base)
+      .copy(inputFormat = "json", inputDir = s"$base/in_users",
+        outputDir = s"$base/out_users", checkpointDir = s"$base/ckpt_users")
+    val orders = cfg(base)
+      .copy(tableName = "orders", inputFormat = "json",
+        inputDir = s"$base/in_orders", outputDir = s"$base/out_orders",
+        metadataDir = s"$base/meta", checkpointDir = s"$base/ckpt_orders")
+    Files.createDirectories(Paths.get(users.inputDir))
+    Files.createDirectories(Paths.get(orders.inputDir))
+    seedUsers.write.mode("append").json(users.inputDir)
+    val orderRows = Seq((100L, 1, 9.99), (101L, 2, 19.99))
+      .toDF("order_id", "user_id", "total")
+    orderRows.write.mode("append").json(orders.inputDir)
+    val qs = CdcPipeline.startAll(spark,
+      Seq(users -> seedUsers.schema, orders -> orderRows.schema))
+    qs.foreach(_.processAllAvailable())
+    qs.foreach(_.stop())
+    assert(jsonlLines(users.outputDir).size == 2)
+    assert(jsonlLines(orders.outputDir).size == 2)
+    // shared metadata dir holds one checksum per table
+    val meta = spark.read.parquet(s"$base/meta")
+    assert(meta.select("table_name").distinct().count() == 2)
+  }
+
   test("streaming end-to-end: snapshot drops are discovered and captured") {
     val base = tmpDir("cdc")
     val c = cfg(base)
