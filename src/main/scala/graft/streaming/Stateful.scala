@@ -1,8 +1,9 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode,
+  StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** Streaming state machines and event-time windows (SURVEY.md §2B
   * streaming rows). These are DataFrame→DataFrame transforms so tests
@@ -38,6 +39,43 @@ object Stateful {
           last.foreach(state.update)
           out.iterator
       }
+  }
+
+  /** The same checksum state machine on Spark 4's transformWithState
+    * (arbitrary-state v2): explicit named ValueState, RocksDB-backed.
+    * This is the forward-looking API — state schema evolves independently
+    * of the function, and TTL/timers are first-class. Requires
+    * spark.sql.streaming.stateStore.providerClass =
+    * ...state.RocksDBStateStoreProvider on the running query. */
+  class ChecksumProcessor extends StatefulProcessor[String, TableDigest, ChangeSignal] {
+    @transient private var last: ValueState[String] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      last = getHandle.getValueState("last", Encoders.STRING, TTLConfig.NONE)
+
+    override def handleInputRows(
+        table: String,
+        rows: Iterator[TableDigest],
+        timers: TimerValues): Iterator[ChangeSignal] = {
+      var prev = Option(last.get())
+      val out = rows.flatMap { d =>
+        val sig =
+          if (prev.contains(d.checksum)) None
+          else Some(ChangeSignal(table, prev, d.checksum))
+        prev = Some(d.checksum)
+        sig
+      }.toList
+      prev.foreach(last.update)
+      out.iterator
+    }
+  }
+
+  /** changeSignals on the transformWithState engine (see ChecksumProcessor). */
+  def changeSignalsTws(digests: Dataset[TableDigest]): Dataset[ChangeSignal] = {
+    import digests.sparkSession.implicits._
+    digests
+      .groupByKey(_.table)
+      .transformWithState(new ChecksumProcessor, TimeMode.None(), OutputMode.Append())
   }
 
   /** s_watermark_late: event-time tumbling counts with a 10-minute

@@ -37,6 +37,27 @@ class StatefulSpec extends SparkSuite {
     assert(rows.exists(r => r.table == "orders" && r.previous.isEmpty && r.current == "z1"))
   }
 
+  test("s_stateful_checksum (transformWithState): same semantics on RocksDB state") {
+    implicit val sqlCtx = spark.sqlContext
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val in = MemoryStream[TableDigest]
+      val q = Stateful.changeSignalsTws(in.toDS())
+        .writeStream.format("memory").queryName("signals_tws")
+        .outputMode(OutputMode.Append).start()
+      in.addData(TableDigest("users", "c1"))
+      q.processAllAvailable()
+      in.addData(TableDigest("users", "c1"), TableDigest("users", "c2"))
+      q.processAllAvailable()
+      val rows = spark.table("signals_tws").as[Stateful.ChangeSignal].collect()
+      q.stop()
+      assert(rows.length == 2)
+      assert(rows.exists(r => r.previous.isEmpty && r.current == "c1"))
+      assert(rows.exists(r => r.previous.contains("c1") && r.current == "c2"))
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("s_watermark_late: closed windows emit; late rows beyond watermark drop") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Timestamp, Long, Double)]
