@@ -32,8 +32,21 @@ object CdcMain {
       val changed = CdcPipeline.processBatch(spark, batch, cfg, captureEmpty = true)
       println(s"[cdc] table=$tableName changed=$changed rows=${batch.count()}")
     } else {
-      val schema = spark.read.parquet(inputDir).schema
-      val q = CdcPipeline.start(spark, cfg, schema)
+      // Infer the table schema from the first snapshot drop; if the daemon
+      // starts before any drop exists (the normal deploy order), wait for
+      // one instead of crashing on UNABLE_TO_INFER_SCHEMA.
+      def inferSchema(): org.apache.spark.sql.types.StructType = {
+        while (true) {
+          try return spark.read.parquet(inputDir).schema
+          catch {
+            case _: Throwable =>
+              println(s"[cdc] waiting for first snapshot drop in $inputDir ...")
+              Thread.sleep(cfg.triggerMs)
+          }
+        }
+        throw new IllegalStateException("unreachable")
+      }
+      val q = CdcPipeline.start(spark, cfg, inferSchema())
       println(s"[cdc] monitoring $inputDir for table=$tableName (Ctrl-C to stop)")
       q.awaitTermination()
     }

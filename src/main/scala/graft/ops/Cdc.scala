@@ -126,7 +126,8 @@ object Cdc {
       |       ELSE 'UPDATE' END AS op,
       |  a.value AS old_value, b.value AS new_value
       |FROM a FULL OUTER JOIN b ON a.event_id = b.event_id
-      |WHERE a.event_id IS NULL OR b.event_id IS NULL OR a.value != b.value
+      |WHERE a.event_id IS NULL OR b.event_id IS NULL
+      |   OR a.value IS DISTINCT FROM b.value
       |ORDER BY event_id""".stripMargin
   ) { (s, d) =>
     // Only (key, value) cross the join shuffle — payload columns the diff
@@ -137,15 +138,18 @@ object Cdc {
       .withColumn("value",
         when(col("event_id") % 13 === 0, col("value") * 2).otherwise(col("value")))
     val j = a.as("a").join(b.as("b"), col("a.event_id") === col("b.event_id"), "full_outer")
-    j.select(
+    // Presence is tested on the join keys, not the values — a NULL value
+    // on both sides is "unchanged", and a NULL→x transition is an UPDATE
+    // (null-safe IS DISTINCT FROM / <=> on both engines).
+    j.filter(col("a.event_id").isNull || col("b.event_id").isNull ||
+        !(col("a.value") <=> col("b.value")))
+      .select(
         coalesce(col("a.event_id"), col("b.event_id")).as("event_id"),
         when(col("a.event_id").isNull, "INSERT")
           .when(col("b.event_id").isNull, "DELETE")
           .otherwise("UPDATE").as("op"),
         col("a.value").as("old_value"),
         col("b.value").as("new_value"))
-      .filter(col("old_value").isNull || col("new_value").isNull ||
-        col("old_value") =!= col("new_value"))
       .orderBy("event_id")
   }
 

@@ -184,9 +184,10 @@ object Dedup {
          |FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
          |ORDER BY a_id""".stripMargin
     ) { (s, d) =>
-      // (doc_id, simhash) — cached: both sides of the adjacent-pair
-      // self-join reference it, and it is tiny (two longs per doc).
-      val sh = dedupSimhash.fn(s, d).cache()
+      // (doc_id, simhash) — persisted once: both sides of the adjacent-
+      // pair self-join reference it. localCheckpoint so the blocks are
+      // GC-released (cache() would accumulate across invocations).
+      val sh = dedupSimhash.fn(s, d).localCheckpoint()
       val a = sh.select(col("doc_id").as("a_id"), col("simhash").as("sh_a"))
       val b = sh.select(col("doc_id").as("b_id"), col("simhash").as("sh_b"))
       a.join(b, col("b_id") === col("a_id") + 1)

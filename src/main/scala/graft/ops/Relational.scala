@@ -271,10 +271,11 @@ object Relational {
     """SELECT l_returnflag,
       |  min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
       |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
-      |  sqrt((CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(27,4))) AS DOUBLE)
-      |        - CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
-      |          * CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*))
-      |       / (count(*) - 1)) AS std_qty,
+      |  CASE WHEN count(*) > 1 THEN
+      |    sqrt((CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(27,4))) AS DOUBLE)
+      |          - CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+      |            * CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*))
+      |         / (count(*) - 1)) END AS std_qty,
       |  count(*) AS n
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
   ) { (s, d) =>
@@ -288,7 +289,8 @@ object Relational {
         min(col("l_quantity")).as("min_qty"),
         max(col("l_quantity")).as("max_qty"),
         (s1 / n).as("avg_qty"),
-        sqrt((s2 - s1 * s1 / n) / (n - lit(1))).as("std_qty"),
+        // guarded: (n-1) divisor throws under ANSI mode for 1-row groups
+        when(n > 1, sqrt((s2 - s1 * s1 / n) / (n - lit(1)))).as("std_qty"),
         n.as("n"))
       .orderBy("l_returnflag")
   }

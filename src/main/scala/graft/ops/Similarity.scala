@@ -139,10 +139,13 @@ object Similarity {
       .partitionBy("vec_id").orderBy(col("cos").desc, col("cid").asc)
     // assign is referenced on both sides of the probe self-join; without
     // persistence Spark would run the 16-way assignment scan (the
-    // expensive part) twice. The cached table is just (vec_id, cid).
+    // expensive part) twice. localCheckpoint (not cache) so the blocks
+    // are released by the ContextCleaner when the plan is GC'd — cache()
+    // entries would accumulate in the CacheManager across invocations in
+    // a long-lived session.
     val assign = scored.withColumn("rn", row_number().over(wAssign))
       .filter(col("rn") === 1).select(col("vec_id"), col("cid"))
-      .cache()
+      .localCheckpoint()
     val qa = assign.filter(col("vec_id").between(16, 20))
       .select(col("vec_id").as("qid"), col("cid"))
     val cand = qa.join(assign.select(col("vec_id").as("cand_id"), col("cid")), Seq("cid"))

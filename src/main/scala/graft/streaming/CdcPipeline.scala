@@ -1,7 +1,5 @@
 package graft.streaming
 
-import java.nio.file.{Files, Paths}
-
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
@@ -94,12 +92,15 @@ object CdcPipeline {
   /** Buckets whose digest differs between two snapshots (added, removed,
     * or changed) — the capture set for an incremental re-snapshot. */
   def changedBuckets(prev: DataFrame, current: DataFrame): DataFrame = {
-    val p = prev.select(col("bucket"), col("checksum").as("prev_checksum"))
-    val c = current.select(col("bucket"), col("checksum").as("cur_checksum"))
-    p.join(c, Seq("bucket"), "full_outer")
+    val p = prev.select(col("bucket").as("p_bucket"), col("checksum").as("prev_checksum"))
+    val c = current.select(col("bucket").as("c_bucket"), col("checksum").as("cur_checksum"))
+    // Null-safe join key: a NULL bucket (e.g. rows with a null partition
+    // column) must match itself, or it would be reported ADDED+REMOVED on
+    // every comparison even when unchanged.
+    p.join(c, col("p_bucket") <=> col("c_bucket"), "full_outer")
       .filter(col("prev_checksum").isNull || col("cur_checksum").isNull ||
         col("prev_checksum") =!= col("cur_checksum"))
-      .select(col("bucket"),
+      .select(coalesce(col("p_bucket"), col("c_bucket")).as("bucket"),
         when(col("prev_checksum").isNull, "ADDED")
           .when(col("cur_checksum").isNull, "REMOVED")
           .otherwise("CHANGED").as("status"))
@@ -117,7 +118,12 @@ object CdcPipeline {
     * reference's sql.ErrNoRows branch, duckdb_cdc.go:196-197). */
   def lastChecksum(spark: SparkSession, metadataDir: String, table: String): Option[String] = {
     val dir = tableMetaDir(metadataDir, table)
-    if (!Files.exists(Paths.get(dir))) return None
+    // Existence via the Hadoop FileSystem of the path — java.nio would be
+    // driver-local only and always-false for s3a://, hdfs://, etc.,
+    // silently turning every tick into a full re-capture.
+    val hPath = new org.apache.hadoop.fs.Path(dir)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(hPath)) return None
     val meta = spark.read.parquet(dir)
     if (meta.isEmpty) None
     else meta.agg(max_by(col("checksum"), col("ts")).as("checksum"))

@@ -25,17 +25,13 @@ object Stateful {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (table: String, rows: Iterator[TableDigest], state: GroupState[String]) =>
           var last = state.getOption
-          val out = Iterator.unfold(rows) { it =>
-            if (!it.hasNext) None
-            else {
-              val d = it.next()
-              val sig =
-                if (last.contains(d.checksum)) None
-                else Some(ChangeSignal(table, last, d.checksum))
-              last = Some(d.checksum)
-              Some((sig, it))
-            }
-          }.flatten.toList
+          val out = rows.flatMap { d =>
+            val sig =
+              if (last.contains(d.checksum)) None
+              else Some(ChangeSignal(table, last, d.checksum))
+            last = Some(d.checksum)
+            sig
+          }.toList
           last.foreach(state.update)
           out.iterator
       }
