@@ -295,7 +295,50 @@ object Relational {
       .orderBy("l_returnflag")
   }
 
+  /** Exact discrete quantiles (percentile_disc): unlike interpolated or
+    * approximate percentiles, disc returns actual data values — engine-
+    * comparable with no float interpolation hazard. */
+  val quantiles: Q = Q(
+    "q_quantiles",
+    """SELECT l_returnflag,
+      |  percentile_disc(0.5) WITHIN GROUP (ORDER BY l_quantity) AS p50_qty,
+      |  percentile_disc(0.9) WITHIN GROUP (ORDER BY l_quantity) AS p90_qty,
+      |  percentile_disc(0.99) WITHIN GROUP (ORDER BY l_extendedprice) AS p99_price
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+  ) { (s, d) =>
+    T.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY l_quantity)").as("p50_qty"),
+        expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY l_quantity)").as("p90_qty"),
+        expr("percentile_disc(0.99) WITHIN GROUP (ORDER BY l_extendedprice)").as("p99_price"))
+      .orderBy("l_returnflag")
+  }
+
+  /** Pivot: events long→wide, one count column per event_type. The value
+    * list is explicit, so the plan is a single conditional aggregate (no
+    * distinct-values pre-pass) and the output schema is deterministic —
+    * exactly what the FILTER-clause oracle produces. */
+  val pivot: Q = Q(
+    "q_pivot",
+    """SELECT user_id,
+      |  count(*) FILTER (WHERE event_type = 'click') AS click,
+      |  count(*) FILTER (WHERE event_type = 'error') AS error,
+      |  count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+      |  count(*) FILTER (WHERE event_type = 'signup') AS signup,
+      |  count(*) FILTER (WHERE event_type = 'view') AS view
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+  ) { (s, d) =>
+    T.events(s, d)
+      .groupBy("user_id")
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .count()
+      .na.fill(0L)
+      .orderBy("user_id")
+  }
+
   val all: Seq[Q] = Seq(
     scanProjectFilter, schemaProbe, groupAgg, join3Way, semiAnti,
-    topK, windowRank, windowRunning, windowRange, setOps, rollup, columnStats)
+    topK, windowRank, windowRunning, windowRange, setOps, rollup, columnStats,
+    quantiles, pivot)
 }

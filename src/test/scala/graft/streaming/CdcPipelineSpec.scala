@@ -137,6 +137,22 @@ class CdcPipelineSpec extends SparkSuite {
     assert(meta.select("table_name").distinct().count() == 2)
   }
 
+  test("changedBuckets: NULL bucket keys match null-safely") {
+    import org.apache.spark.sql.functions.{col, when}
+    val withNull = Seq((1, "x"), (2, "y"), (3, "z")).toDF("id", "v")
+      .withColumn("b", when($"id" === 3, null).otherwise($"id" % 2))
+    val base = CdcPipeline.partitionChecksums(withNull, col("b"))
+    // unchanged input: no bucket (including the NULL one) may report
+    assert(CdcPipeline.changedBuckets(base, base).isEmpty)
+    // mutate only the NULL bucket's row
+    val mutated = withNull.withColumn("v",
+      when($"id" === 3, "Z").otherwise($"v"))
+    val after = CdcPipeline.partitionChecksums(mutated, col("b"))
+    val changed = CdcPipeline.changedBuckets(base, after).collect()
+    assert(changed.length == 1)
+    assert(changed.head.isNullAt(0) && changed.head.getString(1) == "CHANGED")
+  }
+
   test("streaming end-to-end: snapshot drops are discovered and captured") {
     val base = tmpDir("cdc")
     val c = cfg(base)
