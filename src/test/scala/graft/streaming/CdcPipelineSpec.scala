@@ -137,6 +137,18 @@ class CdcPipelineSpec extends SparkSuite {
     assert(meta.select("table_name").distinct().count() == 2)
   }
 
+  test("schema drift between polls triggers a capture (reference probes schema per tick)") {
+    val base = tmpDir("cdc")
+    val c = cfg(base)
+    assert(CdcPipeline.processBatch(spark, seedUsers, c))
+    // same rows, new column — the checksum is schema-driven (rowCanon
+    // reads df.schema per batch, like duckdb_cdc.go:146-159 re-probing)
+    val drifted = seedUsers.withColumn("plan",
+      org.apache.spark.sql.functions.lit("free"))
+    assert(CdcPipeline.processBatch(spark, drifted, c))
+    assert(jsonlLines(c.outputDir).size == 4)
+  }
+
   test("changedBuckets: NULL bucket keys match null-safely") {
     import org.apache.spark.sql.functions.{col, when}
     val withNull = Seq((1, "x"), (2, "y"), (3, "z")).toDF("id", "v")
