@@ -29,6 +29,35 @@ class PartitioningSpec extends SparkSuite {
       events.filter(col("day") === "2024-01-01").count())
   }
 
+  test("bucketed tables co-locate the join: no shuffle on either side") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val sf = "/root/testdata/sf0.001"
+    Tables.orders(spark, sf).write.mode("overwrite")
+      .bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable("b_orders")
+    Tables.lineitem(spark, sf).write.mode("overwrite")
+      .bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable("b_lineitem")
+    // disable broadcast so the assertion proves bucket co-location, not
+    // a trivially shuffle-free broadcast join
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("b_lineitem")
+        .join(spark.table("b_orders"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select("l_orderkey", "l_quantity", "o_totalprice")
+      joined.write.mode("overwrite").format("noop").save() // force final plan
+      val plan = joined.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p                        => p
+      }
+      val shuffles = plan.collect { case e: ShuffleExchangeExec => e }
+      assert(shuffles.isEmpty,
+        s"bucketed join should not shuffle; found ${shuffles.length}")
+      assert(joined.count() ==
+        Tables.lineitem(spark, sf).count()) // every lineitem has an order
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
   test("per-bucket checksums over the partition column localize changes") {
     import graft.streaming.CdcPipeline
     val events = Tables.events(spark, "/root/testdata/sf0.001")
