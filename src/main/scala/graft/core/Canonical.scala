@@ -89,10 +89,6 @@ object Canonical {
   def rowCanon(df: DataFrame): Column =
     concat_ws(Sep, df.schema.fields.map(f => canonCol(col(f.name), f.dataType)).toIndexedSeq: _*)
 
-  def rowCanonSql(df: DataFrame): String =
-    "concat_ws(chr(2), " +
-      df.schema.fields.map(f => canonColSql(f.name, f.dataType)).mkString(", ") + ")"
-
   /** Modulus for summable row digests: each term < 2^30, so a signed-64
     * SUM holds ~2^33 (8.6 B) rows without overflow — which would THROW
     * under Spark 4's default ANSI mode, not wrap. DuckDB mirror:

@@ -53,4 +53,20 @@ object MultimodalDecode {
     import assets.sparkSession.implicits._
     assets.mapPartitions(_.map(decodeStub))
   }
+
+  /** STUB resize: a real implementation re-encodes via a codec. The
+    * stand-in byte-subsamples the payload to ~targetBytes with a fixed
+    * stride — deterministic, preserves the header bytes, and keeps the
+    * same partition-local batch shape as decode. */
+  def resize(assets: Dataset[Asset], targetBytes: Int): Dataset[Asset] = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    import assets.sparkSession.implicits._
+    assets.mapPartitions(_.map { a =>
+      if (a.bytes.length <= targetBytes) a
+      else {
+        val stride = math.max(1, a.bytes.length / targetBytes)
+        a.copy(bytes = a.bytes.indices.by(stride).map(a.bytes).toArray)
+      }
+    })
+  }
 }

@@ -25,16 +25,20 @@ import graft.core.{Canonical => C, Q, Tables => T}
   */
 object Cdc {
 
-  /** customer's canonicalization spelled in DuckDB SQL (schema from
-    * FIXTURES.md §4; must stay in parquet column order to match
-    * Canonical.rowCanon, which is schema-driven). */
-  private val customerCanonSql: String =
+  /** customer's canonicalization spelled in DuckDB SQL — generated from
+    * the same per-column rules as the Spark side (Canonical.canonColSql /
+    * canonCol) over the statically-known schema (FIXTURES.md §4, parquet
+    * column order), so the two sides cannot drift. */
+  private val customerCanonSql: String = {
+    val schema: Seq[(String, org.apache.spark.sql.types.DataType)] = Seq(
+      "c_custkey" -> org.apache.spark.sql.types.LongType,
+      "c_name" -> org.apache.spark.sql.types.StringType,
+      "c_nationkey" -> org.apache.spark.sql.types.IntegerType,
+      "c_acctbal" -> org.apache.spark.sql.types.DoubleType,
+      "c_mktsegment" -> org.apache.spark.sql.types.StringType)
     "concat_ws(chr(2), " +
-      "coalesce(CAST(c_custkey AS VARCHAR), chr(1)), " +
-      "coalesce(CAST(c_name AS VARCHAR), chr(1)), " +
-      "coalesce(CAST(c_nationkey AS VARCHAR), chr(1)), " +
-      "coalesce(CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS VARCHAR), chr(1)), " +
-      "coalesce(CAST(c_mktsegment AS VARCHAR), chr(1)))"
+      schema.map { case (n, t) => C.canonColSql(n, t) }.mkString(", ") + ")"
+  }
 
   /** R11-R16 (duckdb_cdc.go:175-183): the flagship table checksum, in the
     * cross-engine-safe md5/48-bit form (SURVEY.md §2D H1). */

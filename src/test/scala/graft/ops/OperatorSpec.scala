@@ -77,5 +77,10 @@ class OperatorSpec extends SparkSuite {
     assert(feats.head.header_hex == "102030405060707F")
     assert(feats.head.width == 0x10 + 1 && feats.head.height == 0x20 + 1)
     assert(feats(2).frame_sample.isEmpty)
+    // resize stub: deterministic strided subsample, header byte preserved
+    val resized = MultimodalDecode.resize(assets, targetBytes = 4)
+      .collect().sortBy(_.asset_id)
+    assert(resized.head.bytes.length <= 5 && resized.head.bytes.head == 0x10)
+    assert(resized(1).bytes.length == 2)   // already under target: untouched
   }
 }
