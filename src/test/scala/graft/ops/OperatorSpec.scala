@@ -14,6 +14,12 @@ class OperatorSpec extends SparkSuite {
   private val sf = "/root/testdata/sf0.001"
   private def run(name: String) = graft.SparkEntry.queries(name)(spark, sf)
 
+  test("declared query names are unique (Map construction would silently drop dups)") {
+    val names = graft.SparkEntry.declared.map(_.name)
+    assert(names.distinct.size == names.size,
+      names.groupBy(identity).filter(_._2.size > 1).keys.mkString(","))
+  }
+
   test("every declared query has an oracle or a documented exemption") {
     // approximate/sampling ops are engine-specific by nature (SURVEY §2C)
     // and verified in SketchSpec instead of by hash-compare.
