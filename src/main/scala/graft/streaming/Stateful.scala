@@ -85,6 +85,24 @@ object Stateful {
         sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
       .select(col("window.start").as("bucket_start"), col("n"), col("sum_value"))
 
+  /** s_stream_join: stream-stream inner join — purchases matched to the
+    * same user's signups within a bounded time range. Both sides carry
+    * watermarks and the join condition bounds event-time distance, so
+    * Spark can expire buffered state (unbounded joins would accumulate
+    * state forever — the condition IS the retention policy at scale). */
+  def streamStreamJoin(purchases: DataFrame, signups: DataFrame): DataFrame = {
+    val p = purchases.withWatermark("ts", "10 minutes")
+      .select(col("event_id").as("p_id"), col("user_id"), col("ts").as("p_ts"))
+    val s = signups.withWatermark("ts", "10 minutes")
+      .select(col("event_id").as("s_id"), col("user_id").as("s_user"),
+        col("ts").as("s_ts"))
+    p.join(s,
+      col("user_id") === col("s_user") &&
+        col("p_ts") >= col("s_ts") &&
+        col("p_ts") <= col("s_ts") + expr("INTERVAL 1 HOUR"))
+      .select(col("p_id"), col("user_id"), col("s_id"))
+  }
+
   /** s_session_window: native session windows, 30-minute gap per user —
     * the streaming twin of the batch gaps-and-islands in
     * graft.ops.Temporal.sessionize. */

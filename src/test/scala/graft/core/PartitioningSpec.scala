@@ -58,6 +58,21 @@ class PartitioningSpec extends SparkSuite {
     } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
 
+  test("format breadth: orc/json/csv round-trips preserve the envelope shape") {
+    val out = tmpDir("fmt")
+    val src = graft.ops.Cdc.snapshotEnvelope.fn(spark, "/root/testdata/sf0.001")
+    src.write.mode("overwrite").orc(s"$out/orc")
+    src.write.mode("overwrite").json(s"$out/json")
+    src.write.mode("overwrite").option("header", "true").csv(s"$out/csv")
+    val n = src.count()
+    assert(spark.read.orc(s"$out/orc").count() == n)
+    assert(spark.read.json(s"$out/json").count() == n)
+    assert(spark.read.option("header", "true").csv(s"$out/csv").count() == n)
+    // orc preserves names and types (nullability widens on read — expected)
+    assert(spark.read.orc(s"$out/orc").schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+      src.schema.fields.map(f => (f.name, f.dataType)).toSeq)
+  }
+
   test("per-bucket checksums over the partition column localize changes") {
     import graft.streaming.CdcPipeline
     val events = Tables.events(spark, "/root/testdata/sf0.001")

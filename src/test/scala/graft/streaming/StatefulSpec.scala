@@ -83,6 +83,27 @@ class StatefulSpec extends SparkSuite {
     assert(w10.head.getDouble(2) == 3.0)
   }
 
+  test("s_stream_join: purchases join signups within the time bound only") {
+    implicit val sqlCtx = spark.sqlContext
+    val p = MemoryStream[(Long, Timestamp, Long)]
+    val s = MemoryStream[(Long, Timestamp, Long)]
+    def df(m: MemoryStream[(Long, Timestamp, Long)]) =
+      m.toDF().toDF("event_id", "ts", "user_id")
+    val q = Stateful.streamStreamJoin(df(p), df(s))
+      .writeStream.format("memory").queryName("ssj")
+      .outputMode(OutputMode.Append).start()
+    s.addData((100L, ts("2024-01-01 10:00:00"), 1L))
+    p.addData(
+      (200L, ts("2024-01-01 10:30:00"), 1L),   // within 1h of signup → match
+      (201L, ts("2024-01-01 12:30:00"), 1L),   // beyond 1h → no match
+      (202L, ts("2024-01-01 10:30:00"), 2L))   // other user → no match
+    q.processAllAvailable()
+    val rows = spark.table("ssj").collect()
+    q.stop()
+    assert(rows.length == 1)
+    assert(rows.head.getLong(0) == 200L && rows.head.getLong(2) == 100L)
+  }
+
   test("s_session_window: 30-minute gap splits sessions per user") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Timestamp, Long, Double)]
