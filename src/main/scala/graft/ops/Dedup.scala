@@ -197,5 +197,29 @@ object Dedup {
     }
   }
 
-  val all: Seq[Q] = Seq(dedupMinhash, dedupSimhash, ngramJaccard, simhashHamming)
+  /** Edit-distance fuzzy matching over bounded pairs: levenshtein is
+    * integer-exact in both engines, making it the one string-similarity
+    * measure comparable without float hazards. Candidate pairs are
+    * adjacent ids here; in production they come from LSH/minhash buckets
+    * (edit distance is O(len²) per pair — never run it all-pairs). */
+  val dedupEditDistance: Q = Q(
+    "q_dedup_editdist",
+    """SELECT a.c_custkey AS a_id, b.c_custkey AS b_id,
+      |  CAST(levenshtein(a.c_name, b.c_name) AS INTEGER) AS dist,
+      |  CASE WHEN levenshtein(a.c_name, b.c_name) <= 2 THEN 1 ELSE 0 END AS near_dup
+      |FROM customer a JOIN customer b ON b.c_custkey = a.c_custkey + 1
+      |ORDER BY a_id""".stripMargin
+  ) { (s, d) =>
+    val c = T.customer(s, d).select("c_custkey", "c_name")
+    val a = c.select(col("c_custkey").as("a_id"), col("c_name").as("na"))
+    val b = c.select(col("c_custkey").as("b_id"), col("c_name").as("nb"))
+    a.join(b, col("b_id") === col("a_id") + 1)
+      .select(col("a_id"), col("b_id"),
+        levenshtein(col("na"), col("nb")).as("dist"),
+        when(levenshtein(col("na"), col("nb")) <= 2, 1).otherwise(0).as("near_dup"))
+      .orderBy("a_id")
+  }
+
+  val all: Seq[Q] =
+    Seq(dedupMinhash, dedupSimhash, ngramJaccard, simhashHamming, dedupEditDistance)
 }
