@@ -1,0 +1,169 @@
+#!/usr/bin/env python3
+"""Differential-test query generator.
+
+Emits N seeded-random queries in the dialect subset common to Spark SQL
+and DuckDB (same text runs on both engines): scans with numeric/string
+predicates, grouped aggregates with exact decimal-mediated sums, HAVING,
+ORDER BY total orders, LIMIT. Spark runs them via graft.FuzzRun; DuckDB
+via scripts/fuzz_check.py; results must match exactly.
+
+Usage: python3 scripts/fuzz_gen.py [N] [seed] > /tmp/fuzz_sql.json
+"""
+import json, random, sys
+
+# (table, [(col, kind)]) — kind: i=integer-ish, d=2dp double, s=string
+TABLES = {
+    "customer": [("c_custkey", "i"), ("c_nationkey", "i"), ("c_acctbal", "d"),
+                 ("c_mktsegment", "s")],
+    "orders":   [("o_orderkey", "i"), ("o_custkey", "i"), ("o_totalprice", "d"),
+                 ("o_orderstatus", "s"), ("o_orderpriority", "s")],
+    "lineitem": [("l_orderkey", "i"), ("l_partkey", "i"), ("l_suppkey", "i"),
+                 ("l_linenumber", "i"), ("l_quantity", "d"),
+                 ("l_extendedprice", "d"), ("l_discount", "d"),
+                 ("l_returnflag", "s"), ("l_linestatus", "s")],
+    "part":     [("p_partkey", "i"), ("p_size", "i"), ("p_retailprice", "d"),
+                 ("p_brand", "s"), ("p_type", "s")],
+    "events":   [("event_id", "i"), ("user_id", "i"), ("value", "d"),
+                 ("event_type", "s")],
+    "documents": [("doc_id", "i"), ("n_chars", "i"), ("lang", "s"), ("source", "s")],
+}
+
+RANGES = {"i": (0, 2000), "d": (0.0, 10000.0)}
+
+# sort key per table. NOTE lineitem's (l_orderkey, l_linenumber) is NOT
+# unique in the synthetic data (the fuzzer itself caught the tie-order
+# divergence) — window queries additionally order their output by rn so
+# arbitrary rn assignment among identical tied rows cannot reorder output
+SORT_KEY = {
+    "customer": ["c_custkey"], "orders": ["o_orderkey"],
+    "lineitem": ["l_orderkey", "l_linenumber"], "part": ["p_partkey"],
+    "events": ["event_id"], "documents": ["doc_id"],
+}
+
+# FK join paths: (left table, right table, join condition)
+JOINS = [
+    ("orders", "customer", "o_custkey = c_custkey"),
+    ("lineitem", "orders", "l_orderkey = o_orderkey"),
+    ("lineitem", "part", "l_partkey = p_partkey"),
+    ("nation", "region", "n_regionkey = r_regionkey"),
+]
+JOIN_COLS = {"nation": [("n_nationkey", "i"), ("n_name", "s")],
+             "region": [("r_regionkey", "i"), ("r_name", "s")]}
+
+
+def pred(rng, cols):
+    c, k = rng.choice(cols)
+    if k == "i":
+        if rng.random() < 0.2:
+            lo = rng.randint(*RANGES["i"])
+            return f"{c} BETWEEN {lo} AND {lo + rng.randint(1, 500)}"
+        if rng.random() < 0.2:
+            vals = sorted({rng.randint(*RANGES["i"]) for _ in range(rng.randint(2, 5))})
+            return f"{c} IN ({', '.join(map(str, vals))})"
+        v = rng.randint(*RANGES["i"])
+        op = rng.choice([">", "<", ">=", "<=", "=", "!="])
+        return f"{c} {op} {v}"
+    if k == "d":
+        v = round(rng.uniform(*RANGES["d"]), 2)
+        op = rng.choice([">", "<", ">=", "<="])
+        return f"{c} {op} {v}"
+    if rng.random() < 0.3:
+        ch = rng.choice("ABCDEFGHIJKLMNOPRSTUW")
+        return f"{c} LIKE '%{ch.lower()}%'"
+    # string: prefix compare (collation-free, byte order)
+    ch = rng.choice("ABCDEFGHIJKLMNOPRSTUW")
+    return f"{c} {rng.choice(['>=', '<'])} '{ch}'"
+
+
+def agg_exprs(rng, cols):
+    out = ["count(*) AS n"]
+    for c, k in cols:
+        if k == "d" and rng.random() < 0.6:
+            out.append(
+                f"CAST(SUM(CAST({c} AS DECIMAL(18,2))) AS DOUBLE) AS sum_{c}")
+        elif k == "i" and rng.random() < 0.4:
+            out.append(f"MIN({c}) AS min_{c}")
+            out.append(f"MAX({c}) AS max_{c}")
+    return out
+
+
+def gen_join(rng):
+    lt, rt, cond = rng.choice(JOINS)
+    lcols = TABLES.get(lt, JOIN_COLS.get(lt))
+    rcols = TABLES.get(rt, JOIN_COLS.get(rt))
+    where = pred(rng, lcols)
+    groups = [c for c, k in rcols if k == "s"] or [rcols[0][0]]
+    g = rng.choice(groups)
+    aggs = ["count(*) AS n"] + [
+        f"CAST(SUM(CAST({c} AS DECIMAL(18,2))) AS DOUBLE) AS sum_{c}"
+        for c, k in lcols if k == "d"][:2]
+    return (f"SELECT {g}, {', '.join(aggs)} FROM {lt} JOIN {rt} ON {cond} "
+            f"WHERE {where} GROUP BY {g} ORDER BY {g}")
+
+
+def gen_window(rng):
+    t = rng.choice(list(TABLES))
+    cols = TABLES[t]
+    key = ", ".join(SORT_KEY[t])
+    part = rng.choice([c for c, k in cols if k == "s"] or [SORT_KEY[t][0]])
+    where = pred(rng, cols)
+    return (f"SELECT {key}, {part}, CAST(row_number() OVER "
+            f"(PARTITION BY {part} ORDER BY {key}) AS BIGINT) AS rn "
+            f"FROM {t} WHERE {where} ORDER BY {key}, {part}, rn")
+
+
+def gen_distinct(rng):
+    t = rng.choice(list(TABLES))
+    cols = TABLES[t]
+    picks = [c for c, k in cols if k in ("s", "i")]
+    proj = rng.sample(picks, rng.randint(1, min(2, len(picks))))
+    where = pred(rng, cols)
+    return (f"SELECT DISTINCT {', '.join(proj)} FROM {t} WHERE {where} "
+            f"ORDER BY {', '.join(proj)}")
+
+
+def gen_query(rng):
+    roll = rng.random()
+    if roll < 0.15:
+        return gen_join(rng)
+    if roll < 0.27:
+        return gen_window(rng)
+    if roll < 0.37:
+        return gen_distinct(rng)
+    t = rng.choice(list(TABLES))
+    cols = TABLES[t]
+    kind = rng.choice(["scan", "agg", "agg"])
+    where = " AND ".join(pred(rng, cols) for _ in range(rng.randint(1, 3)))
+    if kind == "scan":
+        keys = [c for c, _ in cols]
+        proj = rng.sample(keys, rng.randint(2, len(keys)))
+        # total order over ALL projected columns + a unique key first
+        # column set may not contain the key — order by all projected cols
+        order = ", ".join(proj)
+        limit = rng.choice(["", f" LIMIT {rng.randint(5, 500)}"])
+        # LIMIT needs a total order: only emit when ordering by a superset
+        # that includes the table's unique key (first col of each table)
+        key = cols[0][0]
+        if limit and key not in proj:
+            proj.append(key)
+            order = ", ".join(proj)
+        return (f"SELECT {', '.join(proj)} FROM {t} WHERE {where} "
+                f"ORDER BY {order}{limit}")
+    group_candidates = [c for c, k in cols if k in ("s", "i")]
+    g = rng.sample(group_candidates, rng.randint(1, min(2, len(group_candidates))))
+    aggs = agg_exprs(rng, cols)
+    having = f" HAVING count(*) > {rng.randint(0, 3)}" if rng.random() < 0.4 else ""
+    return (f"SELECT {', '.join(g + aggs)} FROM {t} WHERE {where} "
+            f"GROUP BY {', '.join(g)}{having} ORDER BY {', '.join(g)}")
+
+
+def main():
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 100
+    seed = int(sys.argv[2]) if len(sys.argv) > 2 else 42
+    rng = random.Random(seed)
+    queries = {f"fz_{i:04d}": gen_query(rng) for i in range(n)}
+    json.dump(queries, sys.stdout, indent=0)
+
+
+if __name__ == "__main__":
+    main()

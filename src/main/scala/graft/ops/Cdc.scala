@@ -190,7 +190,7 @@ object Cdc {
       |    || ',"l_shipdate_us":' || CAST(epoch_us(l_shipdate) AS VARCHAR)
       |    || ',"l_returnflag":"' || l_returnflag || '"}' AS data_json,
       |  l_orderkey AS k1, l_linenumber AS k2
-      |FROM lineitem ORDER BY k1, k2""".stripMargin
+      |FROM lineitem ORDER BY k1, k2, data_json""".stripMargin
   ) { (s, d) =>
     T.lineitem(s, d)
       .select(
@@ -205,7 +205,8 @@ object Cdc {
           lit(",\"l_returnflag\":\""), col("l_returnflag"), lit("\"}")
         ).as("data_json"),
         col("l_orderkey").as("k1"), col("l_linenumber").as("k2"))
-      .orderBy("k1", "k2")
+      // data_json as final tiebreak: (k1, k2) is not unique in lineitem
+      .orderBy("k1", "k2", "data_json")
   }
 
   val all: Seq[Q] = Seq(

@@ -29,13 +29,16 @@ object Relational {
     "q_scan_project_filter",
     """SELECT l_orderkey, l_linenumber, l_quantity, epoch_us(l_shipdate) AS ship_us
       |FROM lineitem WHERE l_quantity > 45
-      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+      |ORDER BY l_orderkey, l_linenumber, l_quantity, ship_us""".stripMargin
   ) { (s, d) =>
+    // ORDER BY spans every output column: (l_orderkey, l_linenumber) is
+    // NOT unique in the synthetic lineitem, and tie order between engines
+    // is arbitrary unless the projection itself is totally ordered.
     T.lineitem(s, d)
       .filter(col("l_quantity") > 45)
       .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
         unix_micros(col("l_shipdate")).as("ship_us"))
-      .orderBy("l_orderkey", "l_linenumber")
+      .orderBy("l_orderkey", "l_linenumber", "l_quantity", "ship_us")
   }
 
   /** R2 (duckdb_cdc.go:146-159): schema probe as rows — no data read at
