@@ -122,14 +122,72 @@ def gen_distinct(rng):
             f"ORDER BY {', '.join(proj)}")
 
 
+def gen_case(rng):
+    t = rng.choice(list(TABLES))
+    cols = TABLES[t]
+    dcols = [c for c, k in cols if k == "d"]
+    if not dcols:
+        return gen_distinct(rng)
+    c = rng.choice(dcols)
+    cut = round(rng.uniform(*RANGES["d"]), 2)
+    where = pred(rng, cols)
+    return (f"SELECT CASE WHEN {c} > {cut} THEN 'hi' ELSE 'lo' END AS band, "
+            f"count(*) AS n, CAST(SUM(CAST({c} AS DECIMAL(18,2))) AS DOUBLE) AS s "
+            f"FROM {t} WHERE {where} GROUP BY 1 ORDER BY band")
+
+
+def gen_scalar(rng):
+    t = rng.choice(list(TABLES))
+    cols = TABLES[t]
+    scol = [c for c, k in cols if k == "s"][0]
+    key = ", ".join(SORT_KEY[t])
+    where = rng.choice([
+        f"length({scol}) > {rng.randint(3, 12)}",
+        f"upper({scol}) >= '{rng.choice('ABCDEFGHIJKLMNOP')}'",
+        f"substr({scol}, 1, 1) >= '{rng.choice('abcdefgp').upper()}'"
+        if rng.random() < 0.5 else f"lower({scol}) >= '{rng.choice('abcdefgp')}'",
+    ])
+    return (f"SELECT {key}, {scol}, CAST(length({scol}) AS INTEGER) AS slen "
+            f"FROM {t} WHERE {where} ORDER BY {key}, {scol}")
+
+
+def gen_union(rng):
+    t = rng.choice(list(TABLES))
+    cols = TABLES[t]
+    key = ", ".join(SORT_KEY[t])
+    p1, p2 = pred(rng, cols), pred(rng, cols)
+    return (f"SELECT 'a' AS src, {key} FROM {t} WHERE {p1} "
+            f"UNION ALL SELECT 'b' AS src, {key} FROM {t} WHERE {p2} "
+            f"ORDER BY src, {key}")
+
+
+def gen_subquery(rng):
+    lt, rt, cond = rng.choice(JOINS[:2])   # orders→customer, lineitem→orders
+    lk, rk = cond.split(" = ")
+    lcols = TABLES[lt]
+    inner_where = pred(rng, TABLES.get(rt, JOIN_COLS.get(rt)))
+    key = ", ".join(SORT_KEY[lt])
+    where = pred(rng, lcols)
+    return (f"SELECT {key} FROM {lt} WHERE {where} AND {lk} IN "
+            f"(SELECT {rk} FROM {rt} WHERE {inner_where}) ORDER BY {key}")
+
+
 def gen_query(rng):
     roll = rng.random()
-    if roll < 0.15:
+    if roll < 0.12:
         return gen_join(rng)
-    if roll < 0.27:
+    if roll < 0.22:
         return gen_window(rng)
-    if roll < 0.37:
+    if roll < 0.30:
         return gen_distinct(rng)
+    if roll < 0.38:
+        return gen_case(rng)
+    if roll < 0.46:
+        return gen_scalar(rng)
+    if roll < 0.52:
+        return gen_union(rng)
+    if roll < 0.60:
+        return gen_subquery(rng)
     t = rng.choice(list(TABLES))
     cols = TABLES[t]
     kind = rng.choice(["scan", "agg", "agg"])
