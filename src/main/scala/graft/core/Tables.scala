@@ -53,6 +53,20 @@ object Tables {
       raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
     else raw
   }
+
+  /** Incremental read of events with `ts > cutoff`: the bound is applied
+    * to the RAW column before the ns→timestamp conversion, because a
+    * predicate on the derived column cannot reach the parquet scan
+    * (PlanShapeSpec guards this — it is the difference between O(new
+    * data) and O(table) per poll at scale). */
+  def eventsSince(s: SparkSession, d: String, cutoffMicros: Long): DataFrame = {
+    val raw = table(s, d, "events")
+    if (raw.schema("ts").dataType == LongType)
+      raw.filter(col("ts") > cutoffMicros * 1000L)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else
+      raw.filter(col("ts") > timestamp_micros(lit(cutoffMicros)))
+  }
   def documents(s: SparkSession, d: String): DataFrame  = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 }

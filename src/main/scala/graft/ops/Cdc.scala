@@ -167,8 +167,9 @@ object Cdc {
       |FROM events WHERE ts > TIMESTAMP '2024-01-01 06:00:00'
       |ORDER BY event_id""".stripMargin
   ) { (s, d) =>
-    T.events(s, d)
-      .filter(col("ts") > to_timestamp(lit("2024-01-01 06:00:00")))
+    // cutoff = 2024-01-01T06:00:00Z as epoch micros; Tables.eventsSince
+    // pushes the bound onto the raw ns column so it reaches the scan
+    T.eventsSince(s, d, 1704088800000000L)
       .select(col("event_id"), col("user_id"), col("event_type"),
         unix_micros(col("ts")).as("ts_us"))
       .orderBy("event_id")

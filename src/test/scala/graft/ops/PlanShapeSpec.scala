@@ -1,0 +1,59 @@
+package graft.ops
+
+import graft.SparkSuite
+
+/** Regression tests for the physical-plan properties the operators are
+  * designed around — a wrong plan can be value-correct at test scale and
+  * catastrophic at 100 TB, so the shapes are asserted, not assumed. */
+class PlanShapeSpec extends SparkSuite {
+
+  private val sf = "/root/testdata/sf0.001"
+  private def plan(name: String): String = {
+    val df = graft.SparkEntry.queries(name)(spark, sf)
+    df.queryExecution.executedPlan.toString() + "\n" +
+      df.queryExecution.optimizedPlan.toString()
+  }
+
+  test("q_scan_project_filter pushes the predicate into the parquet scan") {
+    val p = plan("q_scan_project_filter")
+    assert(p.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,45.0)]"), p.take(600))
+  }
+
+  test("q_scan_project_filter prunes to the 4 needed columns") {
+    val p = plan("q_scan_project_filter")
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_linenumber:int,l_quantity:double,l_shipdate:timestamp>"))
+  }
+
+  test("q_join_3way broadcasts every dimension (fact side never shuffles pre-agg)") {
+    val p = plan("q_join_3way")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3, p.take(400))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("q_topk plans as TakeOrderedAndProject, not a global sort") {
+    val p = plan("q_topk")
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
+  test("q_group_agg uses partial (map-side) aggregation") {
+    val p = plan("q_group_agg")
+    assert("HashAggregate".r.findAllIn(p).size >= 2)
+    assert(p.contains("partial_"))
+  }
+
+  test("q_table_checksum is a shuffle-free global aggregate (single exchange)") {
+    val p = plan("q_table_checksum")
+    assert("Exchange".r.findAllIn(p).size <= 1, p.take(400))
+  }
+
+  test("q_similarity_topk broadcasts the query side (nested-loop over one scan)") {
+    val p = plan("q_similarity_topk")
+    assert(p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q_incremental_since pushes the timestamp bound to the scan") {
+    val p = plan("q_incremental_since")
+    // events.ts arrives as long nanos; the pushed filter is on that column
+    assert(p.contains("PushedFilters: [IsNotNull(ts), GreaterThan(ts,"), p.take(600))
+  }
+}
