@@ -172,8 +172,28 @@ def gen_subquery(rng):
             f"(SELECT {rk} FROM {rt} WHERE {inner_where}) ORDER BY {key}")
 
 
+def gen_leftjoin(rng):
+    # LEFT JOIN manufactures NULLs (the base tables have none): exercises
+    # count(col) vs count(*), SUM-over-empty→NULL, and coalesce defaults
+    lt, rt, cond = rng.choice([("customer", "orders", "o_custkey = c_custkey"),
+                               ("orders", "lineitem", "l_orderkey = o_orderkey")])
+    lkey = SORT_KEY[lt][0]
+    rcols = TABLES[rt]
+    rkey = SORT_KEY[rt][0]
+    rd = [c for c, k in rcols if k == "d"][0]
+    where = pred(rng, TABLES[lt])
+    inner = pred(rng, rcols)
+    return (f"SELECT {lkey}, count({rkey}) AS n_matched, count(*) AS n_rows, "
+            f"CAST(SUM(CAST({rd} AS DECIMAL(18,2))) AS DOUBLE) AS s, "
+            f"coalesce(MIN({rkey}), -1) AS min_or_default "
+            f"FROM {lt} LEFT JOIN (SELECT * FROM {rt} WHERE {inner}) r ON {cond} "
+            f"WHERE {where} GROUP BY {lkey} ORDER BY {lkey}")
+
+
 def gen_query(rng):
     roll = rng.random()
+    if roll < 0.1:
+        return gen_leftjoin(rng)
     if roll < 0.12:
         return gen_join(rng)
     if roll < 0.22:
