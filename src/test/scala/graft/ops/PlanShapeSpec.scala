@@ -56,4 +56,24 @@ class PlanShapeSpec extends SparkSuite {
     // events.ts arrives as long nanos; the pushed filter is on that column
     assert(p.contains("PushedFilters: [IsNotNull(ts), GreaterThan(ts,"), p.take(600))
   }
+
+  test("q_dedup_minhash aggregates partially before the doc shuffle") {
+    val p = plan("q_dedup_minhash")
+    assert(p.contains("partial_min"))
+  }
+
+  test("q_embed_near_dup joins on the LSH bucket, never a cartesian product") {
+    val p = plan("q_embed_near_dup")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("sig"))
+  }
+
+  test("q_curation reads the documents text column only map-side (no text in shuffles)") {
+    val p = plan("q_curation")
+    // exchanges carry digests/metrics, not the text payload
+    val exchangeSections = p.split("Exchange").drop(1)
+    assert(exchangeSections.nonEmpty)
+    assert(!exchangeSections.exists(_.take(200).contains("text#")),
+      "text column crosses an exchange")
+  }
 }
