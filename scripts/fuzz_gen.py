@@ -190,8 +190,28 @@ def gen_leftjoin(rng):
             f"WHERE {where} GROUP BY {lkey} ORDER BY {lkey}")
 
 
+def gen_global(rng):
+    # global aggregate, sometimes over an empty selection (count→0,
+    # SUM→NULL, MIN/MAX→NULL: the empty-input corner both engines must
+    # agree on, returning exactly one row)
+    t = rng.choice(list(TABLES))
+    cols = TABLES[t]
+    dcol = [c for c, k in cols if k == "d"]
+    icol = [c for c, k in cols if k == "i"][0]
+    where = pred(rng, cols)
+    if rng.random() < 0.3:   # force-empty branch
+        where = f"{icol} < -1"
+    aggs = ["count(*) AS n", f"MIN({icol}) AS mn", f"MAX({icol}) AS mx"]
+    if dcol:
+        aggs.append(
+            f"CAST(SUM(CAST({dcol[0]} AS DECIMAL(18,2))) AS DOUBLE) AS s")
+    return f"SELECT {', '.join(aggs)} FROM {t} WHERE {where}"
+
+
 def gen_query(rng):
     roll = rng.random()
+    if roll < 0.06:
+        return gen_global(rng)
     if roll < 0.1:
         return gen_leftjoin(rng)
     if roll < 0.12:

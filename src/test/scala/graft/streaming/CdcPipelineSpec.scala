@@ -137,6 +137,29 @@ class CdcPipelineSpec extends SparkSuite {
     assert(meta.select("table_name").distinct().count() == 2)
   }
 
+  test("restart from checkpoint: processed drops are not re-captured") {
+    val base = tmpDir("cdc")
+    val c = cfg(base)
+    Files.createDirectories(Paths.get(c.inputDir))
+    seedUsers.write.mode("append").parquet(c.inputDir)
+    val q1 = CdcPipeline.start(spark, c, seedUsers.schema)
+    q1.processAllAvailable()
+    q1.stop()
+    assert(jsonlLines(c.outputDir).size == 2)
+    // restart against the SAME checkpoint: the already-processed drop must
+    // not produce a new batch; a new drop must
+    val q2 = CdcPipeline.start(spark, c, seedUsers.schema)
+    q2.processAllAvailable()
+    assert(jsonlLines(c.outputDir).size == 2)   // no re-capture
+    Seq((3, "Bob Wilson", "bob@example.com", t0))
+      .toDF("id", "name", "email", "created_at")
+      .write.mode("append").parquet(c.inputDir)
+    q2.processAllAvailable()
+    q2.stop()
+    assert(jsonlLines(c.outputDir).size == 3)
+    assert(spark.read.parquet(c.metadataDir).count() == 2)
+  }
+
   test("schema drift between polls triggers a capture (reference probes schema per tick)") {
     val base = tmpDir("cdc")
     val c = cfg(base)
