@@ -168,7 +168,10 @@ def gen_subquery(rng):
     inner_where = pred(rng, TABLES.get(rt, JOIN_COLS.get(rt)))
     key = ", ".join(SORT_KEY[lt])
     where = pred(rng, lcols)
-    return (f"SELECT {key} FROM {lt} WHERE {where} AND {lk} IN "
+    # NOT IN is safe here: the subquery key columns contain no NULLs
+    # (NULL-poisoned NOT IN would empty the result in both engines anyway)
+    op = "IN" if rng.random() < 0.7 else "NOT IN"
+    return (f"SELECT {key} FROM {lt} WHERE {where} AND {lk} {op} "
             f"(SELECT {rk} FROM {rt} WHERE {inner_where}) ORDER BY {key}")
 
 
@@ -238,7 +241,8 @@ def gen_query(rng):
         # total order over ALL projected columns + a unique key first
         # column set may not contain the key — order by all projected cols
         order = ", ".join(proj)
-        limit = rng.choice(["", f" LIMIT {rng.randint(5, 500)}"])
+        limit = rng.choice(["", f" LIMIT {rng.randint(5, 500)}",
+                            f" LIMIT {rng.randint(5, 200)} OFFSET {rng.randint(1, 50)}"])
         # LIMIT needs a total order: only emit when ordering by a superset
         # that includes the table's unique key (first col of each table)
         key = cols[0][0]
