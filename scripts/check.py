@@ -1,12 +1,15 @@
 #!/usr/bin/env python3
 """Local replica of the driver's t2 correctness gate.
 
-Usage: python3 scripts/check.py <sfDir> <verifyOutDir>
+Usage: python3 scripts/check.py <sfDir> <verifyOutDir> [--strict]
 
 For each query dumped by graft.Verify: read the Spark parquet result,
 run the oracle SQL in DuckDB against views over the same parquet tables,
 sort columns by name, and compare row count, schema-ish dtypes, and
-exact values.
+exact values. Every name in queries.json (the declared inventory) must
+produce a result dir — a query whose Verify run failed is a FAIL, not a
+skip. --strict turns the dtype WARN into FAIL (the driver compares
+dtypes).
 """
 import sys, json, glob, os
 import duckdb
@@ -14,18 +17,25 @@ import duckdb
 TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
 
-def main(sf_dir, out_dir):
+def main(sf_dir, out_dir, strict=False):
     con = duckdb.connect()
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
         if os.path.exists(p):
             con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    qj = f"{out_dir}/queries.json"
+    declared = json.load(open(qj)) if os.path.exists(qj) else []
     n_pass = n_fail = 0
-    # no-oracle queries get the driver's weaker rows-only check
-    for d in sorted(glob.glob(f"{out_dir}/*/")):
-        name = os.path.basename(d.rstrip("/"))
-        if name in oracle or not glob.glob(f"{d}/*.parquet"):
+    # no-oracle queries get the driver's weaker rows-only check; a declared
+    # no-oracle query with no result dir is a failed Verify run → FAIL
+    no_oracle = sorted(set(declared) - set(oracle)) if declared else [
+        os.path.basename(d.rstrip("/")) for d in sorted(glob.glob(f"{out_dir}/*/"))
+        if os.path.basename(d.rstrip("/")) not in oracle]
+    for name in no_oracle:
+        d = f"{out_dir}/{name}"
+        if not glob.glob(f"{d}/*.parquet"):
+            print(f"FAIL {name}: no spark result written"); n_fail += 1
             continue
         n = con.sql(f"SELECT count(*) FROM read_parquet('{d}/*.parquet')").fetchone()[0]
         if n > 0:
@@ -52,8 +62,11 @@ def main(sf_dir, out_dir):
             print(f"FAIL {name}: rows spark={len(spark_df)} duck={len(duck_df)}")
             n_fail += 1; continue
         if list(map(str, spark_df.dtypes)) != list(map(str, duck_df.dtypes)):
-            print(f"WARN {name}: dtypes spark={list(map(str, spark_df.dtypes))} "
+            lvl = "FAIL" if strict else "WARN"
+            print(f"{lvl} {name}: dtypes spark={list(map(str, spark_df.dtypes))} "
                   f"duck={list(map(str, duck_df.dtypes))}")
+            if strict:
+                n_fail += 1; continue
         bad = None
         for c in spark_df.columns:
             a, b = spark_df[c], duck_df[c]
@@ -75,4 +88,4 @@ def main(sf_dir, out_dir):
     return 1 if n_fail else 0
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    sys.exit(main(sys.argv[1], sys.argv[2], strict="--strict" in sys.argv[3:]))

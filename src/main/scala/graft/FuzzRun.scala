@@ -21,13 +21,22 @@ object FuzzRun {
       Tables.table(spark, sfDir, t).createOrReplaceTempView(t)
     }
     new java.io.File(outDir).mkdirs()
-    // minimal JSON object parse: {"name": "sql", ...} with no nesting
-    val raw = Files.readString(Paths.get(sqlJson))
-    val entries = """"(fz_\d+)"\s*:\s*"((?:[^"\\]|\\.)*)"""".r
-      .findAllMatchIn(raw)
-      .map(m => m.group(1) ->
-        m.group(2).replace("\\\"", "\"").replace("\\\\", "\\").replace("\\n", "\n"))
-      .toSeq
+    // Real JSON parse (Jackson ships on the Spark classpath): the file is a
+    // flat {"fz_<n>": "<sql>", ...} object. A hand-rolled regex+replace
+    // decoder corrupts escape sequences (e.g. "\\n" — a literal backslash
+    // then 'n' — decodes to a newline) once string literals appear in the
+    // generated SQL.
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = mapper.readTree(Files.readString(Paths.get(sqlJson)))
+    val entries = {
+      val it = root.fields()
+      val buf = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+      while (it.hasNext) {
+        val e = it.next()
+        if (e.getKey.startsWith("fz_")) buf += (e.getKey -> e.getValue.asText())
+      }
+      buf.toSeq.sortBy(_._1)
+    }
     var failed = 0
     entries.foreach { case (name, sql) =>
       try spark.sql(sql).coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")

@@ -63,7 +63,14 @@ object Canonical {
     *  - DOUBLE → DECIMAL(18,2) → string (scale-padded, identical renders)
     *  - TIMESTAMP → epoch micros → string
     *  - everything else → plain cast to string
-    * NULL → NullMark (distinct from empty string). */
+    * NULL → NullMark (distinct from empty string).
+    *
+    * GRID ASSUMPTION: the DECIMAL(18,2) route is only correct for money-grid
+    * doubles (exact 2-decimal values, |x| < 1e16) — it exists so Spark and
+    * DuckDB render the same string (H2). A sub-0.01 difference disappears and
+    * |x| >= 1e16 overflows the cast (ANSI error). Use this ONLY for
+    * oracle-compared queries over known money columns; generic digests over
+    * arbitrary tables must use [[canonColExact]]. */
   def canonCol(c: Column, dt: DataType): Column = {
     val s = dt match {
       case DoubleType    => c.cast(DecimalType(18, 2)).cast(StringType)
@@ -83,11 +90,35 @@ object Canonical {
     case _ => s"coalesce(CAST($name AS VARCHAR), chr(1))"
   }
 
+  /** Lossless canonical form for the generic CDC digest path (no DuckDB
+    * mirror — this surface is never oracle-compared):
+    *  - DOUBLE/FLOAT → plain string cast: Java's shortest-round-trip
+    *    rendering is full-precision and deterministic, so ANY bit-level
+    *    change (including sub-0.01 deltas the reference would catch) alters
+    *    the digest, and no magnitude overflows (NaN/Infinity render too);
+    *  - BINARY → hex (a raw UTF-8 reinterpret could collide);
+    *  - TIMESTAMP → epoch micros, as in [[canonCol]].
+    * Assumes a flat schema (the snapshot-drop surface); nested types would
+    * need to_json here. */
+  def canonColExact(c: Column, dt: DataType): Column = {
+    val s = dt match {
+      case TimestampType => unix_micros(c).cast(StringType)
+      case BinaryType    => hex(c)
+      case _             => c.cast(StringType)
+    }
+    coalesce(s, lit(NullMark))
+  }
+
   /** Canonical one-string form of an entire row (schema-driven, mirrors the
     * reference's reflect-then-generate pattern, duckdb_cdc.go:168-173, but
-    * producing Columns instead of SQL text). */
+    * producing Columns instead of SQL text). Money-grid form — see the
+    * [[canonCol]] grid assumption; generic tables use [[rowCanonExact]]. */
   def rowCanon(df: DataFrame): Column =
     concat_ws(Sep, df.schema.fields.map(f => canonCol(col(f.name), f.dataType)).toIndexedSeq: _*)
+
+  /** Row canonicalization for arbitrary user tables (lossless doubles). */
+  def rowCanonExact(df: DataFrame): Column =
+    concat_ws(Sep, df.schema.fields.map(f => canonColExact(col(f.name), f.dataType)).toIndexedSeq: _*)
 
   /** Modulus for summable row digests: each term < 2^30, so a signed-64
     * SUM holds ~2^33 (8.6 B) rows without overflow — which would THROW
@@ -98,7 +129,14 @@ object Canonical {
   /** Per-row digest; order-independent table digest = SUM of these.
     * Faithful to the reference's count+sum(hash) scheme
     * (duckdb_cdc.go:175-183) but engine-portable (H1) and overflow-safe
-    * at 100 TB row counts (mod-reduced, see DigestMod). */
+    * at 100 TB row counts (mod-reduced, see DigestMod). Money-grid
+    * canonicalization — only for oracle-compared queries. */
   def rowDigest48(df: DataFrame): Column =
     md5Long48(rowCanon(df)) % DigestMod
+
+  /** Per-row digest over the lossless canonical form — the generic CDC
+    * change-detection digest (full double precision, like the reference's
+    * hash over raw values, duckdb_cdc.go:178). */
+  def rowDigestExact(df: DataFrame): Column =
+    md5Long48(rowCanonExact(df)) % DigestMod
 }

@@ -93,18 +93,28 @@ object Cdc {
   /** R10+R18 (duckdb_cdc.go:190-195): latest checksum per table from an
     * append-only history — per-group top-1 via max_by, no sort of the whole
     * history. History is synthesized from events (event_type plays
-    * table_name) so both engines derive identical input from parquet. */
+    * table_name) so both engines derive identical input from parquet.
+    *
+    * The max_by ordering key is (ts, event_id) encoded as one zero-padded
+    * string (DuckDB 1.0's arg_max takes no struct key): two history rows
+    * sharing the max ts would otherwise make the winner engine-arbitrary
+    * (H6 total-order policy). epoch micros and event_id are non-negative,
+    * so zero-padded lexicographic order equals numeric order. */
   val latestChecksumPerTable: Q = Q(
     "q_latest_checksum_per_table",
     """SELECT event_type AS table_name,
-      |  max_by(md5(CAST(event_id AS VARCHAR)), ts) AS checksum,
+      |  arg_max(md5(CAST(event_id AS VARCHAR)),
+      |          lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+      |            || lpad(CAST(event_id AS VARCHAR), 10, '0')) AS checksum,
       |  epoch_us(max(ts)) AS ts_us
       |FROM events GROUP BY event_type ORDER BY table_name""".stripMargin
   ) { (s, d) =>
     T.events(s, d)
       .groupBy(col("event_type").as("table_name"))
       .agg(
-        max_by(md5(col("event_id").cast(StringType)), col("ts")).as("checksum"),
+        max_by(md5(col("event_id").cast(StringType)),
+          concat(lpad(unix_micros(col("ts")).cast(StringType), 20, "0"),
+            lpad(col("event_id").cast(StringType), 10, "0"))).as("checksum"),
         unix_micros(max(col("ts"))).as("ts_us"))
       .orderBy("table_name")
   }

@@ -43,9 +43,14 @@ object CdcPipeline {
       checkpointDir: String,
       tableName: String,
       triggerMs: Long = 1000L,
-      /** Cap on snapshot files discovered per trigger — bounds micro-batch
-        * size (and so executor memory) when a backlog of drops exists. */
-      maxFilesPerTrigger: Option[Int] = None,
+      /** Cap on snapshot files discovered per trigger. Defaults to 1: one
+        * snapshot drop = one micro-batch. With an uncapped trigger, two
+        * drops landing together would be unioned into a single batch and
+        * checksummed/captured as one doubled "table state" — a bogus
+        * envelope set. A snapshot that spans multiple files must be
+        * dropped atomically (one directory move) and needs a higher cap
+        * set explicitly. */
+      maxFilesPerTrigger: Option[Int] = Some(1),
       /** Snapshot drop format: "parquet" (default), "json" (JSONL), or
         * "csv" (with header). The checksum/envelope path is
         * format-agnostic — it works off the batch DataFrame's schema. */
@@ -63,11 +68,15 @@ object CdcPipeline {
 
   /** The reference's digest (R11-R16) over an arbitrary batch: count +
     * order-independent sum of per-row digests, md5-combined. Pure
-    * aggregate — one Spark job, O(1) result rows. */
+    * aggregate — one Spark job, O(1) result rows. Uses the lossless
+    * canonicalization (rowDigestExact): this digest sees arbitrary user
+    * tables, so doubles keep full precision — a sub-0.01 change is
+    * detected and huge magnitudes can't overflow (the money-grid
+    * DECIMAL(18,2) form is reserved for oracle-compared queries). */
   def batchChecksum(df: DataFrame): String = {
     val row = df
       .agg(count(lit(1)).cast(StringType).as("cnt"),
-        coalesce(sum(C.rowDigest48(df)), lit(0L)).cast(StringType).as("dig"))
+        coalesce(sum(C.rowDigestExact(df)), lit(0L)).cast(StringType).as("dig"))
       .select(md5(concat_ws(",", col("cnt"), col("dig"))).as("checksum"))
       .head()
     row.getString(0)
@@ -85,7 +94,7 @@ object CdcPipeline {
   def partitionChecksums(df: DataFrame, bucket: org.apache.spark.sql.Column): DataFrame =
     df.groupBy(bucket.as("bucket"))
       .agg(count(lit(1)).cast(StringType).as("cnt"),
-        sum(C.rowDigest48(df)).cast(StringType).as("dig"))
+        sum(C.rowDigestExact(df)).cast(StringType).as("dig"))
       .select(col("bucket"),
         md5(concat_ws(",", col("cnt"), col("dig"))).as("checksum"))
 

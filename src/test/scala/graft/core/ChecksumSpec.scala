@@ -56,4 +56,20 @@ class ChecksumSpec extends SparkSuite {
     val one = Seq((1, "x")).toDF("id", "s")
     assert(CdcPipeline.batchChecksum(empty) != CdcPipeline.batchChecksum(one))
   }
+
+  test("double canonicalization is lossless: sub-0.01 deltas are detected") {
+    val a = Seq((1, 1.0000001), (2, 2.5)).toDF("id", "v")
+    val b = Seq((1, 1.0000002), (2, 2.5)).toDF("id", "v")
+    assert(CdcPipeline.batchChecksum(a) != CdcPipeline.batchChecksum(b))
+  }
+
+  test("doubles beyond DECIMAL(18,2) range digest without error") {
+    // 1e17 overflows CAST(x AS DECIMAL(18,2)) — ANSI error in the grid
+    // form; the exact form must handle it (and NaN/Infinity) cleanly.
+    val big = Seq((1, 1.0e17), (2, Double.NaN),
+      (3, Double.PositiveInfinity)).toDF("id", "v")
+    val big2 = Seq((1, 1.0e17 + 32.0), (2, Double.NaN),
+      (3, Double.PositiveInfinity)).toDF("id", "v")
+    assert(CdcPipeline.batchChecksum(big) != CdcPipeline.batchChecksum(big2))
+  }
 }

@@ -122,10 +122,10 @@ class CdcPipelineSpec extends SparkSuite {
         metadataDir = s"$base/meta", checkpointDir = s"$base/ckpt_orders")
     Files.createDirectories(Paths.get(users.inputDir))
     Files.createDirectories(Paths.get(orders.inputDir))
-    seedUsers.write.mode("append").json(users.inputDir)
+    seedUsers.coalesce(1).write.mode("append").json(users.inputDir)
     val orderRows = Seq((100L, 1, 9.99), (101L, 2, 19.99))
       .toDF("order_id", "user_id", "total")
-    orderRows.write.mode("append").json(orders.inputDir)
+    orderRows.coalesce(1).write.mode("append").json(orders.inputDir)
     val qs = CdcPipeline.startAll(spark,
       Seq(users -> seedUsers.schema, orders -> orderRows.schema))
     qs.foreach(_.processAllAvailable())
@@ -141,7 +141,7 @@ class CdcPipelineSpec extends SparkSuite {
     val base = tmpDir("cdc")
     val c = cfg(base)
     Files.createDirectories(Paths.get(c.inputDir))
-    seedUsers.write.mode("append").parquet(c.inputDir)
+    seedUsers.coalesce(1).write.mode("append").parquet(c.inputDir)
     val q1 = CdcPipeline.start(spark, c, seedUsers.schema)
     q1.processAllAvailable()
     q1.stop()
@@ -153,7 +153,7 @@ class CdcPipelineSpec extends SparkSuite {
     assert(jsonlLines(c.outputDir).size == 2)   // no re-capture
     Seq((3, "Bob Wilson", "bob@example.com", t0))
       .toDF("id", "name", "email", "created_at")
-      .write.mode("append").parquet(c.inputDir)
+      .coalesce(1).write.mode("append").parquet(c.inputDir)
     q2.processAllAvailable()
     q2.stop()
     assert(jsonlLines(c.outputDir).size == 3)
@@ -188,18 +188,38 @@ class CdcPipelineSpec extends SparkSuite {
     assert(changed.head.isNullAt(0) && changed.head.getString(1) == "CHANGED")
   }
 
+  test("two drops before one trigger become two batches, not one doubled state") {
+    // Default maxFilesPerTrigger=1: a backlog of snapshot drops must be
+    // processed one per micro-batch — an uncapped trigger would union both
+    // drops and checksum/capture a doubled "table state".
+    val base = tmpDir("cdc")
+    val c = cfg(base)
+    Files.createDirectories(Paths.get(c.inputDir))
+    seedUsers.coalesce(1).write.mode("append").parquet(c.inputDir)
+    seedUsers.unionAll(
+      Seq((3, "Bob Wilson", "bob@example.com", t0))
+        .toDF("id", "name", "email", "created_at"))
+      .coalesce(1).write.mode("append").parquet(c.inputDir)
+    val q = CdcPipeline.start(spark, c, seedUsers.schema)
+    q.processAllAvailable()
+    q.stop()
+    // two captures (2-row then 3-row snapshot) — never one 5-row batch
+    assert(jsonlLines(c.outputDir).size == 5)
+    assert(spark.read.parquet(c.metadataDir).count() == 2)
+  }
+
   test("streaming end-to-end: snapshot drops are discovered and captured") {
     val base = tmpDir("cdc")
     val c = cfg(base)
     Files.createDirectories(Paths.get(c.inputDir))
-    seedUsers.write.mode("append").parquet(c.inputDir)
+    seedUsers.coalesce(1).write.mode("append").parquet(c.inputDir)
     val q = CdcPipeline.start(spark, c, seedUsers.schema)
     q.processAllAvailable()
     assert(jsonlLines(c.outputDir).size == 2)
     // drop a changed snapshot (new row) — discovered on the next tick
     Seq((3, "Bob Wilson", "bob@example.com", t0))
       .toDF("id", "name", "email", "created_at")
-      .write.mode("append").parquet(c.inputDir)
+      .coalesce(1).write.mode("append").parquet(c.inputDir)
     q.processAllAvailable()
     q.stop()
     assert(jsonlLines(c.outputDir).size == 3)
