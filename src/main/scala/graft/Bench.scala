@@ -5,21 +5,26 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = graft.core.Session.local(cpus.toInt, cpus.toInt)
-    // Warm the JVM/codegen/file-index/noop-sink paths so per-query
-    // timings measure the queries, not first-job setup.
-    try spark.read.parquet(s"$sfDir/lineitem.parquet")
-      .groupBy("l_returnflag").count()
-      .write.mode("overwrite").format("noop").save()
-    catch { case _: Throwable => () }
     // noop sink: executes the complete plan and materializes every output
     // column (count() would let Catalyst prune projections and sorts —
     // projection-heavy queries would measure as bare scans).
+    def run(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
+      fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+    // Full untimed warmup pass (JMH-style): the first execution of each
+    // operator pays JIT + codegen-class-loading + parquet footer reads
+    // that say nothing about throughput — profiled at ~2 s on the
+    // alphabetically-first query vs 0.7 s steady-state. The timed pass
+    // below then measures steady-state plan execution.
+    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    ordered.foreach { case (_, fn) =>
+      try run(fn) catch { case _: Throwable => () }
+    }
     // A failed query records -1 (visible in the JSON) and logs to stderr —
     // a silently-swallowed failure would read as an impossibly fast query.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = ordered.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try {
-        fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+        run(fn)
         name -> (System.nanoTime() - t0) / 1e9
       } catch {
         case e: Throwable =>

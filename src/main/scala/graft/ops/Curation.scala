@@ -1,54 +1,56 @@
 package graft.ops
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 import graft.core.{Q, Tables => T}
 
 /** End-to-end corpus curation — the composition the individual operators
   * exist for: near-dup removal (multiset-digest keepers) → quality floor
   * (length + type-token ratio, integer-math thresholds) → per-doc stats,
-  * as ONE declarative plan. At 100 TB this whole pipeline is two shuffles
-  * (the digest group and the metrics group, both on doc-granularity keys)
-  * and the documents themselves stream through map-side only.
+  * as ONE declarative plan.
+  *
+  * Scale shape: digest and both metrics are computed map-side from the
+  * split array (size / array_distinct — no explode, no token-level
+  * shuffle), then keeper selection is a single window over digest. The
+  * only exchange carries (doc_id, digest, lang, source, two longs) per
+  * document — the text itself never crosses a shuffle, so at 100 TB the
+  * shuffle volume is O(docs), not O(tokens).
   */
 object Curation {
 
-  /** Keep one doc per token-multiset digest, require ≥20 tokens and
-    * type-token ratio ≥ 0.3 (spelled n_uniq·10 ≥ n_tok·3 so no float
-    * compare crosses engines), and emit the curation metrics. */
+  /** Keep one doc per token-multiset digest (min doc_id), require ≥20
+    * tokens and type-token ratio ≥ 0.3 (spelled n_uniq·10 ≥ n_tok·3 so no
+    * float compare crosses engines), and emit the curation metrics.
+    * Keeper selection runs BEFORE the quality floor: a group whose keeper
+    * fails quality contributes nothing (no promotion of the next doc). */
   val curate: Q = Q(
     "q_curation",
-    """WITH digests AS (
-      |  SELECT doc_id,
-      |    md5(array_to_string(list_sort(string_split(lower(text), ' ')), ',')) AS digest
+    """WITH scored AS (
+      |  SELECT doc_id, lang, source,
+      |    md5(array_to_string(list_sort(string_split(lower(text), ' ')), ',')) AS digest,
+      |    len(string_split(text, ' ')) AS n_tok,
+      |    len(list_distinct(string_split(text, ' '))) AS n_uniq
       |  FROM documents
-      |), keepers AS (
-      |  SELECT min(doc_id) AS doc_id FROM digests GROUP BY digest
-      |), metrics AS (
-      |  SELECT doc_id, count(*) AS n_tok, count(DISTINCT tok) AS n_uniq
-      |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
-      |  GROUP BY doc_id
+      |), kept AS (
+      |  SELECT * FROM scored
+      |  QUALIFY doc_id = min(doc_id) OVER (PARTITION BY digest)
       |)
-      |SELECT d.doc_id, d.lang, d.source, m.n_tok, m.n_uniq,
-      |  m.n_uniq / m.n_tok AS ttr
-      |FROM documents d
-      |JOIN keepers k ON k.doc_id = d.doc_id
-      |JOIN metrics m ON m.doc_id = d.doc_id
-      |WHERE m.n_tok >= 20 AND m.n_uniq * 10 >= m.n_tok * 3
-      |ORDER BY d.doc_id""".stripMargin
+      |SELECT doc_id, lang, source, n_tok, n_uniq, n_uniq / n_tok AS ttr
+      |FROM kept
+      |WHERE n_tok >= 20 AND n_uniq * 10 >= n_tok * 3
+      |ORDER BY doc_id""".stripMargin
   ) { (s, d) =>
-    val docs = T.documents(s, d)
-    val keepers = docs
-      .select(col("doc_id"),
-        md5(concat_ws(",", sort_array(split(lower(col("text")), " ")))).as("digest"))
-      .groupBy("digest").agg(min(col("doc_id")).as("doc_id"))
-      .select("doc_id")
-    val metrics = docs
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_tok"), countDistinct(col("tok")).as("n_uniq"))
-    docs.join(keepers, Seq("doc_id"))
-      .join(metrics, Seq("doc_id"))
-      .filter(col("n_tok") >= 20 && col("n_uniq") * 10 >= col("n_tok") * 3)
+    val toks = split(col("text"), " ")
+    val scored = T.documents(s, d).select(
+      col("doc_id"), col("lang"), col("source"),
+      md5(concat_ws(",", sort_array(split(lower(col("text")), " ")))).as("digest"),
+      size(toks).cast(LongType).as("n_tok"),
+      size(array_distinct(toks)).cast(LongType).as("n_uniq"))
+    scored
+      .withColumn("keeper", min(col("doc_id")).over(Window.partitionBy(col("digest"))))
+      .filter(col("doc_id") === col("keeper") &&
+        col("n_tok") >= 20 && col("n_uniq") * 10 >= col("n_tok") * 3)
       .select(col("doc_id"), col("lang"), col("source"), col("n_tok"),
         col("n_uniq"), (col("n_uniq") / col("n_tok")).as("ttr"))
       .orderBy("doc_id")

@@ -117,47 +117,40 @@ object Dedup {
   /** Token-set Jaccard similarity over consecutive doc pairs (d, d+1) —
     * the bounded-pair formulation of n-gram Jaccard (candidate pairs in
     * production come from the MinHash buckets above; pairing by adjacent
-    * id keeps the oracle's output size linear). */
+    * id keeps the oracle's output size linear).
+    *
+    * Token sets are built map-side (array_distinct of the split — no
+    * explode, no token-level shuffle or join), so the pair join carries
+    * one bounded array per doc and the intersection is a per-pair array
+    * op. At corpus scale the exchange is O(docs · avg-set-size), versus
+    * O(total tokens) shuffled twice in the exploded formulation. */
   val ngramJaccard: Q = Q(
     "q_ngram_jaccard",
-    """WITH toks AS (
-      |  SELECT DISTINCT doc_id, tok FROM (
-      |    SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
-      |), cnt AS (
-      |  SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id
-      |), inter AS (
-      |  SELECT a.doc_id AS a_id, count(*) AS n_inter
-      |  FROM toks a JOIN toks b ON b.doc_id = a.doc_id + 1 AND b.tok = a.tok
-      |  GROUP BY a.doc_id
+    """WITH sets AS (
+      |  SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks,
+      |    len(list_distinct(string_split(text, ' '))) AS n
+      |  FROM documents
       |)
-      |SELECT ca.doc_id AS a_id, cb.doc_id AS b_id,
-      |  coalesce(n_inter, 0) AS n_inter,
-      |  ca.n + cb.n - coalesce(n_inter, 0) AS n_union,
-      |  coalesce(n_inter, 0) / (ca.n + cb.n - coalesce(n_inter, 0)) AS jaccard
-      |FROM cnt ca
-      |JOIN cnt cb ON cb.doc_id = ca.doc_id + 1
-      |LEFT JOIN inter ON inter.a_id = ca.doc_id
+      |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+      |  len(list_intersect(a.toks, b.toks)) AS n_inter,
+      |  a.n + b.n - len(list_intersect(a.toks, b.toks)) AS n_union,
+      |  len(list_intersect(a.toks, b.toks))
+      |    / (a.n + b.n - len(list_intersect(a.toks, b.toks))) AS jaccard
+      |FROM sets a JOIN sets b ON b.doc_id = a.doc_id + 1
       |ORDER BY a_id""".stripMargin
   ) { (s, d) =>
-    val toks = T.documents(s, d)
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-      .distinct()
-    val cnt = toks.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val inter = toks.as("a")
-      .join(toks.as("b"),
-        col("b.doc_id") === col("a.doc_id") + 1 && col("b.tok") === col("a.tok"))
-      .groupBy(col("a.doc_id").as("a_id"))
-      .agg(count(lit(1)).as("n_inter"))
-    val ca = cnt.as("ca")
-    val cb = cnt.as("cb")
-    ca.join(cb, col("cb.doc_id") === col("ca.doc_id") + 1)
-      .join(inter, col("a_id") === col("ca.doc_id"), "left")
-      .select(
-        col("ca.doc_id").as("a_id"), col("cb.doc_id").as("b_id"),
-        coalesce(col("n_inter"), lit(0L)).as("n_inter"),
-        (col("ca.n") + col("cb.n") - coalesce(col("n_inter"), lit(0L))).as("n_union"),
-        (coalesce(col("n_inter"), lit(0L)) /
-          (col("ca.n") + col("cb.n") - coalesce(col("n_inter"), lit(0L)))).as("jaccard"))
+    val sets = T.documents(s, d).select(
+      col("doc_id"),
+      array_distinct(split(col("text"), " ")).as("toks"))
+      .select(col("doc_id"), col("toks"), size(col("toks")).cast(LongType).as("n"))
+    val a = sets.select(col("doc_id").as("a_id"), col("toks").as("toks_a"), col("n").as("n_a"))
+    val b = sets.select(col("doc_id").as("b_id"), col("toks").as("toks_b"), col("n").as("n_b"))
+    val inter = size(array_intersect(col("toks_a"), col("toks_b"))).cast(LongType)
+    a.join(b, col("b_id") === col("a_id") + 1)
+      .select(col("a_id"), col("b_id"),
+        inter.as("n_inter"),
+        (col("n_a") + col("n_b") - inter).as("n_union"),
+        (inter / (col("n_a") + col("n_b") - inter)).as("jaccard"))
       .orderBy("a_id")
   }
 

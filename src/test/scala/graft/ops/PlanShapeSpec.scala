@@ -69,11 +69,15 @@ class PlanShapeSpec extends SparkSuite {
   }
 
   test("q_curation reads the documents text column only map-side (no text in shuffles)") {
-    val p = plan("q_curation")
-    // exchanges carry digests/metrics, not the text payload
-    val exchangeSections = p.split("Exchange").drop(1)
-    assert(exchangeSections.nonEmpty)
-    assert(!exchangeSections.exists(_.take(200).contains("text#")),
-      "text column crosses an exchange")
+    // The shuffle payload is the Exchange's Input row in formatted explain
+    // (a substring heuristic over the tree form would false-positive on a
+    // map-side Project CONSUMING text directly below the exchange).
+    val df = graft.SparkEntry.queries("q_curation")(spark, sf)
+    val formatted = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    val inputs = """\(\d+\) Exchange\nInput \[\d+\]: \[([^\]]*)\]""".r
+      .findAllMatchIn(formatted).map(_.group(1)).toSeq
+    assert(inputs.nonEmpty, formatted.take(400))
+    inputs.foreach(i => assert(!i.contains("text#"), s"text crosses an exchange: $i"))
   }
 }
