@@ -1,0 +1,271 @@
+package graft.ops
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.core.{Canonical => C, Q, Tables => T}
+import graft.functions.TopKAggregator
+
+/** Analytic breadth beyond the reference's surface (which delegates all of
+  * SQL to DuckDB — SURVEY.md §2C): window-function families, CUBE /
+  * GROUPING SETS, correlated and scalar subqueries, scalar string/date
+  * function parity, and the bounded-memory top-k-per-group aggregator as a
+  * declared (oracle-checked) operator.
+  *
+  * Scale posture: every query is one shuffle on its natural key (window
+  * partition or group key) plus the determinism sort; scalar-function
+  * queries are pure map-side projections. The scalar subquery broadcasts a
+  * 1-row aggregate (BroadcastNestedLoopJoin over one row — no fact
+  * shuffle).
+  */
+object Analytic {
+
+  /** lag/lead/first_value — the navigation-function family, per user over
+    * event time. Total order inside each partition via (ts, event_id). */
+  val windowLeadLag: Q = Q(
+    "q_window_lead_lag",
+    """SELECT user_id, event_id, epoch_us(ts) AS ts_us, value,
+      |  lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value,
+      |  lead(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_value,
+      |  first_value(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS first_eid
+      |FROM events ORDER BY user_id, ts_us, event_id""".stripMargin
+  ) { (s, d) =>
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    T.events(s, d)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"),
+        col("value"),
+        lag(col("value"), 1).over(w).as("prev_value"),
+        lead(col("value"), 1).over(w).as("next_value"),
+        first(col("event_id")).over(w).as("first_eid"))
+      .orderBy("user_id", "ts_us", "event_id")
+  }
+
+  /** ntile/percent_rank/cume_dist — the distribution-function family.
+    * The window order is unique ((o_totalprice, o_orderkey)), so rank ==
+    * row_number and the rational outputs are identical exact divisions in
+    * both engines. */
+  val windowNtile: Q = Q(
+    "q_window_ntile",
+    """SELECT o_orderkey, o_orderpriority,
+      |  CAST(ntile(4) OVER (PARTITION BY o_orderpriority
+      |    ORDER BY o_totalprice, o_orderkey) AS INTEGER) AS quartile,
+      |  percent_rank() OVER (PARTITION BY o_orderpriority
+      |    ORDER BY o_totalprice, o_orderkey) AS pr,
+      |  cume_dist() OVER (PARTITION BY o_orderpriority
+      |    ORDER BY o_totalprice, o_orderkey) AS cd
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+  ) { (s, d) =>
+    val w = Window.partitionBy("o_orderpriority")
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    T.orders(s, d)
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        ntile(4).over(w).as("quartile"),
+        percent_rank().over(w).as("pr"),
+        cume_dist().over(w).as("cd"))
+      .orderBy("o_orderkey")
+  }
+
+  /** CUBE over (returnflag, linestatus): all four grouping combinations in
+    * one Expand + hash-aggregate pass over the fact (no re-scan per
+    * grouping). SQL form for the same reason as q_rollup (DataFrame cube
+    * trips the ambiguous-self-join detector on later column refs). */
+  val cube: Q = Q(
+    "q_cube",
+    """SELECT l_returnflag, l_linestatus, GROUPING(l_returnflag, l_linestatus) AS gid,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  COUNT(*) AS n
+      |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+      |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin
+  ) { (s, d) =>
+    T.lineitem(s, d).createOrReplaceTempView("g_lineitem")
+    s.sql(
+      """SELECT l_returnflag, l_linestatus, grouping_id(l_returnflag, l_linestatus) AS gid,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  COUNT(*) AS n
+        |FROM g_lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin)
+  }
+
+  /** Explicit GROUPING SETS — two one-dimension rollups plus the grand
+    * total, one pass over orders. */
+  val groupingSets: Q = Q(
+    "q_grouping_sets",
+    """SELECT o_orderstatus, o_orderpriority,
+      |  GROUPING(o_orderstatus, o_orderpriority) AS gid,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+      |  COUNT(*) AS n
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+      |ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin
+  ) { (s, d) =>
+    T.orders(s, d).createOrReplaceTempView("g_orders_gs")
+    s.sql(
+      """SELECT o_orderstatus, o_orderpriority,
+        |  grouping_id(o_orderstatus, o_orderpriority) AS gid,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n
+        |FROM g_orders_gs
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin)
+  }
+
+  /** Correlated EXISTS with an extra predicate: customers holding at least
+    * one order above the threshold. Plans as a left-semi hash join — the
+    * filter reduces the build side before it broadcasts/shuffles. */
+  val existsCorrelated: Q = Q(
+    "q_exists_correlated",
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders
+      |              WHERE o_custkey = c_custkey AND o_totalprice > 150000)
+      |ORDER BY c_custkey""".stripMargin
+  ) { (s, d) =>
+    val bigOrders = T.orders(s, d)
+      .filter(col("o_totalprice") > 150000)
+      .select("o_custkey")
+    T.customer(s, d)
+      .join(bigOrders, col("c_custkey") === col("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+  }
+
+  /** Uncorrelated scalar subquery: orders above the global average price.
+    * The average is exact (decimal sum / count, H3) and joins as a 1-row
+    * broadcast — the fact side streams map-side, no shuffle before the
+    * determinism sort. */
+  val subqueryScalar: Q = Q(
+    "q_subquery_scalar",
+    """WITH g AS (
+      |  SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+      |           / COUNT(*) AS avg_price
+      |  FROM orders)
+      |SELECT o_orderkey, o_totalprice, avg_price
+      |FROM orders, g WHERE o_totalprice > avg_price
+      |ORDER BY o_orderkey""".stripMargin
+  ) { (s, d) =>
+    val o = T.orders(s, d)
+    val g = o.agg((C.dsum(col("o_totalprice")) / count(lit(1))).as("avg_price"))
+    o.join(broadcast(g))
+      .filter(col("o_totalprice") > col("avg_price"))
+      .select("o_orderkey", "o_totalprice", "avg_price")
+      .orderBy("o_orderkey")
+  }
+
+  /** Scalar string-function parity sweep (substr/upper/lower/replace/
+    * length/lpad/reverse/regexp_extract/concat_ws) — pure map-side
+    * projection, all inside whole-stage codegen. */
+  val stringFuncs: Q = Q(
+    "q_string_funcs",
+    """SELECT c_custkey,
+      |  upper(c_mktsegment) AS seg_upper,
+      |  lower(c_name) AS name_lower,
+      |  substr(c_name, 10, 9) AS id_part,
+      |  replace(c_name, 'Customer#', 'C-') AS short_name,
+      |  CAST(length(c_name) AS INTEGER) AS name_len,
+      |  lpad(CAST(c_nationkey AS VARCHAR), 4, '0') AS nat_pad,
+      |  reverse(c_mktsegment) AS seg_rev,
+      |  regexp_extract(c_name, '([0-9]+)', 1) AS id_digits,
+      |  concat_ws('|', c_mktsegment, c_name) AS joined
+      |FROM customer ORDER BY c_custkey""".stripMargin
+  ) { (s, d) =>
+    T.customer(s, d).select(
+      col("c_custkey"),
+      upper(col("c_mktsegment")).as("seg_upper"),
+      lower(col("c_name")).as("name_lower"),
+      substring(col("c_name"), 10, 9).as("id_part"),
+      regexp_replace(col("c_name"), lit("Customer#"), lit("C-")).as("short_name"),
+      length(col("c_name")).as("name_len"),
+      lpad(col("c_nationkey").cast(StringType), 4, "0").as("nat_pad"),
+      reverse(col("c_mktsegment")).as("seg_rev"),
+      regexp_extract(col("c_name"), "([0-9]+)", 1).as("id_digits"),
+      concat_ws("|", col("c_mktsegment"), col("c_name")).as("joined"))
+      .orderBy("c_custkey")
+  }
+
+  /** Scalar date/timestamp-function parity sweep: extraction, truncation,
+    * interval arithmetic, day difference. Timestamps compared as epoch
+    * micros (H5); order dates are midnight-aligned so day arithmetic has
+    * no partial-day divergence between engines. */
+  val dateFuncs: Q = Q(
+    "q_date_funcs",
+    """SELECT o_orderkey,
+      |  CAST(year(o_orderdate) AS INTEGER) AS y,
+      |  CAST(month(o_orderdate) AS INTEGER) AS m,
+      |  CAST(day(o_orderdate) AS INTEGER) AS dom,
+      |  epoch_us(date_trunc('month', o_orderdate)) AS month_start_us,
+      |  epoch_us(o_orderdate + INTERVAL 30 DAY) AS plus30_us,
+      |  CAST(date_diff('day', o_orderdate, TIMESTAMP '2025-01-01 00:00:00') AS INTEGER) AS days_to_2025
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+  ) { (s, d) =>
+    T.orders(s, d).select(
+      col("o_orderkey"),
+      year(col("o_orderdate")).as("y"),
+      month(col("o_orderdate")).as("m"),
+      dayofmonth(col("o_orderdate")).as("dom"),
+      unix_micros(date_trunc("month", col("o_orderdate"))).as("month_start_us"),
+      unix_micros(col("o_orderdate") + expr("INTERVAL 30 DAY")).as("plus30_us"),
+      datediff(lit("2025-01-01").cast(DateType), col("o_orderdate").cast(DateType))
+        .as("days_to_2025"))
+      .orderBy("o_orderkey")
+  }
+
+  /** Array-function parity sweep over the token array (element_at both
+    * ends, slice, position, containment) — map-side only; the array is
+    * built and consumed inside one projection, never shuffled. */
+  val arrayFuncs: Q = Q(
+    "q_array_funcs",
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+      |SELECT doc_id,
+      |  toks[1] AS first_tok,
+      |  toks[-1] AS last_tok,
+      |  CAST(len(toks) AS BIGINT) AS n_tok,
+      |  array_to_string(toks[1:3], ' ') AS first3,
+      |  CAST(list_position(toks, 'the') AS BIGINT) AS pos_the,
+      |  list_contains(toks, 'the') AS has_the
+      |FROM t ORDER BY doc_id""".stripMargin
+  ) { (s, d) =>
+    val toks = split(col("text"), " ")
+    T.documents(s, d).select(
+      col("doc_id"),
+      element_at(toks, 1).as("first_tok"),
+      element_at(toks, -1).as("last_tok"),
+      size(toks).cast(LongType).as("n_tok"),
+      concat_ws(" ", slice(toks, 1, 3)).as("first3"),
+      array_position(toks, "the").as("pos_the"),
+      array_contains(toks, "the").as("has_the"))
+      .orderBy("doc_id")
+  }
+
+  /** Bounded-memory top-k per group as a DECLARED operator: the typed
+    * TopKAggregator (k-entry partial buffers, associative merge — the
+    * shuffle carries ≤k rows per partition×group instead of every
+    * candidate) with the window-function formulation as its oracle. This
+    * promotes the scale path itself to oracle-checked status rather than
+    * only spec-checked (TopKAggregatorSpec). */
+  val topkPerGroup: Q = Q(
+    "q_topk_per_group",
+    """SELECT o_orderpriority, CAST(rn AS INTEGER) AS rn, o_orderkey, o_totalprice
+      |FROM (
+      |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+      |    row_number() OVER (PARTITION BY o_orderpriority
+      |                       ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      |  FROM orders)
+      |WHERE rn <= 3 ORDER BY o_orderpriority, rn""".stripMargin
+  ) { (s, d) =>
+    import s.implicits._
+    val top = T.orders(s, d)
+      .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"))
+      .as[(String, Long, Double)]
+      .groupByKey(_._1)
+      .mapValues(t => (t._2, t._3))
+      .agg(new TopKAggregator(3).toColumn.name("top"))
+    top.toDF("o_orderpriority", "top")
+      .select(col("o_orderpriority"), posexplode(col("top")))
+      .select(col("o_orderpriority"), (col("pos") + 1).cast(IntegerType).as("rn"),
+        col("col._1").as("o_orderkey"), col("col._2").as("o_totalprice"))
+      .orderBy("o_orderpriority", "rn")
+  }
+
+  val all: Seq[Q] = Seq(
+    windowLeadLag, windowNtile, cube, groupingSets, existsCorrelated,
+    subqueryScalar, stringFuncs, dateFuncs, arrayFuncs, topkPerGroup)
+}

@@ -125,5 +125,26 @@ object TextAnalysis {
       .limit(20)
   }
 
-  val all: Seq[Q] = Seq(langId, qualityScore, tokenCount, fingerprint, bigramTopK)
+  /** PII-style scrubbing: redact digit runs and count redactions — the
+    * shape of an anonymization pass over a training corpus (the pattern
+    * set extends to emails/phones; digits are what the test data
+    * contains). Map-side projection, codegen'd regex. DuckDB needs the
+    * 'g' flag for global replace (Spark's regexp_replace is global by
+    * default). */
+  val piiScrub: Q = Q(
+    "q_pii_scrub",
+    """SELECT c_custkey,
+      |  regexp_replace(c_name, '[0-9]+', '<ID>', 'g') AS scrubbed,
+      |  CAST(len(regexp_extract_all(c_name, '[0-9]+')) AS INTEGER) AS n_redactions
+      |FROM customer ORDER BY c_custkey""".stripMargin
+  ) { (s, d) =>
+    T.customer(s, d).select(
+      col("c_custkey"),
+      regexp_replace(col("c_name"), lit("[0-9]+"), lit("<ID>")).as("scrubbed"),
+      size(regexp_extract_all(col("c_name"), lit("[0-9]+"), lit(0))).as("n_redactions"))
+      .orderBy("c_custkey")
+  }
+
+  val all: Seq[Q] =
+    Seq(langId, qualityScore, tokenCount, fingerprint, bigramTopK, piiScrub)
 }

@@ -68,6 +68,29 @@ class PlanShapeSpec extends SparkSuite {
     assert(p.contains("sig"))
   }
 
+  test("q_subquery_scalar broadcasts the 1-row aggregate (fact side never shuffles pre-sort)") {
+    val p = plan("q_subquery_scalar")
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(400))
+    assert(p.contains("partial_sum"), "scalar aggregate should be partial+final")
+  }
+
+  test("q_exists_correlated plans as a semi join, never a cartesian") {
+    val p = plan("q_exists_correlated")
+    assert(p.contains("LeftSemi"), p.take(400))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q_topk_per_group aggregates partially before the group shuffle (bounded buffers)") {
+    val p = plan("q_topk_per_group")
+    assert("ObjectHashAggregate".r.findAllIn(p).size >= 2, p.take(600))
+  }
+
+  test("q_cube is one Expand + aggregate pass (no per-grouping re-scan)") {
+    val p = plan("q_cube")
+    assert(p.contains("Expand"))
+    assert("Scan parquet".r.findAllIn(p).size == 1, "cube must scan the fact once")
+  }
+
   test("q_curation reads the documents text column only map-side (no text in shuffles)") {
     // The shuffle payload is the Exchange's Input row in formatted explain
     // (a substring heuristic over the tree form would false-positive on a
