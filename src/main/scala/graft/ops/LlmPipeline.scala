@@ -153,6 +153,80 @@ object LlmPipeline {
       .orderBy("label")
   }
 
+  /** Per-document top-3 salient terms by tf·(N/df) — tf-idf with the exact
+    * reciprocal-df idf (tf·N is integer-exact, one IEEE division by df;
+    * log-idf would hang the comparison on ln() ulp differences between the
+    * JVM intrinsic and libm). Scale shape: tf is a partial-aggregated
+    * (doc, token) groupBy; df is a vocabulary-sized aggregate joined back
+    * on the token (vocabulary ≪ corpus, and the join is post-aggregation —
+    * the exchange carries (token, df) pairs, never raw text); N is a 1-row
+    * broadcast. */
+  val tfidf: Q = Q(
+    "q_tfidf",
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+      |tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+      |df AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+      |nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+      |scored AS (
+      |  SELECT tf.doc_id, tf.token, tf.tf, df.df,
+      |    tf.tf * nd.n_docs / CAST(df.df AS DOUBLE) AS score
+      |  FROM tf JOIN df USING (token) CROSS JOIN nd),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+      |       ORDER BY score DESC, token) AS rn FROM scored)
+      |SELECT doc_id, CAST(rn AS INTEGER) AS rn, token, tf, df, score
+      |FROM r WHERE rn <= 3 ORDER BY doc_id, rn""".stripMargin
+  ) { (s, d) =>
+    val docs = T.documents(s, d)
+    val tok = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+    val tf = tok.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val df = tok.groupBy("token").agg(countDistinct(col("doc_id")).as("df"))
+    val nd = docs.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(df, "token").crossJoin(broadcast(nd))
+      .select(col("doc_id"), col("token"), col("tf"), col("df"),
+        (col("tf") * col("n_docs") / col("df").cast(DoubleType)).as("score"))
+    val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("token"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select("doc_id", "rn", "token", "tf", "df", "score")
+      .orderBy("doc_id", "rn")
+  }
+
+  /** Benchmark-contamination check: count word-8-gram shingles each
+    * training document shares with a held-out eval set (docs with
+    * doc_id % 50 = 0 stand in for the benchmark). The eval shingle set is
+    * small by nature → broadcast hash join; the training side streams once
+    * and only matching (doc_id, shingle) pairs reach the count-distinct
+    * aggregate. The explicit len >= 8 guard exists because Spark's
+    * sequence(1, n) DESCENDS for n < 1 instead of returning empty. */
+  val contamination: Q = Q(
+    "q_contamination",
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |sh AS (
+      |  SELECT doc_id, unnest([array_to_string(toks[i:i+7], ' ')
+      |                         for i in generate_series(1, len(toks) - 7)]) AS shingle
+      |  FROM toks WHERE len(toks) >= 8),
+      |eval_sh AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 50 = 0),
+      |train AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 50 != 0)
+      |SELECT t.doc_id, COUNT(DISTINCT t.shingle) AS n_contaminated
+      |FROM train t JOIN eval_sh e USING (shingle)
+      |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin
+  ) { (s, d) =>
+    val sh = T.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= 8)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(toks) - 7), i -> concat_ws(' ', slice(toks, i, 8)))"))
+        .as("shingle"))
+    val evalSh = sh.filter(col("doc_id") % 50 === 0).select("shingle").distinct()
+    sh.filter(col("doc_id") % 50 =!= 0)
+      .join(broadcast(evalSh), "shingle")
+      .groupBy("doc_id")
+      .agg(countDistinct(col("shingle")).as("n_contaminated"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(
-    dedupExact, dedupText, tokenTopK, jsonExtract, similarityTopK, multimodalStats)
+    dedupExact, dedupText, tokenTopK, jsonExtract, similarityTopK, multimodalStats,
+    tfidf, contamination)
 }

@@ -1,0 +1,217 @@
+package graft.ops
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.core.{Canonical => C, Q, Tables => T}
+
+/** Statistical / reshaping operators: histograms, exact correlation and
+  * regression moments, unpivot (wide→long, the inverse of q_pivot), value
+  * range joins, ordered array aggregation, deterministic mode, and a
+  * salted skew-resilient aggregation whose oracle is the plain group-by —
+  * proving the skew path is result-identical.
+  *
+  * Determinism notes (SURVEY.md §2D): every double that crosses an
+  * aggregate goes through exact DECIMAL sums (H3); correlation/covariance
+  * are assembled from those exact moments with an IDENTICAL double
+  * expression shape in both engines, then rounded to 6 dp; histogram
+  * buckets use floor(x / width) — one IEEE division + floor, identical in
+  * both engines — never a double→int cast (Spark truncates, DuckDB
+  * rounds).
+  */
+object Statistical {
+
+  /** Fixed-width histogram of order values: floor-division bucketing, count
+    * and exact sum per bucket. One partial-aggregated shuffle on the bucket
+    * id (≤ a few hundred groups at any scale). */
+  val histogram: Q = Q(
+    "q_histogram",
+    """SELECT CAST(floor(o_totalprice / 20000) AS BIGINT) AS bucket,
+      |  CAST(floor(o_totalprice / 20000) AS BIGINT) * 20000.0 AS lo,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin
+  ) { (s, d) =>
+    val bucket = floor(col("o_totalprice") / 20000.0).cast(LongType)
+    T.orders(s, d)
+      .groupBy(bucket.as("bucket"))
+      .agg(count(lit(1)).as("n"), C.dsum(col("o_totalprice")).as("total"))
+      .select(col("bucket"), (col("bucket") * lit(20000.0)).as("lo"),
+        col("n"), col("total"))
+      .orderBy("bucket")
+  }
+
+  /** Exact Pearson correlation, regression slope, and population covariance
+    * of (l_quantity, l_extendedprice) per return flag, assembled from exact
+    * decimal moments (n, Σx, Σy, Σx², Σy², Σxy). Never uses the engines'
+    * native corr()/covar() (their double accumulation is partition-order
+    * dependent, H3). One aggregation pass; the six moments are map-side
+    * partial sums. At 100 TB the 27,6 decimals would be widened to 38,6 —
+    * the row count bound is documented on Canonical.dsum6. */
+  val corrCovar: Q = Q(
+    "q_corr_covar",
+    """WITH m AS (
+      |  SELECT l_returnflag,
+      |    COUNT(*) AS n,
+      |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+      |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+      |    CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(27,6))) AS DOUBLE) AS sxx,
+      |    CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(27,6))) AS DOUBLE) AS syy,
+      |    CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(27,6))) AS DOUBLE) AS sxy
+      |  FROM lineitem GROUP BY l_returnflag)
+      |SELECT l_returnflag, n,
+      |  round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+      |  round((n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6) AS corr,
+      |  round((n * sxy - sx * sy) / (CAST(n AS DOUBLE) * n), 6) AS covar_pop
+      |FROM m ORDER BY l_returnflag""".stripMargin
+  ) { (s, d) =>
+    def d276(c: org.apache.spark.sql.Column) =
+      sum(c.cast(DecimalType(27, 6))).cast(DoubleType)
+    val q = col("l_quantity"); val p = col("l_extendedprice")
+    val m = T.lineitem(s, d).groupBy("l_returnflag").agg(
+      count(lit(1)).as("n"),
+      C.dsum(q).as("sx"), C.dsum(p).as("sy"),
+      d276(q * q).as("sxx"), d276(p * p).as("syy"), d276(q * p).as("sxy"))
+    val n = col("n"); val sx = col("sx"); val sy = col("sy")
+    val sxx = col("sxx"); val syy = col("syy"); val sxy = col("sxy")
+    m.select(col("l_returnflag"), n,
+      round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6).as("slope"),
+      round((n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6).as("corr"),
+      round((n * sxy - sx * sy) / (n.cast(DoubleType) * n), 6).as("covar_pop"))
+      .orderBy("l_returnflag")
+  }
+
+  /** Wide→long unpivot of the four lineitem measures (inverse of q_pivot).
+    * Spark's native unpivot plans as one Expand over a single scan — no
+    * per-measure re-scan, no shuffle before the determinism sort. `val`
+    * is in the ORDER BY chain because (l_orderkey, l_linenumber) is not
+    * unique in the synthetic data. */
+  val unpivot: Q = Q(
+    "q_unpivot",
+    """SELECT l_orderkey, l_linenumber, measure, val FROM (
+      |  SELECT l_orderkey, l_linenumber, 'quantity' AS measure, l_quantity AS val FROM lineitem
+      |  UNION ALL SELECT l_orderkey, l_linenumber, 'extendedprice', l_extendedprice FROM lineitem
+      |  UNION ALL SELECT l_orderkey, l_linenumber, 'discount', l_discount FROM lineitem
+      |  UNION ALL SELECT l_orderkey, l_linenumber, 'tax', l_tax FROM lineitem)
+      |ORDER BY l_orderkey, l_linenumber, measure, val""".stripMargin
+  ) { (s, d) =>
+    T.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity").as("quantity"), col("l_extendedprice").as("extendedprice"),
+        col("l_discount").as("discount"), col("l_tax").as("tax"))
+      .unpivot(
+        Array(col("l_orderkey"), col("l_linenumber")),
+        Array(col("quantity"), col("extendedprice"), col("discount"), col("tax")),
+        "measure", "val")
+      .orderBy("l_orderkey", "l_linenumber", "measure", "val")
+  }
+
+  /** Range (band) join: each order matched to its price band by interval
+    * containment — a non-equi join. The band table is tiny and broadcast,
+    * so this is a BroadcastNestedLoopJoin: O(rows · bands) map-side work,
+    * no shuffle of the fact at any scale. (A big-big interval join would
+    * instead bucket both sides by range — q_asof_join covers that shape.) */
+  val rangeJoin: Q = Q(
+    "q_range_join",
+    """WITH bands(band, lo, hi) AS (VALUES
+      |  ('low', 0.0, 50000.0), ('mid', 50000.0, 150000.0),
+      |  ('high', 150000.0, 300000.0), ('top', 300000.0, 1e18))
+      |SELECT o_orderkey, band, o_totalprice
+      |FROM orders JOIN bands ON o_totalprice >= lo AND o_totalprice < hi
+      |ORDER BY o_orderkey""".stripMargin
+  ) { (s, d) =>
+    import s.implicits._
+    val bands = Seq(
+      ("low", 0.0, 50000.0), ("mid", 50000.0, 150000.0),
+      ("high", 150000.0, 300000.0), ("top", 300000.0, 1e18))
+      .toDF("band", "lo", "hi")
+    T.orders(s, d)
+      .join(broadcast(bands),
+        col("o_totalprice") >= col("lo") && col("o_totalprice") < col("hi"))
+      .select("o_orderkey", "band", "o_totalprice")
+      .orderBy("o_orderkey")
+  }
+
+  /** Ordered array aggregation: top-10 account balances per nation as one
+    * canonical string. Spark's collect_list is unordered, so the order is
+    * imposed by rank-before-collect + array_sort on the (rn, value) struct
+    * — deterministic on both engines (DuckDB: string_agg ORDER BY rn).
+    * Doubles are snapped to DECIMAL(18,2) strings before concatenation
+    * (H2: double→string rendering differs between engines). */
+  val collectSorted: Q = Q(
+    "q_collect_sorted",
+    """WITH r AS (
+      |  SELECT c_nationkey, c_acctbal, c_custkey,
+      |    row_number() OVER (PARTITION BY c_nationkey
+      |                       ORDER BY c_acctbal DESC, c_custkey) AS rn
+      |  FROM customer)
+      |SELECT c_nationkey,
+      |  string_agg(CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS VARCHAR), ',' ORDER BY rn) AS top10,
+      |  COUNT(*) AS n_in
+      |FROM r WHERE rn <= 10 GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin
+  ) { (s, d) =>
+    val w = Window.partitionBy("c_nationkey")
+      .orderBy(col("c_acctbal").desc, col("c_custkey"))
+    T.customer(s, d)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 10)
+      .withColumn("s", col("c_acctbal").cast(DecimalType(18, 2)).cast(StringType))
+      .groupBy("c_nationkey")
+      .agg(
+        expr("array_join(transform(array_sort(collect_list(struct(rn, s))), x -> x.s), ',')")
+          .as("top10"),
+        count(lit(1)).as("n_in"))
+      .orderBy("c_nationkey")
+  }
+
+  /** Deterministic mode (most frequent order status per priority): count →
+    * rank with an explicit (count DESC, value ASC) tie-break — never the
+    * engines' native mode(), whose tie choice is unspecified in both. */
+  val modeAgg: Q = Q(
+    "q_mode_agg",
+    """WITH c AS (
+      |  SELECT o_orderpriority, o_orderstatus, COUNT(*) AS cnt
+      |  FROM orders GROUP BY 1, 2),
+      |r AS (
+      |  SELECT *, row_number() OVER (PARTITION BY o_orderpriority
+      |            ORDER BY cnt DESC, o_orderstatus) AS rn FROM c)
+      |SELECT o_orderpriority, o_orderstatus AS mode_status, cnt
+      |FROM r WHERE rn = 1 ORDER BY o_orderpriority""".stripMargin
+  ) { (s, d) =>
+    val c = T.orders(s, d)
+      .groupBy("o_orderpriority", "o_orderstatus")
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy("o_orderpriority")
+      .orderBy(col("cnt").desc, col("o_orderstatus"))
+    c.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("o_orderpriority"), col("o_orderstatus").as("mode_status"), col("cnt"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** Skew-resilient two-phase aggregation: events grouped by event_type (5
+    * distinct values — at 100 TB each key owns ~20 TB, far beyond one
+    * reducer). Phase 1 groups by (key, salt-of-row) spreading each hot key
+    * over 32 partials; phase 2 combines the 32×5 partials. Counts and
+    * decimal sums are associative, so the result is bit-identical to the
+    * plain group-by — which IS the oracle. The salt is a deterministic
+    * hash, never rand() (H6). See also core.Skew.saltedEquiJoin. */
+  val skewSalted: Q = Q(
+    "q_skew_salted",
+    """SELECT event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+  ) { (s, d) =>
+    val salted = T.events(s, d).withColumn("__salt",
+      pmod(xxhash64(col("event_id")), lit(32)).cast(IntegerType))
+    salted
+      .groupBy("event_type", "__salt")
+      .agg(count(lit(1)).as("pn"), sum(col("value").cast(DecimalType(18, 2))).as("ps"))
+      .groupBy("event_type")
+      .agg(sum(col("pn")).as("n"), sum(col("ps")).cast(DoubleType).as("total"))
+      .orderBy("event_type")
+  }
+
+  val all: Seq[Q] = Seq(
+    histogram, corrCovar, unpivot, rangeJoin, collectSorted, modeAgg, skewSalted)
+}

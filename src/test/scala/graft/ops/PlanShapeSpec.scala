@@ -91,6 +91,34 @@ class PlanShapeSpec extends SparkSuite {
     assert("Scan parquet".r.findAllIn(p).size == 1, "cube must scan the fact once")
   }
 
+  test("q_unpivot is one Expand over a single scan (no per-measure re-scan)") {
+    val p = plan("q_unpivot")
+    assert(p.contains("Expand"))
+    assert("Scan parquet".r.findAllIn(p).size == 1, p.take(400))
+  }
+
+  test("q_range_join broadcasts the band table (fact never shuffles pre-sort)") {
+    val p = plan("q_range_join")
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(400))
+  }
+
+  test("q_skew_salted salts deterministically and keeps both aggregate phases partial") {
+    val p = plan("q_skew_salted")
+    assert(p.contains("xxhash64"), "salt must be a deterministic hash, not rand()")
+    assert("partial_".r.findAllIn(p).size >= 2, p.take(600))
+  }
+
+  test("q_contamination broadcasts the eval shingle set") {
+    val p = plan("q_contamination")
+    assert(p.contains("BroadcastHashJoin"), p.take(400))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q_tfidf joins tf to df post-aggregation (no raw text in the join)") {
+    val p = plan("q_tfidf")
+    assert(p.contains("partial_count"), "tf/df must pre-aggregate map-side")
+  }
+
   test("q_curation reads the documents text column only map-side (no text in shuffles)") {
     // The shuffle payload is the Exchange's Input row in formatted explain
     // (a substring heuristic over the tree form would false-positive on a
