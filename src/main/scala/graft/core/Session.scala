@@ -15,6 +15,7 @@ object Session {
     *    stand-in for what a real cluster would need at 100 TB).
     */
   def tune(b: SparkSession.Builder): SparkSession.Builder = b
+    .withExtensions(new graft.plans.GraftExtensions)
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")

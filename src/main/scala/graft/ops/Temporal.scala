@@ -102,5 +102,36 @@ object Temporal {
       .orderBy("event_id")
   }
 
-  val all: Seq[Q] = Seq(timeBucket, sessionize, asofJoin)
+  /** The same as-of semantics through graft's NATIVE operator
+    * (graft.plans.AsOfJoin: custom logical node + strategy + sort-merge
+    * exec, injected via SparkSessionExtensions), cross-checked against
+    * DuckDB's native ASOF JOIN. Versus the window formulation above: each
+    * side shuffles independently on its own key (purchases never sort
+    * together with signups), the merge is O(|L|+|R|) streaming per
+    * partition with one row of state, and at equal timestamps ASOF's
+    * inclusive bound is the exec's `<=` consume rule. (user_id, ts) is
+    * unique per event_type in the data, so the match is deterministic. */
+  val asofNative: Q = Q(
+    "q_asof_native",
+    """SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us,
+      |  s.event_id AS signup_event_id, epoch_us(s.ts) AS signup_ts_us
+      |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+      |  ON p.user_id = s.user_id AND p.ts >= s.ts
+      |ORDER BY p.event_id""".stripMargin
+  ) { (s, d) =>
+    val e = T.events(s, d)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"))
+    val p = e.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts_us"))
+    val sg = e.filter(col("event_type") === "signup")
+      .select(col("event_id").as("signup_event_id"), col("user_id").as("s_uid"),
+        col("ts_us").as("signup_ts_us"))
+    graft.plans.AsOf.backward(p, sg, "user_id", "ts_us", "s_uid", "signup_ts_us")
+      .select("event_id", "user_id", "ts_us", "signup_event_id", "signup_ts_us")
+      .orderBy("event_id")
+  }
+
+  val all: Seq[Q] = Seq(timeBucket, sessionize, asofJoin, asofNative)
 }

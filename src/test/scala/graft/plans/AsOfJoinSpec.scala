@@ -1,0 +1,91 @@
+package graft.plans
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import graft.SparkSuite
+
+/** The native as-of operator: correctness against hand-built fixtures and
+  * the window formulation, plus the plan properties it exists for. */
+class AsOfJoinSpec extends SparkSuite {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def fixture = {
+    import spark.implicits._
+    // trades (key, t) / quotes (qkey, qt, px)
+    val trades = Seq(
+      (1L, 100L), (1L, 205L), (1L, 300L),
+      (2L, 50L),             // before any quote for key 2
+      (3L, 10L)              // key with no quotes at all
+    ).toDF("k", "t")
+    val quotes = Seq(
+      (1L, 100L, "a"),       // equal timestamp: inclusive match
+      (1L, 200L, "b"), (1L, 250L, "c"),
+      (2L, 60L, "x")
+    ).toDF("qk", "qt", "px")
+    (trades, quotes)
+  }
+
+  test("backward as-of picks the latest at-or-before quote, nulls when none") {
+    val (trades, quotes) = fixture
+    val out = AsOf.backward(trades, quotes, "k", "t", "qk", "qt")
+      .orderBy("k", "t").collect().toSeq
+    assert(out == Seq(
+      Row(1L, 100L, 1L, 100L, "a"),   // inclusive >= bound
+      Row(1L, 205L, 1L, 200L, "b"),   // latest of {100, 200}
+      Row(1L, 300L, 1L, 250L, "c"),
+      Row(2L, 50L, null, null, null), // quote exists but only later
+      Row(3L, 10L, null, null, null)  // key never quoted
+    ))
+  }
+
+  test("null keys and null times never match") {
+    import spark.implicits._
+    val l = Seq((Some(1L), Some(100L)), (None, Some(100L)), (Some(1L), None))
+      .toDF("k", "t")
+    val r = Seq((Some(1L), Some(50L), "m"), (None.asInstanceOf[Option[Long]], Some(10L), "n"))
+      .toDF("qk", "qt", "px")
+    val out = AsOf.backward(l, r, "k", "t", "qk", "qt")
+      .orderBy(col("k").asc_nulls_first, col("t").asc_nulls_first).collect().toSeq
+    assert(out == Seq(
+      Row(null, 100L, null, null, null),
+      Row(1L, null, null, null, null),
+      Row(1L, 100L, 1L, 50L, "m")))
+  }
+
+  test("self-as-of (both sides from one scan) resolves without ambiguity") {
+    val (trades, _) = fixture
+    val l = trades
+    val r = trades.select(col("k").as("qk"), col("t").as("qt"))
+    // every row matches itself (inclusive bound)
+    val out = AsOf.backward(l, r, "k", "t", "qk", "qt")
+      .filter(col("t") === col("qt")).count()
+    assert(out == 5)
+  }
+
+  test("plans as AsOfJoinExec — no window, no cartesian, both sides sorted once") {
+    val (trades, quotes) = fixture
+    val p = AsOf.backward(trades, quotes, "k", "t", "qk", "qt")
+      .queryExecution.executedPlan.toString()
+    assert(p.contains("AsOfJoin ["), p.take(500)) // nodeName strips the Exec suffix
+    assert(!p.contains("Window") && !p.contains("CartesianProduct"))
+  }
+
+  test("strategy is injected by Session.tune extensions (no experimental fallback needed)") {
+    assert(spark.sessionState.planner.strategies.exists(_ eq AsOfJoinStrategy) ||
+      spark.sessionState.experimentalMethods.extraStrategies.exists(_ eq AsOfJoinStrategy))
+  }
+
+  test("matches the window formulation on real events data") {
+    val viaWindow = graft.ops.Temporal.asofJoin.fn(spark, sf).collect().toSeq
+    val viaNative = graft.ops.Temporal.asofNative.fn(spark, sf).collect().toSeq
+    assert(viaNative == viaWindow)
+  }
+
+  test("output survives a downstream shuffle (rows are Unsafe)") {
+    val (trades, quotes) = fixture
+    val n = AsOf.backward(trades, quotes, "k", "t", "qk", "qt")
+      .groupBy("px").count().collect().length
+    assert(n == 4) // a, b, c, null
+  }
+}
