@@ -211,7 +211,111 @@ def gen_global(rng):
     return f"SELECT {', '.join(aggs)} FROM {t} WHERE {where}"
 
 
+DATE_COLS = {"orders": "o_orderdate", "lineitem": "l_shipdate"}
+
+# tables whose SORT_KEY is a unique total order (lineitem's is not):
+# required by lag/lead (arbitrary tie order would change WHICH row is
+# "previous" when tied rows differ in the lagged column)
+UNIQUE_KEY_TABLES = [t for t in TABLES if t != "lineitem"]
+
+
+def gen_winfam(rng):
+    # rank/dense_rank/lag/lead/ntile/percent_rank in one named window.
+    # Ordering inside the window is the table's unique key, so every
+    # rank-family output is deterministic; INTEGER-returning Spark
+    # functions are CAST to BIGINT to match DuckDB's int64.
+    t = rng.choice(UNIQUE_KEY_TABLES)
+    cols = TABLES[t]
+    key = SORT_KEY[t][0]
+    part = rng.choice([c for c, k in cols if k == "s"] or [key])
+    icol = rng.choice([c for c, k in cols if k == "i"])
+    where = pred(rng, cols)
+    picks = rng.sample([
+        f"CAST(rank() OVER w AS BIGINT) AS rnk",
+        f"CAST(dense_rank() OVER w AS BIGINT) AS drnk",
+        f"CAST(ntile({rng.randint(2, 7)}) OVER w AS BIGINT) AS tile",
+        f"lag({icol}) OVER w AS prev_i",
+        f"lead({icol}) OVER w AS next_i",
+        f"percent_rank() OVER w AS pr",
+        f"cume_dist() OVER w AS cd",
+    ], rng.randint(2, 4))
+    return (f"SELECT {key}, {part}, {', '.join(picks)} FROM {t} "
+            f"WHERE {where} WINDOW w AS (PARTITION BY {part} ORDER BY {key}) "
+            f"ORDER BY {key}")
+
+
+def gen_grouping(rng):
+    # CUBE / ROLLUP / GROUPING SETS with grouping_id disambiguation.
+    # grouping_id(a, b) is common dialect (DuckDB aliases GROUPING);
+    # NULLS FIRST is explicit (DuckDB defaults NULLS LAST on ASC).
+    # The filter is guaranteed non-empty ON PURPOSE: over an EMPTY input,
+    # DuckDB follows the SQL standard and still emits one row for the
+    # grand-total () grouping set, while Spark returns zero rows — a real
+    # engine divergence (documented here, excluded from the differential).
+    t, a, b = rng.choice([
+        ("orders", "o_orderstatus", "o_orderpriority"),
+        ("lineitem", "l_returnflag", "l_linestatus"),
+        ("part", "p_brand", "p_type"),
+    ])
+    cols = TABLES[t]
+    dcol = [c for c, k in cols if k == "d"][0]
+    # every d-col's value range starts above 40 or spans far beyond it
+    where = f"{dcol} >= {round(rng.uniform(0.0, 40.0), 2)}"
+    form = rng.choice([f"CUBE({a}, {b})", f"ROLLUP({a}, {b})",
+                       f"GROUPING SETS (({a}), ({b}), ())",
+                       f"GROUPING SETS (({a}, {b}), ({a}), ())"])
+    return (f"SELECT {a}, {b}, grouping_id({a}, {b}) AS gid, count(*) AS n, "
+            f"CAST(SUM(CAST({dcol} AS DECIMAL(18,2))) AS DOUBLE) AS s "
+            f"FROM {t} WHERE {where} GROUP BY {form} "
+            f"ORDER BY gid, {a} NULLS FIRST, {b} NULLS FIRST")
+
+
+def gen_exists(rng):
+    # correlated EXISTS / NOT EXISTS (planned as semi/anti join)
+    lt, rt, cond = rng.choice(JOINS[:2])
+    lk, rk = cond.split(" = ")
+    key = ", ".join(SORT_KEY[lt])
+    where = pred(rng, TABLES[lt])
+    inner = pred(rng, TABLES.get(rt, JOIN_COLS.get(rt)))
+    neg = rng.choice(["", "NOT "])
+    return (f"SELECT {key} FROM {lt} WHERE {where} AND {neg}EXISTS "
+            f"(SELECT 1 FROM {rt} WHERE {rk} = {lk} AND {inner}) "
+            f"ORDER BY {key}")
+
+
+def gen_datefn(rng):
+    # date-part extraction on real TIMESTAMP columns (midnight-aligned in
+    # the data; events.ts is excluded — raw ns longs on the Spark side)
+    t = rng.choice(list(DATE_COLS))
+    dc = DATE_COLS[t]
+    cols = TABLES[t]
+    key = ", ".join(SORT_KEY[t])
+    where = pred(rng, cols)
+    parts = rng.sample([
+        f"CAST(year({dc}) AS INTEGER) AS y",
+        f"CAST(month({dc}) AS INTEGER) AS m",
+        f"CAST(day({dc}) AS INTEGER) AS dom",
+        f"CAST(quarter({dc}) AS INTEGER) AS q",
+    ], rng.randint(2, 3))
+    agg = rng.random() < 0.5
+    if agg:
+        return (f"SELECT CAST(year({dc}) AS INTEGER) AS y, "
+                f"CAST(month({dc}) AS INTEGER) AS m, count(*) AS n "
+                f"FROM {t} WHERE {where} GROUP BY 1, 2 ORDER BY y, m")
+    return (f"SELECT {key}, {', '.join(parts)} FROM {t} WHERE {where} "
+            f"ORDER BY {key}")
+
+
 def gen_query(rng):
+    roll = rng.random()
+    if roll < 0.05:
+        return gen_winfam(rng)
+    if roll < 0.09:
+        return gen_grouping(rng)
+    if roll < 0.13:
+        return gen_exists(rng)
+    if roll < 0.17:
+        return gen_datefn(rng)
     roll = rng.random()
     if roll < 0.06:
         return gen_global(rng)
