@@ -1,7 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.functions._
-import graft.core.{Q, Tables => T}
+import graft.core.{Canonical => C, Q, Tables => T}
 
 /** Approximate / sampling operators (SURVEY.md §2C: excluded from the
   * hash-compare gate by nature — HLL estimates and sample membership are
@@ -38,5 +38,24 @@ object Sketch {
       .orderBy("l_orderkey", "l_linenumber")
   }
 
-  val all: Seq[Q] = Seq(approxDistinct, sampleSeeded)
+  /** Deterministic ~10% hash sample: keep rows whose key-digest lands in
+    * the first 10 of 100 hash buckets. Unlike rand()-based sampling this
+    * IS oracle-comparable (md5 is engine-portable, H1) and is the sampling
+    * method that survives scale-out: membership depends only on the key,
+    * so re-runs, retries, and different partitionings select the identical
+    * subset — and the filter runs map-side with no shuffle. */
+  val hashSample: Q = Q(
+    "q_hash_sample",
+    """SELECT event_id, user_id, event_type
+      |FROM events
+      |WHERE ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 12))::BIGINT % 100 < 10
+      |ORDER BY event_id""".stripMargin
+  ) { (s, d) =>
+    T.events(s, d)
+      .filter(C.md5Long48(col("event_id").cast("string")) % 100 < 10)
+      .select("event_id", "user_id", "event_type")
+      .orderBy("event_id")
+  }
+
+  val all: Seq[Q] = Seq(approxDistinct, sampleSeeded, hashSample)
 }

@@ -145,6 +145,73 @@ object TextAnalysis {
       .orderBy("c_custkey")
   }
 
+  /** Corpus vocabulary statistics: vocabulary size, total token count,
+    * hapax legomena (frequency-1 tokens), type-token ratio. Two stacked
+    * aggregations — token counts (vocabulary-sized, partial-aggregated)
+    * then a single global row. The ratio is an exact-int division rounded
+    * at 6 dp. */
+  val vocabStats: Q = Q(
+    "q_vocab_stats",
+    """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+      |tc AS (SELECT token, COUNT(*) AS n FROM tok GROUP BY 1)
+      |SELECT COUNT(*) AS vocab,
+      |  CAST(SUM(n) AS BIGINT) AS total_tokens,
+      |  COUNT(*) FILTER (WHERE n = 1) AS hapax,
+      |  round(COUNT(*) / CAST(SUM(n) AS DOUBLE), 6) AS type_token_ratio
+      |FROM tc""".stripMargin
+  ) { (s, d) =>
+    T.documents(s, d)
+      .select(explode(split(col("text"), " ")).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("n"))
+      .agg(
+        count(lit(1)).as("vocab"),
+        sum(col("n")).as("total_tokens"),
+        count(when(col("n") === 1, 1)).as("hapax"),
+        round(count(lit(1)) / sum(col("n")).cast(DoubleType), 6).as("type_token_ratio"))
+  }
+
+  /** Document-length histogram (token-count buckets of 10) with the char
+    * range per bucket — the length-distribution pass a curation pipeline
+    * runs before setting min/max length filters. */
+  val lengthBuckets: Q = Q(
+    "q_length_buckets",
+    """SELECT CAST(floor(len(string_split(text, ' ')) / 10) AS BIGINT) AS bucket,
+      |  COUNT(*) AS n_docs,
+      |  CAST(MIN(n_chars) AS BIGINT) AS min_chars, CAST(MAX(n_chars) AS BIGINT) AS max_chars
+      |FROM documents GROUP BY 1 ORDER BY bucket""".stripMargin
+  ) { (s, d) =>
+    T.documents(s, d)
+      .groupBy(floor(size(split(col("text"), " ")) / 10).cast(LongType).as("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("n_chars")).as("min_chars"), max(col("n_chars")).as("max_chars"))
+      .orderBy("bucket")
+  }
+
+  /** Character trigram top-25 (the language-ID feature extractor's core):
+    * sliding substr over lowercased text, space-crossing grams dropped.
+    * The gram groupBy is bounded by the alphabet (≤ |Σ|³ groups) with
+    * map-side partial counts; top-k is TakeOrderedAndProject. */
+  val charNgrams: Q = Q(
+    "q_char_ngrams",
+    """WITH grams AS (
+      |  SELECT unnest([substr(lower(text), i, 3) for i in generate_series(1, len(text) - 2)]) AS g
+      |  FROM documents WHERE len(text) >= 3)
+      |SELECT g, COUNT(*) AS n FROM grams
+      |WHERE NOT contains(g, ' ')
+      |GROUP BY g ORDER BY n DESC, g LIMIT 25""".stripMargin
+  ) { (s, d) =>
+    T.documents(s, d)
+      .filter(length(col("text")) >= 3)
+      .select(explode(expr(
+        "transform(sequence(1, char_length(text) - 2), i -> substr(lower(text), i, 3))"))
+        .as("g"))
+      .filter(!col("g").contains(" "))
+      .groupBy("g").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("g"))
+      .limit(25)
+  }
+
   val all: Seq[Q] =
-    Seq(langId, qualityScore, tokenCount, fingerprint, bigramTopK, piiScrub)
+    Seq(langId, qualityScore, tokenCount, fingerprint, bigramTopK, piiScrub,
+      vocabStats, lengthBuckets, charNgrams)
 }
