@@ -103,6 +103,19 @@ object Stateful {
       .select(col("p_id"), col("user_id"), col("s_id"))
   }
 
+  /** s_stream_dedup: streaming exact dedup on a business key with BOUNDED
+    * state — dropDuplicatesWithinWatermark keeps each key only until the
+    * watermark passes it, unlike dropDuplicates whose state grows forever
+    * on an unbounded stream. This is the ingest-side twin of the batch
+    * q_dedup_exact: at 100 TB/day the retention window (the watermark
+    * delay) is what makes streaming dedup feasible at all — duplicates in
+    * real pipelines (at-least-once sources, retried producers) arrive
+    * close together in event time. */
+  def dedupedStream(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** s_session_window: native session windows, 30-minute gap per user —
     * the streaming twin of the batch gaps-and-islands in
     * graft.ops.Temporal.sessionize. */

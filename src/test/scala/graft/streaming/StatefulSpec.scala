@@ -104,6 +104,25 @@ class StatefulSpec extends SparkSuite {
     assert(rows.head.getLong(0) == 200L && rows.head.getLong(2) == 100L)
   }
 
+  test("s_stream_dedup: duplicates within the watermark window are dropped once") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Timestamp, Double)]
+    val events = in.toDF().toDF("event_id", "ts", "value")
+    val q = Stateful.dedupedStream(events)
+      .writeStream.format("memory").queryName("dedup")
+      .outputMode(OutputMode.Append).start()
+    in.addData(
+      (1L, ts("2024-01-01 10:00:00"), 1.0),
+      (1L, ts("2024-01-01 10:00:05"), 1.0),   // duplicate key within window
+      (2L, ts("2024-01-01 10:01:00"), 2.0))
+    q.processAllAvailable()
+    in.addData((1L, ts("2024-01-01 10:02:00"), 1.0)) // still within watermark → dropped
+    q.processAllAvailable()
+    val rows = spark.table("dedup").collect()
+    q.stop()
+    assert(rows.map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L))
+  }
+
   test("s_session_window: 30-minute gap splits sessions per user") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Timestamp, Long, Double)]
