@@ -116,14 +116,20 @@ object LlmPipeline {
       |  FROM s)
       |WHERE rn <= 5 ORDER BY qid, rn""".stripMargin
   ) { (s, d) =>
-    val e = T.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    // Norms are computed once per vector BEFORE the broadcast join (linear
+    // work, map-side), so each of the O(n·k) scored rows evaluates ONE dot
+    // product instead of three array traversals. sqrt(dot(e,e)) on the
+    // same doubles → numerically identical to the per-pair form (oracle
+    // unchanged).
+    val e = T.embeddings(s, d).select(col("vec_id"), col("embedding"),
+      sqrt(dot(s)(col("embedding"), col("embedding"))).as("nrm"))
     val q = e.filter(col("vec_id") < 5)
-      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("nrm").as("qn"))
     val scored = e.crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id"),
         round(dot(s)(col("embedding"), col("qe")) /
-          (l2(s)(col("embedding")) * l2(s)(col("qe"))), 4).as("score"))
+          (col("nrm") * col("qn")), 4).as("score"))
     val w = Window.partitionBy("qid").orderBy(col("score").desc, col("vec_id").asc)
     scored.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 5)

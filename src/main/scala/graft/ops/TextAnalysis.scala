@@ -200,11 +200,13 @@ object TextAnalysis {
       |WHERE NOT contains(g, ' ')
       |GROUP BY g ORDER BY n DESC, g LIMIT 25""".stripMargin
   ) { (s, d) =>
+    // graft.functions.StringNgrams: codegen'd sliding-window kernel — the
+    // transform(sequence(...)) HOF form is interpreted per gram and was
+    // 4.5× slower at sf0.1. Identical grams (1-based char substr).
     T.documents(s, d)
       .filter(length(col("text")) >= 3)
-      .select(explode(expr(
-        "transform(sequence(1, char_length(text) - 2), i -> substr(lower(text), i, 3))"))
-        .as("g"))
+      .select(explode(
+        graft.functions.StringNgrams.ngrams(s, lower(col("text")), 3)).as("g"))
       .filter(!col("g").contains(" "))
       .groupBy("g").agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("g"))
