@@ -212,6 +212,37 @@ object Relational {
     never.unionAll(both).orderBy("label", "user_id")
   }
 
+  /** EXCEPT ALL / INTERSECT ALL — the multiplicity-preserving (bag
+    * semantics) variants: a user appearing 5× on the left and 2× on the
+    * right survives EXCEPT ALL 3 times. Rows of equal value are
+    * interchangeable, so ORDER BY (label, user_id) is still a total order
+    * of the OUTPUT multiset (H6). Spark plans both as aggregate+generate
+    * (count per key, replicate the difference) — one shuffle each. */
+  val setOpsAll: Q = Q(
+    "q_set_ops_all",
+    """SELECT label, user_id FROM (
+      |  SELECT 'NON_ERROR_MINUS_PURCHASES' AS label, user_id FROM (
+      |    SELECT user_id FROM events WHERE event_type != 'error'
+      |    EXCEPT ALL
+      |    SELECT user_id FROM events WHERE event_type = 'purchase')
+      |  UNION ALL
+      |  SELECT 'CLICKS_COMMON_WITH_VIEWS' AS label, user_id FROM (
+      |    SELECT user_id FROM events WHERE event_type = 'click'
+      |    INTERSECT ALL
+      |    SELECT user_id FROM events WHERE event_type = 'purchase'))
+      |ORDER BY label, user_id""".stripMargin
+  ) { (s, d) =>
+    val e = T.events(s, d)
+    def ofType(cond: org.apache.spark.sql.Column) = e.filter(cond).select("user_id")
+    val minus = ofType(col("event_type") =!= "error")
+      .exceptAll(ofType(col("event_type") === "purchase"))
+      .select(lit("NON_ERROR_MINUS_PURCHASES").as("label"), col("user_id"))
+    val common = ofType(col("event_type") === "click")
+      .intersectAll(ofType(col("event_type") === "purchase"))
+      .select(lit("CLICKS_COMMON_WITH_VIEWS").as("label"), col("user_id"))
+    minus.unionAll(common).orderBy("label", "user_id")
+  }
+
   /** ROLLUP over (region, nation) with grouping_id disambiguation — plans
     * as a single Expand + hash aggregate (one pass over the fact). */
   val rollup: Q = Q(
@@ -342,6 +373,6 @@ object Relational {
 
   val all: Seq[Q] = Seq(
     scanProjectFilter, schemaProbe, groupAgg, join3Way, semiAnti,
-    topK, windowRank, windowRunning, windowRange, setOps, rollup, columnStats,
-    quantiles, pivot)
+    topK, windowRank, windowRunning, windowRange, setOps, setOpsAll, rollup,
+    columnStats, quantiles, pivot)
 }

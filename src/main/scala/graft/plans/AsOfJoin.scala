@@ -190,4 +190,21 @@ object AsOf {
       Seq(attr(lPlan, leftKey)), Seq(attr(rPlan, rightKey)),
       attr(lPlan, leftTimeCol), attr(rPlan, rightTimeCol)))
   }
+
+  /** Forward as-of join: for each `left` row, the EARLIEST `right` row
+    * with equal key and `rightTimeCol >= leftTimeCol`. Implemented as the
+    * backward merge over negated times (t_r >= t_l ⇔ -t_r <= -t_l, and
+    * "latest in -t" = earliest in t), so it shares the exec and all its
+    * guarantees. Time columns must be numeric (epoch micros — the house
+    * convention, H5). */
+  def forward(
+      left: DataFrame, right: DataFrame,
+      leftKey: String, leftTimeCol: String,
+      rightKey: String, rightTimeCol: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val lNeg = "__graft_neg_lt"; val rNeg = "__graft_neg_rt"
+    val l2 = left.withColumn(lNeg, -col(leftTimeCol))
+    val r2 = right.withColumn(rNeg, -col(rightTimeCol))
+    backward(l2, r2, leftKey, lNeg, rightKey, rNeg).drop(lNeg, rNeg)
+  }
 }

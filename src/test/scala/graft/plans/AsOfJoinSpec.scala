@@ -82,6 +82,18 @@ class AsOfJoinSpec extends SparkSuite {
     assert(viaNative == viaWindow)
   }
 
+  test("forward as-of picks the earliest at-or-after quote") {
+    val (trades, quotes) = fixture
+    val out = AsOf.forward(trades, quotes, "k", "t", "qk", "qt")
+      .orderBy("k", "t").collect().toSeq
+    assert(out == Seq(
+      Row(1L, 100L, 1L, 100L, "a"),   // inclusive >= bound
+      Row(1L, 205L, 1L, 250L, "c"),   // earliest of {250}
+      Row(1L, 300L, null, null, null),
+      Row(2L, 50L, 2L, 60L, "x"),
+      Row(3L, 10L, null, null, null)))
+  }
+
   test("output survives a downstream shuffle (rows are Unsafe)") {
     val (trades, quotes) = fixture
     val n = AsOf.backward(trades, quotes, "k", "t", "qk", "qt")
