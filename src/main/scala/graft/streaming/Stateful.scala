@@ -116,6 +116,39 @@ object Stateful {
       .withWatermark("ts", "10 minutes")
       .dropDuplicatesWithinWatermark("event_id")
 
+  final case class DocBand(bucket: String, doc_id: Long)
+  final case class DupCandidate(bucket: String, doc_id: Long, keeper: Long)
+
+  /** s_stream_neardup: streaming MinHash-LSH near-dup candidate detection
+    * — the streaming twin of the batch q_dedup_minhash. Upstream computes
+    * each document's LSH band buckets (a narrow map, e.g. the signature
+    * pipeline in graft.ops.Dedup); this stage keys by bucket and keeps ONE
+    * value of state per bucket — the keeper (first doc seen). Every later
+    * arrival in the same bucket emits a (doc, keeper) candidate pair
+    * immediately. State is O(distinct buckets), not O(docs), and at
+    * corpus scale the bucket key is also the shuffle key, so candidate
+    * generation stays partition-local exactly like the batch band join. */
+  def nearDupCandidates(bands: Dataset[DocBand]): Dataset[DupCandidate] = {
+    import bands.sparkSession.implicits._
+    bands
+      .groupByKey(_.bucket)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (bucket: String, rows: Iterator[DocBand], state: GroupState[Long]) =>
+          var keeper = state.getOption
+          val out = rows.flatMap { b =>
+            keeper match {
+              case None =>
+                keeper = Some(b.doc_id); None  // first in bucket: becomes keeper
+              case Some(k) if k == b.doc_id => None
+              case Some(k) =>
+                Some(DupCandidate(bucket, b.doc_id, k))
+            }
+          }.toList
+          keeper.foreach(state.update)
+          out.iterator
+      }
+  }
+
   /** s_session_window: native session windows, 30-minute gap per user —
     * the streaming twin of the batch gaps-and-islands in
     * graft.ops.Temporal.sessionize. */

@@ -123,6 +123,30 @@ class StatefulSpec extends SparkSuite {
     assert(rows.map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L))
   }
 
+  test("s_stream_neardup: later docs in a seen LSH bucket pair with the keeper") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Stateful.DocBand]
+    val q = Stateful.nearDupCandidates(in.toDS())
+      .writeStream.format("memory").queryName("neardup")
+      .outputMode(OutputMode.Append).start()
+    in.addData(
+      Stateful.DocBand("b1", 10L),      // keeper of b1
+      Stateful.DocBand("b2", 11L))      // keeper of b2
+    q.processAllAvailable()
+    in.addData(
+      Stateful.DocBand("b1", 12L),      // candidate vs 10
+      Stateful.DocBand("b2", 11L),      // keeper re-arrival: no self-pair
+      Stateful.DocBand("b3", 13L))      // new bucket: keeper, silent
+    q.processAllAvailable()
+    in.addData(Stateful.DocBand("b1", 14L)) // cross-batch candidate vs 10
+    q.processAllAvailable()
+    val rows = spark.table("neardup").as[Stateful.DupCandidate].collect()
+    q.stop()
+    assert(rows.toSet == Set(
+      Stateful.DupCandidate("b1", 12L, 10L),
+      Stateful.DupCandidate("b1", 14L, 10L)))
+  }
+
   test("s_session_window: 30-minute gap splits sessions per user") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Timestamp, Long, Double)]
