@@ -212,6 +212,49 @@ object Statistical {
       .orderBy("event_type")
   }
 
+  /** Big-big shuffle join: lineitem ⋈ orders with an explicit MERGE hint.
+    * At sf0.01 AQE would broadcast the 15k-row orders side, which is the
+    * right call locally but the wrong plan to regression-test: at 100 TB
+    * NEITHER side of a fact-fact join fits in memory and the plan IS a
+    * sort-merge join on co-shuffled keys. The hint pins that shape (plan
+    * test asserts SortMergeJoin) while AQE still handles skew splits
+    * inside it. Revenue is the 4-dp-exact price·(1-discount) decimal sum. */
+  val joinBigBig: Q = Q(
+    "q_join_bigbig",
+    """SELECT o_orderpriority, COUNT(*) AS n,
+      |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,6))) AS DOUBLE) AS revenue
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin
+  ) { (s, d) =>
+    T.lineitem(s, d)
+      .join(T.orders(s, d).hint("merge"), col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        C.dsum6(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** The salted-join counterpart of q_skew_salted: events ⋈ customer
+    * through core.Skew.saltedEquiJoin (big side salted 8 ways, small side
+    * replicated), aggregated after. The oracle is the PLAIN join — the
+    * salt changes only the shuffle layout, never the result. */
+  val skewSaltedJoin: Q = Q(
+    "q_skew_salted_join",
+    """SELECT c_mktsegment, COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |FROM events JOIN customer ON user_id = c_custkey
+      |GROUP BY 1 ORDER BY c_mktsegment""".stripMargin
+  ) { (s, d) =>
+    val e = T.events(s, d)
+      .select(col("user_id").as("c_custkey"), col("value"))
+    val c = T.customer(s, d).select("c_custkey", "c_mktsegment")
+    graft.core.Skew.saltedEquiJoin(e, c, "c_custkey", 8)
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n"), C.dsum(col("value")).as("total_value"))
+      .orderBy("c_mktsegment")
+  }
+
   val all: Seq[Q] = Seq(
-    histogram, corrCovar, unpivot, rangeJoin, collectSorted, modeAgg, skewSalted)
+    histogram, corrCovar, unpivot, rangeJoin, collectSorted, modeAgg,
+    skewSalted, joinBigBig, skewSaltedJoin)
 }

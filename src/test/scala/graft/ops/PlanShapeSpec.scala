@@ -108,6 +108,18 @@ class PlanShapeSpec extends SparkSuite {
     assert("partial_".r.findAllIn(p).size >= 2, p.take(600))
   }
 
+  test("q_join_bigbig pins the fact-fact sort-merge join (the 100 TB shape)") {
+    val p = plan("q_join_bigbig")
+    assert(p.contains("SortMergeJoin"), p.take(400))
+    assert(!p.contains("BroadcastHashJoin"))
+  }
+
+  test("q_skew_salted_join salts the big side and replicates the small side") {
+    val p = plan("q_skew_salted_join")
+    assert(p.contains("xxhash64"), "salt must be a deterministic hash")
+    assert(p.contains("explode"), "small side must replicate per salt")
+  }
+
   test("q_contamination broadcasts the eval shingle set") {
     val p = plan("q_contamination")
     assert(p.contains("BroadcastHashJoin"), p.take(400))
