@@ -265,7 +265,35 @@ object Analytic {
       .orderBy("o_orderpriority", "rn")
   }
 
+  /** Bounded-ROWS moving aggregate (4-row trailing window) — the frame
+    * family q_window_running (unbounded) and q_window_range (RANGE) don't
+    * cover. Sum is exact decimal over the frame; the average divides by
+    * the frame's actual row count so leading edges are exact too. */
+  val windowMoving: Q = Q(
+    "q_window_moving",
+    """SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2)))
+      |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |          ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS DOUBLE) AS mov_sum,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2)))
+      |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |          ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS DOUBLE)
+      |    / COUNT(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                     ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS mov_avg
+      |FROM events ORDER BY user_id, ts_us, event_id""".stripMargin
+  ) { (s, d) =>
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      .rowsBetween(-3, Window.currentRow)
+    val movSum = sum(col("value").cast(DecimalType(18, 2))).over(w).cast(DoubleType)
+    T.events(s, d)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"),
+        movSum.as("mov_sum"),
+        (movSum / count(lit(1)).over(w)).as("mov_avg"))
+      .orderBy("user_id", "ts_us", "event_id")
+  }
+
   val all: Seq[Q] = Seq(
-    windowLeadLag, windowNtile, cube, groupingSets, existsCorrelated,
-    subqueryScalar, stringFuncs, dateFuncs, arrayFuncs, topkPerGroup)
+    windowLeadLag, windowNtile, windowMoving, cube, groupingSets,
+    existsCorrelated, subqueryScalar, stringFuncs, dateFuncs, arrayFuncs,
+    topkPerGroup)
 }
