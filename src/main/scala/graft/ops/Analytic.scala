@@ -292,8 +292,38 @@ object Analytic {
       .orderBy("user_id", "ts_us", "event_id")
   }
 
+  /** Conditional / null-handling scalar sweep: least/greatest (IEEE
+    * double compares of identical products), nullif (manufactures NULLs —
+    * the base data has none), coalesce defaulting, and a 3-arm CASE band.
+    * Map-side projection. The ORDER BY chain includes every output column
+    * except flag_or_null, whose value is determined by flag_default —
+    * so the order is total (H6) without sorting on a NULLable key. */
+  val conditionalFuncs: Q = Q(
+    "q_conditional_funcs",
+    """SELECT l_orderkey, l_linenumber,
+      |  least(l_quantity, l_discount * 100) AS lo,
+      |  greatest(l_quantity, l_tax * 100) AS hi,
+      |  nullif(l_returnflag, 'N') AS flag_or_null,
+      |  coalesce(nullif(l_returnflag, 'N'), '-') AS flag_default,
+      |  CASE WHEN l_quantity >= 25 THEN 'big' WHEN l_quantity >= 10 THEN 'mid'
+      |       ELSE 'small' END AS band
+      |FROM lineitem
+      |ORDER BY l_orderkey, l_linenumber, lo, hi, flag_default, band""".stripMargin
+  ) { (s, d) =>
+    T.lineitem(s, d).select(
+      col("l_orderkey"), col("l_linenumber"),
+      least(col("l_quantity"), col("l_discount") * 100).as("lo"),
+      greatest(col("l_quantity"), col("l_tax") * 100).as("hi"),
+      nullif(col("l_returnflag"), lit("N")).as("flag_or_null"),
+      coalesce(nullif(col("l_returnflag"), lit("N")), lit("-")).as("flag_default"),
+      when(col("l_quantity") >= 25, "big")
+        .when(col("l_quantity") >= 10, "mid")
+        .otherwise("small").as("band"))
+      .orderBy("l_orderkey", "l_linenumber", "lo", "hi", "flag_default", "band")
+  }
+
   val all: Seq[Q] = Seq(
     windowLeadLag, windowNtile, windowMoving, cube, groupingSets,
     existsCorrelated, subqueryScalar, stringFuncs, dateFuncs, arrayFuncs,
-    topkPerGroup)
+    conditionalFuncs, topkPerGroup)
 }
