@@ -220,7 +220,36 @@ object Cdc {
       .orderBy("k1", "k2", "data_json")
   }
 
+  /** SCD type-2 history build — the dimension-table view of a change
+    * stream: each user's events become validity intervals
+    * [from, to) via lead() over event time, the open interval marked
+    * current with the classic year-9999 high date. This is what a CDC
+    * consumer materializes from the envelope stream; one window shuffle
+    * on the natural key, no self-join. */
+  val scd2: Q = Q(
+    "q_scd2",
+    """WITH h AS (
+      |  SELECT user_id, event_type, epoch_us(ts) AS from_us, event_id,
+      |    lead(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_us
+      |  FROM events)
+      |SELECT user_id, event_type, from_us,
+      |  coalesce(to_us, 253402300800000000) AS to_us,
+      |  CASE WHEN to_us IS NULL THEN 1 ELSE 0 END AS is_current, event_id
+      |FROM h ORDER BY user_id, from_us, event_id""".stripMargin
+  ) { (s, d) =>
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    T.events(s, d)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("from_us"),
+        col("event_id"), lead(unix_micros(col("ts")), 1).over(w).as("to_raw"))
+      .select(col("user_id"), col("event_type"), col("from_us"),
+        coalesce(col("to_raw"), lit(253402300800000000L)).as("to_us"),
+        when(col("to_raw").isNull, 1).otherwise(0).as("is_current"),
+        col("event_id"))
+      .orderBy("user_id", "from_us", "event_id")
+  }
+
   val all: Seq[Q] = Seq(
     tableChecksum, snapshotEnvelope, snapshotThroughput, latestChecksumPerTable,
-    cdcDiff, incrementalSince)
+    cdcDiff, incrementalSince, scd2)
 }

@@ -133,5 +133,51 @@ object Temporal {
       .orderBy("event_id")
   }
 
-  val all: Seq[Q] = Seq(timeBucket, sessionize, asofJoin, asofNative)
+  /** Step funnel with per-step 24 h windows: first signup → first click
+    * within a day → first purchase within a day of that click, conversion
+    * rates as exact-count divisions. Each step is a keyed min-aggregation
+    * joined to the previous step's cohort (partial aggregation before
+    * every shuffle; the cohort shrinks monotonically, so later steps join
+    * ever-smaller sides — at 100 TB the step tables are the small,
+    * broadcastable side). */
+  val funnel: Q = Q(
+    "q_funnel",
+    """WITH s AS (SELECT user_id, min(epoch_us(ts)) AS t_signup FROM events
+      |           WHERE event_type = 'signup' GROUP BY 1),
+      |c AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t_click
+      |      FROM events e JOIN s ON e.user_id = s.user_id
+      |      WHERE e.event_type = 'click' AND epoch_us(e.ts) >= s.t_signup
+      |        AND epoch_us(e.ts) < s.t_signup + 86400000000 GROUP BY 1),
+      |p AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t_purchase
+      |      FROM events e JOIN c ON e.user_id = c.user_id
+      |      WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= c.t_click
+      |        AND epoch_us(e.ts) < c.t_click + 86400000000 GROUP BY 1)
+      |SELECT count(*) AS n_signup, count(c.user_id) AS n_click,
+      |  count(p.user_id) AS n_purchase,
+      |  round(count(c.user_id) / CAST(count(*) AS DOUBLE), 6) AS click_rate,
+      |  round(count(p.user_id) / CAST(count(*) AS DOUBLE), 6) AS purchase_rate
+      |FROM s LEFT JOIN c ON s.user_id = c.user_id
+      |LEFT JOIN p ON c.user_id = p.user_id""".stripMargin
+  ) { (s, d) =>
+    val day = 86400000000L
+    val ev = T.events(s, d)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("t"))
+    val step1 = ev.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min(col("t")).as("t_signup"))
+    val step2 = ev.filter(col("event_type") === "click").join(step1, "user_id")
+      .filter(col("t") >= col("t_signup") && col("t") < col("t_signup") + day)
+      .groupBy("user_id").agg(min(col("t")).as("t_click"))
+    val step3 = ev.filter(col("event_type") === "purchase").join(step2, "user_id")
+      .filter(col("t") >= col("t_click") && col("t") < col("t_click") + day)
+      .groupBy("user_id").agg(min(col("t")).as("t_purchase"))
+    step1.join(step2, Seq("user_id"), "left").join(step3, Seq("user_id"), "left")
+      .agg(
+        count(lit(1)).as("n_signup"),
+        count(col("t_click")).as("n_click"),
+        count(col("t_purchase")).as("n_purchase"),
+        round(count(col("t_click")) / count(lit(1)).cast(DoubleType), 6).as("click_rate"),
+        round(count(col("t_purchase")) / count(lit(1)).cast(DoubleType), 6).as("purchase_rate"))
+  }
+
+  val all: Seq[Q] = Seq(timeBucket, sessionize, asofJoin, asofNative, funnel)
 }
