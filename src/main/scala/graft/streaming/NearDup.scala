@@ -32,18 +32,16 @@ object NearDup {
   /** (doc_id, text) → one DocBand row per LSH band. */
   def bands(docs: DataFrame): Dataset[DocBand] = {
     import docs.sparkSession.implicits._
-    // a = first 48 bits of md5(tok), b = next 48; h_i = a + i*b; sig_i =
-    // min over tokens — all inside one projection.
-    def h(i: Int): String =
-      s"""array_min(transform(split(text, ' '),
-         |  t -> conv(substr(md5(t), 1, 12), 16, 10) +
-         |       $i * conv(substr(md5(t), 13, 12), 16, 10)))""".stripMargin
-    val sigCols = (0 until K).map(i => expr(h(i)).cast("long").as(s"h$i"))
-    val withSig = docs.select(col("doc_id") +: sigCols: _*)
+    // Signature via the codegen'd MinhashSig kernel (one token-array walk
+    // per doc; the previous K interpreted transform/array_min lambdas
+    // walked the array K times outside codegen).
+    val withSig = docs.select(col("doc_id"),
+      graft.functions.MinhashSig.sig(docs.sparkSession, split(col("text"), " "), K)
+        .as("sig"))
     val bandKeys = (0 until Bands).map { b =>
       concat(lit(s"$b:"),
-        md5(concat_ws(",", col(s"h${2 * b}").cast("string"),
-          col(s"h${2 * b + 1}").cast("string"))))
+        md5(concat_ws(",", element_at(col("sig"), 2 * b + 1).cast("string"),
+          element_at(col("sig"), 2 * b + 2).cast("string"))))
     }
     withSig
       .select(col("doc_id"), explode(array(bandKeys: _*)).as("bucket"))

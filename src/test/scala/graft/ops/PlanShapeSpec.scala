@@ -57,9 +57,10 @@ class PlanShapeSpec extends SparkSuite {
     assert(p.contains("PushedFilters: [IsNotNull(ts), GreaterThan(ts,"), p.take(600))
   }
 
-  test("q_dedup_minhash aggregates partially before the doc shuffle") {
+  test("q_dedup_minhash computes signatures map-side; census aggregates partially") {
     val p = plan("q_dedup_minhash")
-    assert(p.contains("partial_min"))
+    assert(p.contains("minhashsig"), "signature must come from the codegen kernel")
+    assert(p.contains("partial_min"), "census keeper must pre-aggregate map-side")
   }
 
   test("q_embed_near_dup joins on the LSH bucket, never a cartesian product") {
