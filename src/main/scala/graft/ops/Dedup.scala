@@ -97,16 +97,13 @@ object Dedup {
          |SELECT doc_id, CAST($assemble AS BIGINT) AS simhash
          |FROM bits ORDER BY doc_id""".stripMargin
     ) { (s, d) =>
-      val toks = T.documents(s, d)
-        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-        .select(col("doc_id"), C.md5LongHex(col("tok"), 8).as("h"))
-      val bitAggs = (0 until 32).map(j =>
-        sum(when(shiftright(col("h"), j) % 2 === 1, 1).otherwise(-1)).as(s"s$j"))
-      val assembled = (0 until 32)
-        .map(j => when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L)))
-        .reduce(_ + _)
-      toks.groupBy("doc_id").agg(bitAggs.head, bitAggs.tail: _*)
-        .select(col("doc_id"), assembled.cast(LongType).as("simhash"))
+      // Codegen'd SimhashSig kernel: majority vote folded in one pass per
+      // document, map-side — the exploded 32-column CASE-sum aggregate
+      // (round-1 formulation) is gone, and the only shuffle left is the
+      // presentation sort.
+      T.documents(s, d)
+        .select(col("doc_id"),
+          graft.functions.SimhashSig.sig(s, split(col("text"), " ")).as("simhash"))
         .orderBy("doc_id")
     }
   }
@@ -174,10 +171,13 @@ object Dedup {
          |FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
          |ORDER BY a_id""".stripMargin
     ) { (s, d) =>
-      // (doc_id, simhash) — persisted once: both sides of the adjacent-
-      // pair self-join reference it. localCheckpoint so the blocks are
-      // GC-released (cache() would accumulate across invocations).
-      val sh = dedupSimhash.fn(s, d).localCheckpoint()
+      // With the SimhashSig kernel the signature is a cheap map-side
+      // projection, so recomputing it on both sides of the self-join is
+      // cheaper (and variance-free) versus the round-1 localCheckpoint,
+      // which existed to avoid re-running a 32-way token aggregate.
+      val sh = T.documents(s, d)
+        .select(col("doc_id"),
+          graft.functions.SimhashSig.sig(s, split(col("text"), " ")).as("simhash"))
       val a = sh.select(col("doc_id").as("a_id"), col("simhash").as("sh_a"))
       val b = sh.select(col("doc_id").as("b_id"), col("simhash").as("sh_b"))
       a.join(b, col("b_id") === col("a_id") + 1)
