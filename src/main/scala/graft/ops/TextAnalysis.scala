@@ -91,11 +91,13 @@ object TextAnalysis {
       |FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
       |ORDER BY doc_id""".stripMargin
   ) { (s, d) =>
+    // Codegen'd FingerprintSig kernel: the rolling digest folds in one
+    // pass per document, map-side — the round-1 posexplode + groupBy-sum
+    // stage (a token-level shuffle) is gone.
     T.documents(s, d)
-      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
-      .groupBy("doc_id")
-      .agg(sum(((col("pos") + 1) * C.md5LongHex(col("tok"), 10)) % C.DigestMod)
-        .as("fingerprint"))
+      .select(col("doc_id"),
+        graft.functions.FingerprintSig.sig(s, split(col("text"), " "))
+          .as("fingerprint"))
       .orderBy("doc_id")
   }
 
