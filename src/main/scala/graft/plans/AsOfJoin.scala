@@ -58,10 +58,46 @@ object AsOfJoinStrategy extends SparkStrategy {
   }
 }
 
-/** Session-extension entry point: `.withExtensions(new GraftExtensions)`. */
+/** Session-extension entry point: `.withExtensions(new GraftExtensions)`.
+  * Injects the as-of planner strategy AND registers every graft kernel as
+  * a session-level SQL function — plain `spark.sql` text can call
+  * vec_dot / char_ngrams / minhash_sig / simhash_sig / fingerprint_sig
+  * on any session built through graft.core.Session (also settable via
+  * spark.sql.extensions=graft.plans.GraftExtensions on a stock build). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  import org.apache.spark.sql.catalyst.FunctionIdentifier
+  import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+  import graft.functions.{FingerprintSig, FloatVecDot, MinhashSig, SimhashSig, StringNgrams}
+
+  private def litInt(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+
+  private def fn(name: String, usage: String)(builder: Seq[Expression] => Expression) =
+    (new FunctionIdentifier(name),
+      new ExpressionInfo("graft.functions", name, usage),
+      builder)
+
+  override def apply(e: SparkSessionExtensions): Unit = {
     e.injectPlannerStrategy(_ => AsOfJoinStrategy)
+    e.injectFunction(fn("vec_dot", "dot product of two array<float> in double") {
+      exprs => FloatVecDot(exprs(0), exprs(1))
+    })
+    e.injectFunction(fn("char_ngrams", "all n-length character substrings") {
+      exprs => StringNgrams(exprs(0), litInt(exprs(1), "char_ngrams n"))
+    })
+    e.injectFunction(fn("minhash_sig", "K-wide minhash signature of array<string>") {
+      exprs => MinhashSig(exprs(0), litInt(exprs(1), "minhash_sig k"))
+    })
+    e.injectFunction(fn("simhash_sig", "32-bit simhash of array<string>") {
+      exprs => SimhashSig(exprs(0))
+    })
+    e.injectFunction(fn("fingerprint_sig", "position-weighted rolling digest of array<string>") {
+      exprs => FingerprintSig(exprs(0))
+    })
+  }
 }
 
 /** Sort-merge as-of join. Requires both children clustered on their keys

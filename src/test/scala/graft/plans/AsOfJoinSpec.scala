@@ -76,6 +76,21 @@ class AsOfJoinSpec extends SparkSuite {
       spark.sessionState.experimentalMethods.extraStrategies.exists(_ eq AsOfJoinStrategy))
   }
 
+  test("all graft kernels are callable from plain SQL text via the extension") {
+    val r = spark.sql(
+      """SELECT
+        |  vec_dot(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)),
+        |          array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS dot,
+        |  char_ngrams('abcd', 2) AS grams,
+        |  size(minhash_sig(array('a','b'), 8)) AS mk,
+        |  simhash_sig(array('a','b')) AS sh,
+        |  fingerprint_sig(array('a','b')) AS fp""".stripMargin).collect()(0)
+    assert(r.getDouble(0) == 11.0)
+    assert(r.getSeq[String](1) == Seq("ab", "bc", "cd"))
+    assert(r.getInt(2) == 8)
+    assert(r.getLong(3) >= 0L && r.getLong(4) >= 0L)
+  }
+
   test("matches the window formulation on real events data") {
     val viaWindow = graft.ops.Temporal.asofJoin.fn(spark, sf).collect().toSeq
     val viaNative = graft.ops.Temporal.asofNative.fn(spark, sf).collect().toSeq
