@@ -5,50 +5,66 @@ import org.apache.spark.sql.SparkSession
 import graft.streaming.CdcPipeline
 
 /** CLI entry point mirroring the reference daemon (main.go:13-49): monitor
-  * a snapshot-drop directory and capture changes as JSONL envelopes.
+  * snapshot-drop directories and capture changes as JSONL envelopes.
   *
-  * Usage: runMain graft.CdcMain <inputDir> <workDir> <tableName> [runOnceParquet]
+  * Usage: runMain graft.CdcMain <inputDir> <workDir> <tables> [runOnceParquet]
   *
-  * - Streaming mode (default): watches <inputDir> for new parquet snapshot
-  *   drops every second (the reference's poll interval, duckdb_cdc.go:54)
-  *   until interrupted — envelopes land in <workDir>/out, checksum history
-  *   in <workDir>/meta, checkpoint in <workDir>/ckpt.
-  * - One-shot mode (4th arg): processes a single parquet snapshot as one
-  *   batch and exits — for smoke tests and backfills.
+  * - Streaming mode (default): <tables> is a comma-separated list, like
+  *   the reference's monitored-tables list (main.go:41). One table watches
+  *   <inputDir> directly (backward-compatible); multiple tables each watch
+  *   <inputDir>/<table> with per-table out/meta/ckpt dirs — one streaming
+  *   query per table (CdcPipeline.startAll, R22): per-table failure
+  *   isolation instead of the reference's sequential single-thread loop.
+  *   New drops are discovered every second (the reference's poll interval,
+  *   duckdb_cdc.go:54) until interrupted.
+  * - One-shot mode (4th arg, single table): processes one parquet snapshot
+  *   as one batch and exits — for smoke tests and backfills.
   */
 object CdcMain {
   def main(args: Array[String]): Unit = {
     require(args.length >= 3,
-      "usage: CdcMain <inputDir> <workDir> <tableName> [runOnceParquet]")
-    val Array(inputDir, workDir, tableName) = args.take(3)
+      "usage: CdcMain <inputDir> <workDir> <tables> [runOnceParquet]")
+    val Array(inputDir, workDir, tableArg) = args.take(3)
+    val tables = tableArg.split(",").map(_.trim).filter(_.nonEmpty).toSeq
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
     val spark: SparkSession = graft.core.Session.local(cpus, cpus)
-    val cfg = CdcPipeline.Config(
-      inputDir = inputDir, outputDir = s"$workDir/out",
-      metadataDir = s"$workDir/meta", checkpointDir = s"$workDir/ckpt",
-      tableName = tableName)
+    def cfgFor(table: String, in: String, sub: String) = CdcPipeline.Config(
+      inputDir = in, outputDir = s"$workDir/$sub/out",
+      metadataDir = s"$workDir/$sub/meta", checkpointDir = s"$workDir/$sub/ckpt",
+      tableName = table)
+    // Infer a table's schema from its first snapshot drop; if the daemon
+    // starts before any drop exists (the normal deploy order), wait for
+    // one instead of crashing on UNABLE_TO_INFER_SCHEMA.
+    def inferSchema(dir: String): org.apache.spark.sql.types.StructType = {
+      while (true) {
+        try return spark.read.parquet(dir).schema
+        catch {
+          case _: Throwable =>
+            println(s"[cdc] waiting for first snapshot drop in $dir ...")
+            Thread.sleep(1000L)
+        }
+      }
+      throw new IllegalStateException("unreachable")
+    }
     if (args.length >= 4) {
+      require(tables.size == 1, "one-shot mode takes a single table")
+      val cfg = cfgFor(tables.head, inputDir, ".")
       val batch = spark.read.parquet(args(3))
       val changed = CdcPipeline.processBatch(spark, batch, cfg, captureEmpty = true)
-      println(s"[cdc] table=$tableName changed=$changed rows=${batch.count()}")
-    } else {
-      // Infer the table schema from the first snapshot drop; if the daemon
-      // starts before any drop exists (the normal deploy order), wait for
-      // one instead of crashing on UNABLE_TO_INFER_SCHEMA.
-      def inferSchema(): org.apache.spark.sql.types.StructType = {
-        while (true) {
-          try return spark.read.parquet(inputDir).schema
-          catch {
-            case _: Throwable =>
-              println(s"[cdc] waiting for first snapshot drop in $inputDir ...")
-              Thread.sleep(cfg.triggerMs)
-          }
-        }
-        throw new IllegalStateException("unreachable")
-      }
-      val q = CdcPipeline.start(spark, cfg, inferSchema())
-      println(s"[cdc] monitoring $inputDir for table=$tableName (Ctrl-C to stop)")
+      println(s"[cdc] table=${tables.head} changed=$changed rows=${batch.count()}")
+    } else if (tables.size == 1) {
+      val cfg = cfgFor(tables.head, inputDir, ".")
+      val q = CdcPipeline.start(spark, cfg, inferSchema(inputDir))
+      println(s"[cdc] monitoring $inputDir for table=${tables.head} (Ctrl-C to stop)")
       q.awaitTermination()
+    } else {
+      val plans = tables.map { t =>
+        val in = s"$inputDir/$t"
+        (cfgFor(t, in, t), inferSchema(in))
+      }
+      CdcPipeline.startAll(spark, plans)
+      println(s"[cdc] monitoring ${tables.size} tables under $inputDir (Ctrl-C to stop)")
+      spark.streams.awaitAnyTermination()
     }
     spark.stop()
   }
