@@ -28,12 +28,14 @@ object TextAnalysis {
        |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
   ) { (s, d) =>
-    val nStop = sum(when(col("tok").isin(stopwords: _*), 1).otherwise(0))
+    // One-pass TokenStats kernel (map-side) instead of explode + groupBy:
+    // the token-level shuffle is gone and the verdict is the same integer
+    // compare on the kernel's counters.
     T.documents(s, d)
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_tok"), nStop.cast(LongType).as("n_stop"),
-        when(nStop * 10 >= count(lit(1)), "en").otherwise("other").as("pred"))
+      .select(col("doc_id"),
+        graft.functions.TokenStats.stats(s, split(col("text"), " "), stopwords).as("st"))
+      .select(col("doc_id"), col("st.n_tok").as("n_tok"), col("st.n_stop").as("n_stop"),
+        when(col("st.n_stop") * 10 >= col("st.n_tok"), "en").otherwise("other").as("pred"))
       .orderBy("doc_id")
   }
 
@@ -48,12 +50,15 @@ object TextAnalysis {
       |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
   ) { (s, d) =>
+    // TokenStats kernel: counts, distinct set, and length sum in one
+    // map-side pass (was explode + groupBy with a distinct aggregate).
+    // Same BIGINT/BIGINT true divisions as the oracle.
     T.documents(s, d)
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_tok"), countDistinct(col("tok")).as("n_uniq"),
-        (countDistinct(col("tok")) / count(lit(1))).as("ttr"),
-        (sum(length(col("tok"))) / count(lit(1))).as("avg_len"))
+      .select(col("doc_id"),
+        graft.functions.TokenStats.stats(s, split(col("text"), " "), Nil).as("st"))
+      .select(col("doc_id"), col("st.n_tok").as("n_tok"), col("st.n_uniq").as("n_uniq"),
+        (col("st.n_uniq") / col("st.n_tok")).as("ttr"),
+        (col("st.len_sum") / col("st.n_tok")).as("avg_len"))
       .orderBy("doc_id")
   }
 
