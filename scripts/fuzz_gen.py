@@ -306,7 +306,37 @@ def gen_datefn(rng):
             f"ORDER BY {key}")
 
 
+def gen_arith(rng):
+    # integer expression trees: + - * unary-minus abs, int comparisons.
+    # Products of two key columns stay far inside BIGINT (≤ ~1e12), so
+    # Spark's ANSI overflow can't fire; no /, %, or // (division dialect
+    # and sign semantics differ between engines).
+    t = rng.choice(list(TABLES))
+    cols = TABLES[t]
+    # exclude the sort key: a projected duplicate column name breaks the
+    # parquet dump (and is poor SQL anyway)
+    icols = [c for c, k in cols if k == "i" and c not in SORT_KEY[t]]
+    if len(icols) < 2:
+        return gen_datefn(rng)
+    a, b = rng.sample(icols, 2)
+    key = ", ".join(SORT_KEY[t])
+    where = pred(rng, cols)
+    exprs = rng.sample([
+        f"{a} + {b} AS e_add",
+        f"{a} - 2 * {b} AS e_mix",
+        f"-{a} AS e_neg",
+        f"abs({a} - {b}) AS e_abs",
+        f"{a} * {b} AS e_mul",
+        f"CASE WHEN {a} > {b} THEN {a} ELSE {b} END AS e_max",
+    ], rng.randint(2, 4))
+    return (f"SELECT {key}, {a}, {b}, {', '.join(exprs)} FROM {t} "
+            f"WHERE {where} ORDER BY {key}, {a}, {b}")
+
+
 def gen_query(rng):
+    roll = rng.random()
+    if roll < 0.04:
+        return gen_arith(rng)
     roll = rng.random()
     if roll < 0.05:
         return gen_winfam(rng)
