@@ -62,8 +62,7 @@ object FingerprintKernel {
 
 object FingerprintSig {
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "fingerprint_sig", exprs => FingerprintSig(exprs(0)), "built-in")
+    Registry.ensure(spark, "fingerprint_sig")(exprs => FingerprintSig(exprs(0)))
 
   def sig(spark: SparkSession, tokens: Column): Column = {
     register(spark)

@@ -86,15 +86,12 @@ object MinhashKernel {
 
 object MinhashSig {
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "minhash_sig",
-      exprs => MinhashSig(exprs(0),
-        exprs(1) match {
-          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
-          case other => throw new IllegalArgumentException(
-            s"minhash_sig k must be an integer literal, got $other")
-        }),
-      "built-in")
+    Registry.ensure(spark, "minhash_sig")(exprs => MinhashSig(exprs(0),
+      exprs(1) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+        case other => throw new IllegalArgumentException(
+          s"minhash_sig k must be an integer literal, got $other")
+      }))
 
   def sig(spark: SparkSession, tokens: Column, k: Int): Column = {
     register(spark)

@@ -71,8 +71,7 @@ object SimhashKernel {
 
 object SimhashSig {
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "simhash_sig", exprs => SimhashSig(exprs(0)), "built-in")
+    Registry.ensure(spark, "simhash_sig")(exprs => SimhashSig(exprs(0)))
 
   def sig(spark: SparkSession, tokens: Column): Column = {
     register(spark)

@@ -59,15 +59,12 @@ object NgramKernel {
 object StringNgrams {
   /** Register `char_ngrams(s, n)` in the session registry (idempotent). */
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "char_ngrams",
-      exprs => StringNgrams(exprs(0),
-        exprs(1) match {
-          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
-          case other => throw new IllegalArgumentException(
-            s"char_ngrams n must be an integer literal, got $other")
-        }),
-      "built-in")
+    Registry.ensure(spark, "char_ngrams")(exprs => StringNgrams(exprs(0),
+      exprs(1) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+        case other => throw new IllegalArgumentException(
+          s"char_ngrams n must be an integer literal, got $other")
+      }))
 
   def ngrams(spark: SparkSession, s: Column, n: Int): Column = {
     register(spark)

@@ -55,9 +55,11 @@ object TokenStats {
     StructField("n_stop", LongType, nullable = false)))
 
   def stats(spark: SparkSession, tokens: Column, stopwords: Seq[String]): Column = {
+    // name keyed by the stopword set: each distinct set is its own
+    // function, registered once per session (Registry.ensure is a no-op
+    // on re-use, so no replaced-function warnings)
     val name = "token_stats_" + stopwords.hashCode.toHexString
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      name, exprs => TokenStats(exprs(0), stopwords), "built-in")
+    Registry.ensure(spark, name)(exprs => TokenStats(exprs(0), stopwords))
     org.apache.spark.sql.functions.call_function(name, tokens)
   }
 }

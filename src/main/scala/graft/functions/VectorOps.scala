@@ -72,8 +72,7 @@ object VectorOps {
   /** Register `vec_dot` in the session's function registry (idempotent)
     * so it is reachable from both the Column API and SQL text. */
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "vec_dot", exprs => FloatVecDot(exprs(0), exprs(1)), "built-in")
+    Registry.ensure(spark, "vec_dot")(exprs => FloatVecDot(exprs(0), exprs(1)))
 
   /** dot(a, b) over two array<float> columns, in double precision. */
   def vecDot(spark: SparkSession, a: Column, b: Column): Column = {
