@@ -38,7 +38,8 @@ case class AsOfJoin(
     leftKeys: Seq[Expression],
     rightKeys: Seq[Expression],
     leftTime: Expression,
-    rightTime: Expression) extends BinaryNode {
+    rightTime: Expression,
+    toleranceMicros: Option[Long] = None) extends BinaryNode {
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -52,8 +53,8 @@ case class AsOfJoin(
   * (Session.tune) and defensively via experimental.extraStrategies. */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoin(l, r, lk, rk, lt, rt) =>
-      AsOfJoinExec(lk, rk, lt, rt, planLater(l), planLater(r)) :: Nil
+    case AsOfJoin(l, r, lk, rk, lt, rt, tol) =>
+      AsOfJoinExec(lk, rk, lt, rt, tol, planLater(l), planLater(r)) :: Nil
     case _ => Nil
   }
 }
@@ -115,6 +116,7 @@ case class AsOfJoinExec(
     rightKeys: Seq[Expression],
     leftTime: Expression,
     rightTime: Expression,
+    toleranceMicros: Option[Long],
     left: SparkPlan,
     right: SparkPlan) extends BinaryExecNode {
 
@@ -157,10 +159,14 @@ case class AsOfJoinExec(
       // Downstream operators (exchanges in particular) expect UnsafeRow.
       val resultProj = UnsafeProjection.create(allOut, allOut)
       val rBuf = rIter.buffered
+      // Tolerance applies only to long-backed times (epoch micros /
+      // TimestampType, both stored as long) — enforced at the API layer.
+      val tol = toleranceMicros.getOrElse(Long.MaxValue)
       // Latest at-or-before right row for the key it was taken under.
       // Copied out of the iterator (sorter output reuses row buffers).
       var lastMatch: InternalRow = null
       var lastMatchKey: UnsafeRow = null
+      var lastMatchTime = 0L
 
       lIter.map { lRow =>
         val lKey = lKeyProj(lRow)
@@ -182,12 +188,14 @@ case class AsOfJoinExec(
                 if (hTime.isNullAt(0)) { rBuf.next(); () }
                 else if (timeOrd.compare(hTime, lTime) <= 0) {
                   lastMatchKey = hKey.copy()
+                  lastMatchTime = hTime.getLong(0)
                   lastMatch = rBuf.next().copy()      // newest so far wins
                 } else scan = false                   // beyond left time
               }
             }
           }
-          val matched = lastMatch != null && keyOrd.compare(lastMatchKey, lKey) == 0
+          val matched = lastMatch != null && keyOrd.compare(lastMatchKey, lKey) == 0 &&
+            (tol == Long.MaxValue || lTime.getLong(0) - lastMatchTime <= tol)
           resultProj(joined(lRow, if (matched) lastMatch else nullRight))
         }
       }
@@ -200,11 +208,16 @@ object AsOf {
   /** Backward as-of join: for each `left` row, the latest `right` row with
     * equal key and `rightTimeCol <= leftTimeCol` (nulls if none). Column
     * names of the two sides must be disjoint (rename before joining, as
-    * with any Spark join you intend to keep both sides of). */
+    * with any Spark join you intend to keep both sides of).
+    * `toleranceMicros` bounds the match's age (pandas merge_asof
+    * tolerance): a candidate older than leftTime - tolerance yields nulls
+    * instead; requires long-backed time columns (epoch micros or
+    * timestamp). */
   def backward(
       left: DataFrame, right: DataFrame,
       leftKey: String, leftTimeCol: String,
-      rightKey: String, rightTimeCol: String): DataFrame = {
+      rightKey: String, rightTimeCol: String,
+      toleranceMicros: Option[Long] = None): DataFrame = {
     val overlap = left.columns.toSet.intersect(right.columns.toSet)
     require(overlap.isEmpty, s"column names must be disjoint, both sides have: $overlap")
     val spark = left.sparkSession
@@ -221,10 +234,18 @@ object AsOf {
     def attr(plan: LogicalPlan, name: String): Attribute =
       plan.output.find(_.name == name).getOrElse(
         throw new IllegalArgumentException(s"no column $name in ${plan.output.map(_.name)}"))
+    val lt = attr(lPlan, leftTimeCol); val rt = attr(rPlan, rightTimeCol)
+    toleranceMicros.foreach { t =>
+      require(t >= 0, "tolerance must be non-negative")
+      import org.apache.spark.sql.types.{LongType, TimestampType}
+      Seq(lt, rt).foreach(a => require(
+        a.dataType == LongType || a.dataType == TimestampType,
+        s"tolerance requires long-backed time columns, ${a.name} is ${a.dataType}"))
+    }
     GraftBridge.ofRows(spark, AsOfJoin(
       lPlan, rPlan,
       Seq(attr(lPlan, leftKey)), Seq(attr(rPlan, rightKey)),
-      attr(lPlan, leftTimeCol), attr(rPlan, rightTimeCol)))
+      lt, rt, toleranceMicros))
   }
 
   /** Forward as-of join: for each `left` row, the EARLIEST `right` row
@@ -236,11 +257,14 @@ object AsOf {
   def forward(
       left: DataFrame, right: DataFrame,
       leftKey: String, leftTimeCol: String,
-      rightKey: String, rightTimeCol: String): DataFrame = {
+      rightKey: String, rightTimeCol: String,
+      toleranceMicros: Option[Long] = None): DataFrame = {
     import org.apache.spark.sql.functions.col
     val lNeg = "__graft_neg_lt"; val rNeg = "__graft_neg_rt"
     val l2 = left.withColumn(lNeg, -col(leftTimeCol))
     val r2 = right.withColumn(rNeg, -col(rightTimeCol))
-    backward(l2, r2, leftKey, lNeg, rightKey, rNeg).drop(lNeg, rNeg)
+    // negated-time gap (-t_l) - (-t_r) = t_r - t_l = the forward gap
+    backward(l2, r2, leftKey, lNeg, rightKey, rNeg, toleranceMicros)
+      .drop(lNeg, rNeg)
   }
 }

@@ -97,6 +97,30 @@ class AsOfJoinSpec extends SparkSuite {
     assert(viaNative == viaWindow)
   }
 
+  test("tolerance bounds the match age (backward) and lead (forward)") {
+    val (trades, quotes) = fixture
+    // backward with tolerance 10: only matches within 10 time units
+    val back = AsOf.backward(trades, quotes, "k", "t", "qk", "qt", Some(10L))
+      .orderBy("k", "t").collect().toSeq
+    assert(back == Seq(
+      Row(1L, 100L, 1L, 100L, "a"),    // gap 0 ≤ 10
+      Row(1L, 205L, 1L, 200L, "b"),    // gap 5 ≤ 10
+      Row(1L, 300L, null, null, null), // latest is 250: gap 50 > 10
+      Row(2L, 50L, null, null, null),
+      Row(3L, 10L, null, null, null)))
+    // forward with tolerance 5: quote at 60 is 10 ahead of trade at 50 → null
+    val fwd = AsOf.forward(trades, quotes, "k", "t", "qk", "qt", Some(5L))
+      .filter("k = 2").collect().toSeq
+    assert(fwd == Seq(Row(2L, 50L, null, null, null)))
+    // tolerance demands long-backed time columns
+    import spark.implicits._
+    val bad = Seq((1L, 1.5)).toDF("k2", "t2")
+    intercept[IllegalArgumentException] {
+      AsOf.backward(bad, bad.select(col("k2").as("k3"), col("t2").as("t3")),
+        "k2", "t2", "k3", "t3", Some(1L))
+    }
+  }
+
   test("forward as-of picks the earliest at-or-after quote") {
     val (trades, quotes) = fixture
     val out = AsOf.forward(trades, quotes, "k", "t", "qk", "qt")
