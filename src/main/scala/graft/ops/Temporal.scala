@@ -179,5 +179,39 @@ object Temporal {
         round(count(col("t_purchase")) / count(lit(1)).cast(DoubleType), 6).as("purchase_rate"))
   }
 
-  val all: Seq[Q] = Seq(timeBucket, sessionize, asofJoin, asofNative, funnel)
+  /** The native as-of with a 24 h match tolerance (pandas merge_asof
+    * semantics): a signup older than a day before the purchase yields
+    * nulls instead of a stale anchor. The oracle is DuckDB's ASOF plus
+    * the same age bound as a post-filter — exactly the exec's
+    * match-then-bound rule. */
+  val asofTolerance: Q = Q(
+    "q_asof_tolerance",
+    """WITH j AS (
+      |  SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us,
+      |    s.event_id AS sid, epoch_us(s.ts) AS sts
+      |  FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      |  ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+      |    ON p.user_id = s.user_id AND p.ts >= s.ts)
+      |SELECT event_id, user_id, ts_us,
+      |  CASE WHEN ts_us - sts <= 86400000000 THEN sid END AS signup_event_id,
+      |  CASE WHEN ts_us - sts <= 86400000000 THEN sts END AS signup_ts_us
+      |FROM j ORDER BY event_id""".stripMargin
+  ) { (s, d) =>
+    val e = T.events(s, d)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"))
+    val p = e.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts_us"))
+    val sg = e.filter(col("event_type") === "signup")
+      .select(col("event_id").as("signup_event_id"), col("user_id").as("s_uid"),
+        col("ts_us").as("signup_ts_us"))
+    graft.plans.AsOf
+      .backward(p, sg, "user_id", "ts_us", "s_uid", "signup_ts_us",
+        toleranceMicros = Some(86400000000L))
+      .select("event_id", "user_id", "ts_us", "signup_event_id", "signup_ts_us")
+      .orderBy("event_id")
+  }
+
+  val all: Seq[Q] =
+    Seq(timeBucket, sessionize, asofJoin, asofNative, asofTolerance, funnel)
 }
