@@ -212,6 +212,79 @@ object Temporal {
       .orderBy("event_id")
   }
 
-  val all: Seq[Q] =
-    Seq(timeBucket, sessionize, asofJoin, asofNative, asofTolerance, funnel)
+  /** Conversion-latency distribution: exact discrete quantiles of the
+    * signup→first-click delay (percentile_disc returns actual data
+    * values, H: engine-exact). Two keyed min-aggregations, one join, one
+    * tiny global aggregate. */
+  val funnelLatency: Q = Q(
+    "q_funnel_latency",
+    """WITH s AS (SELECT user_id, min(epoch_us(ts)) AS t_signup FROM events
+      |           WHERE event_type = 'signup' GROUP BY 1),
+      |c AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t_click
+      |      FROM events e JOIN s ON e.user_id = s.user_id
+      |      WHERE e.event_type = 'click' AND epoch_us(e.ts) >= s.t_signup GROUP BY 1),
+      |d AS (SELECT s.user_id, c.t_click - s.t_signup AS delay_us
+      |      FROM s JOIN c ON s.user_id = c.user_id)
+      |SELECT count(*) AS n_converted,
+      |  percentile_disc(0.5) WITHIN GROUP (ORDER BY delay_us) AS p50_us,
+      |  percentile_disc(0.9) WITHIN GROUP (ORDER BY delay_us) AS p90_us,
+      |  min(delay_us) AS min_us, max(delay_us) AS max_us
+      |FROM d""".stripMargin
+  ) { (s, d) =>
+    val ev = T.events(s, d)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("t"))
+    val su = ev.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min(col("t")).as("t_signup"))
+    val cl = ev.filter(col("event_type") === "click").join(su, "user_id")
+      .filter(col("t") >= col("t_signup"))
+      .groupBy("user_id").agg(min(col("t")).as("t_click"))
+    su.join(cl, "user_id")
+      .select((col("t_click") - col("t_signup")).as("delay_us"))
+      .agg(
+        count(lit(1)).as("n_converted"),
+        // Spark's percentile_disc returns DOUBLE; the value is an actual
+        // data long (< 2^53), so the cast back to BIGINT is lossless and
+        // matches DuckDB's type.
+        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY delay_us)")
+          .cast(LongType).as("p50_us"),
+        expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY delay_us)")
+          .cast(LongType).as("p90_us"),
+        min(col("delay_us")).as("min_us"), max(col("delay_us")).as("max_us"))
+  }
+
+  /** Day-cohort retention matrix: users grouped by the day of their first
+    * event, counted distinct on each of the next 7 day-offsets. Day ids
+    * are integer floor-divisions of epoch micros — no engine-specific
+    * week-truncation semantics in the compared surface. Two shuffles
+    * (first-event per user, then the cohort×offset distinct count) with
+    * partial aggregation before each. */
+  val retention: Q = Q(
+    "q_retention",
+    """WITH f AS (SELECT user_id, min(epoch_us(ts)) AS first_us FROM events GROUP BY 1),
+      |a AS (SELECT e.user_id,
+      |        CAST(floor(f.first_us / 86400000000) AS BIGINT) AS cohort_day,
+      |        CAST(floor(epoch_us(e.ts) / 86400000000) AS BIGINT)
+      |          - CAST(floor(f.first_us / 86400000000) AS BIGINT) AS offset_day
+      |      FROM events e JOIN f ON e.user_id = f.user_id)
+      |SELECT cohort_day, offset_day, count(DISTINCT user_id) AS n_users
+      |FROM a WHERE offset_day <= 7
+      |GROUP BY 1, 2 ORDER BY cohort_day, offset_day""".stripMargin
+  ) { (s, d) =>
+    val day = 86400000000.0
+    val ev = T.events(s, d)
+      .select(col("user_id"), unix_micros(col("ts")).as("t"))
+    val first = ev.groupBy("user_id").agg(min(col("t")).as("first_us"))
+    val cohortDay = floor(col("first_us") / day).cast(LongType)
+    ev.join(first, "user_id")
+      .select(col("user_id"), cohortDay.as("cohort_day"),
+        (floor(col("t") / day).cast(LongType) - cohortDay).as("offset_day"))
+      .filter(col("offset_day") <= 7)
+      .groupBy("cohort_day", "offset_day")
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy("cohort_day", "offset_day")
+  }
+
+  val all: Seq[Q] = Seq(
+    timeBucket, sessionize, asofJoin, asofNative, asofTolerance, funnel,
+    funnelLatency, retention)
 }
