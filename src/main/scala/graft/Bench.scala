@@ -4,7 +4,13 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // Optional name filter (comma-separated) for local iteration on a
+    // single regressed query; the driver never sets it.
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val spark = graft.core.Session.local(cpus.toInt, cpus.toInt)
+    // The harness captures a bounded amount of output; round-2's JSON line
+    // was truncated after WARN spam filled the buffer. Log only errors.
+    spark.sparkContext.setLogLevel("ERROR")
     // noop sink: executes the complete plan and materializes every output
     // column (count() would let Catalyst prune projections and sorts —
     // projection-heavy queries would measure as bare scans).
@@ -18,6 +24,7 @@ object Bench {
     // query records -1 (visible in the JSON) and logs to stderr — a
     // silently-swallowed failure would read as an impossibly fast query.
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
     def timedPass(): Map[String, Double] = ordered.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try {
@@ -36,10 +43,14 @@ object Bench {
       // min of successful runs; -1 only if both passes failed
       name -> (if (a < 0) b else if (b < 0) a else math.min(a, b))
     }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // 0.1 ms precision: full-precision doubles tripled the line length and
+    // contributed to the round-2 mid-JSON truncation.
+    def fmt(v: Double): String = BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
+    val qs = results.toSeq.sortBy(_._1).map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    System.out.flush()
     spark.stop()
   }
 }

@@ -95,26 +95,28 @@ object Cdc {
     * history. History is synthesized from events (event_type plays
     * table_name) so both engines derive identical input from parquet.
     *
-    * The max_by ordering key is (ts, event_id) encoded as one zero-padded
-    * string (DuckDB 1.0's arg_max takes no struct key): two history rows
-    * sharing the max ts would otherwise make the winner engine-arbitrary
-    * (H6 total-order policy). epoch micros and event_id are non-negative,
-    * so zero-padded lexicographic order equals numeric order. */
+    * The max_by ordering key is struct(ts_us, event_id) — Spark orders
+    * structs natively (lexicographic by field), giving the H6 tie-break
+    * with pure numeric comparisons, no per-row string building. DuckDB
+    * 1.0's arg_max takes no struct key, so the oracle states the same
+    * answer as a row_number() window — the engines need only agree on the
+    * answer, not the algorithm. */
   val latestChecksumPerTable: Q = Q(
     "q_latest_checksum_per_table",
-    """SELECT event_type AS table_name,
-      |  arg_max(md5(CAST(event_id AS VARCHAR)),
-      |          lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
-      |            || lpad(CAST(event_id AS VARCHAR), 10, '0')) AS checksum,
-      |  epoch_us(max(ts)) AS ts_us
-      |FROM events GROUP BY event_type ORDER BY table_name""".stripMargin
+    """SELECT table_name, checksum, ts_us FROM (
+      |  SELECT event_type AS table_name,
+      |    md5(CAST(event_id AS VARCHAR)) AS checksum,
+      |    max(epoch_us(ts)) OVER (PARTITION BY event_type) AS ts_us,
+      |    row_number() OVER (PARTITION BY event_type
+      |                       ORDER BY ts DESC, event_id DESC) AS rn
+      |  FROM events)
+      |WHERE rn = 1 ORDER BY table_name""".stripMargin
   ) { (s, d) =>
     T.events(s, d)
       .groupBy(col("event_type").as("table_name"))
       .agg(
         max_by(md5(col("event_id").cast(StringType)),
-          concat(lpad(unix_micros(col("ts")).cast(StringType), 20, "0"),
-            lpad(col("event_id").cast(StringType), 10, "0"))).as("checksum"),
+          struct(unix_micros(col("ts")), col("event_id"))).as("checksum"),
         unix_micros(max(col("ts"))).as("ts_us"))
       .orderBy("table_name")
   }
