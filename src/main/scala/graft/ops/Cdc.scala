@@ -59,6 +59,56 @@ object Cdc {
           .as("checksum"))
   }
 
+  /** lineitem's canonicalization in DuckDB SQL, generated from the same
+    * per-column rules as the Spark side (see customerCanonSql). */
+  private val lineitemCanonSql: String = {
+    val schema: Seq[(String, org.apache.spark.sql.types.DataType)] = Seq(
+      "l_orderkey" -> org.apache.spark.sql.types.LongType,
+      "l_partkey" -> org.apache.spark.sql.types.LongType,
+      "l_suppkey" -> org.apache.spark.sql.types.LongType,
+      "l_linenumber" -> org.apache.spark.sql.types.IntegerType,
+      "l_quantity" -> org.apache.spark.sql.types.DoubleType,
+      "l_extendedprice" -> org.apache.spark.sql.types.DoubleType,
+      "l_discount" -> org.apache.spark.sql.types.DoubleType,
+      "l_tax" -> org.apache.spark.sql.types.DoubleType,
+      "l_returnflag" -> org.apache.spark.sql.types.StringType,
+      "l_linestatus" -> org.apache.spark.sql.types.StringType,
+      "l_shipdate" -> org.apache.spark.sql.types.TimestampType)
+    "concat_ws(chr(2), " +
+      schema.map { case (n, t) => C.canonColSql(n, t) }.mkString(", ") + ")"
+  }
+
+  /** The declared scale story for R12 (SURVEY §4.1): one digest per
+    * horizontal bucket (here: ship month) instead of one per table. The
+    * reference re-checksums the whole table every tick
+    * (duckdb_cdc.go:175-183) — O(table) per tick forever; with per-bucket
+    * digests a re-check compares bucket rows and re-scans only buckets
+    * whose digest changed: O(changed partitions). Same plan shape as
+    * q_table_checksum — partial agg per input split, one row per bucket
+    * crosses the exchange — and on a date-partitioned table a re-digest of
+    * one bucket prunes the scan (PlanShapeSpec asserts the l_shipdate
+    * bound reaches PushedFilters). Streaming twin:
+    * CdcPipeline.partitionChecksums / changedBuckets (lossless-digest
+    * form; this oracle-compared query uses the money-grid canonicalization
+    * so both engines render identical strings). */
+  val partitionChecksum: Q = Q(
+    "q_partition_checksum",
+    s"""SELECT epoch_us(date_trunc('month', l_shipdate)) AS bucket_us,
+       |  md5(concat_ws(',',
+       |    CAST(count(*) AS VARCHAR),
+       |    CAST(CAST(sum(('0x' || substr(md5($lineitemCanonSql), 1, 12))::BIGINT % 1000000007) AS BIGINT) AS VARCHAR)
+       |  )) AS checksum
+       |FROM lineitem GROUP BY 1 ORDER BY bucket_us""".stripMargin
+  ) { (s, d) =>
+    val li = T.lineitem(s, d)
+    li.groupBy(unix_micros(date_trunc("month", col("l_shipdate"))).as("bucket_us"))
+      .agg(count(lit(1)).cast(StringType).as("cnt"),
+        sum(C.rowDigest48(li)).cast(StringType).as("dig"))
+      .select(col("bucket_us"),
+        md5(concat_ws(",", col("cnt"), col("dig"))).as("checksum"))
+      .orderBy("bucket_us")
+  }
+
   /** R17+R19 (duckdb_cdc.go:240-250): full-snapshot capture into change
     * envelopes. `data_json` is built with explicit concat pieces, not
     * to_json, so both engines render byte-identically (H4). The capture
@@ -252,6 +302,6 @@ object Cdc {
   }
 
   val all: Seq[Q] = Seq(
-    tableChecksum, snapshotEnvelope, snapshotThroughput, latestChecksumPerTable,
-    cdcDiff, incrementalSince, scd2)
+    tableChecksum, partitionChecksum, snapshotEnvelope, snapshotThroughput,
+    latestChecksumPerTable, cdcDiff, incrementalSince, scd2)
 }

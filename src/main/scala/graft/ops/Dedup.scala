@@ -210,6 +210,94 @@ object Dedup {
       .orderBy("a_id")
   }
 
+  /** The end-to-end near-dup pipeline a curation run actually executes:
+    * MinHash+LSH candidate generation (the q_dedup_minhash half) piped into
+    * true token-set Jaccard verification (the q_ngram_jaccard half) in ONE
+    * query. Each doc is verified against its CANDIDATE KEEPER — the
+    * smallest doc_id over all LSH buckets the doc lands in — not against
+    * every bucket co-member: verification work is O(docs), immune to
+    * degenerate buckets (this corpus has two 300+-doc buckets; all-pairs
+    * there would be quadratic, and at 100 TB a single hot bucket would be
+    * a straggler task). Output: every doc with a candidate keeper below
+    * it, the exact Jaccard against that keeper, and the drop verdict at
+    * the 0.5 threshold.
+    *
+    * Scale shape: signatures and token sets are born map-side (MinhashSig
+    * kernel / array_distinct — text never crosses a shuffle); the band
+    * census shuffles (band, bucket, doc_id) triples; the verify joins
+    * carry one bounded token set per doc. */
+  val neardupPipeline: Q = {
+    val hashCols = (0 until K).map(i => s"min(a + $i * b) AS h$i").mkString(", ")
+    val bandCase = (0 until Bands).map(b =>
+      s"WHEN ${b} THEN md5(concat_ws(',', CAST(h${2 * b} AS VARCHAR), CAST(h${2 * b + 1} AS VARCHAR)))")
+      .mkString(" ")
+    Q(
+      "q_neardup_pipeline",
+      s"""WITH toks AS (
+         |  SELECT doc_id,
+         |    ('0x' || substr(md5(tok), 1, 12))::BIGINT AS a,
+         |    ('0x' || substr(md5(tok), 13, 12))::BIGINT AS b
+         |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+         |), sig AS (
+         |  SELECT doc_id, $hashCols FROM toks GROUP BY doc_id
+         |), bands AS (
+         |  SELECT doc_id, band, CASE band $bandCase END AS bucket
+         |  FROM sig, (SELECT unnest([${(0 until Bands).mkString(", ")}]) AS band)
+         |), keepers AS (
+         |  SELECT band, bucket, min(doc_id) AS k FROM bands GROUP BY 1, 2
+         |), cand AS (
+         |  SELECT b.doc_id, min(k.k) AS keeper_id
+         |  FROM bands b JOIN keepers k ON b.band = k.band AND b.bucket = k.bucket
+         |  GROUP BY b.doc_id HAVING min(k.k) < b.doc_id
+         |), sets AS (
+         |  SELECT doc_id, list_distinct(string_split(text, ' ')) AS t,
+         |    len(list_distinct(string_split(text, ' '))) AS n
+         |  FROM documents
+         |)
+         |SELECT c.doc_id, c.keeper_id,
+         |  len(list_intersect(x.t, y.t)) AS n_inter,
+         |  x.n + y.n - len(list_intersect(x.t, y.t)) AS n_union,
+         |  len(list_intersect(x.t, y.t))
+         |    / (x.n + y.n - len(list_intersect(x.t, y.t))) AS jaccard,
+         |  CASE WHEN len(list_intersect(x.t, y.t))
+         |    / (x.n + y.n - len(list_intersect(x.t, y.t))) >= 0.5
+         |    THEN 1 ELSE 0 END AS is_dup
+         |FROM cand c JOIN sets x ON x.doc_id = c.doc_id
+         |JOIN sets y ON y.doc_id = c.keeper_id
+         |ORDER BY c.doc_id""".stripMargin
+    ) { (s, d) =>
+      val sig = T.documents(s, d)
+        .select(col("doc_id"),
+          graft.functions.MinhashSig.sig(s, split(col("text"), " "), K).as("sig"))
+      val bandKeys = (0 until Bands).map(b =>
+        md5(concat_ws(",", element_at(col("sig"), 2 * b + 1).cast(StringType),
+          element_at(col("sig"), 2 * b + 2).cast(StringType))))
+      val bands = sig.select(col("doc_id"),
+        posexplode(array(bandKeys: _*)).as(Seq("band", "bucket")))
+      val keepers = bands.groupBy("band", "bucket").agg(min(col("doc_id")).as("k"))
+      // co-partitioned with keepers on (band, bucket) — the census shuffle
+      // is reused by the join; then one narrow shuffle on doc_id
+      val cand = bands.join(keepers, Seq("band", "bucket"))
+        .groupBy("doc_id").agg(min(col("k")).as("keeper_id"))
+        .filter(col("keeper_id") < col("doc_id"))
+      val sets = T.documents(s, d).select(
+        col("doc_id"), array_distinct(split(col("text"), " ")).as("t"))
+        .select(col("doc_id"), col("t"), size(col("t")).cast(LongType).as("n"))
+      val inter = size(array_intersect(col("t_x"), col("t_y"))).cast(LongType)
+      val uni = col("n_x") + col("n_y") - inter
+      cand
+        .join(sets.select(col("doc_id"), col("t").as("t_x"), col("n").as("n_x")), "doc_id")
+        .join(sets.select(col("doc_id").as("keeper_id"), col("t").as("t_y"),
+          col("n").as("n_y")), "keeper_id")
+        .select(col("doc_id"), col("keeper_id"),
+          inter.as("n_inter"), uni.as("n_union"),
+          (inter / uni).as("jaccard"),
+          when(inter / uni >= 0.5, 1).otherwise(0).as("is_dup"))
+        .orderBy("doc_id")
+    }
+  }
+
   val all: Seq[Q] =
-    Seq(dedupMinhash, dedupSimhash, ngramJaccard, simhashHamming, dedupEditDistance)
+    Seq(dedupMinhash, dedupSimhash, ngramJaccard, simhashHamming,
+      dedupEditDistance, neardupPipeline)
 }

@@ -212,6 +212,35 @@ object Temporal {
       .orderBy("event_id")
   }
 
+  /** FORWARD as-of through the native operator: each signup matched to the
+    * user's EARLIEST purchase at-or-after it (time-to-first-purchase).
+    * AsOf.forward reuses the backward sort-merge exec over negated times
+    * (plans/AsOfJoin.scala), so the oracle — DuckDB's native ASOF with the
+    * inequality flipped to `<=` — covers the exec's negated-time path, not
+    * just its unit specs. (user_id, ts) is unique per event_type, so the
+    * match is deterministic. */
+  val asofForward: Q = Q(
+    "q_asof_forward",
+    """SELECT s.event_id, s.user_id, epoch_us(s.ts) AS ts_us,
+      |  p.event_id AS purchase_event_id, epoch_us(p.ts) AS purchase_ts_us
+      |FROM (SELECT * FROM events WHERE event_type = 'signup') s
+      |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      |  ON s.user_id = p.user_id AND s.ts <= p.ts
+      |ORDER BY s.event_id""".stripMargin
+  ) { (s, d) =>
+    val e = T.events(s, d)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"))
+    val sg = e.filter(col("event_type") === "signup")
+      .select(col("event_id"), col("user_id"), col("ts_us"))
+    val p = e.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_event_id"), col("user_id").as("p_uid"),
+        col("ts_us").as("purchase_ts_us"))
+    graft.plans.AsOf.forward(sg, p, "user_id", "ts_us", "p_uid", "purchase_ts_us")
+      .select("event_id", "user_id", "ts_us", "purchase_event_id", "purchase_ts_us")
+      .orderBy("event_id")
+  }
+
   /** Conversion-latency distribution: exact discrete quantiles of the
     * signup→first-click delay (percentile_disc returns actual data
     * values, H: engine-exact). Two keyed min-aggregations, one join, one
@@ -285,6 +314,6 @@ object Temporal {
   }
 
   val all: Seq[Q] = Seq(
-    timeBucket, sessionize, asofJoin, asofNative, asofTolerance, funnel,
-    funnelLatency, retention)
+    timeBucket, sessionize, asofJoin, asofNative, asofTolerance, asofForward,
+    funnel, funnelLatency, retention)
 }

@@ -132,6 +132,25 @@ class PlanShapeSpec extends SparkSuite {
     assert(p.contains("partial_count"), "tf/df must pre-aggregate map-side")
   }
 
+  test("q_partition_checksum aggregates partially; only bucket digests cross the exchange") {
+    val p = plan("q_partition_checksum")
+    assert(p.contains("partial_"), p.take(600))
+    // one exchange for the bucket aggregate, one for the presentation sort
+    assert("Exchange".r.findAllIn(p).size <= 2, p.take(600))
+  }
+
+  test("re-digest of changed buckets prunes the scan to those buckets (O(changed partitions))") {
+    import org.apache.spark.sql.functions._
+    // the incremental path: re-checksum only buckets at/after a boundary
+    val li = graft.core.Tables.lineitem(spark, sf)
+      .filter(col("l_shipdate") >= lit("2024-03-01").cast("timestamp"))
+    val df = graft.streaming.CdcPipeline.partitionChecksums(
+      li, date_trunc("month", col("l_shipdate")))
+    val p = df.queryExecution.executedPlan.toString()
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), GreaterThanOrEqual(l_shipdate,"),
+      p.take(600))
+  }
+
   test("q_curation reads the documents text column only map-side (no text in shuffles)") {
     // The shuffle payload is the Exchange's Input row in formatted explain
     // (a substring heuristic over the tree form would false-positive on a
