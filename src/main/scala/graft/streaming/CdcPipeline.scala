@@ -54,7 +54,25 @@ object CdcPipeline {
       /** Snapshot drop format: "parquet" (default), "json" (JSONL), or
         * "csv" (with header). The checksum/envelope path is
         * format-agnostic — it works off the batch DataFrame's schema. */
-      inputFormat: String = "parquet")
+      inputFormat: String = "parquet",
+      /** Re-probe each drop's on-disk schema (the reference re-lists
+        * columns every poll, duckdb_cdc.go:146-159): a drop that adds or
+        * drops a column mid-stream is captured under its OWN schema
+        * instead of being read through the stale stream schema — under
+        * which an added column is invisible, so an identical-rows drop
+        * would not even register as a change. Costs one footer read per
+        * batch for parquet (JSON/CSV re-infer by scan). */
+      reprobeSchema: Boolean = true,
+      /** "snapshot" (reference-faithful full re-capture) or "diff":
+        * row-level INSERT/UPDATE/DELETE envelopes against the previous
+        * captured state, keyed by `keyCols` — the batch q_cdc_diff
+        * classification wired into the stream. Diff mode keeps keyed
+        * state as (key, digest, json) parquet versions under metadataDir:
+        * state comparison never carries payload columns, so schema drift
+        * between consecutive snapshots diffs cleanly. */
+      mode: String = "snapshot",
+      /** Natural-key columns for diff mode (must be non-empty there). */
+      keyCols: Seq[String] = Nil)
 
   /** Envelope projection (R17): one row per captured row, reference
     * envelope shape (FIXTURES.md §2). data_json uses to_json here — no
@@ -150,6 +168,62 @@ object CdcPipeline {
       .write.mode("append").parquet(tableMetaDir(metadataDir, table))
   }
 
+  /** Diff-mode state: one row per key — the key columns, the lossless
+    * full-row digest, and the row's JSON rendering. Comparing (and
+    * storing) only this projection means the diff join carries no payload
+    * columns and two snapshots with different schemas still diff row-by-
+    * row (an added column changes the digest → UPDATE, exactly the
+    * reference-probe semantics applied per row). */
+  private def keyedState(df: DataFrame, keys: Seq[String]): DataFrame =
+    df.select(
+      keys.map(col) ++ Seq(
+        C.rowDigestExact(df).as("__digest"),
+        to_json(struct(df.columns.map(col).toIndexedSeq: _*)).as("__json")): _*)
+
+  private def diffStateDir(cfg: Config): String =
+    s"${cfg.metadataDir}/state/table_name=${cfg.tableName}"
+
+  /** Latest committed diff-state version, or None on bootstrap. Versions
+    * are `v=<n>` subdirectories: a crash between envelope write and state
+    * write leaves the old version intact (at-least-once, like the
+    * snapshot path), and re-running a version overwrites idempotently. */
+  private def stateVersions(spark: SparkSession, cfg: Config): Seq[Long] = {
+    val hPath = new org.apache.hadoop.fs.Path(diffStateDir(cfg))
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(hPath)) return Seq.empty
+    fs.listStatus(hPath).toSeq
+      .filter(_.isDirectory).map(_.getPath.getName)
+      .collect { case n if n.startsWith("v=") => n.drop(2).toLong }
+  }
+
+  /** Row-level INSERT/UPDATE/DELETE envelopes between two keyed states —
+    * the q_cdc_diff classification (ops/Cdc.scala) over the generic
+    * (key, digest, json) projection: a key-partitioned full-outer join,
+    * presence tested on the join keys, change on the digest. DELETE
+    * carries the old row's JSON (there is no new row to render). */
+  def diffEnvelopes(prev: DataFrame, cur: DataFrame, keys: Seq[String],
+      tableName: String): DataFrame = {
+    val p = prev.select(
+      keys.map(k => col(k).as(s"__p_$k")) ++ Seq(
+        col("__digest").as("__p_digest"), col("__json").as("__p_json")): _*)
+    val c = cur.select(
+      keys.map(k => col(k).as(s"__c_$k")) ++ Seq(
+        col("__digest").as("__c_digest"), col("__json").as("__c_json")): _*)
+    // null-safe key equality: a NULL key component must match itself or
+    // that row would surface as DELETE+INSERT on every unchanged batch
+    val on = keys.map(k => col(s"__p_$k") <=> col(s"__c_$k")).reduce(_ && _)
+    val pPresent = col("__p_digest").isNotNull
+    val cPresent = col("__c_digest").isNotNull
+    p.join(c, on, "full_outer")
+      .filter(!pPresent || !cPresent || col("__p_digest") =!= col("__c_digest"))
+      .select(
+        current_timestamp().as("timestamp"),
+        lit(tableName).as("table"),
+        when(!pPresent, "INSERT").when(!cPresent, "DELETE")
+          .otherwise("UPDATE").as("operation"),
+        coalesce(col("__c_json"), col("__p_json")).as("data"))
+  }
+
   /** One poll tick over an already-materialized batch: detect + capture +
     * record. Factored out of the stream so batch tests (and batch
     * backfills) run the identical code path. Returns true if a change was
@@ -173,11 +247,32 @@ object CdcPipeline {
       // replaces rather than duplicates its output, upgrading the
       // reference's at-least-once floor to idempotent capture. (The
       // reference instead TRUNCATES on same-second filenames — bug B2.)
-      val writer = toEnvelope(batch, cfg.tableName).write
+      val (envelopeDf, stateCommit) =
+        if (cfg.mode == "diff") {
+          require(cfg.keyCols.nonEmpty, "diff mode requires keyCols")
+          val vs = stateVersions(spark, cfg)
+          // state version = batchId; a crashed run that wrote v=id but not
+          // its checksum re-diffs against the version BELOW id, so the
+          // re-run reproduces (not empties) the envelope set
+          val v = batchId.getOrElse(vs.maxOption.map(_ + 1).getOrElse(0L))
+          val cur = keyedState(batch, cfg.keyCols)
+          val prev = vs.filter(_ < v).maxOption match {
+            case Some(pv) => spark.read.parquet(s"${diffStateDir(cfg)}/v=$pv")
+            case None => spark.createDataFrame(
+              spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], cur.schema)
+          }
+          val d = diffEnvelopes(prev, cur, cfg.keyCols, cfg.tableName)
+          // envelope write happens below, BEFORE the state advance: a
+          // crash between the two re-runs the diff against the old state
+          (d, Some(() => cur.write.mode("overwrite")
+            .parquet(s"${diffStateDir(cfg)}/v=$v")))
+        } else (toEnvelope(batch, cfg.tableName), None)
+      val writer = envelopeDf.write
       batchId match {
         case Some(id) => writer.mode("overwrite").json(s"${cfg.outputDir}/batch=$id")
         case None     => writer.mode("append").json(cfg.outputDir)
       }
+      stateCommit.foreach(_.apply())
       recordChecksum(spark, cfg.metadataDir, cfg.tableName, current)
     }
     changed
@@ -189,6 +284,28 @@ object CdcPipeline {
     * failure isolation and parallelism for free. */
   def startAll(spark: SparkSession, tables: Seq[(Config, StructType)]): Seq[StreamingQuery] =
     tables.map { case (cfg, schema) => start(spark, cfg, schema) }
+
+  /** The reference's per-tick column probe (duckdb_cdc.go:146-159) in
+    * Spark form: re-read THIS batch's files under their actual on-disk
+    * schema whenever the column set differs from the stream's fixed
+    * schema. Column-set comparison (not full schema equality) keeps the
+    * stable stream view when only inference noise differs — the canonical
+    * digest is schema-order-driven, so swapping views without a real
+    * drift would flap the checksum. */
+  private def reprobed(batch: DataFrame, cfg: Config): DataFrame = {
+    // batch.inputFiles is empty on a micro-batch frame — resolve the
+    // batch's source files through input_file_name() instead (one tiny
+    // job over the already-read batch; maxFilesPerTrigger=1 → one file)
+    val files = batch.select(input_file_name()).distinct()
+      .collect().map(_.getString(0)).filter(_.nonEmpty)
+    if (files.isEmpty) return batch
+    val reader = batch.sparkSession.read
+    if (cfg.inputFormat == "csv")
+      reader.option("header", "true").option("inferSchema", "true")
+    val actual = reader.format(cfg.inputFormat).load(files.toIndexedSeq: _*)
+    if (actual.schema.fieldNames.toSet == batch.schema.fieldNames.toSet) batch
+    else actual
+  }
 
   /** Start the monitoring stream: snapshot drops under inputDir/ are
     * discovered per trigger (the reference's ticker, R21) and run through
@@ -202,7 +319,8 @@ object CdcPipeline {
       .trigger(Trigger.ProcessingTime(cfg.triggerMs))
       .option("checkpointLocation", cfg.checkpointDir)
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        processBatch(batch.sparkSession, batch, cfg, batchId = Some(id))
+        val b = if (cfg.reprobeSchema) reprobed(batch, cfg) else batch
+        processBatch(b.sparkSession, b, cfg, batchId = Some(id))
         ()
       }
       .start()

@@ -172,6 +172,74 @@ class CdcPipelineSpec extends SparkSuite {
     assert(jsonlLines(c.outputDir).size == 4)
   }
 
+  test("mid-stream schema drift: a column-added drop is captured with the new column") {
+    val base = tmpDir("cdc")
+    val c = cfg(base)
+    Files.createDirectories(Paths.get(c.inputDir))
+    seedUsers.coalesce(1).write.mode("append").parquet(c.inputDir)
+    val q = CdcPipeline.start(spark, c, seedUsers.schema)
+    q.processAllAvailable()
+    assert(jsonlLines(c.outputDir).size == 2)
+    // SAME rows + a new column, dropped under the still-running stream.
+    // Read through the stale 4-column stream schema this drop is
+    // byte-identical to the last capture — without the per-batch schema
+    // re-probe it would not even register as a change.
+    seedUsers.withColumn("plan", org.apache.spark.sql.functions.lit("free"))
+      .coalesce(1).write.mode("append").parquet(c.inputDir)
+    q.processAllAvailable()
+    q.stop()
+    val lines = jsonlLines(c.outputDir)
+    assert(lines.size == 4)
+    // data is a nested JSON string, so its quotes arrive escaped
+    assert(lines.exists(_.contains("\\\"plan\\\":\\\"free\\\"")), lines.mkString("\n"))
+  }
+
+  test("diff mode: insert, update, delete surface as row-level envelopes") {
+    val base = tmpDir("cdc")
+    val c = cfg(base).copy(mode = "diff", keyCols = Seq("id"))
+    // bootstrap: every row of the first snapshot is an INSERT
+    assert(CdcPipeline.processBatch(spark, seedUsers, c))
+    val boot = jsonlLines(c.outputDir)
+    assert(boot.size == 2)
+    assert(boot.forall(_.contains("\"operation\":\"INSERT\"")))
+    // next snapshot: id=1 updated, id=2 deleted, id=3 inserted
+    val next = Seq(
+      (1, "John Doe", "john.doe@example.com", t0),
+      (3, "Bob Wilson", "bob@example.com", t0)
+    ).toDF("id", "name", "email", "created_at")
+    assert(CdcPipeline.processBatch(spark, next, c))
+    val delta = jsonlLines(c.outputDir).diff(boot)
+    assert(delta.size == 3)
+    def opOf(frag: String) = delta.filter(_.contains(frag))
+    assert(opOf("\"operation\":\"UPDATE\"").exists(_.contains("john.doe@example.com")))
+    assert(opOf("\"operation\":\"DELETE\"").exists(_.contains("jane@example.com")))
+    assert(opOf("\"operation\":\"INSERT\"").exists(_.contains("bob@example.com")))
+    // unchanged re-drop: no capture, no new envelopes
+    assert(!CdcPipeline.processBatch(spark, next, c))
+    assert(jsonlLines(c.outputDir).size == 5)
+  }
+
+  test("diff mode end-to-end: streaming drops produce per-batch I/U/D envelopes") {
+    val base = tmpDir("cdc")
+    val c = cfg(base).copy(mode = "diff", keyCols = Seq("id"))
+    Files.createDirectories(Paths.get(c.inputDir))
+    seedUsers.coalesce(1).write.mode("append").parquet(c.inputDir)
+    val q = CdcPipeline.start(spark, c, seedUsers.schema)
+    q.processAllAvailable()
+    assert(jsonlLines(c.outputDir).size == 2)   // bootstrap INSERTs
+    seedUsers.filter($"id" =!= 2).unionAll(
+      Seq((3, "Bob Wilson", "bob@example.com", t0))
+        .toDF("id", "name", "email", "created_at"))
+      .coalesce(1).write.mode("append").parquet(c.inputDir)
+    q.processAllAvailable()
+    q.stop()
+    val lines = jsonlLines(c.outputDir)
+    // second batch: DELETE(id=2) + INSERT(id=3); id=1 unchanged → silent
+    assert(lines.size == 4)
+    assert(lines.count(_.contains("\"operation\":\"DELETE\"")) == 1)
+    assert(lines.count(_.contains("\"operation\":\"INSERT\"")) == 3)
+  }
+
   test("changedBuckets: NULL bucket keys match null-safely") {
     import org.apache.spark.sql.functions.{col, when}
     val withNull = Seq((1, "x"), (2, "y"), (3, "z")).toDF("id", "v")
