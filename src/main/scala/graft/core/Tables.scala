@@ -67,6 +67,17 @@ object Tables {
     else
       raw.filter(col("ts") > timestamp_micros(lit(cutoffMicros)))
   }
+  /** Complement of [[eventsSince]]: events with `ts <= cutoff`, the
+    * already-processed prefix. Same raw-column pushdown rule. */
+  def eventsUntil(s: SparkSession, d: String, cutoffMicros: Long): DataFrame = {
+    val raw = table(s, d, "events")
+    if (raw.schema("ts").dataType == LongType)
+      raw.filter(col("ts") <= cutoffMicros * 1000L)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else
+      raw.filter(col("ts") <= timestamp_micros(lit(cutoffMicros)))
+  }
+
   def documents(s: SparkSession, d: String): DataFrame  = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 }

@@ -301,7 +301,38 @@ object Cdc {
       .orderBy("user_id", "from_us", "event_id")
   }
 
+  /** Incremental aggregate maintenance — the consumer-side dual of
+    * q_incremental_since: merged = merge(state, agg(delta)), where only
+    * the delta branch scans new rows (the ts bound reaches the parquet
+    * scan, PlanShapeSpec) and the merge is associative because partials
+    * are exact DECIMAL sums and counts. The oracle is the plain full
+    * aggregate — the query PROVES state+delta = full recompute, which is
+    * what lets a 100 TB consumer maintain aggregates at O(new data) per
+    * tick instead of re-scanning the table (the reference re-scans,
+    * duckdb_cdc.go:175-183). The state branch is recomputed here only so
+    * the declared query is self-contained; production reads it from the
+    * stored aggregate. */
+  val incrementalAgg: Q = Q(
+    "q_incremental_agg",
+    """SELECT event_type, count(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin
+  ) { (s, d) =>
+    val cutoff = 1704088800000000L
+    def partial(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy("event_type").agg(
+        count(lit(1)).as("cnt"),
+        sum(col("value").cast(DecimalType(18, 2))).as("psum"))
+    val state = partial(T.eventsUntil(s, d, cutoff))
+    val delta = partial(T.eventsSince(s, d, cutoff))
+    state.unionByName(delta)
+      .groupBy("event_type")
+      .agg(sum(col("cnt")).as("n"),
+        sum(col("psum")).cast(DoubleType).as("sum_value"))
+      .orderBy("event_type")
+  }
+
   val all: Seq[Q] = Seq(
     tableChecksum, partitionChecksum, snapshotEnvelope, snapshotThroughput,
-    latestChecksumPerTable, cdcDiff, incrementalSince, scd2)
+    latestChecksumPerTable, cdcDiff, incrementalSince, incrementalAgg, scd2)
 }

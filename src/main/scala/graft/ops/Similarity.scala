@@ -163,5 +163,50 @@ object Similarity {
       .orderBy("qid", "rn")
   }
 
-  val all: Seq[Q] = Seq(similarityLsh, embedNearDup, similarityIvf)
+  /** Int8 scalar quantization of the embedding column — the compression
+    * step a 100 TB vector corpus applies before ANN serving (4× smaller
+    * than float32, dot products in integer SIMD). Per-vector min/max
+    * affine quantization to [-127, 127]; output is the quantized-code
+    * digest plus exact integer checksums, so the oracle compares the
+    * codes themselves, not a float reconstruction. All arithmetic is
+    * double with an identical expression shape in both engines; the final
+    * cast happens on an already-rounded integral double (casting a raw
+    * double would trip the truncate-vs-round divergence, §2D). Pure
+    * per-row map — no shuffle but the presentation sort. */
+  val embedQuantize: Q = Q(
+    "q_embed_quantize",
+    """WITH v AS (
+      |  SELECT vec_id, embedding::DOUBLE[] AS e,
+      |    list_min(embedding::DOUBLE[]) AS vmin,
+      |    list_max(embedding::DOUBLE[]) AS vmax
+      |  FROM embeddings),
+      |q AS (
+      |  SELECT vec_id, vmin, vmax,
+      |    CASE WHEN vmax = vmin THEN list_transform(e, x -> 0)
+      |      ELSE list_transform(e, x ->
+      |        CAST(round(((x - vmin) * 254) / (vmax - vmin)) AS INTEGER) - 127)
+      |    END AS codes
+      |  FROM v)
+      |SELECT vec_id, vmin, vmax,
+      |  md5(array_to_string(codes, ',')) AS code_digest,
+      |  CAST(list_sum(codes) AS BIGINT) AS code_sum
+      |FROM q ORDER BY vec_id""".stripMargin
+  ) { (s, d) =>
+    val e = col("embedding").cast(ArrayType(DoubleType))
+    val v = T.embeddings(s, d).select(
+      col("vec_id"), e.as("e"),
+      array_min(e).as("vmin"), array_max(e).as("vmax"))
+    val codes = when(col("vmax") === col("vmin"),
+      transform(col("e"), _ => lit(0)))
+      .otherwise(transform(col("e"), x =>
+        round(((x - col("vmin")) * 254) / (col("vmax") - col("vmin")), 0)
+          .cast(IntegerType) - 127))
+    v.select(col("vec_id"), col("vmin"), col("vmax"), codes.as("codes"))
+      .select(col("vec_id"), col("vmin"), col("vmax"),
+        md5(concat_ws(",", transform(col("codes"), _.cast(StringType)))).as("code_digest"),
+        aggregate(col("codes"), lit(0L), (acc, x) => acc + x).as("code_sum"))
+      .orderBy("vec_id")
+  }
+
+  val all: Seq[Q] = Seq(similarityLsh, embedNearDup, similarityIvf, embedQuantize)
 }

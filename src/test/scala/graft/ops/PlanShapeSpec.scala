@@ -151,6 +151,20 @@ class PlanShapeSpec extends SparkSuite {
       p.take(600))
   }
 
+  test("q_neardup_pipeline: kernel signatures, no cartesian, census pre-aggregates") {
+    val p = plan("q_neardup_pipeline")
+    assert(p.contains("minhashsig"), "candidate generation must use the codegen kernel")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("partial_min"), "keeper census must pre-aggregate map-side")
+  }
+
+  test("q_incremental_agg: only the delta branch rescans new rows (bound reaches the scan)") {
+    val p = plan("q_incremental_agg")
+    assert(p.contains("PushedFilters: [IsNotNull(ts), GreaterThan(ts,"), p.take(800))
+    assert(p.contains("PushedFilters: [IsNotNull(ts), LessThanOrEqual(ts,"), p.take(800))
+    assert(p.contains("partial_"), "partials must pre-aggregate map-side")
+  }
+
   test("q_curation reads the documents text column only map-side (no text in shuffles)") {
     // The shuffle payload is the Exchange's Input row in formatted explain
     // (a substring heuristic over the tree form would false-positive on a
