@@ -333,7 +333,44 @@ def gen_arith(rng):
             f"WHERE {where} ORDER BY {key}, {a}, {b}")
 
 
+def gen_percentile(rng):
+    # exact discrete quantiles: percentile_disc returns an ACTUAL data
+    # value (no interpolation), so it is engine-exact where
+    # percentile_cont is not — see SURVEY §2D / q_quantiles
+    t = rng.choice([t for t in TABLES if any(k == "d" for _, k in TABLES[t])])
+    cols = TABLES[t]
+    dcol = rng.choice([c for c, k in cols if k == "d"])
+    part = rng.choice([c for c, k in cols if k == "s"] or [SORT_KEY[t][0]])
+    q1, q2 = rng.sample([0.1, 0.25, 0.5, 0.75, 0.9], 2)
+    where = pred(rng, cols)
+    return (f"SELECT {part}, count(*) AS n, "
+            f"percentile_disc({q1}) WITHIN GROUP (ORDER BY {dcol}) AS p_a, "
+            f"percentile_disc({q2}) WITHIN GROUP (ORDER BY {dcol}) AS p_b "
+            f"FROM {t} WHERE {where} GROUP BY {part} ORDER BY {part}")
+
+
+def gen_argextreme(rng):
+    # max_by/min_by with the table's UNIQUE key as the ordering value —
+    # deterministic winner by construction (the H6 tie hazard that bit
+    # q_latest_checksum_per_table is designed out here)
+    t = rng.choice(UNIQUE_KEY_TABLES)
+    cols = TABLES[t]
+    key = SORT_KEY[t][0]
+    vcol = rng.choice([c for c, _ in cols if c != key])
+    part = rng.choice([c for c, k in cols if k == "s"] or [key])
+    where = pred(rng, cols)
+    return (f"SELECT {part}, count(*) AS n, "
+            f"max_by({vcol}, {key}) AS last_v, min_by({vcol}, {key}) AS first_v, "
+            f"MIN({key}) AS mn, MAX({key}) AS mx "
+            f"FROM {t} WHERE {where} GROUP BY {part} ORDER BY {part}")
+
+
 def gen_query(rng):
+    roll = rng.random()
+    if roll < 0.05:
+        return gen_percentile(rng)
+    if roll < 0.10:
+        return gen_argextreme(rng)
     roll = rng.random()
     if roll < 0.04:
         return gen_arith(rng)
