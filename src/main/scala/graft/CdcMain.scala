@@ -28,10 +28,18 @@ object CdcMain {
     val tables = tableArg.split(",").map(_.trim).filter(_.nonEmpty).toSeq
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
     val spark: SparkSession = graft.core.Session.local(cpus, cpus)
+    // GRAFT_CDC_MODE=diff + GRAFT_CDC_KEYS=<k1,k2> switch every monitored
+    // table from full SNAPSHOT re-capture to row-level I/U/D envelopes
+    // (CdcPipeline diff mode; the keys name each table's natural key).
+    val mode = sys.env.getOrElse("GRAFT_CDC_MODE", "snapshot")
+    val keys = sys.env.get("GRAFT_CDC_KEYS")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
+    require(mode != "diff" || keys.nonEmpty,
+      "GRAFT_CDC_MODE=diff requires GRAFT_CDC_KEYS")
     def cfgFor(table: String, in: String, sub: String) = CdcPipeline.Config(
       inputDir = in, outputDir = s"$workDir/$sub/out",
       metadataDir = s"$workDir/$sub/meta", checkpointDir = s"$workDir/$sub/ckpt",
-      tableName = table)
+      tableName = table, mode = mode, keyCols = keys)
     // Infer a table's schema from its first snapshot drop; if the daemon
     // starts before any drop exists (the normal deploy order), wait for
     // one instead of crashing on UNABLE_TO_INFER_SCHEMA.

@@ -232,7 +232,48 @@ object LlmPipeline {
       .orderBy("doc_id")
   }
 
+  /** Sequence packing — the batching step that turns a curated corpus
+    * into fixed-budget training contexts (512 tokens here): docs are
+    * packed contiguously in doc_id order and a doc's pack is the one its
+    * START offset falls in (floor(cum_before / budget)). Packing is
+    * SHARD-LOCAL (shard = doc_id % 8): each window partition packs only
+    * its shard, so no task ever sorts more than one shard — the global
+    * single-partition cumsum that would straggle at 100 TB never exists;
+    * global pack identity is (shard, pack). All integer math, engine-
+    * exact. One window shuffle on shard + the tiny per-pack aggregate. */
+  val packSequences: Q = Q(
+    "q_pack_sequences",
+    """WITH d AS (
+      |  SELECT doc_id, doc_id % 8 AS shard,
+      |    len(string_split(text, ' ')) AS n_tok
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, shard, n_tok,
+      |    CAST(floor((SUM(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok)
+      |      / 512) AS BIGINT) AS pack
+      |  FROM d)
+      |SELECT shard, pack, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+      |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+      |FROM c GROUP BY shard, pack ORDER BY shard, pack""".stripMargin
+  ) { (s, d) =>
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy("doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    T.documents(s, d)
+      .select(col("doc_id"), (col("doc_id") % 8).as("shard"),
+        size(split(col("text"), " ")).cast(LongType).as("n_tok"))
+      .withColumn("pack",
+        floor((sum(col("n_tok")).over(w) - col("n_tok")) / 512).cast(LongType))
+      .groupBy("shard", "pack")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"),
+        min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+      .orderBy("shard", "pack")
+  }
+
   val all: Seq[Q] = Seq(
     dedupExact, dedupText, tokenTopK, jsonExtract, similarityTopK, multimodalStats,
-    tfidf, contamination)
+    tfidf, contamination, packSequences)
 }

@@ -57,5 +57,33 @@ object Sketch {
       .orderBy("event_id")
   }
 
-  val all: Seq[Q] = Seq(approxDistinct, sampleSeeded, hashSample)
+  /** Stratified deterministic sampling: per-class keep rates (the
+    * class-rebalancing step of corpus curation — downsample the dominant
+    * classes, keep the rare ones whole). Same md5-bucket membership as
+    * q_hash_sample, so the selection is retry-stable and partition-
+    * independent, with the threshold a per-row CASE on the stratum. Pure
+    * map-side filter — no shuffle at any scale. */
+  val stratifiedSample: Q = Q(
+    "q_stratified_sample",
+    """WITH r AS (
+      |  SELECT event_id, user_id, event_type,
+      |    CASE event_type WHEN 'signup' THEN 100 WHEN 'purchase' THEN 50
+      |      WHEN 'error' THEN 25 WHEN 'click' THEN 10 ELSE 5 END AS keep_pct
+      |  FROM events)
+      |SELECT event_id, user_id, event_type FROM r
+      |WHERE ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 12))::BIGINT % 100 < keep_pct
+      |ORDER BY event_id""".stripMargin
+  ) { (s, d) =>
+    val keepPct = when(col("event_type") === "signup", 100)
+      .when(col("event_type") === "purchase", 50)
+      .when(col("event_type") === "error", 25)
+      .when(col("event_type") === "click", 10)
+      .otherwise(5)
+    T.events(s, d)
+      .filter(C.md5Long48(col("event_id").cast("string")) % 100 < keepPct)
+      .select("event_id", "user_id", "event_type")
+      .orderBy("event_id")
+  }
+
+  val all: Seq[Q] = Seq(approxDistinct, sampleSeeded, hashSample, stratifiedSample)
 }

@@ -240,6 +240,23 @@ class CdcPipelineSpec extends SparkSuite {
     assert(lines.count(_.contains("\"operation\":\"INSERT\"")) == 3)
   }
 
+  test("diff mode survives schema drift: added column surfaces as UPDATEs with the new field") {
+    val base = tmpDir("cdc")
+    val c = cfg(base).copy(mode = "diff", keyCols = Seq("id"))
+    assert(CdcPipeline.processBatch(spark, seedUsers, c))
+    // same rows + a new column: state is the (key, digest, json)
+    // projection, so the wider snapshot diffs row-by-row — every row's
+    // digest changed → UPDATE, with the new field in the emitted data
+    val drifted = seedUsers.withColumn("plan",
+      org.apache.spark.sql.functions.lit("free"))
+    assert(CdcPipeline.processBatch(spark, drifted, c))
+    val lines = jsonlLines(c.outputDir)
+    assert(lines.size == 4)
+    val updates = lines.filter(_.contains("\"operation\":\"UPDATE\""))
+    assert(updates.size == 2)
+    assert(updates.forall(_.contains("\\\"plan\\\":\\\"free\\\"")))
+  }
+
   test("changedBuckets: NULL bucket keys match null-safely") {
     import org.apache.spark.sql.functions.{col, when}
     val withNull = Seq((1, "x"), (2, "y"), (3, "z")).toDF("id", "v")
