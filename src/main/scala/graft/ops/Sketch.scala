@@ -85,5 +85,21 @@ object Sketch {
       .orderBy("event_id")
   }
 
-  val all: Seq[Q] = Seq(approxDistinct, sampleSeeded, hashSample, stratifiedSample)
+  /** Approximate per-group quantiles — the O(1)-memory mergeable-sketch
+    * substitute for q_quantiles' exact sort-based percentile_disc (the
+    * swap BASELINE.md prescribes at 100 TB: the sketch merges
+    * associatively across partitions, so one bounded buffer per group
+    * crosses the shuffle instead of a sort). Approximate → no oracle;
+    * SketchSpec bounds it against the exact discrete quantiles. */
+  val approxQuantiles: Q = Q.noOracle("q_approx_quantiles") { (s, d) =>
+    T.events(s, d)
+      .groupBy("event_type")
+      .agg(
+        percentile_approx(col("value"), lit(0.5), lit(10000)).as("p50"),
+        percentile_approx(col("value"), lit(0.9), lit(10000)).as("p90"))
+      .orderBy("event_type")
+  }
+
+  val all: Seq[Q] =
+    Seq(approxDistinct, sampleSeeded, hashSample, stratifiedSample, approxQuantiles)
 }

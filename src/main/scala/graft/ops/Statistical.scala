@@ -132,6 +132,52 @@ object Statistical {
       .orderBy("o_orderkey")
   }
 
+  /** The same band join via BINNING — the plan that survives when the
+    * interval side is too big to broadcast (q_range_join's broadcast
+    * nested-loop is right for 4 bands; at 100 TB with millions of
+    * intervals it is not a plan at all). Both sides map to overlap bins
+    * of width W (intervals explode into every bin they span, clamped to
+    * the observed domain so the open-ended band stays finite), the join
+    * is a plain repartitionable equi-join on the bin, and the interval
+    * predicate remains as a residual filter. Pinned SHUFFLE_HASH so the
+    * asserted plan is the scale shape, not a small-data broadcast; the
+    * oracle is the identical SQL as q_range_join — same answer, different
+    * plan, cross-checked. */
+  val rangeJoinBinned: Q = Q(
+    "q_range_join_binned",
+    """WITH bands(band, lo, hi) AS (VALUES
+      |  ('low', 0.0, 50000.0), ('mid', 50000.0, 150000.0),
+      |  ('high', 150000.0, 300000.0), ('top', 300000.0, 1e18))
+      |SELECT o_orderkey, band, o_totalprice
+      |FROM orders JOIN bands ON o_totalprice >= lo AND o_totalprice < hi
+      |ORDER BY o_orderkey""".stripMargin
+  ) { (s, d) =>
+    import s.implicits._
+    val W = 50000.0
+    val bands = Seq(
+      ("low", 0.0, 50000.0), ("mid", 50000.0, 150000.0),
+      ("high", 150000.0, 300000.0), ("top", 300000.0, 1e18))
+      .toDF("band", "lo", "hi")
+    val maxp = T.orders(s, d).agg(max(col("o_totalprice")).as("maxp"))
+    val binnedBands = bands.crossJoin(broadcast(maxp))
+      .withColumn("hi2", least(col("hi"), col("maxp") + W))
+      // guard: Spark sequence() DESCENDS when stop < start — an interval
+      // entirely above the observed domain must yield no bins, not a
+      // descending sequence
+      .filter(col("hi2") > col("lo"))
+      .withColumn("bin", explode(sequence(
+        floor(col("lo") / W).cast(LongType),
+        // prices sit on the 2dp grid, so hi-exclusive = hi - 0.01
+        floor((col("hi2") - 0.01) / W).cast(LongType))))
+      .select("bin", "band", "lo", "hi")
+    T.orders(s, d)
+      .withColumn("bin", floor(col("o_totalprice") / W).cast(LongType))
+      .join(binnedBands.hint("shuffle_hash"), Seq("bin"))
+      .filter(col("o_totalprice") >= col("lo") && col("o_totalprice") < col("hi"))
+      .select("o_orderkey", "band", "o_totalprice")
+      .orderBy("o_orderkey")
+  }
+
   /** Ordered array aggregation: top-10 account balances per nation as one
     * canonical string. Spark's collect_list is unordered, so the order is
     * imposed by rank-before-collect + array_sort on the (rn, value) struct
@@ -255,6 +301,6 @@ object Statistical {
   }
 
   val all: Seq[Q] = Seq(
-    histogram, corrCovar, unpivot, rangeJoin, collectSorted, modeAgg,
-    skewSalted, joinBigBig, skewSaltedJoin)
+    histogram, corrCovar, unpivot, rangeJoin, rangeJoinBinned, collectSorted,
+    modeAgg, skewSalted, joinBigBig, skewSaltedJoin)
 }

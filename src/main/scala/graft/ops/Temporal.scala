@@ -241,6 +241,33 @@ object Temporal {
       .orderBy("event_id")
   }
 
+  /** INNER as-of through the native operator: unmatched purchases are
+    * dropped instead of null-padded — DuckDB's plain ASOF JOIN (no LEFT).
+    * Exercises the exec's inner path (flatMap row elision) against the
+    * same oracle family as q_asof_native. */
+  val asofInner: Q = Q(
+    "q_asof_inner",
+    """SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us,
+      |  s.event_id AS signup_event_id, epoch_us(s.ts) AS signup_ts_us
+      |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      |ASOF JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+      |  ON p.user_id = s.user_id AND p.ts >= s.ts
+      |ORDER BY p.event_id""".stripMargin
+  ) { (s, d) =>
+    val e = T.events(s, d)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"))
+    val p = e.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts_us"))
+    val sg = e.filter(col("event_type") === "signup")
+      .select(col("event_id").as("signup_event_id"), col("user_id").as("s_uid"),
+        col("ts_us").as("signup_ts_us"))
+    graft.plans.AsOf.backward(p, sg, "user_id", "ts_us", "s_uid", "signup_ts_us",
+        inner = true)
+      .select("event_id", "user_id", "ts_us", "signup_event_id", "signup_ts_us")
+      .orderBy("event_id")
+  }
+
   /** Conversion-latency distribution: exact discrete quantiles of the
     * signup→first-click delay (percentile_disc returns actual data
     * values, H: engine-exact). Two keyed min-aggregations, one join, one
@@ -315,5 +342,5 @@ object Temporal {
 
   val all: Seq[Q] = Seq(
     timeBucket, sessionize, asofJoin, asofNative, asofTolerance, asofForward,
-    funnel, funnelLatency, retention)
+    asofInner, funnel, funnelLatency, retention)
 }

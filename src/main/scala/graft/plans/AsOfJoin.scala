@@ -39,10 +39,12 @@ case class AsOfJoin(
     rightKeys: Seq[Expression],
     leftTime: Expression,
     rightTime: Expression,
-    toleranceMicros: Option[Long] = None) extends BinaryNode {
+    toleranceMicros: Option[Long] = None,
+    inner: Boolean = false) extends BinaryNode {
 
   override def output: Seq[Attribute] =
-    left.output ++ right.output.map(_.withNullability(true))
+    if (inner) left.output ++ right.output
+    else left.output ++ right.output.map(_.withNullability(true))
 
   override protected def withNewChildrenInternal(
       newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoin =
@@ -53,8 +55,8 @@ case class AsOfJoin(
   * (Session.tune) and defensively via experimental.extraStrategies. */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoin(l, r, lk, rk, lt, rt, tol) =>
-      AsOfJoinExec(lk, rk, lt, rt, tol, planLater(l), planLater(r)) :: Nil
+    case AsOfJoin(l, r, lk, rk, lt, rt, tol, inner) =>
+      AsOfJoinExec(lk, rk, lt, rt, tol, inner, planLater(l), planLater(r)) :: Nil
     case _ => Nil
   }
 }
@@ -117,11 +119,13 @@ case class AsOfJoinExec(
     leftTime: Expression,
     rightTime: Expression,
     toleranceMicros: Option[Long],
+    inner: Boolean,
     left: SparkPlan,
     right: SparkPlan) extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
-    left.output ++ right.output.map(_.withNullability(true))
+    if (inner) left.output ++ right.output
+    else left.output ++ right.output.map(_.withNullability(true))
 
   override def requiredChildDistribution: Seq[Distribution] =
     ClusteredDistribution(leftKeys) :: ClusteredDistribution(rightKeys) :: Nil
@@ -168,10 +172,12 @@ case class AsOfJoinExec(
       var lastMatchKey: UnsafeRow = null
       var lastMatchTime = 0L
 
-      lIter.map { lRow =>
+      // Inner mode drops unmatched lefts (DuckDB's plain ASOF JOIN);
+      // left mode emits them with a null right side (ASOF LEFT JOIN).
+      lIter.flatMap { lRow =>
         val lKey = lKeyProj(lRow)
         if (lKey.anyNull || lTimeProj(lRow).isNullAt(0)) {
-          resultProj(joined(lRow, nullRight))
+          if (inner) None else Some(resultProj(joined(lRow, nullRight)))
         } else {
           val lTime = lTimeProj(lRow)
           var scan = true
@@ -196,7 +202,9 @@ case class AsOfJoinExec(
           }
           val matched = lastMatch != null && keyOrd.compare(lastMatchKey, lKey) == 0 &&
             (tol == Long.MaxValue || lTime.getLong(0) - lastMatchTime <= tol)
-          resultProj(joined(lRow, if (matched) lastMatch else nullRight))
+          if (matched) Some(resultProj(joined(lRow, lastMatch)))
+          else if (inner) None
+          else Some(resultProj(joined(lRow, nullRight)))
         }
       }
     }
@@ -217,7 +225,8 @@ object AsOf {
       left: DataFrame, right: DataFrame,
       leftKey: String, leftTimeCol: String,
       rightKey: String, rightTimeCol: String,
-      toleranceMicros: Option[Long] = None): DataFrame = {
+      toleranceMicros: Option[Long] = None,
+      inner: Boolean = false): DataFrame = {
     val overlap = left.columns.toSet.intersect(right.columns.toSet)
     require(overlap.isEmpty, s"column names must be disjoint, both sides have: $overlap")
     val spark = left.sparkSession
@@ -245,7 +254,7 @@ object AsOf {
     GraftBridge.ofRows(spark, AsOfJoin(
       lPlan, rPlan,
       Seq(attr(lPlan, leftKey)), Seq(attr(rPlan, rightKey)),
-      lt, rt, toleranceMicros))
+      lt, rt, toleranceMicros, inner))
   }
 
   /** Forward as-of join: for each `left` row, the EARLIEST `right` row
@@ -258,13 +267,14 @@ object AsOf {
       left: DataFrame, right: DataFrame,
       leftKey: String, leftTimeCol: String,
       rightKey: String, rightTimeCol: String,
-      toleranceMicros: Option[Long] = None): DataFrame = {
+      toleranceMicros: Option[Long] = None,
+      inner: Boolean = false): DataFrame = {
     import org.apache.spark.sql.functions.col
     val lNeg = "__graft_neg_lt"; val rNeg = "__graft_neg_rt"
     val l2 = left.withColumn(lNeg, -col(leftTimeCol))
     val r2 = right.withColumn(rNeg, -col(rightTimeCol))
     // negated-time gap (-t_l) - (-t_r) = t_r - t_l = the forward gap
-    backward(l2, r2, leftKey, lNeg, rightKey, rNeg, toleranceMicros)
+    backward(l2, r2, leftKey, lNeg, rightKey, rNeg, toleranceMicros, inner)
       .drop(lNeg, rNeg)
   }
 }

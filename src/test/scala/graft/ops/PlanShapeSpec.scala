@@ -165,6 +165,14 @@ class PlanShapeSpec extends SparkSuite {
     assert(p.contains("partial_"), "partials must pre-aggregate map-side")
   }
 
+  test("q_range_join_binned joins on the bin hash — no broadcast of the interval side") {
+    val p = plan("q_range_join_binned")
+    // the band join itself must be the repartitionable equi-join (the
+    // 1-row domain-clamp crossJoin is a broadcast by design)
+    assert(p.contains("ShuffledHashJoin [bin"), p.take(600))
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("q_curation reads the documents text column only map-side (no text in shuffles)") {
     // The shuffle payload is the Exchange's Input row in formatted explain
     // (a substring heuristic over the tree form would false-positive on a

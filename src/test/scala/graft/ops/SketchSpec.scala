@@ -25,6 +25,23 @@ class SketchSpec extends SparkSuite {
     }
   }
 
+  test("q_approx_quantiles lands within 5% relative of the exact discrete quantiles") {
+    import org.apache.spark.sql.functions._
+    val approx = graft.SparkEntry.queries("q_approx_quantiles")(spark, sf)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val exact = graft.core.Tables.events(spark, sf)
+      .groupBy("event_type")
+      .agg(expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY value)").as("p50"),
+        expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY value)").as("p90"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(approx.keySet == exact.keySet)
+    exact.foreach { case (k, (e50, e90)) =>
+      val (a50, a90) = approx(k)
+      assert(math.abs(a50 - e50) <= 0.05 * math.abs(e50) + 1e-9, s"$k p50: $a50 vs $e50")
+      assert(math.abs(a90 - e90) <= 0.05 * math.abs(e90) + 1e-9, s"$k p90: $a90 vs $e90")
+    }
+  }
+
   test("q_sample is deterministic for a fixed seed and ~1% of rows") {
     val a = graft.SparkEntry.queries("q_sample")(spark, sf).collect()
     val b = graft.SparkEntry.queries("q_sample")(spark, sf).collect()

@@ -39,6 +39,23 @@ class AsOfJoinSpec extends SparkSuite {
     ))
   }
 
+  test("inner as-of drops unmatched and null-key/time lefts") {
+    val (trades, quotes) = fixture
+    val out = AsOf.backward(trades, quotes, "k", "t", "qk", "qt", inner = true)
+      .orderBy("k", "t").collect().toSeq
+    assert(out == Seq(
+      Row(1L, 100L, 1L, 100L, "a"),
+      Row(1L, 205L, 1L, 200L, "b"),
+      Row(1L, 300L, 1L, 250L, "c")
+      // key 2 (quote only later) and key 3 (never quoted) are gone
+    ))
+    // inner + tolerance: a match older than the bound is dropped, not nulled
+    val tight = AsOf.backward(trades, quotes, "k", "t", "qk", "qt",
+      toleranceMicros = Some(5L), inner = true)
+      .orderBy("k", "t").collect().toSeq
+    assert(tight == Seq(Row(1L, 100L, 1L, 100L, "a"), Row(1L, 205L, 1L, 200L, "b")))
+  }
+
   test("null keys and null times never match") {
     import spark.implicits._
     val l = Seq((Some(1L), Some(100L)), (None, Some(100L)), (Some(1L), None))
