@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.core.{Canonical => C, Q, Tables => T}
@@ -226,30 +226,54 @@ object Dedup {
     * kernel / array_distinct — text never crosses a shuffle); the band
     * census shuffles (band, bucket, doc_id) triples; the verify joins
     * carry one bounded token set per doc. */
-  val neardupPipeline: Q = {
+  /** The LSH candidate stage — (doc_id, keeper_id) pairs — as shared
+    * DuckDB CTE text and as a Spark plan, used by both q_neardup_pipeline
+    * (Jaccard verification) and q_dedup_clusters (transitive closure). */
+  private val candCteSql: String = {
     val hashCols = (0 until K).map(i => s"min(a + $i * b) AS h$i").mkString(", ")
     val bandCase = (0 until Bands).map(b =>
       s"WHEN ${b} THEN md5(concat_ws(',', CAST(h${2 * b} AS VARCHAR), CAST(h${2 * b + 1} AS VARCHAR)))")
       .mkString(" ")
+    s"""toks AS (
+       |  SELECT doc_id,
+       |    ('0x' || substr(md5(tok), 1, 12))::BIGINT AS a,
+       |    ('0x' || substr(md5(tok), 13, 12))::BIGINT AS b
+       |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+       |), sig AS (
+       |  SELECT doc_id, $hashCols FROM toks GROUP BY doc_id
+       |), bands AS (
+       |  SELECT doc_id, band, CASE band $bandCase END AS bucket
+       |  FROM sig, (SELECT unnest([${(0 until Bands).mkString(", ")}]) AS band)
+       |), keepers AS (
+       |  SELECT band, bucket, min(doc_id) AS k FROM bands GROUP BY 1, 2
+       |), cand AS (
+       |  SELECT b.doc_id, min(k.k) AS keeper_id
+       |  FROM bands b JOIN keepers k ON b.band = k.band AND b.bucket = k.bucket
+       |  GROUP BY b.doc_id HAVING min(k.k) < b.doc_id
+       |)""".stripMargin
+  }
+
+  private def candidatePairs(s: SparkSession, d: String): DataFrame = {
+    val sig = T.documents(s, d)
+      .select(col("doc_id"),
+        graft.functions.MinhashSig.sig(s, split(col("text"), " "), K).as("sig"))
+    val bandKeys = (0 until Bands).map(b =>
+      md5(concat_ws(",", element_at(col("sig"), 2 * b + 1).cast(StringType),
+        element_at(col("sig"), 2 * b + 2).cast(StringType))))
+    val bands = sig.select(col("doc_id"),
+      posexplode(array(bandKeys: _*)).as(Seq("band", "bucket")))
+    val keepers = bands.groupBy("band", "bucket").agg(min(col("doc_id")).as("k"))
+    // co-partitioned with keepers on (band, bucket) — the census shuffle
+    // is reused by the join; then one narrow shuffle on doc_id
+    bands.join(keepers, Seq("band", "bucket"))
+      .groupBy("doc_id").agg(min(col("k")).as("keeper_id"))
+      .filter(col("keeper_id") < col("doc_id"))
+  }
+
+  val neardupPipeline: Q = {
     Q(
       "q_neardup_pipeline",
-      s"""WITH toks AS (
-         |  SELECT doc_id,
-         |    ('0x' || substr(md5(tok), 1, 12))::BIGINT AS a,
-         |    ('0x' || substr(md5(tok), 13, 12))::BIGINT AS b
-         |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
-         |), sig AS (
-         |  SELECT doc_id, $hashCols FROM toks GROUP BY doc_id
-         |), bands AS (
-         |  SELECT doc_id, band, CASE band $bandCase END AS bucket
-         |  FROM sig, (SELECT unnest([${(0 until Bands).mkString(", ")}]) AS band)
-         |), keepers AS (
-         |  SELECT band, bucket, min(doc_id) AS k FROM bands GROUP BY 1, 2
-         |), cand AS (
-         |  SELECT b.doc_id, min(k.k) AS keeper_id
-         |  FROM bands b JOIN keepers k ON b.band = k.band AND b.bucket = k.bucket
-         |  GROUP BY b.doc_id HAVING min(k.k) < b.doc_id
-         |), sets AS (
+      s"""WITH $candCteSql, sets AS (
          |  SELECT doc_id, list_distinct(string_split(text, ' ')) AS t,
          |    len(list_distinct(string_split(text, ' '))) AS n
          |  FROM documents
@@ -266,20 +290,7 @@ object Dedup {
          |JOIN sets y ON y.doc_id = c.keeper_id
          |ORDER BY c.doc_id""".stripMargin
     ) { (s, d) =>
-      val sig = T.documents(s, d)
-        .select(col("doc_id"),
-          graft.functions.MinhashSig.sig(s, split(col("text"), " "), K).as("sig"))
-      val bandKeys = (0 until Bands).map(b =>
-        md5(concat_ws(",", element_at(col("sig"), 2 * b + 1).cast(StringType),
-          element_at(col("sig"), 2 * b + 2).cast(StringType))))
-      val bands = sig.select(col("doc_id"),
-        posexplode(array(bandKeys: _*)).as(Seq("band", "bucket")))
-      val keepers = bands.groupBy("band", "bucket").agg(min(col("doc_id")).as("k"))
-      // co-partitioned with keepers on (band, bucket) — the census shuffle
-      // is reused by the join; then one narrow shuffle on doc_id
-      val cand = bands.join(keepers, Seq("band", "bucket"))
-        .groupBy("doc_id").agg(min(col("k")).as("keeper_id"))
-        .filter(col("keeper_id") < col("doc_id"))
+      val cand = candidatePairs(s, d)
       val sets = T.documents(s, d).select(
         col("doc_id"), array_distinct(split(col("text"), " ")).as("t"))
         .select(col("doc_id"), col("t"), size(col("t")).cast(LongType).as("n"))
@@ -297,7 +308,50 @@ object Dedup {
     }
   }
 
+  /** Transitive closure of the candidate pairs into DEDUP CLUSTERS — the
+    * step after candidate generation in a real curation run: doc→keeper
+    * edges form a forest (every keeper id is smaller than its doc), and
+    * the cluster root is the chain's minimum. Spark side is distributed
+    * pointer jumping (label := parent's label, chain length halves per
+    * round, so convergence is O(log depth) rounds — the GraphFrames/
+    * Pregel connected-components shape; every round is a key-partitioned
+    * join, the driver only probes a 1-row convergence aggregate;
+    * localCheckpoint truncates the otherwise-exponential iterative plan
+    * lineage). The oracle walks the same closure as a DuckDB RECURSIVE
+    * CTE — two unrelated fixpoint engines agreeing on the clustering. */
+  val dedupClusters: Q = Q(
+    "q_dedup_clusters",
+    s"""WITH RECURSIVE $candCteSql,
+       |reach AS (
+       |  SELECT doc_id, keeper_id AS r FROM cand
+       |  UNION
+       |  SELECT re.doc_id, c.keeper_id FROM reach re JOIN cand c ON re.r = c.doc_id
+       |)
+       |SELECT doc_id, min(r) AS root_id FROM reach GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin
+  ) { (s, d) =>
+    var lab = candidatePairs(s, d)
+      .select(col("doc_id"), col("keeper_id").as("root"))
+      .localCheckpoint()
+    var prevSum = -1L
+    var iter = 0
+    var converged = false
+    while (!converged && iter < 32) {
+      val parents = lab.select(col("doc_id").as("p_doc"), col("root").as("p_root"))
+      lab = lab.join(parents, col("root") === col("p_doc"), "left")
+        .select(col("doc_id"),
+          least(col("root"), coalesce(col("p_root"), col("root"))).as("root"))
+        .localCheckpoint()
+      // roots only decrease; the sum is a cheap monotone fixpoint probe
+      val sum = lab.agg(org.apache.spark.sql.functions.sum("root")).head().getLong(0)
+      converged = sum == prevSum
+      prevSum = sum
+      iter += 1
+    }
+    lab.select(col("doc_id"), col("root").as("root_id")).orderBy("doc_id")
+  }
+
   val all: Seq[Q] =
     Seq(dedupMinhash, dedupSimhash, ngramJaccard, simhashHamming,
-      dedupEditDistance, neardupPipeline)
+      dedupEditDistance, neardupPipeline, dedupClusters)
 }
