@@ -1,0 +1,61 @@
+package graft.core
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+
+/** Table-maintenance utilities — the operational half of running the
+  * engine's sinks for months: streaming captures (CdcPipeline writes one
+  * directory per micro-batch) accrete small files, and diff-mode state
+  * accretes versions. At 100 TB scan efficiency dies by per-file open
+  * overhead and undersized row groups long before raw bytes matter, so
+  * compaction is part of the engine, not an afterthought.
+  */
+object Maintenance {
+
+  /** Bin-pack a parquet directory toward `targetBytes` per file.
+    * Rewrites into a sibling tmp dir, then swaps via two renames (the
+    * window where neither dir exists is the same one every non-
+    * transactional rewriter has; a crashed swap leaves either the
+    * original or the compacted dir intact plus debris dirs to clean).
+    * Returns (filesBefore, filesAfter). */
+  def compact(spark: SparkSession, dir: String,
+      targetBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
+    val path = new Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dataFiles = fs.listStatus(path).toSeq
+      .filter(s => s.isFile && !s.getPath.getName.startsWith("_"))
+    val totalBytes = dataFiles.map(_.getLen).sum
+    val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+    val tmp = new Path(dir + "__compact_tmp")
+    val old = new Path(dir + "__compact_old")
+    spark.read.parquet(dir).repartition(nOut)
+      .write.mode("overwrite").parquet(tmp.toString)
+    if (fs.exists(old)) fs.delete(old, true)
+    require(fs.rename(path, old), s"rename $path -> $old failed")
+    require(fs.rename(tmp, path), s"rename $tmp -> $path failed")
+    fs.delete(old, true)
+    val after = fs.listStatus(path).toSeq
+      .count(s => s.isFile && !s.getPath.getName.startsWith("_"))
+    (dataFiles.size, after)
+  }
+
+  /** Drop all but the newest `keep` versioned subdirectories
+    * (`<prefix><n>`) of `dir` — retention for CdcPipeline's diff-mode
+    * state (state/v=N accretes one version per changed batch; only the
+    * latest is read, older ones exist for crash re-runs). Returns the
+    * deleted version numbers. */
+  def pruneVersions(spark: SparkSession, dir: String, keep: Int,
+      prefix: String = "v="): Seq[Long] = {
+    require(keep >= 1, "keep must be >= 1")
+    val path = new Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(path)) return Seq.empty
+    val versions = fs.listStatus(path).toSeq
+      .filter(_.isDirectory).map(_.getPath.getName)
+      .collect { case n if n.startsWith(prefix) => n.drop(prefix.length).toLong }
+      .sorted
+    val doomed = versions.dropRight(keep)
+    doomed.foreach(v => fs.delete(new Path(path, s"$prefix$v"), true))
+    doomed
+  }
+}

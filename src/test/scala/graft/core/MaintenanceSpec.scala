@@ -1,0 +1,73 @@
+package graft.core
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+/** Compaction must change the file layout and NOTHING else: row count and
+  * the order-independent content digest are asserted identical across the
+  * rewrite. */
+class MaintenanceSpec extends SparkSuite {
+
+  private def digest(dir: String): Long = {
+    val df = spark.read.parquet(dir)
+    df.agg(coalesce(sum(Canonical.rowDigestExact(df)), lit(0L))).head().getLong(0)
+  }
+
+  test("compact bin-packs small files without changing content") {
+    val dir = tmpDir("compact") + "/events"
+    val src = Tables.events(spark, "/root/testdata/sf0.001")
+    src.repartition(20).write.mode("overwrite").parquet(dir)
+    val before = digest(dir)
+    val n = spark.read.parquet(dir).count()
+    val (filesBefore, filesAfter) = Maintenance.compact(spark, dir)
+    assert(filesBefore == 20)
+    assert(filesAfter == 1, s"tiny table should pack to one file, got $filesAfter")
+    assert(spark.read.parquet(dir).count() == n)
+    assert(digest(dir) == before, "content digest changed across compaction")
+  }
+
+  test("pruneVersions keeps the newest versions and reports the dropped ones") {
+    val dir = tmpDir("prune") + "/state"
+    (0L to 4L).foreach { v =>
+      Files.createDirectories(Paths.get(s"$dir/v=$v"))
+      Files.writeString(Paths.get(s"$dir/v=$v/marker"), v.toString)
+    }
+    val dropped = Maintenance.pruneVersions(spark, dir, keep = 2)
+    assert(dropped == Seq(0L, 1L, 2L))
+    assert(Files.exists(Paths.get(s"$dir/v=3")) && Files.exists(Paths.get(s"$dir/v=4")))
+    assert(!Files.exists(Paths.get(s"$dir/v=0")))
+    // pruning a missing dir is a no-op, not an error
+    assert(Maintenance.pruneVersions(spark, s"$dir/nope", keep = 1).isEmpty)
+  }
+
+  test("diff-mode state stays readable after pruning old versions") {
+    import spark.implicits._
+    val base = tmpDir("prunecdc")
+    val cfg = graft.streaming.CdcPipeline.Config(
+      inputDir = s"$base/in", outputDir = s"$base/out",
+      metadataDir = s"$base/meta", checkpointDir = s"$base/ckpt",
+      tableName = "users", mode = "diff", keyCols = Seq("id"))
+    val t0 = java.sql.Timestamp.valueOf("2024-12-20 10:00:00")
+    val v1 = Seq((1, "a", t0), (2, "b", t0)).toDF("id", "v", "ts")
+    val v2 = Seq((1, "a", t0), (2, "B", t0)).toDF("id", "v", "ts")
+    val v3 = Seq((1, "a", t0), (2, "B", t0), (3, "c", t0)).toDF("id", "v", "ts")
+    assert(graft.streaming.CdcPipeline.processBatch(spark, v1, cfg))
+    assert(graft.streaming.CdcPipeline.processBatch(spark, v2, cfg))
+    assert(graft.streaming.CdcPipeline.processBatch(spark, v3, cfg))
+    val stateRoot = s"${cfg.metadataDir}/state/table_name=users"
+    Maintenance.pruneVersions(spark, stateRoot, keep = 1)
+    // next diff must run against the surviving latest version
+    val v4 = Seq((1, "a", t0), (3, "c", t0)).toDF("id", "v", "ts")
+    assert(graft.streaming.CdcPipeline.processBatch(spark, v4, cfg))
+    val lines = Files.walk(Paths.get(cfg.outputDir)).iterator()
+    val deletes = scala.jdk.CollectionConverters.IteratorHasAsScala(lines).asScala
+      .filter(p => p.toString.endsWith(".json"))
+      .flatMap(p => scala.jdk.CollectionConverters.ListHasAsScala(
+        Files.readAllLines(p)).asScala)
+      .count(_.contains("\"operation\":\"DELETE\""))
+    assert(deletes == 1, "the id=2 delete must be diffed against the pruned-to state")
+  }
+}
