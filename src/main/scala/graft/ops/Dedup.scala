@@ -351,7 +351,58 @@ object Dedup {
     lab.select(col("doc_id"), col("root").as("root_id")).orderBy("doc_id")
   }
 
+  /** The estimator LSH is built on, made visible: for adjacent-id pairs,
+    * the fraction of equal minhash slots (an unbiased estimate of
+    * Jaccard — P[min-hash collision] = J) next to the exact token-set
+    * Jaccard it estimates. Integer slot-match count, n/8 exact in
+    * binary, so the whole comparison is hash-stable. This is the
+    * tuning-loop query for picking K and the band shape on a real
+    * corpus. */
+  val minhashJaccardEst: Q = {
+    val eqSum = (0 until K).map(i =>
+      s"CASE WHEN a.h$i = b.h$i THEN 1 ELSE 0 END").mkString(" + ")
+    Q(
+      "q_minhash_jaccard_est",
+      s"""WITH $candCteSql, sets AS (
+         |  SELECT doc_id, list_distinct(string_split(text, ' ')) AS t,
+         |    len(list_distinct(string_split(text, ' '))) AS n
+         |  FROM documents
+         |)
+         |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         |  CAST($eqSum AS INTEGER) AS n_match,
+         |  ($eqSum) / ${K}.0 AS est_jaccard,
+         |  len(list_intersect(x.t, y.t))
+         |    / (x.n + y.n - len(list_intersect(x.t, y.t))) AS jaccard
+         |FROM sig a JOIN sig b ON b.doc_id = a.doc_id + 1
+         |JOIN sets x ON x.doc_id = a.doc_id
+         |JOIN sets y ON y.doc_id = b.doc_id
+         |ORDER BY a_id""".stripMargin
+    ) { (s, d) =>
+      val sig = T.documents(s, d)
+        .select(col("doc_id"),
+          graft.functions.MinhashSig.sig(s, split(col("text"), " "), K).as("sig"),
+          array_distinct(split(col("text"), " ")).as("t"))
+        .select(col("doc_id"), col("sig"), col("t"),
+          size(col("t")).cast(LongType).as("n"))
+      val a = sig.select(col("doc_id").as("a_id"), col("sig").as("sa"),
+        col("t").as("ta"), col("n").as("na"))
+      val b = sig.select(col("doc_id").as("b_id"), col("sig").as("sb"),
+        col("t").as("tb"), col("n").as("nb"))
+      val nMatch = (1 to K).map(i =>
+        when(element_at(col("sa"), i) === element_at(col("sb"), i), 1).otherwise(0))
+        .reduce(_ + _)
+      val inter = size(array_intersect(col("ta"), col("tb"))).cast(LongType)
+      val uni = col("na") + col("nb") - inter
+      a.join(b, col("b_id") === col("a_id") + 1)
+        .select(col("a_id"), col("b_id"),
+          nMatch.as("n_match"),
+          (nMatch / lit(K.toDouble)).as("est_jaccard"),
+          (inter / uni).as("jaccard"))
+        .orderBy("a_id")
+    }
+  }
+
   val all: Seq[Q] =
     Seq(dedupMinhash, dedupSimhash, ngramJaccard, simhashHamming,
-      dedupEditDistance, neardupPipeline, dedupClusters)
+      dedupEditDistance, neardupPipeline, dedupClusters, minhashJaccardEst)
 }
