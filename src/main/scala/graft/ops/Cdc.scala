@@ -332,7 +332,49 @@ object Cdc {
       .orderBy("event_type")
   }
 
+  /** Changelog replay — the CONSUMER side of the envelope stream: apply
+    * an I/U/D log in sequence order and materialize current state (last
+    * writer wins per key, DELETE tombstones drop the key). One max_by per
+    * key with the same struct(seq, event_id) total order as
+    * q_latest_checksum_per_table — no sort of the whole log, partial
+    * aggregation before the key shuffle, so replay is one exchange at any
+    * log size. The log is synthesized from events (op assigned by modular
+    * arithmetic) so both engines derive identical input. */
+  val cdcReplay: Q = Q(
+    "q_cdc_replay",
+    """WITH log AS (
+      |  SELECT event_id % 1000 AS key, epoch_us(ts) AS seq_us, event_id,
+      |    CASE WHEN event_id % 17 = 0 THEN 'D'
+      |         WHEN event_id % 5 = 0 THEN 'U' ELSE 'I' END AS op,
+      |    value
+      |  FROM events),
+      |latest AS (
+      |  SELECT key, op, value, seq_us,
+      |    row_number() OVER (PARTITION BY key
+      |                       ORDER BY seq_us DESC, event_id DESC) AS rn
+      |  FROM log)
+      |SELECT key, op AS last_op, value, seq_us
+      |FROM latest WHERE rn = 1 AND op != 'D'
+      |ORDER BY key""".stripMargin
+  ) { (s, d) =>
+    val log = T.events(s, d).select(
+      (col("event_id") % 1000).as("key"),
+      unix_micros(col("ts")).as("seq_us"),
+      col("event_id"),
+      when(col("event_id") % 17 === 0, "D")
+        .when(col("event_id") % 5 === 0, "U").otherwise("I").as("op"),
+      col("value"))
+    log.groupBy("key")
+      .agg(max_by(struct(col("op"), col("value"), col("seq_us")),
+        struct(col("seq_us"), col("event_id"))).as("w"))
+      .filter(col("w.op") =!= "D")
+      .select(col("key"), col("w.op").as("last_op"),
+        col("w.value").as("value"), col("w.seq_us").as("seq_us"))
+      .orderBy("key")
+  }
+
   val all: Seq[Q] = Seq(
     tableChecksum, partitionChecksum, snapshotEnvelope, snapshotThroughput,
-    latestChecksumPerTable, cdcDiff, incrementalSince, incrementalAgg, scd2)
+    latestChecksumPerTable, cdcDiff, incrementalSince, incrementalAgg,
+    cdcReplay, scd2)
 }
