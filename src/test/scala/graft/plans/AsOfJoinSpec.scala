@@ -56,6 +56,28 @@ class AsOfJoinSpec extends SparkSuite {
     assert(tight == Seq(Row(1L, 100L, 1L, 100L, "a"), Row(1L, 205L, 1L, 200L, "b")))
   }
 
+  test("composite keys: both key columns must match (RowOrdering over multi-col keys)") {
+    import spark.implicits._
+    val l = Seq((1L, "x", 100L), (1L, "y", 100L), (2L, "x", 100L))
+      .toDF("k1", "k2", "t")
+    val r = Seq((1L, "x", 90L, "only-1x"), (2L, "y", 80L, "only-2y"))
+      .toDF("rk1", "rk2", "rt", "v")
+    val lp = l.queryExecution.analyzed
+    val rp = r.queryExecution.analyzed
+    def attr(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, n: String) =
+      p.output.find(_.name == n).get
+    val out = org.apache.spark.sql.GraftBridge.ofRows(spark, AsOfJoin(
+      lp, rp,
+      Seq(attr(lp, "k1"), attr(lp, "k2")), Seq(attr(rp, "rk1"), attr(rp, "rk2")),
+      attr(lp, "t"), attr(rp, "rt")))
+      .orderBy("k1", "k2").collect().toSeq
+    assert(out == Seq(
+      Row(1L, "x", 100L, 1L, "x", 90L, "only-1x"),   // both key cols equal
+      Row(1L, "y", 100L, null, null, null, null),     // k2 differs → no match
+      Row(2L, "x", 100L, null, null, null, null)      // k1 pairs exist only for k2=y
+    ))
+  }
+
   test("null keys and null times never match") {
     import spark.implicits._
     val l = Seq((Some(1L), Some(100L)), (None, Some(100L)), (Some(1L), None))
