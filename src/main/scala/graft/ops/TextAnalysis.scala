@@ -220,7 +220,57 @@ object TextAnalysis {
       .limit(25)
   }
 
+  /** Confusion matrix of the stopword-density language classifier
+    * (q_lang_id) against the corpus's labeled `lang` column — the
+    * evaluation query any heuristic classifier ships with. Same kernel
+    * verdict as q_lang_id, one (label, pred) aggregate. */
+  val langConfusion: Q = Q(
+    "q_lang_confusion",
+    s"""WITH scored AS (
+       |  SELECT lang,
+       |    CASE WHEN sum(CASE WHEN tok IN ($stopSql) THEN 1 ELSE 0 END) * 10 >= count(*)
+       |         THEN 'en' ELSE 'other' END AS pred
+       |  FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok FROM documents)
+       |  GROUP BY doc_id, lang)
+       |SELECT lang, pred, count(*) AS n
+       |FROM scored GROUP BY lang, pred ORDER BY lang, pred""".stripMargin
+  ) { (s, d) =>
+    T.documents(s, d)
+      .select(col("lang"),
+        graft.functions.TokenStats.stats(s, split(col("text"), " "), stopwords).as("st"))
+      .select(col("lang"),
+        when(col("st.n_stop") * 10 >= col("st.n_tok"), "en").otherwise("other").as("pred"))
+      .groupBy("lang", "pred")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("lang", "pred")
+  }
+
+  /** Corpus composition report: per source, document/token counts and
+    * token share — the mixing-weights table a pretraining data recipe is
+    * written against. Share is an exact-int division rounded at 6 dp. */
+  val corpusMix: Q = Q(
+    "q_corpus_mix",
+    """WITH d AS (
+      |  SELECT source, len(string_split(text, ' ')) AS n_tok FROM documents)
+      |SELECT source, count(*) AS n_docs,
+      |  CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+      |  round(CAST(sum(n_tok) AS BIGINT)
+      |    / (SELECT CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+      |       FROM documents)::DOUBLE, 6) AS token_share
+      |FROM d GROUP BY source ORDER BY source""".stripMargin
+  ) { (s, d) =>
+    val docs = T.documents(s, d)
+      .select(col("source"), size(split(col("text"), " ")).cast(LongType).as("n_tok"))
+    val total = docs.agg(sum(col("n_tok")).as("total"))
+    docs.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+      .crossJoin(broadcast(total))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        round(col("n_tokens") / col("total").cast(DoubleType), 6).as("token_share"))
+      .orderBy("source")
+  }
+
   val all: Seq[Q] =
     Seq(langId, qualityScore, tokenCount, fingerprint, bigramTopK, piiScrub,
-      vocabStats, lengthBuckets, charNgrams)
+      vocabStats, lengthBuckets, charNgrams, langConfusion, corpusMix)
 }

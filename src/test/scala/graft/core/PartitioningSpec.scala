@@ -58,6 +58,31 @@ class PartitioningSpec extends SparkSuite {
     } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
 
+  test("dynamic partition pruning: a dim-side filter prunes fact partitions at runtime") {
+    import spark.implicits._
+    val out = tmpDir("dpp")
+    Tables.events(spark, "/root/testdata/sf0.001")
+      .withColumn("day", to_date(col("ts")))
+      .write.partitionBy("day").mode("overwrite").parquet(out)
+    val fact = spark.read.parquet(out)
+    // the dim must be a real scan: a local Seq would be constant-folded
+    // through the filter, leaving no selective predicate for the pruning
+    // rule to propagate
+    val dimDir = tmpDir("dppdim")
+    Seq(("2024-01-01", "keep"), ("2024-01-02", "drop"))
+      .toDF("day_s", "tag").write.mode("overwrite").parquet(dimDir)
+    val dim = spark.read.parquet(dimDir)
+    val j = fact.join(dim.filter($"tag" === "keep"),
+      fact("day") === to_date($"day_s"))
+    // the fact scan must carry a runtime (dynamicpruning) partition filter
+    // — at 100 TB this is the difference between scanning one day and the
+    // whole table when the predicate lives on the dimension
+    val p = j.queryExecution.executedPlan.toString()
+    assert(p.toLowerCase.contains("dynamicpruning"), p.take(800))
+    assert(j.count() ==
+      fact.filter(col("day") === "2024-01-01").count())
+  }
+
   test("format breadth: orc/json/csv round-trips preserve the envelope shape") {
     val out = tmpDir("fmt")
     val src = graft.ops.Cdc.snapshotEnvelope.fn(spark, "/root/testdata/sf0.001")
