@@ -322,8 +322,68 @@ object Analytic {
       .orderBy("l_orderkey", "l_linenumber", "lo", "hi", "flag_default", "band")
   }
 
+  /** Event-transition mining: per-user consecutive (prev → next) event
+    * pairs counted corpus-wide — the Markov transition table behind
+    * next-action models and bot detection. One window shuffle on user_id
+    * (lag inside the per-user sort), then a 25-group aggregate with
+    * map-side partials. */
+  val userPath: Q = Q(
+    "q_user_path",
+    """WITH steps AS (
+      |  SELECT user_id,
+      |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type,
+      |    event_type AS next_type
+      |  FROM events)
+      |SELECT prev_type, next_type, count(*) AS n,
+      |  count(DISTINCT user_id) AS n_users
+      |FROM steps WHERE prev_type IS NOT NULL
+      |GROUP BY prev_type, next_type ORDER BY prev_type, next_type""".stripMargin
+  ) { (s, d) =>
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    T.events(s, d)
+      .select(col("user_id"),
+        lag(col("event_type"), 1).over(w).as("prev_type"),
+        col("event_type").as("next_type"))
+      .filter(col("prev_type").isNotNull)
+      .groupBy("prev_type", "next_type")
+      .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("n_users"))
+      .orderBy("prev_type", "next_type")
+  }
+
+  /** RFM segmentation: per-customer recency (latest order date), frequency
+    * (order count), monetary (exact decimal total), then quartile labels
+    * via ntile over a TOTAL order (metric + customer key — ties broken
+    * deterministically, the H6 rule ntile needs). Two aggregates + one
+    * window; the per-customer table is the small output of the first
+    * aggregate, so the ntile sort is over customers, not orders. */
+  val rfm: Q = Q(
+    "q_rfm",
+    """WITH base AS (
+      |  SELECT o_custkey AS cust,
+      |    max(epoch_us(o_orderdate)) AS recency_us,
+      |    count(*) AS freq,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS monetary
+      |  FROM orders GROUP BY 1)
+      |SELECT cust, recency_us, freq, monetary,
+      |  CAST(ntile(4) OVER (ORDER BY recency_us, cust) AS BIGINT) AS r_q,
+      |  CAST(ntile(4) OVER (ORDER BY freq, cust) AS BIGINT) AS f_q,
+      |  CAST(ntile(4) OVER (ORDER BY monetary, cust) AS BIGINT) AS m_q
+      |FROM base ORDER BY cust""".stripMargin
+  ) { (s, d) =>
+    val base = T.orders(s, d)
+      .groupBy(col("o_custkey").as("cust"))
+      .agg(max(unix_micros(col("o_orderdate"))).as("recency_us"),
+        count(lit(1)).as("freq"),
+        C.dsum(col("o_totalprice")).as("monetary"))
+    base
+      .withColumn("r_q", ntile(4).over(Window.orderBy(col("recency_us"), col("cust"))).cast(LongType))
+      .withColumn("f_q", ntile(4).over(Window.orderBy(col("freq"), col("cust"))).cast(LongType))
+      .withColumn("m_q", ntile(4).over(Window.orderBy(col("monetary"), col("cust"))).cast(LongType))
+      .orderBy("cust")
+  }
+
   val all: Seq[Q] = Seq(
     windowLeadLag, windowNtile, windowMoving, cube, groupingSets,
     existsCorrelated, subqueryScalar, stringFuncs, dateFuncs, arrayFuncs,
-    conditionalFuncs, topkPerGroup)
+    conditionalFuncs, topkPerGroup, userPath, rfm)
 }
