@@ -149,6 +149,27 @@ object Stateful {
       }
   }
 
+  final case class TokenCount(token: String, n: Long)
+
+  /** s_stream_topk: streaming heavy hitters — running per-token counts in
+    * keyed state (O(distinct tokens), the shuffle key is the token so
+    * each partition owns its tokens). Every batch emits the UPDATED
+    * cumulative count for each token it touched; the top-k itself is a
+    * bounded sort over the latest count per token downstream (memory
+    * sink / dashboard), which keeps the stateful stage append-only and
+    * checkpoint-friendly. The streaming twin of the batch q_token_topk. */
+  def runningTokenCounts(tokens: Dataset[String]): Dataset[TokenCount] = {
+    import tokens.sparkSession.implicits._
+    tokens
+      .groupByKey(identity)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (token: String, rows: Iterator[String], state: GroupState[Long]) =>
+          val n = state.getOption.getOrElse(0L) + rows.size
+          state.update(n)
+          Iterator.single(TokenCount(token, n))
+      }
+  }
+
   /** s_session_window: native session windows, 30-minute gap per user —
     * the streaming twin of the batch gaps-and-islands in
     * graft.ops.Temporal.sessionize. */

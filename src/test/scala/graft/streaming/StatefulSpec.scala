@@ -167,4 +167,23 @@ class StatefulSpec extends SparkSuite {
     assert(u1.length == 2)
     assert(u1.map(_.getLong(2)).sorted.toSeq == Seq(1L, 2L))
   }
+
+  test("s_stream_topk: counts accumulate across batches; latest-per-token is the top-k input") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[String]
+    val q = Stateful.runningTokenCounts(in.toDS())
+      .writeStream.format("memory").queryName("tok_counts")
+      .outputMode(OutputMode.Append).start()
+    in.addData("a", "b", "a")
+    q.processAllAvailable()
+    in.addData("a", "c")
+    q.processAllAvailable()
+    val rows = spark.table("tok_counts").as[Stateful.TokenCount].collect()
+    q.stop()
+    // per-token LATEST emission is the cumulative count
+    val latest = rows.groupBy(_.token).map { case (t, rs) => t -> rs.map(_.n).max }
+    assert(latest == Map("a" -> 3L, "b" -> 1L, "c" -> 1L))
+    // batch-1 emission for 'a' was the then-current 2 (cross-batch state held)
+    assert(rows.filter(_.token == "a").map(_.n).sorted.toSeq == Seq(2L, 3L))
+  }
 }
