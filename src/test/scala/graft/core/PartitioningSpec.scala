@@ -83,6 +83,39 @@ class PartitioningSpec extends SparkSuite {
       fact.filter(col("day") === "2024-01-01").count())
   }
 
+  test("runtime bloom-filter join: the filtered side's keys prune the big scan") {
+    // the shuffle-join analogue of dynamic partition pruning: a selective
+    // dim filter becomes a bloom filter applied to the fact scan before
+    // the exchange. At 100 TB this fires by default (the application-side
+    // threshold is 10GB); test-scale data sits far below it, so the
+    // threshold is zeroed to assert the machinery
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    spark.conf.set(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val sf = "/root/testdata/sf0.001"
+      val li = Tables.lineitem(spark, sf)
+      val ord = Tables.orders(spark, sf)
+        .filter(col("o_orderpriority") === "1-URGENT")
+      val j = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .select("l_orderkey", "l_quantity", "o_totalprice")
+      val p = j.queryExecution.executedPlan.toString()
+      assert(p.contains("bloom_filter_agg"), p.take(800))
+      assert(p.contains("might_contain"), "fact side must probe the bloom filter")
+      val withBloom = j.count()   // executes while the filter is injected
+      // the filter is a pure optimization: result identical without it
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
+      val plain = li.join(ord, col("l_orderkey") === col("o_orderkey")).count()
+      assert(withBloom == plain)
+    } finally {
+      spark.conf.unset("spark.sql.optimizer.runtime.bloomFilter.enabled")
+      spark.conf.unset(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+
   test("format breadth: orc/json/csv round-trips preserve the envelope shape") {
     val out = tmpDir("fmt")
     val src = graft.ops.Cdc.snapshotEnvelope.fn(spark, "/root/testdata/sf0.001")
