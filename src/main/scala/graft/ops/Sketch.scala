@@ -100,6 +100,22 @@ object Sketch {
       .orderBy("event_type")
   }
 
+  /** Count-min sketch over the token stream — the mergeable heavy-hitters
+    * structure: partial sketches build map-side and merge associatively,
+    * so one fixed-size buffer per partition crosses the wire regardless
+    * of token volume (the exact q_token_topk shuffles the whole
+    * vocabulary). Output is the sketch itself + the exact stream length;
+    * SketchSpec deserializes it and bounds the estimates (CMS never
+    * underestimates; overestimate ≤ eps·N with the configured
+    * confidence). No oracle — sketch bytes are engine-specific. */
+  val heavyHitters: Q = Q.noOracle("q_heavy_hitters") { (s, d) =>
+    T.documents(s, d)
+      .select(explode(split(col("text"), " ")).as("token"))
+      .agg(expr("count_min_sketch(token, 0.001d, 0.99d, 42)").as("sketch"),
+        count(lit(1)).as("n_tokens"))
+  }
+
   val all: Seq[Q] =
-    Seq(approxDistinct, sampleSeeded, hashSample, stratifiedSample, approxQuantiles)
+    Seq(approxDistinct, sampleSeeded, hashSample, stratifiedSample,
+      approxQuantiles, heavyHitters)
 }

@@ -20,8 +20,17 @@ class DeterminismSpec extends SparkSuite {
     def runAll(parts: String): Map[String, Seq[String]] = {
       conf.set("spark.sql.shuffle.partitions", parts)
       graft.SparkEntry.queries.map { case (name, fn) =>
-        // canonical row text; NaN-safe via toString
-        name -> fn(spark, sf).collect().toSeq.map(_.toString)
+        // canonical row text; NaN-safe via toString; binary columns by
+        // CONTENT (Array[Byte].toString is the object reference, which
+        // would flag every sketch-emitting query as layout-dependent)
+        name -> fn(spark, sf).collect().toSeq.map { r =>
+          (0 until r.length).map { i =>
+            r.get(i) match {
+              case b: Array[Byte] => java.util.Arrays.toString(b)
+              case v              => String.valueOf(v)
+            }
+          }.mkString("|")
+        }
       }
     }
     try {

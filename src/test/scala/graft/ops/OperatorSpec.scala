@@ -23,7 +23,8 @@ class OperatorSpec extends SparkSuite {
   test("every declared query has an oracle or a documented exemption") {
     // approximate/sampling ops are engine-specific by nature (SURVEY §2C)
     // and verified in SketchSpec instead of by hash-compare.
-    val exempt = Set("q_approx_distinct", "q_sample", "q_approx_quantiles")
+    val exempt = Set("q_approx_distinct", "q_sample", "q_approx_quantiles",
+      "q_heavy_hitters")
     val noOracle = graft.SparkEntry.declared.filter(_.oracle.isEmpty).map(_.name)
     assert(noOracle.toSet == exempt, s"queries without oracle: $noOracle")
   }

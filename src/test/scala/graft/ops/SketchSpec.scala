@@ -42,6 +42,23 @@ class SketchSpec extends SparkSuite {
     }
   }
 
+  test("q_heavy_hitters: CMS estimates bound the exact counts (never under, ≤ eps·N over)") {
+    import org.apache.spark.sql.functions._
+    val row = graft.SparkEntry.queries("q_heavy_hitters")(spark, sf).head()
+    val sketch = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+      new java.io.ByteArrayInputStream(row.getAs[Array[Byte]]("sketch")))
+    val n = row.getLong(1)
+    val exact = graft.core.Tables.documents(spark, sf)
+      .select(explode(split(col("text"), " ")).as("token"))
+      .groupBy("token").count().orderBy(desc("count"), col("token"))
+      .limit(5).collect().map(r => r.getString(0) -> r.getLong(1))
+    exact.foreach { case (tok, cnt) =>
+      val est = sketch.estimateCount(tok)
+      assert(est >= cnt, s"CMS underestimated $tok: $est < $cnt")
+      assert(est <= cnt + (0.001 * n).toLong + 1, s"CMS overestimate too large for $tok")
+    }
+  }
+
   test("q_sample is deterministic for a fixed seed and ~1% of rows") {
     val a = graft.SparkEntry.queries("q_sample")(spark, sf).collect()
     val b = graft.SparkEntry.queries("q_sample")(spark, sf).collect()
