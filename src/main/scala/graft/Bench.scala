@@ -6,7 +6,8 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     // Optional name filter (comma-separated) for local iteration on a
     // single regressed query; the driver never sets it.
-    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val spark = graft.core.Session.local(cpus.toInt, cpus.toInt)
     // The harness captures a bounded amount of output; round-2's JSON line
     // was truncated after WARN spam filled the buffer. Log only errors.

@@ -139,4 +139,13 @@ object Canonical {
     * hash over raw values, duckdb_cdc.go:178). */
   def rowDigestExact(df: DataFrame): Column =
     md5Long48(rowCanonExact(df)) % DigestMod
+
+  /** FULL-WIDTH md5 of the lossless canonical row, for per-key EQUALITY
+    * comparison (diff-mode CDC state). The summable mod-reduced form
+    * above carries only ~2^30 entropy — fine for a table-level SUM, but
+    * compared row-vs-row a changed row whose old/new digests collide
+    * would be silently dropped as unchanged, and at 100 TB change
+    * volumes a 1e-9 per-row event is an expected one. 128 bits makes the
+    * collision class physically negligible. */
+  def rowMd5Exact(df: DataFrame): Column = md5(rowCanonExact(df))
 }

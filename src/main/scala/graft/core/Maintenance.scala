@@ -22,8 +22,19 @@ object Maintenance {
       targetBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
     val path = new Path(dir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val dataFiles = fs.listStatus(path).toSeq
-      .filter(s => s.isFile && !s.getPath.getName.startsWith("_"))
+    val entries = fs.listStatus(path).toSeq
+      .filterNot(_.getPath.getName.startsWith("_"))
+    // compact() packs LEAF directories only: a dir of partition subdirs
+    // (batch=N, v=N, day=X) would read the subdir name as a partition
+    // column and flatten the structure into one file — e.g. compacting a
+    // diff-state root would silently destroy every version and the next
+    // tick would re-bootstrap. Refuse instead of corrupting.
+    val subDirs = entries.filter(_.isDirectory)
+    require(subDirs.isEmpty,
+      s"compact() packs leaf directories; $dir contains subdirectories " +
+        s"(${subDirs.take(3).map(_.getPath.getName).mkString(", ")}…) — " +
+        "compact each leaf instead")
+    val dataFiles = entries.filter(_.isFile)
     val totalBytes = dataFiles.map(_.getLen).sum
     val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
     val tmp = new Path(dir + "__compact_tmp")

@@ -25,20 +25,22 @@ import graft.core.{Canonical => C, Q, Tables => T}
   */
 object Cdc {
 
-  /** customer's canonicalization spelled in DuckDB SQL — generated from
-    * the same per-column rules as the Spark side (Canonical.canonColSql /
-    * canonCol) over the statically-known schema (FIXTURES.md §4, parquet
-    * column order), so the two sides cannot drift. */
-  private val customerCanonSql: String = {
-    val schema: Seq[(String, org.apache.spark.sql.types.DataType)] = Seq(
-      "c_custkey" -> org.apache.spark.sql.types.LongType,
-      "c_name" -> org.apache.spark.sql.types.StringType,
-      "c_nationkey" -> org.apache.spark.sql.types.IntegerType,
-      "c_acctbal" -> org.apache.spark.sql.types.DoubleType,
-      "c_mktsegment" -> org.apache.spark.sql.types.StringType)
+  /** A table's row canonicalization spelled in DuckDB SQL — generated
+    * from the same per-column rules as the Spark side
+    * (Canonical.canonColSql / canonCol) over the statically-known schema
+    * (FIXTURES.md §4, parquet column order), so the two sides cannot
+    * drift and every checksum query shares ONE construction. */
+  private def canonSqlFor(
+      schema: Seq[(String, org.apache.spark.sql.types.DataType)]): String =
     "concat_ws(chr(2), " +
       schema.map { case (n, t) => C.canonColSql(n, t) }.mkString(", ") + ")"
-  }
+
+  private val customerCanonSql: String = canonSqlFor(Seq(
+    "c_custkey" -> org.apache.spark.sql.types.LongType,
+    "c_name" -> org.apache.spark.sql.types.StringType,
+    "c_nationkey" -> org.apache.spark.sql.types.IntegerType,
+    "c_acctbal" -> org.apache.spark.sql.types.DoubleType,
+    "c_mktsegment" -> org.apache.spark.sql.types.StringType))
 
   /** R11-R16 (duckdb_cdc.go:175-183): the flagship table checksum, in the
     * cross-engine-safe md5/48-bit form (SURVEY.md §2D H1). */
@@ -59,24 +61,18 @@ object Cdc {
           .as("checksum"))
   }
 
-  /** lineitem's canonicalization in DuckDB SQL, generated from the same
-    * per-column rules as the Spark side (see customerCanonSql). */
-  private val lineitemCanonSql: String = {
-    val schema: Seq[(String, org.apache.spark.sql.types.DataType)] = Seq(
-      "l_orderkey" -> org.apache.spark.sql.types.LongType,
-      "l_partkey" -> org.apache.spark.sql.types.LongType,
-      "l_suppkey" -> org.apache.spark.sql.types.LongType,
-      "l_linenumber" -> org.apache.spark.sql.types.IntegerType,
-      "l_quantity" -> org.apache.spark.sql.types.DoubleType,
-      "l_extendedprice" -> org.apache.spark.sql.types.DoubleType,
-      "l_discount" -> org.apache.spark.sql.types.DoubleType,
-      "l_tax" -> org.apache.spark.sql.types.DoubleType,
-      "l_returnflag" -> org.apache.spark.sql.types.StringType,
-      "l_linestatus" -> org.apache.spark.sql.types.StringType,
-      "l_shipdate" -> org.apache.spark.sql.types.TimestampType)
-    "concat_ws(chr(2), " +
-      schema.map { case (n, t) => C.canonColSql(n, t) }.mkString(", ") + ")"
-  }
+  private val lineitemCanonSql: String = canonSqlFor(Seq(
+    "l_orderkey" -> org.apache.spark.sql.types.LongType,
+    "l_partkey" -> org.apache.spark.sql.types.LongType,
+    "l_suppkey" -> org.apache.spark.sql.types.LongType,
+    "l_linenumber" -> org.apache.spark.sql.types.IntegerType,
+    "l_quantity" -> org.apache.spark.sql.types.DoubleType,
+    "l_extendedprice" -> org.apache.spark.sql.types.DoubleType,
+    "l_discount" -> org.apache.spark.sql.types.DoubleType,
+    "l_tax" -> org.apache.spark.sql.types.DoubleType,
+    "l_returnflag" -> org.apache.spark.sql.types.StringType,
+    "l_linestatus" -> org.apache.spark.sql.types.StringType,
+    "l_shipdate" -> org.apache.spark.sql.types.TimestampType))
 
   /** The declared scale story for R12 (SURVEY §4.1): one digest per
     * horizontal bucket (here: ship month) instead of one per table. The

@@ -25,6 +25,41 @@ object Dedup {
   private val K = 8          // minhash signature length
   private val Bands = 4      // LSH bands (rows per band = K / Bands = 2)
 
+  /** The toks→sig→bands CTE chain in DuckDB SQL — ONE definition shared
+    * by every query built on the LSH banding (q_dedup_minhash census,
+    * q_neardup_pipeline, q_dedup_clusters, q_minhash_jaccard_est), so a
+    * change to K or the band-key encoding cannot desynchronize them. */
+  private val sigBandsCteSql: String = {
+    val hashCols = (0 until K).map(i => s"min(a + $i * b) AS h$i").mkString(", ")
+    val bandCase = (0 until Bands).map(b =>
+      s"WHEN ${b} THEN md5(concat_ws(',', CAST(h${2 * b} AS VARCHAR), CAST(h${2 * b + 1} AS VARCHAR)))")
+      .mkString(" ")
+    s"""toks AS (
+       |  SELECT doc_id,
+       |    ('0x' || substr(md5(tok), 1, 12))::BIGINT AS a,
+       |    ('0x' || substr(md5(tok), 13, 12))::BIGINT AS b
+       |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+       |), sig AS (
+       |  SELECT doc_id, $hashCols FROM toks GROUP BY doc_id
+       |), bands AS (
+       |  SELECT doc_id, band, CASE band $bandCase END AS bucket
+       |  FROM sig, (SELECT unnest([${(0 until Bands).mkString(", ")}]) AS band)
+       |)""".stripMargin
+  }
+
+  /** The Spark twin of `sigBandsCteSql`'s bands CTE: MinhashSig kernel
+    * signature (one token-array walk per doc, map-side) exploded into
+    * (doc_id, band, bucket). */
+  private def bandsOf(s: SparkSession, d: String): DataFrame = {
+    val sig = T.documents(s, d)
+      .select(col("doc_id"),
+        graft.functions.MinhashSig.sig(s, split(col("text"), " "), K).as("sig"))
+    val bandKeys = (0 until Bands).map(b =>
+      md5(concat_ws(",", element_at(col("sig"), 2 * b + 1).cast(StringType),
+        element_at(col("sig"), 2 * b + 2).cast(StringType))))
+    sig.select(col("doc_id"), posexplode(array(bandKeys: _*)).as(Seq("band", "bucket")))
+  }
+
   /** MinHash + LSH banding: per-doc K-wide signature of min-hashed tokens,
     * banded into `Bands` buckets; docs sharing a (band, bucket) are
     * near-dup candidates. Output: every LSH bucket with its population and
@@ -34,48 +69,23 @@ object Dedup {
     * Kirsch-Mitzenmacher double hashing (h_i = a + i·b from the two md5
     * halves) — 1/K-th the hashing cost, and min over the token multiset
     * equals min over the token set, so no dedup shuffle is needed before
-    * the per-doc aggregate. */
-  val dedupMinhash: Q = {
-    val hashCols = (0 until K).map(i =>
-      s"min(a + $i * b) AS h$i").mkString(", ")
-    val bandCase = (0 until Bands).map(b =>
-      s"WHEN ${b} THEN md5(concat_ws(',', CAST(h${2 * b} AS VARCHAR), CAST(h${2 * b + 1} AS VARCHAR)))")
-      .mkString(" ")
-    Q(
-      "q_dedup_minhash",
-      s"""WITH toks AS (
-         |  SELECT doc_id,
-         |    ('0x' || substr(md5(tok), 1, 12))::BIGINT AS a,
-         |    ('0x' || substr(md5(tok), 13, 12))::BIGINT AS b
-         |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
-         |), sig AS (
-         |  SELECT doc_id, $hashCols FROM toks GROUP BY doc_id
-         |), bands AS (
-         |  SELECT doc_id, band, CASE band $bandCase END AS bucket
-         |  FROM sig, (SELECT unnest([${(0 until Bands).mkString(", ")}]) AS band)
-         |)
-         |SELECT band, bucket, count(*) AS n, min(doc_id) AS keeper
-         |FROM bands GROUP BY band, bucket
-         |ORDER BY band, bucket""".stripMargin
-    ) { (s, d) =>
-      // Signature via the codegen'd MinhashSig kernel: one pass over the
-      // token array per document, map-side — no explode, no token-level
-      // aggregate, so the FIRST shuffle in the plan is already the tiny
-      // (band, bucket) census. (History: an exploded+partial-agg
-      // formulation was the round-1 best; an interpreted
-      // transform+array_min variant was ~15% slower than that; the native
-      // kernel beats both and removes a whole aggregate stage.)
-      val sig = T.documents(s, d)
-        .select(col("doc_id"),
-          graft.functions.MinhashSig.sig(s, split(col("text"), " "), K).as("sig"))
-      val bandKeys = (0 until Bands).map(b =>
-        md5(concat_ws(",", element_at(col("sig"), 2 * b + 1).cast(StringType),
-          element_at(col("sig"), 2 * b + 2).cast(StringType))))
-      sig.select(col("doc_id"), posexplode(array(bandKeys: _*)).as(Seq("band", "bucket")))
-        .groupBy("band", "bucket")
-        .agg(count(lit(1)).as("n"), min(col("doc_id")).as("keeper"))
-        .orderBy("band", "bucket")
-    }
+    * the per-doc aggregate. Spark side: the codegen'd MinhashSig kernel
+    * makes the signature map-side, so the FIRST shuffle in the plan is
+    * already the tiny (band, bucket) census. (History: an exploded+
+    * partial-agg formulation was the round-1 best; an interpreted
+    * transform+array_min variant was ~15% slower; the native kernel beats
+    * both and removes a whole aggregate stage.) */
+  val dedupMinhash: Q = Q(
+    "q_dedup_minhash",
+    s"""WITH $sigBandsCteSql
+       |SELECT band, bucket, count(*) AS n, min(doc_id) AS keeper
+       |FROM bands GROUP BY band, bucket
+       |ORDER BY band, bucket""".stripMargin
+  ) { (s, d) =>
+    bandsOf(s, d)
+      .groupBy("band", "bucket")
+      .agg(count(lit(1)).as("n"), min(col("doc_id")).as("keeper"))
+      .orderBy("band", "bucket")
   }
 
   /** SimHash (32-bit): per-bit majority vote over token hashes, with token
@@ -228,40 +238,19 @@ object Dedup {
     * carry one bounded token set per doc. */
   /** The LSH candidate stage — (doc_id, keeper_id) pairs — as shared
     * DuckDB CTE text and as a Spark plan, used by both q_neardup_pipeline
-    * (Jaccard verification) and q_dedup_clusters (transitive closure). */
-  private val candCteSql: String = {
-    val hashCols = (0 until K).map(i => s"min(a + $i * b) AS h$i").mkString(", ")
-    val bandCase = (0 until Bands).map(b =>
-      s"WHEN ${b} THEN md5(concat_ws(',', CAST(h${2 * b} AS VARCHAR), CAST(h${2 * b + 1} AS VARCHAR)))")
-      .mkString(" ")
-    s"""toks AS (
-       |  SELECT doc_id,
-       |    ('0x' || substr(md5(tok), 1, 12))::BIGINT AS a,
-       |    ('0x' || substr(md5(tok), 13, 12))::BIGINT AS b
-       |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
-       |), sig AS (
-       |  SELECT doc_id, $hashCols FROM toks GROUP BY doc_id
-       |), bands AS (
-       |  SELECT doc_id, band, CASE band $bandCase END AS bucket
-       |  FROM sig, (SELECT unnest([${(0 until Bands).mkString(", ")}]) AS band)
-       |), keepers AS (
+    * (Jaccard verification) and q_dedup_clusters (transitive closure).
+    * Builds on the same sigBandsCteSql / bandsOf as the census query. */
+  private val candCteSql: String =
+    s"""$sigBandsCteSql, keepers AS (
        |  SELECT band, bucket, min(doc_id) AS k FROM bands GROUP BY 1, 2
        |), cand AS (
        |  SELECT b.doc_id, min(k.k) AS keeper_id
        |  FROM bands b JOIN keepers k ON b.band = k.band AND b.bucket = k.bucket
        |  GROUP BY b.doc_id HAVING min(k.k) < b.doc_id
        |)""".stripMargin
-  }
 
   private def candidatePairs(s: SparkSession, d: String): DataFrame = {
-    val sig = T.documents(s, d)
-      .select(col("doc_id"),
-        graft.functions.MinhashSig.sig(s, split(col("text"), " "), K).as("sig"))
-    val bandKeys = (0 until Bands).map(b =>
-      md5(concat_ws(",", element_at(col("sig"), 2 * b + 1).cast(StringType),
-        element_at(col("sig"), 2 * b + 2).cast(StringType))))
-    val bands = sig.select(col("doc_id"),
-      posexplode(array(bandKeys: _*)).as(Seq("band", "bucket")))
+    val bands = bandsOf(s, d)
     val keepers = bands.groupBy("band", "bucket").agg(min(col("doc_id")).as("k"))
     // co-partitioned with keepers on (band, bucket) — the census shuffle
     // is reused by the join; then one narrow shuffle on doc_id
@@ -343,7 +332,11 @@ object Dedup {
           least(col("root"), coalesce(col("p_root"), col("root"))).as("root"))
         .localCheckpoint()
       // roots only decrease; the sum is a cheap monotone fixpoint probe
-      val sum = lab.agg(org.apache.spark.sql.functions.sum("root")).head().getLong(0)
+      // (coalesce: SUM over an empty frame is NULL — a corpus with no
+      // near-dup candidates must converge, not throw)
+      val sum = lab
+        .agg(coalesce(org.apache.spark.sql.functions.sum("root"), lit(0L)))
+        .head().getLong(0)
       converged = sum == prevSum
       prevSum = sum
       iter += 1

@@ -168,17 +168,28 @@ object CdcPipeline {
       .write.mode("append").parquet(tableMetaDir(metadataDir, table))
   }
 
-  /** Diff-mode state: one row per key — the key columns, the lossless
-    * full-row digest, and the row's JSON rendering. Comparing (and
-    * storing) only this projection means the diff join carries no payload
-    * columns and two snapshots with different schemas still diff row-by-
-    * row (an added column changes the digest → UPDATE, exactly the
-    * reference-probe semantics applied per row). */
+  /** Diff-mode state: one row per key — the key columns, a full-width
+    * (128-bit) lossless row digest, and the row's JSON rendering.
+    * Comparing (and storing) only this projection means the diff join
+    * carries no payload columns and two snapshots with different schemas
+    * still diff row-by-row (an added column changes the digest → UPDATE,
+    * exactly the reference-probe semantics applied per row).
+    *
+    * Rows are PRE-AGGREGATED per key: a snapshot with duplicate natural
+    * keys (dirty upstream, wrong keyCols) is treated as one logical key
+    * whose digest covers the sorted multiset of its row digests —
+    * identical consecutive snapshots diff to nothing instead of fanning
+    * out through the full-outer join into spurious UPDATE envelopes
+    * every tick. The groupBy shuffles on the same key the diff join
+    * needs, so the exchange is reused, not added. */
   private def keyedState(df: DataFrame, keys: Seq[String]): DataFrame =
     df.select(
       keys.map(col) ++ Seq(
-        C.rowDigestExact(df).as("__digest"),
-        to_json(struct(df.columns.map(col).toIndexedSeq: _*)).as("__json")): _*)
+        C.rowMd5Exact(df).as("__rd"),
+        to_json(struct(df.columns.map(col).toIndexedSeq: _*)).as("__rj")): _*)
+      .groupBy(keys.map(col): _*)
+      .agg(md5(concat_ws(",", sort_array(collect_list(col("__rd"))))).as("__digest"),
+        min(col("__rj")).as("__json"))
 
   private def diffStateDir(cfg: Config): String =
     s"${cfg.metadataDir}/state/table_name=${cfg.tableName}"
@@ -320,7 +331,14 @@ object CdcPipeline {
       .option("checkpointLocation", cfg.checkpointDir)
       .foreachBatch { (batch: DataFrame, id: Long) =>
         val b = if (cfg.reprobeSchema) reprobed(batch, cfg) else batch
-        processBatch(b.sparkSession, b, cfg, batchId = Some(id))
+        // Diff mode processes empty batches: a file-source batch exists
+        // only for discovered files, so an empty one IS a truncated
+        // snapshot, and skipping it would permanently swallow the DELETE
+        // envelopes (state would still hold every row). Snapshot mode
+        // keeps the conservative skip — a missed empty capture there
+        // costs one redundant re-capture later, not correctness.
+        processBatch(b.sparkSession, b, cfg,
+          captureEmpty = cfg.mode == "diff", batchId = Some(id))
         ()
       }
       .start()

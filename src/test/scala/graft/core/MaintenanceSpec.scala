@@ -29,6 +29,16 @@ class MaintenanceSpec extends SparkSuite {
     assert(digest(dir) == before, "content digest changed across compaction")
   }
 
+  test("compact refuses a directory of partition subdirs instead of flattening it") {
+    val dir = tmpDir("compactguard") + "/state"
+    Tables.events(spark, "/root/testdata/sf0.001").limit(5)
+      .write.mode("overwrite").parquet(s"$dir/v=0")
+    val e = intercept[IllegalArgumentException](Maintenance.compact(spark, dir))
+    assert(e.getMessage.contains("leaf"))
+    // the versioned layout is untouched
+    assert(Files.exists(Paths.get(s"$dir/v=0")))
+  }
+
   test("pruneVersions keeps the newest versions and reports the dropped ones") {
     val dir = tmpDir("prune") + "/state"
     (0L to 4L).foreach { v =>

@@ -29,6 +29,16 @@ class OperatorSpec extends SparkSuite {
     assert(noOracle.toSet == exempt, s"queries without oracle: $noOracle")
   }
 
+  test("q_dedup_clusters converges (empty result, no crash) on a corpus with no candidates") {
+    // empty documents table: the candidate set is empty and the fixpoint
+    // probe must treat SUM-over-empty as 0, not NPE on a null aggregate
+    val dir = tmpDir("emptydocs")
+    graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+      .limit(0).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = graft.SparkEntry.queries("q_dedup_clusters")(spark, dir)
+    assert(out.count() == 0)
+  }
+
   test("q_topk is ordered by price desc with key tiebreak") {
     val rows = run("q_topk").collect()
     assert(rows.length == 10)

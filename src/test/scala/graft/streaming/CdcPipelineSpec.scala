@@ -257,6 +257,44 @@ class CdcPipelineSpec extends SparkSuite {
     assert(updates.forall(_.contains("\\\"plan\\\":\\\"free\\\"")))
   }
 
+  test("diff mode: an empty (truncation) drop emits DELETEs for every live key") {
+    val base = tmpDir("cdc")
+    val c = cfg(base).copy(mode = "diff", keyCols = Seq("id"))
+    Files.createDirectories(Paths.get(c.inputDir))
+    seedUsers.coalesce(1).write.mode("append").parquet(c.inputDir)
+    val q = CdcPipeline.start(spark, c, seedUsers.schema)
+    q.processAllAvailable()
+    assert(jsonlLines(c.outputDir).size == 2)      // bootstrap INSERTs
+    // truncation: a discovered drop file with zero rows
+    seedUsers.filter($"id" < 0).coalesce(1).write.mode("append").parquet(c.inputDir)
+    q.processAllAvailable()
+    q.stop()
+    val lines = jsonlLines(c.outputDir)
+    assert(lines.count(_.contains("\"operation\":\"DELETE\"")) == 2,
+      lines.mkString("\n"))
+  }
+
+  test("diff mode: duplicate natural keys do not fan out into spurious updates") {
+    val base = tmpDir("cdc")
+    val c = cfg(base).copy(mode = "diff", keyCols = Seq("id"))
+    // dirty snapshot: id=1 appears twice
+    val dup = seedUsers.unionAll(
+      Seq((1, "John Doe", "john+alt@example.com", t0))
+        .toDF("id", "name", "email", "created_at"))
+    assert(CdcPipeline.processBatch(spark, dup, c))
+    val boot = jsonlLines(c.outputDir)
+    assert(boot.size == 2)    // one logical row per key, both INSERTs
+    // identical re-drop: silent (the digest covers the key's row multiset)
+    assert(!CdcPipeline.processBatch(spark, dup, c))
+    // mutating ONE of the duplicated rows surfaces as a single UPDATE
+    val mutated = dup.withColumn("email",
+      org.apache.spark.sql.functions.when($"email" === "john+alt@example.com",
+        org.apache.spark.sql.functions.lit("changed@example.com")).otherwise($"email"))
+    assert(CdcPipeline.processBatch(spark, mutated, c))
+    val delta = jsonlLines(c.outputDir).diff(boot)
+    assert(delta.size == 1 && delta.head.contains("\"operation\":\"UPDATE\""))
+  }
+
   test("changedBuckets: NULL bucket keys match null-safely") {
     import org.apache.spark.sql.functions.{col, when}
     val withNull = Seq((1, "x"), (2, "y"), (3, "z")).toDF("id", "v")
