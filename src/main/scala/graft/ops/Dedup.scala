@@ -308,17 +308,21 @@ object Dedup {
     * localCheckpoint truncates the otherwise-exponential iterative plan
     * lineage). The oracle walks the same closure as a DuckDB RECURSIVE
     * CTE — two unrelated fixpoint engines agreeing on the clustering. */
-  val dedupClusters: Q = Q(
-    "q_dedup_clusters",
-    s"""WITH RECURSIVE $candCteSql,
+  /** The recursive half of the closure oracle, shared by
+    * q_dedup_clusters and q_dedup_report. */
+  private val rootsCteSql: String =
+    s"""$candCteSql,
        |reach AS (
        |  SELECT doc_id, keeper_id AS r FROM cand
        |  UNION
        |  SELECT re.doc_id, c.keeper_id FROM reach re JOIN cand c ON re.r = c.doc_id
-       |)
-       |SELECT doc_id, min(r) AS root_id FROM reach GROUP BY doc_id
-       |ORDER BY doc_id""".stripMargin
-  ) { (s, d) =>
+       |), roots AS (
+       |  SELECT doc_id, min(r) AS root_id FROM reach GROUP BY doc_id
+       |)""".stripMargin
+
+  /** Pointer-jumping fixpoint: (doc_id, root) with root = the chain
+    * minimum over candidatePairs' keeper edges. */
+  private def rootsOf(s: SparkSession, d: String): DataFrame = {
     var lab = candidatePairs(s, d)
       .select(col("doc_id"), col("keeper_id").as("root"))
       .localCheckpoint()
@@ -341,7 +345,46 @@ object Dedup {
       prevSum = sum
       iter += 1
     }
-    lab.select(col("doc_id"), col("root").as("root_id")).orderBy("doc_id")
+    lab
+  }
+
+  val dedupClusters: Q = Q(
+    "q_dedup_clusters",
+    s"""WITH RECURSIVE $rootsCteSql
+       |SELECT doc_id, root_id FROM roots ORDER BY doc_id""".stripMargin
+  ) { (s, d) =>
+    rootsOf(s, d).select(col("doc_id"), col("root").as("root_id")).orderBy("doc_id")
+  }
+
+  /** The dedup SUMMARY a curation run reports before committing a drop
+    * policy: corpus size, docs that would be dropped (every doc with a
+    * root below it), surviving cluster count, tokens reclaimed, and the
+    * drop ratio. Single-row output built on the same closure as
+    * q_dedup_clusters (shared rootsCteSql / rootsOf), joined back to
+    * per-doc token counts — the join and aggregates are all over the
+    * duplicate set, not the corpus. */
+  val dedupReport: Q = Q(
+    "q_dedup_report",
+    s"""WITH RECURSIVE $rootsCteSql,
+       |tok AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tok FROM documents)
+       |SELECT (SELECT count(*) FROM documents) AS n_docs,
+       |  count(*) AS n_dup_docs,
+       |  count(DISTINCT r.root_id) AS n_clusters,
+       |  CAST(sum(t.n_tok) AS BIGINT) AS dup_tokens,
+       |  round(count(*) / (SELECT count(*) FROM documents)::DOUBLE, 6) AS dup_ratio
+       |FROM roots r JOIN tok t ON t.doc_id = r.doc_id""".stripMargin
+  ) { (s, d) =>
+    val roots = rootsOf(s, d)
+    val tok = T.documents(s, d)
+      .select(col("doc_id"), size(split(col("text"), " ")).cast(LongType).as("n_tok"))
+    val total = T.documents(s, d).agg(count(lit(1)).as("n_docs"))
+    roots.join(tok, "doc_id")
+      .agg(count(lit(1)).as("n_dup_docs"),
+        countDistinct(col("root")).as("n_clusters"),
+        sum(col("n_tok")).as("dup_tokens"))
+      .crossJoin(broadcast(total))
+      .select(col("n_docs"), col("n_dup_docs"), col("n_clusters"), col("dup_tokens"),
+        round(col("n_dup_docs") / col("n_docs").cast(DoubleType), 6).as("dup_ratio"))
   }
 
   /** The estimator LSH is built on, made visible: for adjacent-id pairs,
@@ -397,5 +440,6 @@ object Dedup {
 
   val all: Seq[Q] =
     Seq(dedupMinhash, dedupSimhash, ngramJaccard, simhashHamming,
-      dedupEditDistance, neardupPipeline, dedupClusters, minhashJaccardEst)
+      dedupEditDistance, neardupPipeline, dedupClusters, dedupReport,
+      minhashJaccardEst)
 }

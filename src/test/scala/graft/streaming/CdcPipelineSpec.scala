@@ -295,6 +295,27 @@ class CdcPipelineSpec extends SparkSuite {
     assert(delta.size == 1 && delta.head.contains("\"operation\":\"UPDATE\""))
   }
 
+  test("diff mode + schema drift, streaming: a column-added drop yields UPDATEs with the new field") {
+    val base = tmpDir("cdc")
+    val c = cfg(base).copy(mode = "diff", keyCols = Seq("id"))
+    Files.createDirectories(Paths.get(c.inputDir))
+    seedUsers.coalesce(1).write.mode("append").parquet(c.inputDir)
+    val q = CdcPipeline.start(spark, c, seedUsers.schema)
+    q.processAllAvailable()
+    assert(jsonlLines(c.outputDir).size == 2)   // bootstrap INSERTs
+    // same rows + a new column under the running stream: the re-probe
+    // widens the batch, the per-row digests change, and the diff emits
+    // UPDATEs carrying the new field
+    seedUsers.withColumn("plan", org.apache.spark.sql.functions.lit("pro"))
+      .coalesce(1).write.mode("append").parquet(c.inputDir)
+    q.processAllAvailable()
+    q.stop()
+    val lines = jsonlLines(c.outputDir)
+    val updates = lines.filter(_.contains("\"operation\":\"UPDATE\""))
+    assert(updates.size == 2, lines.mkString("\n"))
+    assert(updates.forall(_.contains("\\\"plan\\\":\\\"pro\\\"")))
+  }
+
   test("changedBuckets: NULL bucket keys match null-safely") {
     import org.apache.spark.sql.functions.{col, when}
     val withNull = Seq((1, "x"), (2, "y"), (3, "z")).toDF("id", "v")
