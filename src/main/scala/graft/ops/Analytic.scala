@@ -382,8 +382,36 @@ object Analytic {
       .orderBy("cust")
   }
 
+  /** Windowed DISTINCT count via the max-dense_rank identity: neither
+    * engine's window frames support COUNT(DISTINCT), but
+    * max(dense_rank over (key ORDER BY v)) over (key) ≡ the partition's
+    * distinct-v count, expressible identically in both. Two window passes
+    * share one hash-partition shuffle on user_id (different intra-partition
+    * orders, so one exchange + two sorts — the second sort is the
+    * unavoidable cost of the unordered-frame max). */
+  val windowDistinct: Q = Q(
+    "q_window_distinct",
+    """SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+      |  max(dr) OVER (PARTITION BY user_id) AS n_types
+      |FROM (
+      |  SELECT user_id, event_id, ts,
+      |    CAST(dense_rank() OVER (PARTITION BY user_id ORDER BY event_type) AS BIGINT) AS dr
+      |  FROM events)
+      |ORDER BY user_id, event_id""".stripMargin
+  ) { (s, d) =>
+    val wRank = Window.partitionBy("user_id").orderBy("event_type")
+    val wAll = Window.partitionBy("user_id")
+    T.events(s, d)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"),
+        col("event_type"))
+      .withColumn("dr", dense_rank().over(wRank).cast(LongType))
+      .withColumn("n_types", max(col("dr")).over(wAll))
+      .select("user_id", "event_id", "ts_us", "n_types")
+      .orderBy("user_id", "event_id")
+  }
+
   val all: Seq[Q] = Seq(
     windowLeadLag, windowNtile, windowMoving, cube, groupingSets,
     existsCorrelated, subqueryScalar, stringFuncs, dateFuncs, arrayFuncs,
-    conditionalFuncs, topkPerGroup, userPath, rfm)
+    conditionalFuncs, topkPerGroup, userPath, rfm, windowDistinct)
 }

@@ -300,7 +300,72 @@ object Statistical {
       .orderBy("c_mktsegment")
   }
 
+  /** Per-group outlier flags, engine-exact without any decimal-arithmetic
+    * divergence: group moments (n, Σx, Σx²) come from exact decimal sums
+    * cast to DOUBLE, and the test (n·x − Σx)² > 4·(n·Σx² − (Σx)²) — i.e.
+    * |x − μ| > 2σ_pop — is evaluated as the IDENTICAL double expression
+    * tree in both engines (every IEEE op is correctly rounded, so equal
+    * inputs give equal comparison outcomes; no round() needed, H3). The
+    * 3-row moment table broadcasts back onto the fact scan — at 100 TB the
+    * fact side never shuffles, one scan + one map-side join. */
+  val outliers: Q = Q(
+    "q_outliers",
+    """WITH m AS (
+      |  SELECT l_returnflag, COUNT(*) AS n,
+      |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+      |    CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(27,6))) AS DOUBLE) AS sxx
+      |  FROM lineitem GROUP BY l_returnflag)
+      |SELECT l.l_orderkey, l.l_linenumber, l.l_returnflag, l.l_extendedprice
+      |FROM lineitem l JOIN m ON l.l_returnflag = m.l_returnflag
+      |WHERE (CAST(m.n AS DOUBLE) * l.l_extendedprice - m.sx)
+      |    * (CAST(m.n AS DOUBLE) * l.l_extendedprice - m.sx)
+      |  > 4.0 * (CAST(m.n AS DOUBLE) * m.sxx - m.sx * m.sx)
+      |ORDER BY l_orderkey, l_linenumber, l_returnflag, l_extendedprice""".stripMargin
+  ) { (s, d) =>
+    val x = col("l_extendedprice")
+    val m = T.lineitem(s, d).groupBy("l_returnflag").agg(
+      count(lit(1)).as("n"), C.dsum(x).as("sx"), C.dsum6(x * x).as("sxx"))
+      .withColumnRenamed("l_returnflag", "m_flag")
+    val nD = col("n").cast(DoubleType)
+    val dx = nD * x - col("sx")
+    T.lineitem(s, d)
+      .join(broadcast(m), col("l_returnflag") === col("m_flag"))
+      .filter(dx * dx > lit(4.0) * (nD * col("sxx") - col("sx") * col("sx")))
+      .select("l_orderkey", "l_linenumber", "l_returnflag", "l_extendedprice")
+      .orderBy("l_orderkey", "l_linenumber", "l_returnflag", "l_extendedprice")
+  }
+
+  /** Median absolute deviation per group: percentile_disc(0.5) of x, then
+    * percentile_disc(0.5) of |x − med|. Both medians are actual data-grid
+    * values (discrete percentile, H: engine-exact); the deviation is one
+    * double subtraction with identical shape in both engines. Two keyed
+    * aggregations and a broadcast of the 3-row median table. */
+  val mad: Q = Q(
+    "q_mad",
+    """WITH med AS (
+      |  SELECT l_returnflag,
+      |    percentile_disc(0.5) WITHIN GROUP (ORDER BY l_extendedprice) AS med
+      |  FROM lineitem GROUP BY l_returnflag)
+      |SELECT l.l_returnflag, m.med,
+      |  percentile_disc(0.5) WITHIN GROUP (ORDER BY abs(l.l_extendedprice - m.med)) AS mad,
+      |  COUNT(*) AS n
+      |FROM lineitem l JOIN med m ON l.l_returnflag = m.l_returnflag
+      |GROUP BY l.l_returnflag, m.med ORDER BY l_returnflag""".stripMargin
+  ) { (s, d) =>
+    val med = T.lineitem(s, d).groupBy("l_returnflag")
+      .agg(expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY l_extendedprice)")
+        .as("med"))
+      .withColumnRenamed("l_returnflag", "m_flag")
+    T.lineitem(s, d)
+      .join(broadcast(med), col("l_returnflag") === col("m_flag"))
+      .withColumn("dev", abs(col("l_extendedprice") - col("med")))
+      .groupBy("l_returnflag", "med")
+      .agg(expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY dev)").as("mad"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+  }
+
   val all: Seq[Q] = Seq(
     histogram, corrCovar, unpivot, rangeJoin, rangeJoinBinned, collectSorted,
-    modeAgg, skewSalted, joinBigBig, skewSaltedJoin)
+    modeAgg, skewSalted, joinBigBig, skewSaltedJoin, outliers, mad)
 }

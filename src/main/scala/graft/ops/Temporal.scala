@@ -268,6 +268,39 @@ object Temporal {
       .orderBy("event_id")
   }
 
+  /** The as-of join written as SQL TEXT: `ASOF LEFT JOIN` is not Spark
+    * grammar — graft's injected parser (plans/AsOfSql.scala) rewrites the
+    * token stream and a resolution rule lowers it onto the native AsOfJoin
+    * node, so the statement below runs the same sort-merge exec as
+    * q_asof_native. The Spark query and the DuckDB oracle are the same
+    * dialect here — the engine's SQL surface is a superset of what the
+    * reference delegates to DuckDB (duckdb_cdc.go:175-183). */
+  val asofSql: Q = Q(
+    "q_asof_sql",
+    """SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us,
+      |  s.event_id AS signup_event_id, epoch_us(s.ts) AS signup_ts_us
+      |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+      |  ON p.user_id = s.user_id AND p.ts >= s.ts
+      |ORDER BY p.event_id""".stripMargin
+  ) { (s, d) =>
+    val e = T.events(s, d)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"))
+    e.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts_us")
+      .createOrReplaceTempView("asof_sql_p")
+    e.filter(col("event_type") === "signup")
+      .select(col("event_id").as("signup_event_id"), col("user_id").as("s_uid"),
+        col("ts_us").as("signup_ts_us"))
+      .createOrReplaceTempView("asof_sql_s")
+    s.sql(
+      """SELECT event_id, user_id, ts_us, signup_event_id, signup_ts_us
+        |FROM asof_sql_p ASOF LEFT JOIN asof_sql_s
+        |  ON user_id = s_uid AND ts_us >= signup_ts_us
+        |ORDER BY event_id""".stripMargin)
+  }
+
   /** Conversion-latency distribution: exact discrete quantiles of the
     * signup→first-click delay (percentile_disc returns actual data
     * values, H: engine-exact). Two keyed min-aggregations, one join, one
@@ -342,5 +375,5 @@ object Temporal {
 
   val all: Seq[Q] = Seq(
     timeBucket, sessionize, asofJoin, asofNative, asofTolerance, asofForward,
-    asofInner, funnel, funnelLatency, retention)
+    asofInner, asofSql, funnel, funnelLatency, retention)
 }

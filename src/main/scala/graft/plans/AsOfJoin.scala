@@ -85,6 +85,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectPlannerStrategy(_ => AsOfJoinStrategy)
+    // ASOF [LEFT] JOIN SQL syntax: token rewrite at parse time, lowered to
+    // the AsOfJoin node at resolution (see plans/AsOfSql.scala).
+    e.injectParser((_, delegate) => new GraftSqlParser(delegate))
+    e.injectResolutionRule(_ => ResolveAsOfJoin)
+    e.injectFunction(fn(AsOfSql.MarkerFn,
+      "internal ASOF JOIN condition marker (valid only in a join ON clause)") {
+      exprs => AsOfSql.AsOfMarker(exprs.head)
+    })
     e.injectFunction(fn("vec_dot", "dot product of two array<float> in double") {
       exprs => FloatVecDot(exprs(0), exprs(1))
     })
