@@ -302,12 +302,15 @@ object Statistical {
 
   /** Per-group outlier flags, engine-exact without any decimal-arithmetic
     * divergence: group moments (n, Σx, Σx²) come from exact decimal sums
-    * cast to DOUBLE, and the test (n·x − Σx)² > 4·(n·Σx² − (Σx)²) — i.e.
-    * |x − μ| > 2σ_pop — is evaluated as the IDENTICAL double expression
+    * cast to DOUBLE, and the test (n·x − Σx)² > k²·(n·Σx² − (Σx)²) — i.e.
+    * |x − μ| > k·σ_pop — is evaluated as the IDENTICAL double expression
     * tree in both engines (every IEEE op is correctly rounded, so equal
     * inputs give equal comparison outcomes; no round() needed, H3). The
     * 3-row moment table broadcasts back onto the fact scan — at 100 TB the
-    * fact side never shuffles, one scan + one map-side join. */
+    * fact side never shuffles, one scan + one map-side join.
+    * k = 1.72 (k² = 2.9584): l_extendedprice is near-uniform, whose max
+    * deviation is half the range = √3·σ ≈ 1.732σ — a 2σ cut can never
+    * select a row on this data; 1.72σ keeps a real ~0.5% extreme tail. */
   val outliers: Q = Q(
     "q_outliers",
     """WITH m AS (
@@ -319,8 +322,8 @@ object Statistical {
       |FROM lineitem l JOIN m ON l.l_returnflag = m.l_returnflag
       |WHERE (CAST(m.n AS DOUBLE) * l.l_extendedprice - m.sx)
       |    * (CAST(m.n AS DOUBLE) * l.l_extendedprice - m.sx)
-      |  > 4.0 * (CAST(m.n AS DOUBLE) * m.sxx - m.sx * m.sx)
-      |ORDER BY l_orderkey, l_linenumber, l_returnflag, l_extendedprice""".stripMargin
+      |  > 2.9584 * (CAST(m.n AS DOUBLE) * m.sxx - m.sx * m.sx)
+      |ORDER BY l_orderkey, l_linenumber, l.l_returnflag, l_extendedprice""".stripMargin
   ) { (s, d) =>
     val x = col("l_extendedprice")
     val m = T.lineitem(s, d).groupBy("l_returnflag").agg(
@@ -330,7 +333,7 @@ object Statistical {
     val dx = nD * x - col("sx")
     T.lineitem(s, d)
       .join(broadcast(m), col("l_returnflag") === col("m_flag"))
-      .filter(dx * dx > lit(4.0) * (nD * col("sxx") - col("sx") * col("sx")))
+      .filter(dx * dx > lit(2.9584) * (nD * col("sxx") - col("sx") * col("sx")))
       .select("l_orderkey", "l_linenumber", "l_returnflag", "l_extendedprice")
       .orderBy("l_orderkey", "l_linenumber", "l_returnflag", "l_extendedprice")
   }
@@ -350,7 +353,7 @@ object Statistical {
       |  percentile_disc(0.5) WITHIN GROUP (ORDER BY abs(l.l_extendedprice - m.med)) AS mad,
       |  COUNT(*) AS n
       |FROM lineitem l JOIN med m ON l.l_returnflag = m.l_returnflag
-      |GROUP BY l.l_returnflag, m.med ORDER BY l_returnflag""".stripMargin
+      |GROUP BY l.l_returnflag, m.med ORDER BY l.l_returnflag""".stripMargin
   ) { (s, d) =>
     val med = T.lineitem(s, d).groupBy("l_returnflag")
       .agg(expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY l_extendedprice)")
