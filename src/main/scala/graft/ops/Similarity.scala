@@ -1,6 +1,7 @@
 package graft.ops
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.core.{Q, Tables => T}
@@ -8,79 +9,115 @@ import graft.core.{Q, Tables => T}
 /** Approximate-nearest-neighbor building blocks over the embeddings table
   * (brute-force top-k lives in LlmPipeline.similarityTopK).
   *
-  * The scale path is sign-LSH (random-hyperplane LSH with axis-aligned
-  * planes, deterministic so both engines agree): an 8-bit signature from
-  * the signs of the first 8 dimensions partitions the corpus into ≤256
-  * buckets; candidate pairs are generated within buckets only. At 100 TB
-  * the signature becomes the shuffle/bucketing key — each bucket's
-  * pairwise work is local to a partition, and the signature computation
-  * itself is a narrow per-row map over the vector column.
+  * The scale path is banded sign-LSH (random-hyperplane LSH with
+  * axis-aligned planes, deterministic so both engines agree): `Bands`
+  * independent bands of `BitsPerBand` sign bits each, mirroring the
+  * MinHash banding in Dedup (Dedup.sigBandsCteSql). Two vectors are
+  * candidates iff they collide in AT LEAST ONE band — the standard
+  * b×r LSH OR-construction. At 100 TB the knobs are exactly these two
+  * constants: raising BitsPerBand shrinks expected bucket population
+  * (2^r buckets per band, so ~N/2^r per bucket — the within-bucket
+  * pair work is O(N²/2^r) per band, bounded by choosing r ≈ log2(N/B)
+  * for a target bucket size B), while raising Bands restores recall.
+  * The fixed single 8-bit band this replaces had an irreducible
+  * O(N²/256) pair stage — quadratic with a small constant; the banded
+  * form keeps the quadratic term tunable to O(N·B) total.
   */
 object Similarity {
 
-  private val SigBits = 8
+  private val Bands = 4       // LSH bands (OR-construction: ≥1 shared band → candidate)
+  private val BitsPerBand = 8 // sign bits per band; band b uses dims b*r+1 .. (b+1)*r
 
-  /** Sign signature over dims 1..8 (1-based), as an INTEGER 0..255. */
-  private def sigCol: Column =
-    (1 to SigBits).map(j =>
-      when(element_at(col("embedding"), j) >= 0f, lit(1 << (j - 1))).otherwise(lit(0)))
+  /** Band-b bucket id: integer from the signs of that band's dims (1-based). */
+  private def bucketCol(b: Int): Column =
+    (0 until BitsPerBand).map(j =>
+      when(element_at(col("embedding"), b * BitsPerBand + j + 1) >= 0f,
+        lit(1 << j)).otherwise(lit(0)))
       .reduce(_ + _)
 
-  private val sigSql: String =
-    (1 to SigBits).map(j =>
-      s"CASE WHEN embedding[$j] >= 0 THEN ${1 << (j - 1)} ELSE 0 END").mkString(" + ")
+  private def bucketSql(b: Int): String =
+    (0 until BitsPerBand).map(j =>
+      s"CASE WHEN embedding[${b * BitsPerBand + j + 1}] >= 0 THEN ${1 << j} ELSE 0 END")
+      .mkString(" + ")
 
-  /** LSH bucket census: signature → population + keeper. The census is
-    * what a planner uses to size per-bucket work / detect skewed buckets. */
-  val similarityLsh: Q = Q(
-    "q_similarity_lsh",
-    s"""SELECT $sigSql AS sig, count(*) AS n, min(vec_id) AS keeper
-       |FROM embeddings GROUP BY 1 ORDER BY sig""".stripMargin
-  ) { (s, d) =>
-    T.embeddings(s, d)
-      .groupBy(sigCol.as("sig"))
-      .agg(count(lit(1)).as("n"), min(col("vec_id")).as("keeper"))
-      .orderBy("sig")
+  /** The (vec_id, band, bucket) exploded banding — ONE definition shared
+    * by the census and the near-dup candidate stage, as DuckDB CTE text
+    * and as a Spark plan, so a change to Bands/BitsPerBand cannot
+    * desynchronize them (same pattern as Dedup.sigBandsCteSql). */
+  private val bandsCteSql: String = {
+    val cases = (0 until Bands).map(b => s"WHEN $b THEN ${bucketSql(b)}").mkString(" ")
+    s"""bands AS (
+       |  SELECT vec_id, band, CASE band $cases END AS bucket
+       |  FROM embeddings, (SELECT unnest([${(0 until Bands).mkString(", ")}]) AS band)
+       |)""".stripMargin
   }
 
-  /** Embedding-cosine near-dup candidates: pairs sharing an LSH bucket
-    * with cosine ≥ 0.25 (same-bucket vectors are sign-correlated, so the
-    * threshold fires often enough to exercise the path). Pairwise work is
-    * bucket-local — the O(n²) never materializes across buckets. */
+  /** Spark twin of bandsCteSql: all band buckets computed in one narrow
+    * projection over the scan, then posexploded — the signature work is
+    * map-side; the FIRST shuffle is already on the (band, bucket) key. */
+  private def bandsOf(s: SparkSession, d: String): DataFrame = {
+    val buckets = (0 until Bands).map(bucketCol)
+    T.embeddings(s, d)
+      .select(col("vec_id"), posexplode(array(buckets: _*)).as(Seq("band", "bucket")))
+  }
+
+  /** LSH bucket census: (band, bucket) → population + keeper. The census
+    * is what a planner uses to size per-band bucket work / detect skewed
+    * buckets before committing to the pair stage. */
+  val similarityLsh: Q = Q(
+    "q_similarity_lsh",
+    s"""WITH $bandsCteSql
+       |SELECT band, bucket, count(*) AS n, min(vec_id) AS keeper
+       |FROM bands GROUP BY band, bucket ORDER BY band, bucket""".stripMargin
+  ) { (s, d) =>
+    bandsOf(s, d)
+      .groupBy("band", "bucket")
+      .agg(count(lit(1)).as("n"), min(col("vec_id")).as("keeper"))
+      .orderBy("band", "bucket")
+  }
+
+  /** Embedding-cosine near-dup: candidate pairs share ≥1 (band, bucket);
+    * verified pairs have cosine ≥ 0.25. Pair generation is strictly
+    * band-bucket-local (no cartesian), deduplicated across bands BEFORE
+    * the vector join — each surviving pair fetches its two vectors and
+    * evaluates exactly one dot product, so verify work is O(distinct
+    * candidates), not O(band collisions). Norms are computed once per
+    * vector (linear pre-pass), not per pair. */
   val embedNearDup: Q = Q(
     "q_embed_near_dup",
-    """WITH v AS (
-      |  SELECT vec_id,
-      |    CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END + CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END +
-      |    CASE WHEN embedding[3] >= 0 THEN 4 ELSE 0 END + CASE WHEN embedding[4] >= 0 THEN 8 ELSE 0 END +
-      |    CASE WHEN embedding[5] >= 0 THEN 16 ELSE 0 END + CASE WHEN embedding[6] >= 0 THEN 32 ELSE 0 END +
-      |    CASE WHEN embedding[7] >= 0 THEN 64 ELSE 0 END + CASE WHEN embedding[8] >= 0 THEN 128 ELSE 0 END AS sig,
-      |    embedding::DOUBLE[] AS e
-      |  FROM embeddings)
-      |SELECT a.vec_id AS a_id, b.vec_id AS b_id,
-      |  round(list_inner_product(a.e, b.e) /
-      |        (sqrt(list_inner_product(a.e, a.e)) * sqrt(list_inner_product(b.e, b.e))), 4) AS score
-      |FROM v a JOIN v b ON a.sig = b.sig AND a.vec_id < b.vec_id
-      |WHERE round(list_inner_product(a.e, b.e) /
-      |      (sqrt(list_inner_product(a.e, a.e)) * sqrt(list_inner_product(b.e, b.e))), 4) >= 0.25
-      |ORDER BY a_id, b_id""".stripMargin
+    s"""WITH $bandsCteSql,
+       |pairs AS (
+       |  SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+       |), v AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS e,
+       |    sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+       |  FROM embeddings)
+       |SELECT p.a_id, p.b_id,
+       |  round(list_inner_product(x.e, y.e) / (x.nrm * y.nrm), 4) AS score
+       |FROM pairs p JOIN v x ON x.vec_id = p.a_id JOIN v y ON y.vec_id = p.b_id
+       |WHERE round(list_inner_product(x.e, y.e) / (x.nrm * y.nrm), 4) >= 0.25
+       |ORDER BY a_id, b_id""".stripMargin
   ) { (s, d) =>
     // Codegen'd native dot product (graft.functions.FloatVecDot) — same
-    // left-to-right double fold as the higher-order-function form.
+    // left-to-right double fold as DuckDB's list_inner_product.
     def dot(a: Column, b: Column): Column =
       graft.functions.VectorOps.vecDot(s, a, b)
-    // Norms are computed once per vector BEFORE the pair join (linear
-    // work), so each of the O(pairs) rows evaluates one dot product, not
-    // three. Numerically identical to the per-pair form — sqrt(dot(e,e))
-    // on the same doubles — so oracle parity holds.
+    val bands = bandsOf(s, d)
+    val pairs = bands.select(col("vec_id").as("a_id"), col("band"), col("bucket"))
+      .join(bands.select(col("vec_id").as("b_id"), col("band"), col("bucket")),
+        Seq("band", "bucket"))
+      .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id").distinct()
     val v = T.embeddings(s, d)
-      .select(col("vec_id"), sigCol.as("sig"), col("embedding"),
+      .select(col("vec_id"), col("embedding"),
         sqrt(dot(col("embedding"), col("embedding"))).as("nrm"))
-    val a = v.select(col("vec_id").as("a_id"), col("sig"),
-      col("embedding").as("ea"), col("nrm").as("nrm_a"))
-    val b = v.select(col("vec_id").as("b_id"), col("sig").as("sigb"),
-      col("embedding").as("eb"), col("nrm").as("nrm_b"))
-    a.join(b, col("sig") === col("sigb") && col("a_id") < col("b_id"))
+    pairs
+      .join(v.select(col("vec_id").as("a_id"), col("embedding").as("ea"),
+        col("nrm").as("nrm_a")), "a_id")
+      .join(v.select(col("vec_id").as("b_id"), col("embedding").as("eb"),
+        col("nrm").as("nrm_b")), "b_id")
       .select(col("a_id"), col("b_id"),
         round(dot(col("ea"), col("eb")) / (col("nrm_a") * col("nrm_b")), 4)
           .as("score"))
@@ -88,79 +125,190 @@ object Similarity {
       .orderBy("a_id", "b_id")
   }
 
-  /** IVF (inverted-file) ANN probe: vectors are assigned to the nearest
-    * of 16 centroids (here the 16 lowest vec_ids — a deterministic
-    * stand-in for trained k-means centroids); a query searches only its
-    * own cell. Assignment is a broadcast of the tiny centroid set against
-    * one streaming scan (50k×16 codegen'd dot products at bench scale);
-    * probe work is cell-local. At 100 TB the cell id becomes the
-    * partition/bucketing key and probes touch one partition per query.
-    * Cosines are rounded to 6 dp before ranking so both engines order
-    * identically. */
-  val similarityIvf: Q = Q(
-    "q_similarity_ivf",
-    """WITH c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS ce,
-      |    sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS cn
-      |  FROM embeddings WHERE vec_id < 16),
-      |v AS (SELECT vec_id, embedding::DOUBLE[] AS e,
-      |    sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS vn
-      |  FROM embeddings),
-      |scored AS (SELECT v.vec_id, c.cid,
-      |    round(list_inner_product(e, ce) / (vn * cn), 6) AS cos FROM v, c),
-      |assign AS (SELECT vec_id, cid FROM (
-      |  SELECT vec_id, cid,
-      |    row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
-      |  FROM scored) WHERE rn = 1),
-      |qa AS (SELECT vec_id AS qid, cid FROM assign WHERE vec_id BETWEEN 16 AND 20),
-      |cand AS (SELECT qa.qid, a.vec_id AS cand_id
-      |  FROM qa JOIN assign a ON a.cid = qa.cid AND a.vec_id != qa.qid),
-      |cscore AS (SELECT qid, cand_id,
-      |    round(list_inner_product(vq.e, vc.e) / (vq.vn * vc.vn), 6) AS score
-      |  FROM cand
-      |  JOIN v vq ON vq.vec_id = qid
-      |  JOIN v vc ON vc.vec_id = cand_id)
-      |SELECT qid, CAST(rn AS INTEGER) AS rn, cand_id AS vec_id, score FROM (
-      |  SELECT qid, cand_id, score,
-      |    row_number() OVER (PARTITION BY qid ORDER BY score DESC, cand_id) AS rn
-      |  FROM cscore)
-      |WHERE rn <= 3 ORDER BY qid, rn""".stripMargin
-  ) { (s, d) =>
+  // ---------------------------------------------------------------------
+  // IVF with TRAINED centroids (deterministic Lloyd's k-means)
+  // ---------------------------------------------------------------------
+
+  private val KCells = 16   // centroid count; at 100 TB scale ≈ sqrt(N) cells
+  private val Iters  = 3    // Lloyd rounds (unrolled identically in the oracle SQL)
+  private val Scale  = 2048 // uniform code scale: code = round(x * Scale)
+
+  /** Exact double dot product via a left-to-right fold. Over the integer-
+    * valued code vectors every product and partial sum is an exact
+    * integer < 2^53, so the result is bit-identical in any engine and
+    * any summation order — this is what makes distributed k-means
+    * deterministic here (float centroid means would be partition-order
+    * dependent). */
+  private def dotD(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
+
+  /** IVF (inverted-file) ANN probe with centroids trained by Lloyd's
+    * (spherical) k-means, made cross-engine deterministic by running the
+    * iterations over uniformly-scaled integer codes:
+    *
+    *  - code(x) = round(x · Scale) per dimension — a UNIFORM scale (no
+    *    per-vector shift), so code-space cosine equals raw cosine up to
+    *    ~1/Scale rounding, and every code is an exact small integer;
+    *  - seeds: the KCells lowest vec_ids — exactly the round-4 stand-in
+    *    centroids, so training is provably "stand-in + Lloyd rounds" and
+    *    the objective improves monotonically from that baseline
+    *    (SimilaritySpec asserts it);
+    *  - a centroid is its members' un-normalized code SUM (exact integer
+    *    per dim, associative → partition-order-independent, unlike a
+    *    float mean), which has the same direction as the mean, so cosine
+    *    assignment is identical and fully deterministic;
+    *  - assignment = argmax cosine, rounded to 6 dp, ties broken by cid.
+    *
+    * The oracle replays the identical unrolled iterations in DuckDB SQL —
+    * two unrelated engines running Lloyd's agree bit-for-bit because all
+    * products and partial sums are exact integers < 2^53 (|code| ≤ ~1.2k
+    * at |x| ≤ 0.6, so a cell of up to ~50k members stays inside the
+    * budget; at larger corpora KCells grows ≈ sqrt(N), which bounds cell
+    * population — the same knob that bounds probe cost). Assignment is a
+    * broadcast of the tiny centroid set against one streaming scan; probe
+    * work is cell-local. At 100 TB the cell id becomes the partition/
+    * bucketing key and probes touch one cell per query. */
+  val similarityIvf: Q = {
+    val dims = 1 to 64 // embeddings are 64-dim (TESTDATA.md)
+    val centroidSumsSql = dims.map(i => s"sum(q.cd[$i])").mkString("[", ", ", "]")
+    // cosine of code vector q against centroid c, with zero-norm guard
+    def cosSql(q: String, c: String) =
+      s"""CASE WHEN $q.n2 = 0 OR $c.cn2 = 0 THEN -2.0
+         |ELSE round(list_inner_product($q.cd, $c.cd) / (sqrt($q.n2) * sqrt($c.cn2)), 6) END"""
+        .stripMargin.replace("\n", " ")
+    def assignSql(name: String, cents: String) =
+      s"""$name AS (SELECT vec_id, cid FROM (
+         |  SELECT q.vec_id, c.cid, row_number() OVER (PARTITION BY q.vec_id
+         |    ORDER BY ${cosSql("q", "c")} DESC, c.cid) AS rn
+         |  FROM qc q, $cents c) WHERE rn = 1)""".stripMargin
+    def updateSql(name: String, assign: String) =
+      s"""$name AS (SELECT cid, cd, list_inner_product(cd, cd) AS cn2 FROM (
+         |  SELECT a.cid, $centroidSumsSql AS cd
+         |  FROM $assign a JOIN qc q ON q.vec_id = a.vec_id GROUP BY a.cid))""".stripMargin
+    val lloydCtes = (1 to Iters).map(i =>
+      s"${updateSql(s"c$i", s"a${i - 1}")},\n${assignSql(s"a$i", s"c$i")}").mkString(",\n")
+    val aFinal = s"a$Iters"
+    Q(
+      "q_similarity_ivf",
+      s"""WITH qc AS (
+         |  SELECT vec_id,
+         |    list_transform(embedding::DOUBLE[], x -> round(x * $Scale)) AS cd,
+         |    list_inner_product(list_transform(embedding::DOUBLE[], x -> round(x * $Scale)),
+         |                       list_transform(embedding::DOUBLE[], x -> round(x * $Scale))) AS n2
+         |  FROM embeddings),
+         |s0 AS (SELECT vec_id AS cid, cd, n2 AS cn2 FROM qc WHERE vec_id < $KCells),
+         |${assignSql("a0", "s0")},
+         |$lloydCtes,
+         |v AS (SELECT vec_id, embedding::DOUBLE[] AS e,
+         |    sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS vn
+         |  FROM embeddings),
+         |qa AS (SELECT vec_id AS qid, cid FROM $aFinal WHERE vec_id BETWEEN 16 AND 20),
+         |cand AS (SELECT qa.qid, a.vec_id AS cand_id
+         |  FROM qa JOIN $aFinal a ON a.cid = qa.cid AND a.vec_id != qa.qid),
+         |cscore AS (SELECT qid, cand_id,
+         |    round(list_inner_product(vq.e, vc.e) / (vq.vn * vc.vn), 6) AS score
+         |  FROM cand
+         |  JOIN v vq ON vq.vec_id = qid
+         |  JOIN v vc ON vc.vec_id = cand_id)
+         |SELECT qid, CAST(rn AS INTEGER) AS rn, cand_id AS vec_id, score FROM (
+         |  SELECT qid, cand_id, score,
+         |    row_number() OVER (PARTITION BY qid ORDER BY score DESC, cand_id) AS rn
+         |  FROM cscore)
+         |WHERE rn <= 3 ORDER BY qid, rn""".stripMargin
+    ) { (s, d) => trainedAssignment(s, d)._2 }
+  }
+
+  /** The trained-k-means cell assignment (vec_id, cid) plus the probe
+    * result — factored so the spec can grade the assignment quality. */
+  private[ops] def trainedAssignment(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val dims = 1 to 64
+    val e = col("embedding").cast(ArrayType(DoubleType))
+    val codes = transform(e, x => round(x * Scale, 0))
+    val qc = T.embeddings(s, d).select(col("vec_id"), codes.as("cd"))
+      .withColumn("n2", dotD(col("cd"), col("cd")))
+      // qc feeds every Lloyd round + the final probe; localCheckpoint (not
+      // cache) so blocks are released when the plan is GC'd.
+      .localCheckpoint()
+    val seeds = qc.filter(col("vec_id") < KCells)
+      .select(col("vec_id").as("cid"), col("cd").as("ccd"), col("n2").as("cn2"))
+    def assign(cents: DataFrame): DataFrame = {
+      val cos = when(col("n2") === 0.0d || col("cn2") === 0.0d, lit(-2.0d))
+        .otherwise(round(dotD(col("cd"), col("ccd")) / (sqrt(col("n2")) * sqrt(col("cn2"))), 6))
+      val w = Window.partitionBy("vec_id").orderBy(col("cos").desc, col("cid").asc)
+      qc.crossJoin(broadcast(cents))
+        .withColumn("cos", cos)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1).select("vec_id", "cid")
+    }
+    def update(a: DataFrame): DataFrame = {
+      // 64 per-dim SUM columns: native partial (map-side) aggregation, no
+      // explode — each partition ships one 64-long vector per cell.
+      val sums = dims.map(i => sum(element_at(col("cd"), i)).as(s"s$i"))
+      a.join(qc.select("vec_id", "cd"), "vec_id")
+        .groupBy("cid").agg(sums.head, sums.tail: _*)
+        .select(col("cid"), array(dims.map(i => col(s"s$i")): _*).as("ccd"))
+        .withColumn("cn2", dotD(col("ccd"), col("ccd")))
+    }
+    val trained = (1 to Iters).foldLeft(assign(seeds)) { (a, _) => assign(update(a)) }
+    // assignment is referenced on both sides of the probe self-join;
+    // localCheckpoint so the Lloyd rounds run once, not twice.
+    val a2 = trained.localCheckpoint()
     def dot(a: Column, b: Column): Column =
       graft.functions.VectorOps.vecDot(s, a, b)
     val base = T.embeddings(s, d)
       .select(col("vec_id"), col("embedding"),
         sqrt(dot(col("embedding"), col("embedding"))).as("nrm"))
-    val cents = base.filter(col("vec_id") < 16)
-      .select(col("vec_id").as("cid"), col("embedding").as("ce"), col("nrm").as("cn"))
-    val scored = base.crossJoin(broadcast(cents))
-      .select(col("vec_id"), col("cid"),
-        round(dot(col("embedding"), col("ce")) / (col("nrm") * col("cn")), 6).as("cos"))
-    val wAssign = org.apache.spark.sql.expressions.Window
-      .partitionBy("vec_id").orderBy(col("cos").desc, col("cid").asc)
-    // assign is referenced on both sides of the probe self-join; without
-    // persistence Spark would run the 16-way assignment scan (the
-    // expensive part) twice. localCheckpoint (not cache) so the blocks
-    // are released by the ContextCleaner when the plan is GC'd — cache()
-    // entries would accumulate in the CacheManager across invocations in
-    // a long-lived session.
-    val assign = scored.withColumn("rn", row_number().over(wAssign))
-      .filter(col("rn") === 1).select(col("vec_id"), col("cid"))
-      .localCheckpoint()
-    val qa = assign.filter(col("vec_id").between(16, 20))
+    val qa = a2.filter(col("vec_id").between(16, 20))
       .select(col("vec_id").as("qid"), col("cid"))
-    val cand = qa.join(assign.select(col("vec_id").as("cand_id"), col("cid")), Seq("cid"))
+    val cand = qa.join(a2.select(col("vec_id").as("cand_id"), col("cid")), Seq("cid"))
       .filter(col("cand_id") =!= col("qid"))
     val vq = base.select(col("vec_id").as("qid"), col("embedding").as("qe"), col("nrm").as("qn"))
     val vc = base.select(col("vec_id").as("cand_id"), col("embedding").as("cande"), col("nrm").as("candn"))
     val cscore = cand.join(vq, Seq("qid")).join(vc, Seq("cand_id"))
       .select(col("qid"), col("cand_id"),
         round(dot(col("qe"), col("cande")) / (col("qn") * col("candn")), 6).as("score"))
-    val wRank = org.apache.spark.sql.expressions.Window
-      .partitionBy("qid").orderBy(col("score").desc, col("cand_id").asc)
-    cscore.withColumn("rn", row_number().over(wRank))
+    val wRank = Window.partitionBy("qid").orderBy(col("score").desc, col("cand_id").asc)
+    val probe = cscore.withColumn("rn", row_number().over(wRank))
       .filter(col("rn") <= 3)
       .select(col("qid"), col("rn"), col("cand_id").as("vec_id"), col("score"))
       .orderBy("qid", "rn")
+    (a2, probe)
+  }
+
+  /** The round-4 stand-in assignment (16 lowest vec_ids as centroids) —
+    * kept only as the quality baseline for SimilaritySpec. */
+  private[ops] def standinAssignment(s: SparkSession, d: String): DataFrame = {
+    def dot(a: Column, b: Column): Column =
+      graft.functions.VectorOps.vecDot(s, a, b)
+    val base = T.embeddings(s, d)
+      .select(col("vec_id"), col("embedding"),
+        sqrt(dot(col("embedding"), col("embedding"))).as("nrm"))
+    val cents = base.filter(col("vec_id") < KCells)
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"), col("nrm").as("cn"))
+    val w = Window.partitionBy("vec_id").orderBy(col("cos").desc, col("cid").asc)
+    base.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("cid"),
+        round(dot(col("embedding"), col("ce")) / (col("nrm") * col("cn")), 6).as("cos"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).select("vec_id", "cid")
+  }
+
+  /** Mean cosine of each vector to its cell's (sum-)centroid — the
+    * k-means objective the spec grades trained-vs-standin on. */
+  private[ops] def intraCellCosine(s: SparkSession, d: String, assign: DataFrame): Double = {
+    def dot(a: Column, b: Column): Column =
+      graft.functions.VectorOps.vecDot(s, a, b)
+    val dims = 1 to 64
+    val e = col("embedding").cast(ArrayType(DoubleType))
+    val v = T.embeddings(s, d).select(col("vec_id"), e.as("e"))
+    val sums = dims.map(i => sum(element_at(col("e"), i)).as(s"s$i"))
+    val cents = assign.join(v, "vec_id").groupBy("cid")
+      .agg(sums.head, sums.tail: _*)
+      .select(col("cid"), array(dims.map(i => col(s"s$i")): _*).as("ce"))
+    val scored = assign.join(v, "vec_id").join(broadcast(cents), "cid")
+      .select((dotD(col("e"), col("ce")) /
+        (sqrt(dotD(col("e"), col("e"))) * sqrt(dotD(col("ce"), col("ce"))))).as("cos"))
+    scored.agg(avg("cos")).head().getDouble(0)
   }
 
   /** Int8 scalar quantization of the embedding column — the compression

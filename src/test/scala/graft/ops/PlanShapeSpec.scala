@@ -63,10 +63,27 @@ class PlanShapeSpec extends SparkSuite {
     assert(p.contains("partial_min"), "census keeper must pre-aggregate map-side")
   }
 
-  test("q_embed_near_dup joins on the LSH bucket, never a cartesian product") {
+  test("q_embed_near_dup joins on the banded LSH bucket, never a cartesian product") {
     val p = plan("q_embed_near_dup")
     assert(!p.contains("CartesianProduct"))
-    assert(p.contains("sig"))
+    assert(p.contains("band"), "pair join must key on (band, bucket)")
+    assert(p.contains("bucket"), "pair join must key on (band, bucket)")
+  }
+
+  test("q_embed_near_dup pair population is band-bucket-bounded (OR-construction, deduped)") {
+    import org.apache.spark.sql.functions._
+    // Candidate pairs must be ≤ Σ_buckets C(n_b, 2) over all bands (each
+    // pair counted once — dedup across bands), i.e. strictly the banded
+    // LSH bound, never all-pairs. The census IS the per-bucket population.
+    val census = graft.SparkEntry.queries("q_similarity_lsh")(spark, sf)
+      .select(col("n")).collect().map(_.getLong(0))
+    val bound = census.map(n => n * (n - 1) / 2).sum
+    val nVec = graft.core.Tables.embeddings(spark, sf).count()
+    val allPairs = nVec * (nVec - 1) / 2
+    assert(bound < allPairs, "banding must prune the all-pairs space")
+    // the scored output is a subset of the (deduped) candidate set
+    val scored = graft.SparkEntry.queries("q_embed_near_dup")(spark, sf).count()
+    assert(scored <= bound, s"scored=$scored exceeds banded bound=$bound")
   }
 
   test("q_subquery_scalar broadcasts the 1-row aggregate (fact side never shuffles pre-sort)") {
