@@ -329,9 +329,14 @@ object Relational {
       .orderBy("l_returnflag")
   }
 
-  /** Exact discrete quantiles (percentile_disc): unlike interpolated or
-    * approximate percentiles, disc returns actual data values — engine-
-    * comparable with no float interpolation hazard. */
+  /** Exact discrete quantiles: unlike interpolated or approximate
+    * percentiles, disc returns actual data values — engine-comparable
+    * with no float interpolation hazard. Computed via the bounded-buffer
+    * grid path (GridPercentile): Spark's PercentileDisc aggregate buffers
+    * every row per group (the 100 TB scale-killer); the grid pre-aggregate
+    * keeps state O(distinct values) with map-side partials. The oracle
+    * stays the built-in percentile_disc — two different algorithms, same
+    * ANSI semantics. */
   val quantiles: Q = Q(
     "q_quantiles",
     """SELECT l_returnflag,
@@ -340,12 +345,16 @@ object Relational {
       |  percentile_disc(0.99) WITHIN GROUP (ORDER BY l_extendedprice) AS p99_price
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
   ) { (s, d) =>
-    T.lineitem(s, d)
-      .groupBy("l_returnflag")
-      .agg(
-        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY l_quantity)").as("p50_qty"),
-        expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY l_quantity)").as("p90_qty"),
-        expr("percentile_disc(0.99) WITHIN GROUP (ORDER BY l_extendedprice)").as("p99_price"))
+    val li = T.lineitem(s, d)
+    // l_quantity has ~50 distinct values: the flat grid compresses 600k
+    // rows to ≤50/task map-side — the cheap path. l_extendedprice is ~1
+    // distinct per row: bucketed two-phase keeps its state bounded.
+    val qty = graft.core.GridPercentile.disc(li, Seq("l_returnflag"),
+      "l_quantity", Seq("p50_qty" -> 0.5, "p90_qty" -> 0.9))
+    val price = graft.core.GridPercentile.discBucketed(li, Seq("l_returnflag"),
+      "l_extendedprice", step = 16.0, "p99_price", 0.99)
+    qty.join(price, "l_returnflag")
+      .select("l_returnflag", "p50_qty", "p90_qty", "p99_price")
       .orderBy("l_returnflag")
   }
 

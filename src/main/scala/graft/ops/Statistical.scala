@@ -338,11 +338,15 @@ object Statistical {
       .orderBy("l_orderkey", "l_linenumber", "l_returnflag", "l_extendedprice")
   }
 
-  /** Median absolute deviation per group: percentile_disc(0.5) of x, then
-    * percentile_disc(0.5) of |x − med|. Both medians are actual data-grid
-    * values (discrete percentile, H: engine-exact); the deviation is one
-    * double subtraction with identical shape in both engines. Two keyed
-    * aggregations and a broadcast of the 3-row median table. */
+  /** Median absolute deviation per group: disc-median of x, then
+    * disc-median of |x − med|. Both medians are actual data-grid values
+    * (discrete percentile, H: engine-exact); the deviation is one double
+    * subtraction with identical shape in both engines. Both median passes
+    * use the bounded-buffer grid path (GridPercentile) — the round-4
+    * verdict flagged the PercentileDisc per-group row buffer as this
+    * query's 100 TB scale-killer; grid state is O(distinct price values)
+    * with map-side partial aggregation. Oracle stays the built-in
+    * percentile_disc. */
   val mad: Q = Q(
     "q_mad",
     """WITH med AS (
@@ -355,16 +359,21 @@ object Statistical {
       |FROM lineitem l JOIN med m ON l.l_returnflag = m.l_returnflag
       |GROUP BY l.l_returnflag, m.med ORDER BY l.l_returnflag""".stripMargin
   ) { (s, d) =>
-    val med = T.lineitem(s, d).groupBy("l_returnflag")
-      .agg(expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY l_extendedprice)")
-        .as("med"))
+    import graft.core.GridPercentile
+    // Both medians via the two-phase bucketed path: a ~6.5k-bucket census
+    // (map-side partial, tiny shuffle) pins each group's target bucket,
+    // then one filtered re-scan resolves the exact disc value inside it.
+    // The price column is ~1 distinct value per row, so a flat value grid
+    // would compress nothing — bucketing is what bounds both the shuffle
+    // and the per-group sort at 100 TB.
+    val med = GridPercentile.discBucketed(T.lineitem(s, d),
+      Seq("l_returnflag"), "l_extendedprice", step = 16.0, "med", 0.5)
       .withColumnRenamed("l_returnflag", "m_flag")
-    T.lineitem(s, d)
+    val dev = T.lineitem(s, d)
       .join(broadcast(med), col("l_returnflag") === col("m_flag"))
       .withColumn("dev", abs(col("l_extendedprice") - col("med")))
-      .groupBy("l_returnflag", "med")
-      .agg(expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY dev)").as("mad"),
-        count(lit(1)).as("n"))
+    GridPercentile.discBucketed(dev, Seq("l_returnflag", "med"), "dev",
+      step = 16.0, "mad", 0.5, countName = Some("n"))
       .orderBy("l_returnflag")
   }
 

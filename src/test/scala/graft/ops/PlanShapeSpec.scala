@@ -138,6 +138,20 @@ class PlanShapeSpec extends SparkSuite {
     assert(p.contains("explode"), "small side must replicate per salt")
   }
 
+  test("q_mad has no PercentileDisc row buffer: partial aggregates below every percentile") {
+    val p = plan("q_mad")
+    assert(!p.contains("percentile_disc"),
+      "q_mad must use the bounded grid path, not the PercentileDisc buffer")
+    assert(p.contains("partial_count"), "bucket census must pre-aggregate map-side")
+  }
+
+  test("q_quantiles has no PercentileDisc row buffer: partial aggregates below every percentile") {
+    val p = plan("q_quantiles")
+    assert(!p.contains("percentile_disc"),
+      "q_quantiles must use the bounded grid path, not the PercentileDisc buffer")
+    assert(p.contains("partial_count"), "value grid / bucket census must pre-aggregate map-side")
+  }
+
   test("q_contamination broadcasts the eval shingle set") {
     val p = plan("q_contamination")
     assert(p.contains("BroadcastHashJoin"), p.take(400))
