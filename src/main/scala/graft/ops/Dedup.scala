@@ -438,8 +438,57 @@ object Dedup {
     }
   }
 
+  /** Sequence-level EXACT-substring dedup — the training-data dedup
+    * family MinHash/SimHash (whole-doc near-dup) and q_dedup_text
+    * (whole-doc exact) do not cover: find passages duplicated VERBATIM
+    * across documents, the way a crawl duplicates boilerplate or quoted
+    * text into otherwise-distinct pages.
+    *
+    * Every W-token sliding window is digested to md5 map-side (the text
+    * never crosses a shuffle — the exchange carries 16-byte digests, the
+    * same discipline as the MinHash banding above); spans seen in more
+    * than one document are reported with their occurrence count and
+    * keeper (min doc_id — the doc a scrubber would keep the passage in).
+    * At 100 TB the shuffle is O(tokens) fixed-width keys with map-side
+    * partial aggregation; a production scrubber would follow with a
+    * per-doc join against this table to mask spans where
+    * doc_id != keeper. */
+  val substringDedup: Q = {
+    val W = 8 // span width in tokens; W-1 appears in the slice bounds below
+    Q(
+      "q_substring_dedup",
+      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         |spans AS (
+         |  SELECT doc_id,
+         |    unnest(list_transform(range(1, len(t) - ${W - 2}),
+         |      i -> md5(array_to_string(t[i:i+${W - 1}], ' ')))) AS h
+         |  FROM toks)
+         |SELECT h AS span_hash, count(*) AS n_occ,
+         |  count(DISTINCT doc_id) AS n_docs, min(doc_id) AS keeper
+         |FROM spans GROUP BY h HAVING count(DISTINCT doc_id) > 1
+         |ORDER BY span_hash""".stripMargin
+    ) { (s, d) =>
+      val toks = T.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("t"))
+      // Spark's sequence(1, n) steps BACKWARDS for n < 1 — guard short
+      // docs to an empty span list (DuckDB's range(1, n<1) is already []).
+      val hashes = when(size(col("t")) >= W,
+        transform(sequence(lit(1), size(col("t")) - (W - 1)),
+          i => md5(concat_ws(" ", slice(col("t"), i, lit(W))))))
+        .otherwise(array().cast(ArrayType(StringType)))
+      toks.select(col("doc_id"), explode(hashes).as("h"))
+        .groupBy("h")
+        .agg(count(lit(1)).as("n_occ"),
+          countDistinct(col("doc_id")).as("n_docs"),
+          min(col("doc_id")).as("keeper"))
+        .filter(col("n_docs") > 1)
+        .select(col("h").as("span_hash"), col("n_occ"), col("n_docs"), col("keeper"))
+        .orderBy("span_hash")
+    }
+  }
+
   val all: Seq[Q] =
     Seq(dedupMinhash, dedupSimhash, ngramJaccard, simhashHamming,
       dedupEditDistance, neardupPipeline, dedupClusters, dedupReport,
-      minhashJaccardEst)
+      minhashJaccardEst, substringDedup)
 }

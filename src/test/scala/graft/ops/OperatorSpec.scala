@@ -39,6 +39,25 @@ class OperatorSpec extends SparkSuite {
     assert(out.count() == 0)
   }
 
+  test("q_substring_dedup reports only spans genuinely shared verbatim across docs") {
+    val reported = run("q_substring_dedup").collect()
+    assert(reported.nonEmpty)
+    reported.foreach(r => assert(r.getLong(2) > 1, "n_docs must exceed 1"))
+    // recompute one doc's spans locally and confirm a reported hash of its
+    // keeper doc really is an 8-token window of that doc's text
+    val keeper = reported.head.getLong(3)
+    val text = graft.core.Tables.documents(spark, sf)
+      .filter($"doc_id" === keeper).select("text").as[String].head()
+    val toks = text.split(" ")
+    val localHashes = toks.sliding(8).map { w =>
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(w.mkString(" ").getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    }.toSet
+    assert(localHashes.contains(reported.head.getString(0)),
+      "reported span hash must be an actual 8-token window of its keeper doc")
+  }
+
   test("q_topk is ordered by price desc with key tiebreak") {
     val rows = run("q_topk").collect()
     assert(rows.length == 10)

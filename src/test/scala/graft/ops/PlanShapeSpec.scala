@@ -204,6 +204,20 @@ class PlanShapeSpec extends SparkSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q_substring_dedup digests spans map-side (no text crosses an exchange)") {
+    val df = graft.SparkEntry.queries("q_substring_dedup")(spark, sf)
+    val formatted = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    val inputs = """\(\d+\) Exchange\nInput \[\d+\]: \[([^\]]*)\]""".r
+      .findAllMatchIn(formatted).map(_.group(1)).toSeq
+    assert(inputs.nonEmpty, formatted.take(400))
+    inputs.foreach(i => assert(!i.split(",\\s*").exists(c =>
+      c.startsWith("text#") || c.startsWith("t#")),
+      s"text/token column crosses an exchange: $i"))
+    assert(df.queryExecution.executedPlan.toString().contains("partial_count"),
+      "span census must pre-aggregate map-side")
+  }
+
   test("q_curation reads the documents text column only map-side (no text in shuffles)") {
     // The shuffle payload is the Exchange's Input row in formatted explain
     // (a substring heuristic over the tree form would false-positive on a
