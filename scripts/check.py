@@ -1,7 +1,7 @@
 #!/usr/bin/env python3
 """Local replica of the driver's t2 correctness gate.
 
-Usage: python3 scripts/check.py <sfDir> <verifyOutDir> [--strict]
+Usage: python3 scripts/check.py <sfDir> <verifyOutDir> [--strict] [--lint-only]
 
 For each query dumped by graft.Verify: read the Spark parquet result,
 run the oracle SQL in DuckDB against views over the same parquet tables,
@@ -9,7 +9,9 @@ sort columns by name, and compare row count, schema-ish dtypes, and
 exact values. Every name in queries.json (the declared inventory) must
 produce a result dir — a query whose Verify run failed is a FAIL, not a
 skip. --strict turns the dtype WARN into FAIL (the driver compares
-dtypes).
+dtypes). Every run starts with an oracle lint (EXPLAIN each oracleSql in
+DuckDB — binder errors fail the gate before any compare); --lint-only
+stops after the lint, for a fast pre-flight at sf0.001.
 """
 import sys, json, glob, os
 import duckdb
@@ -17,13 +19,29 @@ import duckdb
 TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
 
-def main(sf_dir, out_dir, strict=False):
+def main(sf_dir, out_dir, strict=False, lint_only=False):
     con = duckdb.connect()
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
         if os.path.exists(p):
             con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    # Lint pre-step: EXPLAIN every oracle before comparing anything. Both
+    # round-3 gate failures were DuckDB binder ambiguities (an ambiguous
+    # column reference) invisible to Spark — a bad oracle must fail loudly
+    # here, not ship to the driver's gate.
+    lint_fail = 0
+    for name in sorted(oracle):
+        try:
+            con.sql(f"EXPLAIN {oracle[name]}")
+        except Exception as e:
+            print(f"LINT-FAIL {name}: {str(e)[:200]}")
+            lint_fail += 1
+    if lint_fail:
+        print(f"== oracle lint: {lint_fail} of {len(oracle)} oracles failed to bind ==")
+    if lint_only:
+        print(f"== oracle lint: {len(oracle) - lint_fail}/{len(oracle)} bind clean ==")
+        return 1 if lint_fail else 0
     qj = f"{out_dir}/queries.json"
     declared = json.load(open(qj)) if os.path.exists(qj) else []
     n_pass = n_fail = 0
@@ -85,7 +103,8 @@ def main(sf_dir, out_dir, strict=False):
         else:
             print(f"PASS {name} ({len(spark_df)} rows)"); n_pass += 1
     print(f"== {n_pass} pass / {n_fail} fail ==")
-    return 1 if n_fail else 0
+    return 1 if (n_fail or lint_fail) else 0
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2], strict="--strict" in sys.argv[3:]))
+    sys.exit(main(sys.argv[1], sys.argv[2], strict="--strict" in sys.argv[3:],
+             lint_only="--lint-only" in sys.argv[3:]))

@@ -64,7 +64,12 @@ object Bench {
     catch { case e: Throwable => System.err.println(s"[bench] file dump failed: ${e.getMessage}") }
     println(fullLine)
     val slowest = results.toSeq.sortBy(-_._2).take(20)
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${jmap(slowest)},"sf":"$sfDir","n_queries":${results.size},"queries_shown":"slowest20","full_map":"bench_queries.json"}""")
+    // failures record -1 and would sort LAST — invisible in the only line
+    // guaranteed to survive stdout-tail truncation. Surface them
+    // explicitly: a count plus the failed names, always in the headline.
+    val failed = results.toSeq.filter(_._2 < 0).map(_._1).sorted
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${jmap(slowest)},"sf":"$sfDir","n_queries":${results.size},"n_failed":${failed.size},"failed":$failedJson,"queries_shown":"slowest20","full_map":"bench_queries.json"}""")
     System.out.flush()
     spark.stop()
   }

@@ -21,6 +21,33 @@ import graft.streaming.CdcPipeline
   *   as one batch and exits — for smoke tests and backfills.
   */
 object CdcMain {
+
+  /** Graceful shutdown (R23): the reference traps SIGINT/SIGTERM, cancels
+    * the poll loop and closes both DBs (main.go:30-38,47-48;
+    * duckdb_cdc.go:296-301). JVM equivalent: stop every active streaming
+    * query, then the session. Checkpoints already make a hard kill SAFE
+    * (restart resumes without re-capture — CdcPipelineSpec); the hook
+    * upgrades the common case from "safe crash" to "clean exit": streams
+    * finish their in-flight micro-batch and commit instead of dying
+    * mid-batch and replaying it on restart. */
+  private[graft] def shutdown(spark: SparkSession, stopSession: Boolean): Unit = {
+    spark.streams.active.foreach { q =>
+      try q.stop() catch { case _: Throwable => () }
+    }
+    if (stopSession) {
+      try spark.stop() catch { case _: Throwable => () }
+    }
+  }
+
+  /** Registers the Ctrl-C/SIGTERM hook; returns the thread so tests (or a
+    * caller embedding the daemon) can deregister it. */
+  private[graft] def installShutdownHook(spark: SparkSession): Thread = {
+    val t = new Thread(() => shutdown(spark, stopSession = true),
+      "graft-cdc-shutdown")
+    Runtime.getRuntime.addShutdownHook(t)
+    t
+  }
+
   def main(args: Array[String]): Unit = {
     require(args.length >= 3,
       "usage: CdcMain <inputDir> <workDir> <tables> [runOnceParquet]")
@@ -63,6 +90,7 @@ object CdcMain {
     } else if (tables.size == 1) {
       val cfg = cfgFor(tables.head, inputDir, ".")
       val q = CdcPipeline.start(spark, cfg, inferSchema(inputDir))
+      installShutdownHook(spark)
       println(s"[cdc] monitoring $inputDir for table=${tables.head} (Ctrl-C to stop)")
       q.awaitTermination()
     } else {
@@ -71,6 +99,7 @@ object CdcMain {
         (cfgFor(t, in, t), inferSchema(in))
       }
       CdcPipeline.startAll(spark, plans)
+      installShutdownHook(spark)
       println(s"[cdc] monitoring ${tables.size} tables under $inputDir (Ctrl-C to stop)")
       spark.streams.awaitAnyTermination()
     }

@@ -8,8 +8,19 @@ object Verify {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     // Optional name filter for local iteration; the driver never sets it.
+    // An empty/whitespace value would parse to Some(empty set) and silently
+    // run NOTHING — a vacuously "passing" local gate. Fail fast instead.
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .map { names =>
+        require(names.nonEmpty,
+          "SPARK_GRAFT_ONLY is set but names no queries; unset it or pass " +
+            s"a comma-separated subset of: ${SparkEntry.queries.keys.toSeq.sorted.mkString(",")}")
+        val unknown = names -- SparkEntry.queries.keySet
+        require(unknown.isEmpty,
+          s"SPARK_GRAFT_ONLY names unknown queries: ${unknown.toSeq.sorted.mkString(",")}")
+        names
+      }
     val spark = graft.core.Session.local(cpus.toInt, cpus.toInt)
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries

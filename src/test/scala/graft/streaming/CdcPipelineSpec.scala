@@ -240,6 +240,49 @@ class CdcPipelineSpec extends SparkSuite {
     assert(lines.count(_.contains("\"operation\":\"INSERT\"")) == 3)
   }
 
+  test("state maintenance under a live diff stream: prune+compact between triggers never breaks the next diff") {
+    val base = tmpDir("cdc")
+    val c = cfg(base).copy(mode = "diff", keyCols = Seq("id"))
+    val stateDir = s"${c.metadataDir}/state/table_name=${c.tableName}"
+    Files.createDirectories(Paths.get(c.inputDir))
+    val q = CdcPipeline.start(spark, c, seedUsers.schema)
+    // batch 0: bootstrap; batch 1: update id=2 — two state versions accrete
+    seedUsers.coalesce(1).write.mode("append").parquet(c.inputDir)
+    q.processAllAvailable()
+    seedUsers.withColumn("email",
+      org.apache.spark.sql.functions.when($"id" === 2,
+        org.apache.spark.sql.functions.lit("jane2@example.com")).otherwise($"email"))
+      .coalesce(1).write.mode("append").parquet(c.inputDir)
+    q.processAllAvailable()
+    assert(jsonlLines(c.outputDir).size == 3) // 2 INSERTs + 1 UPDATE
+    // maintenance runs between triggers while the query is STILL ACTIVE:
+    // retention drops the bootstrap version, compaction bin-packs the
+    // survivor leaf
+    assert(q.isActive)
+    val dropped = graft.core.Maintenance.pruneVersions(spark, stateDir, keep = 1)
+    assert(dropped.nonEmpty, "the bootstrap state version should be pruned")
+    import scala.jdk.CollectionConverters._
+    val leaf = Files.list(Paths.get(stateDir)).iterator().asScala
+      .filter(p => p.getFileName.toString.startsWith("v=")).toSeq match {
+      case Seq(one) => one.toString
+      case other    => fail(s"expected exactly one surviving version, got $other")
+    }
+    graft.core.Maintenance.compact(spark, leaf)
+    // batch 2 diffs against the pruned+compacted state: DELETE id=1 only
+    seedUsers.filter($"id" =!= 1)
+      .withColumn("email",
+        org.apache.spark.sql.functions.when($"id" === 2,
+          org.apache.spark.sql.functions.lit("jane2@example.com")).otherwise($"email"))
+      .coalesce(1).write.mode("append").parquet(c.inputDir)
+    q.processAllAvailable()
+    q.stop()
+    val lines = jsonlLines(c.outputDir)
+    assert(lines.size == 4, lines.mkString("\n"))
+    assert(lines.count(_.contains("\"operation\":\"DELETE\"")) == 1)
+    assert(lines.filter(_.contains("\"operation\":\"DELETE\"")).head
+      .contains("\\\"id\\\":1"))
+  }
+
   test("diff mode survives schema drift: added column surfaces as UPDATEs with the new field") {
     val base = tmpDir("cdc")
     val c = cfg(base).copy(mode = "diff", keyCols = Seq("id"))
@@ -350,6 +393,51 @@ class CdcPipelineSpec extends SparkSuite {
     // two captures (2-row then 3-row snapshot) — never one 5-row batch
     assert(jsonlLines(c.outputDir).size == 5)
     assert(spark.read.parquet(c.metadataDir).count() == 2)
+  }
+
+  test("graceful shutdown: CdcMain's hook stops every active stream (reference R23)") {
+    val base = tmpDir("cdc")
+    val c1 = cfg(s"$base/a"); val c2 = cfg(s"$base/b")
+    Files.createDirectories(Paths.get(c1.inputDir))
+    Files.createDirectories(Paths.get(c2.inputDir))
+    seedUsers.coalesce(1).write.mode("append").parquet(c1.inputDir)
+    seedUsers.coalesce(1).write.mode("append").parquet(c2.inputDir)
+    val qs = CdcPipeline.startAll(spark,
+      Seq((c1, seedUsers.schema), (c2, seedUsers.schema)))
+    qs.foreach(_.processAllAvailable())
+    assert(qs.forall(_.isActive))
+    // the hook must be registerable and removable (daemon embedding), and
+    // its stream-stopping body must terminate every active query. The
+    // session itself is shared across suites, so stopSession=false here —
+    // main() runs the same body with stopSession=true.
+    val hook = graft.CdcMain.installShutdownHook(spark)
+    assert(Runtime.getRuntime.removeShutdownHook(hook))
+    graft.CdcMain.shutdown(spark, stopSession = false)
+    assert(qs.forall(!_.isActive), "shutdown must stop every active stream")
+    assert(jsonlLines(c1.outputDir).size == 2 && jsonlLines(c2.outputDir).size == 2)
+  }
+
+  test("crash replay: re-delivered batchId after a mid-batch kill does not duplicate envelopes") {
+    val base = tmpDir("cdc")
+    val c = cfg(base)
+    // First delivery of batch 0: capture committed (envelopes + checksum).
+    assert(CdcPipeline.processBatch(spark, seedUsers, c, batchId = Some(0L)))
+    // capture wall-clock differs between runs by design — compare payloads
+    def payloads = jsonlLines(c.outputDir)
+      .map(_.replaceAll("\"timestamp\":\"[^\"]*\",", "")).sorted
+    val afterFirst = payloads
+    assert(afterFirst.size == 2)
+    // Kill AFTER envelope write but BEFORE the checksum record commits —
+    // the worst-case boundary. Simulate by erasing the checksum metadata;
+    // the file-source checkpoint then re-delivers the same batchId.
+    Files.walk(Paths.get(c.metadataDir)).iterator().asScala.toSeq
+      .sortBy(-_.getNameCount).foreach(Files.delete)
+    assert(CdcPipeline.processBatch(spark, seedUsers, c, batchId = Some(0L)))
+    assert(payloads == afterFirst,
+      "per-batch overwrite must replace, not append, the replayed capture")
+    // Kill after FULL commit: replay of the same snapshot is a no-change
+    assert(!CdcPipeline.processBatch(spark, seedUsers, c, batchId = Some(0L)))
+    assert(payloads == afterFirst)
   }
 
   test("streaming end-to-end: snapshot drops are discovered and captured") {
