@@ -67,12 +67,75 @@ case class FloatVecDot(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Double-array sibling of [[FloatVecDot]] for the integer-code k-means
+  * path (codes are exact-integer-valued doubles): the same left-to-right
+  * fold as aggregate(zip_with(a, b, _*_), 0d, _+_) and as DuckDB's
+  * list_inner_product, codegen'd. Bit-identical to the HOF formulation
+  * (DoubleVecDotSpec), ~interpreted-lambda-free at N·K dots per Lloyd
+  * round. */
+case class DoubleVecDot(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case _ =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"DoubleVecDot requires two array<double> inputs, got " +
+            s"${left.dataType.sql} and ${right.dataType.sql}")
+    }
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      acc += x.getDouble(i) * y.getDouble(i)
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += $x.getDouble($i) * $y.getDouble($i);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DoubleVecDot =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Column-level API + SQL registration for the vector expressions. */
 object VectorOps {
   /** Register `vec_dot` in the session's function registry (idempotent)
     * so it is reachable from both the Column API and SQL text. */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     Registry.ensure(spark, "vec_dot")(exprs => FloatVecDot(exprs(0), exprs(1)))
+    Registry.ensure(spark, "vec_dot_d")(exprs => DoubleVecDot(exprs(0), exprs(1)))
+  }
+
+  /** dot(a, b) over two array<double> columns. */
+  def vecDotD(spark: SparkSession, a: Column, b: Column): Column = {
+    register(spark)
+    org.apache.spark.sql.functions.call_function("vec_dot_d", a, b)
+  }
 
   /** dot(a, b) over two array<float> columns, in double precision. */
   def vecDot(spark: SparkSession, a: Column, b: Column): Column = {

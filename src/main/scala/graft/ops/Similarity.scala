@@ -138,8 +138,10 @@ object Similarity {
     * integer < 2^53, so the result is bit-identical in any engine and
     * any summation order — this is what makes distributed k-means
     * deterministic here (float centroid means would be partition-order
-    * dependent). */
-  private def dotD(a: Column, b: Column): Column =
+    * dependent). The HOF form is the readable reference; hot paths use
+    * the codegen'd DoubleVecDot kernel (same fold — DoubleVecDotSpec
+    * asserts bitwise parity). */
+  private[ops] def dotDHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
 
   /** IVF (inverted-file) ANN probe with centroids trained by Lloyd's
@@ -221,6 +223,7 @@ object Similarity {
   /** The trained-k-means cell assignment (vec_id, cid) plus the probe
     * result — factored so the spec can grade the assignment quality. */
   private[ops] def trainedAssignment(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    def dotD(a: Column, b: Column): Column = graft.functions.VectorOps.vecDotD(s, a, b)
     val dims = 1 to 64
     val e = col("embedding").cast(ArrayType(DoubleType))
     val codes = transform(e, x => round(x * Scale, 0))
@@ -296,8 +299,7 @@ object Similarity {
   /** Mean cosine of each vector to its cell's (sum-)centroid — the
     * k-means objective the spec grades trained-vs-standin on. */
   private[ops] def intraCellCosine(s: SparkSession, d: String, assign: DataFrame): Double = {
-    def dot(a: Column, b: Column): Column =
-      graft.functions.VectorOps.vecDot(s, a, b)
+    def dotD(a: Column, b: Column): Column = graft.functions.VectorOps.vecDotD(s, a, b)
     val dims = 1 to 64
     val e = col("embedding").cast(ArrayType(DoubleType))
     val v = T.embeddings(s, d).select(col("vec_id"), e.as("e"))

@@ -37,6 +37,30 @@ class VectorOpsSpec extends SparkSuite {
     assert(diff == 0)
   }
 
+  test("vec_dot_d (double kernel) matches the HOF fold bit-for-bit, incl. integer-code vectors") {
+    val df = Seq(
+      (Seq(1.5d, -2.25d, 0.125d), Seq(4.0d, 0.5d, -8.0d)),
+      (Seq(127d, -127d, 64d), Seq(254000d, 254000d, 1d)),
+      (Seq.empty[Double], Seq.empty[Double])
+    ).toDF("a", "b")
+    val hof = aggregate(zip_with(col("a"), col("b"), (x, y) => x * y),
+      lit(0.0), (acc, v) => acc + v)
+    val rows = df.select(
+      VectorOps.vecDotD(spark, col("a"), col("b")).as("native"), hof.as("hof"))
+      .collect()
+    rows.foreach(r => assert(
+      java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(1))))
+    // and over the real embeddings cast to double (the k-means code path)
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("embedding").cast("array<double>").as("a"))
+      .select(col("a"), col("a").as("b"))
+    val diff = e.select(
+      VectorOps.vecDotD(spark, col("a"), col("b")).as("native"), hof.as("hof"))
+      .filter(col("native") =!= col("hof")).count()
+    assert(diff == 0)
+  }
+
   test("vec_dot is null-safe and SQL-callable") {
     VectorOps.register(spark)
     val r = spark.sql(
