@@ -170,7 +170,14 @@ object Similarity {
     * broadcast of the tiny centroid set against one streaming scan; probe
     * work is cell-local. At 100 TB the cell id becomes the partition/
     * bucketing key and probes touch one cell per query. */
-  val similarityIvf: Q = {
+  private val AFinal = s"a$Iters"
+
+  /** ALL the Lloyd-round CTEs through the final assignment `AFinal`, plus
+    * the raw-vector view `v` — ONE definition shared by q_similarity_ivf,
+    * q_ann_recall, and q_semdedup, so the trained cells those three
+    * queries reason about are definitionally the same (the Dedup
+    * sigBandsCteSql pattern). */
+  private val ivfCtesSql: String = {
     val dims = 1 to 64 // embeddings are 64-dim (TESTDATA.md)
     val centroidSumsSql = dims.map(i => s"sum(q.cd[$i])").mkString("[", ", ", "]")
     // cosine of code vector q against centroid c, with zero-norm guard
@@ -189,35 +196,140 @@ object Similarity {
          |  FROM $assign a JOIN qc q ON q.vec_id = a.vec_id GROUP BY a.cid))""".stripMargin
     val lloydCtes = (1 to Iters).map(i =>
       s"${updateSql(s"c$i", s"a${i - 1}")},\n${assignSql(s"a$i", s"c$i")}").mkString(",\n")
-    val aFinal = s"a$Iters"
-    Q(
-      "q_similarity_ivf",
-      s"""WITH qc AS (
-         |  SELECT vec_id,
-         |    list_transform(embedding::DOUBLE[], x -> round(x * $Scale)) AS cd,
-         |    list_inner_product(list_transform(embedding::DOUBLE[], x -> round(x * $Scale)),
-         |                       list_transform(embedding::DOUBLE[], x -> round(x * $Scale))) AS n2
-         |  FROM embeddings),
-         |s0 AS (SELECT vec_id AS cid, cd, n2 AS cn2 FROM qc WHERE vec_id < $KCells),
-         |${assignSql("a0", "s0")},
-         |$lloydCtes,
-         |v AS (SELECT vec_id, embedding::DOUBLE[] AS e,
-         |    sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS vn
-         |  FROM embeddings),
-         |qa AS (SELECT vec_id AS qid, cid FROM $aFinal WHERE vec_id BETWEEN 16 AND 20),
-         |cand AS (SELECT qa.qid, a.vec_id AS cand_id
-         |  FROM qa JOIN $aFinal a ON a.cid = qa.cid AND a.vec_id != qa.qid),
-         |cscore AS (SELECT qid, cand_id,
-         |    round(list_inner_product(vq.e, vc.e) / (vq.vn * vc.vn), 6) AS score
-         |  FROM cand
-         |  JOIN v vq ON vq.vec_id = qid
-         |  JOIN v vc ON vc.vec_id = cand_id)
-         |SELECT qid, CAST(rn AS INTEGER) AS rn, cand_id AS vec_id, score FROM (
-         |  SELECT qid, cand_id, score,
-         |    row_number() OVER (PARTITION BY qid ORDER BY score DESC, cand_id) AS rn
-         |  FROM cscore)
-         |WHERE rn <= 3 ORDER BY qid, rn""".stripMargin
-    ) { (s, d) => trainedAssignment(s, d)._2 }
+    s"""qc AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding::DOUBLE[], x -> round(x * $Scale)) AS cd,
+       |    list_inner_product(list_transform(embedding::DOUBLE[], x -> round(x * $Scale)),
+       |                       list_transform(embedding::DOUBLE[], x -> round(x * $Scale))) AS n2
+       |  FROM embeddings),
+       |s0 AS (SELECT vec_id AS cid, cd, n2 AS cn2 FROM qc WHERE vec_id < $KCells),
+       |${assignSql("a0", "s0")},
+       |$lloydCtes,
+       |v AS (SELECT vec_id, embedding::DOUBLE[] AS e,
+       |    sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS vn
+       |  FROM embeddings)""".stripMargin
+  }
+
+  /** The IVF probe stage (queries 16..20 against their own cell), shared
+    * by q_similarity_ivf and q_ann_recall. */
+  private val probeCtesSql: String =
+    s"""qa AS (SELECT vec_id AS qid, cid FROM $AFinal WHERE vec_id BETWEEN 16 AND 20),
+       |cand AS (SELECT qa.qid, a.vec_id AS cand_id
+       |  FROM qa JOIN $AFinal a ON a.cid = qa.cid AND a.vec_id != qa.qid),
+       |cscore AS (SELECT qid, cand_id,
+       |    round(list_inner_product(vq.e, vc.e) / (vq.vn * vc.vn), 6) AS score
+       |  FROM cand
+       |  JOIN v vq ON vq.vec_id = qid
+       |  JOIN v vc ON vc.vec_id = cand_id)""".stripMargin
+
+  val similarityIvf: Q = Q(
+    "q_similarity_ivf",
+    s"""WITH $ivfCtesSql,
+       |$probeCtesSql
+       |SELECT qid, CAST(rn AS INTEGER) AS rn, cand_id AS vec_id, score FROM (
+       |  SELECT qid, cand_id, score,
+       |    row_number() OVER (PARTITION BY qid ORDER BY score DESC, cand_id) AS rn
+       |  FROM cscore)
+       |WHERE rn <= 3 ORDER BY qid, rn""".stripMargin
+  ) { (s, d) => trainedAssignment(s, d)._2 }
+
+  /** ANN quality evaluation: recall@3 of the IVF cell-local probe against
+    * the exact brute-force top-3 over the whole corpus — the number an
+    * ANN deployment is actually judged by. The exact side is a broadcast
+    * of the 5 query vectors against one streaming scan (the
+    * q_similarity_topk shape); the IVF side reuses the trained cells.
+    * At 100 TB this is the recurring eval job run on a sampled query set
+    * after each re-train. */
+  val annRecall: Q = Q(
+    "q_ann_recall",
+    s"""WITH $ivfCtesSql,
+       |$probeCtesSql,
+       |ivf3 AS (SELECT qid, cand_id FROM (
+       |  SELECT qid, cand_id, row_number() OVER (PARTITION BY qid ORDER BY score DESC, cand_id) AS rn
+       |  FROM cscore) WHERE rn <= 3),
+       |ex AS (SELECT q.vec_id AS qid, b.vec_id AS cand_id,
+       |    round(list_inner_product(q.e, b.e) / (q.vn * b.vn), 6) AS score
+       |  FROM v q JOIN v b ON b.vec_id != q.vec_id
+       |  WHERE q.vec_id BETWEEN 16 AND 20),
+       |ex3 AS (SELECT qid, cand_id FROM (
+       |  SELECT qid, cand_id, row_number() OVER (PARTITION BY qid ORDER BY score DESC, cand_id) AS rn
+       |  FROM ex) WHERE rn <= 3),
+       |hits AS (SELECT i.qid, count(*) AS n_hits FROM ivf3 i
+       |  JOIN ex3 e ON e.qid = i.qid AND e.cand_id = i.cand_id GROUP BY i.qid)
+       |SELECT q.qid, coalesce(h.n_hits, 0) AS n_hits,
+       |  coalesce(h.n_hits, 0) / 3.0 AS recall
+       |FROM (SELECT DISTINCT qid FROM ivf3) q
+       |LEFT JOIN hits h ON h.qid = q.qid ORDER BY q.qid""".stripMargin
+  ) { (s, d) =>
+    def dot(a: Column, b: Column): Column =
+      graft.functions.VectorOps.vecDot(s, a, b)
+    val (_, probe) = trainedAssignment(s, d)
+    val ivf3 = probe.select(col("qid"), col("vec_id").as("cand_id"))
+      .localCheckpoint() // referenced by the hits join AND the qid spine
+    val base = T.embeddings(s, d)
+      .select(col("vec_id"), col("embedding"),
+        sqrt(dot(col("embedding"), col("embedding"))).as("nrm"))
+    val q = base.filter(col("vec_id").between(16, 20))
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("nrm").as("qn"))
+    val ex = base.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("cand_id"),
+        round(dot(col("embedding"), col("qe")) / (col("nrm") * col("qn")), 6).as("score"))
+    val w = Window.partitionBy("qid").orderBy(col("score").desc, col("cand_id").asc)
+    val ex3 = ex.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3).select("qid", "cand_id")
+    val hits = ivf3.join(ex3, Seq("qid", "cand_id"))
+      .groupBy("qid").agg(count(lit(1)).as("n_hits"))
+    ivf3.select("qid").distinct()
+      .join(hits, Seq("qid"), "left")
+      .select(col("qid"), coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+      .withColumn("recall", col("n_hits") / lit(3.0d))
+      .orderBy("qid")
+  }
+
+  /** Semantic dedup over the trained cells (the SemDeDup shape: cluster,
+    * then prune within-cluster near-identical pairs): a vector is a dup
+    * if a LOWER-id vector in the same trained cell has cosine ≥ 0.4 with
+    * it; the keeper is the lowest such id. The pair join is strictly
+    * cell-local — the same bounded-bucket discipline as the LSH pipeline,
+    * with cell population controlled by KCells ≈ sqrt(N) at scale. Output
+    * is the full per-vector verdict table a curation pipeline joins
+    * against. */
+  val semDedup: Q = Q(
+    "q_semdedup",
+    s"""WITH $ivfCtesSql,
+       |cand AS (SELECT sb.vec_id, min(sa.vec_id) AS keeper
+       |  FROM $AFinal sa JOIN $AFinal sb ON sa.cid = sb.cid AND sa.vec_id < sb.vec_id
+       |  JOIN v a ON a.vec_id = sa.vec_id
+       |  JOIN v b ON b.vec_id = sb.vec_id
+       |  WHERE round(list_inner_product(a.e, b.e) / (a.vn * b.vn), 6) >= 0.4
+       |  GROUP BY sb.vec_id)
+       |SELECT f.vec_id, f.cid AS cell,
+       |  coalesce(c.keeper, -1) AS keeper,
+       |  CASE WHEN c.keeper IS NULL THEN 0 ELSE 1 END AS is_dup
+       |FROM $AFinal f LEFT JOIN cand c ON c.vec_id = f.vec_id
+       |ORDER BY f.vec_id""".stripMargin
+  ) { (s, d) =>
+    def dot(a: Column, b: Column): Column =
+      graft.functions.VectorOps.vecDot(s, a, b)
+    val (a2, _) = trainedAssignment(s, d)
+    val base = T.embeddings(s, d)
+      .select(col("vec_id"), col("embedding"),
+        sqrt(dot(col("embedding"), col("embedding"))).as("nrm"))
+    val pa = a2.select(col("vec_id").as("a_id"), col("cid"))
+    val pb = a2.select(col("vec_id").as("b_id"), col("cid"))
+    val cand = pa.join(pb, "cid").filter(col("a_id") < col("b_id"))
+      .join(base.select(col("vec_id").as("a_id"), col("embedding").as("ea"),
+        col("nrm").as("na")), "a_id")
+      .join(base.select(col("vec_id").as("b_id"), col("embedding").as("eb"),
+        col("nrm").as("nb")), "b_id")
+      .filter(round(dot(col("ea"), col("eb")) / (col("na") * col("nb")), 6) >= 0.4)
+      .groupBy("b_id").agg(min(col("a_id")).as("keeper"))
+    a2.join(cand.withColumnRenamed("b_id", "vec_id"), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cid").as("cell"),
+        coalesce(col("keeper"), lit(-1L)).as("keeper"),
+        when(col("keeper").isNull, lit(0)).otherwise(lit(1)).as("is_dup"))
+      .orderBy("vec_id")
   }
 
   /** The trained-k-means cell assignment (vec_id, cid) plus the probe
@@ -362,5 +474,6 @@ object Similarity {
       .orderBy("vec_id")
   }
 
-  val all: Seq[Q] = Seq(similarityLsh, embedNearDup, similarityIvf, embedQuantize)
+  val all: Seq[Q] = Seq(similarityLsh, embedNearDup, similarityIvf,
+    annRecall, semDedup, embedQuantize)
 }

@@ -26,6 +26,32 @@ class SimilaritySpec extends SparkSuite {
     assert(snap() == snap())
   }
 
+  test("q_ann_recall is a valid recall: 0 <= n_hits <= 3, recall = n_hits/3, one row per probe") {
+    val rows = graft.SparkEntry.queries("q_ann_recall")(spark, sf).collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(16L, 17L, 18L, 19L, 20L))
+    rows.foreach { r =>
+      val (hits, recall) = (r.getLong(1), r.getDouble(2))
+      assert(hits >= 0 && hits <= 3)
+      assert(recall == hits / 3.0)
+    }
+  }
+
+  test("q_semdedup verdicts are internally consistent (keeper below, same cell, threshold respected)") {
+    val out = graft.SparkEntry.queries("q_semdedup")(spark, sf).collect()
+    val cellOf = out.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dups = out.filter(_.getInt(3) == 1)
+    assert(dups.nonEmpty, "sf0.001 corpus should contain within-cell near-identical pairs")
+    dups.foreach { r =>
+      val (v, keeper) = (r.getLong(0), r.getLong(2))
+      assert(keeper >= 0 && keeper < v, "keeper must be a lower id")
+      assert(cellOf(keeper) == cellOf(v), "keeper must share the trained cell")
+    }
+    out.filter(_.getInt(3) == 0).foreach(r => assert(r.getLong(2) == -1L))
+    val p = graft.SparkEntry.queries("q_semdedup")(spark, sf)
+      .queryExecution.executedPlan.toString()
+    assert(!p.contains("CartesianProduct"), "pair join must stay cell-local")
+  }
+
   test("every probe query returns top-3 candidates from its own cell only") {
     val (assign, probe) = Similarity.trainedAssignment(spark, sf)
     val cells = assign.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
