@@ -476,10 +476,15 @@ object Dedup {
         transform(sequence(lit(1), size(col("t")) - (W - 1)),
           i => md5(concat_ws(" ", slice(col("t"), i, lit(W))))))
         .otherwise(array().cast(ArrayType(StringType)))
+      // two-level aggregate instead of countDistinct: the distinct-agg
+      // Expand would double every shuffled row; (h, doc_id) partials
+      // dedup per doc map-side, then the per-span rollup counts docs as
+      // plain rows — both levels partial-aggregating
       toks.select(col("doc_id"), explode(hashes).as("h"))
+        .groupBy("h", "doc_id").agg(count(lit(1)).as("c"))
         .groupBy("h")
-        .agg(count(lit(1)).as("n_occ"),
-          countDistinct(col("doc_id")).as("n_docs"),
+        .agg(sum(col("c")).as("n_occ"),
+          count(lit(1)).as("n_docs"),
           min(col("doc_id")).as("keeper"))
         .filter(col("n_docs") > 1)
         .select(col("h").as("span_hash"), col("n_occ"), col("n_docs"), col("keeper"))

@@ -177,14 +177,17 @@ object Similarity {
     * q_ann_recall, and q_semdedup, so the trained cells those three
     * queries reason about are definitionally the same (the Dedup
     * sigBandsCteSql pattern). */
+  /** code-space cosine of vector alias `q` against centroid alias `c`,
+    * with zero-norm guard — used by assignment AND multi-probe cell
+    * ranking. */
+  private def cosSql(q: String, c: String): String =
+    s"""CASE WHEN $q.n2 = 0 OR $c.cn2 = 0 THEN -2.0
+       |ELSE round(list_inner_product($q.cd, $c.cd) / (sqrt($q.n2) * sqrt($c.cn2)), 6) END"""
+      .stripMargin.replace("\n", " ")
+
   private val ivfCtesSql: String = {
     val dims = 1 to 64 // embeddings are 64-dim (TESTDATA.md)
     val centroidSumsSql = dims.map(i => s"sum(q.cd[$i])").mkString("[", ", ", "]")
-    // cosine of code vector q against centroid c, with zero-norm guard
-    def cosSql(q: String, c: String) =
-      s"""CASE WHEN $q.n2 = 0 OR $c.cn2 = 0 THEN -2.0
-         |ELSE round(list_inner_product($q.cd, $c.cd) / (sqrt($q.n2) * sqrt($c.cn2)), 6) END"""
-        .stripMargin.replace("\n", " ")
     def assignSql(name: String, cents: String) =
       s"""$name AS (SELECT vec_id, cid FROM (
          |  SELECT q.vec_id, c.cid, row_number() OVER (PARTITION BY q.vec_id
@@ -233,13 +236,18 @@ object Similarity {
        |WHERE rn <= 3 ORDER BY qid, rn""".stripMargin
   ) { (s, d) => trainedAssignment(s, d)._2 }
 
-  /** ANN quality evaluation: recall@3 of the IVF cell-local probe against
-    * the exact brute-force top-3 over the whole corpus — the number an
-    * ANN deployment is actually judged by. The exact side is a broadcast
-    * of the 5 query vectors against one streaming scan (the
-    * q_similarity_topk shape); the IVF side reuses the trained cells.
-    * At 100 TB this is the recurring eval job run on a sampled query set
-    * after each re-train. */
+  /** ANN quality evaluation: recall@3 of the IVF probe against the exact
+    * brute-force top-3 over the whole corpus — the number an ANN
+    * deployment is actually judged by — at BOTH nprobe=1 (own cell only)
+    * and nprobe=NProbe (cells ranked by the same code-space centroid
+    * cosine the assignment uses). The two columns side by side are the
+    * recall/cost knob: searching NProbe cells costs NProbe/KCells of the
+    * corpus per query and strictly widens the candidate set. The exact
+    * side is a broadcast of the 5 query vectors against one streaming
+    * scan (the q_similarity_topk shape). At 100 TB this is the recurring
+    * eval job run on a sampled query set after each re-train. */
+  private val NProbe = 4 // cells searched by the multi-probe variant
+
   val annRecall: Q = Q(
     "q_ann_recall",
     s"""WITH $ivfCtesSql,
@@ -247,6 +255,19 @@ object Similarity {
        |ivf3 AS (SELECT qid, cand_id FROM (
        |  SELECT qid, cand_id, row_number() OVER (PARTITION BY qid ORDER BY score DESC, cand_id) AS rn
        |  FROM cscore) WHERE rn <= 3),
+       |qs AS (SELECT vec_id, cd, n2 FROM qc WHERE vec_id BETWEEN 16 AND 20),
+       |qmp AS (SELECT vec_id AS qid, cid FROM (
+       |  SELECT q.vec_id, c.cid, row_number() OVER (PARTITION BY q.vec_id
+       |    ORDER BY ${cosSql("q", "c")} DESC, c.cid) AS rn
+       |  FROM qs q, c$Iters c) WHERE rn <= $NProbe),
+       |candmp AS (SELECT qmp.qid, a.vec_id AS cand_id
+       |  FROM qmp JOIN $AFinal a ON a.cid = qmp.cid AND a.vec_id != qmp.qid),
+       |cmps AS (SELECT qid, cand_id,
+       |    round(list_inner_product(vq.e, vc.e) / (vq.vn * vc.vn), 6) AS score
+       |  FROM candmp JOIN v vq ON vq.vec_id = qid JOIN v vc ON vc.vec_id = cand_id),
+       |ivf3mp AS (SELECT qid, cand_id FROM (
+       |  SELECT qid, cand_id, row_number() OVER (PARTITION BY qid ORDER BY score DESC, cand_id) AS rn
+       |  FROM cmps) WHERE rn <= 3),
        |ex AS (SELECT q.vec_id AS qid, b.vec_id AS cand_id,
        |    round(list_inner_product(q.e, b.e) / (q.vn * b.vn), 6) AS score
        |  FROM v q JOIN v b ON b.vec_id != q.vec_id
@@ -254,21 +275,29 @@ object Similarity {
        |ex3 AS (SELECT qid, cand_id FROM (
        |  SELECT qid, cand_id, row_number() OVER (PARTITION BY qid ORDER BY score DESC, cand_id) AS rn
        |  FROM ex) WHERE rn <= 3),
-       |hits AS (SELECT i.qid, count(*) AS n_hits FROM ivf3 i
+       |hits1 AS (SELECT i.qid, count(*) AS n_hits FROM ivf3 i
+       |  JOIN ex3 e ON e.qid = i.qid AND e.cand_id = i.cand_id GROUP BY i.qid),
+       |hits$NProbe AS (SELECT i.qid, count(*) AS n_hits FROM ivf3mp i
        |  JOIN ex3 e ON e.qid = i.qid AND e.cand_id = i.cand_id GROUP BY i.qid)
-       |SELECT q.qid, coalesce(h.n_hits, 0) AS n_hits,
-       |  coalesce(h.n_hits, 0) / 3.0 AS recall
+       |SELECT q.qid,
+       |  coalesce(h1.n_hits, 0) AS n_hits_1,
+       |  coalesce(h1.n_hits, 0) / 3.0 AS recall_1,
+       |  coalesce(h$NProbe.n_hits, 0) AS n_hits_$NProbe,
+       |  coalesce(h$NProbe.n_hits, 0) / 3.0 AS recall_$NProbe
        |FROM (SELECT DISTINCT qid FROM ivf3) q
-       |LEFT JOIN hits h ON h.qid = q.qid ORDER BY q.qid""".stripMargin
+       |LEFT JOIN hits1 h1 ON h1.qid = q.qid
+       |LEFT JOIN hits$NProbe h$NProbe ON h$NProbe.qid = q.qid
+       |ORDER BY q.qid""".stripMargin
   ) { (s, d) =>
     def dot(a: Column, b: Column): Column =
       graft.functions.VectorOps.vecDot(s, a, b)
-    val (_, probe) = trainedAssignment(s, d)
+    val (parts, probe) = trainedParts(s, d)
     val ivf3 = probe.select(col("qid"), col("vec_id").as("cand_id"))
       .localCheckpoint() // referenced by the hits join AND the qid spine
     val base = T.embeddings(s, d)
       .select(col("vec_id"), col("embedding"),
         sqrt(dot(col("embedding"), col("embedding"))).as("nrm"))
+    // exact top-3: broadcast the 5 queries against one streaming scan
     val q = base.filter(col("vec_id").between(16, 20))
       .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("nrm").as("qn"))
     val ex = base.crossJoin(broadcast(q))
@@ -278,12 +307,39 @@ object Similarity {
     val w = Window.partitionBy("qid").orderBy(col("score").desc, col("cand_id").asc)
     val ex3 = ex.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 3).select("qid", "cand_id")
-    val hits = ivf3.join(ex3, Seq("qid", "cand_id"))
-      .groupBy("qid").agg(count(lit(1)).as("n_hits"))
+      .localCheckpoint() // joined against both probe variants
+    // multi-probe: rank cells per query by the SAME code-space cosine the
+    // assignment uses, search the top NProbe cells
+    val qs = parts.qc.filter(col("vec_id").between(16, 20))
+    val qmp = qs.crossJoin(broadcast(parts.cents))
+      .withColumn("cos", parts.cosExpr)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("vec_id").orderBy(col("cos").desc, col("cid").asc)))
+      .filter(col("rn") <= NProbe)
+      .select(col("vec_id").as("qid"), col("cid"))
+    val candmp = qmp
+      .join(parts.assign.select(col("vec_id").as("cand_id"), col("cid")), Seq("cid"))
+      .filter(col("cand_id") =!= col("qid"))
+    val cmps = candmp
+      .join(base.select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        col("nrm").as("qn")), Seq("qid"))
+      .join(base.select(col("vec_id").as("cand_id"), col("embedding").as("ce"),
+        col("nrm").as("cn")), Seq("cand_id"))
+      .select(col("qid"), col("cand_id"),
+        round(dot(col("qe"), col("ce")) / (col("qn") * col("cn")), 6).as("score"))
+    val ivf3mp = cmps.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3).select("qid", "cand_id")
+    def hitsOf(sel: DataFrame, name: String): DataFrame =
+      sel.join(ex3, Seq("qid", "cand_id")).groupBy("qid")
+        .agg(count(lit(1)).as(name))
     ivf3.select("qid").distinct()
-      .join(hits, Seq("qid"), "left")
-      .select(col("qid"), coalesce(col("n_hits"), lit(0L)).as("n_hits"))
-      .withColumn("recall", col("n_hits") / lit(3.0d))
+      .join(hitsOf(ivf3, "h1"), Seq("qid"), "left")
+      .join(hitsOf(ivf3mp, "h4"), Seq("qid"), "left")
+      .select(col("qid"),
+        coalesce(col("h1"), lit(0L)).as("n_hits_1"),
+        (coalesce(col("h1"), lit(0L)) / lit(3.0d)).as("recall_1"),
+        coalesce(col("h4"), lit(0L)).as(s"n_hits_$NProbe"),
+        (coalesce(col("h4"), lit(0L)) / lit(3.0d)).as(s"recall_$NProbe"))
       .orderBy("qid")
   }
 
@@ -332,9 +388,22 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** Everything the trained-IVF queries build on: the code table `qc`
+    * (vec_id, cd, n2), the final cell assignment, the final centroid
+    * table, and the code-space cosine used for assignment. */
+  private[ops] final case class IvfParts(
+      qc: DataFrame, assign: DataFrame, cents: DataFrame, cosExpr: Column)
+
   /** The trained-k-means cell assignment (vec_id, cid) plus the probe
     * result — factored so the spec can grade the assignment quality. */
   private[ops] def trainedAssignment(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val (parts, probe) = trainedParts(s, d)
+    (parts.assign, probe)
+  }
+
+  /** Full training output incl. the final centroids (multi-probe needs
+    * them to rank cells per query). */
+  private[ops] def trainedParts(s: SparkSession, d: String): (IvfParts, DataFrame) = {
     def dotD(a: Column, b: Column): Column = graft.functions.VectorOps.vecDotD(s, a, b)
     val dims = 1 to 64
     val e = col("embedding").cast(ArrayType(DoubleType))
@@ -368,10 +437,15 @@ object Similarity {
         .select(col("cid"), array(dims.map(i => col(s"s$i")): _*).as("ccd"))
         .withColumn("cn2", dotD(col("ccd"), col("ccd")))
     }
-    val trained = (1 to Iters).foldLeft(assign(seeds)) { (a, _) => assign(update(a)) }
+    val (trained, cFinal) = (1 to Iters)
+      .foldLeft((assign(seeds), seeds)) { case ((a, _), _) =>
+        val c = update(a); (assign(c), c)
+      }
     // assignment is referenced on both sides of the probe self-join;
     // localCheckpoint so the Lloyd rounds run once, not twice.
     val a2 = trained.localCheckpoint()
+    val cosToCent = when(col("n2") === 0.0d || col("cn2") === 0.0d, lit(-2.0d))
+      .otherwise(round(dotD(col("cd"), col("ccd")) / (sqrt(col("n2")) * sqrt(col("cn2"))), 6))
     def dot(a: Column, b: Column): Column =
       graft.functions.VectorOps.vecDot(s, a, b)
     val base = T.embeddings(s, d)
@@ -391,7 +465,7 @@ object Similarity {
       .filter(col("rn") <= 3)
       .select(col("qid"), col("rn"), col("cand_id").as("vec_id"), col("score"))
       .orderBy("qid", "rn")
-    (a2, probe)
+    (IvfParts(qc, a2, cFinal, cosToCent), probe)
   }
 
   /** The round-4 stand-in assignment (16 lowest vec_ids as centroids) —

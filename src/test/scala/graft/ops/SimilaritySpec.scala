@@ -26,14 +26,20 @@ class SimilaritySpec extends SparkSuite {
     assert(snap() == snap())
   }
 
-  test("q_ann_recall is a valid recall: 0 <= n_hits <= 3, recall = n_hits/3, one row per probe") {
+  test("q_ann_recall is a valid recall and multi-probe never loses to single-probe") {
     val rows = graft.SparkEntry.queries("q_ann_recall")(spark, sf).collect()
     assert(rows.map(_.getLong(0)).toSeq == Seq(16L, 17L, 18L, 19L, 20L))
     rows.foreach { r =>
-      val (hits, recall) = (r.getLong(1), r.getDouble(2))
-      assert(hits >= 0 && hits <= 3)
-      assert(recall == hits / 3.0)
+      val (h1, r1, h4, r4) =
+        (r.getLong(1), r.getDouble(2), r.getLong(3), r.getDouble(4))
+      assert(h1 >= 0 && h1 <= 3 && h4 >= 0 && h4 <= 3)
+      assert(r1 == h1 / 3.0 && r4 == h4 / 3.0)
+      // nprobe=4 candidates are a superset of the own-cell candidates (a
+      // query's own cell is its rank-1 cell), so recall cannot drop
+      assert(h4 >= h1, s"multi-probe lost recall: qid=${r.getLong(0)} h1=$h1 h4=$h4")
     }
+    assert(rows.map(_.getLong(3)).sum > rows.map(_.getLong(1)).sum,
+      "nprobe=4 should strictly improve total recall on this corpus")
   }
 
   test("q_semdedup verdicts are internally consistent (keeper below, same cell, threshold respected)") {
