@@ -453,34 +453,46 @@ object Dedup {
     * partial aggregation; a production scrubber would follow with a
     * per-doc join against this table to mask spans where
     * doc_id != keeper. */
+  private val W = 8 // substring-span width in tokens (shared with the scrub)
+
+  /** SQL: (doc_id, i, h) — every W-token span with its 1-based start. */
+  private val spanCteSql: String =
+    s"""toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       |spans AS (
+       |  SELECT doc_id, s['i'] AS i, s['h'] AS h FROM (
+       |    SELECT doc_id, unnest(list_transform(range(1, len(t) - ${W - 2}),
+       |      i -> {'i': i, 'h': md5(array_to_string(t[i:i+${W - 1}], ' '))})) AS s
+       |    FROM toks))""".stripMargin
+
+  /** Spark twin: (doc_id, i, h) with the same 1-based starts; short docs
+    * yield no spans. Spark's sequence(1, n) steps BACKWARDS for n < 1 —
+    * guard short docs to an empty span list (DuckDB's range(1, n<1) is
+    * already []). */
+  private def spansOf(s: SparkSession, d: String): DataFrame = {
+    val toks = T.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+    val hashes = when(size(col("t")) >= W,
+      transform(sequence(lit(1), size(col("t")) - (W - 1)),
+        i => md5(concat_ws(" ", slice(col("t"), i, lit(W))))))
+      .otherwise(array().cast(ArrayType(StringType)))
+    toks.select(col("doc_id"), posexplode(hashes).as(Seq("i0", "h")))
+      .select(col("doc_id"), (col("i0") + 1).cast(LongType).as("i"), col("h"))
+  }
+
   val substringDedup: Q = {
-    val W = 8 // span width in tokens; W-1 appears in the slice bounds below
     Q(
       "q_substring_dedup",
-      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-         |spans AS (
-         |  SELECT doc_id,
-         |    unnest(list_transform(range(1, len(t) - ${W - 2}),
-         |      i -> md5(array_to_string(t[i:i+${W - 1}], ' ')))) AS h
-         |  FROM toks)
+      s"""WITH $spanCteSql
          |SELECT h AS span_hash, count(*) AS n_occ,
          |  count(DISTINCT doc_id) AS n_docs, min(doc_id) AS keeper
          |FROM spans GROUP BY h HAVING count(DISTINCT doc_id) > 1
          |ORDER BY span_hash""".stripMargin
     ) { (s, d) =>
-      val toks = T.documents(s, d)
-        .select(col("doc_id"), split(col("text"), " ").as("t"))
-      // Spark's sequence(1, n) steps BACKWARDS for n < 1 — guard short
-      // docs to an empty span list (DuckDB's range(1, n<1) is already []).
-      val hashes = when(size(col("t")) >= W,
-        transform(sequence(lit(1), size(col("t")) - (W - 1)),
-          i => md5(concat_ws(" ", slice(col("t"), i, lit(W))))))
-        .otherwise(array().cast(ArrayType(StringType)))
       // two-level aggregate instead of countDistinct: the distinct-agg
       // Expand would double every shuffled row; (h, doc_id) partials
       // dedup per doc map-side, then the per-span rollup counts docs as
       // plain rows — both levels partial-aggregating
-      toks.select(col("doc_id"), explode(hashes).as("h"))
+      spansOf(s, d).select(col("doc_id"), col("h"))
         .groupBy("h", "doc_id").agg(count(lit(1)).as("c"))
         .groupBy("h")
         .agg(sum(col("c")).as("n_occ"),
@@ -492,8 +504,61 @@ object Dedup {
     }
   }
 
+  /** The scrub CONSUMER of q_substring_dedup: rebuild every document with
+    * cross-document duplicated passages masked out of every NON-keeper
+    * occurrence — the boilerplate/quoted-text removal step a crawl
+    * corpus goes through before training. A token is masked if any
+    * duplicated W-token span that starts at-or-before it (and covers it)
+    * occurs in a doc that is not that span's keeper.
+    *
+    * Scale shape: span digests and token positions are born map-side;
+    * the mask join carries (doc_id, position) pairs only; the rebuild is
+    * a per-doc sort-free aggregate (collect_list + array_sort over that
+    * doc's tokens — bounded by document length, the same per-doc bound
+    * every tokenizer already assumes). */
+  val substringScrub: Q = Q(
+    "q_substring_scrub",
+    s"""WITH $spanCteSql,
+       |g AS (SELECT h, min(doc_id) AS keeper FROM spans
+       |  GROUP BY h HAVING count(DISTINCT doc_id) > 1),
+       |mask AS (SELECT DISTINCT sp.doc_id, sp.i + o.o AS p
+       |  FROM spans sp JOIN g ON g.h = sp.h AND g.keeper != sp.doc_id
+       |  CROSS JOIN (SELECT unnest(range(0, $W)) AS o) o),
+       |tok AS (SELECT doc_id, s['i'] AS p, s['tok'] AS tok FROM (
+       |  SELECT doc_id, unnest(list_transform(range(1, len(t) + 1),
+       |    i -> {'i': i, 'tok': t[i]})) AS s
+       |  FROM toks))
+       |SELECT t.doc_id, count(*) AS n_tokens, count(m.p) AS n_masked,
+       |  string_agg(CASE WHEN m.p IS NOT NULL THEN '_' ELSE t.tok END,
+       |             ' ' ORDER BY t.p) AS scrubbed_text
+       |FROM tok t LEFT JOIN mask m ON m.doc_id = t.doc_id AND m.p = t.p
+       |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin
+  ) { (s, d) =>
+    val spans = spansOf(s, d)
+    val g = spans.groupBy("h", "doc_id").agg(count(lit(1)).as("c"))
+      .groupBy("h").agg(count(lit(1)).as("nd"), min(col("doc_id")).as("keeper"))
+      .filter(col("nd") > 1).select("h", "keeper")
+    val mask = spans.join(g, "h").filter(col("keeper") =!= col("doc_id"))
+      .select(col("doc_id"), explode(sequence(col("i"), col("i") + (W - 1))).as("p"))
+      .distinct()
+      .withColumn("m", lit(1))
+    val tok = T.documents(s, d)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("p0", "tok")))
+      .select(col("doc_id"), (col("p0") + 1).cast(LongType).as("p"), col("tok"))
+    tok.join(mask, Seq("doc_id", "p"), "left")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        count(col("m")).as("n_masked"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("p"),
+            when(col("m").isNotNull, lit("_")).otherwise(col("tok")).as("tk")))),
+          x => x.getField("tk"))).as("scrubbed_text"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] =
     Seq(dedupMinhash, dedupSimhash, ngramJaccard, simhashHamming,
       dedupEditDistance, neardupPipeline, dedupClusters, dedupReport,
-      minhashJaccardEst, substringDedup)
+      minhashJaccardEst, substringDedup, substringScrub)
 }

@@ -58,6 +58,31 @@ class OperatorSpec extends SparkSuite {
       "reported span hash must be an actual 8-token window of its keeper doc")
   }
 
+  test("q_substring_scrub masks exactly n_masked tokens and preserves token count") {
+    val original = graft.core.Tables.documents(spark, sf)
+      .select($"doc_id", $"text").as[(Long, String)].collect().toMap
+    val rows = run("q_substring_scrub").collect()
+    assert(rows.length == original.size)
+    var masked = 0L
+    rows.foreach { r =>
+      val (id, nTok, nMask, text) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))
+      val toks = text.split(" ", -1)
+      assert(toks.length.toLong == nTok, s"doc $id token count changed")
+      assert(nMask <= nTok)
+      val naturalUnderscores = original(id).split(" ", -1).count(_ == "_")
+      assert(toks.count(_ == "_") - naturalUnderscores == nMask,
+        s"doc $id: mask marks don't match n_masked")
+      // unmasked positions must carry the original token
+      val orig = original(id).split(" ", -1)
+      toks.indices.foreach { i =>
+        if (toks(i) != "_") assert(toks(i) == orig(i), s"doc $id pos $i altered")
+      }
+      masked += nMask
+    }
+    assert(masked > 0, "corpus with duplicated passages must mask something")
+  }
+
   test("q_topk is ordered by price desc with key tiebreak") {
     val rows = run("q_topk").collect()
     assert(rows.length == 10)
