@@ -218,6 +218,13 @@ class PlanShapeSpec extends SparkSuite {
       "span census must pre-aggregate map-side")
   }
 
+  test("q_ann_recall: exact side broadcasts the 5 query vectors; no cartesian anywhere") {
+    val p = plan("q_ann_recall")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "brute-force exact side must broadcast the query vectors over one scan")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("q_curation reads the documents text column only map-side (no text in shuffles)") {
     // The shuffle payload is the Exchange's Input row in formatted explain
     // (a substring heuristic over the tree form would false-positive on a
