@@ -149,6 +149,48 @@ object Stateful {
       }
   }
 
+  final case class SpanOcc(h: String, doc_id: Long)
+  final case class SpanDup(h: String, doc_id: Long, keeper: Long)
+
+  /** s_stream_substring: streaming exact-passage duplication detection —
+    * the streaming twin of the batch q_substring_dedup. Upstream computes
+    * each document's W-token span digests map-side (the same
+    * StringNgrams-style narrow projection as the batch span stage — only
+    * 16-byte digests reach this operator); this stage keys by span hash
+    * and keeps ONE long of state per span — the keeper (first doc seen).
+    * Every later occurrence from a DIFFERENT doc emits a (span, doc,
+    * keeper) duplication candidate immediately: the ingest-time signal a
+    * scrubber (q_substring_scrub's mask rule) consumes. Same-doc repeat
+    * occurrences are silent. State is O(distinct spans) with the span
+    * hash as the shuffle key, so detection stays partition-local exactly
+    * like the batch span census; occurrences of one (span, doc) pair in
+    * LATER batches re-emit (at-least-once signal) — downstream dedups,
+    * keeping this stage's state bounded to one value per span. */
+  def substringDupCandidates(spans: Dataset[SpanOcc]): Dataset[SpanDup] = {
+    import spans.sparkSession.implicits._
+    spans
+      .groupByKey(_.h)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (h: String, rows: Iterator[SpanOcc], state: GroupState[Long]) =>
+          var keeper = state.getOption
+          // within one batch, a doc's repeat occurrences of the span
+          // emit once (seen is batch-local; cross-batch re-emission is
+          // the documented at-least-once behavior)
+          val seen = scala.collection.mutable.Set.empty[Long]
+          val out = rows.flatMap { o =>
+            keeper match {
+              case None =>
+                keeper = Some(o.doc_id); None // first doc: becomes keeper
+              case Some(k) if k == o.doc_id => None
+              case Some(k) =>
+                if (seen.add(o.doc_id)) Some(SpanDup(h, o.doc_id, k)) else None
+            }
+          }.toList
+          keeper.foreach(state.update)
+          out.iterator
+      }
+  }
+
   final case class TokenCount(token: String, n: Long)
 
   /** s_stream_topk: streaming heavy hitters — running per-token counts in

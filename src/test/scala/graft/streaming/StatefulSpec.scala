@@ -147,6 +147,59 @@ class StatefulSpec extends SparkSuite {
       Stateful.DupCandidate("b1", 14L, 10L)))
   }
 
+  test("s_stream_substring: semantics — cross-doc span repeats emit, same-doc repeats stay silent") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Stateful.SpanOcc]
+    val q = Stateful.substringDupCandidates(in.toDS())
+      .writeStream.format("memory").queryName("substr")
+      .outputMode(OutputMode.Append).start()
+    in.addData(
+      Stateful.SpanOcc("h1", 1L),   // keeper of h1
+      Stateful.SpanOcc("h1", 1L),   // same-doc repeat: silent
+      Stateful.SpanOcc("h2", 2L))   // keeper of h2
+    q.processAllAvailable()
+    in.addData(
+      Stateful.SpanOcc("h1", 3L),   // cross-doc dup -> (h1, 3, 1)
+      Stateful.SpanOcc("h1", 3L),   // batch-local repeat of (h1,3): one emit
+      Stateful.SpanOcc("h2", 2L))   // keeper re-arrival: silent
+    q.processAllAvailable()
+    val rows = spark.table("substr").as[Stateful.SpanDup].collect()
+    q.stop()
+    assert(rows.toSet == Set(Stateful.SpanDup("h1", 3L, 1L)))
+  }
+
+  test("s_stream_substring: parity with batch q_substring_dedup on the real corpus") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    // the batch span stage, inlined: same W=8 window digests
+    val toks = graft.core.Tables.documents(spark, sf)
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+    val spans = toks
+      .filter(size(col("t")) >= 8)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(1), size(col("t")) - 7),
+        i => md5(concat_ws(" ", slice(col("t"), i, lit(8)))))).as("h"))
+      .as[(Long, String)].map { case (d, h) => Stateful.SpanOcc(h, d) }
+      .collect().sortBy(_.doc_id) // arrival in doc_id order -> keeper = min doc
+    val in = MemoryStream[Stateful.SpanOcc]
+    val q = Stateful.substringDupCandidates(in.toDS())
+      .writeStream.format("memory").queryName("substrpar")
+      .outputMode(OutputMode.Append).start()
+    val (first, second) = spans.splitAt(spans.length / 2)
+    in.addData(first.toIndexedSeq); q.processAllAvailable()
+    in.addData(second.toIndexedSeq); q.processAllAvailable()
+    val streamed = spark.table("substrpar").as[Stateful.SpanDup].collect()
+    q.stop()
+    val batch = graft.SparkEntry.queries("q_substring_dedup")(spark, sf)
+      .select("span_hash", "keeper").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // every batch-reported duplicated span is detected, with the same keeper
+    assert(streamed.map(_.h).toSet == batch.keySet)
+    streamed.foreach(sd => assert(batch(sd.h) == sd.keeper,
+      s"span ${sd.h}: stream keeper ${sd.keeper} != batch ${batch(sd.h)}"))
+  }
+
   test("s_session_window: 30-minute gap splits sessions per user") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Timestamp, Long, Double)]
