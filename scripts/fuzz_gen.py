@@ -365,12 +365,36 @@ def gen_argextreme(rng):
             f"FROM {t} WHERE {where} GROUP BY {part} ORDER BY {part}")
 
 
+def gen_textfn(rng):
+    # string-function breadth over the long text column (the substring-
+    # dedup/scrub family's building blocks): 1-based substr, split_part,
+    # instr/strpos-free (position via instr exists in both? -> use
+    # length/replace/md5/upper which are byte-exact on this ASCII corpus)
+    k = rng.randint(1, 40)
+    j = rng.randint(1, 20)
+    n = rng.randint(1, 6)
+    where = f"n_chars >= {rng.randint(50, 300)}"
+    exprs = rng.sample([
+        f"length(text) AS len_t",
+        f"md5(substr(text, {j}, {k})) AS h_sub",
+        f"split_part(text, ' ', {n}) AS tok_n",
+        f"length(replace(text, ' ', '__')) AS len_r",
+        f"upper(substr(text, 1, {j})) AS up_p",
+        f"md5(lower(text)) AS h_lo",
+    ], rng.randint(3, 5))
+    return (f"SELECT doc_id, {', '.join(exprs)} "
+            f"FROM documents WHERE {where} ORDER BY doc_id "
+            f"LIMIT {rng.randint(50, 400)}")
+
+
 def gen_query(rng):
     roll = rng.random()
     if roll < 0.05:
         return gen_percentile(rng)
     if roll < 0.10:
         return gen_argextreme(rng)
+    if roll < 0.14:
+        return gen_textfn(rng)
     roll = rng.random()
     if roll < 0.04:
         return gen_arith(rng)
