@@ -137,6 +137,32 @@ class CdcPipelineSpec extends SparkSuite {
     assert(meta.select("table_name").distinct().count() == 2)
   }
 
+  test("CSV snapshot drops: header-aware capture, change detection across drops") {
+    val base = tmpDir("cdc")
+    val c = cfg(base).copy(inputFormat = "csv")
+    Files.createDirectories(Paths.get(c.inputDir))
+    // CSV drops carry ids + strings; the stream reads with header=true
+    // against the declared schema (no timestamp col — CSV's type fidelity
+    // is the format's own limitation, not the pipeline's)
+    val snap1 = Seq((1, "John Doe", "john@example.com"),
+      (2, "Jane Smith", "jane@example.com")).toDF("id", "name", "email")
+    snap1.coalesce(1).write.mode("append").option("header", "true").csv(c.inputDir)
+    val q = CdcPipeline.start(spark, c, snap1.schema)
+    q.processAllAvailable()
+    assert(jsonlLines(c.outputDir).size == 2)
+    // changed drop: one mutated row → whole-snapshot re-capture
+    val snap2 = Seq((1, "John Doe", "john@new.example.com"),
+      (2, "Jane Smith", "jane@example.com")).toDF("id", "name", "email")
+    snap2.coalesce(1).write.mode("append").option("header", "true").csv(c.inputDir)
+    q.processAllAvailable()
+    q.stop()
+    assert(jsonlLines(c.outputDir).size == 4)
+    assert(jsonlLines(c.outputDir).count(_.contains("john@new.example.com")) == 1)
+    // two distinct checksums recorded
+    assert(spark.read.parquet(c.metadataDir)
+      .select("checksum").distinct().count() == 2)
+  }
+
   test("restart from checkpoint: processed drops are not re-captured") {
     val base = tmpDir("cdc")
     val c = cfg(base)
