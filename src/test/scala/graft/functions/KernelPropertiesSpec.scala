@@ -26,6 +26,27 @@ class KernelPropertiesSpec extends AnyFunSuite {
     (0 until k).map(a.getLong)
   }
 
+  test("DoubleVecDot: interpreted eval equals a strict left-to-right fold, incl. NaN/Inf/denormals") {
+    val valGen = Gen.oneOf(
+      Gen.chooseNum(-127.0, 127.0).map(math.round(_).toDouble), // integer codes
+      Gen.chooseNum(-1e6, 1e6),
+      Gen.oneOf(0.0, -0.0, Double.NaN, Double.PositiveInfinity,
+        Double.MinPositiveValue, 1e-310))
+    val vecGen = Gen.listOfN(64, valGen)
+    def sampleVec(i: Int): List[Double] =
+      vecGen.apply(Gen.Parameters.default, Seed(i.toLong)).get
+    def darr(xs: Seq[Double]) = new GenericArrayData(xs.toArray[Any])
+    for (i <- 1 to 50) {
+      val a = sampleVec(i); val b = sampleVec(5000 + i)
+      val native = DoubleVecDot(null, null)
+        .nullSafeEval(darr(a), darr(b)).asInstanceOf[Double]
+      var acc = 0.0
+      a.zip(b).foreach { case (x, y) => acc += x * y }
+      assert(java.lang.Double.doubleToLongBits(native) ==
+        java.lang.Double.doubleToLongBits(acc), s"seed $i")
+    }
+  }
+
   test("minhash: signature of a union is the elementwise min (LSH mergeability)") {
     for (i <- 1 to 50) {
       val xs = sample(i); val ys = sample(1000 + i)
