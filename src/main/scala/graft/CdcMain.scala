@@ -93,6 +93,18 @@ object CdcMain {
       installShutdownHook(spark)
       println(s"[cdc] monitoring $inputDir for table=${tables.head} (Ctrl-C to stop)")
       q.awaitTermination()
+    } else if (sys.env.get("GRAFT_CDC_CONSISTENT").contains("1")) {
+      // Consistent-tick mode: ONE poll loop lists every table per tick and
+      // stamps all captures with a shared snapshot epoch — the reference's
+      // single-per-tick-copy semantics (duckdb_cdc.go:100-120). Trades the
+      // per-table failure isolation of startAll for cross-table joinable
+      // captures.
+      val cfgs = tables.map(t => cfgFor(t, s"$inputDir/$t", t))
+      CdcPipeline.startConsistent(spark, cfgs, s"$workDir/ckpt-consistent")
+      installShutdownHook(spark)
+      println(s"[cdc] consistent-tick monitoring of ${tables.size} tables " +
+        s"under $inputDir (Ctrl-C to stop)")
+      spark.streams.awaitAnyTermination()
     } else {
       val plans = tables.map { t =>
         val in = s"$inputDir/$t"

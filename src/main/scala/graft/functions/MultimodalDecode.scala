@@ -9,18 +9,24 @@ import org.apache.spark.sql.Dataset
   * — the Scala/Encoder equivalent of a Pandas `mapInPandas` decode: the
   * work is per-partition, batched, and never touches the driver.
   *
-  * The container ships no image/audio codecs, so `decodeStub` derives
-  * deterministic pseudo-features from the bytes (clearly marked; swap the
-  * body for a real codec call in production). Everything around it —
-  * schema, Encoders, batch iteration shape, partitioning — is the real
-  * production plumbing and is what the tests cover.
+  * Decode is CAPABILITY-AWARE (round-6): each asset's media type is
+  * probed against the JRE's javax.imageio registry — when a real reader
+  * exists (PNG/JPEG/GIF/BMP ship with every JRE) the payload is decoded
+  * and TRUE dimensions + pixel samples are emitted; when no codec exists
+  * (audio/video/MIME types this container cannot decode) the
+  * deterministic byte-derived stub keeps the pipeline total. Swapping a
+  * richer codec set in (e.g. TwelveMonkeys on a real cluster) upgrades
+  * coverage with zero plumbing changes — the schema, Encoders, batch
+  * iteration shape and partitioning are identical on both branches.
   */
 object MultimodalDecode {
 
   /** An asset row: opaque payload + typed metadata. */
   final case class Asset(asset_id: Long, media_type: String, bytes: Array[Byte])
 
-  /** Extracted features: sizes, header, strided frame sample, pseudo-dims. */
+  /** Extracted features: sizes, header, strided frame sample, dims.
+    * `decoder` records which branch produced the row ("imageio" | "stub")
+    * — a curation pipeline filters on it rather than guessing. */
   final case class AssetFeatures(
       asset_id: Long,
       media_type: String,
@@ -28,11 +34,45 @@ object MultimodalDecode {
       header_hex: String,
       frame_sample: Seq[Byte],
       width: Int,
-      height: Int)
+      height: Int,
+      decoder: String)
 
-  /** STUB decode: a real implementation would hand `a.bytes` to a codec.
-    * This deterministic stand-in reads pseudo-dimensions from the byte
-    * content so tests have stable expectations. */
+  /** One registry probe per (executor, media type) — ImageIO's reader
+    * lookup walks the SPI registry; memoize it per JVM. */
+  @transient private lazy val readerFor =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+
+  private def hasReader(mime: String): Boolean =
+    readerFor.computeIfAbsent(mime,
+      m => javax.imageio.ImageIO.getImageReadersByMIMEType(m).hasNext)
+
+  /** Real decode via the JRE's ImageIO: true dimensions plus a 4-point
+    * pixel sample (corners of the center quad — deterministic for a given
+    * payload). None when the registry has no reader for the type or the
+    * payload does not parse as that type (corrupt bytes fall back to the
+    * stub rather than failing the partition). */
+  private def decodeImageIo(a: Asset): Option[AssetFeatures] = {
+    if (!a.media_type.startsWith("image/") || !hasReader(a.media_type)) return None
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(a.bytes))
+      if (img == null) return None
+      val (w, h) = (img.getWidth, img.getHeight)
+      val pts = Seq((0, 0), (w / 2, 0), (0, h / 2), (w / 2, h / 2))
+      Some(AssetFeatures(
+        asset_id = a.asset_id,
+        media_type = a.media_type,
+        n_bytes = a.bytes.length,
+        header_hex = a.bytes.take(8).map(b => f"${b & 0xff}%02X").mkString,
+        frame_sample = pts.map { case (x, y) => (img.getRGB(x, y) & 0xff).toByte },
+        width = w,
+        height = h,
+        decoder = "imageio"))
+    } catch { case _: java.io.IOException => None }
+  }
+
+  /** STUB decode for payloads no available codec handles: deterministic
+    * pseudo-dimensions from the byte content so tests have stable
+    * expectations and the pipeline stays total. */
   private def decodeStub(a: Asset): AssetFeatures = {
     val header = a.bytes.take(8)
     val frameStride = math.max(1, a.bytes.length / 4)
@@ -43,15 +83,17 @@ object MultimodalDecode {
       header_hex = header.map(b => f"${b & 0xff}%02X").mkString,
       frame_sample = a.bytes.indices.by(frameStride).take(4).map(a.bytes).toSeq,
       width = if (a.bytes.isEmpty) 0 else (a.bytes(0) & 0xff) + 1,
-      height = if (a.bytes.length < 2) 0 else (a.bytes(1) & 0xff) + 1)
+      height = if (a.bytes.length < 2) 0 else (a.bytes(1) & 0xff) + 1,
+      decoder = "stub")
   }
 
   /** Distributed decode: partition-local, batched via the partition
     * iterator (the mapInPandas batch shape). No shuffle is introduced —
-    * output partitioning follows input partitioning. */
+    * output partitioning follows input partitioning. Per asset: the
+    * ImageIO branch when a codec exists, the stub otherwise. */
   def decode(assets: Dataset[Asset]): Dataset[AssetFeatures] = {
     import assets.sparkSession.implicits._
-    assets.mapPartitions(_.map(decodeStub))
+    assets.mapPartitions(_.map(a => decodeImageIo(a).getOrElse(decodeStub(a))))
   }
 
   /** STUB resize: a real implementation re-encodes via a codec. The

@@ -360,20 +360,29 @@ object Statistical {
       |GROUP BY l.l_returnflag, m.med ORDER BY l.l_returnflag""".stripMargin
   ) { (s, d) =>
     import graft.core.GridPercentile
-    // Both medians via the two-phase bucketed path: a ~6.5k-bucket census
-    // (map-side partial, tiny shuffle) pins each group's target bucket,
-    // then one filtered re-scan resolves the exact disc value inside it.
-    // The price column is ~1 distinct value per row, so a flat value grid
-    // would compress nothing — bucketing is what bounds both the shuffle
-    // and the per-group sort at 100 TB.
-    val med = GridPercentile.discBucketed(T.lineitem(s, d),
-      Seq("l_returnflag"), "l_extendedprice", step = 16.0, "med", 0.5)
+    // ONE fact scan builds a (group, price, count) grid, materialized once
+    // (localCheckpoint); both medians run the two-phase bucketed rank test
+    // OVER THE GRID: a ~6.5k-bucket census (tiny shuffle) pins each
+    // group's target bucket, then the exact disc value resolves inside it.
+    // The deviation grid is DERIVED from the price grid (|price − med| per
+    // distinct price, weights re-aggregated) — the fact table is never
+    // re-read. vs the previous 4-scan double-discBucketed shape, this
+    // trades 3 parquet re-scans for one grid-sized shuffle; the grid is
+    // bounded by the price DOMAIN (money values saturate), not by N, and
+    // every window still runs over a census or a single bucket's rows.
+    val grid = T.lineitem(s, d)
+      .groupBy("l_returnflag", "l_extendedprice")
+      .agg(count(lit(1)).as("__n"))
+      .localCheckpoint() // reused by med census, med in-bucket, dev grid
+    val med = GridPercentile.discBucketedOnGrid(grid, Seq("l_returnflag"),
+      "l_extendedprice", "__n", step = 16.0, "med", 0.5)
       .withColumnRenamed("l_returnflag", "m_flag")
-    val dev = T.lineitem(s, d)
+    val devGrid = grid
       .join(broadcast(med), col("l_returnflag") === col("m_flag"))
       .withColumn("dev", abs(col("l_extendedprice") - col("med")))
-    GridPercentile.discBucketed(dev, Seq("l_returnflag", "med"), "dev",
-      step = 16.0, "mad", 0.5, countName = Some("n"))
+      .groupBy("l_returnflag", "med", "dev").agg(sum("__n").as("__n"))
+    GridPercentile.discBucketedOnGrid(devGrid, Seq("l_returnflag", "med"),
+      "dev", "__n", step = 16.0, "mad", 0.5, countName = Some("n"))
       .orderBy("l_returnflag")
   }
 

@@ -247,7 +247,8 @@ object CdcPipeline {
     * checksum recorded — matching the reference, which checksums and
     * captures empty tables too (duckdb_cdc.go:175-183, 217-258). */
   def processBatch(spark: SparkSession, batch: DataFrame, cfg: Config,
-      captureEmpty: Boolean = false, batchId: Option[Long] = None): Boolean = {
+      captureEmpty: Boolean = false, batchId: Option[Long] = None,
+      epoch: Option[Long] = None): Boolean = {
     if (!captureEmpty && batch.isEmpty) return false
     val current = batchChecksum(batch)
     val changed = !lastChecksum(spark, cfg.metadataDir, cfg.tableName).contains(current)
@@ -278,7 +279,12 @@ object CdcPipeline {
           (d, Some(() => cur.write.mode("overwrite")
             .parquet(s"${diffStateDir(cfg)}/v=$v")))
         } else (toEnvelope(batch, cfg.tableName), None)
-      val writer = envelopeDf.write
+      // Consistent-tick mode stamps every envelope with the shared tick
+      // epoch — the join key that lets a consumer line up captures of
+      // DIFFERENT tables taken against the same listing snapshot.
+      val stamped = epoch.fold(envelopeDf)(e =>
+        envelopeDf.withColumn("snapshot_epoch", lit(e)))
+      val writer = stamped.write
       batchId match {
         case Some(id) => writer.mode("overwrite").json(s"${cfg.outputDir}/batch=$id")
         case None     => writer.mode("append").json(cfg.outputDir)
@@ -292,9 +298,86 @@ object CdcPipeline {
   /** Multi-table fan-out (R22, duckdb_cdc.go:116-120): the reference
     * checks tables sequentially inside one tick; here each table is its
     * own concurrent streaming query with its own checkpoint — per-table
-    * failure isolation and parallelism for free. */
+    * failure isolation and parallelism for free.
+    *
+    * CAVEAT: independent streams give NO cross-table consistency — two
+    * tables changed by one upstream transaction can be captured in
+    * different micro-batches with different timestamps, so a consumer
+    * joining the envelope streams can observe a state that never
+    * existed. When that matters, use [[startConsistent]]. */
   def startAll(spark: SparkSession, tables: Seq[(Config, StructType)]): Seq[StreamingQuery] =
     tables.map { case (cfg, schema) => start(spark, cfg, schema) }
+
+  // ---------------------------------------------------------------------
+  // Consistent multi-table ticks (the reference's single-per-tick-copy
+  // semantics, duckdb_cdc.go:100-120: ONE copyFile, then every monitored
+  // table checked against that same temp DB)
+  // ---------------------------------------------------------------------
+
+  /** The newest snapshot drop in `dir` (max (modification time, name) —
+    * drop order, with a deterministic tie-break; hidden/commit files
+    * excluded), or None before the first drop. The consistent tick polls
+    * CURRENT table state — like the reference, which re-reads whatever
+    * the source DB holds each tick — so intermediate drops superseded
+    * within one tick are simply skipped. */
+  private[streaming] def latestSnapshot(spark: SparkSession, dir: String): Option[String] = {
+    val hPath = new org.apache.hadoop.fs.Path(dir)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(hPath)) return None
+    fs.listStatus(hPath).toSeq
+      .filter(_.isFile)
+      .filterNot(s => s.getPath.getName.startsWith("_") ||
+        s.getPath.getName.startsWith("."))
+      .maxByOption(s => (s.getModificationTime, s.getPath.getName))
+      .map(_.getPath.toString)
+  }
+
+  /** ONE consistent tick over every monitored table: list ALL tables'
+    * newest snapshots first (the single "listing snapshot" — the analog
+    * of the reference's one per-tick file copy), then detect + capture
+    * each against that frozen listing, stamping every envelope with the
+    * shared `epoch`. Two tables changed by one upstream transaction and
+    * dropped together are therefore captured under ONE epoch — a consumer
+    * joining envelope streams on snapshot_epoch observes only states that
+    * actually existed. Returns per-table changed flags (listing order).
+    *
+    * Unchanged tables cost one checksum scan and capture nothing — the
+    * reference's exact per-tick behavior (duckdb_cdc.go:175-197). Empty
+    * drops ARE captured (a listed snapshot is a real table state). */
+  def pollTickAll(spark: SparkSession, tables: Seq[Config], epoch: Long): Seq[Boolean] = {
+    val listing: Seq[(Config, Option[String])] =
+      tables.map(cfg => cfg -> latestSnapshot(spark, cfg.inputDir))
+    listing.map {
+      case (_, None) => false
+      case (cfg, Some(file)) =>
+        val reader = spark.read
+        if (cfg.inputFormat == "csv")
+          reader.option("header", "true").option("inferSchema", "true")
+        val batch = reader.format(cfg.inputFormat).load(file)
+        processBatch(spark, batch, cfg, captureEmpty = true,
+          batchId = Some(epoch), epoch = Some(epoch))
+    }
+  }
+
+  /** Streaming driver for [[pollTickAll]]: a rate ticker fires one
+    * micro-batch per trigger and the batch id IS the epoch — checkpointed,
+    * so epochs survive restart and a replayed tick overwrites its own
+    * `batch=<epoch>` capture dirs idempotently rather than duplicating.
+    * This is the reference's poll loop with the copy step replaced by an
+    * atomic listing (parquet drops are immutable; the listing pins WHICH
+    * state every table is checked against). */
+  def startConsistent(spark: SparkSession, tables: Seq[Config],
+      checkpointDir: String, triggerMs: Long = 1000L): StreamingQuery = {
+    spark.readStream.format("rate").option("rowsPerSecond", 1).load()
+      .writeStream
+      .trigger(Trigger.ProcessingTime(triggerMs))
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (_: DataFrame, id: Long) =>
+        pollTickAll(spark, tables, epoch = id)
+        ()
+      }
+      .start()
+  }
 
   /** The reference's per-tick column probe (duckdb_cdc.go:146-159) in
     * Spark form: re-read THIS batch's files under their actual on-disk

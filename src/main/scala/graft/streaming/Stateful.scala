@@ -191,6 +191,60 @@ object Stateful {
       }
   }
 
+  final case class CellVec(cell: Long, sketch: Long, vec_id: Long)
+  final case class SemDupSignal(cell: Long, sketch: Long, vec_id: Long, keeper: Long)
+
+  /** 64-bit sign sketch of a 64-dim float embedding — bit j set iff
+    * dim j+1 ≥ 0. Two byte-identical (or re-encoded near-identical)
+    * vectors share it; map-side, codegen-friendly. */
+  def signSketch64(embedding: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    (0 until 64).map(j =>
+      when(element_at(embedding, j + 1) >= 0f, lit(1L << j)).otherwise(lit(0L)))
+      .reduce(_ + _)
+
+  /** s_stream_semdedup: streaming semantic dedup — the ingest-side twin
+    * of the batch q_semdedup (graft.ops.Similarity.semDedup). Upstream
+    * assigns each vector its trained IVF cell (assignment against FROZEN
+    * centroids is a pure per-row broadcast map — the q_ivf_assign_delta
+    * job shape) and its 64-bit sign sketch; this stage keys by
+    * (cell, sketch) and keeps ONE long of state per key — the keeper
+    * (first vector seen). Every later arrival under the same key emits a
+    * duplication signal immediately.
+    *
+    * Scale contract: state is O(distinct (cell, sketch)) — one long per
+    * distinct semantic content, never O(vectors) — and the state key is
+    * the shuffle key, so detection stays partition-local exactly like the
+    * batch cell-local pair join. The trade vs the batch operator is
+    * honest and deliberate: sketch EQUALITY catches the near-exact tier
+    * (clones, re-encodes, trivial perturbations that preserve every
+    * sign), while the batch job's cosine-≥-threshold tier needs the
+    * pairwise verify and stays a periodic batch pass over the same cells
+    * (StatefulSpec proves signal parity with q_semdedup verdicts on a
+    * clone-structured drop). */
+  def semDedupCandidates(vecs: Dataset[CellVec]): Dataset[SemDupSignal] = {
+    import vecs.sparkSession.implicits._
+    vecs
+      .groupByKey(v => (v.cell, v.sketch))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: (Long, Long), rows: Iterator[CellVec], state: GroupState[Long]) =>
+          var keeper = state.getOption
+          // a vector's repeat occurrences within one batch emit once
+          val seen = scala.collection.mutable.Set.empty[Long]
+          val out = rows.flatMap { v =>
+            keeper match {
+              case None =>
+                keeper = Some(v.vec_id); None // first content: becomes keeper
+              case Some(k) if k == v.vec_id => None
+              case Some(k) =>
+                if (seen.add(v.vec_id)) Some(SemDupSignal(key._1, key._2, v.vec_id, k))
+                else None
+            }
+          }.toList
+          keeper.foreach(state.update)
+          out.iterator
+      }
+  }
+
   final case class TokenCount(token: String, n: Long)
 
   /** s_stream_topk: streaming heavy hitters — running per-token counts in

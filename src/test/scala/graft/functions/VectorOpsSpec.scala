@@ -68,4 +68,40 @@ class VectorOpsSpec extends SparkSuite {
       .collect().head
     assert(r.isNullAt(0))
   }
+
+  test("degenerate arrays: NULL element or length mismatch → NULL, matching the HOF fold") {
+    // the HOF fold: zip_with pads a length mismatch with NULLs and a NULL
+    // element NULLs its product → the whole sum is NULL. Both kernels are
+    // SQL-registered and user-reachable, so they must agree (round-6
+    // ADVICE fix: the old kernels read garbage from null slots and
+    // silently truncated mismatched lengths).
+    VectorOps.register(spark)
+    val cases = Seq(
+      // (sql expr, expect null)
+      ("vec_dot_d(array(1.0D, CAST(NULL AS DOUBLE)), array(2.0D, 3.0D))", true),
+      ("vec_dot_d(array(1.0D, 2.0D), array(2.0D, CAST(NULL AS DOUBLE)))", true),
+      ("vec_dot_d(array(1.0D, 2.0D), array(2.0D))", true),
+      ("vec_dot_d(array(1.0D, 2.0D), array(2.0D, 3.0D))", false),
+      ("vec_dot(array(CAST(1.0 AS FLOAT), CAST(NULL AS FLOAT)), " +
+        "array(CAST(2.0 AS FLOAT), CAST(3.0 AS FLOAT)))", true),
+      ("vec_dot(array(CAST(1.0 AS FLOAT)), " +
+        "array(CAST(2.0 AS FLOAT), CAST(3.0 AS FLOAT)))", true))
+    cases.foreach { case (expr, expectNull) =>
+      val r = spark.sql(s"SELECT $expr").collect().head
+      assert(r.isNullAt(0) == expectNull, expr)
+    }
+    // bit-parity with the HOF fold on the same degenerate inputs
+    val df = Seq(
+      (Seq[java.lang.Double](1.0, null), Seq[java.lang.Double](2.0, 3.0)),
+      (Seq[java.lang.Double](1.0, 2.0), Seq[java.lang.Double](2.0)),
+      (Seq[java.lang.Double](1.0, 2.0), Seq[java.lang.Double](2.0, 3.0))
+    ).toDF("a", "b")
+    val hof = aggregate(zip_with(col("a"), col("b"), (x, y) => x * y),
+      lit(0.0), (acc, v) => acc + v)
+    df.select(VectorOps.vecDotD(spark, col("a"), col("b")).as("n"), hof.as("h"))
+      .collect().foreach { r =>
+        assert(r.isNullAt(0) == r.isNullAt(1))
+        if (!r.isNullAt(0)) assert(r.getDouble(0) == r.getDouble(1))
+      }
+  }
 }

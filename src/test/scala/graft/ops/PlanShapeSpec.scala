@@ -142,7 +142,12 @@ class PlanShapeSpec extends SparkSuite {
     val p = plan("q_mad")
     assert(!p.contains("percentile_disc"),
       "q_mad must use the bounded grid path, not the PercentileDisc buffer")
-    assert(p.contains("partial_count"), "bucket census must pre-aggregate map-side")
+    // round 6: the fact is scanned ONCE into a materialized (group, price,
+    // count) grid (the localCheckpoint truncates that subplan from this
+    // view); both bucket censuses aggregate the grid's weights partially
+    assert(p.contains("partial_sum"), "bucket census must pre-aggregate map-side")
+    assert(p.contains("Scan ExistingRDD"),
+      "the price grid must be materialized once and reused (localCheckpoint)")
   }
 
   test("q_quantiles has no PercentileDisc row buffer: partial aggregates below every percentile") {

@@ -68,4 +68,104 @@ class SimilaritySpec extends SparkSuite {
       assert(cells(qid) == cells(cand), s"candidate $cand outside query $qid's cell")
     }
   }
+
+  // ------------------------------------------------------------------
+  // Round-6: corpus-derived sizing + capped pair joins + delta assign
+  // ------------------------------------------------------------------
+
+  test("sizing derivations: exact ceil(sqrt), growth with N, lsh bits bound bucket work") {
+    for (n <- Seq(1L, 2L, 3L, 4L, 255L, 256L, 257L, 500L, 2000L, 20000L, 1L << 40)) {
+      val c = Similarity.ceilSqrt(n)
+      assert(c * c >= n && (c - 1) * (c - 1) < n, s"ceilSqrt($n)=$c")
+    }
+    assert(Similarity.kCellsOf(500) == 23 && Similarity.kCellsOf(5000) == 71)
+    assert(Similarity.kCellsOf(100) == 16, "floor at 16")
+    for (n <- Seq(500L, 2000L, 20000L, 1000000L)) {
+      val r = Similarity.lshBitsOf(n)
+      assert(r >= 4 && r <= 16)
+      if (r < 16) assert((1L << r) * 64 >= n, "expected bucket population ≤ 64")
+    }
+  }
+
+  test("q_semdedup pair-join buckets are capped by design under a SKEWED corpus") {
+    // 600 exact clones force one oversized trained cell; the hash split
+    // must bound every (cell, subcell) pair-join bucket at ~cap even then.
+    val dir = java.nio.file.Files.createTempDirectory("graft-skew").toString
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val base = Array.fill(64)(rnd.nextFloat() * 1.2f - 0.6f)
+    val rows = (0L until 600L).map(i => (i, base.toSeq)) ++
+      (600L until 1000L).map(i => (i, Array.fill(64)(rnd.nextFloat() * 1.2f - 0.6f).toSeq))
+    rows.toDF("vec_id", "embedding").write.mode("overwrite")
+      .parquet(s"$dir/embeddings.parquet")
+    val cap = Similarity.cellCapOf(1000)
+    val groups = Similarity.semdedupSubcells(spark, dir).collect()
+    val (maxBucket, nSplitCells) =
+      (groups.map(_.getLong(2)).max, groups.groupBy(_.getLong(0)).count(_._2.length > 1))
+    assert(nSplitCells >= 1, "the oversized clone cell must actually be split")
+    // hash-mod split: expected bucket ≤ cap; 1.5× slack for mod imbalance
+    assert(maxBucket <= (cap * 3) / 2,
+      s"pair-join bucket $maxBucket exceeds cap=$cap (+50% hash slack)")
+    // and the verdicts on the skewed corpus still mark the clones as dups —
+    // each SUBCELL keeps its own lowest-id clone (the split's recall
+    // trade), so non-dup clones number at most the subcell count (~5-8),
+    // never a meaningful fraction of the 600 clones
+    val verdicts = graft.SparkEntry.queries("q_semdedup")(spark, dir).collect()
+    val clones = verdicts.filter(r => r.getLong(0) < 600 && r.getLong(0) > 0)
+    val nKeepers = clones.length - clones.count(_.getInt(3) == 1)
+    assert(nKeepers <= 16, s"at most one keeper per subcell expected, got $nKeepers")
+  }
+
+  test("derived sizing holds at 10× data (ScaleGen replicas): buckets stay ≤ cap + slack") {
+    val src = "/root/testdata/sf0.01"
+    val dir = java.nio.file.Files.createTempDirectory("graft-10x").toString
+    val emb = graft.core.Tables.embeddings(spark, src)
+    val bases = Map("vecid" ->
+      (emb.agg(org.apache.spark.sql.functions.max("vec_id")).head().getLong(0) + 1L))
+    graft.tools.ScaleGen.replicate(spark, emb, Seq("vec_id" -> "vecid"), bases, 10)
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val n = spark.read.parquet(s"$dir/embeddings.parquet").count()
+    assert(n == 5000L)
+    assert(Similarity.kCellsOf(n) > Similarity.kCellsOf(500),
+      "KCells must grow with the corpus")
+    val cap = Similarity.cellCapOf(n)
+    val maxBucket = Similarity.semdedupSubcells(spark, dir)
+      .agg(org.apache.spark.sql.functions.max("n")).head().getLong(0)
+    assert(maxBucket <= (cap * 3) / 2,
+      s"10× corpus: pair-join bucket $maxBucket exceeds cap=$cap (+50% hash slack)")
+  }
+
+  test("q_ivf_assign_delta: frozen-centroid delta assignment == full assignment (parquet round-trip)") {
+    import org.apache.spark.sql.functions._
+    val all = graft.core.Tables.embeddings(spark, sf)
+    val nAll = all.count()
+    val split = 7L * nAll / 8L
+    val base = all.filter(col("vec_id") < split)
+    val model = Similarity.trainOn(spark, base, base.count())
+    // persist the trained centroids — the artifact a real deployment ships
+    val dir = java.nio.file.Files.createTempDirectory("graft-cents").toString
+    model.cents.write.mode("overwrite").parquet(dir)
+    val frozen = spark.read.parquet(dir)
+    def snap(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(_._1).toSeq
+    val deltaOnly = Similarity.assignWithFrozen(spark, all.filter(col("vec_id") >= split), frozen)
+    val fullPass = Similarity.assignWithFrozen(spark, all, frozen)
+      .filter(col("vec_id") >= split)
+    assert(snap(deltaOnly) == snap(fullPass),
+      "assignment must be a pure per-row function of (codes, frozen centroids)")
+    assert(snap(deltaOnly).nonEmpty)
+  }
+
+  test("q_lsh_recall: valid recall; 4 bands never lose to 2 bands (OR-construction)") {
+    val rows = graft.SparkEntry.queries("q_lsh_recall")(spark, sf)
+      .collect().sortBy(_.getInt(0))
+    assert(rows.map(_.getInt(0)).toSeq == Seq(2, 4))
+    rows.foreach { r =>
+      val (nExact, nHit, recall) = (r.getLong(2), r.getLong(3), r.getDouble(4))
+      assert(nHit <= nExact, "candidates caught cannot exceed the exact pair set")
+      assert(recall >= 0.0 && recall <= 1.0)
+    }
+    assert(rows(1).getLong(3) >= rows(0).getLong(3),
+      "adding bands strictly widens the candidate set")
+  }
 }

@@ -482,4 +482,86 @@ class CdcPipelineSpec extends SparkSuite {
     q.stop()
     assert(jsonlLines(c.outputDir).size == 3)
   }
+
+  // --------------------------------------------------------------------
+  // Consistent multi-table ticks (round 6): the reference's single
+  // per-tick copy semantics — one upstream transaction touching two
+  // tables is captured under ONE shared snapshot epoch.
+  // --------------------------------------------------------------------
+
+  private def epochsIn(dir: String): Seq[Long] =
+    jsonlLines(dir).map { l =>
+      val m = "\"snapshot_epoch\":(\\d+)".r.findFirstMatchIn(l)
+      assert(m.isDefined, s"envelope missing snapshot_epoch: $l")
+      m.get.group(1).toLong
+    }
+
+  test("consistent tick: one two-table transaction yields one shared snapshot epoch") {
+    val base = tmpDir("cdc")
+    val users = cfg(s"$base/users")
+    val orders = cfg(s"$base/orders").copy(tableName = "orders")
+    Files.createDirectories(Paths.get(users.inputDir))
+    Files.createDirectories(Paths.get(orders.inputDir))
+    // the "transaction": both tables' snapshots dropped before the tick
+    seedUsers.coalesce(1).write.mode("append").parquet(users.inputDir)
+    Seq((100, 1, "widget"), (101, 2, "gadget")).toDF("order_id", "user_id", "item")
+      .coalesce(1).write.mode("append").parquet(orders.inputDir)
+    val changed = CdcPipeline.pollTickAll(spark, Seq(users, orders), epoch = 7L)
+    assert(changed == Seq(true, true))
+    // BOTH tables' envelopes carry the same epoch — the consumer's join key
+    assert(epochsIn(users.outputDir).distinct == Seq(7L))
+    assert(epochsIn(orders.outputDir).distinct == Seq(7L))
+    assert(jsonlLines(users.outputDir).size == 2)
+    assert(jsonlLines(orders.outputDir).size == 2)
+    // next tick, nothing changed: no new epochs appear anywhere
+    assert(CdcPipeline.pollTickAll(spark, Seq(users, orders), epoch = 8L) ==
+      Seq(false, false))
+    assert(epochsIn(users.outputDir).distinct == Seq(7L))
+  }
+
+  test("consistent tick: a single-table change captures under a NEW epoch; the other table stays silent") {
+    val base = tmpDir("cdc")
+    val users = cfg(s"$base/users")
+    val orders = cfg(s"$base/orders").copy(tableName = "orders")
+    Files.createDirectories(Paths.get(users.inputDir))
+    Files.createDirectories(Paths.get(orders.inputDir))
+    seedUsers.coalesce(1).write.mode("append").parquet(users.inputDir)
+    Seq((100, 1, "widget")).toDF("order_id", "user_id", "item")
+      .coalesce(1).write.mode("append").parquet(orders.inputDir)
+    assert(CdcPipeline.pollTickAll(spark, Seq(users, orders), 1L) == Seq(true, true))
+    Thread.sleep(20) // distinct mtime for the newer drop
+    // only users changes before tick 2
+    seedUsers.unionAll(Seq((3, "Bob Wilson", "bob@example.com", t0))
+      .toDF("id", "name", "email", "created_at"))
+      .coalesce(1).write.mode("append").parquet(users.inputDir)
+    assert(CdcPipeline.pollTickAll(spark, Seq(users, orders), 2L) == Seq(true, false))
+    // users carries both epochs (5 envelopes); orders only epoch 1 — a
+    // consumer joining on snapshot_epoch never pairs users@2 with a
+    // phantom orders@2 state
+    assert(epochsIn(users.outputDir).sorted == Seq(1L, 1L, 2L, 2L, 2L))
+    assert(epochsIn(orders.outputDir).distinct == Seq(1L))
+  }
+
+  test("consistent tick streaming driver: rate-ticker epochs are shared within a tick and grow across ticks") {
+    val base = tmpDir("cdc")
+    val users = cfg(s"$base/users")
+    val orders = cfg(s"$base/orders").copy(tableName = "orders")
+    Files.createDirectories(Paths.get(users.inputDir))
+    Files.createDirectories(Paths.get(orders.inputDir))
+    seedUsers.coalesce(1).write.mode("append").parquet(users.inputDir)
+    Seq((100, 1, "widget")).toDF("order_id", "user_id", "item")
+      .coalesce(1).write.mode("append").parquet(orders.inputDir)
+    val q = CdcPipeline.startConsistent(spark, Seq(users, orders),
+      s"$base/ckpt-consistent", triggerMs = 100L)
+    try {
+      val deadline = System.currentTimeMillis() + 30000
+      while ((jsonlLines(users.outputDir).isEmpty ||
+        jsonlLines(orders.outputDir).isEmpty) &&
+        System.currentTimeMillis() < deadline) Thread.sleep(100)
+    } finally q.stop()
+    val uE = epochsIn(users.outputDir).distinct
+    val oE = epochsIn(orders.outputDir).distinct
+    assert(uE.size == 1 && oE.size == 1, s"one capture each: users=$uE orders=$oE")
+    assert(uE == oE, "both tables' bootstrap captures must share the tick epoch")
+  }
 }

@@ -239,4 +239,60 @@ class StatefulSpec extends SparkSuite {
     // batch-1 emission for 'a' was the then-current 2 (cross-batch state held)
     assert(rows.filter(_.token == "a").map(_.n).sorted.toSeq == Seq(2L, 3L))
   }
+
+  test("s_stream_semdedup: signal parity with batch q_semdedup on a clone-structured drop") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    // Hadamard rows as group bases: exactly orthogonal ±0.5 vectors with
+    // distinct sign patterns — within-group cosine is exactly 1, across
+    // groups exactly 0, so the batch threshold (0.4) and the streaming
+    // sketch-equality rule agree on precisely the clone pairs.
+    def hrow(g: Int): Seq[Float] =
+      (0 until 64).map(j =>
+        if (java.lang.Integer.bitCount(g & j) % 2 == 0) 0.5f else -0.5f)
+    // ids 0..11: one base per group (all within the seed prefix, so each
+    // group gets its own trained cell); ids 12+: the clones
+    val firsts = (1 to 12).map(g => ((g - 1).toLong, hrow(g)))
+    var id = 12L
+    val extras = for (g <- 1 to 12; _ <- 1 to (g % 4)) yield {
+      val r = (id, hrow(g)); id += 1; r
+    }
+    val rows = firsts ++ extras
+    val dir = tmpDir("graft-semdup")
+    import spark.implicits._
+    rows.toDF("vec_id", "embedding").write.mode("overwrite")
+      .parquet(s"$dir/embeddings.parquet")
+    // batch verdicts: (vec_id, cell, keeper, is_dup)
+    val verdicts = graft.SparkEntry.queries("q_semdedup")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    val batchDups = verdicts.filter(_._4 == 1).map(v => v._1 -> v._3).toMap
+    assert(batchDups.nonEmpty, "the clone groups must produce batch dups")
+    val cellOf = verdicts.map(v => v._1 -> v._2).toMap
+    // sketches via the production helper (map-side sign bits)
+    val sketchOf = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), Stateful.signSketch64(col("embedding")).as("sk"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def cv(i: Long) = Stateful.CellVec(cellOf(i), sketchOf(i), i)
+    // feed keepers first (the ingest order where batch-min == first-seen),
+    // then the rest — the realistic backfill-then-stream sequence
+    val keeperIds = verdicts.filter(_._4 == 0).map(_._1).sorted
+    val dupIds = batchDups.keys.toSeq.sorted
+    val in = MemoryStream[Stateful.CellVec]
+    val q = Stateful.semDedupCandidates(in.toDS())
+      .writeStream.format("memory").queryName("semdup")
+      .outputMode(OutputMode.Append).start()
+    in.addData(keeperIds.map(cv))
+    q.processAllAvailable()
+    in.addData(dupIds.map(cv))
+    q.processAllAvailable()
+    val signals = spark.table("semdup").as[Stateful.SemDupSignal].collect()
+    q.stop()
+    assert(signals.map(_.vec_id).toSet == batchDups.keySet,
+      "streaming dup set must equal the batch verdict set")
+    signals.foreach { s =>
+      assert(batchDups(s.vec_id) == s.keeper,
+        s"keeper mismatch for ${s.vec_id}: batch=${batchDups(s.vec_id)} stream=${s.keeper}")
+      assert(cellOf(s.vec_id) == s.cell)
+    }
+  }
 }
