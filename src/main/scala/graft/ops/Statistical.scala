@@ -360,29 +360,30 @@ object Statistical {
       |GROUP BY l.l_returnflag, m.med ORDER BY l.l_returnflag""".stripMargin
   ) { (s, d) =>
     import graft.core.GridPercentile
-    // ONE fact scan builds a (group, price, count) grid, materialized once
-    // (localCheckpoint); both medians run the two-phase bucketed rank test
-    // OVER THE GRID: a ~6.5k-bucket census (tiny shuffle) pins each
-    // group's target bucket, then the exact disc value resolves inside it.
-    // The deviation grid is DERIVED from the price grid (|price − med| per
-    // distinct price, weights re-aggregated) — the fact table is never
-    // re-read. vs the previous 4-scan double-discBucketed shape, this
-    // trades 3 parquet re-scans for one grid-sized shuffle; the grid is
-    // bounded by the price DOMAIN (money values saturate), not by N, and
-    // every window still runs over a census or a single bucket's rows.
-    val grid = T.lineitem(s, d)
-      .groupBy("l_returnflag", "l_extendedprice")
-      .agg(count(lit(1)).as("__n"))
-      .localCheckpoint() // reused by med census, med in-bucket, dev grid
-    val med = GridPercentile.discBucketedOnGrid(grid, Seq("l_returnflag"),
-      "l_extendedprice", "__n", step = 16.0, "med", 0.5)
+    // Both medians via the two-phase bucketed path: a ~6.5k-bucket census
+    // (map-side partial, tiny shuffle) pins each group's target bucket,
+    // then one filtered re-scan resolves the exact disc value inside it.
+    // The price column is ~1 distinct value per row, so a flat value grid
+    // would compress nothing — bucketing is what bounds both the shuffle
+    // and the per-group sort at 100 TB.
+    //
+    // Scan-count vs materialization — MEASURED at sf0.1, one session:
+    // this lazy 4-scan shape 2.44 s; 1 scan + (group, price, count) grid
+    // shuffle 3.20 s; 1 scan + shuffle-free projection via localCheckpoint
+    // 3.11 s; via columnar cache 3.26 s. Locally a 2-column pushed-down
+    // parquet re-scan is cheaper than ANY materialization, so the lazy
+    // form wins; on a bandwidth-bound cluster where 4 fact passes ARE the
+    // cost, swap `discBucketed(T.lineitem...)` for
+    // `discBucketedOnGrid(<materialized grid>)` — the one-line switch the
+    // weighted-grid API exists for (GridPercentileSpec covers it).
+    val med = GridPercentile.discBucketed(T.lineitem(s, d),
+      Seq("l_returnflag"), "l_extendedprice", step = 16.0, "med", 0.5)
       .withColumnRenamed("l_returnflag", "m_flag")
-    val devGrid = grid
+    val dev = T.lineitem(s, d)
       .join(broadcast(med), col("l_returnflag") === col("m_flag"))
       .withColumn("dev", abs(col("l_extendedprice") - col("med")))
-      .groupBy("l_returnflag", "med", "dev").agg(sum("__n").as("__n"))
-    GridPercentile.discBucketedOnGrid(devGrid, Seq("l_returnflag", "med"),
-      "dev", "__n", step = 16.0, "mad", 0.5, countName = Some("n"))
+    GridPercentile.discBucketed(dev, Seq("l_returnflag", "med"), "dev",
+      step = 16.0, "mad", 0.5, countName = Some("n"))
       .orderBy("l_returnflag")
   }
 

@@ -60,6 +60,33 @@ class GridPercentileSpec extends SparkSuite {
     }
   }
 
+  test("discBucketedOnGrid on a real weighted grid equals discBucketed on the expanded rows") {
+    for (seed <- Seq(5L, 13L); p <- ps) {
+      val df = randomDf(seed).where(col("v").isNotNull)
+      val grid = df.groupBy("g", "v").agg(count(lit(1)).as("w"))
+      val viaGrid = GridPercentile
+        .discBucketedOnGrid(grid, Seq("g"), "v", "w", 16.0, "x", p, Some("n"))
+        .collect().map(r => r.getString(0) -> ((r.getDouble(1), r.getLong(2)))).toMap
+      val viaRows = GridPercentile
+        .discBucketed(df, Seq("g"), "v", 16.0, "x", p, Some("n"))
+        .collect().map(r => r.getString(0) -> ((r.getDouble(1), r.getLong(2)))).toMap
+      assert(viaGrid == viaRows, s"seed=$seed p=$p")
+    }
+  }
+
+  test("disc keeps a group whose values are ALL NULL (NULL percentile, count 0)") {
+    import spark.implicits._
+    val df = Seq(("a", java.lang.Double.valueOf(1.0)),
+      ("a", java.lang.Double.valueOf(3.0)),
+      ("dead", null.asInstanceOf[java.lang.Double]),
+      ("dead", null.asInstanceOf[java.lang.Double])).toDF("g", "v")
+    val out = GridPercentile.disc(df, Seq("g"), "v", Seq("x" -> 0.5), Some("n"))
+      .collect().map(r => r.getString(0) ->
+        ((if (r.isNullAt(1)) None else Some(r.getDouble(1))), r.getLong(2))).toMap
+    // ANSI/DuckDB: NULL inputs are ignored but the group still appears
+    assert(out == Map("a" -> ((Some(1.0), 2L)), "dead" -> ((None, 0L))))
+  }
+
   test("countName reports the non-null row count per group") {
     val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0), ("b", 5.0)).toDF("g", "v")
       .union(Seq(("b", null.asInstanceOf[java.lang.Double])).toDF("g", "v"))

@@ -142,12 +142,9 @@ class PlanShapeSpec extends SparkSuite {
     val p = plan("q_mad")
     assert(!p.contains("percentile_disc"),
       "q_mad must use the bounded grid path, not the PercentileDisc buffer")
-    // round 6: the fact is scanned ONCE into a materialized (group, price,
-    // count) grid (the localCheckpoint truncates that subplan from this
-    // view); both bucket censuses aggregate the grid's weights partially
+    // both bucket censuses pre-aggregate map-side (discBucketed delegates
+    // to the weighted-grid form, so the census is a partial SUM of 1s)
     assert(p.contains("partial_sum"), "bucket census must pre-aggregate map-side")
-    assert(p.contains("Scan ExistingRDD"),
-      "the price grid must be materialized once and reused (localCheckpoint)")
   }
 
   test("q_quantiles has no PercentileDisc row buffer: partial aggregates below every percentile") {
