@@ -1,0 +1,72 @@
+#!/usr/bin/env python3
+"""check.py variant for DIRECTORY-parquet scale dirs (e.g. ScaleGen output,
+where each table is a <table>.parquet/ directory of part files) — same
+compare as scripts/check.py but views use a /*.parquet glob.
+
+Usage: python3 scripts/check_dir.py <sfDir> <verifyOutDir> [names...]
+"""
+import sys, json, os, glob
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings"]
+
+
+def main(sf_dir, out_dir, names):
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(p):
+            con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}/*.parquet')")
+        elif os.path.exists(p):
+            con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name in names or sorted(oracle):
+        files = glob.glob(f"{out_dir}/{name}/*.parquet")
+        if not files:
+            print(f"FAIL {name}: no spark result written")
+            n_fail += 1
+            continue
+        try:
+            got = con.sql(
+                f"SELECT * FROM read_parquet({files!r})").df()
+            want = con.sql(oracle[name]).df()
+            got = got.reindex(sorted(got.columns), axis=1)
+            want = want.reindex(sorted(want.columns), axis=1)
+            if len(got) != len(want):
+                print(f"FAIL {name}: rows {len(got)} != {len(want)}")
+                n_fail += 1
+                continue
+            if list(got.columns) != list(want.columns):
+                print(f"FAIL {name}: columns {list(got.columns)} != {list(want.columns)}")
+                n_fail += 1
+                continue
+            import pandas as pd
+            g = got.reset_index(drop=True)
+            w = want.reset_index(drop=True)
+            eq = True
+            for c in g.columns:
+                a, b = g[c], w[c]
+                if a.dtype.kind == "f" or b.dtype.kind == "f":
+                    same = ((a.isna() & b.isna()) | (a == b)).all()
+                else:
+                    same = ((a.isna() & b.isna()) | (a.astype(str) == b.astype(str))).all()
+                if not same:
+                    eq = False
+                    print(f"FAIL {name}: column {c} differs")
+                    break
+            if eq:
+                print(f"PASS {name} ({len(got)} rows)")
+                n_pass += 1
+            else:
+                n_fail += 1
+        except Exception as e:
+            print(f"FAIL {name}: {str(e)[:200]}")
+            n_fail += 1
+    print(f"== {n_pass} pass / {n_fail} fail ==")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2], sys.argv[3:]))

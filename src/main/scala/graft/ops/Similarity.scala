@@ -253,8 +253,14 @@ object Similarity {
   // IVF with TRAINED centroids (deterministic Lloyd's k-means)
   // ---------------------------------------------------------------------
 
-  private val Iters = 2    // Lloyd rounds (unrolled identically in the oracle SQL)
-  private val Scale = 2048 // uniform code scale: code = round(x * Scale)
+  private val Iters = 2     // Lloyd rounds (unrolled identically in the oracle SQL)
+  private val Scale = 2048  // uniform code scale: code = round(x * Scale)
+  /** Lloyd rounds run over the first min(N, TrainCap) ids only — the
+    * sampled-training form an index build uses at scale: each round costs
+    * O(sample · K) instead of O(N · K), and only the single final
+    * assignment touches the whole corpus (the unavoidable O(N · K) index
+    * build term). Below the cap, training == full-corpus training. */
+  private val TrainCap = 4096
 
   /** Exact double dot product via a left-to-right fold. Over the integer-
     * valued code vectors every product and partial sum is an exact
@@ -320,17 +326,21 @@ object Similarity {
   private def ivfCtesSqlFor(where: String): String = {
     val dims = 1 to 64 // embeddings are 64-dim (TESTDATA.md)
     val centroidSumsSql = dims.map(i => s"sum(q.cd[$i])").mkString("[", ", ", "]")
-    def assignSql(name: String, cents: String) =
+    // Lloyd rounds assign the TRAINING SAMPLE (qct); only the final aN
+    // assignment runs over the full (where-filtered) corpus qc.
+    def assignSql(name: String, cents: String, src: String) =
       s"""$name AS (SELECT vec_id, cid FROM (
          |  SELECT q.vec_id, c.cid, row_number() OVER (PARTITION BY q.vec_id
          |    ORDER BY ${cosSql("q", "c")} DESC, c.cid) AS rn
-         |  FROM qc q, $cents c) WHERE rn = 1)""".stripMargin
+         |  FROM $src q, $cents c) WHERE rn = 1)""".stripMargin
     def updateSql(name: String, assign: String) =
       s"""$name AS (SELECT cid, cd, list_inner_product(cd, cd) AS cn2 FROM (
          |  SELECT a.cid, $centroidSumsSql AS cd
-         |  FROM $assign a JOIN qc q ON q.vec_id = a.vec_id GROUP BY a.cid))""".stripMargin
-    val lloydCtes = (1 to Iters).map(i =>
-      s"${updateSql(s"c$i", s"a${i - 1}")},\n${assignSql(s"a$i", s"c$i")}").mkString(",\n")
+         |  FROM $assign a JOIN qct q ON q.vec_id = a.vec_id GROUP BY a.cid))""".stripMargin
+    val lloydCtes = ((1 until Iters).flatMap(i => Seq(
+      updateSql(s"c$i", s"a${i - 1}"), assignSql(s"a$i", s"c$i", "qct"))) ++ Seq(
+      updateSql(s"c$Iters", s"a${Iters - 1}"),
+      assignSql(s"a$Iters", s"c$Iters", "qc"))).mkString(",\n")
     s"""ivfp AS (
        |  SELECT n, k, greatest(1, 4 * ((n + k - 1) // k)) AS cap FROM (
        |    SELECT n, greatest(16, CASE WHEN (s-1)*(s-1) >= n THEN s-1
@@ -341,9 +351,11 @@ object Similarity {
        |  SELECT vec_id, $codesSql AS cd,
        |    list_inner_product($codesSql, $codesSql) AS n2
        |  FROM embeddings WHERE $where),
+       |qct AS (SELECT * FROM qc
+       |        WHERE vec_id < (SELECT least(n, $TrainCap) FROM ivfp)),
        |s0 AS (SELECT vec_id AS cid, cd, n2 AS cn2 FROM qc
        |       WHERE vec_id < (SELECT k FROM ivfp)),
-       |${assignSql("a0", "s0")},
+       |${assignSql("a0", "s0", "qct")},
        |$lloydCtes,
        |v AS (SELECT vec_id, embedding::DOUBLE[] AS e,
        |    sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS vn
@@ -617,27 +629,35 @@ object Similarity {
   }
 
   /** Deterministic k-means training over `src` (an embeddings-shaped
-    * frame with `n` rows): derived KCells seeds, `Iters` Lloyd rounds. */
+    * frame with `n` rows): derived KCells seeds, `Iters` Lloyd rounds over
+    * the first min(n, TrainCap) ids, then ONE full-corpus assignment
+    * against the trained centroids — each training round costs
+    * O(sample · K); only the final index-build assignment is O(n · K). */
   private[ops] def trainOn(s: SparkSession, src: DataFrame, n: Long): IvfParts = {
     def dotD(a: Column, b: Column): Column = graft.functions.VectorOps.vecDotD(s, a, b)
     val dims = 1 to 64
     val k = kCellsOf(n)
     val qc = codesOf(s, src)
+    val qct = qc.filter(col("vec_id") < math.min(n, TrainCap.toLong))
     val seeds = qc.filter(col("vec_id") < k)
       .select(col("vec_id").as("cid"), col("cd").as("ccd"), col("n2").as("cn2"))
     def update(a: DataFrame): DataFrame = {
       // 64 per-dim SUM columns: native partial (map-side) aggregation, no
       // explode — each partition ships one 64-long vector per cell.
       val sums = dims.map(i => sum(element_at(col("cd"), i)).as(s"s$i"))
-      a.join(qc.select("vec_id", "cd"), "vec_id")
+      a.join(qct.select("vec_id", "cd"), "vec_id")
         .groupBy("cid").agg(sums.head, sums.tail: _*)
         .select(col("cid"), array(dims.map(i => col(s"s$i")): _*).as("ccd"))
         .withColumn("cn2", dotD(col("ccd"), col("ccd")))
     }
-    val (trained, cFinal) = (1 to Iters)
-      .foldLeft((assignAgainst(s, qc, seeds), seeds)) { case ((a, _), _) =>
-        val c = update(a); (assignAgainst(s, qc, c), c)
+    val (_, cFinal) = (1 to Iters)
+      .foldLeft((assignAgainst(s, qct, seeds), seeds)) { case ((a, _), i) =>
+        // intermediate rounds assign the sample; the fold's last centroid
+        // table is what the full corpus is assigned against below
+        val c = update(a)
+        (if (i < Iters) assignAgainst(s, qct, c) else a, c)
       }
+    val trained = assignAgainst(s, qc, cFinal)
     // assignment is referenced on both sides of downstream self-joins;
     // localCheckpoint so the Lloyd rounds run once, not twice.
     val a2 = trained.localCheckpoint()
