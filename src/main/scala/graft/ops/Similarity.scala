@@ -555,6 +555,44 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** IVF index census: one row per trained cell — population, the derived
+    * cap, the subcell count the cap implies, and the largest pair-join
+    * bucket after the split. This is the observability query an IVF/
+    * SemDeDup deployment runs after every (re)build: it shows skew
+    * (max population vs N/K), proves the cap engaged (nsub > 1 exactly on
+    * oversized cells), and bounds the next pair join's cost BEFORE paying
+    * for it (Σ max_bucket² per cell). Reuses the shared training CTEs, so
+    * the cells it reports are definitionally the ones q_semdedup prunes. */
+  val ivfCensus: Q = Q(
+    "q_ivf_census",
+    s"""WITH $ivfCtesSql,
+       |cellpop AS (SELECT cid, count(*) AS pop FROM $AFinal GROUP BY cid),
+       |af AS (SELECT a.vec_id, a.cid,
+       |    ((a.vec_id % 1048573) * 2654435761) % ((c.pop + p.cap - 1) // p.cap) AS sub
+       |  FROM $AFinal a JOIN cellpop c USING (cid) CROSS JOIN ivfp p),
+       |buckets AS (SELECT cid, sub, count(*) AS bn FROM af GROUP BY cid, sub)
+       |SELECT c.cid AS cell, c.pop,
+       |  (SELECT cap FROM ivfp) AS cap,
+       |  (c.pop + (SELECT cap FROM ivfp) - 1) // (SELECT cap FROM ivfp) AS nsub,
+       |  max(b.bn) AS max_bucket
+       |FROM cellpop c JOIN buckets b ON b.cid = c.cid
+       |GROUP BY c.cid, c.pop ORDER BY cell""".stripMargin
+  ) { (s, d) =>
+    val n = corpusCount(s, d)
+    val cap = cellCapOf(n)
+    val (a2, _) = trainedAssignment(s, d)
+    val af = subcellsOf(a2, cap)
+    val pop = a2.groupBy("cid").agg(count(lit(1)).as("pop"))
+    val buckets = af.groupBy("cid", "sub").agg(count(lit(1)).as("bn"))
+    pop.join(buckets, "cid")
+      .groupBy(col("cid").as("cell"), col("pop"))
+      .agg(max(col("bn")).as("max_bucket"))
+      .select(col("cell"), col("pop"), lit(cap).as("cap"),
+        floor((col("pop") + lit(cap - 1)) / lit(cap)).cast(LongType).as("nsub"),
+        col("max_bucket"))
+      .orderBy("cell")
+  }
+
   /** Incremental IVF maintenance: train on the stable base corpus (the
     * first 7/8 of ids — yesterday's data), then assign ONLY the delta
     * (the newest 1/8) against the FROZEN centroids. This is the job shape
@@ -810,5 +848,5 @@ object Similarity {
   }
 
   val all: Seq[Q] = Seq(similarityLsh, embedNearDup, lshRecall, similarityIvf,
-    annRecall, semDedup, ivfAssignDelta, embedQuantize)
+    annRecall, semDedup, ivfCensus, ivfAssignDelta, embedQuantize)
 }

@@ -76,10 +76,14 @@ object CdcPipeline {
 
   /** Envelope projection (R17): one row per captured row, reference
     * envelope shape (FIXTURES.md §2). data_json uses to_json here — no
-    * cross-engine oracle reads this surface, and to_json is codegen'd. */
-  def toEnvelope(df: DataFrame, tableName: String): DataFrame =
+    * cross-engine oracle reads this surface, and to_json is codegen'd.
+    * `ts` defaults to capture wall time (the reference's time.Now(),
+    * duckdb_cdc.go:268); the consistent-tick path passes the PINNED tick
+    * timestamp instead so a replayed epoch rewrites identical bytes. */
+  def toEnvelope(df: DataFrame, tableName: String,
+      ts: org.apache.spark.sql.Column = current_timestamp()): DataFrame =
     df.select(
-      current_timestamp().as("timestamp"),
+      ts.as("timestamp"),
       lit(tableName).as("table"),
       lit("SNAPSHOT").as("operation"),
       to_json(struct(df.columns.map(col).toIndexedSeq: _*)).as("data"))
@@ -151,6 +155,17 @@ object CdcPipeline {
     val hPath = new org.apache.hadoop.fs.Path(dir)
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(hPath)) return None
+    // A crash (or stop) can interrupt recordChecksum mid-write, leaving the
+    // dir holding only _temporary — zero committed part files. Reading that
+    // throws UNABLE_TO_INFER_SCHEMA and would kill every restart tick, so
+    // treat it as "no checksum recorded": capture-then-record ordering plus
+    // per-batch overwrite + pinned tick timestamps make the re-capture that
+    // follows byte-identical idempotence, exactly the crash-replay contract.
+    val committed = fs.listStatus(hPath).exists(s => s.isFile && {
+      val n = s.getPath.getName
+      !n.startsWith("_") && !n.startsWith(".")
+    })
+    if (!committed) return None
     val meta = spark.read.parquet(dir)
     if (meta.isEmpty) None
     else meta.agg(max_by(col("checksum"), col("ts")).as("checksum"))
@@ -213,7 +228,8 @@ object CdcPipeline {
     * presence tested on the join keys, change on the digest. DELETE
     * carries the old row's JSON (there is no new row to render). */
   def diffEnvelopes(prev: DataFrame, cur: DataFrame, keys: Seq[String],
-      tableName: String): DataFrame = {
+      tableName: String,
+      ts: org.apache.spark.sql.Column = current_timestamp()): DataFrame = {
     val p = prev.select(
       keys.map(k => col(k).as(s"__p_$k")) ++ Seq(
         col("__digest").as("__p_digest"), col("__json").as("__p_json")): _*)
@@ -228,7 +244,7 @@ object CdcPipeline {
     p.join(c, on, "full_outer")
       .filter(!pPresent || !cPresent || col("__p_digest") =!= col("__c_digest"))
       .select(
-        current_timestamp().as("timestamp"),
+        ts.as("timestamp"),
         lit(tableName).as("table"),
         when(!pPresent, "INSERT").when(!cPresent, "DELETE")
           .otherwise("UPDATE").as("operation"),
@@ -248,11 +264,13 @@ object CdcPipeline {
     * captures empty tables too (duckdb_cdc.go:175-183, 217-258). */
   def processBatch(spark: SparkSession, batch: DataFrame, cfg: Config,
       captureEmpty: Boolean = false, batchId: Option[Long] = None,
-      epoch: Option[Long] = None): Boolean = {
+      epoch: Option[Long] = None,
+      captureTs: Option[java.sql.Timestamp] = None): Boolean = {
     if (!captureEmpty && batch.isEmpty) return false
     val current = batchChecksum(batch)
     val changed = !lastChecksum(spark, cfg.metadataDir, cfg.tableName).contains(current)
     if (changed) {
+      val tsCol = captureTs.map(t => lit(t)).getOrElse(current_timestamp())
       // Capture-then-record, the reference's ordering (B5). With a
       // batchId (streaming path) the capture lands in a per-batch dir
       // written with overwrite — re-running a batch after a crash
@@ -273,12 +291,12 @@ object CdcPipeline {
             case None => spark.createDataFrame(
               spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], cur.schema)
           }
-          val d = diffEnvelopes(prev, cur, cfg.keyCols, cfg.tableName)
+          val d = diffEnvelopes(prev, cur, cfg.keyCols, cfg.tableName, tsCol)
           // envelope write happens below, BEFORE the state advance: a
           // crash between the two re-runs the diff against the old state
           (d, Some(() => cur.write.mode("overwrite")
             .parquet(s"${diffStateDir(cfg)}/v=$v")))
-        } else (toEnvelope(batch, cfg.tableName), None)
+        } else (toEnvelope(batch, cfg.tableName, tsCol), None)
       // Consistent-tick mode stamps every envelope with the shared tick
       // epoch — the join key that lets a consumer line up captures of
       // DIFFERENT tables taken against the same listing snapshot.
@@ -341,12 +359,57 @@ object CdcPipeline {
     * joining envelope streams on snapshot_epoch observes only states that
     * actually existed. Returns per-table changed flags (listing order).
     *
+    * `listingDir` (the streaming path sets it) PINS each epoch's listing
+    * AND tick timestamp on first delivery: a tick replayed after a crash
+    * re-reads the pinned file set instead of re-listing, so a drop that
+    * landed between the crash and the restart cannot be captured under
+    * the old epoch — without the pin, a replayed epoch would overwrite
+    * its committed captures with the NEWER state while other tables'
+    * same-epoch captures keep the older one, breaking exactly the
+    * cross-table consistency the epoch exists to provide. The pinned
+    * timestamp makes the replayed capture byte-identical (overwrite is
+    * true idempotence, not just same-data-new-timestamps). One tiny file
+    * per epoch; prune with the checkpoint.
+    *
     * Unchanged tables cost one checksum scan and capture nothing — the
     * reference's exact per-tick behavior (duckdb_cdc.go:175-197). Empty
     * drops ARE captured (a listed snapshot is a real table state). */
-  def pollTickAll(spark: SparkSession, tables: Seq[Config], epoch: Long): Seq[Boolean] = {
-    val listing: Seq[(Config, Option[String])] =
+  def pollTickAll(spark: SparkSession, tables: Seq[Config], epoch: Long,
+      listingDir: Option[String] = None): Seq[Boolean] = {
+    val fresh: Seq[(Config, Option[String])] =
       tables.map(cfg => cfg -> latestSnapshot(spark, cfg.inputDir))
+    val (listing, tickTs): (Seq[(Config, Option[String])], Long) = listingDir match {
+      case None => (fresh, System.currentTimeMillis())
+      case Some(dir) =>
+        val fs = new org.apache.hadoop.fs.Path(dir)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val pin = new org.apache.hadoop.fs.Path(s"$dir/epoch-$epoch")
+        if (fs.exists(pin)) {
+          // replayed epoch: process the PINNED listing + timestamp, not
+          // current state — the rewrite is byte-identical to the original
+          val in = new java.io.BufferedReader(
+            new java.io.InputStreamReader(fs.open(pin), "UTF-8"))
+          val lines =
+            try Iterator.continually(in.readLine()).takeWhile(_ != null).toVector
+            finally in.close()
+          val ts = lines.headOption
+            .collect { case l if l.startsWith("#ts\t") => l.drop(4).toLong }
+            .getOrElse(System.currentTimeMillis())
+          val byTable = lines.map(_.split("\t", 2))
+            .collect { case Array(t, f) if t != "#ts" => t -> f }.toMap
+          (tables.map(cfg => cfg -> byTable.get(cfg.tableName)), ts)
+        } else {
+          val now = System.currentTimeMillis()
+          val out = fs.create(pin, true)
+          try {
+            out.write(s"#ts\t$now\n".getBytes("UTF-8"))
+            fresh.foreach { case (cfg, f) =>
+              f.foreach(p => out.write(s"${cfg.tableName}\t$p\n".getBytes("UTF-8")))
+            }
+          } finally out.close()
+          (fresh, now)
+        }
+    }
     listing.map {
       case (_, None) => false
       case (cfg, Some(file)) =>
@@ -355,7 +418,8 @@ object CdcPipeline {
           reader.option("header", "true").option("inferSchema", "true")
         val batch = reader.format(cfg.inputFormat).load(file)
         processBatch(spark, batch, cfg, captureEmpty = true,
-          batchId = Some(epoch), epoch = Some(epoch))
+          batchId = Some(epoch), epoch = Some(epoch),
+          captureTs = Some(new java.sql.Timestamp(tickTs)))
     }
   }
 
@@ -373,7 +437,10 @@ object CdcPipeline {
       .trigger(Trigger.ProcessingTime(triggerMs))
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (_: DataFrame, id: Long) =>
-        pollTickAll(spark, tables, epoch = id)
+        // listings pinned next to the checkpoint: epoch stability across
+        // crash-replay comes from re-reading the pinned file set
+        pollTickAll(spark, tables, epoch = id,
+          listingDir = Some(s"$checkpointDir-listing"))
         ()
       }
       .start()
