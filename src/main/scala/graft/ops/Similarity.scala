@@ -254,7 +254,11 @@ object Similarity {
   // ---------------------------------------------------------------------
 
   private val Iters = 2     // Lloyd rounds (unrolled identically in the oracle SQL)
-  private val Scale = 2048  // uniform code scale: code = round(x * Scale)
+  /** uniform code scale: code = round(x * Scale). private[graft]: the
+    * streaming assign twin (streaming/Stateful.ivfAssignStream) must
+    * code arriving vectors identically or parity with the batch
+    * assignment breaks. */
+  private[graft] val Scale = 2048
   /** Lloyd rounds run over the first min(N, TrainCap) ids only — the
     * sampled-training form an index build uses at scale: each round costs
     * O(sample · K) instead of O(N · K), and only the single final
@@ -735,7 +739,7 @@ object Similarity {
 
   /** Full training output incl. the final centroids (multi-probe needs
     * them to rank cells per query). */
-  private[ops] def trainedParts(s: SparkSession, d: String): (IvfParts, DataFrame) = {
+  private[graft] def trainedParts(s: SparkSession, d: String): (IvfParts, DataFrame) = {
     val parts = trainOn(s, T.embeddings(s, d), corpusCount(s, d))
     def dot(a: Column, b: Column): Column =
       graft.functions.VectorOps.vecDot(s, a, b)
@@ -761,10 +765,29 @@ object Similarity {
   }
 
   /** Assignment against an EXTERNAL (e.g. parquet-persisted) centroid
-    * table — the spec's persist/reload path for q_ivf_assign_delta. */
-  private[ops] def assignWithFrozen(s: SparkSession, src: DataFrame,
+    * table — the spec's persist/reload path for q_ivf_assign_delta, and
+    * the batch truth the streaming assign twin is parity-tested against. */
+  private[graft] def assignWithFrozen(s: SparkSession, src: DataFrame,
       cents: DataFrame): DataFrame =
     assignAgainst(s, codesOf(s, src), cents, keepCos = true)
+
+  /** One frozen centroid of a trained IVF model, in code space. */
+  private[graft] final case class FrozenCentroid(cid: Long, ccd: Seq[Double], cn2: Double)
+
+  /** Collect a trained centroid table into the driver-side model the
+    * streaming assign stage ships as a plan literal. Bounded O(K · dims)
+    * — the model, not the data (K ≈ sqrt(N); ~50 MB at K = 100k, 64-dim
+    * doubles — a broadcast-a-model materialization, same class as
+    * broadcast(cents) on the batch path). */
+  private[graft] def frozenModelOf(cents: DataFrame): Seq[FrozenCentroid] =
+    cents.select("cid", "ccd", "cn2").collect().toSeq
+      .map(r => FrozenCentroid(r.getLong(0), r.getSeq[Double](1), r.getDouble(2)))
+      .sortBy(_.cid)
+
+  /** Trained model + the embeddings source for a dir — the spec's one-call
+    * setup for the streaming assign parity case. */
+  private[graft] def frozenModel(s: SparkSession, d: String): Seq[FrozenCentroid] =
+    frozenModelOf(trainedParts(s, d)._1.cents)
 
   /** The lowest-vec_id stand-in assignment (derived KCells, no training) —
     * kept only as the quality baseline for SimilaritySpec. */

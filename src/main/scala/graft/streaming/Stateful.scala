@@ -266,6 +266,55 @@ object Stateful {
       }
   }
 
+  final case class VecIn(vec_id: Long, embedding: Array[Float])
+
+  /** s_stream_ivf_assign: continuous IVF assignment of arriving vectors
+    * against a FROZEN trained model — the ingest half of the
+    * retrain-rarely / assign-continuously split q_ivf_assign_delta
+    * establishes for batch (graft.ops.Similarity, reference has no ANN;
+    * this is north-star surface). The model ships as ONE plan literal
+    * (array of (cid, code-centroid, self-dot) structs), so the stage is
+    * a pure per-row codegen'd map: no state, no shuffle, no stream-static
+    * join — append-mode-safe at any rate, and the assignment is
+    * bit-identical to the batch assignAgainst (same integer codes, same
+    * exact-integer dot fold, same round-6 cosine, same smaller-cid
+    * tie-break), which StatefulSpec proves. At a K too big for a plan
+    * literal (K ≫ 10^5) the same semantics become a stream-static
+    * broadcast join against the centroid parquet; this literal form is
+    * the zero-shuffle fast path.
+    *
+    * Output: (vec_id, cid, cos) per arriving vector — q_ivf_assign_delta's
+    * exact schema. */
+  def ivfAssignStream(vecs: Dataset[VecIn],
+      model: Seq[graft.ops.Similarity.FrozenCentroid]): DataFrame = {
+    require(model.nonEmpty, "frozen model must hold at least one centroid")
+    val s = vecs.sparkSession
+    def dotD(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      graft.functions.VectorOps.vecDotD(s, a, b)
+    val cents = typedLit(model.map(c => (c.cid, c.ccd, c.cn2)))
+    val codes = transform(col("embedding").cast("array<double>"),
+      x => round(x * graft.ops.Similarity.Scale, 0))
+    vecs.toDF()
+      .withColumn("cd", codes)
+      .withColumn("n2", dotD(col("cd"), col("cd")))
+      .withColumn("best", aggregate(
+        cents,
+        // init below any real cosine (cos ≥ -1, empty-vector sentinel -2)
+        struct(lit(-3.0d).as("cos"), lit(Long.MaxValue).as("cid")),
+        (acc, c) => {
+          val cos = when(col("n2") === 0.0d || c.getField("_3") === 0.0d, lit(-2.0d))
+            .otherwise(round(dotD(col("cd"), c.getField("_2")) /
+              (sqrt(col("n2")) * sqrt(c.getField("_3"))), 6))
+          // the batch argmax is max(struct(cos, -cid)): higher cos wins,
+          // ties go to the smaller cid — replicate exactly
+          when(cos > acc.getField("cos") ||
+              (cos === acc.getField("cos") && c.getField("_1") < acc.getField("cid")),
+            struct(cos.as("cos"), c.getField("_1").as("cid")))
+            .otherwise(acc)
+        }))
+      .select(col("vec_id"), col("best.cid").as("cid"), col("best.cos").as("cos"))
+  }
+
   /** s_session_window: native session windows, 30-minute gap per user —
     * the streaming twin of the batch gaps-and-islands in
     * graft.ops.Temporal.sessionize. */

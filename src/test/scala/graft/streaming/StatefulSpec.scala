@@ -295,4 +295,40 @@ class StatefulSpec extends SparkSuite {
       assert(cellOf(s.vec_id) == s.cell)
     }
   }
+
+  test("s_stream_ivf_assign: streaming frozen-centroid assignment is bit-identical to the batch assignment") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    import graft.ops.Similarity
+    val sf = "/root/testdata/sf0.001"
+    // train once on the real corpus; this is the frozen model both the
+    // batch truth and the streaming stage assign against
+    val parts = Similarity.trainedParts(spark, sf)._1
+    val model = Similarity.frozenModelOf(parts.cents)
+    assert(model.size >= 16, s"trained model should hold >= 16 cells, got ${model.size}")
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val batch = Similarity.assignWithFrozen(spark, emb, parts.cents)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val vecs = emb.select(col("vec_id"), col("embedding"))
+      .as[Stateful.VecIn].collect().toSeq.sortBy(_.vec_id)
+    val in = MemoryStream[Stateful.VecIn]
+    val q = Stateful.ivfAssignStream(in.toDS(), model)
+      .writeStream.format("memory").queryName("ivf_assign")
+      .outputMode(OutputMode.Append).start()
+    // two micro-batches: assignment is stateless per-row, so batch
+    // boundaries must not matter
+    val (b1, b2) = vecs.splitAt(vecs.size / 2)
+    in.addData(b1)
+    q.processAllAvailable()
+    in.addData(b2)
+    q.processAllAvailable()
+    val streamed = spark.table("ivf_assign").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    q.stop()
+    assert(streamed.size == batch.size, "one assignment per arriving vector")
+    assert(streamed == batch,
+      "streaming (cid, cos) must be bit-identical to batch assignAgainst " +
+        streamed.toSeq.sortBy(_._1).zip(batch.toSeq.sortBy(_._1))
+          .find { case (a, b) => a != b }.map(_.toString).getOrElse(""))
+  }
 }
