@@ -274,8 +274,11 @@ object Stateful {
     * establishes for batch (graft.ops.Similarity, reference has no ANN;
     * this is north-star surface). The model ships as ONE plan literal
     * (array of (cid, code-centroid, self-dot) structs), so the stage is
-    * a pure per-row codegen'd map: no state, no shuffle, no stream-static
-    * join — append-mode-safe at any rate, and the assignment is
+    * a pure per-row map: no state, no shuffle, no stream-static join —
+    * append-mode-safe at any rate (PlanShapeSpec asserts zero exchanges
+    * and zero joins; the centroid fold is a Catalyst HOF — expression-
+    * interpreted by Spark design, with the codegen'd DoubleVecDot kernel
+    * doing the per-centroid work), and the assignment is
     * bit-identical to the batch assignAgainst (same integer codes, same
     * exact-integer dot fold, same round-6 cosine, same smaller-cid
     * tie-break), which StatefulSpec proves. At a K too big for a plan

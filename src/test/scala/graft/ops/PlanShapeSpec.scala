@@ -227,6 +227,27 @@ class PlanShapeSpec extends SparkSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("s_stream_ivf_assign is a pure map: zero exchanges, zero joins, whole-stage codegen") {
+    // The streaming assign stage must stay a per-row projection — the
+    // frozen model is a plan literal, so any Exchange or join appearing
+    // here means the zero-shuffle ingest contract broke. Applied to a
+    // batch Dataset (the transform is source-agnostic) to read the plan.
+    import spark.implicits._
+    val model = Similarity.frozenModel(spark, sf)
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .selectExpr("vec_id", "embedding")
+      .as[graft.streaming.Stateful.VecIn]
+    val df = graft.streaming.Stateful.ivfAssignStream(vecs, model)
+    val p = df.queryExecution.executedPlan.toString()
+    assert(!p.contains("Exchange"), p.take(600))
+    assert(!p.contains("Join"), p.take(600))
+    // codegen spans render as *(n) in simple mode; the scan + code/dot
+    // projections must be inside one. The centroid fold itself is a
+    // Catalyst HOF (aggregate) — expression-interpreted by Spark design,
+    // but its hot kernel (doublevecdot) is the codegen'd expression.
+    assert(p.contains("*("), p.take(600))
+  }
+
   test("q_curation reads the documents text column only map-side (no text in shuffles)") {
     // The shuffle payload is the Exchange's Input row in formatted explain
     // (a substring heuristic over the tree form would false-positive on a
