@@ -69,4 +69,23 @@ object Maintenance {
     doomed.foreach(v => fs.delete(new Path(path, s"$prefix$v"), true))
     doomed
   }
+
+  /** Drop consistent-tick listing pins (`epoch-N` files in the
+    * `<checkpoint>-listing` dir CdcPipeline.startConsistent maintains)
+    * for epochs below `keepFrom`. A pin is only needed while its epoch
+    * can still be replayed — Structured Streaming replays at most the
+    * batches at or after the last commit, so the safe floor is the
+    * checkpoint's last committed batch id (pass anything ≤ that).
+    * Returns the pruned epoch numbers. */
+  def prunePins(spark: SparkSession, listingDir: String, keepFrom: Long): Seq[Long] = {
+    val path = new Path(listingDir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(path)) return Seq.empty
+    val doomed = fs.listStatus(path).toSeq
+      .filter(_.isFile).map(_.getPath.getName)
+      .collect { case n if n.startsWith("epoch-") => n.drop("epoch-".length).toLong }
+      .filter(_ < keepFrom).sorted
+    doomed.foreach(e => fs.delete(new Path(path, s"epoch-$e"), false))
+    doomed
+  }
 }

@@ -369,7 +369,8 @@ object CdcPipeline {
     * cross-table consistency the epoch exists to provide. The pinned
     * timestamp makes the replayed capture byte-identical (overwrite is
     * true idempotence, not just same-data-new-timestamps). One tiny file
-    * per epoch; prune with the checkpoint.
+    * per epoch; Maintenance.prunePins(listingDir, lastCommittedBatch)
+    * reclaims pins that can no longer replay.
     *
     * Unchanged tables cost one checksum scan and capture nothing — the
     * reference's exact per-tick behavior (duckdb_cdc.go:175-197). Empty

@@ -80,4 +80,20 @@ class MaintenanceSpec extends SparkSuite {
       .count(_.contains("\"operation\":\"DELETE\""))
     assert(deletes == 1, "the id=2 delete must be diffed against the pruned-to state")
   }
+
+  test("prunePins drops only listing pins below the committed floor") {
+    val dir = tmpDir("pins")
+    val p = Paths.get(dir)
+    (0L to 5L).foreach(e => Files.write(p.resolve(s"epoch-$e"),
+      s"#ts\t$e\nusers\t/drop-$e\n".getBytes("UTF-8")))
+    Files.write(p.resolve("not-a-pin"), "x".getBytes("UTF-8"))
+    val pruned = Maintenance.prunePins(spark, dir, keepFrom = 4L)
+    assert(pruned == Seq(0L, 1L, 2L, 3L))
+    val left = Files.list(p).iterator()
+    val names = scala.jdk.CollectionConverters.IteratorHasAsScala(left)
+      .asScala.map(_.getFileName.toString).toSet
+    assert(names == Set("epoch-4", "epoch-5", "not-a-pin"),
+      s"replayable pins and foreign files must survive: $names")
+    assert(Maintenance.prunePins(spark, s"$dir/missing", 10L).isEmpty)
+  }
 }
