@@ -212,13 +212,24 @@ object CdcPipeline {
   /** Latest committed diff-state version, or None on bootstrap. Versions
     * are `v=<n>` subdirectories: a crash between envelope write and state
     * write leaves the old version intact (at-least-once, like the
-    * snapshot path), and re-running a version overwrites idempotently. */
+    * snapshot path), and re-running a version overwrites idempotently.
+    * A version holding zero committed part files (a crash mid-state-write
+    * left only `_temporary`) is NOT a version: reporting it would make the
+    * next run read it as `prev` and die on UNABLE_TO_INFER_SCHEMA — the
+    * same torn-write wedge lastChecksum guards against. Skipping it makes
+    * the next run re-diff against the last intact state and overwrite the
+    * debris when its number comes up again. */
   private def stateVersions(spark: SparkSession, cfg: Config): Seq[Long] = {
     val hPath = new org.apache.hadoop.fs.Path(diffStateDir(cfg))
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(hPath)) return Seq.empty
     fs.listStatus(hPath).toSeq
-      .filter(_.isDirectory).map(_.getPath.getName)
+      .filter(_.isDirectory)
+      .filter(d => fs.listStatus(d.getPath).exists(s => s.isFile && {
+        val n = s.getPath.getName
+        !n.startsWith("_") && !n.startsWith(".")
+      }))
+      .map(_.getPath.getName)
       .collect { case n if n.startsWith("v=") => n.drop(2).toLong }
   }
 

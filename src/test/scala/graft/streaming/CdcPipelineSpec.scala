@@ -584,6 +584,25 @@ class CdcPipelineSpec extends SparkSuite {
     assert(!CdcPipeline.processBatch(spark, seedUsers, c))
   }
 
+  test("torn diff-state write: a v= dir holding only _temporary is skipped and the next diff heals") {
+    val base = tmpDir("cdc")
+    val c = cfg(base).copy(mode = "diff", keyCols = Seq("id"))
+    assert(CdcPipeline.processBatch(spark, seedUsers, c))      // bootstrap: v=0
+    // crash mid-state-write for the NEXT version: only _temporary landed
+    Files.createDirectories(Paths.get(
+      s"${c.metadataDir}/state/table_name=users/v=1/_temporary/0"))
+    val v2 = seedUsers.unionAll(Seq((3, "Bob Wilson", "bob@example.com", t0))
+      .toDF("id", "name", "email", "created_at"))
+    // the torn v=1 must be invisible: this run re-diffs against v=0
+    // (emitting Bob's INSERT) and overwrites the debris as the new v=1
+    assert(CdcPipeline.processBatch(spark, v2, c))
+    val lines = jsonlLines(c.outputDir)
+    assert(lines.count(_.contains("\"operation\":\"INSERT\"")) == 3,
+      s"2 bootstrap inserts + Bob, got:\n${lines.mkString("\n")}")
+    // and the healed v=1 is a real state: a no-op drop diffs to nothing
+    assert(!CdcPipeline.processBatch(spark, v2, c))
+  }
+
   test("consistent tick restart: epochs continue from the checkpoint, replayed epochs do not duplicate") {
     val base = tmpDir("cdc")
     val users = cfg(s"$base/users")
