@@ -1,0 +1,296 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.core.{Q, Tables => T}
+
+/** Product quantization (IVF-PQ's compression half) over the embeddings
+  * table — the memory-bounded ANN shape at 100 TB: a 64-dim float vector
+  * (256 B) compresses to M=8 codebook ids (8 B here, 4 B packed), and
+  * query-time scoring runs on the codes alone via an asymmetric-distance
+  * lookup table (ADC), never touching the original vectors. The reference
+  * has no ANN at all; this is north-star surface next to the trained IVF
+  * in [[Similarity]].
+  *
+  * Cross-engine determinism, extending the IVF integer-code design
+  * (Similarity.scala): vectors are the same round(x·2048) integer codes,
+  * and — the PQ-specific twist — codebook centroids are INTEGER-ROUNDED
+  * means (round(sum/count): the sums and counts are exact integers, the
+  * division is one IEEE op on identical operands, and the established
+  * half-away-from-zero round parity pins the result). Every distance in
+  * training, encoding, and ADC scoring is then a sum of integer squares
+  * bounded far under 2^53 — EXACT in both engines under ANY summation
+  * order, so even the ADC's unordered GROUP BY sum over subspaces is
+  * bit-stable. Centroid rounding costs ±0.5 on the 2048-scaled grid
+  * (±0.00024 in raw units) — noise relative to quantization error.
+  *
+  * Scale shape: subspace-as-data (one (vec_id, sub, subvector) exploded
+  * relation) keeps the Lloyd rounds at ONE assign/update pair per round
+  * regardless of M; codebooks are tiny (M·K = 128 rows) and broadcast;
+  * training samples the first min(N, 4096) ids like the IVF trainer, so
+  * rounds cost O(sample · K) and only the final encode is O(N · K) — the
+  * unavoidable index-build term. The ADC join is
+  * (codes ⋈ broadcast LUT) → partial-agg sum: no shuffle carries vectors.
+  */
+object Pq {
+
+  private val M = 8            // subspaces
+  private val SubDims = 8      // dims per subspace (M · SubDims = 64)
+  private val Seeds = 32       // codebook entries per subspace (ids 0..31 seed)
+  private val Iters = 2        // Lloyd rounds (unrolled identically in SQL)
+  private val TrainCap = 4096L // training-sample cap, as in Similarity.trainOn
+  private val ReRank = 32      // ADC shortlist width fed to the exact re-rank
+
+  // -------------------------------------------------------------------
+  // Shared SQL text (the DuckDB twin of every Scala step below)
+  // -------------------------------------------------------------------
+
+  /** Exact integer L2² between an 8-dim subvector `q.v` and centroid
+    * `c.m`, via the same left-to-right list_inner_product fold the IVF
+    * family relies on (exactness makes fold order irrelevant here). */
+  private def d2Sql(q: String, c: String): String = {
+    val diff = s"list_transform(range(0, $SubDims), j -> $q.v[j+1] - $c.m[j+1])"
+    s"list_inner_product($diff, $diff)"
+  }
+
+  private def assignCteSql(name: String, src: String, cb: String,
+      codeCol: String): String =
+    s"""$name AS (SELECT vec_id, sub, cid AS $codeCol FROM (
+       |  SELECT q.vec_id, q.sub, c.cid, row_number() OVER (
+       |    PARTITION BY q.vec_id, q.sub
+       |    ORDER BY ${d2Sql("q", "c")} ASC, c.cid) AS rn
+       |  FROM $src q JOIN $cb c ON c.sub = q.sub) WHERE rn = 1)""".stripMargin
+
+  private def updateCteSql(name: String, assign: String): String = {
+    val means = (1 to SubDims).map(j => s"round(sum(q.v[$j]) / count(*))")
+      .mkString("[", ", ", "]")
+    s"""$name AS (SELECT a.sub, a.cid, $means AS m
+       |  FROM $assign a JOIN psvt q ON q.vec_id = a.vec_id AND q.sub = a.sub
+       |  GROUP BY a.sub, a.cid)""".stripMargin
+  }
+
+  /** Codes → subvectors → seeded codebook → `Iters` unrolled Lloyd rounds
+    * → full-corpus encode `penc` (vec_id, sub, code). */
+  private val pqCtesSql: String = {
+    val codes = s"list_transform(embedding::DOUBLE[], x -> round(x * ${Similarity.Scale}))"
+    val subs = (0 until M).mkString("[", ", ", "]")
+    val rounds = (1 to Iters).flatMap { i =>
+      Seq(assignCteSql(s"pa$i", "psvt", s"pcb${i - 1}", "cid"),
+        updateCteSql(s"pcb$i", s"pa$i"))
+    }.mkString(",\n")
+    s"""pqc AS (SELECT vec_id, $codes AS cd FROM embeddings),
+       |psv AS (SELECT q.vec_id, s.sub,
+       |    list_slice(q.cd, s.sub * $SubDims + 1, s.sub * $SubDims + $SubDims) AS v
+       |  FROM pqc q, (SELECT unnest($subs) AS sub) s),
+       |psvt AS (SELECT * FROM psv
+       |  WHERE vec_id < (SELECT least(count(*), $TrainCap) FROM pqc)),
+       |pcb0 AS (SELECT sub, vec_id AS cid, v AS m FROM psvt WHERE vec_id < $Seeds),
+       |$rounds,
+       |${assignCteSql("penc", "psv", s"pcb$Iters", "code")}""".stripMargin
+  }
+
+  // -------------------------------------------------------------------
+  // Spark side
+  // -------------------------------------------------------------------
+
+  private def d2Col(s: SparkSession, v: Column, m: Column): Column = {
+    val diff = zip_with(v, m, (x, y) => x - y)
+    graft.functions.VectorOps.vecDotD(s, diff, diff)
+  }
+
+  /** (vec_id, sub, v): the integer-code subvector relation. One narrow
+    * map-side projection + explode — subvectors never cross a shuffle
+    * except inside the tiny training sample. */
+  private def subvecs(s: SparkSession, d: String): DataFrame = {
+    val e = col("embedding").cast(ArrayType(DoubleType))
+    val cd = transform(e, x => round(x * Similarity.Scale, 0))
+    T.embeddings(s, d).select(col("vec_id"), cd.as("cd"))
+      .select(col("vec_id"), explode(array((0 until M).map(s0 =>
+        struct(lit(s0).as("sub"),
+          slice(col("cd"), s0 * SubDims + 1, SubDims).as("v"))): _*)).as("x"))
+      .select(col("vec_id"), col("x.sub").as("sub"), col("x.v").as("v"))
+  }
+
+  /** argmin-L2² assignment of subvectors against a broadcast codebook —
+    * hash-agg max over struct(-d2, -cid): same pick as the oracle's
+    * row_number()=1 (ASC d2, ASC cid), no per-row sort. */
+  private[ops] def assignStep(s: SparkSession, sv: DataFrame, cb: DataFrame,
+      codeName: String): DataFrame =
+    sv.join(broadcast(cb), "sub")
+      .withColumn("__d2", d2Col(s, col("v"), col("m")))
+      .groupBy("vec_id", "sub")
+      .agg(max(struct((-col("__d2")).as("negd2"), (-col("cid")).as("negcid"))).as("__m"))
+      .select(col("vec_id"), col("sub"), (-col("__m.negcid")).as(codeName))
+
+  /** Lloyd update: integer-rounded per-dim means over each (sub, cid)
+    * member set. Exact integer sums + one division + the shared round
+    * parity — see the object doc. */
+  private def updateStep(svt: DataFrame, assign: DataFrame): DataFrame =
+    assign.join(svt, Seq("vec_id", "sub"))
+      .groupBy("sub", "cid")
+      .agg(count(lit(1)).as("__cnt"),
+        (1 to SubDims).map(j => sum(element_at(col("v"), j)).as(s"__s$j")): _*)
+      .select(col("sub"), col("cid"),
+        array((1 to SubDims).map(j =>
+          round(col(s"__s$j") / col("__cnt"), 0)): _*).as("m"))
+
+  /** Trained codebook + full-corpus encode (+ the subvector relation and
+    * a seed codebook, for the spec's quality grading). */
+  private[ops] final case class PqParts(
+      cb: DataFrame, enc: DataFrame, sv: DataFrame, cb0: DataFrame)
+
+  private[ops] def pqParts(s: SparkSession, d: String): PqParts = {
+    val sv = subvecs(s, d).localCheckpoint() // feeds every round + encode
+    val n = T.embeddings(s, d).count()       // O(1) control-plane sizing probe
+    val svt = sv.filter(col("vec_id") < math.min(n, TrainCap))
+    val cb0 = svt.filter(col("vec_id") < Seeds)
+      .select(col("sub"), col("vec_id").as("cid"), col("v").as("m"))
+    var cb = cb0
+    for (i <- 1 to Iters) {
+      val a = assignStep(s, svt, cb, "cid")
+      // 128-row codebook: localCheckpoint keeps round i+1's plan flat
+      cb = updateStep(svt, a).localCheckpoint()
+    }
+    PqParts(cb, assignStep(s, sv, cb, "code"), sv, cb0)
+  }
+
+  /** Mean per-subvector quantization error (L2²) of an encode against a
+    * codebook — the objective PqSpec grades trained-vs-seed on. */
+  private[ops] def quantError(s: SparkSession, sv: DataFrame, enc: DataFrame,
+      cb: DataFrame): Double =
+    enc.join(sv, Seq("vec_id", "sub"))
+      .join(broadcast(cb),
+        enc("sub") === cb("sub") && col("code") === col("cid"))
+      .agg(avg(d2Col(s, col("v"), col("m"))))
+      .head().getDouble(0)
+
+  // -------------------------------------------------------------------
+  // Declared operators
+  // -------------------------------------------------------------------
+
+  /** PQ encode table: every vector as M codebook ids. This IS the
+    * compressed index a 100 TB deployment stores (plus the 128-row
+    * codebook); the oracle replays seeding, both Lloyd rounds, and the
+    * final encode bit-for-bit. */
+  val pqEncode: Q = Q(
+    "q_pq_encode",
+    s"""WITH $pqCtesSql
+       |SELECT vec_id, sub, code FROM penc ORDER BY vec_id, sub""".stripMargin
+  ) { (s, d) =>
+    pqParts(s, d).enc.select("vec_id", "sub", "code").orderBy("vec_id", "sub")
+  }
+
+  /** ADC recall eval: recall@3 against the exact code-space L2 top-3 —
+    * the number that decides whether a PQ index is shippable after a
+    * (re)build — at BOTH stages of the production retrieval shape:
+    * raw asymmetric-distance top-3 (candidates scored on codes alone via
+    * the query→codebook LUT), and ADC top-`ReRank` shortlist re-ranked by
+    * exact distance (the standard PQ deployment: the full corpus pass
+    * touches only codes; exact vectors are fetched for `ReRank` rows per
+    * query). The two columns side by side are the recall/cost knob, like
+    * q_ann_recall's nprobe pair. Queries 16..20, the shared eval set. */
+  val pqAdcRecall: Q = Q(
+    "q_pq_adc_recall",
+    s"""WITH $pqCtesSql,
+       |qsv AS (SELECT vec_id AS qid, sub, v FROM psv WHERE vec_id BETWEEN 16 AND 20),
+       |lut AS (SELECT q.qid, q.sub, c.cid, ${d2Sql("q", "c")} AS ld2
+       |  FROM qsv q JOIN pcb$Iters c ON c.sub = q.sub),
+       |adc AS (SELECT l.qid, e.vec_id AS cand_id, sum(l.ld2) AS ad2
+       |  FROM penc e JOIN lut l ON l.sub = e.sub AND l.cid = e.code
+       |  WHERE e.vec_id != l.qid GROUP BY l.qid, e.vec_id),
+       |adcr AS (SELECT qid, cand_id, rn FROM (
+       |  SELECT qid, cand_id, row_number() OVER (
+       |    PARTITION BY qid ORDER BY ad2 ASC, cand_id) AS rn FROM adc)
+       |  WHERE rn <= $ReRank),
+       |adc3 AS (SELECT qid, cand_id FROM adcr WHERE rn <= 3),
+       |exq AS (SELECT vec_id AS qid, cd FROM pqc WHERE vec_id BETWEEN 16 AND 20),
+       |rr AS (SELECT a.qid, a.cand_id,
+       |    list_inner_product(list_transform(range(0, 64), j -> q.cd[j+1] - b.cd[j+1]),
+       |      list_transform(range(0, 64), j -> q.cd[j+1] - b.cd[j+1])) AS d2
+       |  FROM adcr a JOIN exq q ON q.qid = a.qid JOIN pqc b ON b.vec_id = a.cand_id),
+       |rr3 AS (SELECT qid, cand_id FROM (
+       |  SELECT qid, cand_id, row_number() OVER (
+       |    PARTITION BY qid ORDER BY d2 ASC, cand_id) AS rn FROM rr)
+       |  WHERE rn <= 3),
+       |ex AS (SELECT q.qid, b.vec_id AS cand_id,
+       |    list_inner_product(list_transform(range(0, 64), j -> q.cd[j+1] - b.cd[j+1]),
+       |      list_transform(range(0, 64), j -> q.cd[j+1] - b.cd[j+1])) AS d2
+       |  FROM exq q JOIN pqc b ON b.vec_id != q.qid),
+       |ex3 AS (SELECT qid, cand_id FROM (
+       |  SELECT qid, cand_id, row_number() OVER (
+       |    PARTITION BY qid ORDER BY d2 ASC, cand_id) AS rn FROM ex)
+       |  WHERE rn <= 3),
+       |hits_adc AS (SELECT a.qid, count(*) AS n FROM adc3 a
+       |  JOIN ex3 e ON e.qid = a.qid AND e.cand_id = a.cand_id GROUP BY a.qid),
+       |hits_rr AS (SELECT a.qid, count(*) AS n FROM rr3 a
+       |  JOIN ex3 e ON e.qid = a.qid AND e.cand_id = a.cand_id GROUP BY a.qid)
+       |SELECT q.qid,
+       |  coalesce(ha.n, 0) AS n_hits_adc, coalesce(ha.n, 0) / 3.0 AS recall_adc,
+       |  coalesce(hr.n, 0) AS n_hits_rr, coalesce(hr.n, 0) / 3.0 AS recall_rr
+       |FROM (SELECT DISTINCT qid FROM adcr) q
+       |LEFT JOIN hits_adc ha ON ha.qid = q.qid
+       |LEFT JOIN hits_rr hr ON hr.qid = q.qid
+       |ORDER BY q.qid""".stripMargin
+  ) { (s, d) =>
+    val parts = pqParts(s, d)
+    val enc = parts.enc.localCheckpoint() // scored AND spined below
+    val qsv = parts.sv.filter(col("vec_id").between(16, 20))
+      .select(col("vec_id").as("qid"), col("sub"), col("v"))
+    val lut = qsv.join(broadcast(parts.cb), "sub")
+      .select(col("qid"), col("sub"), col("cid"),
+        d2Col(s, col("v"), col("m")).as("ld2"))
+    val e = enc.select(col("vec_id").as("cand_id"), col("sub").as("esub"),
+      col("code"))
+    // broadcast LUT (5 queries × 256 codebook rows) against the code
+    // table; partial-agg sum of exact integers — no vectors in the shuffle
+    val adc = e.join(broadcast(lut),
+        col("esub") === col("sub") && col("code") === col("cid") &&
+          col("cand_id") =!= col("qid"))
+      .groupBy("qid", "cand_id").agg(sum(col("ld2")).as("ad2"))
+    val w = Window.partitionBy("qid").orderBy(col("ad2").asc, col("cand_id").asc)
+    val adcr = adc.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= ReRank).select("qid", "cand_id", "rn")
+      .localCheckpoint() // shortlist: re-rank + top-3 + qid spine
+    val adc3 = adcr.filter(col("rn") <= 3).select("qid", "cand_id")
+    val ed = col("embedding").cast(ArrayType(DoubleType))
+    val cdCol = transform(ed, x => round(x * Similarity.Scale, 0))
+    val codes = T.embeddings(s, d).select(col("vec_id"), cdCol.as("cd"))
+    val q = codes.filter(col("vec_id").between(16, 20))
+      .select(col("vec_id").as("qid"), col("cd").as("qcd"))
+    def exD2: Column = {
+      val diff = zip_with(col("cd"), col("qcd"), (x, y) => x - y)
+      graft.functions.VectorOps.vecDotD(s, diff, diff)
+    }
+    // exact re-rank of the shortlist: ReRank vector fetches per query
+    val rr = adcr.join(codes.withColumnRenamed("vec_id", "cand_id"), Seq("cand_id"))
+      .join(broadcast(q), Seq("qid"))
+      .select(col("qid"), col("cand_id"), exD2.as("d2"))
+    val wrr = Window.partitionBy("qid").orderBy(col("d2").asc, col("cand_id").asc)
+    val rr3 = rr.withColumn("rrn", row_number().over(wrr))
+      .filter(col("rrn") <= 3).select("qid", "cand_id")
+    val ex = codes.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("cand_id"), exD2.as("d2"))
+    val we = Window.partitionBy("qid").orderBy(col("d2").asc, col("cand_id").asc)
+    val ex3 = ex.withColumn("rn", row_number().over(we))
+      .filter(col("rn") <= 3).select("qid", "cand_id")
+      .localCheckpoint() // truth set: joined by both hit counts
+    def hitsOf(three: DataFrame): DataFrame =
+      three.join(ex3, Seq("qid", "cand_id")).groupBy("qid")
+        .agg(count(lit(1)).as("n"))
+    val ha = hitsOf(adc3).withColumnRenamed("n", "na")
+    val hr = hitsOf(rr3).withColumnRenamed("n", "nr")
+    adcr.select("qid").distinct()
+      .join(ha, Seq("qid"), "left").join(hr, Seq("qid"), "left")
+      .select(col("qid"),
+        coalesce(col("na"), lit(0L)).as("n_hits_adc"),
+        (coalesce(col("na"), lit(0L)) / 3.0d).as("recall_adc"),
+        coalesce(col("nr"), lit(0L)).as("n_hits_rr"),
+        (coalesce(col("nr"), lit(0L)) / 3.0d).as("recall_rr"))
+      .orderBy("qid")
+  }
+
+  val all: Seq[Q] = Seq(pqEncode, pqAdcRecall)
+}

@@ -1,0 +1,68 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+/** Product-quantization quality + determinism grading (the oracle gate
+  * proves cross-engine equality; this spec proves the index is GOOD and
+  * stable). */
+class PqSpec extends SparkSuite {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("training reduces quantization error below the seed codebook") {
+    val parts = Pq.pqParts(spark, sf)
+    val seedEnc = Pq.assignStep(spark, parts.sv, parts.cb0, "code")
+    val seedErr = Pq.quantError(spark, parts.sv, seedEnc, parts.cb0)
+    val trainedErr = Pq.quantError(spark, parts.sv, parts.enc, parts.cb)
+    assert(trainedErr < seedErr,
+      s"2 Lloyd rounds must beat raw seeds: trained=$trainedErr seed=$seedErr")
+  }
+
+  test("codebook: bounded size, integer-valued rounded means") {
+    val cb = Pq.pqParts(spark, sf).cb.collect()
+    assert(cb.length <= 8 * 32, s"at most M*K entries, got ${cb.length}")
+    assert(cb.length >= 8 * 2, "training must retain multiple centroids per subspace")
+    cb.foreach { r =>
+      val m = r.getSeq[Double](r.fieldIndex("m"))
+      assert(m.length == 8)
+      m.foreach(x => assert(x == math.rint(x),
+        s"centroid means must be integer-rounded (exact-ADC invariant): $x"))
+    }
+  }
+
+  test("encode covers every vector with M codes drawn from the codebook") {
+    val parts = Pq.pqParts(spark, sf)
+    val n = spark.read.parquet(s"$sf/embeddings.parquet").count()
+    assert(parts.enc.count() == n * 8)
+    val valid = parts.cb.select(col("sub"), col("cid").as("code"))
+    assert(parts.enc.join(valid, Seq("sub", "code"), "left_anti").count() == 0,
+      "every emitted code must exist in the trained codebook")
+  }
+
+  test("training is deterministic: two independent builds produce identical codebooks and codes") {
+    val a = Pq.pqParts(spark, sf)
+    val b = Pq.pqParts(spark, sf)
+    def cbSet(p: Pq.PqParts) = p.cb.collect()
+      .map(r => (r.getInt(r.fieldIndex("sub")), r.getLong(r.fieldIndex("cid")),
+        r.getSeq[Double](r.fieldIndex("m")).toList)).toSet
+    assert(cbSet(a) == cbSet(b))
+    def encSet(p: Pq.PqParts) = p.enc.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(encSet(a) == encSet(b))
+  }
+
+  test("re-ranked recall never loses to raw ADC recall (superset shortlist, exact scoring)") {
+    val rows = graft.SparkEntry.queries("q_pq_adc_recall")(spark, sf).collect()
+    assert(rows.length == 5, "queries 16..20")
+    rows.foreach { r =>
+      val adc = r.getDouble(r.fieldIndex("recall_adc"))
+      val rr = r.getDouble(r.fieldIndex("recall_rr"))
+      assert(rr >= adc,
+        s"qid=${r.getLong(0)}: exact re-rank of an ADC-top-32 superset cannot underperform ADC-top-3 (rr=$rr adc=$adc)")
+    }
+    val meanRr = rows.map(_.getDouble(rows.head.fieldIndex("recall_rr"))).sum / 5
+    assert(meanRr >= 0.5, s"re-ranked recall@3 should be usable, got $meanRr")
+  }
+}
