@@ -292,5 +292,132 @@ object Pq {
       .orderBy("qid")
   }
 
-  val all: Seq[Q] = Seq(pqEncode, pqAdcRecall)
+  /** IVF-PQ retrieval: the composed index a 100 TB ANN deployment
+    * actually serves — the trained IVF restricts the search to the
+    * query's own cell (1/K of the corpus), and PQ codes score those
+    * candidates via the ADC LUT without touching a single raw vector;
+    * only the ADC-top-`ReRank` shortlist is fetched for exact re-rank.
+    * Per query the work is O(cell · M) LUT lookups + `ReRank` vector
+    * fetches, vs O(N · dims) for brute force. This variant quantizes raw
+    * vectors (IVF-Flat + PQ codes), not cell residuals — the residual
+    * refinement is a documented non-goal (it would need per-cell
+    * codebooks; the two-stage recall columns already expose what the
+    * simpler index loses). Recall is measured against the GLOBAL exact
+    * top-3, so cell-restriction loss and quantization loss both show up
+    * in the same columns as q_pq_adc_recall — the three evals
+    * (q_ann_recall / q_pq_adc_recall / this) are directly comparable. */
+  val ivfPqRecall: Q = Q(
+    "q_ivfpq_recall",
+    s"""WITH ${Similarity.ivfCtesSql},
+       |$pqCtesSql,
+       |qsv AS (SELECT vec_id AS qid, sub, v FROM psv WHERE vec_id BETWEEN 16 AND 20),
+       |lut AS (SELECT q.qid, q.sub, c.cid, ${d2Sql("q", "c")} AS ld2
+       |  FROM qsv q JOIN pcb$Iters c ON c.sub = q.sub),
+       |qcell AS (SELECT a.vec_id AS qid, a.cid FROM ${Similarity.AFinal} a
+       |  WHERE a.vec_id BETWEEN 16 AND 20),
+       |cellcand AS (SELECT qc2.qid, a.vec_id AS cand_id
+       |  FROM qcell qc2 JOIN ${Similarity.AFinal} a
+       |    ON a.cid = qc2.cid AND a.vec_id != qc2.qid),
+       |adc AS (SELECT cc.qid, cc.cand_id, sum(l.ld2) AS ad2
+       |  FROM cellcand cc
+       |  JOIN penc e ON e.vec_id = cc.cand_id
+       |  JOIN lut l ON l.qid = cc.qid AND l.sub = e.sub AND l.cid = e.code
+       |  GROUP BY cc.qid, cc.cand_id),
+       |adcr AS (SELECT qid, cand_id, rn FROM (
+       |  SELECT qid, cand_id, row_number() OVER (
+       |    PARTITION BY qid ORDER BY ad2 ASC, cand_id) AS rn FROM adc)
+       |  WHERE rn <= $ReRank),
+       |adc3 AS (SELECT qid, cand_id FROM adcr WHERE rn <= 3),
+       |exq AS (SELECT vec_id AS qid, cd FROM pqc WHERE vec_id BETWEEN 16 AND 20),
+       |rr AS (SELECT a.qid, a.cand_id,
+       |    list_inner_product(list_transform(range(0, 64), j -> q.cd[j+1] - b.cd[j+1]),
+       |      list_transform(range(0, 64), j -> q.cd[j+1] - b.cd[j+1])) AS d2
+       |  FROM adcr a JOIN exq q ON q.qid = a.qid JOIN pqc b ON b.vec_id = a.cand_id),
+       |rr3 AS (SELECT qid, cand_id FROM (
+       |  SELECT qid, cand_id, row_number() OVER (
+       |    PARTITION BY qid ORDER BY d2 ASC, cand_id) AS rn FROM rr)
+       |  WHERE rn <= 3),
+       |ex AS (SELECT q.qid, b.vec_id AS cand_id,
+       |    list_inner_product(list_transform(range(0, 64), j -> q.cd[j+1] - b.cd[j+1]),
+       |      list_transform(range(0, 64), j -> q.cd[j+1] - b.cd[j+1])) AS d2
+       |  FROM exq q JOIN pqc b ON b.vec_id != q.qid),
+       |ex3 AS (SELECT qid, cand_id FROM (
+       |  SELECT qid, cand_id, row_number() OVER (
+       |    PARTITION BY qid ORDER BY d2 ASC, cand_id) AS rn FROM ex)
+       |  WHERE rn <= 3),
+       |hits_adc AS (SELECT a.qid, count(*) AS n FROM adc3 a
+       |  JOIN ex3 e ON e.qid = a.qid AND e.cand_id = a.cand_id GROUP BY a.qid),
+       |hits_rr AS (SELECT a.qid, count(*) AS n FROM rr3 a
+       |  JOIN ex3 e ON e.qid = a.qid AND e.cand_id = a.cand_id GROUP BY a.qid)
+       |SELECT q.qid,
+       |  coalesce(ha.n, 0) AS n_hits_adc, coalesce(ha.n, 0) / 3.0 AS recall_adc,
+       |  coalesce(hr.n, 0) AS n_hits_rr, coalesce(hr.n, 0) / 3.0 AS recall_rr
+       |FROM (SELECT DISTINCT qid FROM adcr) q
+       |LEFT JOIN hits_adc ha ON ha.qid = q.qid
+       |LEFT JOIN hits_rr hr ON hr.qid = q.qid
+       |ORDER BY q.qid""".stripMargin
+  ) { (s, d) =>
+    val (a2, _) = Similarity.trainedAssignment(s, d)
+    val parts = pqParts(s, d)
+    val enc = parts.enc.localCheckpoint()
+    val qsv = parts.sv.filter(col("vec_id").between(16, 20))
+      .select(col("vec_id").as("qid"), col("sub"), col("v"))
+    val lut = qsv.join(broadcast(parts.cb), "sub")
+      .select(col("qid"), col("sub"), col("cid"),
+        d2Col(s, col("v"), col("m")).as("ld2"))
+    val qcell = a2.filter(col("vec_id").between(16, 20))
+      .select(col("vec_id").as("qid"), col("cid").as("qcid"))
+    // cell restriction FIRST (broadcast of 5 (qid, cell) rows), then codes
+    // + LUT — the scored set is one cell per query, never the corpus
+    val cellcand = a2.join(broadcast(qcell), col("cid") === col("qcid") &&
+        col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("cand_id"))
+    val adc = cellcand
+      .join(enc.select(col("vec_id").as("cand_id"), col("sub"), col("code")),
+        Seq("cand_id"))
+      .join(broadcast(lut.withColumnRenamed("cid", "code")), Seq("qid", "sub", "code"))
+      .groupBy("qid", "cand_id").agg(sum(col("ld2")).as("ad2"))
+    val w = Window.partitionBy("qid").orderBy(col("ad2").asc, col("cand_id").asc)
+    val adcr = adc.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= ReRank).select("qid", "cand_id", "rn")
+      .localCheckpoint() // shortlist: re-rank + top-3 + qid spine
+    val adc3 = adcr.filter(col("rn") <= 3).select("qid", "cand_id")
+    val ed = col("embedding").cast(ArrayType(DoubleType))
+    val cdCol = transform(ed, x => round(x * Similarity.Scale, 0))
+    val codes = T.embeddings(s, d).select(col("vec_id"), cdCol.as("cd"))
+    val q = codes.filter(col("vec_id").between(16, 20))
+      .select(col("vec_id").as("qid"), col("cd").as("qcd"))
+    def exD2: Column = {
+      val diff = zip_with(col("cd"), col("qcd"), (x, y) => x - y)
+      graft.functions.VectorOps.vecDotD(s, diff, diff)
+    }
+    val rr = adcr.join(codes.withColumnRenamed("vec_id", "cand_id"), Seq("cand_id"))
+      .join(broadcast(q), Seq("qid"))
+      .select(col("qid"), col("cand_id"), exD2.as("d2"))
+    val wrr = Window.partitionBy("qid").orderBy(col("d2").asc, col("cand_id").asc)
+    val rr3 = rr.withColumn("rrn", row_number().over(wrr))
+      .filter(col("rrn") <= 3).select("qid", "cand_id")
+    val ex = codes.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("cand_id"), exD2.as("d2"))
+    val we = Window.partitionBy("qid").orderBy(col("d2").asc, col("cand_id").asc)
+    val ex3 = ex.withColumn("rn", row_number().over(we))
+      .filter(col("rn") <= 3).select("qid", "cand_id")
+      .localCheckpoint() // truth set: joined by both hit counts
+    def hitsOf(three: DataFrame): DataFrame =
+      three.join(ex3, Seq("qid", "cand_id")).groupBy("qid")
+        .agg(count(lit(1)).as("n"))
+    val ha = hitsOf(adc3).withColumnRenamed("n", "na")
+    val hr = hitsOf(rr3).withColumnRenamed("n", "nr")
+    adcr.select("qid").distinct()
+      .join(ha, Seq("qid"), "left").join(hr, Seq("qid"), "left")
+      .select(col("qid"),
+        coalesce(col("na"), lit(0L)).as("n_hits_adc"),
+        (coalesce(col("na"), lit(0L)) / 3.0d).as("recall_adc"),
+        coalesce(col("nr"), lit(0L)).as("n_hits_rr"),
+        (coalesce(col("nr"), lit(0L)) / 3.0d).as("recall_rr"))
+      .orderBy("qid")
+  }
+
+  val all: Seq[Q] = Seq(pqEncode, pqAdcRecall, ivfPqRecall)
 }

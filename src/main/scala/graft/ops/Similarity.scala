@@ -307,7 +307,7 @@ object Similarity {
     * broadcast of the tiny centroid set against one streaming scan; probe
     * work is cell-local. At 100 TB the cell id becomes the partition/
     * bucketing key and probes touch one cell per query. */
-  private val AFinal = s"a$Iters"
+  private[ops] val AFinal = s"a$Iters"
 
   /** integer-code projection, as SQL text (shared by every IVF CTE). */
   private val codesSql =
@@ -366,7 +366,7 @@ object Similarity {
        |  FROM embeddings WHERE $where)""".stripMargin
   }
 
-  private val ivfCtesSql: String = ivfCtesSqlFor("TRUE")
+  private[ops] val ivfCtesSql: String = ivfCtesSqlFor("TRUE")
 
   /** The IVF probe stage (queries 16..20 against their own cell), shared
     * by q_similarity_ivf and q_ann_recall. */

@@ -65,4 +65,15 @@ class PqSpec extends SparkSuite {
     val meanRr = rows.map(_.getDouble(rows.head.fieldIndex("recall_rr"))).sum / 5
     assert(meanRr >= 0.5, s"re-ranked recall@3 should be usable, got $meanRr")
   }
+
+  test("q_ivfpq_recall: composed index keeps the rr >= adc guarantee; rows per query") {
+    val rows = graft.SparkEntry.queries("q_ivfpq_recall")(spark, sf).collect()
+    assert(rows.length == 5, "queries 16..20")
+    rows.foreach { r =>
+      val adc = r.getDouble(r.fieldIndex("recall_adc"))
+      val rr = r.getDouble(r.fieldIndex("recall_rr"))
+      assert(rr >= adc,
+        s"qid=${r.getLong(0)}: exact re-rank of the cell-local ADC shortlist cannot underperform its own top-3 (rr=$rr adc=$adc)")
+    }
+  }
 }

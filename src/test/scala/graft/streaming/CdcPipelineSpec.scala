@@ -554,7 +554,7 @@ class CdcPipelineSpec extends SparkSuite {
     val q = CdcPipeline.startConsistent(spark, Seq(users, orders),
       s"$base/ckpt-consistent", triggerMs = 100L)
     try {
-      val deadline = System.currentTimeMillis() + 30000
+      val deadline = System.currentTimeMillis() + 90000
       while ((jsonlLines(users.outputDir).isEmpty ||
         jsonlLines(orders.outputDir).isEmpty) &&
         System.currentTimeMillis() < deadline) Thread.sleep(100)
@@ -611,7 +611,7 @@ class CdcPipelineSpec extends SparkSuite {
     val ckpt = s"$base/ckpt-consistent"
     val q1 = CdcPipeline.startConsistent(spark, Seq(users), ckpt, triggerMs = 100L)
     try {
-      val deadline = System.currentTimeMillis() + 30000
+      val deadline = System.currentTimeMillis() + 90000
       while (jsonlLines(users.outputDir).isEmpty &&
         System.currentTimeMillis() < deadline) Thread.sleep(100)
     } finally q1.stop()
@@ -625,7 +625,7 @@ class CdcPipelineSpec extends SparkSuite {
       .coalesce(1).write.mode("append").parquet(users.inputDir)
     val q2 = CdcPipeline.startConsistent(spark, Seq(users), ckpt, triggerMs = 100L)
     try {
-      val deadline = System.currentTimeMillis() + 30000
+      val deadline = System.currentTimeMillis() + 90000
       while (jsonlLines(users.outputDir).size < 5 &&
         System.currentTimeMillis() < deadline) Thread.sleep(100)
     } finally q2.stop()
