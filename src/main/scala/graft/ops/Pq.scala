@@ -28,7 +28,12 @@ import graft.core.{Q, Tables => T}
   *
   * Scale shape: subspace-as-data (one (vec_id, sub, subvector) exploded
   * relation) keeps the Lloyd rounds at ONE assign/update pair per round
-  * regardless of M; codebooks are tiny (M·K = 128 rows) and broadcast;
+  * regardless of M. K is deliberately a CONSTANT, unlike IVF's
+  * corpus-derived KCells: KCells must grow as sqrt(N) because cell
+  * population feeds a pair join (fixed K there is a latent quadratic),
+  * while PQ has no pair join — K is a compression-rate knob, encode is
+  * O(N·M·K) linear in N, and ADC scoring is O(candidates·M) regardless
+  * of K. Codebooks are tiny (M·K = 256 rows) and broadcast;
   * training samples the first min(N, 4096) ids like the IVF trainer, so
   * rounds cost O(sample · K) and only the final encode is O(N · K) — the
   * unavoidable index-build term. The ADC join is
