@@ -81,11 +81,15 @@ object Maintenance {
     val path = new Path(listingDir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(path)) return Seq.empty
-    val doomed = fs.listStatus(path).toSeq
-      .filter(_.isFile).map(_.getPath.getName)
+    val names = fs.listStatus(path).toSeq.filter(_.isFile).map(_.getPath.getName)
+    val doomed = names
       .collect { case n if n.startsWith("epoch-") => n.drop("epoch-".length).toLong }
       .filter(_ < keepFrom).sorted
     doomed.foreach(e => fs.delete(new Path(path, s"epoch-$e"), false))
+    // orphaned write-then-rename debris (crash between create and rename)
+    names.collect { case n if n.startsWith(".epoch-") && n.endsWith(".tmp") =>
+        n.stripPrefix(".epoch-").stripSuffix(".tmp").toLong -> n }
+      .collect { case (e, n) if e < keepFrom => fs.delete(new Path(path, n), false) }
     doomed
   }
 }

@@ -412,13 +412,19 @@ object CdcPipeline {
           (tables.map(cfg => cfg -> byTable.get(cfg.tableName)), ts)
         } else {
           val now = System.currentTimeMillis()
-          val out = fs.create(pin, true)
+          // write-then-rename: a crash mid-write must not leave a partial
+          // pin — a replay would silently trust a TRUNCATED listing and
+          // skip the missing tables for that epoch. The .tmp is invisible
+          // to the replay branch; rename is atomic on local/HDFS.
+          val tmp = new org.apache.hadoop.fs.Path(s"$dir/.epoch-$epoch.tmp")
+          val out = fs.create(tmp, true)
           try {
             out.write(s"#ts\t$now\n".getBytes("UTF-8"))
             fresh.foreach { case (cfg, f) =>
               f.foreach(p => out.write(s"${cfg.tableName}\t$p\n".getBytes("UTF-8")))
             }
           } finally out.close()
+          require(fs.rename(tmp, pin), s"pin rename $tmp -> $pin failed")
           (fresh, now)
         }
     }

@@ -87,12 +87,16 @@ class MaintenanceSpec extends SparkSuite {
     (0L to 5L).foreach(e => Files.write(p.resolve(s"epoch-$e"),
       s"#ts\t$e\nusers\t/drop-$e\n".getBytes("UTF-8")))
     Files.write(p.resolve("not-a-pin"), "x".getBytes("UTF-8"))
+    // crash debris: a tmp that never got renamed (old epoch) and one that
+    // is still replayable (at the floor) — only the old one is reclaimed
+    Files.write(p.resolve(".epoch-2.tmp"), "partial".getBytes("UTF-8"))
+    Files.write(p.resolve(".epoch-5.tmp"), "partial".getBytes("UTF-8"))
     val pruned = Maintenance.prunePins(spark, dir, keepFrom = 4L)
     assert(pruned == Seq(0L, 1L, 2L, 3L))
     val left = Files.list(p).iterator()
     val names = scala.jdk.CollectionConverters.IteratorHasAsScala(left)
       .asScala.map(_.getFileName.toString).toSet
-    assert(names == Set("epoch-4", "epoch-5", "not-a-pin"),
+    assert(names == Set("epoch-4", "epoch-5", ".epoch-5.tmp", "not-a-pin"),
       s"replayable pins and foreign files must survive: $names")
     assert(Maintenance.prunePins(spark, s"$dir/missing", 10L).isEmpty)
   }
