@@ -270,7 +270,118 @@ object TextAnalysis {
       .orderBy("source")
   }
 
+  /** Gopher-style intra-document repetition filters: fraction of
+    * duplicate word-bigrams/trigrams and the share of the top n-gram —
+    * the "repeated phrase" quality rules a pretraining pipeline applies
+    * before any corpus-level work (boilerplate, keyword stuffing, decode
+    * loops all light these up). Strictly per-row signals, so the
+    * NgramRepeat kernel computes each doc's (total, distinct, top-count)
+    * n-gram triple map-side in one sliding-window pass — no token ever
+    * crosses a shuffle; the only exchange is the presentation sort.
+    * Fractions are single divisions of exact integer counters (the
+    * established one-float-op determinism pattern). Docs with < 3 tokens
+    * have no trigram and are filtered identically in both engines. */
+  val repetitionFilter: Q = Q(
+    "q_repetition_filter",
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 3),
+      |b AS (
+      |  SELECT doc_id, unnest([array_to_string(toks[i:i+1], ' ')
+      |                         for i in generate_series(1, len(toks) - 1)]) AS g
+      |  FROM toks),
+      |bc AS (SELECT doc_id, g, count(*) AS cnt FROM b GROUP BY 1, 2),
+      |bs AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n2,
+      |         count(*) AS u2, CAST(max(cnt) AS BIGINT) AS top2
+      |       FROM bc GROUP BY doc_id),
+      |t AS (
+      |  SELECT doc_id, unnest([array_to_string(toks[i:i+2], ' ')
+      |                         for i in generate_series(1, len(toks) - 2)]) AS g
+      |  FROM toks),
+      |tc AS (SELECT doc_id, g, count(*) AS cnt FROM t GROUP BY 1, 2),
+      |ts AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n3,
+      |         count(*) AS u3, CAST(max(cnt) AS BIGINT) AS top3
+      |       FROM tc GROUP BY doc_id)
+      |SELECT doc_id, n2, u2, top2,
+      |  (n2 - u2) / n2 AS dup_bigram_frac, top2 / n2 AS top_bigram_frac,
+      |  n3, u3, top3,
+      |  (n3 - u3) / n3 AS dup_trigram_frac, top3 / n3 AS top_trigram_frac
+      |FROM bs JOIN ts USING (doc_id) ORDER BY doc_id""".stripMargin
+  ) { (s, d) =>
+    val base = T.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"),
+        graft.functions.NgramRepeat.stats(s, col("toks"), 2).as("b"),
+        graft.functions.NgramRepeat.stats(s, col("toks"), 3).as("t"))
+      .select(col("doc_id"),
+        col("b.n_grams").as("n2"), col("b.n_uniq").as("u2"),
+        col("b.top_cnt").as("top2"),
+        col("t.n_grams").as("n3"), col("t.n_uniq").as("u3"),
+        col("t.top_cnt").as("top3"))
+    base.select(col("doc_id"), col("n2"), col("u2"), col("top2"),
+        ((col("n2") - col("u2")) / col("n2")).as("dup_bigram_frac"),
+        (col("top2") / col("n2")).as("top_bigram_frac"),
+        col("n3"), col("u3"), col("top3"),
+        ((col("n3") - col("u3")) / col("n3")).as("dup_trigram_frac"),
+        (col("top3") / col("n3")).as("top_trigram_frac"))
+      .orderBy("doc_id")
+  }
+
+  /** Corpus-frequency rarity scoring — the deterministic core of
+    * perplexity-style filtering (CCNet-class): score each document by how
+    * common its tokens are in the corpus itself. Deliberately log-free:
+    * a unigram-LM cross-entropy needs ln(), whose partial-sum fold order
+    * differs across engines; every signal here is an exact-integer
+    * counter, and the two ratios are single divisions of those exact
+    * operands (identical in both engines regardless of plan shape).
+    * `n_rare`/`rare_frac` count tokens with corpus probability ≤ 0.1%
+    * (cnt·1000 ≤ N — integer compare, no float threshold).
+    *
+    * Scale shape (the q_tfidf class): the token stream collapses to
+    * per-doc term frequencies first — one doc_id+token shuffle with
+    * partial aggregation — so the vocabulary join carries DISTINCT
+    * (doc, token) pairs, not the raw stream; the Zipf-head skew on the
+    * token key is exactly what AQE skew-join splits. Products tf·cnt stay
+    * exact longs (doc tf ≤ 10³, corpus N ≤ 2⁶³/10³). */
+  val rarityScore: Q = Q(
+    "q_rarity_score",
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+      |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+      |cf AS (SELECT token, CAST(sum(tf) AS BIGINT) AS cnt FROM tf GROUP BY 1),
+      |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM cf)
+      |SELECT tf.doc_id,
+      |  CAST(sum(tf.tf) AS BIGINT) AS n_tok,
+      |  CAST(sum(tf.tf * cf.cnt) AS BIGINT) AS freq_mass,
+      |  CAST(min(cf.cnt) AS BIGINT) AS min_cnt,
+      |  CAST(sum(CASE WHEN cf.cnt * 1000 <= tot.n THEN tf.tf ELSE 0 END) AS BIGINT) AS n_rare,
+      |  CAST(sum(tf.tf * cf.cnt) AS BIGINT) / CAST(sum(tf.tf) AS BIGINT) AS avg_tok_freq,
+      |  CAST(sum(CASE WHEN cf.cnt * 1000 <= tot.n THEN tf.tf ELSE 0 END) AS BIGINT)
+      |    / CAST(sum(tf.tf) AS BIGINT) AS rare_frac
+      |FROM tf JOIN cf USING (token) CROSS JOIN tot
+      |GROUP BY tf.doc_id ORDER BY doc_id""".stripMargin
+  ) { (s, d) =>
+    val tok = T.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+    val tf = tok.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val cf = tf.groupBy("token").agg(sum(col("tf")).as("cnt"))
+    val tot = cf.agg(sum(col("cnt")).as("n"))
+    tf.join(cf, "token").crossJoin(broadcast(tot))
+      .groupBy("doc_id")
+      .agg(sum(col("tf")).as("n_tok"),
+        sum(col("tf") * col("cnt")).as("freq_mass"),
+        min(col("cnt")).as("min_cnt"),
+        sum(when(col("cnt") * 1000 <= col("n"), col("tf")).otherwise(0L)).as("n_rare"))
+      .select(col("doc_id"), col("n_tok"), col("freq_mass"), col("min_cnt"),
+        col("n_rare"),
+        (col("freq_mass") / col("n_tok")).as("avg_tok_freq"),
+        (col("n_rare") / col("n_tok")).as("rare_frac"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] =
     Seq(langId, qualityScore, tokenCount, fingerprint, bigramTopK, piiScrub,
-      vocabStats, lengthBuckets, charNgrams, langConfusion, corpusMix)
+      vocabStats, lengthBuckets, charNgrams, langConfusion, corpusMix,
+      repetitionFilter, rarityScore)
 }

@@ -128,6 +128,54 @@ class OperatorSpec extends SparkSuite {
     assert(graft.SparkEntry.entry(plain).count() > 0)
   }
 
+  test("q_repetition_filter matches a local sliding-window recompute per doc") {
+    val texts = graft.core.Tables.documents(spark, sf)
+      .select($"doc_id", $"text").as[(Long, String)].collect().toMap
+    def local(text: String, n: Int): (Long, Long, Long) = {
+      val toks = text.split(" ", -1)
+      val grams = toks.sliding(n).filter(_.length == n).map(_.mkString(" ")).toSeq
+      val counts = grams.groupBy(identity).view.mapValues(_.size.toLong)
+      (grams.size.toLong, counts.size.toLong,
+        if (counts.isEmpty) 0L else counts.values.max)
+    }
+    val rows = run("q_repetition_filter").collect()
+    val expected = texts.count(_._2.split(" ", -1).length >= 3)
+    assert(rows.length == expected, "one row per doc with >= 3 tokens")
+    rows.take(50).foreach { r =>
+      val id = r.getLong(0)
+      val (n2, u2, top2) = local(texts(id), 2)
+      val (n3, u3, top3) = local(texts(id), 3)
+      assert((r.getLong(1), r.getLong(2), r.getLong(3)) == ((n2, u2, top2)),
+        s"doc $id bigram stats")
+      assert((r.getLong(6), r.getLong(7), r.getLong(8)) == ((n3, u3, top3)),
+        s"doc $id trigram stats")
+      assert(r.getDouble(4) == (n2 - u2).toDouble / n2 &&
+        r.getDouble(5) == top2.toDouble / n2, s"doc $id bigram fractions")
+    }
+  }
+
+  test("q_rarity_score matches a local corpus-frequency recompute") {
+    val texts = graft.core.Tables.documents(spark, sf)
+      .select($"doc_id", $"text").as[(Long, String)].collect().toMap
+    val corpus = texts.values.toSeq.flatMap(_.split(" ", -1))
+    val cnt = corpus.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val n = corpus.size.toLong
+    val rows = run("q_rarity_score").collect()
+    assert(rows.length == texts.size)
+    rows.take(50).foreach { r =>
+      val id = r.getLong(0)
+      val toks = texts(id).split(" ", -1).toSeq
+      val freqMass = toks.map(cnt).sum
+      val nRare = toks.count(t => cnt(t) * 1000 <= n).toLong
+      assert(r.getLong(1) == toks.size.toLong, s"doc $id n_tok")
+      assert(r.getLong(2) == freqMass, s"doc $id freq_mass")
+      assert(r.getLong(3) == toks.map(cnt).min, s"doc $id min_cnt")
+      assert(r.getLong(4) == nRare, s"doc $id n_rare")
+      assert(r.getDouble(5) == freqMass.toDouble / toks.size, s"doc $id avg_tok_freq")
+      assert(r.getDouble(6) == nRare.toDouble / toks.size, s"doc $id rare_frac")
+    }
+  }
+
   test("multimodal decode stub: typed partition-local decode") {
     val assets = Seq(
       Asset(1L, "image/png", Array[Byte](0x10, 0x20, 0x30, 0x40, 0x50, 0x60, 0x70, 0x7f, 1, 2)),

@@ -46,6 +46,23 @@ class PlanShapeSpec extends SparkSuite {
     assert("Exchange".r.findAllIn(p).size <= 1, p.take(400))
   }
 
+  test("q_repetition_filter is map-side kernel work; only the presentation sort shuffles") {
+    val p = plan("q_repetition_filter")
+    assert(p.contains("ngramrepeat(toks") ,
+      "repetition stats must come from the codegen kernel, not explode+groupBy")
+    assert("Exchange".r.findAllIn(p).size <= 1, p.take(600))
+    assert(!p.contains("Generate"), "no token explode on a per-row signal")
+  }
+
+  test("q_rarity_score pre-aggregates tf before the vocabulary join (no raw stream in the join)") {
+    val p = plan("q_rarity_score")
+    // the token-keyed join must consume the per-doc tf aggregate, not the
+    // exploded stream: partial aggregation below both groupBys
+    assert(p.contains("partial_count") || p.contains("partial_sum"), p.take(600))
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("BroadcastExchange"), "the 1-row corpus total must broadcast")
+  }
+
   test("q_similarity_topk broadcasts the query side (nested-loop over one scan)") {
     val p = plan("q_similarity_topk")
     assert(p.contains("BroadcastNestedLoopJoin"))
