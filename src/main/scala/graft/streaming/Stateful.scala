@@ -318,6 +318,38 @@ object Stateful {
       .select(col("vec_id"), col("best.cid").as("cid"), col("best.cos").as("cos"))
   }
 
+  /** s_stream_quality: the ingest-side curation gate — every arriving
+    * document scored and verdicted BEFORE it lands in the corpus, so
+    * rejected boilerplate never pays storage or downstream dedup cost.
+    * Composes the same two codegen kernels as the batch filters
+    * (TokenStats ← q_quality_score/q_curation, NgramRepeat ←
+    * q_repetition_filter): a pure stateless per-row map — no state, no
+    * shuffle, no join — append-safe at any rate, and batch-boundary
+    * placement cannot change any verdict (StatefulSpec proves verdict
+    * parity with the batch predicate across a split stream).
+    *
+    * The keep rule is the batch quality floor plus the repetition rule,
+    * all in integer math (no float compare crosses a config change):
+    * n_tok ≥ 20, type-token ratio ≥ 0.3 (n_uniq·10 ≥ n_tok·3), and
+    * duplicate-bigram fraction ≤ 0.5 ((n2 − u2)·2 ≤ n2). Docs too short
+    * for a bigram (n2 = 0) pass the repetition rule vacuously and are
+    * rejected by the length floor instead. */
+  def qualityGate(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    val toks = split(col("text"), " ")
+    docs
+      .withColumn("st", graft.functions.TokenStats.stats(s, toks, Nil))
+      .withColumn("rep", graft.functions.NgramRepeat.stats(s, toks, 2))
+      .select(col("doc_id"),
+        col("st.n_tok").as("n_tok"), col("st.n_uniq").as("n_uniq"),
+        col("rep.n_grams").as("n2"), col("rep.n_uniq").as("u2"),
+        col("rep.top_cnt").as("top2"),
+        (col("st.n_tok") >= 20 &&
+          col("st.n_uniq") * 10 >= col("st.n_tok") * 3 &&
+          (col("rep.n_grams") - col("rep.n_uniq")) * 2 <= col("rep.n_grams"))
+          .as("keep"))
+  }
+
   /** s_session_window: native session windows, 30-minute gap per user —
     * the streaming twin of the batch gaps-and-islands in
     * graft.ops.Temporal.sessionize. */

@@ -331,4 +331,43 @@ class StatefulSpec extends SparkSuite {
         streamed.toSeq.sortBy(_._1).zip(batch.toSeq.sortBy(_._1))
           .find { case (a, b) => a != b }.map(_.toString).getOrElse(""))
   }
+
+  test("s_stream_quality: ingest gate verdicts match the batch predicate across batch boundaries") {
+    implicit val sqlCtx = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id", $"text").as[(Long, String)].collect().toSeq.sortBy(_._1)
+    // batch truth: the same kernels over the same static rows
+    val batchRows = Stateful.qualityGate(
+        spark.createDataFrame(docs).toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(6)).toMap
+    // sanity: the gate must actually discriminate on this corpus
+    assert(batchRows.values.exists(identity) && batchRows.values.exists(!_),
+      "corpus should contain both kept and rejected docs")
+    val in = MemoryStream[(Long, String)]
+    val q = Stateful.qualityGate(in.toDS().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("quality_gate")
+      .outputMode(OutputMode.Append).start()
+    val (b1, b2) = docs.splitAt(docs.size / 3)
+    in.addData(b1)
+    q.processAllAvailable()
+    in.addData(b2)
+    q.processAllAvailable()
+    val streamed = spark.table("quality_gate").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(6)).toMap
+    q.stop()
+    assert(streamed.size == docs.size, "one verdict per arriving doc")
+    assert(streamed == batchRows, "stateless gate: verdicts must not depend on batching")
+    // and the keep rule is the one the batch operators apply: every kept
+    // doc satisfies the integer-math floor recomputed locally
+    val texts = docs.toMap
+    streamed.foreach { case (id, keep) =>
+      val toks = texts(id).split(" ", -1)
+      val uniq = toks.distinct.length
+      val grams = toks.sliding(2).filter(_.length == 2).map(_.mkString(" ")).toSeq
+      val dupOk = grams.isEmpty || (grams.size - grams.distinct.size) * 2 <= grams.size
+      val expect = toks.length >= 20 && uniq * 10 >= toks.length * 3 && dupOk
+      assert(keep == expect, s"doc $id verdict")
+    }
+  }
 }
