@@ -273,7 +273,53 @@ object LlmPipeline {
       .orderBy("shard", "pack")
   }
 
+  /** Context-window chunking with stride — the sequence-prep step between
+    * curation and packing: each document split into windows of 64 tokens
+    * advancing by 48 (16-token overlap, the RAG/pretraining chunk shape),
+    * short docs emitting exactly one chunk. Starts run while
+    * start <= n - (W - S), which guarantees every token lands in some
+    * chunk (the final chunk is short rather than the tail dropped) and
+    * no chunk is fully contained in its predecessor. Strictly per-row
+    * map + Generate (the output IS per-chunk rows — the fan-out is the
+    * operator's semantics, not overhead); no shuffle besides the
+    * presentation sort, and chunk math is all integer (sequence/
+    * generate_series with identical inclusive-stop semantics).
+    * chunk_tok < 64 only on each doc's final chunk. */
+  val chunkDocs: Q = Q(
+    "q_chunk_docs",
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS toks,
+      |    len(string_split(text, ' ')) AS n
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, n, unnest(generate_series(1, greatest(n - 16, 1), 48)) AS start
+      |  FROM toks),
+      |x AS (
+      |  SELECT c.doc_id, (c.start - 1) // 48 AS chunk_id,
+      |    least(c.n - c.start + 1, 64) AS chunk_tok,
+      |    array_to_string(t.toks[c.start:least(c.start + 63, c.n)], ' ') AS chunk_text
+      |  FROM c JOIN toks t ON t.doc_id = c.doc_id)
+      |SELECT doc_id, chunk_id, chunk_tok, chunk_text
+      |FROM x ORDER BY doc_id, chunk_id""".stripMargin
+  ) { (s, d) =>
+    val W = 64
+    val S = 48
+    T.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .withColumn("n", size(col("toks")).cast(LongType))
+      .withColumn("start",
+        explode(sequence(lit(1L), greatest(col("n") - (W - S), lit(1L)), lit(S.toLong))))
+      .select(col("doc_id"),
+        // start - 1 is k·S by construction, so the division is exact and
+        // the cast is lossless (DuckDB's // floor-div agrees)
+        (((col("start") - 1) / S).cast(LongType)).as("chunk_id"),
+        least(col("n") - col("start") + 1, lit(W.toLong)).as("chunk_tok"),
+        concat_ws(" ", slice(col("toks"), col("start"),
+          least(col("n") - col("start") + 1, lit(W.toLong)))).as("chunk_text"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
   val all: Seq[Q] = Seq(
     dedupExact, dedupText, tokenTopK, jsonExtract, similarityTopK, multimodalStats,
-    tfidf, contamination, packSequences)
+    tfidf, contamination, packSequences, chunkDocs)
 }

@@ -176,6 +176,33 @@ class OperatorSpec extends SparkSuite {
     }
   }
 
+  test("q_chunk_docs covers every token; chunks match a local sliding-window recompute") {
+    val texts = graft.core.Tables.documents(spark, sf)
+      .select($"doc_id", $"text").as[(Long, String)].collect().toMap
+    val rows = run("q_chunk_docs").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val byDoc = rows.groupBy(_._1)
+    assert(byDoc.keySet == texts.keySet, "every doc must chunk")
+    assert(rows.length > texts.size, "long docs must emit multiple chunks")
+    byDoc.foreach { case (id, chunks) =>
+      val toks = texts(id).split(" ", -1)
+      val n = toks.length
+      // local recompute: starts 1, 49, ... while start <= max(n - 16, 1)
+      val starts = Iterator.iterate(1)(_ + 48).takeWhile(_ <= math.max(n - 16, 1)).toSeq
+      val sorted = chunks.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == sorted.indices.map(_.toLong), s"doc $id chunk ids dense")
+      assert(sorted.size == starts.size, s"doc $id chunk count")
+      sorted.zip(starts).foreach { case ((_, _, nTok, text), start) =>
+        val expect = toks.slice(start - 1, math.min(start - 1 + 64, n))
+        assert(nTok == expect.length.toLong, s"doc $id start $start chunk_tok")
+        assert(text == expect.mkString(" "), s"doc $id start $start text")
+      }
+      // coverage: the final chunk reaches the last token
+      val (_, _, lastTok, _) = sorted.last
+      assert(starts.last - 1 + lastTok == n, s"doc $id tail must be covered")
+    }
+  }
+
   test("multimodal decode stub: typed partition-local decode") {
     val assets = Seq(
       Asset(1L, "image/png", Array[Byte](0x10, 0x20, 0x30, 0x40, 0x50, 0x60, 0x70, 0x7f, 1, 2)),
