@@ -63,6 +63,15 @@ class PlanShapeSpec extends SparkSuite {
     assert(p.contains("BroadcastExchange"), "the 1-row corpus total must broadcast")
   }
 
+  test("q_chunk_docs is one Generate over one scan; only the presentation sort shuffles") {
+    val p = plan("q_chunk_docs")
+    assert("Generate".r.findAllIn(p).size >= 1, "chunk fan-out is the operator's output")
+    assert("Exchange".r.findAllIn(p).size <= 1, p.take(600))
+    // FileScan appears only in the physical rendering; exactly one proves
+    // the oracle's self-join shape was NOT replicated (single pipeline)
+    assert("FileScan".r.findAllIn(p).size == 1, "one scan, no re-scan")
+  }
+
   test("q_similarity_topk broadcasts the query side (nested-loop over one scan)") {
     val p = plan("q_similarity_topk")
     assert(p.contains("BroadcastNestedLoopJoin"))
