@@ -58,8 +58,13 @@ object Bench {
     val measured: Map[String, Seq[Double]] = ordered.map { case (n, _) =>
       n -> (Seq(p2(n), p3(n)) ++ p4.get(n)).filter(_ >= 0).sorted
     }.toMap
+    // A warmup-only success must NOT mask a query that fails under steady
+    // state: with zero successful MEASURED samples the query is failed
+    // (-1), even if warmup happened to pass. Warmup still participates as
+    // a valid min when at least one measured sample succeeded.
     val results = ordered.map { case (n, _) =>
-      n -> (measured(n) ++ Seq(warm(n)).filter(_ >= 0)).minOption.getOrElse(-1.0)
+      n -> (if (measured(n).isEmpty) -1.0
+            else (measured(n) ++ Seq(warm(n)).filter(_ >= 0)).min)
     }.toMap
     // spread of the reported min over measured samples: 1.0 = perfectly
     // reproduced; one lone success (or none) has no spread → -1

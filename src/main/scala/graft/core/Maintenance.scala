@@ -61,9 +61,12 @@ object Maintenance {
     val path = new Path(dir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(path)) return Seq.empty
+    // numeric-suffix match only: a foreign dir like `v=backup` must be
+    // ignored, not crash the prune with NumberFormatException
+    val versionRe = (java.util.regex.Pattern.quote(prefix) + "(\\d+)").r
     val versions = fs.listStatus(path).toSeq
       .filter(_.isDirectory).map(_.getPath.getName)
-      .collect { case n if n.startsWith(prefix) => n.drop(prefix.length).toLong }
+      .collect { case versionRe(n) => n.toLong }
       .sorted
     val doomed = versions.dropRight(keep)
     doomed.foreach(v => fs.delete(new Path(path, s"$prefix$v"), true))
@@ -81,14 +84,17 @@ object Maintenance {
     val path = new Path(listingDir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(path)) return Seq.empty
+    // numeric-suffix match only: a foreign file like `epoch-backup` in the
+    // listing dir must be skipped, not abort the prune
+    val pinRe = "epoch-(\\d+)".r
+    val tmpRe = "\\.epoch-(\\d+)\\.tmp".r
     val names = fs.listStatus(path).toSeq.filter(_.isFile).map(_.getPath.getName)
     val doomed = names
-      .collect { case n if n.startsWith("epoch-") => n.drop("epoch-".length).toLong }
+      .collect { case pinRe(n) => n.toLong }
       .filter(_ < keepFrom).sorted
     doomed.foreach(e => fs.delete(new Path(path, s"epoch-$e"), false))
     // orphaned write-then-rename debris (crash between create and rename)
-    names.collect { case n if n.startsWith(".epoch-") && n.endsWith(".tmp") =>
-        n.stripPrefix(".epoch-").stripSuffix(".tmp").toLong -> n }
+    names.collect { case n @ tmpRe(e) => e.toLong -> n }
       .collect { case (e, n) if e < keepFrom => fs.delete(new Path(path, n), false) }
     doomed
   }

@@ -67,7 +67,14 @@ object MultimodalDecode {
         width = w,
         height = h,
         decoder = "imageio"))
-    } catch { case _: java.io.IOException => None }
+    } catch {
+      // ImageIO plugins throw RuntimeExceptions (IllegalArgument,
+      // ArrayIndexOutOfBounds, NegativeArraySize…) on truncated or
+      // malformed payloads, not just IOException — a curation pipeline
+      // is fed untrusted bytes, so ANY decode failure falls back to the
+      // stub rather than failing the whole partition.
+      case scala.util.control.NonFatal(_) => None
+    }
   }
 
   /** STUB decode for payloads no available codec handles: deterministic

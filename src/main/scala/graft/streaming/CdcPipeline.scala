@@ -409,7 +409,22 @@ object CdcPipeline {
             .getOrElse(System.currentTimeMillis())
           val byTable = lines.map(_.split("\t", 2))
             .collect { case Array(t, f) if t != "#ts" => t -> f }.toMap
-          (tables.map(cfg => cfg -> byTable.get(cfg.tableName)), ts)
+          // a pinned snapshot deleted between crash and restart (retention
+          // ran ahead of the checkpoint) would otherwise throw on every
+          // replay attempt and wedge the stream on this epoch forever.
+          // Treat a vanished file as no-capture for that table: the NEXT
+          // tick's fresh listing re-captures its current state.
+          val pinned = tables.map { cfg =>
+            val f = byTable.get(cfg.tableName).filter { p =>
+              val ok = fs.exists(new org.apache.hadoop.fs.Path(p))
+              if (!ok) System.err.println(
+                s"[cdc] epoch $epoch replay: pinned snapshot $p for " +
+                  s"${cfg.tableName} vanished; skipping capture for this epoch")
+              ok
+            }
+            cfg -> f
+          }
+          (pinned, ts)
         } else {
           val now = System.currentTimeMillis()
           // write-then-rename: a crash mid-write must not leave a partial
@@ -457,8 +472,14 @@ object CdcPipeline {
       .foreachBatch { (_: DataFrame, id: Long) =>
         // listings pinned next to the checkpoint: epoch stability across
         // crash-replay comes from re-reading the pinned file set
-        pollTickAll(spark, tables, epoch = id,
-          listingDir = Some(s"$checkpointDir-listing"))
+        val listingDir = s"$checkpointDir-listing"
+        pollTickAll(spark, tables, epoch = id, listingDir = Some(listingDir))
+        // one pin per tick (default 1 s) accretes unboundedly over long
+        // runs; epochs below the current batch id are committed and can
+        // never replay, so their pins are garbage. Prune every 60 epochs
+        // to amortize the listing cost.
+        if (id > 0 && id % 60 == 0)
+          graft.core.Maintenance.prunePins(spark, listingDir, keepFrom = id)
         ()
       }
       .start()

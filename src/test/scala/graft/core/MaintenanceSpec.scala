@@ -100,4 +100,23 @@ class MaintenanceSpec extends SparkSuite {
       s"replayable pins and foreign files must survive: $names")
     assert(Maintenance.prunePins(spark, s"$dir/missing", 10L).isEmpty)
   }
+
+  test("prunes tolerate non-numeric foreign names instead of aborting") {
+    // prunePins: `epoch-backup` (and a non-numeric tmp) must be skipped,
+    // not throw NumberFormatException and abort the whole prune
+    val dir = tmpDir("foreignpins")
+    val p = Paths.get(dir)
+    Files.write(p.resolve("epoch-0"), "#ts\t0\n".getBytes("UTF-8"))
+    Files.write(p.resolve("epoch-backup"), "x".getBytes("UTF-8"))
+    Files.write(p.resolve(".epoch-old.tmp"), "x".getBytes("UTF-8"))
+    assert(Maintenance.prunePins(spark, dir, keepFrom = 5L) == Seq(0L))
+    assert(Files.exists(p.resolve("epoch-backup")))
+    assert(Files.exists(p.resolve(".epoch-old.tmp")))
+    // pruneVersions: `v=backup` alongside numeric versions
+    val vdir = tmpDir("foreignvers") + "/state"
+    (0L to 2L).foreach(v => Files.createDirectories(Paths.get(s"$vdir/v=$v")))
+    Files.createDirectories(Paths.get(s"$vdir/v=backup"))
+    assert(Maintenance.pruneVersions(spark, vdir, keep = 1) == Seq(0L, 1L))
+    assert(Files.exists(Paths.get(s"$vdir/v=backup")))
+  }
 }

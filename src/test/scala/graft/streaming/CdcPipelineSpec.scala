@@ -641,4 +641,29 @@ class CdcPipelineSpec extends SparkSuite {
       "replay must not rewrite or duplicate the pre-restart capture")
     assert(jsonlLines(users.outputDir).size == 5)
   }
+
+  test("replayed epoch with a vanished pinned snapshot skips that capture instead of wedging") {
+    val base = tmpDir("cdc")
+    val users = cfg(s"$base/users")
+    Files.createDirectories(Paths.get(users.inputDir))
+    seedUsers.coalesce(1).write.mode("append").parquet(users.inputDir)
+    val listing = s"$base/listing"
+    assert(CdcPipeline.pollTickAll(spark, Seq(users), epoch = 1L,
+      listingDir = Some(listing)) == Seq(true))
+    // retention deletes the pinned snapshot between crash and restart
+    val pinned = Files.readAllLines(Paths.get(s"$listing/epoch-1")).get(1).split("\t")(1)
+    Files.delete(Paths.get(pinned.stripPrefix("file:")))
+    // replay of epoch 1 re-reads the pin; the vanished file must read as
+    // no-capture (changed=false), not throw and wedge the stream forever
+    assert(CdcPipeline.pollTickAll(spark, Seq(users), epoch = 1L,
+      listingDir = Some(listing)) == Seq(false))
+    // the stream is alive: the NEXT tick's fresh listing captures current state
+    Thread.sleep(20)
+    seedUsers.unionAll(Seq((3, "Bob Wilson", "bob@example.com", t0))
+      .toDF("id", "name", "email", "created_at"))
+      .coalesce(1).write.mode("append").parquet(users.inputDir)
+    assert(CdcPipeline.pollTickAll(spark, Seq(users), epoch = 2L,
+      listingDir = Some(listing)) == Seq(true))
+    assert(epochsIn(users.outputDir).distinct.sorted == Seq(1L, 2L))
+  }
 }
