@@ -146,7 +146,14 @@ object Pq {
   private[ops] final case class PqParts(
       cb: DataFrame, enc: DataFrame, sv: DataFrame, cb0: DataFrame)
 
-  private[ops] def pqParts(s: SparkSession, d: String): PqParts = {
+  /** Memoized like Similarity.trainedParts: three declared queries share
+    * one deterministic codebook; train once per (session, corpus state). */
+  private[ops] def pqParts(s: SparkSession, d: String): PqParts =
+    graft.core.ModelCache.getOrTrain(s, "pq", s"$d/embeddings.parquet") {
+      pqPartsUncached(s, d)
+    }
+
+  private def pqPartsUncached(s: SparkSession, d: String): PqParts = {
     val sv = subvecs(s, d).localCheckpoint() // feeds every round + encode
     val n = T.embeddings(s, d).count()       // O(1) control-plane sizing probe
     val svt = sv.filter(col("vec_id") < math.min(n, TrainCap))
