@@ -373,7 +373,54 @@ object Temporal {
       .orderBy("cohort_day", "offset_day")
   }
 
+  /** Time-grid densification + LOCF: the hourly series per event_type has
+    * holes (hours with no events); downstream models need a DENSE grid.
+    * Each type's grid spans its own [min, max] hour (sequence + explode —
+    * a Generate, no join against a global calendar table), missing hours
+    * get n=0, and the last observed hourly sum is carried forward with
+    * last(_, ignoreNulls) over one (type, bucket) sort. At scale the grid
+    * explode is output-proportional and the single window shuffle keys on
+    * event_type — the same shape as q_sessionize. Sums are exact decimal
+    * (H2) so LOCF carries bit-stable values. */
+  val gapFill: Q = Q(
+    "q_gap_fill",
+    """WITH b AS (
+      |  SELECT event_type, epoch_us(date_trunc('hour', ts)) AS bucket_us,
+      |    COUNT(*) AS n, SUM(CAST(value AS DECIMAL(18,2))) AS sum_v
+      |  FROM events GROUP BY 1, 2),
+      |grid AS (
+      |  SELECT event_type, unnest(generate_series(mn, mx, 3600000000)) AS bucket_us
+      |  FROM (SELECT event_type, MIN(bucket_us) AS mn, MAX(bucket_us) AS mx
+      |        FROM b GROUP BY event_type))
+      |SELECT g.event_type, g.bucket_us,
+      |  COALESCE(b.n, 0) AS n,
+      |  CASE WHEN b.n IS NULL THEN 1 ELSE 0 END AS is_gap,
+      |  CAST(last_value(b.sum_v IGNORE NULLS) OVER (
+      |    PARTITION BY g.event_type ORDER BY g.bucket_us
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS locf_sum
+      |FROM grid g LEFT JOIN b USING (event_type, bucket_us)
+      |ORDER BY event_type, bucket_us""".stripMargin
+  ) { (s, d) =>
+    val b = T.events(s, d)
+      .groupBy(col("event_type"),
+        unix_micros(date_trunc("hour", col("ts"))).as("bucket_us"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 2))).as("sum_v"))
+    val grid = b.groupBy("event_type")
+      .agg(min(col("bucket_us")).as("mn"), max(col("bucket_us")).as("mx"))
+      .select(col("event_type"),
+        explode(sequence(col("mn"), col("mx"), lit(3600000000L))).as("bucket_us"))
+    val w = Window.partitionBy("event_type").orderBy("bucket_us")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(b, Seq("event_type", "bucket_us"), "left")
+      .select(col("event_type"), col("bucket_us"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        when(col("n").isNull, 1).otherwise(0).as("is_gap"),
+        last(col("sum_v"), ignoreNulls = true).over(w).cast(DoubleType).as("locf_sum"))
+      .orderBy("event_type", "bucket_us")
+  }
+
   val all: Seq[Q] = Seq(
     timeBucket, sessionize, asofJoin, asofNative, asofTolerance, asofForward,
-    asofInner, asofSql, funnel, funnelLatency, retention)
+    asofInner, asofSql, funnel, funnelLatency, retention, gapFill)
 }

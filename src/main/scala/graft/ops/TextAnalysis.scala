@@ -380,8 +380,66 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Document-level token co-occurrence with lift scoring — phrase/topic
+    * association mining (q_bigram_topk counts ADJACENT pairs; this scores
+    * arbitrary within-document pairs against their independence
+    * baseline). Log-free PMI: lift = P(a,b)/(P(a)·P(b)) =
+    * n_ab·N/(df_a·df_b), reported in exact-integer ppm
+    * (·1e6, floor-div) so both engines agree bit-for-bit.
+    *
+    * Scale shape: the pair join is the quadratic step, so it runs over
+    * the FREQUENT-token spine only (document frequency ≥ 10% of the
+    * corpus — an integer compare derived from a corpus census, the same
+    * data-derived-bound pattern as the ANN cell cap): per doc the join
+    * width is |frequent tokens in doc|², not |tokens|², and the spine
+    * table is a broadcast. Distinct-per-doc first (one shuffle with
+    * partial agg) so repeated tokens don't multiply pairs. */
+  val cooccurLift: Q = Q(
+    "q_cooccur_lift",
+    """WITH tok AS (
+      |  SELECT DISTINCT doc_id, token FROM (
+      |    SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+      |  WHERE token <> ''),
+      |nd AS (SELECT count(*) AS n FROM documents),
+      |df AS (SELECT token, count(*) AS df FROM tok GROUP BY token),
+      |ft AS (SELECT token, df FROM df CROSS JOIN nd WHERE df * 10 >= n),
+      |ftok AS (SELECT t.doc_id, t.token FROM tok t JOIN ft ON ft.token = t.token),
+      |pair AS (
+      |  SELECT a.token AS t1, b.token AS t2, count(*) AS n_ab
+      |  FROM ftok a JOIN ftok b ON a.doc_id = b.doc_id AND a.token < b.token
+      |  GROUP BY a.token, b.token)
+      |SELECT p.t1, p.t2, CAST(p.n_ab AS BIGINT) AS n_ab,
+      |  CAST((p.n_ab * nd.n * 1000000) // (fa.df * fb.df) AS BIGINT) AS lift_ppm
+      |FROM pair p JOIN ft fa ON fa.token = p.t1 JOIN ft fb ON fb.token = p.t2
+      |CROSS JOIN nd
+      |ORDER BY lift_ppm DESC, t1, t2 LIMIT 20""".stripMargin
+  ) { (s, d) =>
+    val tok = T.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .filter(col("token") =!= "")
+      .distinct()
+    val nd = T.documents(s, d).agg(count(lit(1)).as("n"))
+    val df = tok.groupBy("token").agg(count(lit(1)).as("df"))
+    val ft = df.crossJoin(broadcast(nd)).filter(col("df") * 10 >= col("n"))
+      .select("token", "df")
+    val ftok = tok.join(broadcast(ft.select("token")), "token")
+    val pair = ftok.as("a")
+      .join(ftok.as("b"),
+        col("a.doc_id") === col("b.doc_id") && col("a.token") < col("b.token"))
+      .groupBy(col("a.token").as("t1"), col("b.token").as("t2"))
+      .agg(count(lit(1)).as("n_ab"))
+    pair
+      .join(broadcast(ft.select(col("token").as("t1"), col("df").as("dfa"))), "t1")
+      .join(broadcast(ft.select(col("token").as("t2"), col("df").as("dfb"))), "t2")
+      .crossJoin(broadcast(nd))
+      .select(col("t1"), col("t2"), col("n_ab"),
+        expr("(n_ab * n * 1000000) div (dfa * dfb)").as("lift_ppm"))
+      .orderBy(col("lift_ppm").desc, col("t1"), col("t2"))
+      .limit(20)
+  }
+
   val all: Seq[Q] =
     Seq(langId, qualityScore, tokenCount, fingerprint, bigramTopK, piiScrub,
       vocabStats, lengthBuckets, charNgrams, langConfusion, corpusMix,
-      repetitionFilter, rarityScore)
+      repetitionFilter, rarityScore, cooccurLift)
 }
