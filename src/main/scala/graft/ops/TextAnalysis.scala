@@ -414,10 +414,13 @@ object TextAnalysis {
       |CROSS JOIN nd
       |ORDER BY lift_ppm DESC, t1, t2 LIMIT 20""".stripMargin
   ) { (s, d) =>
+    // tok feeds df AND both sides of the pair self-join — materialize the
+    // explode+distinct once instead of re-running the token stream 3×
     val tok = T.documents(s, d)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
       .filter(col("token") =!= "")
       .distinct()
+      .localCheckpoint()
     val nd = T.documents(s, d).agg(count(lit(1)).as("n"))
     val df = tok.groupBy("token").agg(count(lit(1)).as("df"))
     val ft = df.crossJoin(broadcast(nd)).filter(col("df") * 10 >= col("n"))
