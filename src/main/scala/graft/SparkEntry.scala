@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.core.Q
-import graft.ops.{Analytic, Cdc, Curation, Dedup, Graph, LlmPipeline, Multimodal, Pq, Relational, Similarity, Sketch, Statistical, Temporal, TextAnalysis}
+import graft.ops.{Analytic, Cdc, Curation, Dedup, Graph, Layout, LlmPipeline, Multimodal, Pq, Relational, Similarity, Sketch, Statistical, Temporal, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   * Operator inventory lives in graft.ops.*; each module exposes `all: Seq[Q]`
@@ -15,7 +15,7 @@ object SparkEntry {
     Cdc.all ++ Relational.all ++ Analytic.all ++ Statistical.all ++
       Temporal.all ++ LlmPipeline.all ++ Dedup.all ++ Similarity.all ++
       Pq.all ++ TextAnalysis.all ++ Multimodal.all ++ Sketch.all ++
-      Curation.all ++ Graph.all
+      Curation.all ++ Graph.all ++ Layout.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -56,5 +56,66 @@ object Curation {
       .orderBy("doc_id")
   }
 
-  val all: Seq[Q] = Seq(curate)
+  /** Importance-weighted data selection — the DSIR-class curation step
+    * (importance resampling toward a target distribution, public in the
+    * data-selection literature): score every document by how much its
+    * token distribution resembles a target subset (here lang='en', the
+    * stand-in for "looks like the reference corpus"). True DSIR weights
+    * are log-ratios of hashed n-gram LM probabilities; ln() fold order
+    * differs across engines, so the signal here is the log-free
+    * per-token target-affinity ratio in exact-integer ppm with add-one
+    * smoothing — aff(t) = (cnt_target+1)·1e6 div (cnt_corpus+1) — and a
+    * document's weight is its tf-weighted affinity mean. Selection is an
+    * integer compare (weight·2 ≥ 1e6, i.e. affinity ≥ 0.5).
+    *
+    * Scale shape: the q_tfidf/q_rarity_score class — the token stream
+    * collapses to per-doc tf first (one partial-aggregated shuffle), the
+    * affinity table is one token-keyed aggregation with BOTH counts as
+    * conditional sums of the same pass (no second scan for the target),
+    * and the Zipf-skewed tf⋈aff join carries distinct (doc, token) pairs
+    * only. Products stay < 2^53: tf ≤ doc length, aff ≤ 1e6. */
+  val importanceWeight: Q = Q(
+    "q_importance_weight",
+    """WITH tok AS (
+      |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS token
+      |  FROM documents),
+      |tf AS (SELECT doc_id, lang, token, count(*) AS tf FROM tok
+      |       WHERE token <> '' GROUP BY 1, 2, 3),
+      |cf AS (SELECT token,
+      |    CAST(sum(tf) AS BIGINT) AS cnt_all,
+      |    CAST(sum(CASE WHEN lang = 'en' THEN tf ELSE 0 END) AS BIGINT) AS cnt_tgt
+      |  FROM tf GROUP BY 1),
+      |aff AS (SELECT token,
+      |    ((cnt_tgt + 1) * 1000000) // (cnt_all + 1) AS aff_ppm FROM cf)
+      |SELECT tf.doc_id, tf.lang,
+      |  CAST(sum(tf.tf) AS BIGINT) AS n_tok,
+      |  CAST(sum(tf.tf * aff.aff_ppm) AS BIGINT) AS weight_sum,
+      |  CAST(sum(tf.tf * aff.aff_ppm) // sum(tf.tf) AS BIGINT) AS weight_avg_ppm,
+      |  CAST(CASE WHEN sum(tf.tf * aff.aff_ppm) * 2 >= sum(tf.tf) * 1000000
+      |       THEN 1 ELSE 0 END AS BIGINT) AS selected
+      |FROM tf JOIN aff USING (token)
+      |GROUP BY 1, 2 ORDER BY doc_id""".stripMargin
+  ) { (s, d) =>
+    val tok = T.documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        explode(split(col("text"), " ")).as("token"))
+      .filter(col("token") =!= "")
+    val tf = tok.groupBy("doc_id", "lang", "token").agg(count(lit(1)).as("tf"))
+    val aff = tf.groupBy("token")
+      .agg(sum(col("tf")).as("cnt_all"),
+        sum(when(col("lang") === "en", col("tf")).otherwise(0L)).as("cnt_tgt"))
+      .select(col("token"),
+        expr("((cnt_tgt + 1) * 1000000) div (cnt_all + 1)").as("aff_ppm"))
+    tf.join(aff, "token")
+      .groupBy("doc_id", "lang")
+      .agg(sum(col("tf")).as("n_tok"),
+        sum(col("tf") * col("aff_ppm")).as("weight_sum"))
+      .select(col("doc_id"), col("lang"), col("n_tok"), col("weight_sum"),
+        expr("weight_sum div n_tok").as("weight_avg_ppm"),
+        when(col("weight_sum") * 2 >= col("n_tok") * 1000000L, 1L)
+          .otherwise(0L).as("selected"))
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[Q] = Seq(curate, importanceWeight)
 }

@@ -111,5 +111,73 @@ object Graph {
       .orderBy("kind", "degree")
   }
 
-  val all: Seq[Q] = Seq(pagerank, degreeHist)
+  /** Community detection by min-label propagation, `Iters` unrolled
+    * rounds: l0(v) = v; l_{i+1}(v) = min(l_i(v), min over in-neighbors
+    * l_i(u)). After k rounds every node carries the smallest node id
+    * within k hops — the k-bounded prefix of connected components, fully
+    * deterministic (min is order-free, no float, no tie-break needed).
+    *
+    * Runs on the STRONG-edge subgraph (trading pairs with ≥ 2 orders):
+    * community detection on a one-off-interaction graph floods to a
+    * single giant component within a hop or two, so the standard move is
+    * to drop noise edges first — the repeat-trade filter is one HAVING
+    * on the pair census the edge derivation already performs.
+    *
+    * Scale shape: identical to a PageRank round — one (edge ⋈ label)
+    * shuffle on src, one min-aggregating shuffle on dst (min is
+    * partial-aggregable, so the map side collapses before the exchange),
+    * plus a union with the node's own label so isolated-in-round nodes
+    * keep theirs. Dedup's pointer-jumping closure (Dedup.scala) converges
+    * in O(log diameter) rounds when FULL components are needed; this is
+    * the fixed-round streaming-friendly variant profiled here as the
+    * community-size census. */
+  val labelProp: Q = Q(
+    "q_label_prop",
+    s"""WITH eo AS (SELECT o_custkey AS c, l_suppkey AS s
+       |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+       |  GROUP BY 1, 2 HAVING count(*) >= 2),
+       |e AS (SELECT c AS src, $SuppOffset + s AS dst FROM eo
+       |      UNION ALL SELECT $SuppOffset + s AS src, c AS dst FROM eo),
+       |deg AS (SELECT src, count(*) AS d FROM e GROUP BY src),
+       |l0 AS (SELECT src AS node, src AS lbl FROM deg),
+       |${(1 to Iters).map { i =>
+      s"""l$i AS (SELECT node, min(lbl) AS lbl FROM (
+         |  SELECT e.dst AS node, l.lbl FROM e
+         |  JOIN l${i - 1} l ON l.node = e.src
+         |  UNION ALL SELECT node, lbl FROM l${i - 1}) GROUP BY node)""".stripMargin
+    }.mkString(",\n")}
+       |SELECT lbl AS community, count(*) AS n_nodes,
+       |  CAST(min(node) AS BIGINT) AS min_node,
+       |  CAST(max(node) AS BIGINT) AS max_node
+       |FROM l$Iters GROUP BY lbl
+       |ORDER BY n_nodes DESC, community LIMIT 25""".stripMargin
+  ) { (s, d) =>
+    val eo = T.orders(s, d)
+      .join(T.lineitem(s, d), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey").as("c"), col("l_suppkey").as("s"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= 2)
+      .select("c", "s")
+    val e = eo.select(col("c").as("src"), (col("s") + SuppOffset).as("dst"))
+      .unionAll(eo.select((col("s") + SuppOffset).as("src"), col("c").as("dst")))
+    val ed = e.localCheckpoint()
+    val l0 = ed.groupBy("src").agg(count(lit(1)).as("d"))
+      .select(col("src").as("node"), col("src").as("lbl"))
+    val lFinal = (1 to Iters).foldLeft(l0) { case (l, _) =>
+      ed.join(l.withColumnRenamed("node", "src"), "src")
+        .select(col("dst").as("node"), col("lbl"))
+        .unionAll(l)
+        .groupBy("node")
+        .agg(min(col("lbl")).as("lbl"))
+    }
+    lFinal
+      .groupBy(col("lbl").as("community"))
+      .agg(count(lit(1)).as("n_nodes"),
+        min(col("node")).as("min_node"),
+        max(col("node")).as("max_node"))
+      .orderBy(col("n_nodes").desc, col("community"))
+      .limit(25)
+  }
+
+  val all: Seq[Q] = Seq(pagerank, degreeHist, labelProp)
 }

@@ -1,0 +1,120 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.core.{Q, Tables => T}
+
+/** Data-layout planning — the write-side half of 100 TB scan efficiency.
+  * Predicate pushdown (PlanShapeSpec asserts it everywhere) only pays
+  * when file-level min/max stats are TIGHT; which rows share a file is
+  * therefore a first-class operator decision, not an afterthought. The
+  * standard mitigation for multi-dimensional access patterns is
+  * space-filling-curve clustering (z-order), public in every modern
+  * lakehouse table format.
+  *
+  * Reference relevance: the reference rewrites whole snapshots per tick
+  * (duckdb_cdc.go:217-258) with no layout control at all — consumers
+  * scan every file for any predicate. This operator is the planning
+  * query a snapshot sink runs before choosing a write order.
+  *
+  * All math is exact-integer (grid normalization by floor-division, bit
+  * interleave by shift/and/or), so Spark and DuckDB agree bit-for-bit;
+  * the engines differ only in shift syntax (shiftleft() vs <<), so the
+  * interleave expression is generated per dialect from one loop.
+  */
+object Layout {
+
+  private val GridBits = 10           // 1024×1024 z-grid
+  private val NFiles = 64L            // target file count per layout
+  private val ZCells = 1L << (2 * GridBits)
+
+  /** Bit-interleave expression for dialect `shift(col, i)`. */
+  private def interleave(shiftL: (String, Int) => String,
+                         shiftR: (String, Int) => String): String =
+    (0 until GridBits).map { i =>
+      s"(${shiftL(s"(${shiftR("nx", i)} & 1)", 2 * i)} + " +
+        s"${shiftL(s"(${shiftR("ny", i)} & 1)", 2 * i + 1)})"
+    }.mkString(" + ")
+
+  private val zSpark = interleave(
+    (e, n) => s"shiftleft($e, $n)", (e, n) => s"shiftright($e, $n)")
+  private val zDuck = interleave(
+    (e, n) => s"($e << $n)", (e, n) => s"($e >> $n)")
+
+  /** q_zorder_layout: cluster events on (user_id, hour) by z-value and
+    * compare the resulting per-file bounding boxes against the naive
+    * time-ordered layout. Per layout: file count and the average/worst
+    * per-file span in BOTH dimensions — a time-ordered file inevitably
+    * spans (almost) the whole user domain, so a `user_id = k` predicate
+    * prunes nothing; z-ordered files stay tight in both dimensions, so
+    * min/max skipping works for either predicate.
+    *
+    * Scale shape: one fact scan feeds a 1-row census (broadcast back),
+    * the z computation is pure per-row integer math (codegen'd, no
+    * shuffle), and each layout summary is a two-level aggregation whose
+    * first level carries one row per FILE — O(files), not O(rows),
+    * into the final 2-row result. The grid census makes the operator
+    * sf-robust: domains are normalized to 0..1023 from observed bounds,
+    * not hard-coded ranges. */
+  val zorderLayout: Q = Q(
+    "q_zorder_layout",
+    s"""WITH ev AS (
+       |  SELECT user_id AS x, epoch_us(ts) // 3600000000 AS h FROM events),
+       |c AS (SELECT min(x) AS minx, max(x) AS maxx,
+       |             min(h) AS minh, max(h) AS maxh FROM ev),
+       |n AS (SELECT x, h,
+       |  ((x - minx) * 1024) // (maxx - minx + 1) AS nx,
+       |  ((h - minh) * 1024) // (maxh - minh + 1) AS ny
+       |  FROM ev CROSS JOIN c),
+       |z AS (SELECT x, h, ny, $zDuck AS z FROM n),
+       |zf AS (SELECT z // ${ZCells / NFiles} AS file_id,
+       |  max(x) - min(x) AS uspan, max(h) - min(h) AS hspan
+       |  FROM z GROUP BY 1),
+       |tf AS (SELECT ny // ${1024 / NFiles} AS file_id,
+       |  max(x) - min(x) AS uspan, max(h) - min(h) AS hspan
+       |  FROM z GROUP BY 1),
+       |s AS (
+       |  SELECT 'time' AS layout, CAST(count(*) AS BIGINT) AS n_files,
+       |    CAST(sum(uspan) // count(*) AS BIGINT) AS avg_user_span,
+       |    CAST(max(uspan) AS BIGINT) AS max_user_span,
+       |    CAST(sum(hspan) // count(*) AS BIGINT) AS avg_hour_span,
+       |    CAST(max(hspan) AS BIGINT) AS max_hour_span
+       |  FROM tf
+       |  UNION ALL
+       |  SELECT 'zorder', CAST(count(*) AS BIGINT),
+       |    CAST(sum(uspan) // count(*) AS BIGINT),
+       |    CAST(max(uspan) AS BIGINT),
+       |    CAST(sum(hspan) // count(*) AS BIGINT),
+       |    CAST(max(hspan) AS BIGINT)
+       |  FROM zf)
+       |SELECT * FROM s ORDER BY layout""".stripMargin
+  ) { (s, d) =>
+    val ev = T.events(s, d).select(
+      col("user_id").as("x"),
+      expr("unix_micros(ts) div 3600000000").as("h"))
+    val c = ev.agg(
+      min(col("x")).as("minx"), max(col("x")).as("maxx"),
+      min(col("h")).as("minh"), max(col("h")).as("maxh"))
+    val z = ev.crossJoin(broadcast(c))
+      .select(col("x"), col("h"),
+        expr("((x - minx) * 1024) div (maxx - minx + 1)").as("nx"),
+        expr("((h - minh) * 1024) div (maxh - minh + 1)").as("ny"))
+      .select(col("x"), col("h"), col("ny"), expr(zSpark).as("z"))
+    def fileSpans(fileId: org.apache.spark.sql.Column) = z
+      .groupBy(fileId.as("file_id"))
+      .agg((max(col("x")) - min(col("x"))).as("uspan"),
+        (max(col("h")) - min(col("h"))).as("hspan"))
+    def summary(name: String, spans: org.apache.spark.sql.DataFrame) = spans
+      .agg(count(lit(1)).as("n_files"),
+        expr("sum(uspan) div count(*)").as("avg_user_span"),
+        max(col("uspan")).as("max_user_span"),
+        expr("sum(hspan) div count(*)").as("avg_hour_span"),
+        max(col("hspan")).as("max_hour_span"))
+      .select(lit(name).as("layout"), col("n_files"), col("avg_user_span"),
+        col("max_user_span"), col("avg_hour_span"), col("max_hour_span"))
+    summary("time", fileSpans(expr(s"ny div ${1024 / NFiles}")))
+      .unionAll(summary("zorder", fileSpans(expr(s"z div ${ZCells / NFiles}"))))
+      .orderBy("layout")
+  }
+
+  val all: Seq[Q] = Seq(zorderLayout)
+}

@@ -42,4 +42,43 @@ class GraphSpec extends SparkSuite {
     assert(edgeEnds == 2 * pairs,
       s"directed edge ends $edgeEnds != 2 x $pairs distinct trading pairs")
   }
+
+  test("q_label_prop: labels are component minima and sizes cover the node set") {
+    val comm = graft.SparkEntry.queries("q_label_prop")(spark, sf).collect()
+    // every community is labeled by its own smallest member
+    comm.foreach { r =>
+      assert(r.getLong(0) == r.getLong(2),
+        s"community ${r.getLong(0)} labeled by non-minimum ${r.getLong(2)}")
+    }
+    // sizes are positive and the listing is (n_nodes desc, community) ordered
+    val keys = comm.map(r => (r.getLong(1), r.getLong(0)))
+    assert(keys.forall(_._1 >= 1))
+    assert(keys.sortBy { case (n, c) => (-n, c) }.toSeq == keys.toSeq)
+  }
+
+  test("q_label_prop: one propagation round never increases a node's label") {
+    // monotonicity of min-label propagation, recomputed locally on the
+    // strong-edge subgraph the operator declares
+    import org.apache.spark.sql.functions._
+    val eo = graft.core.Tables.orders(spark, sf)
+      .join(graft.core.Tables.lineitem(spark, sf),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey").as("c"), col("l_suppkey").as("s"))
+      .agg(count(lit(1)).as("cnt")).filter(col("cnt") >= 2)
+      .select("c", "s").collect().map(r => (r.getLong(0), 1000000L + r.getLong(1)))
+    val adj = (eo ++ eo.map(_.swap)).groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    var lbl = adj.keys.map(n => n -> n).toMap
+    (1 to 3).foreach { _ =>
+      val next = lbl.map { case (n, l) =>
+        n -> math.min(l, adj(n).map(lbl).foldLeft(Long.MaxValue)(math.min))
+      }
+      next.foreach { case (n, l) => assert(l <= lbl(n)) }
+      lbl = next
+    }
+    // the operator's community census equals the local recompute
+    val expect = lbl.values.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val got = graft.SparkEntry.queries("q_label_prop")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    got.foreach { case (c, n) => assert(expect(c) == n, s"community $c size") }
+  }
 }

@@ -219,4 +219,52 @@ class OperatorSpec extends SparkSuite {
     assert(resized.head.bytes.length <= 5 && resized.head.bytes.head == 0x10)
     assert(resized(1).bytes.length == 2)   // already under target: untouched
   }
+
+  test("q_zorder_layout: z-order tightens the user dimension without losing time locality entirely") {
+    val rows = run("q_zorder_layout").collect()
+    assert(rows.length == 2)
+    val by = rows.map(r => r.getString(0) -> r).toMap
+    val (t, z) = (by("time"), by("zorder"))
+    // a time-ordered file spans (nearly) the whole user domain; z-order
+    // must cut the average user span strictly, or the layout is useless
+    assert(z.getLong(2) < t.getLong(2),
+      s"zorder avg_user_span ${z.getLong(2)} !< time ${t.getLong(2)}")
+    // and both layouts produce a bounded number of files
+    assert(t.getLong(1) <= 64 && z.getLong(1) <= 64)
+  }
+
+  test("q_zorder_layout bit interleave matches a local recompute") {
+    // the generated shift/and expression IS the operator — recompute the
+    // interleave in plain Scala for a sample of grid points
+    def zOf(nx: Long, ny: Long): Long =
+      (0 until 10).map { i =>
+        (((nx >> i) & 1L) << (2 * i)) + (((ny >> i) & 1L) << (2 * i + 1))
+      }.sum
+    val df = spark.range(1)
+    for ((nx, ny) <- Seq((0L, 0L), (1L, 0L), (0L, 1L), (1023L, 1023L),
+        (513L, 2L), (77L, 901L))) {
+      val got = df.selectExpr(
+        s"aggregate(transform(sequence(0, 9), i -> " +
+        s"shiftleft(shiftright($nx, i) & 1, 2*i) + shiftleft(shiftright($ny, i) & 1, 2*i+1)), " +
+        s"0L, (a, x) -> a + x) AS z").head().getLong(0)
+      assert(got == zOf(nx, ny), s"interleave($nx,$ny)")
+    }
+  }
+
+  test("q_importance_weight: target-language docs carry higher affinity than the rest") {
+    val rows = run("q_importance_weight").collect()
+    val (en, rest) = rows.partition(_.getString(1) == "en")
+    assert(en.nonEmpty && rest.nonEmpty)
+    def mean(xs: Array[Long]): Double = xs.sum.toDouble / xs.length
+    val (mEn, mRest) = (mean(en.map(_.getLong(4))), mean(rest.map(_.getLong(4))))
+    assert(mEn > mRest, s"en mean affinity $mEn !> non-target $mRest")
+    // weights live in ppm space and the selected flag matches its definition
+    rows.foreach { r =>
+      val (nTok, wSum, wAvg, sel) =
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(wAvg == wSum / nTok)
+      assert(wAvg >= 0 && wAvg <= 1000000L)
+      assert(sel == (if (2 * wSum >= 1000000L * nTok) 1L else 0L))
+    }
+  }
 }
