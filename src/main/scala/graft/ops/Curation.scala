@@ -74,6 +74,24 @@ object Curation {
     * conditional sums of the same pass (no second scan for the target),
     * and the Zipf-skewed tf⋈aff join carries distinct (doc, token) pairs
     * only. Products stay < 2^53: tf ≤ doc length, aff ≤ 1e6. */
+  /** The trainable artifact of q_importance_weight: per-token target
+    * affinity in exact-integer ppm. Exposed separately so the streaming
+    * gate (Stateful.importanceGate) can freeze it as a plan literal —
+    * the same train-rarely/score-continuously split as ivfAssignStream. */
+  def affinityTable(s: org.apache.spark.sql.SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame = {
+    val tok = T.documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        explode(split(col("text"), " ")).as("token"))
+      .filter(col("token") =!= "")
+    tok.groupBy("doc_id", "lang", "token").agg(count(lit(1)).as("tf"))
+      .groupBy("token")
+      .agg(sum(col("tf")).as("cnt_all"),
+        sum(when(col("lang") === "en", col("tf")).otherwise(0L)).as("cnt_tgt"))
+      .select(col("token"),
+        expr("((cnt_tgt + 1) * 1000000) div (cnt_all + 1)").as("aff_ppm"))
+  }
+
   val importanceWeight: Q = Q(
     "q_importance_weight",
     """WITH tok AS (

@@ -116,5 +116,59 @@ object Layout {
       .orderBy("layout")
   }
 
-  val all: Seq[Q] = Seq(zorderLayout)
+  /** q_compact_plan: small-file compaction planning — the maintenance
+    * job a CDC snapshot sink owes its consumers. The reference rewrites a
+    * full snapshot every poll tick (duckdb_cdc.go:217-258) and our
+    * consistent-tick stream pins one listing file per epoch: either way a
+    * long-running capture produces thousands of small files, and scan
+    * cost at 100 TB is dominated by file count, not bytes. The planner
+    * groups adjacent small files into target-size bins.
+    *
+    * The file census here is synthesized deterministically from events —
+    * one "file" per (event_type, day) with bytes proportional to its row
+    * count — so both engines derive identical input (the production
+    * entry point feeds a real listing the same shape).
+    *
+    * Binning is next-fit by cumulative offset: a file lands in the bin
+    * its starting offset falls in (bin = floor(preceding_bytes/target)),
+    * so a bin exceeds the target by at most its last file — the standard
+    * compaction-planner guarantee. Scale shape: the cumulative sum runs
+    * per PARTITION KEY (event_type), not globally — planning is
+    * embarrassingly parallel across table partitions exactly like the
+    * compaction jobs it feeds, and the window input is one row per FILE,
+    * not per event row. */
+  val compactPlan: Q = Q(
+    "q_compact_plan",
+    """WITH f AS (
+      |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+      |    CAST(count(*) * 100 AS BIGINT) AS bytes
+      |  FROM events GROUP BY 1, 2),
+      |w AS (
+      |  SELECT event_type, day, bytes,
+      |    CAST(sum(bytes) OVER (PARTITION BY event_type ORDER BY day
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - bytes
+      |      AS BIGINT) AS start_off
+      |  FROM f)
+      |SELECT event_type, start_off // 50000 AS bin_id,
+      |  CAST(count(*) AS BIGINT) AS n_files,
+      |  CAST(sum(bytes) AS BIGINT) AS bytes_total,
+      |  CAST(min(day) AS BIGINT) AS day_min,
+      |  CAST(max(day) AS BIGINT) AS day_max
+      |FROM w GROUP BY 1, 2 ORDER BY event_type, bin_id""".stripMargin
+  ) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val f = T.events(s, d)
+      .groupBy(col("event_type"),
+        expr("unix_micros(ts) div 86400000000").as("day"))
+      .agg((count(lit(1)) * 100).as("bytes"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    f.withColumn("start_off", sum(col("bytes")).over(w) - col("bytes"))
+      .groupBy(col("event_type"), expr("start_off div 50000").as("bin_id"))
+      .agg(count(lit(1)).as("n_files"), sum(col("bytes")).as("bytes_total"),
+        min(col("day")).as("day_min"), max(col("day")).as("day_max"))
+      .orderBy("event_type", "bin_id")
+  }
+
+  val all: Seq[Q] = Seq(zorderLayout, compactPlan)
 }

@@ -350,6 +350,41 @@ object Stateful {
           .as("keep"))
   }
 
+  /** s_stream_importance: ingest-side importance scoring — the streaming
+    * twin of q_importance_weight with the affinity table FROZEN, the same
+    * train-rarely/score-continuously split as ivfAssignStream: the batch
+    * job trains the per-token target-affinity table
+    * (Curation.affinityTable), and arriving documents are scored against
+    * it shipped as ONE map literal in the plan — a pure per-row Catalyst
+    * HOF fold (filter → aggregate over the split array), zero state, zero
+    * shuffle, zero joins, append-safe at any rate.
+    *
+    * Unseen tokens take the add-one-smoothed affinity of a token with
+    * zero observed count in BOTH corpora: (0+1)·1e6 div (0+1) = 1e6 ppm —
+    * exactly what the batch formula yields for an unobserved feature, so
+    * freezing the table changes nothing for tokens the training corpus
+    * saw (StatefulSpec proves bit-parity with batch weights across
+    * micro-batch boundaries) and degrades gracefully for drift.
+    * Empty documents (n_tok = 0) carry NULL weight and a 0 flag rather
+    * than a division crash. */
+  def importanceGate(docs: DataFrame, aff: Map[String, Long]): DataFrame = {
+    val affLit = typedlit(aff)
+    docs
+      .withColumn("toks",
+        filter(split(col("text"), " "), t => t =!= ""))
+      .select(col("doc_id"), col("lang"),
+        size(col("toks")).cast("long").as("n_tok"),
+        aggregate(col("toks"), lit(0L),
+          (acc, t) => acc + coalesce(element_at(affLit, t), lit(1000000L)))
+          .as("weight_sum"))
+      .select(col("doc_id"), col("lang"), col("n_tok"), col("weight_sum"),
+        when(col("n_tok") > 0, expr("weight_sum div n_tok"))
+          .as("weight_avg_ppm"),
+        when(col("n_tok") > 0 &&
+            col("weight_sum") * 2 >= col("n_tok") * 1000000L, 1L)
+          .otherwise(0L).as("selected"))
+  }
+
   /** s_session_window: native session windows, 30-minute gap per user —
     * the streaming twin of the batch gaps-and-islands in
     * graft.ops.Temporal.sessionize. */

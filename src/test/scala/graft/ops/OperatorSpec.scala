@@ -267,4 +267,29 @@ class OperatorSpec extends SparkSuite {
       assert(sel == (if (2 * wSum >= 1000000L * nTok) 1L else 0L))
     }
   }
+
+  test("q_compact_plan: bins respect next-fit semantics and cover every file") {
+    val plan = run("q_compact_plan").collect()
+    // local recompute of the per-partition next-fit packing
+    import org.apache.spark.sql.functions._
+    val files = graft.core.Tables.events(spark, sf)
+      .groupBy(col("event_type"), expr("unix_micros(ts) div 86400000000").as("day"))
+      .agg((count(lit(1)) * 100).as("bytes"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1)
+    val expect = files.flatMap { case (et, fs) =>
+      var off = 0L
+      fs.sortBy(_._2).map { case (_, day, bytes) =>
+        val bin = off / 50000L; off += bytes; ((et, bin), (day, bytes))
+      }.groupBy(_._1).map { case (k, v) =>
+        k -> (v.size.toLong, v.map(_._2._2).sum, v.map(_._2._1).min, v.map(_._2._1).max)
+      }
+    }
+    assert(plan.length == expect.size)
+    plan.foreach { r =>
+      val k = (r.getString(0), r.getLong(1))
+      assert(expect(k) == ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))),
+        s"bin $k")
+    }
+  }
 }

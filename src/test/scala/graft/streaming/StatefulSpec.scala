@@ -370,4 +370,40 @@ class StatefulSpec extends SparkSuite {
       assert(keep == expect, s"doc $id verdict")
     }
   }
+
+  test("s_stream_importance: frozen-affinity scores are bit-identical to batch weights across batch boundaries") {
+    implicit val sqlCtx = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    // batch truth: the oracle-checked operator's per-doc weights
+    val batch = graft.SparkEntry.queries("q_importance_weight")(spark, sf)
+      .collect().map(r => r.getLong(0) -> (r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    // train once, freeze: the affinity table shipped as a plan literal
+    val aff = graft.ops.Curation.affinityTable(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id", $"text", $"lang").as[(Long, String, String)]
+      .collect().toSeq.sortBy(_._1)
+    val in = MemoryStream[(Long, String, String)]
+    val q = Stateful.importanceGate(
+        in.toDS().toDF("doc_id", "text", "lang"), aff)
+      .writeStream.format("memory").queryName("importance_gate")
+      .outputMode(OutputMode.Append).start()
+    val (b1, b2) = docs.splitAt(docs.size / 3)
+    in.addData(b1)
+    q.processAllAvailable()
+    in.addData(b2)
+    q.processAllAvailable()
+    val streamed = spark.table("importance_gate").collect()
+      .map(r => r.getLong(0) -> (r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    q.stop()
+    assert(streamed.size == docs.size, "one score per arriving doc")
+    // every doc the batch operator scored must score identically when
+    // arriving through the stream — training corpus == scored corpus, so
+    // the unseen-token default never fires and parity is exact
+    batch.foreach { case (id, w) =>
+      assert(streamed(id) == w, s"doc $id: stream ${streamed(id)} != batch $w")
+    }
+    // the gate is stateless per row: no extra docs, no dropped docs
+    assert(streamed.keySet == docs.map(_._1).toSet)
+  }
 }
