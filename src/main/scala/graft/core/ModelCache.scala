@@ -21,8 +21,24 @@ import org.apache.spark.sql.SparkSession
   */
 object ModelCache {
 
-  private val cache =
-    new java.util.concurrent.ConcurrentHashMap[String, AnyRef]()
+  // Per-session state keyed by the SparkSession itself in a WeakHashMap:
+  // identity is exact (identityHashCode can collide across two live
+  // sessions, silently serving a localCheckpointed DataFrame bound to the
+  // wrong session), and entries for stopped sessions become collectable
+  // instead of strongly retaining the dead session via cached DataFrames.
+  private val cache = new java.util.WeakHashMap[
+    SparkSession, java.util.concurrent.ConcurrentHashMap[String, AnyRef]]()
+
+  private def perSession(spark: SparkSession)
+      : java.util.concurrent.ConcurrentHashMap[String, AnyRef] =
+    cache.synchronized {
+      var m = cache.get(spark)
+      if (m == null) {
+        m = new java.util.concurrent.ConcurrentHashMap[String, AnyRef]()
+        cache.put(spark, m)
+      }
+      m
+    }
 
   /** (name, length, mtime) digest of every data file under `path`
     * (a file or a directory of parts). One driver-side FS listing —
@@ -37,7 +53,12 @@ object ModelCache {
       .filterNot(_.getPath.getName.startsWith("_"))
       .map(s => s"${s.getPath.getName}:${s.getLen}:${s.getModificationTime}")
       .toSeq.sorted
-    java.lang.Integer.toHexString(parts.mkString("\n").hashCode)
+    // cryptographic digest, not String.hashCode: a 32-bit hash collision
+    // (or a same-length rewrite within one mtime millisecond) would
+    // silently serve a stale trained model with no error.
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.digest(parts.mkString("\n").getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
   }
 
   /** Memoized train: the first call under a key pays for training; every
@@ -45,11 +66,10 @@ object ModelCache {
     * model. `kind` namespaces model families (ivf, pq, …). */
   def getOrTrain[T <: AnyRef](spark: SparkSession, kind: String,
       sourcePath: String)(train: => T): T = {
-    val key =
-      s"$kind|${System.identityHashCode(spark)}|$sourcePath|${fingerprint(spark, sourcePath)}"
-    cache.computeIfAbsent(key, _ => train).asInstanceOf[T]
+    val key = s"$kind|$sourcePath|${fingerprint(spark, sourcePath)}"
+    perSession(spark).computeIfAbsent(key, _ => train).asInstanceOf[T]
   }
 
   /** Drop every cached model (tests; session teardown). */
-  def clear(): Unit = cache.clear()
+  def clear(): Unit = cache.synchronized(cache.clear())
 }

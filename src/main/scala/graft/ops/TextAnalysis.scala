@@ -384,8 +384,12 @@ object TextAnalysis {
     * association mining (q_bigram_topk counts ADJACENT pairs; this scores
     * arbitrary within-document pairs against their independence
     * baseline). Log-free PMI: lift = P(a,b)/(P(a)·P(b)) =
-    * n_ab·N/(df_a·df_b), reported in exact-integer ppm
-    * (·1e6, floor-div) so both engines agree bit-for-bit.
+    * n_ab·N/(df_a·df_b), reported in integer ppm computed as
+    * ((n_ab·1e6) div df_a)·N div df_b — divide-first keeps every
+    * intermediate under 2^63 at any corpus size (the naive n_ab·N·1e6
+    * overflows past ~3M docs; n_ab ≤ df_a bounds the first quotient at
+    * 1e6) and both engines run the identical integer sequence, so they
+    * agree bit-for-bit.
     *
     * Scale shape: the pair join is the quadratic step, so it runs over
     * the FREQUENT-token spine only (document frequency ≥ 10% of the
@@ -409,7 +413,7 @@ object TextAnalysis {
       |  FROM ftok a JOIN ftok b ON a.doc_id = b.doc_id AND a.token < b.token
       |  GROUP BY a.token, b.token)
       |SELECT p.t1, p.t2, CAST(p.n_ab AS BIGINT) AS n_ab,
-      |  CAST((p.n_ab * nd.n * 1000000) // (fa.df * fb.df) AS BIGINT) AS lift_ppm
+      |  CAST((((p.n_ab * 1000000) // fa.df) * nd.n) // fb.df AS BIGINT) AS lift_ppm
       |FROM pair p JOIN ft fa ON fa.token = p.t1 JOIN ft fb ON fb.token = p.t2
       |CROSS JOIN nd
       |ORDER BY lift_ppm DESC, t1, t2 LIMIT 20""".stripMargin
@@ -435,8 +439,13 @@ object TextAnalysis {
       .join(broadcast(ft.select(col("token").as("t1"), col("df").as("dfa"))), "t1")
       .join(broadcast(ft.select(col("token").as("t2"), col("df").as("dfb"))), "t2")
       .crossJoin(broadcast(nd))
+      // divide BEFORE the final multiply: n_ab·n·1e6 in one BIGINT term
+      // overflows 2^63 past ~3M documents. n_ab ≤ dfa bounds the first
+      // quotient at 1e6, so the largest intermediate is n·1e6 — safe to
+      // ~9e12 documents. Costs ≤1 ulp of floor-div precision (documented
+      // tradeoff); both engines compute the identical integer sequence.
       .select(col("t1"), col("t2"), col("n_ab"),
-        expr("(n_ab * n * 1000000) div (dfa * dfb)").as("lift_ppm"))
+        expr("((n_ab * 1000000L) div dfa) * n div dfb").as("lift_ppm"))
       .orderBy(col("lift_ppm").desc, col("t1"), col("t2"))
       .limit(20)
   }

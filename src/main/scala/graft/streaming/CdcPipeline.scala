@@ -416,7 +416,15 @@ object CdcPipeline {
           // tick's fresh listing re-captures its current state.
           val pinned = tables.map { cfg =>
             val f = byTable.get(cfg.tableName).filter { p =>
-              val ok = fs.exists(new org.apache.hadoop.fs.Path(p))
+              // resolve the FS from the snapshot path itself, not the
+              // listing dir: pinned inputs and the checkpoint can live on
+              // different schemes (s3 inputs + hdfs listing dir), and
+              // fs.exists on a foreign-scheme Path throws Wrong FS —
+              // which would re-wedge the replay this check un-wedges.
+              val sp = new org.apache.hadoop.fs.Path(p)
+              val ok = sp
+                .getFileSystem(spark.sparkContext.hadoopConfiguration)
+                .exists(sp)
               if (!ok) System.err.println(
                 s"[cdc] epoch $epoch replay: pinned snapshot $p for " +
                   s"${cfg.tableName} vanished; skipping capture for this epoch")

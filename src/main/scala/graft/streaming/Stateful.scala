@@ -359,15 +359,23 @@ object Stateful {
     * HOF fold (filter → aggregate over the split array), zero state, zero
     * shuffle, zero joins, append-safe at any rate.
     *
-    * Unseen tokens take the add-one-smoothed affinity of a token with
-    * zero observed count in BOTH corpora: (0+1)·1e6 div (0+1) = 1e6 ppm —
-    * exactly what the batch formula yields for an unobserved feature, so
-    * freezing the table changes nothing for tokens the training corpus
-    * saw (StatefulSpec proves bit-parity with batch weights across
-    * micro-batch boundaries) and degrades gracefully for drift.
+    * Unseen tokens take `unseenPpm`. The default (1e6) is the
+    * add-one-smoothed affinity of a token with zero observed count in
+    * BOTH corpora: (0+1)·1e6 div (0+1) = 1e6 ppm — exactly what the batch
+    * formula yields for an unobserved feature, so freezing the table
+    * changes nothing for tokens the training corpus saw (StatefulSpec
+    * proves bit-parity with batch weights across micro-batch boundaries).
+    * NOTE this default FAILS OPEN under vocabulary drift: a document of
+    * mostly-unknown tokens is fully target-affine and biased toward
+    * selected=1. Deployments that would rather quarantine drifted docs
+    * than admit them pass a neutral (500000) or conservative (<500000)
+    * `unseenPpm` — the selection threshold is avg ≥ 500000, so neutral
+    * makes all-unknown docs sit exactly at the boundary and anything
+    * lower rejects them.
     * Empty documents (n_tok = 0) carry NULL weight and a 0 flag rather
     * than a division crash. */
-  def importanceGate(docs: DataFrame, aff: Map[String, Long]): DataFrame = {
+  def importanceGate(docs: DataFrame, aff: Map[String, Long],
+      unseenPpm: Long = 1000000L): DataFrame = {
     val affLit = typedlit(aff)
     docs
       .withColumn("toks",
@@ -375,7 +383,7 @@ object Stateful {
       .select(col("doc_id"), col("lang"),
         size(col("toks")).cast("long").as("n_tok"),
         aggregate(col("toks"), lit(0L),
-          (acc, t) => acc + coalesce(element_at(affLit, t), lit(1000000L)))
+          (acc, t) => acc + coalesce(element_at(affLit, t), lit(unseenPpm)))
           .as("weight_sum"))
       .select(col("doc_id"), col("lang"), col("n_tok"), col("weight_sum"),
         when(col("n_tok") > 0, expr("weight_sum div n_tok"))
