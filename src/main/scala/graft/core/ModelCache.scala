@@ -21,17 +21,33 @@ import org.apache.spark.sql.SparkSession
   */
 object ModelCache {
 
-  // Per-session state keyed by the SparkSession itself in a WeakHashMap:
-  // identity is exact (identityHashCode can collide across two live
-  // sessions, silently serving a localCheckpointed DataFrame bound to the
-  // wrong session), and entries for stopped sessions become collectable
-  // instead of strongly retaining the dead session via cached DataFrames.
-  private val cache = new java.util.WeakHashMap[
+  // Per-session state keyed by the SparkSession itself: identity is exact
+  // (identityHashCode can collide across two live sessions, silently
+  // serving a localCheckpointed DataFrame bound to the wrong session).
+  // NOTE weak references alone CANNOT reclaim dead sessions here: the
+  // cached values (IvfParts/PqParts) hold localCheckpointed DataFrames,
+  // and a Dataset strongly references its SparkSession — a value that
+  // indirectly refers to its own key pins a WeakHashMap entry forever.
+  // So eviction is EXPLICIT: every access sweeps entries whose session
+  // has been stopped (sparkContext.isStopped), which is the only moment
+  // a cached model becomes unusable anyway (localCheckpoint blocks die
+  // with the session's executors).
+  private val cache = new java.util.IdentityHashMap[
     SparkSession, java.util.concurrent.ConcurrentHashMap[String, AnyRef]]()
+
+  /** Drop entries belonging to stopped sessions. Called on every access;
+    * O(live sessions), driver-side only. */
+  private def sweepStopped(): Unit = {
+    val it = cache.entrySet().iterator()
+    while (it.hasNext) {
+      if (it.next().getKey.sparkContext.isStopped) it.remove()
+    }
+  }
 
   private def perSession(spark: SparkSession)
       : java.util.concurrent.ConcurrentHashMap[String, AnyRef] =
     cache.synchronized {
+      sweepStopped()
       var m = cache.get(spark)
       if (m == null) {
         m = new java.util.concurrent.ConcurrentHashMap[String, AnyRef]()
@@ -39,6 +55,10 @@ object ModelCache {
       }
       m
     }
+
+  /** Number of sessions currently holding cached models (after a sweep of
+    * stopped sessions). Observability for specs and ops dashboards. */
+  def liveSessionCount: Int = cache.synchronized { sweepStopped(); cache.size() }
 
   /** (name, length, mtime) digest of every data file under `path`
     * (a file or a directory of parts). One driver-side FS listing —
@@ -53,10 +73,12 @@ object ModelCache {
       .filterNot(_.getPath.getName.startsWith("_"))
       .map(s => s"${s.getPath.getName}:${s.getLen}:${s.getModificationTime}")
       .toSeq.sorted
-    // cryptographic digest, not String.hashCode: a 32-bit hash collision
-    // (or a same-length rewrite within one mtime millisecond) would
-    // silently serve a stale trained model with no error.
-    val md = java.security.MessageDigest.getInstance("MD5")
+    // Wide digest, not String.hashCode: a 32-bit hash collision would
+    // silently serve a stale trained model with no error. SHA-256 rather
+    // than MD5 so FIPS-configured JVMs (which remove the MD5 provider)
+    // still run. A same-length rewrite within one mtime millisecond is
+    // still invisible — inherent to (name,len,mtime) listing, documented.
+    val md = java.security.MessageDigest.getInstance("SHA-256")
     md.digest(parts.mkString("\n").getBytes("UTF-8"))
       .map("%02x".format(_)).mkString
   }
@@ -70,6 +92,11 @@ object ModelCache {
     perSession(spark).computeIfAbsent(key, _ => train).asInstanceOf[T]
   }
 
-  /** Drop every cached model (tests; session teardown). */
+  /** Drop every cached model (tests; session teardown). NOT atomic with
+    * respect to an in-flight [[getOrTrain]]: a caller that already holds
+    * its per-session inner map keeps populating that detached map, so a
+    * concurrent train can survive one clear(). Fine for the test-teardown
+    * use this exists for; callers needing a hard barrier must quiesce
+    * trainers first. */
   def clear(): Unit = cache.synchronized(cache.clear())
 }

@@ -32,6 +32,24 @@ class ModelCacheSpec extends SparkSuite {
     assert(ModelCache.fingerprint(spark, s"$dir/nope.parquet") == "absent")
   }
 
+  test("fingerprint invalidates a same-length rewrite when mtime moves") {
+    // The round-8 digest upgrade exists so content state is keyed by a
+    // wide digest of (name, len, mtime) — a rewrite that keeps the byte
+    // length identical but lands at a different mtime MUST change the key.
+    val dir = tmpDir("mc")
+    val dst = Paths.get(s"$dir/embeddings.parquet")
+    Files.copy(Paths.get(s"$sf/embeddings.parquet"), dst,
+      StandardCopyOption.REPLACE_EXISTING)
+    val before = ModelCache.fingerprint(spark, dir)
+    // simulate an in-place same-length rewrite: same bytes, new mtime
+    Files.setLastModifiedTime(dst,
+      java.nio.file.attribute.FileTime.fromMillis(
+        Files.getLastModifiedTime(dst).toMillis + 1))
+    val after = ModelCache.fingerprint(spark, dir)
+    assert(before != after, "same-length rewrite with a new mtime must invalidate")
+    assert(before.length == 64 && after.length == 64, "SHA-256 hex digest expected")
+  }
+
   test("a changed corpus retrains instead of serving the stale model") {
     val dir = tmpDir("mc")
     val dst = Paths.get(s"$dir/embeddings.parquet")
@@ -44,5 +62,35 @@ class ModelCacheSpec extends SparkSuite {
     assert(!first.eq(second), "changed corpus state must invalidate the model")
     // same bytes → same deterministic training result either way
     assert(first._1.assign.collect().toSeq == second._1.assign.collect().toSeq)
+  }
+
+  // MUST run last in this suite: it stops the shared SparkContext (later
+  // suites get a fresh one from the self-healing SparkSuite.session).
+  test("live sessions are isolated; stopped sessions are evicted") {
+    ModelCache.clear()
+    val a = spark
+    val b = a.newSession()
+    val pa = graft.ops.Similarity.trainedParts(a, sf)
+    val pb = graft.ops.Similarity.trainedParts(b, sf)
+    // Isolation: a session never serves another session's model (a
+    // localCheckpointed DataFrame is only valid through the session that
+    // built it), even when the corpus state is identical.
+    assert(!pa.eq(pb), "distinct live sessions must hold distinct entries")
+    assert(ModelCache.liveSessionCount == 2)
+    // Hit-identity still holds per session after the isolation.
+    assert(graft.ops.Similarity.trainedParts(a, sf).eq(pa))
+    assert(graft.ops.Similarity.trainedParts(b, sf).eq(pb))
+    // Stopping the context is the only death a session can have (clones
+    // share their parent's context — Spark has no finer liveness signal,
+    // and localCheckpoint blocks die with the context's executors). Both
+    // entries must be swept, observably: no WeakHashMap wishful thinking.
+    a.stop()
+    assert(ModelCache.liveSessionCount == 0,
+      "stopped sessions must be evicted, not retained via cached DataFrames")
+    // A fresh session trains fresh and is tracked again.
+    val c = SparkSuite.session
+    val pc = graft.ops.Similarity.trainedParts(c, sf)
+    assert(!pc.eq(pa) && !pc.eq(pb))
+    assert(ModelCache.liveSessionCount == 1)
   }
 }
