@@ -389,7 +389,11 @@ object TextAnalysis {
     * intermediate under 2^63 at any corpus size (the naive n_ab·N·1e6
     * overflows past ~3M docs; n_ab ≤ df_a bounds the first quotient at
     * 1e6) and both engines run the identical integer sequence, so they
-    * agree bit-for-bit.
+    * agree bit-for-bit. Precision: the early floor's remainder is
+    * amplified by the later ·N, so the result can undershoot the exact
+    * floor(n_ab·1e6·N/(df_a·df_b)) by up to ceil(N/df_b) ≤ 10 ppm —
+    * bounded because df_b sits on the ≥10%-of-corpus spine
+    * (LiftPpmPropertySpec pins both the bound and the no-overflow claim).
     *
     * Scale shape: the pair join is the quadratic step, so it runs over
     * the FREQUENT-token spine only (document frequency ≥ 10% of the
@@ -442,8 +446,10 @@ object TextAnalysis {
       // divide BEFORE the final multiply: n_ab·n·1e6 in one BIGINT term
       // overflows 2^63 past ~3M documents. n_ab ≤ dfa bounds the first
       // quotient at 1e6, so the largest intermediate is n·1e6 — safe to
-      // ~9e12 documents. Costs ≤1 ulp of floor-div precision (documented
-      // tradeoff); both engines compute the identical integer sequence.
+      // ~9e12 documents. The early floor's remainder is amplified by the
+      // ·n that follows: undershoots the exact value by up to
+      // ceil(n/dfb) ≤ 10 ppm (dfb is on the ≥10% spine). Both engines
+      // compute the identical integer sequence, so parity is exact.
       .select(col("t1"), col("t2"), col("n_ab"),
         expr("((n_ab * 1000000L) div dfa) * n div dfb").as("lift_ppm"))
       .orderBy(col("lift_ppm").desc, col("t1"), col("t2"))

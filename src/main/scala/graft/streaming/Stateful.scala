@@ -371,7 +371,11 @@ object Stateful {
     * than admit them pass a neutral (500000) or conservative (<500000)
     * `unseenPpm` — the selection threshold is avg ≥ 500000, so neutral
     * makes all-unknown docs sit exactly at the boundary and anything
-    * lower rejects them.
+    * lower rejects them. Whatever the policy, the gate makes drift
+    * VISIBLE: `n_unseen`/`unseen_frac` report how much of each document
+    * fell back to the default, so a monitor can alarm on rising unseen
+    * fractions instead of silently admitting (or quarantining) a drifted
+    * stream.
     * Empty documents (n_tok = 0) carry NULL weight and a 0 flag rather
     * than a division crash. */
   def importanceGate(docs: DataFrame, aff: Map[String, Long],
@@ -384,13 +388,20 @@ object Stateful {
         size(col("toks")).cast("long").as("n_tok"),
         aggregate(col("toks"), lit(0L),
           (acc, t) => acc + coalesce(element_at(affLit, t), lit(unseenPpm)))
-          .as("weight_sum"))
+          .as("weight_sum"),
+        aggregate(col("toks"), lit(0L),
+          (acc, t) => acc +
+            when(element_at(affLit, t).isNull, 1L).otherwise(0L))
+          .as("n_unseen"))
       .select(col("doc_id"), col("lang"), col("n_tok"), col("weight_sum"),
         when(col("n_tok") > 0, expr("weight_sum div n_tok"))
           .as("weight_avg_ppm"),
         when(col("n_tok") > 0 &&
             col("weight_sum") * 2 >= col("n_tok") * 1000000L, 1L)
-          .otherwise(0L).as("selected"))
+          .otherwise(0L).as("selected"),
+        col("n_unseen"),
+        when(col("n_tok") > 0, col("n_unseen") / col("n_tok"))
+          .as("unseen_frac"))
   }
 
   /** s_session_window: native session windows, 30-minute gap per user —

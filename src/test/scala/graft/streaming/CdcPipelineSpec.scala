@@ -666,4 +666,42 @@ class CdcPipelineSpec extends SparkSuite {
       listingDir = Some(listing)) == Seq(true))
     assert(epochsIn(users.outputDir).distinct.sorted == Seq(1L, 2L))
   }
+
+  test("replayed pin on a foreign scheme resolves the snapshot's own FS, not the listing dir's") {
+    // The round-8 fix: pinned inputs and the listing/checkpoint dir can
+    // live on DIFFERENT filesystems (s3 inputs + hdfs listing). The
+    // vanished-pin existence probe must get its FileSystem from the
+    // snapshot path itself — probing through the listing dir's FS throws
+    // "Wrong FS" and re-wedges exactly the replay the probe un-wedges.
+    val base = tmpDir("cdc")
+    val users = cfg(s"$base/users")
+    Files.createDirectories(Paths.get(users.inputDir))
+    seedUsers.coalesce(1).write.mode("append").parquet(users.inputDir)
+    val listing = s"$base/listing"
+    assert(CdcPipeline.pollTickAll(spark, Seq(users), epoch = 1L,
+      listingDir = Some(listing)) == Seq(true))
+    // rewrite the pin so the snapshot path carries a scheme that is not
+    // the listing dir's (a registered test scheme backed by local disk)
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.graftfs.impl", classOf[GraftSchemeFs].getName)
+    val pin = Paths.get(s"$listing/epoch-1")
+    val lines = Files.readAllLines(pin).asScala.toVector
+    val Array(tbl, snap) = lines(1).split("\t", 2)
+    Files.write(pin, java.util.Arrays.asList(
+      lines(0), s"$tbl\tgraftfs:${snap.stripPrefix("file:")}"))
+    // the pin was written through Hadoop's checksummed local FS; editing
+    // it behind Hadoop's back leaves a stale .crc sidecar that would fail
+    // the replay's open() — drop it (production never edits pins in place)
+    Files.deleteIfExists(Paths.get(s"$listing/.epoch-1.crc"))
+    // replay of epoch 1: must NOT throw Wrong FS; re-checksum of the
+    // (unchanged) pinned snapshot reads as no-change, and the stream lives
+    assert(CdcPipeline.pollTickAll(spark, Seq(users), epoch = 1L,
+      listingDir = Some(listing)) == Seq(false))
+  }
+}
+
+/** Local disk under a non-default URI scheme — lets tests exercise
+  * cross-scheme paths (s3-input-vs-hdfs-checkpoint shaped) offline. */
+class GraftSchemeFs extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getUri: java.net.URI = java.net.URI.create("graftfs:///")
 }

@@ -406,4 +406,42 @@ class StatefulSpec extends SparkSuite {
     // the gate is stateless per row: no extra docs, no dropped docs
     assert(streamed.keySet == docs.map(_._1).toSet)
   }
+
+  test("s_stream_importance: unseenPpm policy boundary and drift observability") {
+    // The round-8 knob: the default fails OPEN (unseen tokens score as
+    // fully target-affine), neutral 500000 sits EXACTLY at the avg ≥
+    // 500000 selection boundary, and anything below rejects all-unknown
+    // docs. Drift is observable either way via n_unseen/unseen_frac.
+    val docs = Seq(
+      (1L, "zz yy xx ww", "en"),  // vocabulary drift: every token unseen
+      (2L, "lo hi", "en"),        // fully in-vocabulary
+      (3L, "", "en")              // empty: NULL weight, never selected
+    ).toDF("doc_id", "text", "lang")
+    val aff = Map("lo" -> 400000L, "hi" -> 600000L)
+    // columns: 0 doc_id, 1 lang, 2 n_tok, 3 weight_sum, 4 weight_avg_ppm,
+    //          5 selected, 6 n_unseen, 7 unseen_frac
+    def run(u: Long) = Stateful.importanceGate(docs, aff, u)
+      .collect().map(r => r.getLong(0) -> r).toMap
+
+    val open = run(1000000L) // the documented fail-open default
+    assert(open(1L).getLong(5) == 1L, "default admits drifted docs (fail-open)")
+    assert(open(1L).getLong(6) == 4L && open(1L).getDouble(7) == 1.0,
+      "drift must be visible: every token of doc 1 is unseen")
+    assert(open(2L).getLong(6) == 0L && open(2L).getDouble(7) == 0.0)
+    assert(open(3L).isNullAt(4) && open(3L).getLong(5) == 0L &&
+      open(3L).isNullAt(7), "empty doc: NULL avg/frac, not selected")
+
+    val neutral = run(500000L)
+    assert(neutral(1L).getLong(4) == 500000L && neutral(1L).getLong(5) == 1L,
+      "neutral all-unknown doc sits exactly at the ≥ boundary and passes")
+
+    val strict = run(499999L)
+    assert(strict(1L).getLong(5) == 0L,
+      "one ppm below neutral must reject all-unknown docs")
+
+    // the knob only moves unseen tokens: in-vocabulary docs score
+    // identically under every policy
+    assert(Seq(open, neutral, strict)
+      .map(m => (m(2L).getLong(3), m(2L).getLong(5))).distinct.size == 1)
+  }
 }
