@@ -12,34 +12,33 @@ import org.apache.spark.sql.SparkSession
   */
 object Maintenance {
 
-  /** Bin-pack a parquet directory toward `targetBytes` per file.
-    * Rewrites into a sibling tmp dir, then swaps via two renames (the
-    * window where neither dir exists is the same one every non-
-    * transactional rewriter has; a crashed swap leaves either the
-    * original or the compacted dir intact plus debris dirs to clean).
-    * Returns (filesBefore, filesAfter). */
-  def compact(spark: SparkSession, dir: String,
-      targetBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
+  /** Shared rewrite-and-swap: reshape a LEAF parquet dir through `build`
+    * into a sibling tmp dir, then swap via two renames (the window where
+    * neither dir exists is the same one every non-transactional rewriter
+    * has; a crashed swap leaves either the original or the rewritten dir
+    * intact plus debris dirs to clean). Returns (filesBefore, filesAfter). */
+  private def rewriteSwap(spark: SparkSession, dir: String)(
+      build: (org.apache.spark.sql.DataFrame, Long) => org.apache.spark.sql.DataFrame)
+      : (Int, Int) = {
     val path = new Path(dir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val entries = fs.listStatus(path).toSeq
       .filterNot(_.getPath.getName.startsWith("_"))
-    // compact() packs LEAF directories only: a dir of partition subdirs
-    // (batch=N, v=N, day=X) would read the subdir name as a partition
-    // column and flatten the structure into one file — e.g. compacting a
-    // diff-state root would silently destroy every version and the next
-    // tick would re-bootstrap. Refuse instead of corrupting.
+    // LEAF directories only: a dir of partition subdirs (batch=N, v=N,
+    // day=X) would read the subdir name as a partition column and flatten
+    // the structure into one file — e.g. compacting a diff-state root
+    // would silently destroy every version and the next tick would
+    // re-bootstrap. Refuse instead of corrupting.
     val subDirs = entries.filter(_.isDirectory)
     require(subDirs.isEmpty,
-      s"compact() packs leaf directories; $dir contains subdirectories " +
+      s"rewrite packs leaf directories; $dir contains subdirectories " +
         s"(${subDirs.take(3).map(_.getPath.getName).mkString(", ")}…) — " +
-        "compact each leaf instead")
+        "rewrite each leaf instead")
     val dataFiles = entries.filter(_.isFile)
     val totalBytes = dataFiles.map(_.getLen).sum
-    val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
     val tmp = new Path(dir + "__compact_tmp")
     val old = new Path(dir + "__compact_old")
-    spark.read.parquet(dir).repartition(nOut)
+    build(spark.read.parquet(dir), totalBytes)
       .write.mode("overwrite").parquet(tmp.toString)
     if (fs.exists(old)) fs.delete(old, true)
     require(fs.rename(path, old), s"rename $path -> $old failed")
@@ -49,6 +48,35 @@ object Maintenance {
       .count(s => s.isFile && !s.getPath.getName.startsWith("_"))
     (dataFiles.size, after)
   }
+
+  /** Bin-pack a parquet directory toward `targetBytes` per file.
+    * Returns (filesBefore, filesAfter). */
+  def compact(spark: SparkSession, dir: String,
+      targetBytes: Long = 128L * 1024 * 1024): (Int, Int) =
+    rewriteSwap(spark, dir) { (df, totalBytes) =>
+      df.repartition(
+        math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt))
+    }
+
+  /** Z-order mode of [[compact]]: digest-identical rewrite of a leaf
+    * parquet dir, clustered on the z-interleave of two integer
+    * expressions (e.g. `"user_id"`, `"unix_micros(ts) div 3600000000"`)
+    * so file-level min/max stats stay TIGHT in BOTH dimensions and a
+    * point/range predicate on either column skips most files — the
+    * write-side application of the q_zorder_layout planning query
+    * (which predicts exactly this effect; MaintenanceSpec measures it on
+    * the rewritten files). Range-partitioned on z, then sorted by z
+    * within each file, so each output file owns one contiguous z band.
+    * Returns (filesBefore, filesAfter). */
+  def compactZOrder(spark: SparkSession, dir: String,
+      xExpr: String, yExpr: String, nFiles: Int = 64): (Int, Int) =
+    rewriteSwap(spark, dir) { (df, _) =>
+      import org.apache.spark.sql.functions.col
+      graft.ops.Layout.withZ(df, xExpr, yExpr)
+        .repartitionByRange(nFiles, col("__z"))
+        .sortWithinPartitions("__z")
+        .drop("__z")
+    }
 
   /** Drop all but the newest `keep` versioned subdirectories
     * (`<prefix><n>`) of `dir` — retention for CdcPipeline's diff-mode

@@ -27,18 +27,44 @@ object Layout {
   private val NFiles = 64L            // target file count per layout
   private val ZCells = 1L << (2 * GridBits)
 
-  /** Bit-interleave expression for dialect `shift(col, i)`. */
+  /** Bit-interleave expression for dialect `shift(col, i)` over grid
+    * coordinate subexpressions `nx`/`ny`. */
   private def interleave(shiftL: (String, Int) => String,
-                         shiftR: (String, Int) => String): String =
+                         shiftR: (String, Int) => String,
+                         nx: String = "nx", ny: String = "ny"): String =
     (0 until GridBits).map { i =>
-      s"(${shiftL(s"(${shiftR("nx", i)} & 1)", 2 * i)} + " +
-        s"${shiftL(s"(${shiftR("ny", i)} & 1)", 2 * i + 1)})"
+      s"(${shiftL(s"(${shiftR(nx, i)} & 1)", 2 * i)} + " +
+        s"${shiftL(s"(${shiftR(ny, i)} & 1)", 2 * i + 1)})"
     }.mkString(" + ")
 
   private val zSpark = interleave(
     (e, n) => s"shiftleft($e, $n)", (e, n) => s"shiftright($e, $n)")
   private val zDuck = interleave(
     (e, n) => s"($e << $n)", (e, n) => s"($e >> $n)")
+
+  /** Attach the z-interleave of (`xExpr`, `yExpr`) — normalized to the
+    * observed GridBits-grid with the exact-integer math of
+    * q_zorder_layout — as column `__z`. This is the WRITE-side entry
+    * point (Maintenance.compactZOrder clusters files by it); the query
+    * above is the planning/reporting side of the same curve. Costs one
+    * 1-row census collect; the per-row z math is codegen'd integer ops,
+    * no shuffle. An empty input gets a constant z (nothing to cluster). */
+  private[graft] def withZ(df: org.apache.spark.sql.DataFrame,
+      xExpr: String, yExpr: String): org.apache.spark.sql.DataFrame = {
+    val r = df.selectExpr(s"min($xExpr)", s"max($xExpr)",
+      s"min($yExpr)", s"max($yExpr)").collect()(0)
+    if (r.isNullAt(0)) return df.withColumn("__z", lit(0L))
+    def v(i: Int) = r.getAs[Number](i).longValue
+    val (minx, maxx, miny, maxy) = (v(0), v(1), v(2), v(3))
+    df.withColumn("__nx",
+        expr(s"(($xExpr - $minx) * 1024) div ${maxx - minx + 1}"))
+      .withColumn("__ny",
+        expr(s"(($yExpr - $miny) * 1024) div ${maxy - miny + 1}"))
+      .withColumn("__z", expr(interleave(
+        (e, n) => s"shiftleft($e, $n)", (e, n) => s"shiftright($e, $n)",
+        "__nx", "__ny")))
+      .drop("__nx", "__ny")
+  }
 
   /** q_zorder_layout: cluster events on (user_id, hour) by z-value and
     * compare the resulting per-file bounding boxes against the naive

@@ -29,6 +29,53 @@ class MaintenanceSpec extends SparkSuite {
     assert(digest(dir) == before, "content digest changed across compaction")
   }
 
+  test("compactZOrder keeps content identical and makes point predicates prune files") {
+    // The write-side half of q_zorder_layout: after the z-clustered
+    // rewrite, per-file min/max stats must be tight enough in BOTH
+    // dimensions that a `user_id = k` reader can skip most files, where
+    // the time-ordered layout forces it to touch every file. Measured
+    // from the REAL parquet footers of the rewritten files via the same
+    // min/max-contains-k rule every stats-pruning reader applies.
+    val ev = Tables.events(spark, "/root/testdata/sf0.01")
+    val timeDir = tmpDir("zorder") + "/time"
+    val zDir = tmpDir("zorder") + "/z"
+    // the naive layout a streaming sink produces: files ordered by arrival
+    ev.repartitionByRange(64, col("ts")).sortWithinPartitions("ts")
+      .write.mode("overwrite").parquet(timeDir)
+    ev.repartitionByRange(64, col("ts")).sortWithinPartitions("ts")
+      .write.mode("overwrite").parquet(zDir)
+    val before = digest(zDir)
+    val (_, filesAfter) = Maintenance.compactZOrder(spark, zDir,
+      "user_id", "unix_micros(ts) div 3600000000", nFiles = 64)
+    assert(filesAfter == 64)
+    assert(digest(zDir) == before, "z-order rewrite must not change content")
+
+    // per-file stats as a pruning reader sees them: file is a candidate
+    // for user_id = k iff min ≤ k ≤ max
+    def stats(dir: String) = spark.read.parquet(dir)
+      .groupBy(input_file_name().as("f"))
+      .agg(min(col("user_id")).as("lo"), max(col("user_id")).as("hi"),
+        count(lit(1)).as("rows"))
+      .collect()
+    val k = 42L
+    def candidates(rows: Array[org.apache.spark.sql.Row]) =
+      rows.filter(r => r.getLong(1) <= k && k <= r.getLong(2))
+    val (tAll, zAll) = (stats(timeDir), stats(zDir))
+    val (tCand, zCand) = (candidates(tAll), candidates(zAll))
+    // time layout: every file spans ~the whole user domain → no skipping
+    assert(tCand.length >= tAll.length * 9 / 10,
+      s"time layout should be unprunable, ${tCand.length}/${tAll.length}")
+    // z layout: only the z-bands whose x-range covers k remain
+    assert(zCand.length * 4 <= tCand.length,
+      s"z-order must prune ≥4× more files: ${zCand.length} vs ${tCand.length}")
+    val (tRows, zRows) = (tCand.map(_.getLong(3)).sum, zCand.map(_.getLong(3)).sum)
+    assert(zRows * 3 <= tRows,
+      s"z-order must cut scanned rows ≥3×: $zRows vs $tRows")
+    // record the measured ratios for BASELINE.md (read from test output)
+    info(s"zorder pruning: files ${zCand.length}/${zAll.length} vs " +
+      s"time ${tCand.length}/${tAll.length}; rows $zRows vs $tRows")
+  }
+
   test("compact refuses a directory of partition subdirs instead of flattening it") {
     val dir = tmpDir("compactguard") + "/state"
     Tables.events(spark, "/root/testdata/sf0.001").limit(5)
