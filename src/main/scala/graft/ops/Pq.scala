@@ -76,25 +76,31 @@ object Pq {
        |  GROUP BY a.sub, a.cid)""".stripMargin
   }
 
-  /** Codes → subvectors → seeded codebook → `Iters` unrolled Lloyd rounds
-    * → full-corpus encode `penc` (vec_id, sub, code). */
-  private val pqCtesSql: String = {
-    val codes = s"list_transform(embedding::DOUBLE[], x -> round(x * ${Similarity.Scale}))"
+  private val codesSql =
+    s"list_transform(embedding::DOUBLE[], x -> round(x * ${Similarity.Scale}))"
+
+  /** Codes (rows matching `filter`) → subvectors → seeded codebook →
+    * `Iters` unrolled Lloyd rounds: CTEs `pqc`/`psv`/`psvt`/`pcb0..N`. */
+  private def pqTrainCtesSql(filter: String): String = {
     val subs = (0 until M).mkString("[", ", ", "]")
     val rounds = (1 to Iters).flatMap { i =>
       Seq(assignCteSql(s"pa$i", "psvt", s"pcb${i - 1}", "cid"),
         updateCteSql(s"pcb$i", s"pa$i"))
     }.mkString(",\n")
-    s"""pqc AS (SELECT vec_id, $codes AS cd FROM embeddings),
+    s"""pqc AS (SELECT vec_id, $codesSql AS cd FROM embeddings WHERE $filter),
        |psv AS (SELECT q.vec_id, s.sub,
        |    list_slice(q.cd, s.sub * $SubDims + 1, s.sub * $SubDims + $SubDims) AS v
        |  FROM pqc q, (SELECT unnest($subs) AS sub) s),
        |psvt AS (SELECT * FROM psv
        |  WHERE vec_id < (SELECT least(count(*), $TrainCap) FROM pqc)),
        |pcb0 AS (SELECT sub, vec_id AS cid, v AS m FROM psvt WHERE vec_id < $Seeds),
-       |$rounds,
-       |${assignCteSql("penc", "psv", s"pcb$Iters", "code")}""".stripMargin
+       |$rounds""".stripMargin
   }
+
+  /** Full-corpus training + encode `penc` (vec_id, sub, code). */
+  private val pqCtesSql: String =
+    s"""${pqTrainCtesSql("TRUE")},
+       |${assignCteSql("penc", "psv", s"pcb$Iters", "code")}""".stripMargin
 
   // -------------------------------------------------------------------
   // Spark side
@@ -108,15 +114,18 @@ object Pq {
   /** (vec_id, sub, v): the integer-code subvector relation. One narrow
     * map-side projection + explode — subvectors never cross a shuffle
     * except inside the tiny training sample. */
-  private def subvecs(s: SparkSession, d: String): DataFrame = {
+  private def subvecsOf(src: DataFrame): DataFrame = {
     val e = col("embedding").cast(ArrayType(DoubleType))
     val cd = transform(e, x => round(x * Similarity.Scale, 0))
-    T.embeddings(s, d).select(col("vec_id"), cd.as("cd"))
+    src.select(col("vec_id"), cd.as("cd"))
       .select(col("vec_id"), explode(array((0 until M).map(s0 =>
         struct(lit(s0).as("sub"),
           slice(col("cd"), s0 * SubDims + 1, SubDims).as("v"))): _*)).as("x"))
       .select(col("vec_id"), col("x.sub").as("sub"), col("x.v").as("v"))
   }
+
+  private def subvecs(s: SparkSession, d: String): DataFrame =
+    subvecsOf(T.embeddings(s, d))
 
   /** argmin-L2² assignment of subvectors against a broadcast codebook —
     * hash-agg max over struct(-d2, -cid): same pick as the oracle's
@@ -153,9 +162,10 @@ object Pq {
       pqPartsUncached(s, d)
     }
 
-  private def pqPartsUncached(s: SparkSession, d: String): PqParts = {
-    val sv = subvecs(s, d).localCheckpoint() // feeds every round + encode
-    val n = T.embeddings(s, d).count()       // O(1) control-plane sizing probe
+  /** Seed + `Iters` Lloyd rounds over subvector relation `sv` (a corpus
+    * of `n` vectors): returns (seed codebook, trained codebook). */
+  private[ops] def trainCodebooks(s: SparkSession, sv: DataFrame, n: Long)
+      : (DataFrame, DataFrame) = {
     val svt = sv.filter(col("vec_id") < math.min(n, TrainCap))
     val cb0 = svt.filter(col("vec_id") < Seeds)
       .select(col("sub"), col("vec_id").as("cid"), col("v").as("m"))
@@ -165,6 +175,13 @@ object Pq {
       // 128-row codebook: localCheckpoint keeps round i+1's plan flat
       cb = updateStep(svt, a).localCheckpoint()
     }
+    (cb0, cb)
+  }
+
+  private def pqPartsUncached(s: SparkSession, d: String): PqParts = {
+    val sv = subvecs(s, d).localCheckpoint() // feeds every round + encode
+    val n = T.embeddings(s, d).count()       // O(1) control-plane sizing probe
+    val (cb0, cb) = trainCodebooks(s, sv, n)
     PqParts(cb, assignStep(s, sv, cb, "code"), sv, cb0)
   }
 
@@ -192,6 +209,43 @@ object Pq {
        |SELECT vec_id, sub, code FROM penc ORDER BY vec_id, sub""".stripMargin
   ) { (s, d) =>
     pqParts(s, d).enc.select("vec_id", "sub", "code").orderBy("vec_id", "sub")
+  }
+
+  /** Incremental PQ maintenance — the codebook twin of
+    * q_ivf_assign_delta (Similarity.scala): train codebooks on the stable
+    * BASE corpus (the first 7/8 of ids), then encode ONLY the delta (the
+    * newest 1/8) against the FROZEN codebooks. Re-train rarely, encode
+    * arriving vectors continuously — with this, BOTH halves of an IVF-PQ
+    * index (cell assignment AND codes) maintain incrementally; before,
+    * only the IVF half had the delta path. Encoding is a pure per-row
+    * argmin over the broadcast codebook, so delta-encode output is
+    * bit-identical to the delta rows of a full encode against the same
+    * codebooks (PqSpec proves it through a parquet persist/reload of the
+    * codebook — the artifact a deployment actually stores). The base
+    * model is cached under its own kind ("pq-base"), like "ivf-base". */
+  private val deltaSplitSql = "(SELECT (7 * count(*)) // 8 FROM embeddings)"
+
+  val pqEncodeDelta: Q = Q(
+    "q_pq_encode_delta",
+    s"""WITH ${pqTrainCtesSql(s"vec_id < $deltaSplitSql")},
+       |dq AS (SELECT vec_id, $codesSql AS cd FROM embeddings
+       |  WHERE vec_id >= $deltaSplitSql),
+       |dsv AS (SELECT q.vec_id, s.sub,
+       |    list_slice(q.cd, s.sub * $SubDims + 1, s.sub * $SubDims + $SubDims) AS v
+       |  FROM dq q, (SELECT unnest(${(0 until M).mkString("[", ", ", "]")}) AS sub) s),
+       |${assignCteSql("denc", "dsv", s"pcb$Iters", "code")}
+       |SELECT vec_id, sub, code FROM denc ORDER BY vec_id, sub""".stripMargin
+  ) { (s, d) =>
+    val all = T.embeddings(s, d)
+    val nAll = all.count()
+    val split = 7L * nAll / 8L
+    val cb = graft.core.ModelCache.getOrTrain(s, "pq-base",
+      s"$d/embeddings.parquet") {
+      val bsv = subvecsOf(all.filter(col("vec_id") < split)).localCheckpoint()
+      trainCodebooks(s, bsv, split)._2
+    }
+    val dsv = subvecsOf(all.filter(col("vec_id") >= split))
+    assignStep(s, dsv, cb, "code").orderBy("vec_id", "sub")
   }
 
   /** ADC recall eval: recall@3 against the exact code-space L2 top-3 —
@@ -431,5 +485,5 @@ object Pq {
       .orderBy("qid")
   }
 
-  val all: Seq[Q] = Seq(pqEncode, pqAdcRecall, ivfPqRecall)
+  val all: Seq[Q] = Seq(pqEncode, pqEncodeDelta, pqAdcRecall, ivfPqRecall)
 }

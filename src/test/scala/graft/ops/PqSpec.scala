@@ -66,6 +66,37 @@ class PqSpec extends SparkSuite {
     assert(meanRr >= 0.5, s"re-ranked recall@3 should be usable, got $meanRr")
   }
 
+  test("q_pq_encode_delta: delta encode equals the full encode's delta rows through codebook persist/reload") {
+    // Retrain-rarely/encode-continuously only works if (a) encoding is a
+    // pure per-row function of (subvector, codebook) — so a delta batch
+    // encodes identically to the same rows inside a full encode — and
+    // (b) the codebook survives the parquet round-trip a deployment
+    // stores it through. Both are asserted against the declared operator.
+    val n = spark.read.parquet(s"$sf/embeddings.parquet").count()
+    val split = 7L * n / 8L
+    val declared = graft.SparkEntry.queries("q_pq_encode_delta")(spark, sf)
+      .collect().map(_.mkString(",")).toSet
+    assert(declared.nonEmpty)
+    // independent base model: train on the same 7/8 base, persist, reload
+    val parts = Pq.pqParts(spark, sf)
+    val bsv = parts.sv.filter(col("vec_id") < split)
+    val (_, cbBase) = Pq.trainCodebooks(spark, bsv, split)
+    val dir = tmpDir("pqcb") + "/codebook"
+    cbBase.write.mode("overwrite").parquet(dir)
+    val cbReload = spark.read.parquet(dir)
+    val dsv = parts.sv.filter(col("vec_id") >= split)
+    val viaReload = Pq.assignStep(spark, dsv, cbReload, "code")
+      .collect().map(_.mkString(",")).toSet
+    assert(viaReload == declared,
+      "delta encode against reloaded codebooks must match the operator")
+    // full encode against the SAME frozen codebooks, restricted to delta
+    val fullRestricted = Pq.assignStep(spark, parts.sv, cbReload, "code")
+      .filter(col("vec_id") >= split)
+      .collect().map(_.mkString(",")).toSet
+    assert(fullRestricted == declared,
+      "delta batch must be bit-identical to the delta rows of a full encode")
+  }
+
   test("q_ivfpq_recall: composed index keeps the rr >= adc guarantee; rows per query") {
     val rows = graft.SparkEntry.queries("q_ivfpq_recall")(spark, sf).collect()
     assert(rows.length == 5, "queries 16..20")
