@@ -81,4 +81,44 @@ class GraphSpec extends SparkSuite {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     got.foreach { case (c, n) => assert(expect(c) == n, s"community $c size") }
   }
+
+  test("q_components equals a driver-side union-find on the durable-trade edges") {
+    // exact truth for the FULL closure: classic union-find over the same
+    // ≥4-repeat-order edge list, collected locally (sf0.001 is small).
+    // This is what separates q_components from q_label_prop: label_prop
+    // is k-hop-bounded; components must agree with the true partition
+    // regardless of diameter.
+    import org.apache.spark.sql.functions._
+    val eo = graft.core.Tables.orders(spark, sf)
+      .join(graft.core.Tables.lineitem(spark, sf),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey").as("c"), col("l_suppkey").as("s"))
+      .agg(count(lit(1)).as("cnt")).filter(col("cnt") >= 4)
+      .select("c", "s").collect().map(r => (r.getLong(0), 1000000L + r.getLong(1)))
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    eo.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val truth = parent.keys.toSeq.groupBy(find)
+      .map { case (root, members) =>
+        // component id = minimum member, the declared convention
+        assert(root == members.min)
+        root -> (members.size.toLong,
+          members.count(_ < 1000000L).toLong,
+          members.count(_ >= 1000000L).toLong)
+      }
+    val got = graft.SparkEntry.queries("q_components")(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got == truth, s"census mismatch: got ${got.size} components, " +
+      s"truth ${truth.size}")
+    // presentation order: (n_nodes desc, component)
+    val keys = graft.SparkEntry.queries("q_components")(spark, sf).collect()
+      .map(r => (r.getLong(1), r.getLong(0)))
+    assert(keys.sortBy { case (n, c) => (-n, c) }.toSeq == keys.toSeq)
+  }
 }
