@@ -387,7 +387,45 @@ def gen_textfn(rng):
             f"LIMIT {rng.randint(50, 400)}")
 
 
+def gen_graphcte(rng):
+    # the unrolled-iteration family (q_pagerank / q_label_prop /
+    # q_components shape): derive a small edge list, unroll 1..3 rounds of
+    # min-label propagation as plain chained CTEs (identical text in both
+    # engines — no RECURSIVE, no div), census the labels. Exact integer
+    # math throughout; every output ordered totally.
+    a, b, tbl = rng.choice([
+        ("o_custkey", "o_orderkey % 499", "orders"),
+        ("l_suppkey", "l_partkey % 307", "lineitem"),
+        ("l_orderkey % 811", "l_suppkey", "lineitem"),
+        ("user_id", "event_id % 631", "events"),
+    ])
+    where = pred(rng, TABLES[tbl])
+    rounds = rng.randint(1, 3)
+    offset = 1000000
+    ctes = [
+        f"eo AS (SELECT DISTINCT {a} AS a, {offset} + ({b}) AS b "
+        f"FROM {tbl} WHERE {where})",
+        "e AS (SELECT a AS src, b AS dst FROM eo "
+        "UNION ALL SELECT b AS src, a AS dst FROM eo)",
+        "l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM e)",
+    ]
+    for i in range(1, rounds + 1):
+        ctes.append(
+            f"l{i} AS (SELECT node, min(lbl) AS lbl FROM ("
+            f"SELECT e.dst AS node, l.lbl FROM e "
+            f"JOIN l{i - 1} l ON l.node = e.src "
+            f"UNION ALL SELECT node, lbl FROM l{i - 1}) x GROUP BY node)")
+    return (f"WITH {', '.join(ctes)} "
+            f"SELECT lbl AS community, count(*) AS n_nodes, "
+            f"min(node) AS min_node, max(node) AS max_node "
+            f"FROM l{rounds} GROUP BY lbl "
+            f"ORDER BY n_nodes DESC, community LIMIT {rng.randint(20, 100)}")
+
+
 def gen_query(rng):
+    roll = rng.random()
+    if roll < 0.04:
+        return gen_graphcte(rng)
     roll = rng.random()
     if roll < 0.05:
         return gen_percentile(rng)
