@@ -263,5 +263,85 @@ object Graph {
       .orderBy(col("n_nodes").desc, col("component"))
   }
 
-  val all: Seq[Q] = Seq(pagerank, degreeHist, labelProp, components)
+  /** BFS reachability census on the durable-trade graph: minimum hop
+    * count from a deterministic hub (the smallest node id — always a
+    * customer) to every reachable node, reported as one row per hop
+    * level. The graph family's reachability member next to
+    * q_components' partition: "how FAR is everything from the hub", vs
+    * "what is connected at all".
+    *
+    * Spark side is frontier-free min-distance propagation: d(v) :=
+    * min(d(v), min over in-neighbors d(u) + 1) per round — O(diameter)
+    * rounds (hop metrics admit no pointer-jump shortcut), each one
+    * edge⋈dist shuffle + one partial-aggregating min shuffle, converged
+    * when the (monotone-decreasing) distance sum stabilizes; unreachable
+    * nodes never enter the table. The oracle walks the same closure as a
+    * DuckDB RECURSIVE CTE over (node, depth) pairs with a depth cap far
+    * above any real diameter. */
+  val reachHops: Q = Q(
+    "q_reach_hops",
+    s"""WITH RECURSIVE eo AS (SELECT o_custkey AS c, l_suppkey AS s
+       |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+       |  GROUP BY 1, 2 HAVING count(*) >= 4),
+       |e AS (SELECT c AS src, $SuppOffset + s AS dst FROM eo
+       |      UNION ALL SELECT $SuppOffset + s AS src, c AS dst FROM eo),
+       |hub AS (SELECT min(src) AS h FROM e),
+       |reach AS (
+       |  SELECT h AS node, 0 AS d FROM hub WHERE h IS NOT NULL
+       |  UNION
+       |  SELECT e.dst, re.d + 1 FROM reach re
+       |  JOIN e ON e.src = re.node WHERE re.d < 64),
+       |dist AS (SELECT node, min(d) AS hops FROM reach GROUP BY node)
+       |SELECT CAST(hops AS BIGINT) AS hops,
+       |  CAST(count(*) AS BIGINT) AS n_nodes,
+       |  CAST(min(node) AS BIGINT) AS min_node,
+       |  CAST(max(node) AS BIGINT) AS max_node
+       |FROM dist GROUP BY hops ORDER BY hops""".stripMargin
+  ) { (s, d) =>
+    val eo = T.orders(s, d)
+      .join(T.lineitem(s, d), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey").as("c"), col("l_suppkey").as("s"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= 4)
+      .select("c", "s")
+    val e = eo.select(col("c").as("src"), (col("s") + SuppOffset).as("dst"))
+      .unionAll(eo.select((col("s") + SuppOffset).as("src"), col("c").as("dst")))
+      .localCheckpoint()
+    val hub = e.agg(min(col("src"))).head()
+    if (hub.isNullAt(0)) {
+      // edgeless graph: empty census, same as the oracle's empty closure
+      e.select(col("src").as("hops"), col("src").as("n_nodes"),
+        col("src").as("min_node"), col("src").as("max_node")).limit(0)
+    } else {
+      var dist = e.sparkSession.range(1)
+        .select(lit(hub.getLong(0)).as("node"), lit(0L).as("d"))
+        .localCheckpoint()
+      var (prevCnt, prevSum) = (-1L, -1L)
+      var iter = 0
+      var converged = false
+      while (!converged && iter < 64) {
+        val stepped = e.join(dist.withColumnRenamed("node", "src"), "src")
+          .select(col("dst").as("node"), (col("d") + 1L).as("d"))
+          .unionAll(dist)
+          .groupBy("node").agg(min(col("d")).as("d"))
+        dist = stepped.localCheckpoint()
+        // the reachable set only grows and distances only decrease, so an
+        // unchanged (count, sum) pair IS the fixpoint
+        val probe = dist.agg(count(lit(1)), coalesce(sum(col("d")), lit(0L))).head()
+        converged = probe.getLong(0) == prevCnt && probe.getLong(1) == prevSum
+        prevCnt = probe.getLong(0)
+        prevSum = probe.getLong(1)
+        iter += 1
+      }
+      require(converged, s"BFS did not converge in $iter rounds")
+      dist
+        .groupBy(col("d").as("hops"))
+        .agg(count(lit(1)).as("n_nodes"),
+          min(col("node")).as("min_node"),
+          max(col("node")).as("max_node"))
+        .orderBy("hops")
+    }
+  }
+
+  val all: Seq[Q] = Seq(pagerank, degreeHist, labelProp, components, reachHops)
 }

@@ -121,4 +121,34 @@ class GraphSpec extends SparkSuite {
       .map(r => (r.getLong(1), r.getLong(0)))
     assert(keys.sortBy { case (n, c) => (-n, c) }.toSeq == keys.toSeq)
   }
+
+  test("q_reach_hops equals a driver-side BFS from the hub") {
+    import org.apache.spark.sql.functions._
+    val eo = graft.core.Tables.orders(spark, sf)
+      .join(graft.core.Tables.lineitem(spark, sf),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey").as("c"), col("l_suppkey").as("s"))
+      .agg(count(lit(1)).as("cnt")).filter(col("cnt") >= 4)
+      .select("c", "s").collect().map(r => (r.getLong(0), 1000000L + r.getLong(1)))
+    val adj = (eo ++ eo.map(_.swap)).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val hub = adj.keys.min
+    // textbook queue BFS
+    val dist = scala.collection.mutable.Map(hub -> 0L)
+    val queue = scala.collection.mutable.Queue(hub)
+    while (queue.nonEmpty) {
+      val u = queue.dequeue()
+      adj(u).foreach { v =>
+        if (!dist.contains(v)) { dist(v) = dist(u) + 1; queue.enqueue(v) }
+      }
+    }
+    val truth = dist.toSeq.groupBy(_._2).map { case (h, ns) =>
+      h -> (ns.size.toLong, ns.map(_._1).min, ns.map(_._1).max)
+    }
+    val got = graft.SparkEntry.queries("q_reach_hops")(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got == truth, s"hop census mismatch: got $got")
+    // hop 0 is exactly the hub
+    assert(got(0L) == ((1L, hub, hub)))
+  }
 }
