@@ -85,18 +85,29 @@ object ModelCache {
 
   /** Memoized train: the first call under a key pays for training; every
     * later call with the SAME session and corpus state reuses the built
-    * model. `kind` namespaces model families (ivf, pq, …). */
+    * model. `kind` namespaces model families (ivf, pq, …).
+    *
+    * clear()-safe: the result publishes only if this session's inner map
+    * is still the registered one — a concurrent [[clear]] detaches the
+    * map, in which case the loop re-fetches and re-trains into the fresh
+    * map (clear means "drop every model", so a post-clear retrain is the
+    * CORRECT outcome, not a stale survivor). */
   def getOrTrain[T <: AnyRef](spark: SparkSession, kind: String,
       sourcePath: String)(train: => T): T = {
     val key = s"$kind|$sourcePath|${fingerprint(spark, sourcePath)}"
-    perSession(spark).computeIfAbsent(key, _ => train).asInstanceOf[T]
+    while (true) {
+      val m = perSession(spark)
+      val v = m.computeIfAbsent(key, _ => train)
+      cache.synchronized {
+        if (cache.get(spark) eq m) return v.asInstanceOf[T]
+      }
+    }
+    throw new IllegalStateException("unreachable")
   }
 
-  /** Drop every cached model (tests; session teardown). NOT atomic with
-    * respect to an in-flight [[getOrTrain]]: a caller that already holds
-    * its per-session inner map keeps populating that detached map, so a
-    * concurrent train can survive one clear(). Fine for the test-teardown
-    * use this exists for; callers needing a hard barrier must quiesce
-    * trainers first. */
+  /** Drop every cached model (tests; session teardown). A hard barrier:
+    * [[getOrTrain]] publishes only through the currently-registered
+    * per-session map, so no model trained concurrently with a clear()
+    * survives it. */
   def clear(): Unit = cache.synchronized(cache.clear())
 }

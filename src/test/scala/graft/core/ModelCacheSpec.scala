@@ -64,6 +64,35 @@ class ModelCacheSpec extends SparkSuite {
     assert(first._1.assign.collect().toSeq == second._1.assign.collect().toSeq)
   }
 
+  test("a model trained concurrently with clear() does not survive it") {
+    // clear() is a hard barrier: getOrTrain publishes only through the
+    // currently-registered per-session map, so a train that was in flight
+    // when clear() ran must be thrown away and re-trained fresh.
+    ModelCache.clear()
+    val started = new java.util.concurrent.CountDownLatch(1)
+    val proceed = new java.util.concurrent.CountDownLatch(1)
+    val trains = new java.util.concurrent.atomic.AtomicInteger(0)
+    val dir = tmpDir("race") + "/absent-corpus"
+    val fut = scala.concurrent.Future {
+      ModelCache.getOrTrain(spark, "race", dir) {
+        trains.incrementAndGet()
+        started.countDown()
+        proceed.await()
+        new Object
+      }
+    }(scala.concurrent.ExecutionContext.global)
+    started.await()
+    ModelCache.clear() // detaches the trainer's inner map mid-train
+    proceed.countDown()
+    val v = scala.concurrent.Await.result(fut,
+      scala.concurrent.duration.Duration(30, "s"))
+    assert(trains.get() == 2,
+      "the detached-map train must be discarded and re-run post-clear")
+    // the re-trained model is the one the registry now serves
+    val again = ModelCache.getOrTrain(spark, "race", dir)(new Object)
+    assert(again.eq(v) && trains.get() == 2)
+  }
+
   // MUST run last in this suite: it stops the shared SparkContext (later
   // suites get a fresh one from the self-healing SparkSuite.session).
   test("live sessions are isolated; stopped sessions are evicted") {
