@@ -33,6 +33,11 @@ class CdcPipelineSpec extends SparkSuite {
     if (!Files.exists(d)) Seq.empty
     else Files.walk(d).iterator().asScala
       .filter(p => p.toString.endsWith(".json"))
+      // only COMMITTED output: Spark stages in-flight task files under
+      // _temporary; sampling those races the committer — a stop() can
+      // abort exactly the file a wait loop just saw (observed flake:
+      // orders' capture visible mid-write, gone after stop)
+      .filterNot(p => p.toString.contains("_temporary"))
       .flatMap(p => Files.readAllLines(p).asScala)
       .toSeq
   }
