@@ -343,5 +343,59 @@ object Graph {
     }
   }
 
-  val all: Seq[Q] = Seq(pagerank, degreeHist, labelProp, components, reachHops)
+  /** Butterfly (2×2 biclique) census of the durable-trade graph — the
+    * clustering metric that is actually meaningful on a bipartite graph:
+    * triangles cannot exist (no odd cycles), so cohesion is measured by
+    * 4-cycles — two customers sharing two suppliers. Reports edge count,
+    * wedge counts from BOTH sides (customer pairs through a shared
+    * supplier = Σ C(deg_s, 2); supplier pairs through a shared customer
+    * = Σ C(deg_c, 2)) and the butterfly count Σ_pairs C(shared, 2).
+    *
+    * Scale shape: the only pair join (customer pairs per supplier) is
+    * the wedge enumeration, whose size is EXACTLY the n_wedges_supplier
+    * figure this census reports and q_degree_hist profiles — on the ≥4
+    * durable subgraph per-supplier degrees are small, and the join
+    * carries bare (c1, c2) keys into a partial-aggregating count. The
+    * butterfly identity (same count derivable from either side's wedges)
+    * is asserted in GraphSpec via a local recompute. */
+  val butterflies: Q = Q(
+    "q_butterflies",
+    s"""WITH eo AS (SELECT o_custkey AS c, l_suppkey AS s
+       |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+       |  GROUP BY 1, 2 HAVING count(*) >= 4),
+       |sdeg AS (SELECT s, count(*) AS d FROM eo GROUP BY s),
+       |cdeg AS (SELECT c, count(*) AS d FROM eo GROUP BY c),
+       |cp AS (SELECT a.c AS c1, b.c AS c2, count(*) AS w
+       |  FROM eo a JOIN eo b ON a.s = b.s AND a.c < b.c GROUP BY 1, 2)
+       |SELECT (SELECT count(*) FROM eo) AS n_edges,
+       |  (SELECT CAST(coalesce(sum(d * (d - 1) // 2), 0) AS BIGINT) FROM sdeg)
+       |    AS n_wedges_supplier,
+       |  (SELECT CAST(coalesce(sum(d * (d - 1) // 2), 0) AS BIGINT) FROM cdeg)
+       |    AS n_wedges_customer,
+       |  (SELECT CAST(coalesce(sum(w * (w - 1) // 2), 0) AS BIGINT) FROM cp)
+       |    AS n_butterflies""".stripMargin
+  ) { (s, d) =>
+    val eo = T.orders(s, d)
+      .join(T.lineitem(s, d), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey").as("c"), col("l_suppkey").as("s"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= 4)
+      .select("c", "s")
+      .localCheckpoint() // feeds 4 independent aggregations
+    val edges = eo.agg(count(lit(1)).as("n_edges"))
+    def wedgeCount(side: String, out: String) = eo.groupBy(side)
+      .agg(count(lit(1)).as("d"))
+      .agg(coalesce(sum(expr("d * (d - 1) div 2")), lit(0L)).as(out))
+    val cp = eo.as("a")
+      .join(eo.as("b"), col("a.s") === col("b.s") && col("a.c") < col("b.c"))
+      .groupBy(col("a.c"), col("b.c")).agg(count(lit(1)).as("w"))
+      .agg(coalesce(sum(expr("w * (w - 1) div 2")), lit(0L)).as("n_butterflies"))
+    edges
+      .crossJoin(wedgeCount("s", "n_wedges_supplier"))
+      .crossJoin(wedgeCount("c", "n_wedges_customer"))
+      .crossJoin(cp)
+  }
+
+  val all: Seq[Q] =
+    Seq(pagerank, degreeHist, labelProp, components, reachHops, butterflies)
 }

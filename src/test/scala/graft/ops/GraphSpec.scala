@@ -151,4 +151,31 @@ class GraphSpec extends SparkSuite {
     // hop 0 is exactly the hub
     assert(got(0L) == ((1L, hub, hub)))
   }
+
+  test("q_butterflies: both wedge sides yield the same butterfly count (local recompute)") {
+    import org.apache.spark.sql.functions._
+    val eo = graft.core.Tables.orders(spark, sf)
+      .join(graft.core.Tables.lineitem(spark, sf),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey").as("c"), col("l_suppkey").as("s"))
+      .agg(count(lit(1)).as("cnt")).filter(col("cnt") >= 4)
+      .select("c", "s").collect().map(r => (r.getLong(0), r.getLong(1)))
+    def choose2(n: Long) = n * (n - 1) / 2
+    def butterfliesVia(group: ((Long, Long)) => Long,
+        other: ((Long, Long)) => Long): Long =
+      eo.groupBy(group).values
+        .flatMap(_.map(other).toSeq.sorted.combinations(2))
+        .toSeq.groupBy(identity).values.map(g => choose2(g.size.toLong)).sum
+    val viaSuppliers = butterfliesVia(_._2, _._1) // customer pairs / supplier
+    val viaCustomers = butterfliesVia(_._1, _._2) // supplier pairs / customer
+    assert(viaSuppliers == viaCustomers, "the 4-cycle count is side-symmetric")
+    val r = graft.SparkEntry.queries("q_butterflies")(spark, sf).head()
+    assert(r.getLong(r.fieldIndex("n_edges")) == eo.length.toLong)
+    assert(r.getLong(r.fieldIndex("n_wedges_supplier")) ==
+      eo.groupBy(_._2).values.map(v => choose2(v.size.toLong)).sum)
+    assert(r.getLong(r.fieldIndex("n_wedges_customer")) ==
+      eo.groupBy(_._1).values.map(v => choose2(v.size.toLong)).sum)
+    assert(r.getLong(r.fieldIndex("n_butterflies")) == viaSuppliers,
+      "operator butterfly count must equal the local recompute")
+  }
 }
