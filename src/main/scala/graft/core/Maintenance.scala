@@ -67,13 +67,20 @@ object Maintenance {
     * (which predicts exactly this effect; MaintenanceSpec measures it on
     * the rewritten files). Range-partitioned on z, then sorted by z
     * within each file, so each output file owns one contiguous z band.
+    * `nFiles <= 0` (the default) sizes the output from the data like
+    * [[compact]] — a small dir must not shatter into tiny files just to
+    * be clustered; pass an explicit count to control band granularity.
     * Returns (filesBefore, filesAfter). */
   def compactZOrder(spark: SparkSession, dir: String,
-      xExpr: String, yExpr: String, nFiles: Int = 64): (Int, Int) =
-    rewriteSwap(spark, dir) { (df, _) =>
+      xExpr: String, yExpr: String, nFiles: Int = 0,
+      targetBytes: Long = 128L * 1024 * 1024): (Int, Int) =
+    rewriteSwap(spark, dir) { (df, totalBytes) =>
       import org.apache.spark.sql.functions.col
+      val n =
+        if (nFiles > 0) nFiles
+        else math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
       graft.ops.Layout.withZ(df, xExpr, yExpr)
-        .repartitionByRange(nFiles, col("__z"))
+        .repartitionByRange(n, col("__z"))
         .sortWithinPartitions("__z")
         .drop("__z")
     }

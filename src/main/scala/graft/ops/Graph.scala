@@ -179,6 +179,34 @@ object Graph {
       .limit(25)
   }
 
+  /** Durable-trade subgraph: trading pairs with >= MinRepeats repeat
+    * orders. Shared by q_components / q_reach_hops / q_butterflies —
+    * one derivation, one gate constant, in BOTH dialects. */
+  private val MinRepeats = 4
+
+  private val durableEoSql =
+    s"""eo AS (SELECT o_custkey AS c, l_suppkey AS s
+       |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+       |  GROUP BY 1, 2 HAVING count(*) >= $MinRepeats)""".stripMargin
+
+  private val durableESql =
+    s"""e AS (SELECT c AS src, $SuppOffset + s AS dst FROM eo
+       |      UNION ALL SELECT $SuppOffset + s AS src, c AS dst FROM eo)""".stripMargin
+
+  /** Distinct durable (customer, supplier) pairs. */
+  private def durablePairs(s: org.apache.spark.sql.SparkSession, d: String): DataFrame =
+    T.orders(s, d)
+      .join(T.lineitem(s, d), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey").as("c"), col("l_suppkey").as("s"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= MinRepeats)
+      .select("c", "s")
+
+  /** Symmetric directed edge list over the disjoint node spaces. */
+  private def symmetricEdges(eo: DataFrame): DataFrame =
+    eo.select(col("c").as("src"), (col("s") + SuppOffset).as("dst"))
+      .unionAll(eo.select((col("s") + SuppOffset).as("src"), col("c").as("dst")))
+
   /** FULL connected components of the durable-trade graph — the exact
     * closure q_label_prop deliberately truncates at k hops. Runs on the
     * ≥4-repeat-order subgraph (durable trading relationships): at gate
@@ -202,11 +230,8 @@ object Graph {
     * q_dedup_clusters. */
   val components: Q = Q(
     "q_components",
-    s"""WITH RECURSIVE eo AS (SELECT o_custkey AS c, l_suppkey AS s
-       |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
-       |  GROUP BY 1, 2 HAVING count(*) >= 4),
-       |e AS (SELECT c AS src, $SuppOffset + s AS dst FROM eo
-       |      UNION ALL SELECT $SuppOffset + s AS src, c AS dst FROM eo),
+    s"""WITH RECURSIVE $durableEoSql,
+       |$durableESql,
        |reach AS (
        |  SELECT src AS node, dst AS r FROM e
        |  UNION
@@ -220,15 +245,7 @@ object Graph {
        |    AS n_suppliers
        |FROM comp GROUP BY root ORDER BY n_nodes DESC, component""".stripMargin
   ) { (s, d) =>
-    val eo = T.orders(s, d)
-      .join(T.lineitem(s, d), col("l_orderkey") === col("o_orderkey"))
-      .groupBy(col("o_custkey").as("c"), col("l_suppkey").as("s"))
-      .agg(count(lit(1)).as("cnt"))
-      .filter(col("cnt") >= 4)
-      .select("c", "s")
-    val e = eo.select(col("c").as("src"), (col("s") + SuppOffset).as("dst"))
-      .unionAll(eo.select((col("s") + SuppOffset).as("src"), col("c").as("dst")))
-      .localCheckpoint()
+    val e = symmetricEdges(durablePairs(s, d)).localCheckpoint()
     var lab = e.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("lbl"))
       .localCheckpoint()
@@ -280,11 +297,8 @@ object Graph {
     * above any real diameter. */
   val reachHops: Q = Q(
     "q_reach_hops",
-    s"""WITH RECURSIVE eo AS (SELECT o_custkey AS c, l_suppkey AS s
-       |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
-       |  GROUP BY 1, 2 HAVING count(*) >= 4),
-       |e AS (SELECT c AS src, $SuppOffset + s AS dst FROM eo
-       |      UNION ALL SELECT $SuppOffset + s AS src, c AS dst FROM eo),
+    s"""WITH RECURSIVE $durableEoSql,
+       |$durableESql,
        |hub AS (SELECT min(src) AS h FROM e),
        |reach AS (
        |  SELECT h AS node, 0 AS d FROM hub WHERE h IS NOT NULL
@@ -298,15 +312,7 @@ object Graph {
        |  CAST(max(node) AS BIGINT) AS max_node
        |FROM dist GROUP BY hops ORDER BY hops""".stripMargin
   ) { (s, d) =>
-    val eo = T.orders(s, d)
-      .join(T.lineitem(s, d), col("l_orderkey") === col("o_orderkey"))
-      .groupBy(col("o_custkey").as("c"), col("l_suppkey").as("s"))
-      .agg(count(lit(1)).as("cnt"))
-      .filter(col("cnt") >= 4)
-      .select("c", "s")
-    val e = eo.select(col("c").as("src"), (col("s") + SuppOffset).as("dst"))
-      .unionAll(eo.select((col("s") + SuppOffset).as("src"), col("c").as("dst")))
-      .localCheckpoint()
+    val e = symmetricEdges(durablePairs(s, d)).localCheckpoint()
     val hub = e.agg(min(col("src"))).head()
     if (hub.isNullAt(0)) {
       // edgeless graph: empty census, same as the oracle's empty closure
@@ -360,9 +366,7 @@ object Graph {
     * is asserted in GraphSpec via a local recompute. */
   val butterflies: Q = Q(
     "q_butterflies",
-    s"""WITH eo AS (SELECT o_custkey AS c, l_suppkey AS s
-       |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
-       |  GROUP BY 1, 2 HAVING count(*) >= 4),
+    s"""WITH $durableEoSql,
        |sdeg AS (SELECT s, count(*) AS d FROM eo GROUP BY s),
        |cdeg AS (SELECT c, count(*) AS d FROM eo GROUP BY c),
        |cp AS (SELECT a.c AS c1, b.c AS c2, count(*) AS w
@@ -375,12 +379,7 @@ object Graph {
        |  (SELECT CAST(coalesce(sum(w * (w - 1) // 2), 0) AS BIGINT) FROM cp)
        |    AS n_butterflies""".stripMargin
   ) { (s, d) =>
-    val eo = T.orders(s, d)
-      .join(T.lineitem(s, d), col("l_orderkey") === col("o_orderkey"))
-      .groupBy(col("o_custkey").as("c"), col("l_suppkey").as("s"))
-      .agg(count(lit(1)).as("cnt"))
-      .filter(col("cnt") >= 4)
-      .select("c", "s")
+    val eo = durablePairs(s, d)
       .localCheckpoint() // feeds 4 independent aggregations
     val edges = eo.agg(count(lit(1)).as("n_edges"))
     def wedgeCount(side: String, out: String) = eo.groupBy(side)

@@ -24,6 +24,7 @@ import graft.core.{Q, Tables => T}
 object Layout {
 
   private val GridBits = 10           // 1024×1024 z-grid
+  private val GridSize = 1L << GridBits
   private val NFiles = 64L            // target file count per layout
   private val ZCells = 1L << (2 * GridBits)
 
@@ -51,15 +52,25 @@ object Layout {
     * no shuffle. An empty input gets a constant z (nothing to cluster). */
   private[graft] def withZ(df: org.apache.spark.sql.DataFrame,
       xExpr: String, yExpr: String): org.apache.spark.sql.DataFrame = {
+    val scratch = Set("__z", "__nx", "__ny")
+    require(!df.columns.exists(scratch),
+      s"input already has a ${scratch.mkString("/")} column — the z rewrite " +
+        "would overwrite and then silently drop it")
     val r = df.selectExpr(s"min($xExpr)", s"max($xExpr)",
       s"min($yExpr)", s"max($yExpr)").collect()(0)
-    if (r.isNullAt(0)) return df.withColumn("__z", lit(0L))
+    // empty input: nothing to cluster, constant z
+    if ((0 to 3).forall(r.isNullAt)) return df.withColumn("__z", lit(0L))
+    // a dimension that exists but is entirely NULL would NPE below (or
+    // silently degrade clustering) — refuse loudly instead
+    require((0 to 3).forall(i => !r.isNullAt(i)),
+      s"z-order clustering expressions must be non-NULL: census of " +
+        s"($xExpr, $yExpr) = $r")
     def v(i: Int) = r.getAs[Number](i).longValue
     val (minx, maxx, miny, maxy) = (v(0), v(1), v(2), v(3))
     df.withColumn("__nx",
-        expr(s"(($xExpr - $minx) * 1024) div ${maxx - minx + 1}"))
+        expr(s"(($xExpr - $minx) * $GridSize) div ${maxx - minx + 1}"))
       .withColumn("__ny",
-        expr(s"(($yExpr - $miny) * 1024) div ${maxy - miny + 1}"))
+        expr(s"(($yExpr - $miny) * $GridSize) div ${maxy - miny + 1}"))
       .withColumn("__z", expr(interleave(
         (e, n) => s"shiftleft($e, $n)", (e, n) => s"shiftright($e, $n)",
         "__nx", "__ny")))
@@ -88,14 +99,14 @@ object Layout {
        |c AS (SELECT min(x) AS minx, max(x) AS maxx,
        |             min(h) AS minh, max(h) AS maxh FROM ev),
        |n AS (SELECT x, h,
-       |  ((x - minx) * 1024) // (maxx - minx + 1) AS nx,
-       |  ((h - minh) * 1024) // (maxh - minh + 1) AS ny
+       |  ((x - minx) * $GridSize) // (maxx - minx + 1) AS nx,
+       |  ((h - minh) * $GridSize) // (maxh - minh + 1) AS ny
        |  FROM ev CROSS JOIN c),
        |z AS (SELECT x, h, ny, $zDuck AS z FROM n),
        |zf AS (SELECT z // ${ZCells / NFiles} AS file_id,
        |  max(x) - min(x) AS uspan, max(h) - min(h) AS hspan
        |  FROM z GROUP BY 1),
-       |tf AS (SELECT ny // ${1024 / NFiles} AS file_id,
+       |tf AS (SELECT ny // ${GridSize / NFiles} AS file_id,
        |  max(x) - min(x) AS uspan, max(h) - min(h) AS hspan
        |  FROM z GROUP BY 1),
        |s AS (
@@ -122,8 +133,8 @@ object Layout {
       min(col("h")).as("minh"), max(col("h")).as("maxh"))
     val z = ev.crossJoin(broadcast(c))
       .select(col("x"), col("h"),
-        expr("((x - minx) * 1024) div (maxx - minx + 1)").as("nx"),
-        expr("((h - minh) * 1024) div (maxh - minh + 1)").as("ny"))
+        expr(s"((x - minx) * $GridSize) div (maxx - minx + 1)").as("nx"),
+        expr(s"((h - minh) * $GridSize) div (maxh - minh + 1)").as("ny"))
       .select(col("x"), col("h"), col("ny"), expr(zSpark).as("z"))
     def fileSpans(fileId: org.apache.spark.sql.Column) = z
       .groupBy(fileId.as("file_id"))
@@ -137,7 +148,7 @@ object Layout {
         max(col("hspan")).as("max_hour_span"))
       .select(lit(name).as("layout"), col("n_files"), col("avg_user_span"),
         col("max_user_span"), col("avg_hour_span"), col("max_hour_span"))
-    summary("time", fileSpans(expr(s"ny div ${1024 / NFiles}")))
+    summary("time", fileSpans(expr(s"ny div ${GridSize / NFiles}")))
       .unionAll(summary("zorder", fileSpans(expr(s"z div ${ZCells / NFiles}"))))
       .orderBy("layout")
   }

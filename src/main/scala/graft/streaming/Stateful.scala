@@ -384,14 +384,17 @@ object Stateful {
     docs
       .withColumn("toks",
         filter(split(col("text"), " "), t => t =!= ""))
+      // probe the broadcast map literal ONCE per token; the two folds
+      // below run over the materialized lookups, not the map
+      .withColumn("affs",
+        transform(col("toks"), t => element_at(affLit, t)))
       .select(col("doc_id"), col("lang"),
         size(col("toks")).cast("long").as("n_tok"),
-        aggregate(col("toks"), lit(0L),
-          (acc, t) => acc + coalesce(element_at(affLit, t), lit(unseenPpm)))
+        aggregate(col("affs"), lit(0L),
+          (acc, a) => acc + coalesce(a, lit(unseenPpm)))
           .as("weight_sum"),
-        aggregate(col("toks"), lit(0L),
-          (acc, t) => acc +
-            when(element_at(affLit, t).isNull, 1L).otherwise(0L))
+        aggregate(col("affs"), lit(0L),
+          (acc, a) => acc + when(a.isNull, 1L).otherwise(0L))
           .as("n_unseen"))
       .select(col("doc_id"), col("lang"), col("n_tok"), col("weight_sum"),
         when(col("n_tok") > 0, expr("weight_sum div n_tok"))

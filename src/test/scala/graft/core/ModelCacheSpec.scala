@@ -92,34 +92,4 @@ class ModelCacheSpec extends SparkSuite {
     val again = ModelCache.getOrTrain(spark, "race", dir)(new Object)
     assert(again.eq(v) && trains.get() == 2)
   }
-
-  // MUST run last in this suite: it stops the shared SparkContext (later
-  // suites get a fresh one from the self-healing SparkSuite.session).
-  test("live sessions are isolated; stopped sessions are evicted") {
-    ModelCache.clear()
-    val a = spark
-    val b = a.newSession()
-    val pa = graft.ops.Similarity.trainedParts(a, sf)
-    val pb = graft.ops.Similarity.trainedParts(b, sf)
-    // Isolation: a session never serves another session's model (a
-    // localCheckpointed DataFrame is only valid through the session that
-    // built it), even when the corpus state is identical.
-    assert(!pa.eq(pb), "distinct live sessions must hold distinct entries")
-    assert(ModelCache.liveSessionCount == 2)
-    // Hit-identity still holds per session after the isolation.
-    assert(graft.ops.Similarity.trainedParts(a, sf).eq(pa))
-    assert(graft.ops.Similarity.trainedParts(b, sf).eq(pb))
-    // Stopping the context is the only death a session can have (clones
-    // share their parent's context — Spark has no finer liveness signal,
-    // and localCheckpoint blocks die with the context's executors). Both
-    // entries must be swept, observably: no WeakHashMap wishful thinking.
-    a.stop()
-    assert(ModelCache.liveSessionCount == 0,
-      "stopped sessions must be evicted, not retained via cached DataFrames")
-    // A fresh session trains fresh and is tracked again.
-    val c = SparkSuite.session
-    val pc = graft.ops.Similarity.trainedParts(c, sf)
-    assert(!pc.eq(pa) && !pc.eq(pb))
-    assert(ModelCache.liveSessionCount == 1)
-  }
 }

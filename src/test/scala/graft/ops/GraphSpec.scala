@@ -9,6 +9,19 @@ class GraphSpec extends SparkSuite {
 
   private val sf = "/root/testdata/sf0.001"
 
+  /** Locally-collected trading pairs with >= minRepeats orders, suppliers
+    * offset to the disjoint node space — the spec-side twin of the
+    * operators' durable-edge derivation. */
+  private def pairsWithRepeats(minRepeats: Int): Array[(Long, Long)] = {
+    import org.apache.spark.sql.functions._
+    graft.core.Tables.orders(spark, sf)
+      .join(graft.core.Tables.lineitem(spark, sf),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey").as("c"), col("l_suppkey").as("s"))
+      .agg(count(lit(1)).as("cnt")).filter(col("cnt") >= minRepeats)
+      .select("c", "s").collect().map(r => (r.getLong(0), 1000000L + r.getLong(1)))
+  }
+
   test("q_pagerank ranks respect the damping floor and node kinds are disjoint") {
     val rows = graft.SparkEntry.queries("q_pagerank")(spark, sf).collect()
     assert(rows.length == 25)
@@ -59,13 +72,7 @@ class GraphSpec extends SparkSuite {
   test("q_label_prop: one propagation round never increases a node's label") {
     // monotonicity of min-label propagation, recomputed locally on the
     // strong-edge subgraph the operator declares
-    import org.apache.spark.sql.functions._
-    val eo = graft.core.Tables.orders(spark, sf)
-      .join(graft.core.Tables.lineitem(spark, sf),
-        col("l_orderkey") === col("o_orderkey"))
-      .groupBy(col("o_custkey").as("c"), col("l_suppkey").as("s"))
-      .agg(count(lit(1)).as("cnt")).filter(col("cnt") >= 2)
-      .select("c", "s").collect().map(r => (r.getLong(0), 1000000L + r.getLong(1)))
+    val eo = pairsWithRepeats(2)
     val adj = (eo ++ eo.map(_.swap)).groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
     var lbl = adj.keys.map(n => n -> n).toMap
     (1 to 3).foreach { _ =>
@@ -88,13 +95,7 @@ class GraphSpec extends SparkSuite {
     // This is what separates q_components from q_label_prop: label_prop
     // is k-hop-bounded; components must agree with the true partition
     // regardless of diameter.
-    import org.apache.spark.sql.functions._
-    val eo = graft.core.Tables.orders(spark, sf)
-      .join(graft.core.Tables.lineitem(spark, sf),
-        col("l_orderkey") === col("o_orderkey"))
-      .groupBy(col("o_custkey").as("c"), col("l_suppkey").as("s"))
-      .agg(count(lit(1)).as("cnt")).filter(col("cnt") >= 4)
-      .select("c", "s").collect().map(r => (r.getLong(0), 1000000L + r.getLong(1)))
+    val eo = pairsWithRepeats(4)
     val parent = scala.collection.mutable.Map[Long, Long]()
     def find(x: Long): Long = {
       val p = parent.getOrElseUpdate(x, x)
@@ -123,13 +124,7 @@ class GraphSpec extends SparkSuite {
   }
 
   test("q_reach_hops equals a driver-side BFS from the hub") {
-    import org.apache.spark.sql.functions._
-    val eo = graft.core.Tables.orders(spark, sf)
-      .join(graft.core.Tables.lineitem(spark, sf),
-        col("l_orderkey") === col("o_orderkey"))
-      .groupBy(col("o_custkey").as("c"), col("l_suppkey").as("s"))
-      .agg(count(lit(1)).as("cnt")).filter(col("cnt") >= 4)
-      .select("c", "s").collect().map(r => (r.getLong(0), 1000000L + r.getLong(1)))
+    val eo = pairsWithRepeats(4)
     val adj = (eo ++ eo.map(_.swap)).groupBy(_._1)
       .view.mapValues(_.map(_._2).toSet).toMap
     val hub = adj.keys.min
