@@ -76,6 +76,20 @@ class MaintenanceSpec extends SparkSuite {
       s"time ${tCand.length}/${tAll.length}; rows $zRows vs $tRows")
   }
 
+  test("compactZOrder default sizes output from data volume, not a fixed band count") {
+    // a small dir must COMPACT (like compact()) while clustering — the
+    // fixed-64-bands shape is an explicit override, not the default
+    val dir = tmpDir("zauto") + "/events"
+    Tables.events(spark, "/root/testdata/sf0.001").repartition(8)
+      .write.mode("overwrite").parquet(dir)
+    val before = digest(dir)
+    val (filesBefore, filesAfter) = Maintenance.compactZOrder(spark, dir,
+      "user_id", "unix_micros(ts) div 3600000000")
+    assert(filesBefore == 8)
+    assert(filesAfter == 1, s"a tiny dir should pack to one file, got $filesAfter")
+    assert(digest(dir) == before, "auto-sized z rewrite must not change content")
+  }
+
   test("compact refuses a directory of partition subdirs instead of flattening it") {
     val dir = tmpDir("compactguard") + "/state"
     Tables.events(spark, "/root/testdata/sf0.001").limit(5)
