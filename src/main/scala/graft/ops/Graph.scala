@@ -228,8 +228,11 @@ object Graph {
     * the iterative lineage. The oracle is a DuckDB RECURSIVE CTE walking
     * the same closure — two unrelated fixpoint engines agreeing, as with
     * q_dedup_clusters. */
-  val components: Q = Q(
-    "q_components",
+  /** The full-closure census SQL, shared verbatim by q_components and
+    * q_components_delta: the oracle for BOTH is the complete RECURSIVE
+    * closure over all durable edges — which is exactly the claim the
+    * incremental variant must live up to. */
+  private lazy val componentsClosureSql: String =
     s"""WITH RECURSIVE $durableEoSql,
        |$durableESql,
        |reach AS (
@@ -244,8 +247,67 @@ object Graph {
        |  CAST(sum(CASE WHEN node >= $SuppOffset THEN 1 ELSE 0 END) AS BIGINT)
        |    AS n_suppliers
        |FROM comp GROUP BY root ORDER BY n_nodes DESC, component""".stripMargin
-  ) { (s, d) =>
-    val e = symmetricEdges(durablePairs(s, d)).localCheckpoint()
+
+  val components: Q = Q("q_components", componentsClosureSql) { (s, d) =>
+    componentCensus(ccFixpoint(
+      symmetricEdges(durablePairs(s, d)).localCheckpoint()))
+  }
+
+  /** Incremental connected-components maintenance — the graph member of
+    * the delta family (q_ivf_assign_delta, q_pq_encode_delta): the
+    * closure over yesterday's corpus (orders below the 7/8 orderkey
+    * split) is treated as the FROZEN base artifact, and only the edges
+    * that became durable with today's orders are merged in. The merge
+    * runs on the QUOTIENT graph: delta-edge endpoints map to their base
+    * component minima (or themselves when new), the tiny quotient runs
+    * the same pointer-jumping fixpoint, and base labels relabel through
+    * the quotient roots — O(delta) work instead of O(graph), the
+    * standard incremental-CC shape. Durability counts are monoidal, so
+    * the newly-durable edge set is itself an incremental view
+    * (durable(base) ⊆ durable(union)).
+    *
+    * The ORACLE is the full closure over ALL durable edges — identical
+    * text to q_components — so the hash gate proves incremental == full
+    * across two unrelated engines; GraphSpec additionally pins delta ==
+    * q_components within Spark and that the delta edge set is nonempty
+    * (the merge path actually runs). */
+  val componentsDelta: Q = Q("q_components_delta", componentsClosureSql) { (s, d) =>
+    val pairs = T.orders(s, d)
+      .join(T.lineitem(s, d), col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_orderkey"), col("o_custkey").as("c"), col("l_suppkey").as("s"))
+    val maxKey = pairs.agg(max(col("o_orderkey"))).head().getLong(0)
+    val split = 7L * maxKey / 8L
+    def durable(p: DataFrame) = p.groupBy("c", "s")
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= MinRepeats).select("c", "s")
+    val baseEo = durable(pairs.filter(col("o_orderkey") < split))
+    val deltaEo = durable(pairs).exceptAll(baseEo) // newly-durable pairs
+    // frozen base closure (the persisted artifact of yesterday's run)
+    val baseLab = ccFixpoint(symmetricEdges(baseEo).localCheckpoint())
+      .localCheckpoint()
+    // quotient: delta endpoints -> base component minima (self when new)
+    val dE = symmetricEdges(deltaEo)
+    val repS = baseLab.select(col("node").as("src"), col("lbl").as("rs"))
+    val repD = baseLab.select(col("node").as("dst"), col("lbl").as("rd"))
+    val quotientE = dE.join(repS, Seq("src"), "left").join(repD, Seq("dst"), "left")
+      .select(coalesce(col("rs"), col("src")).as("src"),
+        coalesce(col("rd"), col("dst")).as("dst"))
+      .localCheckpoint()
+    val qLab = ccFixpoint(quotientE).localCheckpoint()
+    // relabel base nodes through the quotient; untouched components keep
+    // their base label (left join misses)
+    val qMap = qLab.select(col("node").as("lbl"), col("lbl").as("qroot"))
+    val merged = baseLab.join(qMap, Seq("lbl"), "left")
+      .select(col("node"), coalesce(col("qroot"), col("lbl")).as("lbl"))
+    // nodes that exist only in the delta graph enter via the quotient
+    val newNodes = qLab.join(baseLab.select("node"), Seq("node"), "left_anti")
+    componentCensus(merged.unionAll(newNodes))
+  }
+
+  /** Pointer-jumping min-label fixpoint over a symmetric edge list:
+    * (node, lbl = component minimum). Factored out of q_components for
+    * reuse by the incremental variant. */
+  private def ccFixpoint(e: DataFrame): DataFrame = {
     var lab = e.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("lbl"))
       .localCheckpoint()
@@ -273,12 +335,17 @@ object Graph {
     require(converged,
       s"connected components did not converge in $iter pointer-jumping rounds")
     lab
+  }
+
+  /** (component, n_nodes, n_customers, n_suppliers) presentation census
+    * over a (node, lbl) labeling. */
+  private def componentCensus(lab: DataFrame): DataFrame =
+    lab
       .groupBy(col("lbl").as("component"))
       .agg(count(lit(1)).as("n_nodes"),
         sum(when(col("node") < SuppOffset, 1L).otherwise(0L)).as("n_customers"),
         sum(when(col("node") >= SuppOffset, 1L).otherwise(0L)).as("n_suppliers"))
       .orderBy(col("n_nodes").desc, col("component"))
-  }
 
   /** BFS reachability census on the durable-trade graph: minimum hop
     * count from a deterministic hub (the smallest node id — always a
@@ -396,5 +463,6 @@ object Graph {
   }
 
   val all: Seq[Q] =
-    Seq(pagerank, degreeHist, labelProp, components, reachHops, butterflies)
+    Seq(pagerank, degreeHist, labelProp, components, componentsDelta,
+      reachHops, butterflies)
 }

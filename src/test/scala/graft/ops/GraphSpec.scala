@@ -123,6 +123,30 @@ class GraphSpec extends SparkSuite {
     assert(keys.sortBy { case (n, c) => (-n, c) }.toSeq == keys.toSeq)
   }
 
+  test("q_components_delta: quotient merge over newly-durable edges equals the full closure") {
+    val full = graft.SparkEntry.queries("q_components")(spark, sf).collect()
+      .map(_.mkString(",")).toSeq
+    val delta = graft.SparkEntry.queries("q_components_delta")(spark, sf).collect()
+      .map(_.mkString(",")).toSeq
+    assert(delta == full,
+      "incremental components must equal the full recompute, row for row")
+    // the merge path must actually run: some pairs become durable only
+    // with the delta orders (counts are monoidal, so newly-durable =
+    // durable(union) minus durable(base))
+    import org.apache.spark.sql.functions._
+    val pairs = graft.core.Tables.orders(spark, sf)
+      .join(graft.core.Tables.lineitem(spark, sf),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_orderkey"), col("o_custkey").as("c"), col("l_suppkey").as("s"))
+    val maxKey = pairs.agg(max(col("o_orderkey"))).head().getLong(0)
+    def durable(p: org.apache.spark.sql.DataFrame) = p.groupBy("c", "s")
+      .agg(count(lit(1)).as("cnt")).filter(col("cnt") >= 4).select("c", "s")
+    val nDelta = durable(pairs)
+      .exceptAll(durable(pairs.filter(col("o_orderkey") < 7L * maxKey / 8L)))
+      .count()
+    assert(nDelta > 0, "fixture must exercise the merge, not a no-op delta")
+  }
+
   test("q_reach_hops equals a driver-side BFS from the hub") {
     val eo = pairsWithRepeats(4)
     val adj = (eo ++ eo.map(_.swap)).groupBy(_._1)
