@@ -203,7 +203,7 @@ object Graph {
       .select("c", "s")
 
   /** Symmetric directed edge list over the disjoint node spaces. */
-  private def symmetricEdges(eo: DataFrame): DataFrame =
+  private[graft] def symmetricEdges(eo: DataFrame): DataFrame =
     eo.select(col("c").as("src"), (col("s") + SuppOffset).as("dst"))
       .unionAll(eo.select((col("s") + SuppOffset).as("src"), col("c").as("dst")))
 
@@ -290,8 +290,16 @@ object Graph {
       (sp, eo, ccFixpoint(symmetricEdges(eo).localCheckpoint()).localCheckpoint())
     }
     val deltaEo = durable(pairs).exceptAll(baseEo) // newly-durable pairs
-    // quotient: delta endpoints -> base component minima (self when new)
-    val dE = symmetricEdges(deltaEo)
+    componentCensus(mergeDelta(baseLab, symmetricEdges(deltaEo)))
+  }
+
+  /** Merge a SYMMETRIC delta edge list into an existing (node, lbl)
+    * labeling via the quotient graph: delta endpoints map to their
+    * component minima (or themselves when new), the tiny quotient runs
+    * the pointer-jumping fixpoint, and old labels relabel through the
+    * quotient roots — O(delta) work. Shared by q_components_delta and
+    * the streaming incremental-CC pipeline. */
+  private[graft] def mergeDelta(baseLab: DataFrame, dE: DataFrame): DataFrame = {
     val repS = baseLab.select(col("node").as("src"), col("lbl").as("rs"))
     val repD = baseLab.select(col("node").as("dst"), col("lbl").as("rd"))
     val quotientE = dE.join(repS, Seq("src"), "left").join(repD, Seq("dst"), "left")
@@ -299,20 +307,20 @@ object Graph {
         coalesce(col("rd"), col("dst")).as("dst"))
       .localCheckpoint()
     val qLab = ccFixpoint(quotientE).localCheckpoint()
-    // relabel base nodes through the quotient; untouched components keep
-    // their base label (left join misses)
+    // relabel old nodes through the quotient; untouched components keep
+    // their label (left join misses)
     val qMap = qLab.select(col("node").as("lbl"), col("lbl").as("qroot"))
     val merged = baseLab.join(qMap, Seq("lbl"), "left")
       .select(col("node"), coalesce(col("qroot"), col("lbl")).as("lbl"))
-    // nodes that exist only in the delta graph enter via the quotient
+    // nodes that exist only in the delta enter via the quotient
     val newNodes = qLab.join(baseLab.select("node"), Seq("node"), "left_anti")
-    componentCensus(merged.unionAll(newNodes))
+    merged.unionAll(newNodes)
   }
 
   /** Pointer-jumping min-label fixpoint over a symmetric edge list:
     * (node, lbl = component minimum). Factored out of q_components for
-    * reuse by the incremental variant. */
-  private def ccFixpoint(e: DataFrame): DataFrame = {
+    * reuse by the incremental variants. */
+  private[graft] def ccFixpoint(e: DataFrame): DataFrame = {
     var lab = e.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("lbl"))
       .localCheckpoint()

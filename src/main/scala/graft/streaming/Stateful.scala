@@ -407,6 +407,48 @@ object Stateful {
           .as("unseen_frac"))
   }
 
+  /** s_stream_components: incremental connected components over a stream
+    * of (customer, supplier) trading edges — the streaming twin of
+    * q_components_delta. State is the (node, lbl) labeling as versioned
+    * parquet (`v=<batchId>`, CdcPipeline's diff-state layout): a replayed
+    * batch overwrites its own version against the version BELOW it, so
+    * crash-replay is idempotent, and each micro-batch pays only the
+    * QUOTIENT merge of its arriving edges (Graph.mergeDelta) — O(batch),
+    * never O(graph). After any prefix of batches the latest state is
+    * exactly the batch closure over the union of edges seen so far
+    * (StatefulSpec pins parity against a driver-side union-find). */
+  def componentsStream(edges: DataFrame, stateDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    edges.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        componentsMergeBatch(batch, stateDir, batchId)
+      }
+      .start()
+
+  /** One incremental merge step (exposed so specs can drive it without a
+    * stream). */
+  private[graft] def componentsMergeBatch(batch: DataFrame, stateDir: String,
+      batchId: Long): Unit = {
+    val s = batch.sparkSession
+    val hPath = new org.apache.hadoop.fs.Path(stateDir)
+    val fs = hPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val versions =
+      if (!fs.exists(hPath)) Seq.empty[Long]
+      else fs.listStatus(hPath).toSeq.filter(_.isDirectory)
+        .map(_.getPath.getName)
+        .collect { case n if n.startsWith("v=") => n.drop(2).toLong }
+    val prev = versions.filter(_ < batchId).maxOption match {
+      case Some(pv) => s.read.parquet(s"$stateDir/v=$pv")
+      case None => s.range(0)
+        .select(col("id").as("node"), col("id").as("lbl"))
+    }
+    val dE = graft.ops.Graph
+      .symmetricEdges(batch.select(col("c"), col("s")))
+      .localCheckpoint()
+    graft.ops.Graph.mergeDelta(prev, dE)
+      .write.mode("overwrite").parquet(s"$stateDir/v=$batchId")
+  }
+
   /** s_session_window: native session windows, 30-minute gap per user —
     * the streaming twin of the batch gaps-and-islands in
     * graft.ops.Temporal.sessionize. */

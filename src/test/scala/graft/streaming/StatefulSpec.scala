@@ -444,4 +444,56 @@ class StatefulSpec extends SparkSuite {
     assert(Seq(open, neutral, strict)
       .map(m => (m(2L).getLong(3), m(2L).getLong(5))).distinct.size == 1)
   }
+
+  test("s_stream_components: state equals the batch closure after every arrival prefix") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    // the durable-trade pairs, arriving in three chunks
+    val pairs = spark.read.parquet(s"$sf/orders.parquet")
+      .join(spark.read.parquet(s"$sf/lineitem.parquet"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey").as("c"), col("l_suppkey").as("s"))
+      .agg(count(lit(1)).as("cnt")).filter(col("cnt") >= 4)
+      .select("c", "s").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(pairs.size >= 3)
+    val chunks = pairs.grouped((pairs.size + 2) / 3).toSeq
+    val stateDir = tmpDir("cc") + "/state"
+    val in = MemoryStream[(Long, Long)]
+    val q = Stateful.componentsStream(in.toDS().toDF("c", "s"), stateDir)
+    // component-minimum truth by union-find over an edge prefix
+    def truthOver(es: Seq[(Long, Long)]): Map[Long, Long] = {
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      es.foreach { case (c, s0) =>
+        val (ra, rb) = (find(c), find(1000000L + s0))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      parent.keys.map(n => n -> find(n)).toMap
+    }
+    try {
+      var seen = Seq.empty[(Long, Long)]
+      chunks.zipWithIndex.foreach { case (ch, i) =>
+        in.addData(ch)
+        q.processAllAvailable()
+        seen ++= ch
+        // the state after batch i is the FULL closure of the union so far
+        val got = spark.read.parquet(s"$stateDir/v=$i").collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(got == truthOver(seen),
+          s"batch $i: incremental state diverged from the prefix closure")
+      }
+    } finally q.stop()
+    // the serving artifact agrees with the declared batch operator's census
+    val finalLab = spark.read.parquet(s"$stateDir/v=${chunks.size - 1}")
+    val census = finalLab.groupBy(col("lbl")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val batchCensus = graft.SparkEntry.queries("q_components")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(census == batchCensus,
+      "streamed components census must equal q_components")
+  }
 }
