@@ -32,8 +32,26 @@ object ModelCache {
   // has been stopped (sparkContext.isStopped), which is the only moment
   // a cached model becomes unusable anyway (localCheckpoint blocks die
   // with the session's executors).
+  /** One memoized train. The map stores holders, not values, so the
+    * ConcurrentHashMap write is O(1) — training runs OUTSIDE any map
+    * lock, via the holder's lazy val (a per-KEY monitor): concurrent
+    * getOrTrain calls on unrelated keys never serialize behind a
+    * multi-second train (computeIfAbsent would hold the bin lock for
+    * the train's whole duration), and a train closure may itself call
+    * getOrTrain on another key without violating the map's no-recursive-
+    * update contract. A train that THROWS leaves the holder un-forced —
+    * Scala lazy vals don't latch on exception — so the next access
+    * retries the train, matching computeIfAbsent's no-mapping-on-throw
+    * behavior closely enough for a memoizer. `published` flags a value
+    * some caller has already received, so the clear()-race discard path
+    * never unpersists a model in live use. */
+  private final class Holder(train: () => AnyRef) {
+    @volatile var published = false
+    lazy val value: AnyRef = train()
+  }
+
   private val cache = new java.util.IdentityHashMap[
-    SparkSession, java.util.concurrent.ConcurrentHashMap[String, AnyRef]]()
+    SparkSession, java.util.concurrent.ConcurrentHashMap[String, Holder]]()
 
   /** Drop entries belonging to stopped sessions. Called on every access;
     * O(live sessions), driver-side only. */
@@ -45,12 +63,12 @@ object ModelCache {
   }
 
   private def perSession(spark: SparkSession)
-      : java.util.concurrent.ConcurrentHashMap[String, AnyRef] =
+      : java.util.concurrent.ConcurrentHashMap[String, Holder] =
     cache.synchronized {
       sweepStopped()
       var m = cache.get(spark)
       if (m == null) {
-        m = new java.util.concurrent.ConcurrentHashMap[String, AnyRef]()
+        m = new java.util.concurrent.ConcurrentHashMap[String, Holder]()
         cache.put(spark, m)
       }
       m
@@ -83,13 +101,31 @@ object ModelCache {
       .map("%02x".format(_)).mkString
   }
 
+  /** Best-effort release of a value discarded by the clear()-race retry:
+    * walk the value (the cached shapes are case classes / tuples of
+    * DataFrames) and unpersist every Dataset inside. cache()d frames
+    * release their blocks immediately; localCheckpointed frames release
+    * through the ContextCleaner once the last reference drops — the
+    * unpersist is the polite first step, the discard is the real one. */
+  private def releaseDiscarded(v: AnyRef): Unit = v match {
+    case ds: org.apache.spark.sql.Dataset[_] => ds.unpersist(false)
+    case p: Product => p.productIterator.foreach {
+      case a: AnyRef => releaseDiscarded(a)
+      case _ => ()
+    }
+    case _ => ()
+  }
+
   /** Memoized train: the first call under a key pays for training; every
     * later call with the SAME session and corpus state reuses the built
-    * model. `kind` namespaces model families (ivf, pq, …).
+    * model. `kind` namespaces model families (ivf, pq, …). Training runs
+    * outside the map (see [[Holder]]) — only the winning holder's lazy
+    * val trains, and only same-key callers wait on it.
     *
     * clear()-safe: the result publishes only if this session's inner map
     * is still the registered one — a concurrent [[clear]] detaches the
-    * map, in which case the loop re-fetches and re-trains into the fresh
+    * map, in which case the loop unpersists the orphaned model (unless
+    * another caller already published it) and re-trains into the fresh
     * map (clear means "drop every model", so a post-clear retrain is the
     * CORRECT outcome, not a stale survivor). */
   def getOrTrain[T <: AnyRef](spark: SparkSession, kind: String,
@@ -97,10 +133,16 @@ object ModelCache {
     val key = s"$kind|$sourcePath|${fingerprint(spark, sourcePath)}"
     while (true) {
       val m = perSession(spark)
-      val v = m.computeIfAbsent(key, _ => train)
+      val mine = new Holder(() => train)
+      val h = { val prev = m.putIfAbsent(key, mine); if (prev != null) prev else mine }
+      val v = h.value // may train; no map lock held
       cache.synchronized {
-        if (cache.get(spark) eq m) return v.asInstanceOf[T]
+        if (cache.get(spark) eq m) { h.published = true; return v.asInstanceOf[T] }
       }
+      // the map was detached by a concurrent clear(): this model will
+      // never be served — release its blocks (unless a pre-clear caller
+      // already holds it) and retrain into the fresh map
+      if (!h.published) releaseDiscarded(v)
     }
     throw new IllegalStateException("unreachable")
   }

@@ -92,4 +92,79 @@ class ModelCacheSpec extends SparkSuite {
     val again = ModelCache.getOrTrain(spark, "race", dir)(new Object)
     assert(again.eq(v) && trains.get() == 2)
   }
+
+  test("unrelated keys do not serialize behind an in-flight train") {
+    // training runs outside the map (holder lazy val, a per-key
+    // monitor) — a multi-second train on one key must not block
+    // getOrTrain on another (computeIfAbsent held the bin lock).
+    ModelCache.clear()
+    val started = new java.util.concurrent.CountDownLatch(1)
+    val release = new java.util.concurrent.CountDownLatch(1)
+    val dir = tmpDir("par") + "/absent-corpus"
+    val slow = scala.concurrent.Future {
+      ModelCache.getOrTrain(spark, "par-slow", dir) {
+        started.countDown(); release.await(); new Object
+      }
+    }(scala.concurrent.ExecutionContext.global)
+    started.await()
+    val t0 = System.nanoTime()
+    val fast = ModelCache.getOrTrain(spark, "par-fast", dir)(new Object)
+    val ms = (System.nanoTime() - t0) / 1e6
+    release.countDown()
+    scala.concurrent.Await.result(slow,
+      scala.concurrent.duration.Duration(30, "s"))
+    assert(fast != null)
+    assert(ms < 5000, s"independent key blocked $ms ms behind a train")
+  }
+
+  test("a train may itself call getOrTrain on another key of the same session") {
+    // the composed-model shape (e.g. an IVFPQ artifact built from the
+    // frozen IVF one): under computeIfAbsent this was a recursive map
+    // update — forbidden by contract; with holders it must just work.
+    ModelCache.clear()
+    val dir = tmpDir("nest") + "/absent-corpus"
+    val inner = new Object
+    val outer = ModelCache.getOrTrain(spark, "nest-outer", dir) {
+      val i = ModelCache.getOrTrain(spark, "nest-inner", dir)(inner)
+      (i, new Object)
+    }
+    assert(outer._1.eq(inner))
+    assert(ModelCache.getOrTrain(spark, "nest-inner", dir)(new Object).eq(inner),
+      "the inner model trained inside an outer train must be memoized")
+  }
+
+  test("a model discarded by the clear() race is unpersisted") {
+    ModelCache.clear()
+    val started = new java.util.concurrent.CountDownLatch(1)
+    val proceed = new java.util.concurrent.CountDownLatch(1)
+    val dfs = new java.util.concurrent.CopyOnWriteArrayList[
+      org.apache.spark.sql.DataFrame]()
+    val dir = tmpDir("rel") + "/absent-corpus"
+    val fut = scala.concurrent.Future {
+      ModelCache.getOrTrain(spark, "rel", dir) {
+        // each train builds a DISTINCT plan (the gen column): storageLevel
+        // resolves through the cache manager by plan equality, so two
+        // identical plans would make the discarded frame report the
+        // survivor's cache entry and mask the unpersist under test
+        val df = spark.range(10).toDF("v")
+          .withColumn("gen", org.apache.spark.sql.functions.lit(dfs.size()))
+          .cache()
+        df.count()
+        dfs.add(df)
+        started.countDown(); proceed.await()
+        Tuple1(df) // Product wrap: the discard walk must find the frame
+      }
+    }(scala.concurrent.ExecutionContext.global)
+    started.await()
+    ModelCache.clear() // detaches the trainer's inner map mid-train
+    proceed.countDown()
+    val served = scala.concurrent.Await.result(fut,
+      scala.concurrent.duration.Duration(30, "s"))
+    assert(dfs.size == 2, "discard must retrain")
+    assert(dfs.get(0).storageLevel == org.apache.spark.storage.StorageLevel.NONE,
+      "the discarded model's cached blocks must be unpersisted")
+    assert(dfs.get(1).storageLevel != org.apache.spark.storage.StorageLevel.NONE,
+      "the served model must keep its blocks")
+    assert(served._1.eq(dfs.get(1)))
+  }
 }
