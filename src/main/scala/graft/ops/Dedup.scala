@@ -323,18 +323,19 @@ object Dedup {
   /** Pointer-jumping fixpoint: (doc_id, root) with root = the chain
     * minimum over candidatePairs' keeper edges. */
   private def rootsOf(s: SparkSession, d: String): DataFrame = {
-    var lab = candidatePairs(s, d)
-      .select(col("doc_id"), col("keeper_id").as("root"))
-      .localCheckpoint()
+    // Session.truncate: localCheckpoint by default, reliable checkpoint
+    // when spark.graft.checkpointDir is set (see Session.CheckpointDirKey)
+    var lab = graft.core.Session.truncate(candidatePairs(s, d)
+      .select(col("doc_id"), col("keeper_id").as("root")))
     var prevSum = -1L
     var iter = 0
     var converged = false
     while (!converged && iter < 32) {
       val parents = lab.select(col("doc_id").as("p_doc"), col("root").as("p_root"))
-      lab = lab.join(parents, col("root") === col("p_doc"), "left")
-        .select(col("doc_id"),
-          least(col("root"), coalesce(col("p_root"), col("root"))).as("root"))
-        .localCheckpoint()
+      lab = graft.core.Session.truncate(
+        lab.join(parents, col("root") === col("p_doc"), "left")
+          .select(col("doc_id"),
+            least(col("root"), coalesce(col("p_root"), col("root"))).as("root")))
       // roots only decrease; the sum is a cheap monotone fixpoint probe
       // (coalesce: SUM over an empty frame is NULL — a corpus with no
       // near-dup candidates must converge, not throw)

@@ -56,8 +56,24 @@ object Layout {
     require(!df.columns.exists(scratch),
       s"input already has a ${scratch.mkString("/")} column — the z rewrite " +
         "would overwrite and then silently drop it")
-    val r = df.selectExpr(s"min($xExpr)", s"max($xExpr)",
-      s"min($yExpr)", s"max($yExpr)").collect()(0)
+    val censusDf = df.selectExpr(s"min($xExpr)", s"max($xExpr)",
+      s"min($yExpr)", s"max($yExpr)")
+    // the normalization below is exact-INTEGER math: a fractional
+    // clustering expression would silently truncate (clustering quality
+    // degrades with no error) — refuse loudly and ask for a pre-cast
+    val integral: org.apache.spark.sql.types.DataType => Boolean = {
+      case _: org.apache.spark.sql.types.ByteType => true
+      case _: org.apache.spark.sql.types.ShortType => true
+      case _: org.apache.spark.sql.types.IntegerType => true
+      case _: org.apache.spark.sql.types.LongType => true
+      case _ => false
+    }
+    require(censusDf.schema.fields.forall(f => integral(f.dataType)),
+      s"z-order clustering expressions must be integer-valued; " +
+        s"($xExpr, $yExpr) census types are " +
+        s"${censusDf.schema.fields.map(_.dataType.simpleString).mkString(", ")} — " +
+        "cast/bucket to an integer grid first")
+    val r = censusDf.collect()(0)
     // empty input: nothing to cluster, constant z
     if ((0 to 3).forall(r.isNullAt)) return df.withColumn("__z", lit(0L))
     // a dimension that exists but is entirely NULL would NPE below (or
@@ -67,10 +83,27 @@ object Layout {
         s"($xExpr, $yExpr) = $r")
     def v(i: Int) = r.getAs[Number](i).longValue
     val (minx, maxx, miny, maxy) = (v(0), v(1), v(2), v(3))
+    // ((x − min) · GridSize) is bounded by (span − 1) · GridSize: guard
+    // the span arithmetic itself (min ≪ 0, max ≫ 0 can overflow the
+    // subtraction) and the multiply, instead of wrapping silently
+    def spanOf(lo: Long, hi: Long, dim: String): Long = {
+      val w =
+        try Math.addExact(Math.subtractExact(hi, lo), 1L)
+        catch { case _: ArithmeticException =>
+          throw new IllegalArgumentException(
+            s"z-order $dim domain [$lo, $hi] wider than Long — " +
+              "bucket the expression before clustering")
+        }
+      require(w <= Long.MaxValue / GridSize,
+        s"z-order $dim domain [$lo, $hi] would overflow the grid " +
+          s"normalization (span $w × $GridSize) — bucket the expression first")
+      w
+    }
+    val (spanX, spanY) = (spanOf(minx, maxx, "x"), spanOf(miny, maxy, "y"))
     df.withColumn("__nx",
-        expr(s"(($xExpr - $minx) * $GridSize) div ${maxx - minx + 1}"))
+        expr(s"(($xExpr - $minx) * $GridSize) div $spanX"))
       .withColumn("__ny",
-        expr(s"(($yExpr - $miny) * $GridSize) div ${maxy - miny + 1}"))
+        expr(s"(($yExpr - $miny) * $GridSize) div $spanY"))
       .withColumn("__z", expr(interleave(
         (e, n) => s"shiftleft($e, $n)", (e, n) => s"shiftright($e, $n)",
         "__nx", "__ny")))

@@ -412,16 +412,26 @@ object Stateful {
     * q_components_delta. State is the (node, lbl) labeling as versioned
     * parquet (`v=<batchId>`, CdcPipeline's diff-state layout): a replayed
     * batch overwrites its own version against the version BELOW it, so
-    * crash-replay is idempotent, and each micro-batch pays only the
-    * QUOTIENT merge of its arriving edges (Graph.mergeDelta) — O(batch),
-    * never O(graph). After any prefix of batches the latest state is
-    * exactly the batch closure over the union of edges seen so far
-    * (StatefulSpec pins parity against a driver-side union-find). */
-  def componentsStream(edges: DataFrame, stateDir: String)
-      : org.apache.spark.sql.streaming.StreamingQuery =
+    * crash-replay is idempotent. Cost per micro-batch: the quotient
+    * FIXPOINT is O(batch) (only arriving edges enter it), but the
+    * relabel-and-rewrite of the full labeling is O(nodes) I/O — the
+    * state file is rewritten each batch, like any snapshot-state sink;
+    * what the incremental shape saves is the O(edges · rounds) closure,
+    * not the state write. Old `v=N` dirs are retained for crash replay
+    * and pruned past `keepVersions` (Maintenance.pruneVersions — ≥ 2
+    * keeps the replay-against-version-below invariant safe, since
+    * Structured Streaming replays at most the last uncommitted batch).
+    * After any prefix of batches the latest state is exactly the batch
+    * closure over the union of edges seen so far (StatefulSpec pins
+    * parity against a driver-side union-find). */
+  def componentsStream(edges: DataFrame, stateDir: String,
+      keepVersions: Int = 8): org.apache.spark.sql.streaming.StreamingQuery =
     edges.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         componentsMergeBatch(batch, stateDir, batchId)
+        graft.core.Maintenance.pruneVersions(
+          batch.sparkSession, stateDir, keepVersions)
+        ()
       }
       .start()
 

@@ -703,6 +703,68 @@ class CdcPipelineSpec extends SparkSuite {
     assert(CdcPipeline.pollTickAll(spark, Seq(users), epoch = 1L,
       listingDir = Some(listing)) == Seq(false))
   }
+
+  test("consistent tick with mixed modes: diff + snapshot share the epoch, replay once is idempotent") {
+    // The reference's whole job is multi-table capture under one tick
+    // (duckdb_cdc.go:116-120); here the two per-table MODES compose with
+    // the shared epoch: `users` emits row-level diff envelopes, `items`
+    // whole-snapshot envelopes, both stamped with the SAME epoch, and a
+    // crash-replay of an epoch rewrites both captures byte-identically.
+    val base = tmpDir("cdc")
+    val users = cfg(s"$base/users").copy(mode = "diff", keyCols = Seq("id"))
+    val items = cfg(s"$base/items").copy(tableName = "items")
+    Files.createDirectories(Paths.get(users.inputDir))
+    Files.createDirectories(Paths.get(items.inputDir))
+    seedUsers.coalesce(1).write.mode("append").parquet(users.inputDir)
+    val seedItems = Seq((10, "widget"), (11, "gadget")).toDF("id", "sku")
+    seedItems.coalesce(1).write.mode("append").parquet(items.inputDir)
+    val listing = s"$base/listing"
+    val tables = Seq(users, items)
+    // epoch 1: both tables bootstrap under ONE shared epoch
+    assert(CdcPipeline.pollTickAll(spark, tables, epoch = 1L,
+      listingDir = Some(listing)) == Seq(true, true))
+    assert(epochsIn(users.outputDir).distinct == Seq(1L))
+    assert(epochsIn(items.outputDir).distinct == Seq(1L))
+    val uBoot = jsonlLines(users.outputDir).sorted
+    val iBoot = jsonlLines(items.outputDir).sorted
+    assert(uBoot.size == 2 && uBoot.forall(_.contains("\"operation\":\"INSERT\"")),
+      "diff-mode bootstrap under a consistent tick emits row-level INSERTs")
+    assert(iBoot.size == 2 && iBoot.forall(_.contains("\"operation\":\"SNAPSHOT\"")),
+      "snapshot-mode capture under the same tick emits snapshot envelopes")
+    // crash-replay of epoch 1: the pinned listing re-checksums BOTH
+    // tables against committed metadata — no change, no rewrite, and
+    // the diff state is not advanced a second time
+    assert(CdcPipeline.pollTickAll(spark, tables, epoch = 1L,
+      listingDir = Some(listing)) == Seq(false, false))
+    assert(jsonlLines(users.outputDir).sorted == uBoot,
+      "replayed diff capture must leave the envelopes untouched")
+    assert(jsonlLines(items.outputDir).sorted == iBoot)
+    // epoch 2: users mutates (update + delete), items gets a new snapshot
+    Thread.sleep(20)
+    Seq((1, "John Doe", "john.doe@example.com", t0),
+        (3, "Bob Wilson", "bob@example.com", t0))
+      .toDF("id", "name", "email", "created_at")
+      .coalesce(1).write.mode("append").parquet(users.inputDir)
+    seedItems.unionAll(Seq((12, "sprocket")).toDF("id", "sku"))
+      .coalesce(1).write.mode("append").parquet(items.inputDir)
+    assert(CdcPipeline.pollTickAll(spark, tables, epoch = 2L,
+      listingDir = Some(listing)) == Seq(true, true))
+    assert(epochsIn(users.outputDir).distinct.sorted == Seq(1L, 2L))
+    assert(epochsIn(items.outputDir).distinct.sorted == Seq(1L, 2L))
+    val uDelta = jsonlLines(users.outputDir).diff(uBoot)
+    assert(uDelta.count(_.contains("\"operation\":\"UPDATE\"")) == 1)
+    assert(uDelta.count(_.contains("\"operation\":\"DELETE\"")) == 1)
+    assert(uDelta.count(_.contains("\"operation\":\"INSERT\"")) == 1)
+    assert(jsonlLines(items.outputDir).size == 5,
+      "items re-snapshots all 3 rows under epoch 2")
+    // replay epoch 2 once as well: both modes stay idempotent mid-stream
+    val uAll = jsonlLines(users.outputDir).sorted
+    val iAll = jsonlLines(items.outputDir).sorted
+    assert(CdcPipeline.pollTickAll(spark, tables, epoch = 2L,
+      listingDir = Some(listing)) == Seq(false, false))
+    assert(jsonlLines(users.outputDir).sorted == uAll)
+    assert(jsonlLines(items.outputDir).sorted == iAll)
+  }
 }
 
 /** Local disk under a non-default URI scheme — lets tests exercise

@@ -496,4 +496,27 @@ class StatefulSpec extends SparkSuite {
     assert(census == batchCensus,
       "streamed components census must equal q_components")
   }
+
+  test("s_stream_components: keepVersions prunes old state dirs, latest survives") {
+    implicit val sqlCtx = spark.sqlContext
+    val stateDir = tmpDir("ccprune") + "/state"
+    val in = MemoryStream[(Long, Long)]
+    val q = Stateful.componentsStream(in.toDS().toDF("c", "s"), stateDir,
+      keepVersions = 2)
+    try {
+      Seq(Seq((1L, 10L)), Seq((2L, 10L)), Seq((3L, 11L)), Seq((2L, 11L)))
+        .foreach { ch => in.addData(ch); q.processAllAvailable() }
+    } finally q.stop()
+    val fs = new org.apache.hadoop.fs.Path(stateDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val versions = fs.listStatus(new org.apache.hadoop.fs.Path(stateDir))
+      .map(_.getPath.getName).filter(_.startsWith("v=")).sorted.toSeq
+    assert(versions == Seq("v=2", "v=3"),
+      s"retention must keep only the newest 2 versions, got $versions")
+    // the surviving latest state is still the full closure
+    val got = spark.read.parquet(s"$stateDir/v=3").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      1000010L -> 1L, 1000011L -> 1L))
+  }
 }
