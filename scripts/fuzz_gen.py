@@ -422,10 +422,56 @@ def gen_graphcte(rng):
             f"ORDER BY n_nodes DESC, community LIMIT {rng.randint(20, 100)}")
 
 
+def gen_wedge(rng):
+    # the bipartite wedge / C(n,2) census family (q_butterflies shape):
+    # derive a distinct (a, b) pair list over MODDED key domains (mods
+    # bound every per-key degree, so the a<b pair join stays small in
+    # both engines), then census wedges Σ C(d,2) from both sides and
+    # butterflies Σ C(w,2) over the shared-pair counts. Integer values
+    # only; d*(d-1) is even so /2 is exact in the double both engines
+    # produce for int division, and the CAST normalizes the dtype.
+    m1 = rng.choice([31, 43, 61, 83, 97])
+    m2 = rng.choice([29, 37, 53, 71, 89])
+    a, b, tbl = rng.choice([
+        (f"o_custkey % {m1}", f"o_orderkey % {m2}", "orders"),
+        (f"l_suppkey % {m1}", f"l_partkey % {m2}", "lineitem"),
+        (f"user_id % {m1}", f"event_id % {m2}", "events"),
+        (f"doc_id % {m1}", f"n_chars % {m2}", "documents"),
+    ])
+    where = pred(rng, TABLES[tbl])
+    c2 = lambda x: f"CAST({x} * ({x} - 1) / 2 AS BIGINT)"
+    ctes = (
+        f"eo AS (SELECT DISTINCT ({a}) AS a, ({b}) AS b FROM {tbl} WHERE {where}), "
+        f"adeg AS (SELECT a, count(*) AS d FROM eo GROUP BY a), "
+        f"bdeg AS (SELECT b, count(*) AS d FROM eo GROUP BY b), "
+        f"cp AS (SELECT x.b AS b1, y.b AS b2, count(*) AS w FROM eo x "
+        f"JOIN eo y ON x.a = y.a AND x.b < y.b GROUP BY x.b, y.b)")
+    shape = rng.random()
+    if shape < 0.4:  # 1-row census (the q_butterflies contract)
+        return (
+            f"WITH {ctes} "
+            f"SELECT (SELECT count(*) FROM eo) AS n_edges, "
+            f"(SELECT CAST(coalesce(sum({c2('d')}), 0) AS BIGINT) FROM adeg) AS w_a, "
+            f"(SELECT CAST(coalesce(sum({c2('d')}), 0) AS BIGINT) FROM bdeg) AS w_b, "
+            f"(SELECT CAST(coalesce(sum({c2('w')}), 0) AS BIGINT) FROM cp) AS n_bfly")
+    if shape < 0.7:  # per-key wedge ranking (the hub census q_degree_hist feeds)
+        side = rng.choice(["adeg", "bdeg"])
+        key = "a" if side == "adeg" else "b"
+        return (f"WITH {ctes} SELECT {key}, d, {c2('d')} AS wedges "
+                f"FROM {side} ORDER BY wedges DESC, {key} "
+                f"LIMIT {rng.randint(20, 120)}")
+    # shared-count distribution: how many pairs share w hubs
+    return (f"WITH {ctes} SELECT w, count(*) AS n_pairs, "
+            f"min(b1) AS min_b1, max(b2) AS max_b2 "
+            f"FROM cp GROUP BY w ORDER BY w")
+
+
 def gen_query(rng):
     roll = rng.random()
     if roll < 0.04:
         return gen_graphcte(rng)
+    if roll < 0.08:
+        return gen_wedge(rng)
     roll = rng.random()
     if roll < 0.05:
         return gen_percentile(rng)

@@ -25,6 +25,13 @@ object Graph {
   private val Iters = 3
   private val SuppOffset = 1000000L
 
+  /** ONE depth bound for q_reach_hops, used by BOTH engines: the Spark
+    * BFS aborts loudly past it, and the oracle's recursive closure stops
+    * expanding at the same depth — a single constant, so raising it can
+    * never turn the loud abort into a silent cross-engine mismatch on a
+    * diameter ≥ bound graph. */
+  private val MaxHops = 64
+
   /** Shared edge-list SQL: `eo` = distinct trading pairs, `e` = the
     * symmetric directed edge list, `deg` = out-degrees. */
   private val edgeCtesSql =
@@ -284,7 +291,12 @@ object Graph {
     // the quotient merge, not the base fixpoint
     val (split, baseEo, baseLab) = graft.core.ModelCache.getOrTrain(
       s, "cc-base", d) {
-      val maxKey = pairs.agg(max(col("o_orderkey"))).head().getLong(0)
+      // empty orders ⋈ lineitem → max is NULL: fall back to split 0, so
+      // the base is the empty labeling and the merge path handles
+      // everything (an empty graph must census to zero rows, not NPE —
+      // the same explicit empty-case handling as reachHops' hub probe)
+      val maxRow = pairs.agg(max(col("o_orderkey"))).head()
+      val maxKey = if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0)
       val sp = 7L * maxKey / 8L
       val eo = durable(pairs.filter(col("o_orderkey") < sp)).localCheckpoint()
       (sp, eo, ccFixpoint(symmetricEdges(eo).localCheckpoint()).localCheckpoint())
@@ -321,9 +333,13 @@ object Graph {
     * (node, lbl = component minimum). Factored out of q_components for
     * reuse by the incremental variants. */
   private[graft] def ccFixpoint(e: DataFrame): DataFrame = {
-    var lab = e.select(col("src").as("node")).distinct()
-      .select(col("node"), col("node").as("lbl"))
-      .localCheckpoint()
+    // per-round truncation via Session.truncate: localCheckpoint by
+    // default; reliable checkpoint() when spark.graft.checkpointDir is
+    // set (cluster-grade — a lost executor must not restart a 30-round
+    // fixpoint from scratch)
+    var lab = graft.core.Session.truncate(
+      e.select(col("src").as("node")).distinct()
+        .select(col("node"), col("node").as("lbl")))
     var prevSum = -1L
     var iter = 0
     var converged = false
@@ -334,10 +350,10 @@ object Graph {
         .groupBy("node").agg(min(col("lbl")).as("lbl"))
       val parents = stepped
         .select(col("node").as("p_node"), col("lbl").as("p_lbl"))
-      lab = stepped.join(parents, col("lbl") === col("p_node"), "left")
-        .select(col("node"),
-          least(col("lbl"), coalesce(col("p_lbl"), col("lbl"))).as("lbl"))
-        .localCheckpoint()
+      lab = graft.core.Session.truncate(
+        stepped.join(parents, col("lbl") === col("p_node"), "left")
+          .select(col("node"),
+            least(col("lbl"), coalesce(col("p_lbl"), col("lbl"))).as("lbl")))
       // labels only decrease; an unchanged sum IS the fixpoint (coalesce:
       // an edgeless graph must converge on the empty frame, not throw)
       val labSum = lab.agg(coalesce(sum(col("lbl")), lit(0L))).head().getLong(0)
@@ -384,7 +400,7 @@ object Graph {
        |  SELECT h AS node, 0 AS d FROM hub WHERE h IS NOT NULL
        |  UNION
        |  SELECT e.dst, re.d + 1 FROM reach re
-       |  JOIN e ON e.src = re.node WHERE re.d < 64),
+       |  JOIN e ON e.src = re.node WHERE re.d < $MaxHops),
        |dist AS (SELECT node, min(d) AS hops FROM reach GROUP BY node)
        |SELECT CAST(hops AS BIGINT) AS hops,
        |  CAST(count(*) AS BIGINT) AS n_nodes,
@@ -399,18 +415,18 @@ object Graph {
       e.select(col("src").as("hops"), col("src").as("n_nodes"),
         col("src").as("min_node"), col("src").as("max_node")).limit(0)
     } else {
-      var dist = e.sparkSession.range(1)
-        .select(lit(hub.getLong(0)).as("node"), lit(0L).as("d"))
-        .localCheckpoint()
+      var dist = graft.core.Session.truncate(
+        e.sparkSession.range(1)
+          .select(lit(hub.getLong(0)).as("node"), lit(0L).as("d")))
       var (prevCnt, prevSum) = (-1L, -1L)
       var iter = 0
       var converged = false
-      while (!converged && iter < 64) {
+      while (!converged && iter < MaxHops) {
         val stepped = e.join(dist.withColumnRenamed("node", "src"), "src")
           .select(col("dst").as("node"), (col("d") + 1L).as("d"))
           .unionAll(dist)
           .groupBy("node").agg(min(col("d")).as("d"))
-        dist = stepped.localCheckpoint()
+        dist = graft.core.Session.truncate(stepped)
         // the reachable set only grows and distances only decrease, so an
         // unchanged (count, sum) pair IS the fixpoint
         val probe = dist.agg(count(lit(1)), coalesce(sum(col("d")), lit(0L))).head()
@@ -429,6 +445,112 @@ object Graph {
     }
   }
 
+  /** Derived per-hub-key wedge cap: 4× the average hub-side degree —
+    * the semdedup subcell recipe (Similarity.subcellsOf). Keys at or
+    * under the cap keep a single block (zero replication, the plan is
+    * identical to the unsplit pair join); only hub keys pay the split. */
+  private[graft] def wedgeCap(nEdges: Long, nKeys: Long): Long =
+    math.max(2L, 4L * ((nEdges + math.max(nKeys, 1L) - 1) / math.max(nKeys, 1L)))
+
+  /** 1-row control-plane census of one bipartite side: (distinct keys,
+    * edges, Σ C(deg, 2)). The wedge sum IS the pair-join row count, so
+    * reading it first makes the enumeration-side choice free. */
+  private def sideCensus(eo: DataFrame, side: String): (Long, Long, Long) = {
+    val r = eo.groupBy(col(side)).agg(count(lit(1)).as("d"))
+      .agg(count(lit(1)).as("n_keys"),
+        coalesce(sum(col("d")), lit(0L)).as("n_edges"),
+        coalesce(sum(expr("d * (d - 1) div 2")), lit(0L)).as("w"))
+      .head()
+    (r.getLong(0), r.getLong(1), r.getLong(2))
+  }
+
+  /** Hash-split of the hub side into capped blocks: nblk =
+    * ceil(deg/cap), block = multiplicative hash of the spoke id mod
+    * nblk (the exact-integer recipe shared with semdedup's subcells —
+    * both engines could replay it bit-for-bit, though the butterfly
+    * count is split-invariant so the oracle never needs to). */
+  private def wedgeBlocked(kv: DataFrame, cap: Long): DataFrame = {
+    val deg = kv.groupBy("k").agg(count(lit(1)).as("hd"))
+    kv.join(deg, "k")
+      .withColumn("nblk", expr(s"(hd + ${cap - 1}) div $cap"))
+      .withColumn("blk", ((col("v") % lit(1048573L)) * lit(2654435761L)) % col("nblk"))
+      .select("k", "v", "blk", "nblk")
+  }
+
+  /** (hub key, block) → population, on the side the census picks — the
+    * observability twin GraphSpec grades the per-key bound against. */
+  private[graft] def wedgeBlocks(eo: DataFrame): DataFrame = {
+    val (sKeys, nEdges, wS) = sideCensus(eo, "s")
+    val (cKeys, _, wC) = sideCensus(eo, "c")
+    val (hub, spoke, keys) = if (wS <= wC) ("s", "c", sKeys) else ("c", "s", cKeys)
+    wedgeBlocked(eo.select(col(hub).as("k"), col(spoke).as("v")),
+        wedgeCap(nEdges, keys))
+      .groupBy("k", "blk").agg(count(lit(1)).as("n"))
+  }
+
+  /** Bounded butterfly census over an arbitrary bipartite pair list
+    * (columns `c`, `s`) — factored so GraphSpec can drive synthetic
+    * hub-skew graphs through the exact production plan.
+    *
+    * Two bounds, both derived from 1-row censuses read BEFORE the pair
+    * join is paid for:
+    *  1. SIDE CHOICE — wedges are enumerated from whichever side has the
+    *     smaller Σ C(deg, 2); that sum is exactly the pair-join row
+    *     count, so the choice minimizes total shuffle volume (a graph
+    *     with hub suppliers but flat customers enumerates supplier pairs
+    *     per customer, and vice versa).
+    *  2. HUB SPLIT — on the chosen side, each key's adjacency is
+    *     hash-split into ceil(deg/cap) blocks (cap = 4× average degree,
+    *     the semdedup subcell recipe). Within-block pairs join on
+    *     (k, blk); cross-block pairs join on (k, i, j) with each edge
+    *     replicated to its ceil(deg/cap)−1 partner blocks — so the
+    *     worst single join key carries ~cap² rows no matter how big the
+    *     hub, instead of C(deg_hub, 2) on one key. Non-hub keys have
+    *     nblk = 1: zero replication, no cross side, the exact original
+    *     plan. Unlike semdedup's subcells the cross-block pairs ARE
+    *     enumerated — the census must stay exact, and the split is pure
+    *     skew-spreading, not approximation.
+    *
+    * The butterfly count is mathematically side- and split-invariant
+    * (every unordered spoke pair is produced exactly once: same block →
+    * within with v1 < v2; different blocks i < j → one (k, i, j) key),
+    * so the oracle keeps the supplier-side enumeration; GraphSpec
+    * asserts the side identity by local recompute and drives a hub-skew
+    * graph through the split path. */
+  private[graft] def butterflyCensus(eo: DataFrame): DataFrame = {
+    val (sKeys, nEdges, wS) = sideCensus(eo, "s")
+    val (cKeys, _, wC) = sideCensus(eo, "c")
+    val (hub, spoke, keys) = if (wS <= wC) ("s", "c", sKeys) else ("c", "s", cKeys)
+    val cap = wedgeCap(nEdges, keys)
+    val blocked = wedgeBlocked(
+        eo.select(col(hub).as("k"), col(spoke).as("v")), cap)
+      .localCheckpoint() // feeds the within join (2×) and both cross sides
+    val within = blocked.as("a").join(blocked.as("b"),
+        col("a.k") === col("b.k") && col("a.blk") === col("b.blk")
+          && col("a.v") < col("b.v"))
+      .select(col("a.v").as("v1"), col("b.v").as("v2"))
+    // cross-block: edge in block i is the LEFT of every (i, j>i) pair
+    // key, edge in block j the RIGHT of every (i<j, j) — replication is
+    // nblk−1 per edge, zero when nblk = 1
+    val lo = blocked.select(col("k"), col("v"), col("blk").as("i"),
+      explode(when(col("blk") < col("nblk") - 1,
+          sequence(col("blk") + 1, col("nblk") - 1))
+        .otherwise(array().cast("array<bigint>"))).as("j"))
+    val hi = blocked.select(col("k"), col("v"), col("blk").as("j"),
+      explode(when(col("blk") > 0, sequence(lit(0L), col("blk") - 1))
+        .otherwise(array().cast("array<bigint>"))).as("i"))
+    val cross = lo.as("a").join(hi.as("b"),
+        col("a.k") === col("b.k") && col("a.i") === col("b.i")
+          && col("a.j") === col("b.j"))
+      .select(least(col("a.v"), col("b.v")).as("v1"),
+        greatest(col("a.v"), col("b.v")).as("v2"))
+    within.unionAll(cross)
+      .groupBy("v1", "v2").agg(count(lit(1)).as("w"))
+      .agg(coalesce(sum(expr("w * (w - 1) div 2")), lit(0L)).as("n_butterflies"))
+      .select(lit(nEdges).as("n_edges"), lit(wS).as("n_wedges_supplier"),
+        lit(wC).as("n_wedges_customer"), col("n_butterflies"))
+  }
+
   /** Butterfly (2×2 biclique) census of the durable-trade graph — the
     * clustering metric that is actually meaningful on a bipartite graph:
     * triangles cannot exist (no odd cycles), so cohesion is measured by
@@ -436,14 +558,7 @@ object Graph {
     * wedge counts from BOTH sides (customer pairs through a shared
     * supplier = Σ C(deg_s, 2); supplier pairs through a shared customer
     * = Σ C(deg_c, 2)) and the butterfly count Σ_pairs C(shared, 2).
-    *
-    * Scale shape: the only pair join (customer pairs per supplier) is
-    * the wedge enumeration, whose size is EXACTLY the n_wedges_supplier
-    * figure this census reports and q_degree_hist profiles — on the ≥4
-    * durable subgraph per-supplier degrees are small, and the join
-    * carries bare (c1, c2) keys into a partial-aggregating count. The
-    * butterfly identity (same count derivable from either side's wedges)
-    * is asserted in GraphSpec via a local recompute. */
+    * Plan bounds (side choice + hub split): see butterflyCensus. */
   val butterflies: Q = Q(
     "q_butterflies",
     s"""WITH $durableEoSql,
@@ -459,20 +574,7 @@ object Graph {
        |  (SELECT CAST(coalesce(sum(w * (w - 1) // 2), 0) AS BIGINT) FROM cp)
        |    AS n_butterflies""".stripMargin
   ) { (s, d) =>
-    val eo = durablePairs(s, d)
-      .localCheckpoint() // feeds 4 independent aggregations
-    val edges = eo.agg(count(lit(1)).as("n_edges"))
-    def wedgeCount(side: String, out: String) = eo.groupBy(side)
-      .agg(count(lit(1)).as("d"))
-      .agg(coalesce(sum(expr("d * (d - 1) div 2")), lit(0L)).as(out))
-    val cp = eo.as("a")
-      .join(eo.as("b"), col("a.s") === col("b.s") && col("a.c") < col("b.c"))
-      .groupBy(col("a.c"), col("b.c")).agg(count(lit(1)).as("w"))
-      .agg(coalesce(sum(expr("w * (w - 1) div 2")), lit(0L)).as("n_butterflies"))
-    edges
-      .crossJoin(wedgeCount("s", "n_wedges_supplier"))
-      .crossJoin(wedgeCount("c", "n_wedges_customer"))
-      .crossJoin(cp)
+    butterflyCensus(durablePairs(s, d).localCheckpoint())
   }
 
   val all: Seq[Q] =

@@ -197,4 +197,80 @@ class GraphSpec extends SparkSuite {
     assert(r.getLong(r.fieldIndex("n_butterflies")) == viaSuppliers,
       "operator butterfly count must equal the local recompute")
   }
+
+  test("empty trade graph: components/delta/reach census to zero rows, no NPE") {
+    val dir = tmpDir("ccempty")
+    graft.core.Tables.orders(spark, sf).limit(0)
+      .write.parquet(s"$dir/orders.parquet")
+    graft.core.Tables.lineitem(spark, sf).limit(0)
+      .write.parquet(s"$dir/lineitem.parquet")
+    // componentsDelta's base-split probe reads max(o_orderkey), which is
+    // NULL here — it must short-circuit to the empty census like its
+    // siblings, not throw
+    assert(graft.SparkEntry.queries("q_components_delta")(spark, dir).isEmpty)
+    assert(graft.SparkEntry.queries("q_components")(spark, dir).isEmpty)
+    assert(graft.SparkEntry.queries("q_reach_hops")(spark, dir).isEmpty)
+    assert(graft.SparkEntry.queries("q_butterflies")(spark, dir)
+      .head().getLong(3) == 0L, "butterfly census of the empty graph is 0")
+  }
+
+  /** Brute-force butterfly count of a local (c, s) pair list. */
+  private def bruteButterflies(eo: Seq[(Long, Long)]): Long = {
+    def choose2(n: Long) = n * (n - 1) / 2
+    eo.groupBy(_._2).values
+      .flatMap(_.map(_._1).toSeq.sorted.combinations(2))
+      .toSeq.groupBy(identity).values.map(g => choose2(g.size.toLong)).sum
+  }
+
+  test("q_butterflies: hub-skew graph engages the block split and stays exact") {
+    import spark.implicits._
+    // one hub supplier trading with 200 customers AND one hub customer
+    // trading with 200 suppliers — the two wedge censuses tie, so the
+    // supplier side is enumerated and its hub key MUST split; two small
+    // suppliers add cross-hub shared pairs so the count is non-zero
+    val eo = ((1L to 200L).map(c => (c, 1L)) ++
+      (2L to 200L).map(s => (1L, s)) ++
+      Seq((2L, 2L), (3L, 2L), (2L, 3L), (3L, 3L))).distinct
+    val df = eo.toDF("c", "s")
+    // the split must actually engage: the enumerated hub key carries
+    // > 1 block, and no block exceeds a small multiple of the cap
+    // (hash-mod balance, not an exact quota)
+    val blocks = Graph.wedgeBlocks(df).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2)))
+    val perKey = blocks.groupBy(_._1._1)
+    val hubBlocks = perKey.map { case (_, bs) => bs.length }.max
+    assert(hubBlocks > 1, "hub key must be split into multiple blocks")
+    val cap = Graph.wedgeCap(eo.length.toLong,
+      eo.map(_._2).distinct.length.toLong)
+    assert(blocks.map(_._2).max <= 4 * cap,
+      s"block population must stay near the derived cap $cap")
+    val got = Graph.butterflyCensus(df).head()
+    assert(got.getLong(got.fieldIndex("n_butterflies")) == bruteButterflies(eo),
+      "split-path census must equal the brute-force count")
+    assert(got.getLong(got.fieldIndex("n_edges")) == eo.length.toLong)
+  }
+
+  test("q_butterflies: side choice — supplier-hub graph enumerates the flat side") {
+    import spark.implicits._
+    // one hub supplier with 300 customers, plus 40 two-customer
+    // suppliers: supplier-side wedges ≈ C(300,2), customer-side ≈ 3/key
+    // — the census must route enumeration through the cheap customer
+    // side, and the count must still equal brute force (side-invariance)
+    val eo = ((1L to 300L).map(c => (c, 1L)) ++
+      (2L to 41L).flatMap(j => Seq((j, j), (j + 1, j)))).distinct
+    val df = eo.toDF("c", "s")
+    // cheaper side has max degree 3 < cap → nothing splits
+    val blocks = Graph.wedgeBlocks(df).collect()
+    assert(blocks.map(_.getLong(2)).max <= 3,
+      "flat-side enumeration must see only per-customer adjacency")
+    val got = Graph.butterflyCensus(df).head()
+    assert(got.getLong(got.fieldIndex("n_butterflies")) == bruteButterflies(eo))
+    // transposing the graph flips the chosen side; the census transposes
+    val gotT = Graph.butterflyCensus(
+      df.select($"s".as("c"), $"c".as("s"))).head()
+    assert(gotT.getLong(gotT.fieldIndex("n_butterflies")) ==
+      got.getLong(got.fieldIndex("n_butterflies")))
+    assert(gotT.getLong(gotT.fieldIndex("n_wedges_supplier")) ==
+      got.getLong(got.fieldIndex("n_wedges_customer")))
+  }
 }
