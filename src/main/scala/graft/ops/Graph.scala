@@ -65,8 +65,12 @@ object Graph {
     * degree table are built once; rounds reuse them. Top 25 nodes keep
     * the output bounded (a full rank table is the non-presentation form).
     * Reference has no graph surface; this is north-star breadth. */
-  val pagerank: Q = Q(
-    "q_pagerank",
+  /** The unrolled exact-integer PageRank closure — shared verbatim by
+    * q_pagerank and q_pagerank_delta: the oracle for BOTH is the full
+    * recomputation over the complete current edge list, which is exactly
+    * the claim the incremental variant must live up to (the same
+    * oracle-sharing convention as componentsClosureSql). */
+  private lazy val pagerankSql: String =
     s"""WITH $edgeCtesSql,
        |r0 AS (SELECT src AS node, CAST(1000000 AS BIGINT) AS r FROM deg),
        |${(1 to Iters).map { i =>
@@ -78,7 +82,8 @@ object Graph {
        |SELECT node, r AS rank_scaled,
        |  CASE WHEN node >= $SuppOffset THEN 'supplier' ELSE 'customer' END AS kind
        |FROM r$Iters ORDER BY rank_scaled DESC, node LIMIT 25""".stripMargin
-  ) { (s, d) =>
+
+  val pagerank: Q = Q("q_pagerank", pagerankSql) { (s, d) =>
     val (e, deg) = edgesOf(s, d)
     // edges + degrees feed every round: materialize once, not per round
     val ed = e.join(deg, "src").localCheckpoint()
@@ -303,6 +308,181 @@ object Graph {
     }
     val deltaEo = durable(pairs).exceptAll(baseEo) // newly-durable pairs
     componentCensus(mergeDelta(baseLab, symmetricEdges(deltaEo)))
+  }
+
+  /** Incremental PageRank maintenance — the rank member of the delta
+    * family, completing the incremental-graph story q_components_delta
+    * started. The FROZEN base artifact (yesterday's graph, orders below
+    * the 7/8 orderkey split) holds the symmetric edge list plus the
+    * PER-ROUND rank tables r1..r`Iters` — not just the final ranks,
+    * because a bounded recompute needs boundary values at every depth.
+    *
+    * The exactness argument for the unrolled `Iters`-round recursion:
+    * r_i(v) depends only on v's i-hop in-neighborhood (initial ranks are
+    * constant, contributions flow one hop per round). Edge additions are
+    * the only change (trading pairs are monotone), so r_i(v) differs
+    * from the frozen r_i(v) ONLY if v is within i hops of an endpoint of
+    * an added edge. The delta recompute therefore: (1) seeds the
+    * affected set with the added pairs' endpoints and expands it
+    * `Iters` hops — the BLAST RADIUS; (2) recomputes every round only
+    * over edges INTO the radius, reading each source's round-(i-1)
+    * rank as coalesce(delta, frozen base) — sources outside the radius
+    * are exactly the nodes whose frozen rank is still valid (a fixed
+    * superset of the per-round minimal set is still exact: recomputed
+    * values equal true values wherever computed); (3) merges: radius
+    * nodes take the recomputed ranks, every other node keeps frozen
+    * r`Iters` verbatim. Degrees are always CURRENT (they changed only
+    * at delta endpoints, inside the radius).
+    *
+    * FLOOD FALLBACK: the radius is counted (one control-plane read)
+    * BEFORE any rank work — when it covers more than half the graph
+    * (a uniformly-spread delta on a small-world graph floods in 2–3
+    * hops), the overlay bookkeeping would cost more than it saves, so
+    * the operator rebuilds outright; the frozen artifact stays for the
+    * next, smaller delta. Incremental maintenance pays when the delta
+    * is LOCAL; the probe caps the worst case at ~rebuild cost.
+    *
+    * Scale shape: on a local delta the per-round shuffles carry
+    * O(edges-into-radius) rows instead of O(edges) — at 100 TB with a
+    * daily delta, serving cost is proportional to the blast radius,
+    * not the corpus. The ORACLE is the full unrolled closure
+    * over ALL current edges (pagerankSql, shared with q_pagerank), so
+    * the hash gate proves incremental == full across two engines;
+    * GraphSpec additionally pins delta == q_pagerank within Spark, on
+    * both sides of the flood probe (a two-community fixture for the
+    * restricted path, the sf corpus for the fallback). */
+  /** One exact-integer rank round over an (src, dst, d) edge+degree
+    * table: r'(v) = 150000 + (85 · Σ_{u→v} (r(u) div d(u))) div 100.
+    * Shared by q_pagerank-shaped full rounds (base training, flood
+    * fallback) and the restricted delta rounds. */
+  private def prRound(ed: DataFrame, r: DataFrame): DataFrame =
+    ed.join(r.withColumnRenamed("node", "src"), "src")
+      .select(col("dst"), expr("r div d").as("contrib"))
+      .groupBy("dst")
+      .agg((lit(150000L) + expr("(85 * sum(contrib)) div 100")).as("r"))
+      .select(col("dst").as("node"), col("r"))
+
+  /** Top-25 presentation over a final (node, r) rank table. */
+  private def prPresent(r: DataFrame): DataFrame =
+    r.select(col("node"), col("r").as("rank_scaled"),
+        when(col("node") >= SuppOffset, "supplier").otherwise("customer").as("kind"))
+      .orderBy(col("rank_scaled").desc, col("node"))
+      .limit(25)
+
+  val pagerankDelta: Q = Q("q_pagerank_delta", pagerankSql) { (s, d) =>
+    val pairsAll = T.orders(s, d)
+      .join(T.lineitem(s, d), col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_orderkey"), col("o_custkey").as("c"), col("l_suppkey").as("s"))
+    def eoOf(p: DataFrame) = p.select("c", "s").distinct()
+    // frozen base: yesterday's pair list + PER-ROUND rank tables
+    // (train-once via the model registry, the cc-base/ivf-base economics)
+    val (baseEo, baseR1, baseR2, baseRF) = graft.core.ModelCache.getOrTrain(
+      s, "pr-base", d) {
+      val maxRow = pairsAll.agg(max(col("o_orderkey"))).head()
+      val maxKey = if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0)
+      val sp = 7L * maxKey / 8L
+      val eoB = eoOf(pairsAll.filter(col("o_orderkey") < sp)).localCheckpoint()
+      val eB = symmetricEdges(eoB)
+      val edB = eB.join(eB.groupBy("src").agg(count(lit(1)).as("d")), "src")
+        .localCheckpoint()
+      var r = edB.select(col("src").as("node")).distinct()
+        .select(col("node"), lit(1000000L).as("r"))
+      val rounds = Seq.newBuilder[DataFrame]
+      for (_ <- 1 to Iters) {
+        r = prRound(edB, r).localCheckpoint()
+        rounds += r
+      }
+      val Seq(r1, r2, rf) = rounds.result()
+      (eoB, r1, r2, rf)
+    }
+    val baseRs = Seq(baseR1, baseR2, baseRF)
+    val eo = eoOf(pairsAll).localCheckpoint()
+    val e = symmetricEdges(eo)
+    val deg = e.groupBy("src").agg(count(lit(1)).as("d"))
+    val ed = e.join(deg, "src").localCheckpoint()
+    // A₀ = endpoints of pairs added since the base, then Iters frontier
+    // expansions (rank changes propagate one hop per round) — the blast
+    // radius, computed BEFORE any rank work because it also decides the
+    // execution path below
+    val deltaEo = eo.join(baseEo, Seq("c", "s"), "left_anti")
+    var affected = deltaEo.select(col("c").as("node"))
+      .unionAll(deltaEo.select((col("s") + SuppOffset).as("node")))
+      .distinct().localCheckpoint()
+    // per-hop 1-row control-plane reads pick the path: when the radius
+    // covers more than half the graph (a uniformly-spread delta on a
+    // small-world graph floods in 2–3 hops), the overlay bookkeeping
+    // costs more than it saves — rebuild outright; the frozen artifact
+    // stays for the next, smaller delta. The radius only grows, so the
+    // expansion ABORTS at the first flooded hop instead of paying the
+    // remaining ones — the probe is what keeps the operator never much
+    // worse than the rebuild it replaces, and nearly free on the local
+    // deltas it exists for.
+    val nNodes = deg.count()
+    var flooded = 2L * affected.count() > nNodes
+    var hops = 0
+    while (!flooded && hops < Iters) {
+      affected = graft.core.Session.truncate(
+        affected.unionAll(
+            e.join(affected.withColumnRenamed("node", "src"), "src")
+              .select(col("dst").as("node")))
+          .distinct())
+      hops += 1
+      flooded = 2L * affected.count() > nNodes
+    }
+    if (flooded) {
+      var r = deg.select(col("src").as("node"), lit(1000000L).as("r"))
+      for (_ <- 1 to Iters) r = prRound(ed, r)
+      prPresent(r)
+    } else {
+      // restricted rounds: every round recomputes over edges INTO the
+      // (fixed) blast radius; sources outside it read their FROZEN
+      // round-(i-1) rank — exactly the nodes whose rank is still valid
+      var rDelta: DataFrame = null
+      for (i <- 1 to Iters) {
+        val inE = ed.join(affected.withColumnRenamed("node", "dst"), "dst")
+        val withSrcRank =
+          if (i == 1) inE.withColumn("rsrc", lit(1000000L)) // r0 is constant
+          else inE
+            .join(rDelta.select(col("node").as("src"), col("r").as("rd")),
+              Seq("src"), "left")
+            .join(baseRs(i - 2).select(col("node").as("src"), col("r").as("rb")),
+              Seq("src"), "left")
+            // delta overlay wins; a source with neither is impossible (a
+            // node absent from the base is new, hence inside the radius)
+            .withColumn("rsrc", coalesce(col("rd"), col("rb")))
+        rDelta = graft.core.Session.truncate(
+          withSrcRank.select(col("dst"), expr("rsrc div d").as("contrib"))
+            .groupBy("dst")
+            .agg((lit(150000L) + expr("(85 * sum(contrib)) div 100")).as("r"))
+            .select(col("dst").as("node"), col("r")))
+      }
+      prPresent(baseRF.join(affected, Seq("node"), "left_anti")
+        .unionAll(rDelta))
+    }
+  }
+
+  /** (total current nodes, affected after `Iters` expansions, delta
+    * edges) — the observability triple GraphSpec uses to prove the
+    * bounded path engages (affected ⊊ nodes on a real delta). */
+  private[graft] def pagerankDeltaStats(s: org.apache.spark.sql.SparkSession,
+      d: String): (Long, Long, Long) = {
+    val pairsAll = T.orders(s, d)
+      .join(T.lineitem(s, d), col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_orderkey"), col("o_custkey").as("c"), col("l_suppkey").as("s"))
+    val maxRow = pairsAll.agg(max(col("o_orderkey"))).head()
+    val maxKey = if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0)
+    val sp = 7L * maxKey / 8L
+    def symE(p: DataFrame) = symmetricEdges(p.select("c", "s").distinct())
+    val e = symE(pairsAll).localCheckpoint()
+    val eB = symE(pairsAll.filter(col("o_orderkey") < sp))
+    val eDelta = e.exceptAll(eB).localCheckpoint()
+    var affected = eDelta.select(col("src").as("node")).distinct()
+    for (_ <- 1 to Iters)
+      affected = affected.unionAll(
+          e.join(affected.withColumnRenamed("node", "src"), "src")
+            .select(col("dst").as("node")))
+        .distinct().localCheckpoint()
+    (e.select("src").distinct().count(), affected.count(), eDelta.count() / 2)
   }
 
   /** Merge a SYMMETRIC delta edge list into an existing (node, lbl)
@@ -578,6 +758,6 @@ object Graph {
   }
 
   val all: Seq[Q] =
-    Seq(pagerank, degreeHist, labelProp, components, componentsDelta,
-      reachHops, butterflies)
+    Seq(pagerank, pagerankDelta, degreeHist, labelProp, components,
+      componentsDelta, reachHops, butterflies)
 }

@@ -198,6 +198,47 @@ class GraphSpec extends SparkSuite {
       "operator butterfly count must equal the local recompute")
   }
 
+  test("q_pagerank_delta: bounded recompute equals the full PageRank") {
+    val full = graft.SparkEntry.queries("q_pagerank")(spark, sf).collect().toSeq
+    val delta = graft.SparkEntry.queries("q_pagerank_delta")(spark, sf)
+      .collect().toSeq
+    assert(delta == full,
+      "incremental ranks must be bit-identical to the full recomputation")
+    // the warm path (frozen base already trained) is also identical
+    val warm = graft.SparkEntry.queries("q_pagerank_delta")(spark, sf)
+      .collect().toSeq
+    assert(warm == full)
+    val (nNodes, nAffected, nDeltaEdges) = Graph.pagerankDeltaStats(spark, sf)
+    assert(nDeltaEdges > 0, "fixture must actually exercise the delta path")
+    assert(nAffected <= nNodes)
+    info(s"nodes=$nNodes affected=$nAffected deltaEdges=$nDeltaEdges")
+  }
+
+  test("q_pagerank_delta: blast radius stays inside the touched community") {
+    import spark.implicits._
+    // two disconnected stars: supplier 1 ⋆ customers 1..20 (orders
+    // 1..20, all below the 7/8 split) and supplier 11 ⋆ customers
+    // 21..40 (orders 21..40 — the last 6 are the delta). The untouched
+    // community's ranks must come from the frozen base verbatim, and
+    // the affected set must not leak across the component boundary.
+    val dir = tmpDir("prd")
+    (1L to 40L).map(k => (k, k))
+      .toDF("o_orderkey", "o_custkey")
+      .write.parquet(s"$dir/orders.parquet")
+    (1L to 40L).map(k => (k, if (k <= 20) 1L else 11L))
+      .toDF("l_orderkey", "l_suppkey")
+      .write.parquet(s"$dir/lineitem.parquet")
+    val full = graft.SparkEntry.queries("q_pagerank")(spark, dir).collect().toSeq
+    val delta = graft.SparkEntry.queries("q_pagerank_delta")(spark, dir)
+      .collect().toSeq
+    assert(delta == full)
+    val (nNodes, nAffected, nDeltaEdges) = Graph.pagerankDeltaStats(spark, dir)
+    assert(nNodes == 42 && nDeltaEdges == 6,
+      s"fixture shape drifted: nodes=$nNodes deltaEdges=$nDeltaEdges")
+    assert(nAffected == 21,
+      s"affected must be exactly the touched star (21 nodes), got $nAffected")
+  }
+
   test("empty trade graph: components/delta/reach census to zero rows, no NPE") {
     val dir = tmpDir("ccempty")
     graft.core.Tables.orders(spark, sf).limit(0)
