@@ -471,8 +471,24 @@ object CdcPipeline {
     * This is the reference's poll loop with the copy step replaced by an
     * atomic listing (parquet drops are immutable; the listing pins WHICH
     * state every table is checked against). */
+  /** `maintainEveryEpochs > 0` arms the POST-EPOCH MAINTENANCE HOOK:
+    * every N committed epochs — from inside the stream's own
+    * foreachBatch, so maintenance can never race a tick — diff-mode
+    * state is pruned to `keepStateVersions` (Maintenance.pruneVersions),
+    * the surviving latest version leaf is bin-packed
+    * (Maintenance.compact — digest-identical, so the next diff reads
+    * the same keyed state from fewer files), and listing pins below the
+    * committed epoch floor are dropped (Maintenance.prunePins; epochs
+    * below the current batch id are committed and can never replay).
+    * With the hook disarmed (default) only the legacy every-60-epochs
+    * pin prune runs. This is what months of unattended running needs:
+    * state versions, small files, and pins all accrete per tick, and a
+    * sink nobody compacts is a sink that dies by file-open overhead at
+    * 100 TB. */
   def startConsistent(spark: SparkSession, tables: Seq[Config],
-      checkpointDir: String, triggerMs: Long = 1000L): StreamingQuery = {
+      checkpointDir: String, triggerMs: Long = 1000L,
+      maintainEveryEpochs: Long = 0L,
+      keepStateVersions: Int = 8): StreamingQuery = {
     spark.readStream.format("rate").option("rowsPerSecond", 1).load()
       .writeStream
       .trigger(Trigger.ProcessingTime(triggerMs))
@@ -482,12 +498,21 @@ object CdcPipeline {
         // crash-replay comes from re-reading the pinned file set
         val listingDir = s"$checkpointDir-listing"
         pollTickAll(spark, tables, epoch = id, listingDir = Some(listingDir))
-        // one pin per tick (default 1 s) accretes unboundedly over long
-        // runs; epochs below the current batch id are committed and can
-        // never replay, so their pins are garbage. Prune every 60 epochs
-        // to amortize the listing cost.
-        if (id > 0 && id % 60 == 0)
+        if (maintainEveryEpochs > 0 && id > 0 && id % maintainEveryEpochs == 0) {
+          tables.filter(_.mode == "diff").foreach { cfg =>
+            val sd = diffStateDir(cfg)
+            graft.core.Maintenance.pruneVersions(spark, sd, keepStateVersions)
+            stateVersions(spark, cfg).maxOption.foreach { v =>
+              graft.core.Maintenance.compact(spark, s"$sd/v=$v")
+            }
+          }
           graft.core.Maintenance.prunePins(spark, listingDir, keepFrom = id)
+        } else if (id > 0 && id % 60 == 0) {
+          // hook disarmed: one pin per tick (default 1 s) still accretes
+          // unboundedly over long runs — prune every 60 epochs to
+          // amortize the listing cost.
+          graft.core.Maintenance.prunePins(spark, listingDir, keepFrom = id)
+        }
         ()
       }
       .start()

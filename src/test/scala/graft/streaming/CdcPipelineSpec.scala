@@ -30,8 +30,8 @@ class CdcPipelineSpec extends SparkSuite {
 
   private def jsonlLines(dir: String): Seq[String] = {
     val d = Paths.get(dir)
-    if (!Files.exists(d)) Seq.empty
-    else Files.walk(d).iterator().asScala
+    if (!Files.exists(d)) return Seq.empty
+    def once(): Seq[String] = Files.walk(d).iterator().asScala
       .filter(p => p.toString.endsWith(".json"))
       // only COMMITTED output: Spark stages in-flight task files under
       // _temporary; sampling those races the committer — a stop() can
@@ -40,6 +40,20 @@ class CdcPipelineSpec extends SparkSuite {
       .filterNot(p => p.toString.contains("_temporary"))
       .flatMap(p => Files.readAllLines(p).asScala)
       .toSeq
+    // Files.walk itself also races the committer: it throws if a staged
+    // _temporary entry vanishes between listing and visiting (observed
+    // flake under the 100 ms consistent ticker). A vanished in-flight
+    // file is by definition not committed output — retry the listing.
+    var attempt = 0
+    while (true) {
+      try return once()
+      catch {
+        case e @ (_: java.io.UncheckedIOException | _: java.io.IOException)
+            if attempt < 5 =>
+          attempt += 1; Thread.sleep(50)
+      }
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   test("bootstrap capture: first snapshot is captured as SNAPSHOT envelopes") {
@@ -702,6 +716,61 @@ class CdcPipelineSpec extends SparkSuite {
     // (unchanged) pinned snapshot reads as no-change, and the stream lives
     assert(CdcPipeline.pollTickAll(spark, Seq(users), epoch = 1L,
       listingDir = Some(listing)) == Seq(false))
+  }
+
+  test("post-epoch maintenance hook: versions and pins pruned to floor, diffs stay correct") {
+    val base = tmpDir("cdc")
+    val users = cfg(s"$base/users").copy(mode = "diff", keyCols = Seq("id"))
+    Files.createDirectories(Paths.get(users.inputDir))
+    seedUsers.coalesce(1).write.mode("append").parquet(users.inputDir)
+    val ckpt = s"$base/ckpt-maint"
+    val stateDir = s"${users.metadataDir}/state/table_name=${users.tableName}"
+    val q = CdcPipeline.startConsistent(spark, Seq(users), ckpt,
+      triggerMs = 100L, maintainEveryEpochs = 1L, keepStateVersions = 1)
+    def waitFor(n: Int): Unit = {
+      val deadline = System.currentTimeMillis() + 90000
+      while (jsonlLines(users.outputDir).size < n &&
+        System.currentTimeMillis() < deadline) Thread.sleep(100)
+    }
+    try {
+      waitFor(2) // bootstrap: 2 INSERTs
+      Thread.sleep(20)
+      seedUsers.withColumn("email",
+        org.apache.spark.sql.functions.when($"id" === 2,
+          org.apache.spark.sql.functions.lit("jane2@example.com"))
+          .otherwise($"email"))
+        .coalesce(1).write.mode("append").parquet(users.inputDir)
+      waitFor(3) // + 1 UPDATE — a second state version accreted, then
+      // the hook prunes it back to 1 and compacts the survivor
+      Thread.sleep(500) // let at least one maintenance epoch run post-capture
+      Thread.sleep(20)
+      seedUsers.filter($"id" =!= 1).withColumn("email",
+        org.apache.spark.sql.functions.when($"id" === 2,
+          org.apache.spark.sql.functions.lit("jane2@example.com"))
+          .otherwise($"email"))
+        .coalesce(1).write.mode("append").parquet(users.inputDir)
+      waitFor(4) // the diff against the pruned+compacted state: DELETE id=1
+    } finally q.stop()
+    val lines = jsonlLines(users.outputDir)
+    assert(lines.size == 4, lines.mkString("\n"))
+    assert(lines.count(_.contains("\"operation\":\"INSERT\"")) == 2)
+    assert(lines.count(_.contains("\"operation\":\"UPDATE\"")) == 1)
+    assert(lines.count(_.contains("\"operation\":\"DELETE\"")) == 1,
+      "the diff against maintained state must still see the exact delta")
+    // state pruned to the retention floor (1 version survives)
+    import scala.jdk.CollectionConverters._
+    val versions = Files.list(Paths.get(stateDir)).iterator().asScala
+      .map(_.getFileName.toString).filter(_.startsWith("v=")).toSeq
+    assert(versions.size == 1,
+      s"keepStateVersions=1 must leave exactly one version, got $versions")
+    // pins pruned to the committed floor: every epoch's maintenance drops
+    // pins below the current id, so only the last tick or two survive
+    val pins = Files.list(Paths.get(s"$ckpt-listing")).iterator().asScala
+      .map(_.getFileName.toString).filter(_.startsWith("epoch-"))
+      .map(_.stripPrefix("epoch-").toLong).toSeq.sorted
+    val maxEpoch = epochsIn(users.outputDir).max
+    assert(pins.nonEmpty && pins.head >= maxEpoch - 2,
+      s"pins below the committed floor must be pruned: $pins (maxEpoch $maxEpoch)")
   }
 
   test("consistent tick with mixed modes: diff + snapshot share the epoch, replay once is idempotent") {
