@@ -135,5 +135,94 @@ object Curation {
       .orderBy("doc_id")
   }
 
-  val all: Seq[Q] = Seq(curate, importanceWeight)
+  /** Target-mix reweighting — the data-mixing step between curation and
+    * packing: given the observed per-language document counts and a
+    * UNIFORM target mix, emit each language's current share, the
+    * sampling weight that would hit the target, the downsample-only keep
+    * rate (upsampling is a repetition decision made elsewhere), and the
+    * expected post-sampling count. All exact-integer ppm arithmetic
+    * (weight = N·1e6 div (k·n), the inverse-frequency formula), so both
+    * engines agree bit-for-bit.
+    *
+    * Scale shape: ONE partial-aggregating groupBy over (lang) — the
+    * per-language census is k rows (k ≪ corpus) — and a 1-row corpus
+    * census broadcast back; nothing else touches the data. The weights
+    * table is the input a sampler (q_stratified_sample's per-class rate
+    * map) consumes; at 100 TB this is the op that decides what the next
+    * epoch's corpus looks like, and it costs one scan. */
+  val mixWeights: Q = Q(
+    "q_mix_weights",
+    """WITH per AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY 1),
+      |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total,
+      |               CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+      |        FROM documents)
+      |SELECT per.lang, CAST(per.n_docs AS BIGINT) AS n_docs,
+      |  CAST((per.n_docs * 1000000) // tot.n_total AS BIGINT) AS share_ppm,
+      |  CAST(1000000 // tot.n_langs AS BIGINT) AS target_ppm,
+      |  CAST((tot.n_total * 1000000) // (tot.n_langs * per.n_docs) AS BIGINT)
+      |    AS weight_ppm,
+      |  CAST(least(1000000, (tot.n_total * 1000000) // (tot.n_langs * per.n_docs))
+      |    AS BIGINT) AS keep_ppm,
+      |  CAST((per.n_docs *
+      |    least(1000000, (tot.n_total * 1000000) // (tot.n_langs * per.n_docs)))
+      |    // 1000000 AS BIGINT) AS expected_kept
+      |FROM per CROSS JOIN tot ORDER BY lang""".stripMargin
+  ) { (s, d) =>
+    val docs = T.documents(s, d)
+    val per = docs.groupBy("lang").agg(count(lit(1)).as("n_docs"))
+    val tot = docs.agg(count(lit(1)).as("n_total"),
+      countDistinct(col("lang")).as("n_langs"))
+    per.crossJoin(broadcast(tot))
+      .select(col("lang"), col("n_docs"),
+        expr("(n_docs * 1000000) div n_total").as("share_ppm"),
+        expr("1000000 div n_langs").as("target_ppm"),
+        expr("(n_total * 1000000) div (n_langs * n_docs)").as("weight_ppm"),
+        expr("least(1000000L, (n_total * 1000000) div (n_langs * n_docs))")
+          .as("keep_ppm"),
+        expr("(n_docs * least(1000000L, (n_total * 1000000) div (n_langs * n_docs))) div 1000000")
+          .as("expected_kept"))
+      .orderBy("lang")
+  }
+
+  /** Deterministic global shuffle into training shards — the step that
+    * turns a curated corpus into the randomized shard files a trainer
+    * streams: shard = multiplicative hash of doc_id mod S, with S
+    * DERIVED from the corpus (S = n_docs div 128 + 1, so shards stay
+    * ~128 docs at every sf instead of hard-coding a count that is wrong
+    * at 1000× the data). The census reports each shard's size, char
+    * mass, and id range — the balance evidence (multiplicative hashing
+    * spreads sequential ids), plus the skew census a scheduler needs.
+    *
+    * Scale shape: the shard key is pure per-row integer math (codegen'd,
+    * no shuffle to ASSIGN); the census is one partial-aggregating
+    * groupBy on S keys. An actual shard WRITE would be
+    * repartitionByRange on the same key — the assignment proven here is
+    * the whole algorithm. */
+  val shardShuffle: Q = Q(
+    "q_shard_shuffle",
+    """WITH nd AS (SELECT count(*) // 128 + 1 AS s FROM documents),
+      |a AS (SELECT ((doc_id % 1048573) * 2654435761) % nd.s AS shard,
+      |             doc_id, n_chars
+      |      FROM documents CROSS JOIN nd)
+      |SELECT CAST(shard AS BIGINT) AS shard,
+      |  CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+      |  CAST(min(doc_id) AS BIGINT) AS min_doc,
+      |  CAST(max(doc_id) AS BIGINT) AS max_doc
+      |FROM a GROUP BY shard ORDER BY shard""".stripMargin
+  ) { (s, d) =>
+    val docs = T.documents(s, d)
+    val nd = docs.agg(expr("count(*) div 128 + 1").as("s"))
+    docs.crossJoin(broadcast(nd))
+      .select(expr("((doc_id % 1048573) * 2654435761) % s").as("shard"),
+        col("doc_id"), col("n_chars"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        min(col("doc_id")).as("min_doc"),
+        max(col("doc_id")).as("max_doc"))
+      .orderBy("shard")
+  }
+
+  val all: Seq[Q] = Seq(curate, importanceWeight, mixWeights, shardShuffle)
 }

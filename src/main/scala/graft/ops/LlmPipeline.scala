@@ -319,7 +319,76 @@ object LlmPipeline {
       .orderBy("doc_id", "chunk_id")
   }
 
+  /** BM25 retrieval scoring — the lexical-retrieval half q_tfidf's
+    * presentation ranking gestures at, in the engine's exact-integer
+    * dialect: the query is the corpus's top-5 df terms (deterministic,
+    * derived — no free-text parameter to smuggle floats through), and
+    * each (doc, term) contributes
+    *   idf_ppm · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+    * with k1 = 1.2 and b = 0.75 spelled as ppm integers (2200000,
+    * 1200000, 750000), dl/avgdl as dl·n_docs div total_tokens, and the
+    * log-free inverse-frequency idf_ppm = n_docs·1e6 div df (the
+    * q_rarity_score recipe) — every division is integer, both engines
+    * replay bit-for-bit.
+    *
+    * Scale shape: tf/df/dl are partial-aggregated token censuses (the
+    * exchange carries (doc, token, count) — never text); the query-term
+    * table is 5 rows broadcast; the 1-row corpus census broadcast; the
+    * score is one partial-aggregating groupBy(doc) and a top-20
+    * TakeOrdered. At 100 TB: two token-census shuffles + O(docs)
+    * aggregation, the minimum any lexical scorer pays. */
+  val bm25: Q = Q(
+    "q_bm25",
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+      |dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM tok GROUP BY 1),
+      |nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+      |              CAST((SELECT count(*) FROM tok) AS BIGINT) AS tot
+      |       FROM documents),
+      |df AS (SELECT token, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+      |       FROM tok GROUP BY 1),
+      |q AS (SELECT token, df FROM df ORDER BY df DESC, token LIMIT 5),
+      |tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+      |       FROM tok GROUP BY 1, 2),
+      |sc AS (SELECT tf.doc_id,
+      |    CAST(count(*) AS BIGINT) AS n_terms,
+      |    CAST(sum(
+      |      ((nd.n_docs * 1000000 // q.df) *
+      |       ((tf.tf * 2200000 * 1000000) //
+      |        (tf.tf * 1000000 +
+      |         (1200000 * (250000 + (750000 * dl.dl * nd.n_docs) // nd.tot))
+      |           // 1000000))) // 1000000
+      |    ) AS BIGINT) AS bm25_ppm
+      |  FROM tf JOIN q USING (token) JOIN dl USING (doc_id) CROSS JOIN nd
+      |  GROUP BY 1)
+      |SELECT doc_id, n_terms, bm25_ppm FROM sc
+      |ORDER BY bm25_ppm DESC, doc_id LIMIT 20""".stripMargin
+  ) { (s, d) =>
+    val tok = T.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+    val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val nd = T.documents(s, d).agg(count(lit(1)).as("n_docs"))
+      .crossJoin(tok.agg(count(lit(1)).as("tot")))
+    val df = tok.groupBy("token").agg(countDistinct(col("doc_id")).as("df"))
+    val q5 = df.orderBy(col("df").desc, col("token")).limit(5)
+    val tf = tok.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    tf.join(broadcast(q5), "token")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(nd))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_terms"),
+        sum(expr(
+          """((n_docs * 1000000 div df) *
+            | ((tf * 2200000 * 1000000) div
+            |  (tf * 1000000 +
+            |   (1200000 * (250000 + (750000 * dl * n_docs) div tot))
+            |     div 1000000))) div 1000000""".stripMargin))
+          .as("bm25_ppm"))
+      .orderBy(col("bm25_ppm").desc, col("doc_id"))
+      .limit(20)
+  }
+
   val all: Seq[Q] = Seq(
     dedupExact, dedupText, tokenTopK, jsonExtract, similarityTopK, multimodalStats,
-    tfidf, contamination, packSequences, chunkDocs)
+    tfidf, contamination, packSequences, chunkDocs, bm25)
 }

@@ -292,4 +292,46 @@ class OperatorSpec extends SparkSuite {
         s"bin $k")
     }
   }
+
+  test("q_bm25: top-df query terms, positive descending ppm scores") {
+    val rows = run("q_bm25").collect()
+    assert(rows.length == 20)
+    rows.foreach { r =>
+      assert(r.getLong(1) >= 1 && r.getLong(1) <= 5,
+        "a scored doc matches between 1 and 5 of the 5 query terms")
+      assert(r.getLong(2) > 0, "ppm scores are positive")
+    }
+    val scores = rows.map(r => (r.getLong(2), r.getLong(0)))
+    assert(scores.sortBy { case (s, id) => (-s, id) }.toSeq == scores.toSeq,
+      "presentation order is score desc, doc_id asc")
+  }
+
+  test("q_mix_weights: ppm identities and mass conservation") {
+    val rows = run("q_mix_weights").collect()
+    val n = rows.map(_.getLong(1)).sum
+    rows.foreach { r =>
+      val (nd, share, target, weight, keep, kept) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6))
+      assert(share == nd * 1000000L / n)
+      assert(target == 1000000L / rows.length)
+      assert(weight == n * 1000000L / (rows.length * nd))
+      assert(keep == math.min(1000000L, weight))
+      assert(kept == nd * keep / 1000000L && kept <= nd)
+      // weight is the inverse-share correction: weight · share ≈ target
+      // (exact up to the two integer floors)
+      assert(math.abs(weight * share / 1000000L - target) <= target / 10)
+    }
+  }
+
+  test("q_shard_shuffle: shards cover the corpus and stay balanced") {
+    val rows = run("q_shard_shuffle").collect()
+    val total = graft.core.Tables.documents(spark, sf).count()
+    val s = total / 128 + 1
+    assert(rows.length == s, s"expected $s shards, got ${rows.length}")
+    assert(rows.map(_.getLong(1)).sum == total, "every doc lands in a shard")
+    val sizes = rows.map(_.getLong(1))
+    assert(sizes.max <= 3 * math.max(1L, sizes.min),
+      s"multiplicative hashing must balance shards: ${sizes.mkString(",")}")
+  }
 }
