@@ -885,6 +885,53 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** Per-dimension embedding census — the drift/health observability an
+    * ANN deployment watches between index rebuilds: raw integer moments
+    * (count, min, max, sum, sum of squares) and the milli-scaled mean of
+    * every dimension of the integer code projection (round(x·Scale), the
+    * same kernel the whole IVF/PQ family computes on). A shifted
+    * per-dimension mean against yesterday's census is the cheapest
+    * embedding-drift alarm there is, and raw moments compose across
+    * shards/days by addition — the census is itself mergeable state.
+    *
+    * Scale shape: one posexplode (dims per vector, no joins) into a
+    * partial-aggregating groupBy(dim) with `dims` output rows; sums stay
+    * exact (|code| ≤ Scale·|x|, code² · N ≪ 2⁶³ through ~10⁹ vectors at
+    * dim values this corpus carries). */
+  val vectorStats: Q = Q(
+    "q_vector_stats",
+    s"""WITH c AS (SELECT vec_id,
+       |    list_transform(embedding::DOUBLE[], x -> round(x * $Scale)) AS cd
+       |  FROM embeddings),
+       |d AS (SELECT unnest(range(1, len(c.cd) + 1)) AS dim,
+       |             CAST(unnest(c.cd) AS BIGINT) AS v FROM c)
+       |SELECT CAST(dim AS BIGINT) AS dim, CAST(count(*) AS BIGINT) AS n,
+       |  CAST(min(v) AS BIGINT) AS min_c, CAST(max(v) AS BIGINT) AS max_c,
+       |  CAST(sum(v) AS BIGINT) AS sum_c,
+       |  CAST((sum(v) * 1000) // count(*) AS BIGINT) AS mean_milli,
+       |  CAST(sum(v * v) AS BIGINT) AS sum_sq
+       |FROM d GROUP BY dim ORDER BY dim""".stripMargin
+  ) { (s, d) =>
+    val codes = transform(col("embedding").cast(ArrayType(DoubleType)),
+      x => round(x * Scale, 0))
+    T.embeddings(s, d)
+      .select(posexplode(codes).as(Seq("pos", "vd")))
+      .select((col("pos") + 1).cast(LongType).as("dim"),
+        col("vd").cast(LongType).as("v"))
+      .groupBy("dim")
+      .agg(count(lit(1)).as("n"), min(col("v")).as("min_c"),
+        max(col("v")).as("max_c"), sum(col("v")).as("sum_c"),
+        sum(col("v") * col("v")).as("sum_sq"))
+      .select(col("dim"), col("n"), col("min_c"), col("max_c"), col("sum_c"),
+        // sum_c can be NEGATIVE (codes are signed): Spark's `div`
+        // truncates toward zero but DuckDB's `//` floors, so spell the
+        // floor explicitly — subtracting the (always-positive) pmod
+        // makes the numerator exactly divisible and div == floor
+        expr("(sum_c * 1000 - pmod(sum_c * 1000, n)) div n").as("mean_milli"),
+        col("sum_sq"))
+      .orderBy("dim")
+  }
+
   val all: Seq[Q] = Seq(similarityLsh, embedNearDup, lshRecall, similarityIvf,
-    annRecall, semDedup, ivfCensus, ivfAssignDelta, embedQuantize)
+    annRecall, semDedup, ivfCensus, ivfAssignDelta, embedQuantize, vectorStats)
 }

@@ -456,8 +456,70 @@ object TextAnalysis {
       .limit(20)
   }
 
+  /** Bigram-LM quality scoring — the perplexity-proxy filter every
+    * pretraining pipeline runs, in the engine's log-free exact-integer
+    * dialect: the corpus itself is the language model (bigram counts
+    * with add-one smoothing over a vocabulary-size denominator), and a
+    * document's score is the mean smoothed conditional probability of
+    * its bigrams in ppm —
+    *   p(t₂|t₁) = (count(t₁_t₂) + 1)·1e6 div (count(t₁) + V).
+    * True perplexity exponentiates a mean log; ln() fold order diverges
+    * across engines, so the mean raw probability is the cross-engine-
+    * exact stand-in (same monotone use: rank docs, threshold the tail —
+    * the q_importance_weight / q_rarity_score convention).
+    *
+    * Scale shape: bigrams are built map-side from adjacent array slices
+    * (zip_with, no positional join); the model is two partial-aggregated
+    * censuses (bigram counts, unigram counts) joined back on their keys
+    * plus a 1-row vocabulary census broadcast; scoring is one
+    * partial-aggregating groupBy(doc). The bigram strings themselves
+    * cross the census shuffles — at 100 TB the same plan runs over
+    * 64-bit fingerprints of the bigrams (functions/FingerprintSig, the
+    * q_substring_dedup kernel) to keep exchanges fixed-width. */
+  val bigramLm: Q = Q(
+    "q_bigram_lm",
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |bg AS (SELECT doc_id,
+      |    unnest(list_transform(range(1, len(toks)), i -> toks[i])) AS t1,
+      |    unnest(list_transform(range(1, len(toks)),
+      |      i -> toks[i] || '_' || toks[i + 1])) AS bigram
+      |  FROM toks),
+      |un AS (SELECT unnest(toks) AS token FROM toks),
+      |bc AS (SELECT bigram, CAST(count(*) AS BIGINT) AS bc FROM bg GROUP BY 1),
+      |uc AS (SELECT token, CAST(count(*) AS BIGINT) AS uc FROM un GROUP BY 1),
+      |vs AS (SELECT CAST(count(*) AS BIGINT) AS v FROM uc)
+      |SELECT bg.doc_id,
+      |  CAST(count(*) AS BIGINT) AS n_bigrams,
+      |  CAST(sum(((bc.bc + 1) * 1000000) // (uc.uc + vs.v)) // count(*)
+      |    AS BIGINT) AS lm_ppm
+      |FROM bg JOIN bc USING (bigram) JOIN uc ON uc.token = bg.t1
+      |CROSS JOIN vs
+      |GROUP BY bg.doc_id ORDER BY bg.doc_id""".stripMargin
+  ) { (s, d) =>
+    val toksC = split(col("text"), " ")
+    val len1 = greatest(size(toksC) - 1, lit(0))
+    val docs = T.documents(s, d)
+    val bg = docs.select(col("doc_id"),
+        explode(arrays_zip(
+          slice(toksC, lit(1), len1),
+          zip_with(slice(toksC, lit(1), len1), slice(toksC, lit(2), len1),
+            (x, y) => concat(x, lit("_"), y)))).as("z"))
+      .select(col("doc_id"), col("z.0").as("t1"), col("z.1").as("bigram"))
+    val un = docs.select(explode(toksC).as("token"))
+    val bc = bg.groupBy("bigram").agg(count(lit(1)).as("bc"))
+    val uc = un.groupBy("token").agg(count(lit(1)).as("uc"))
+    val vs = uc.agg(count(lit(1)).as("v"))
+    bg.join(bc, "bigram")
+      .join(uc, col("token") === col("t1"))
+      .crossJoin(broadcast(vs))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        expr("sum(((bc + 1) * 1000000) div (uc + v)) div count(*)").as("lm_ppm"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] =
     Seq(langId, qualityScore, tokenCount, fingerprint, bigramTopK, piiScrub,
       vocabStats, lengthBuckets, charNgrams, langConfusion, corpusMix,
-      repetitionFilter, rarityScore, cooccurLift)
+      repetitionFilter, rarityScore, cooccurLift, bigramLm)
 }

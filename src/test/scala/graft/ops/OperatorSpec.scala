@@ -324,6 +324,38 @@ class OperatorSpec extends SparkSuite {
     }
   }
 
+  test("q_bigram_lm: one row per multi-token doc, probabilities in (0, 1e6]") {
+    val rows = run("q_bigram_lm").collect()
+    val expected = graft.core.Tables.documents(spark, sf)
+      .filter(org.apache.spark.sql.functions.size(
+        org.apache.spark.sql.functions.split(
+          org.apache.spark.sql.functions.col("text"), " ")) >= 2).count()
+    assert(rows.length.toLong == expected,
+      "every doc with at least one bigram is scored")
+    rows.foreach { r =>
+      assert(r.getLong(1) >= 1)
+      // bc(t1_t2) <= uc(t1), so each smoothed p and hence the mean stays
+      // within (0, 1e6] — the ppm-probability contract
+      assert(r.getLong(2) > 0 && r.getLong(2) <= 1000000L,
+        s"doc ${r.getLong(0)} lm_ppm ${r.getLong(2)} outside (0, 1e6]")
+    }
+  }
+
+  test("q_vector_stats: per-dim moments bound the mean and count every vector") {
+    val rows = run("q_vector_stats").collect()
+    val nVec = graft.core.Tables.embeddings(spark, sf).count()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, minC, maxC, sumC, mean) = (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(n == nVec, "every vector contributes to every dimension")
+      assert(minC * 1000 <= mean && mean <= maxC * 1000)
+      assert(mean == Math.floorDiv(sumC * 1000, n),
+        "mean_milli is the FLOOR division (the engines' shared semantics)")
+      assert(r.getLong(6) >= 0, "sum of squares is non-negative")
+    }
+  }
+
   test("q_shard_shuffle: shards cover the corpus and stay balanced") {
     val rows = run("q_shard_shuffle").collect()
     val total = graft.core.Tables.documents(spark, sf).count()
