@@ -518,6 +518,30 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** The frozen artifacts of q_bigram_lm, for the streaming gate
+    * (Stateful.lmGate): corpus bigram counts, unigram counts, and the
+    * vocabulary size — the same train-rarely/score-continuously split
+    * as Curation.affinityTable. Collected to driver maps (the serving
+    * shape ships them as one plan literal); beyond literal-friendly
+    * vocabulary sizes the stream would broadcast-join the census tables
+    * instead — same plan, different shipping. */
+  def bigramModel(s: org.apache.spark.sql.SparkSession, d: String)
+      : (Map[String, Long], Map[String, Long], Long) = {
+    val toksC = split(col("text"), " ")
+    val len1 = greatest(size(toksC) - 1, lit(0))
+    val docs = T.documents(s, d)
+    val bc = docs
+      .select(explode(zip_with(
+        slice(toksC, lit(1), len1), slice(toksC, lit(2), len1),
+        (x, y) => concat(x, lit("_"), y))).as("bigram"))
+      .groupBy("bigram").agg(count(lit(1)).as("bc"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val uc = docs.select(explode(toksC).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("uc"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    (bc, uc, uc.size.toLong)
+  }
+
   val all: Seq[Q] =
     Seq(langId, qualityScore, tokenCount, fingerprint, bigramTopK, piiScrub,
       vocabStats, lengthBuckets, charNgrams, langConfusion, corpusMix,

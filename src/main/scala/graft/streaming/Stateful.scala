@@ -407,6 +407,47 @@ object Stateful {
           .as("unseen_frac"))
   }
 
+  /** s_stream_lm: ingest-side bigram-LM quality scoring — the streaming
+    * twin of q_bigram_lm with the corpus LM FROZEN (the
+    * train-rarely/score-continuously split of ivfAssignStream and
+    * importanceGate): the batch job trains bigram/unigram censuses
+    * (TextAnalysis.bigramModel), the stream scores arriving documents
+    * against them shipped as two map literals — pure per-row Catalyst
+    * HOFs (zip_with → transform → aggregate), zero state, zero shuffle,
+    * zero joins, append-safe at any rate.
+    *
+    * Per bigram: p_ppm = (count(t₁_t₂)+1)·1e6 div (count(t₁)+V) — for
+    * bigrams and unigrams the training corpus saw, bit-identical to the
+    * batch score (StatefulSpec proves parity across micro-batch
+    * boundaries); unseen n-grams fall back to the same add-one smoothing
+    * the batch formula would give a zero count, and `n_unseen` reports
+    * vocabulary drift per document (the importanceGate observability
+    * convention). Docs with no bigram carry NULL lm_ppm rather than a
+    * division crash. */
+  def lmGate(docs: DataFrame, bigramCounts: Map[String, Long],
+      unigramCounts: Map[String, Long], vocab: Long): DataFrame =
+    docs
+      .withColumn("__bc", typedlit(bigramCounts))
+      .withColumn("__uc", typedlit(unigramCounts))
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("n1", greatest(size(col("toks")) - 1, lit(0)))
+      .withColumn("bgs", zip_with(
+        slice(col("toks"), lit(1), col("n1")),
+        slice(col("toks"), lit(2), col("n1")),
+        (a, b) => struct(a.as("t1"), concat(a, lit("_"), b).as("bg"))))
+      .withColumn("ps", expr(
+        s"""transform(bgs, s ->
+           |  ((coalesce(__bc[s.bg], 0L) + 1) * 1000000)
+           |    div (coalesce(__uc[s.t1], 0L) + ${vocab}L))""".stripMargin))
+      .select(col("doc_id"),
+        size(col("bgs")).cast("long").as("n_bigrams"),
+        when(size(col("bgs")) > 0,
+          expr("aggregate(ps, 0L, (acc, x) -> acc + x) div size(ps)"))
+          .as("lm_ppm"),
+        expr("aggregate(bgs, 0L, (acc, s) -> acc + " +
+          "(CASE WHEN __bc[s.bg] IS NULL THEN 1L ELSE 0L END))")
+          .as("n_unseen"))
+
   /** s_stream_components: incremental connected components over a stream
     * of (customer, supplier) trading edges — the streaming twin of
     * q_components_delta. State is the (node, lbl) labeling as versioned

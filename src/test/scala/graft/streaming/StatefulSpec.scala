@@ -445,6 +445,41 @@ class StatefulSpec extends SparkSuite {
       .map(m => (m(2L).getLong(3), m(2L).getLong(5))).distinct.size == 1)
   }
 
+  test("s_stream_lm: frozen-LM scores are bit-identical to batch q_bigram_lm across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    // batch truth: the oracle-checked operator's per-doc scores
+    val batch = graft.SparkEntry.queries("q_bigram_lm")(spark, sf)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // train once, freeze: bigram/unigram censuses shipped as plan literals
+    val (bc, uc, v) = graft.ops.TextAnalysis.bigramModel(spark, sf)
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id", $"text").as[(Long, String)]
+      .collect().toSeq.sortBy(_._1)
+    val in = MemoryStream[(Long, String)]
+    val q = Stateful.lmGate(in.toDS().toDF("doc_id", "text"), bc, uc, v)
+      .writeStream.format("memory").queryName("lm_gate")
+      .outputMode(OutputMode.Append).start()
+    val (b1, b2) = docs.splitAt(docs.size / 3)
+    in.addData(b1)
+    q.processAllAvailable()
+    in.addData(b2)
+    q.processAllAvailable()
+    val rows = spark.table("lm_gate").collect()
+    q.stop()
+    assert(rows.length == docs.size, "one score per arriving doc")
+    val streamed = rows.filter(!_.isNullAt(2))
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(streamed.keySet == batch.keySet,
+      "the stream scores exactly the docs the batch operator scores")
+    batch.foreach { case (id, s) =>
+      assert(streamed(id) == s, s"doc $id: stream ${streamed(id)} != batch $s")
+    }
+    // training corpus == scored corpus: the unseen fallback never fires,
+    // and the drift counter says so
+    assert(rows.forall(_.getLong(3) == 0L), "n_unseen must be 0 in-corpus")
+  }
+
   test("s_stream_components: state equals the batch closure after every arrival prefix") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.functions._
