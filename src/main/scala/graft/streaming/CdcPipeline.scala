@@ -36,6 +36,47 @@ import graft.core.{Canonical => C}
   */
 object CdcPipeline {
 
+  /** True when the cause chain carries the job cancellation a
+    * StreamingQuery.stop() inflicts on a tick that is mid-write
+    * ("SPARK_JOB_CANCELLED ... was stopped"). Recognized structurally
+    * because the raising thread can differ from the stream thread (async
+    * write commit), in which case StreamExecution's own interruption
+    * check misses it and a clean stop reads as a stream failure. */
+  private[streaming] def isStopCancellation(t: Throwable): Boolean = {
+    var c: Throwable = t
+    var depth = 0
+    while (c != null && depth < 16) {
+      c match {
+        case se: org.apache.spark.SparkException
+            if se.getMessage != null &&
+              se.getMessage.contains("SPARK_JOB_CANCELLED") &&
+              se.getMessage.contains("was stopped") => return true
+        case _ =>
+      }
+      c = if (c.getCause eq c) null else c.getCause
+      depth += 1
+    }
+    false
+  }
+
+  /** Run one foreachBatch tick; a stop()-inflicted cancellation mid-tick
+    * re-throws as InterruptedException — which every Spark version's
+    * interruption check recognizes — so the stream terminates as a CLEAN
+    * stop WITHOUT committing the torn epoch. On restart the checkpoint
+    * replays the epoch (for the consistent stream, against its pinned
+    * listing — the crash path CdcPipelineSpec already proves). Swallowing
+    * the error and returning normally would instead COMMIT a half-written
+    * tick and lose that replay; propagating it as-is can fail stop()
+    * itself (observed: the cancellation surfacing through an async write
+    * future, unrecognized by the stream thread's interruption check). */
+  private[streaming] def tickGuard(body: => Unit): Unit =
+    try body
+    catch {
+      case t: Throwable if isStopCancellation(t) =>
+        throw new InterruptedException(
+          "tick aborted by query stop; epoch replays from its pin on restart")
+    }
+
   final case class Config(
       inputDir: String,
       outputDir: String,
@@ -493,7 +534,7 @@ object CdcPipeline {
       .writeStream
       .trigger(Trigger.ProcessingTime(triggerMs))
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (_: DataFrame, id: Long) =>
+      .foreachBatch { (_: DataFrame, id: Long) => tickGuard {
         // listings pinned next to the checkpoint: epoch stability across
         // crash-replay comes from re-reading the pinned file set
         val listingDir = s"$checkpointDir-listing"
@@ -514,7 +555,7 @@ object CdcPipeline {
           graft.core.Maintenance.prunePins(spark, listingDir, keepFrom = id)
         }
         ()
-      }
+      } }
       .start()
   }
 
@@ -551,7 +592,7 @@ object CdcPipeline {
       .writeStream
       .trigger(Trigger.ProcessingTime(cfg.triggerMs))
       .option("checkpointLocation", cfg.checkpointDir)
-      .foreachBatch { (batch: DataFrame, id: Long) =>
+      .foreachBatch { (batch: DataFrame, id: Long) => tickGuard {
         val b = if (cfg.reprobeSchema) reprobed(batch, cfg) else batch
         // Diff mode processes empty batches: a file-source batch exists
         // only for discovered files, so an empty one IS a truncated
@@ -562,7 +603,7 @@ object CdcPipeline {
         processBatch(b.sparkSession, b, cfg,
           captureEmpty = cfg.mode == "diff", batchId = Some(id))
         ()
-      }
+      } }
       .start()
   }
 }

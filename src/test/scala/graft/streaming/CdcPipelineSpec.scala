@@ -834,6 +834,33 @@ class CdcPipelineSpec extends SparkSuite {
     assert(jsonlLines(users.outputDir).sorted == uAll)
     assert(jsonlLines(items.outputDir).sorted == iAll)
   }
+
+  test("tickGuard: a stop()-inflicted cancellation becomes a clean interruption; other failures propagate") {
+    // the shape the stream thread observed when stop() raced a mid-tick
+    // write: SPARK_JOB_CANCELLED nested under an async-commit wrapper
+    val stopEx = new RuntimeException("wrapper",
+      new org.apache.spark.SparkException(
+        "[SPARK_JOB_CANCELLED] Job 7 cancelled Query [id = x, runId = y] was stopped SQLSTATE: XXKDA"))
+    intercept[InterruptedException] { CdcPipeline.tickGuard(throw stopEx) }
+    // a real tick failure must NOT be converted into a clean stop
+    val realEx = new org.apache.spark.SparkException("FileNotFoundException: gone")
+    assert(intercept[org.apache.spark.SparkException] {
+      CdcPipeline.tickGuard(throw realEx)
+    } eq realEx)
+    // a cancellation NOT caused by query stop (out-of-band job-group
+    // kill) propagates too — only the stop() shape is a clean exit
+    val oob = new org.apache.spark.SparkException(
+      "[SPARK_JOB_CANCELLED] Job 7 cancelled part of cancelled job group g")
+    assert(intercept[org.apache.spark.SparkException] {
+      CdcPipeline.tickGuard(throw oob)
+    } eq oob)
+    // cyclic cause chains terminate (depth-bounded walk)
+    val a = new RuntimeException("a")
+    val b = new RuntimeException("b")
+    a.initCause(b)
+    b.initCause(a)
+    assert(!CdcPipeline.isStopCancellation(a))
+  }
 }
 
 /** Local disk under a non-default URI scheme — lets tests exercise
