@@ -314,4 +314,80 @@ class GraphSpec extends SparkSuite {
     assert(gotT.getLong(gotT.fieldIndex("n_wedges_supplier")) ==
       got.getLong(got.fieldIndex("n_wedges_customer")))
   }
+
+  /** Brute-force triangle count of the co-trading projection of a local
+    * (c, s) pair list: edges between customers sharing >= 2 suppliers,
+    * triangles via adjacency-set intersection (each counted 3× by edge,
+    * then divided). */
+  private def bruteTriangles(eo: Seq[(Long, Long)]): (Long, Long, Long) = {
+    val bySupplier = eo.groupBy(_._2).values.map(_.map(_._1).distinct.sorted)
+    // NB: .collect on the Map with a tuple-valued function would rebuild
+    // a Map and collapse pairs by first element — keySet avoids that
+    val shared = bySupplier.flatMap(_.combinations(2).map(p => (p(0), p(1))))
+      .groupBy(identity).filter(_._2.size >= 2).keySet
+    val adj = (shared.toSeq.flatMap { case (u, v) => Seq(u -> v, v -> u) })
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).toSet }
+    val tri3 = shared.toSeq.map { case (u, v) => (adj(u) & adj(v)).size.toLong }.sum
+    (adj.size.toLong, shared.size.toLong, tri3 / 3)
+  }
+
+  test("q_triangles: hand-checkable projection — one triangle, K4-minus") {
+    import spark.implicits._
+    // c1..c3 all share suppliers {1, 2} (pairwise w = 2 → triangle);
+    // c4 shares only supplier 1 with each (w = 1 → no edge)
+    val eo = (for (c <- 1L to 3L; s <- 1L to 2L) yield (c, s)) :+ (4L, 1L)
+    val got = Graph.triangleCensus(eo.toDF("c", "s")).head()
+    assert(got.getLong(got.fieldIndex("n_nodes")) == 3)
+    assert(got.getLong(got.fieldIndex("n_edges")) == 3)
+    assert(got.getLong(got.fieldIndex("n_wedges")) == 3)
+    assert(got.getLong(got.fieldIndex("n_triangles")) == 1)
+    assert(got.getLong(got.fieldIndex("ccoef_ppm")) == 1000000L,
+      "a complete projection has clustering coefficient 1.0")
+  }
+
+  test("q_triangles: hub-skew projection engages the block split and stays exact") {
+    import spark.implicits._
+    // suppliers 1 and 2 each trade with customers 1..30 → K30 projection
+    // (every pair shares both) → C(30,3) = 4060 triangles; 30 filler
+    // suppliers with 2 customers each (disjoint id range, single shared
+    // supplier → no projection edge) pull the derived cap below the hub
+    // degree so the hub keys MUST split into blocks
+    val eo = (for (c <- 1L to 30L; s <- 1L to 2L) yield (c, s)) ++
+      (1L to 30L).flatMap(i => Seq((100L + 2 * i, 10L + i), (101L + 2 * i, 10L + i)))
+    val cap = Graph.wedgeCap(eo.length.toLong, eo.map(_._2).distinct.length.toLong)
+    assert(cap < 30, s"fixture must force a split: cap $cap vs hub degree 30")
+    val got = Graph.triangleCensus(eo.toDF("c", "s")).head()
+    val (bn, be, bt) = bruteTriangles(eo)
+    assert(got.getLong(got.fieldIndex("n_nodes")) == bn)
+    assert(got.getLong(got.fieldIndex("n_edges")) == be && be == 435L)
+    assert(got.getLong(got.fieldIndex("n_triangles")) == bt && bt == 4060L,
+      "split-path triangle count must equal brute force on K30")
+    // degree orientation bound: max out-degree <= sqrt(2m)
+    val m = got.getLong(got.fieldIndex("n_edges"))
+    assert(got.getLong(got.fieldIndex("max_outdeg"))
+      <= math.ceil(math.sqrt(2.0 * m)).toLong)
+  }
+
+  test("q_triangles on testdata equals the brute-force local recompute") {
+    val eo = pairsWithRepeats(2).map { case (c, s) => (c, s - 1000000L) }
+    val (bn, be, bt) = bruteTriangles(eo.toSeq)
+    val r = graft.SparkEntry.queries("q_triangles")(spark, sf).head()
+    assert(r.getLong(r.fieldIndex("n_nodes")) == bn)
+    assert(r.getLong(r.fieldIndex("n_edges")) == be)
+    assert(r.getLong(r.fieldIndex("n_triangles")) == bt)
+    val m = r.getLong(r.fieldIndex("n_edges"))
+    assert(r.getLong(r.fieldIndex("max_outdeg"))
+      <= math.ceil(math.sqrt(2.0 * m)).toLong,
+      "degree orientation must hold its sqrt(2m) out-degree bound")
+    info(s"projection nodes=$bn edges=$be triangles=$bt")
+  }
+
+  test("q_triangles: empty projection yields a zero census") {
+    import spark.implicits._
+    // every customer pair shares at most one supplier → no edges
+    val eo = Seq((1L, 1L), (2L, 1L), (3L, 2L))
+    val got = Graph.triangleCensus(eo.toDF("c", "s")).head()
+    assert((0 until 6).map(got.getLong).forall(_ == 0L),
+      "all census fields must be zero on an edgeless projection")
+  }
 }
