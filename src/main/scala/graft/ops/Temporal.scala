@@ -420,7 +420,49 @@ object Temporal {
       .orderBy("event_type", "bucket_us")
   }
 
+  /** Hourly event-rate anomaly flags: an hour is anomalous when its event
+    * count deviates from the corpus mean by more than 3 population
+    * standard deviations. The 3σ test runs in EXACT INTEGERS — with k
+    * hours, S = Σn, SS = Σn², the inequality |n − S/k| > 3σ multiplies
+    * out to (k·n − S)² > 9·(k·SS − S²) — so both engines agree
+    * bit-for-bit with no float σ anywhere. (Magnitudes: at 10⁹ events
+    * over 10⁵ hours the left side peaks near (kn)² ≈ 10²⁸, past int64 —
+    * the documented switch there is DECIMAL(38,0) on both sides; at
+    * gate scales everything fits int64 with 10³× headroom.)
+    *
+    * Scale shape: ONE partial-aggregating groupBy to the per-hour census
+    * (≤ hours-spanned rows), a 1-row corpus census broadcast back, and a
+    * pure map-side flag — the monitoring query a capture pipeline runs
+    * per tick, at any corpus size the cost of one scan. */
+  val anomalyHours: Q = Q(
+    "q_anomaly_hours",
+    """WITH h AS (
+      |  SELECT epoch_us(date_trunc('hour', ts)) AS bucket_us, count(*) AS n
+      |  FROM events GROUP BY 1),
+      |c AS (SELECT CAST(count(*) AS BIGINT) AS k, CAST(sum(n) AS BIGINT) AS s,
+      |             CAST(sum(n * n) AS BIGINT) AS ss FROM h)
+      |SELECT h.bucket_us, CAST(h.n AS BIGINT) AS n,
+      |  CAST(c.k * h.n - c.s AS BIGINT) AS dev_k,
+      |  CAST(CASE WHEN (c.k * h.n - c.s) * (c.k * h.n - c.s)
+      |              > 9 * (c.k * c.ss - c.s * c.s)
+      |       THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly
+      |FROM h CROSS JOIN c ORDER BY h.bucket_us""".stripMargin
+  ) { (s, d) =>
+    val h = T.events(s, d)
+      .groupBy(unix_micros(date_trunc("hour", col("ts"))).as("bucket_us"))
+      .agg(count(lit(1)).as("n"))
+    val c = h.agg(count(lit(1)).as("k"), sum(col("n")).as("s"),
+      sum(col("n") * col("n")).as("ss"))
+    h.crossJoin(broadcast(c))
+      .select(col("bucket_us"), col("n"),
+        (col("k") * col("n") - col("s")).as("dev_k"),
+        when((col("k") * col("n") - col("s")) * (col("k") * col("n") - col("s"))
+            > lit(9L) * (col("k") * col("ss") - col("s") * col("s")), 1L)
+          .otherwise(0L).as("is_anomaly"))
+      .orderBy("bucket_us")
+  }
+
   val all: Seq[Q] = Seq(
     timeBucket, sessionize, asofJoin, asofNative, asofTolerance, asofForward,
-    asofInner, asofSql, funnel, funnelLatency, retention, gapFill)
+    asofInner, asofSql, funnel, funnelLatency, retention, gapFill, anomalyHours)
 }

@@ -29,6 +29,32 @@ class OperatorSpec extends SparkSuite {
     assert(noOracle.toSet == exempt, s"queries without oracle: $noOracle")
   }
 
+  test("q_anomaly_hours: an injected spike hour is the only 3-sigma flag, exactly as the float test decides") {
+    // 50 quiet hours of 10 events each + one 200-event spike hour
+    val dir = tmpDir("anom")
+    val rows = (0 until 50).flatMap { h =>
+      val n = if (h == 17) 200 else 10
+      (0 until n).map(i => (h.toLong * 1000 + i,
+        new java.sql.Timestamp(1700000000000L + h * 3600000L + i * 1000L)))
+    }
+    rows.toDF("event_id", "ts").write.parquet(s"$dir/events.parquet")
+    val out = graft.SparkEntry.queries("q_anomaly_hours")(spark, dir).collect()
+    assert(out.length == 50)
+    val flagged = out.filter(_.getLong(3) == 1L)
+    assert(flagged.length == 1, "exactly the spike hour is anomalous")
+    assert(flagged.head.getLong(1) == 200L)
+    // the integer inequality must decide identically to the float 3-sigma
+    // test it multiplies out from
+    val ns = out.map(_.getLong(1).toDouble)
+    val (k, mean) = (ns.length, ns.sum / ns.length)
+    val sigma = math.sqrt(ns.map(n => (n - mean) * (n - mean)).sum / k)
+    out.foreach { r =>
+      val floatFlag = math.abs(r.getLong(1) - mean) > 3 * sigma
+      assert((r.getLong(3) == 1L) == floatFlag,
+        s"hour ${r.getLong(0)}: integer flag disagrees with float 3-sigma")
+    }
+  }
+
   test("q_dedup_clusters converges (empty result, no crash) on a corpus with no candidates") {
     // empty documents table: the candidate set is empty and the fixpoint
     // probe must treat SUM-over-empty as 0, not NPE on a null aggregate
