@@ -224,5 +224,88 @@ object Curation {
       .orderBy("shard")
   }
 
-  val all: Seq[Q] = Seq(curate, importanceWeight, mixWeights, shardShuffle)
+  /** Deterministic round-robin interleave of language sub-corpora into
+    * one global training order: the i-th doc of every language (by
+    * doc_id) is scheduled before any (i+1)-th doc, ties across languages
+    * broken by language code — so a trainer streaming the schedule sees
+    * every language continuously instead of corpus-order language runs.
+    * Output is the verification census over 100-position buckets of the
+    * schedule (per-bucket per-language counts + position ranges), which
+    * is how an engineer checks the mix is actually uniform over time.
+    *
+    * Scale shape — two ideas make this O(scan) instead of one global
+    * sort:
+    *  1. WITHIN-LANGUAGE RANK is two-phase range-bucketed (the
+    *     GridPercentile recipe): per-(lang, id-range) counts (tiny),
+    *     a running offset over that tiny table, plus a row_number
+    *     bounded to one range bucket — no language-sized window
+    *     partition anywhere, so a 100 TB mono-lingual corpus cannot
+    *     single-reduce.
+    *  2. GLOBAL POSITION is a CLOSED FORM of (rank, lang) against the
+    *     k-row per-language census: pos = 1 + Σ_L' min(n_L', rank−1)
+    *     + #{L' < lang with n_L' ≥ rank} — a map-side expression built
+    *     from a bounded control-plane read (k languages), not a global
+    *     row_number. The oracle computes the same schedule with plain
+    *     window functions; CurationSpec proves the closed form IS
+    *     row_number over (rank, lang). */
+  val interleave: Q = Q(
+    "q_interleave",
+    """WITH r AS (SELECT doc_id, lang,
+      |    row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rk
+      |  FROM documents),
+      |p AS (SELECT lang, row_number() OVER (ORDER BY rk, lang) AS pos FROM r)
+      |SELECT CAST((pos - 1) // 100 AS BIGINT) AS bucket, lang,
+      |  CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(min(pos) AS BIGINT) AS min_pos,
+      |  CAST(max(pos) AS BIGINT) AS max_pos
+      |FROM p GROUP BY 1, 2 ORDER BY bucket, lang""".stripMargin
+  ) { (s, d) => interleaveCensus(scheduleOf(s, d)) }
+
+  /** (doc_id, lang, rk, pos) — the full interleaved schedule, factored so
+    * CurationSpec can compare the closed-form pos against a literal
+    * row_number over (rk, lang). */
+  private[graft] def scheduleOf(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val docs = T.documents(s, d).select(col("doc_id"), col("lang"))
+    val maxRow = docs.agg(max(col("doc_id"))).head()
+    val maxId = if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0)
+    // range width: ≤ ~1M offset rows however large the corpus, floor 1024
+    // so small corpora stay single-bucket-per-lang
+    val w = math.max(1024L, (maxId + 1) / 1048576L)
+    val withRb = docs.withColumn("rb", expr(s"doc_id div $w"))
+    val cnt = withRb.groupBy("lang", "rb").agg(count(lit(1)).as("c"))
+    val wOff = Window.partitionBy("lang").orderBy("rb")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val off = cnt.select(col("lang"), col("rb"),
+      coalesce(sum(col("c")).over(wOff), lit(0L)).as("off"))
+    val wIn = Window.partitionBy("lang", "rb").orderBy("doc_id")
+    val ranked = withRb.withColumn("rn", row_number().over(wIn))
+      .join(off, Seq("lang", "rb"))
+      .select(col("doc_id"), col("lang"),
+        (col("off") + col("rn")).as("rk"))
+    // k-language census: the bounded control-plane read the closed form
+    // is built from (same convention as the frozen-model collects)
+    val langN = docs.groupBy("lang").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+    // empty corpus: no languages to fold the closed form over (and the
+    // schedule is empty anyway) — pos := rk keeps the schema
+    if (langN.isEmpty) return ranked.withColumn("pos", col("rk"))
+    val before = langN.map { case (_, n) =>
+      least(lit(n), col("rk") - 1L) }.reduce(_ + _)
+    val ties = langN.map { case (l, n) =>
+      when(lit(l) < col("lang") && lit(n) >= col("rk"), 1L).otherwise(0L)
+    }.reduce(_ + _)
+    ranked.withColumn("pos", lit(1L) + before + ties)
+  }
+
+  private def interleaveCensus(sched: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    sched
+      .groupBy(expr("(pos - 1) div 100").as("bucket"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("pos")).as("min_pos"), max(col("pos")).as("max_pos"))
+      .orderBy("bucket", "lang")
+
+  val all: Seq[Q] =
+    Seq(curate, importanceWeight, mixWeights, shardShuffle, interleave)
 }

@@ -55,6 +55,30 @@ class OperatorSpec extends SparkSuite {
     }
   }
 
+  test("q_interleave: closed-form position IS row_number over (rank, lang), and the schedule is a uniform permutation") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val sched = Curation.scheduleOf(spark, sf)
+    val n = sched.count()
+    // permutation: positions are exactly 1..N
+    val posSet = sched.select("pos").collect().map(_.getLong(0)).sorted
+    assert(posSet.toSeq == (1L to n).toSeq,
+      "the closed form must produce a permutation of 1..N")
+    // the closed form equals the literal global row_number the oracle uses
+    val literal = sched.withColumn("lpos",
+      row_number().over(Window.orderBy(col("rk"), col("lang"))).cast("long"))
+    assert(literal.filter(col("pos") =!= col("lpos")).count() == 0,
+      "closed-form pos must equal row_number over (rk, lang)")
+    // round-robin: the first k scheduled docs are each language's rank-1
+    // doc, in language order
+    val langs = sched.select("lang").distinct()
+      .collect().map(_.getString(0)).sorted
+    val head = sched.orderBy("pos").limit(langs.length)
+      .select("lang", "rk").collect()
+    assert(head.map(_.getString(0)).toSeq == langs.toSeq)
+    assert(head.forall(_.getLong(1) == 1L))
+  }
+
   test("q_dedup_clusters converges (empty result, no crash) on a corpus with no candidates") {
     // empty documents table: the candidate set is empty and the fixpoint
     // probe must treat SUM-over-empty as 0, not NPE on a null aggregate
