@@ -542,8 +542,66 @@ object TextAnalysis {
     (bc, uc, uc.size.toLong)
   }
 
+  /** Tokenizer-budget coverage census: how much of each document's
+    * bigram stream a FIXED 256-entry vocabulary (the corpus's most
+    * frequent bigrams, ties by code) covers — the eval a tokenizer/vocab
+    * decision is judged by before a retrain. Bigram units because the
+    * synthetic token space is tiny (31 words — word coverage is
+    * degenerately 100%); the 916-bigram space gives a real OOV tail.
+    *
+    * Scale shape: bigrams are map-side slices (no positional join); the
+    * frequency census is one partial-aggregating groupBy over distinct
+    * bigrams; top-256 is a TakeOrdered (per-partition partial top-V,
+    * V fixed by the tokenizer budget — never corpus-sized); scoring is a
+    * BROADCAST join of that tiny vocab against the bigram stream plus
+    * one partial-aggregating groupBy(doc). Text never crosses a shuffle
+    * wider than the bigram census itself. */
+  private val VocabBudget = 256
+
+  val vocabCoverage: Q = Q(
+    "q_vocab_coverage",
+    s"""WITH bg AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+       |    i -> toks[i] || '_' || toks[i + 1])) AS b
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
+       |tf AS (SELECT b, count(*) AS c FROM bg GROUP BY b),
+       |vocab AS (SELECT b FROM (
+       |    SELECT b, row_number() OVER (ORDER BY c DESC, b) AS rn FROM tf)
+       |  WHERE rn <= $VocabBudget),
+       |per AS (SELECT k.doc_id, count(*) AS nb,
+       |    sum(CASE WHEN v.b IS NULL THEN 1 ELSE 0 END) AS noov
+       |  FROM bg k LEFT JOIN vocab v USING (b) GROUP BY k.doc_id)
+       |SELECT d.doc_id, CAST(coalesce(per.nb, 0) AS BIGINT) AS n_bigrams,
+       |  CAST(coalesce(per.noov, 0) AS BIGINT) AS n_oov,
+       |  CAST(CASE WHEN coalesce(per.nb, 0) = 0 THEN 0
+       |       ELSE (per.noov * 1000000) // per.nb END AS BIGINT) AS oov_ppm
+       |FROM documents d LEFT JOIN per USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+  ) { (s, d) =>
+    val toksC = split(col("text"), " ")
+    val len1 = greatest(size(toksC) - 1, lit(0))
+    val bigrams = zip_with(
+      slice(toksC, lit(1), len1), slice(toksC, lit(2), len1),
+      (x, y) => concat(x, lit("_"), y))
+    val docs = T.documents(s, d)
+    val bg = docs.select(col("doc_id"), explode(bigrams).as("b"))
+    val vocab = bg.groupBy("b").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("b").asc).limit(VocabBudget)
+      .select(col("b"), lit(1).as("in_v"))
+    val per = bg.join(broadcast(vocab), Seq("b"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("nb"),
+        sum(when(col("in_v").isNull, 1L).otherwise(0L)).as("noov"))
+    docs.select("doc_id").join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("nb"), lit(0L)).as("n_bigrams"),
+        coalesce(col("noov"), lit(0L)).as("n_oov"),
+        when(coalesce(col("nb"), lit(0L)) === 0L, 0L)
+          .otherwise(expr("(noov * 1000000) div nb")).as("oov_ppm"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] =
     Seq(langId, qualityScore, tokenCount, fingerprint, bigramTopK, piiScrub,
       vocabStats, lengthBuckets, charNgrams, langConfusion, corpusMix,
-      repetitionFilter, rarityScore, cooccurLift, bigramLm)
+      repetitionFilter, rarityScore, cooccurLift, bigramLm, vocabCoverage)
 }

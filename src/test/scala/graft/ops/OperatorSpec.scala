@@ -79,6 +79,33 @@ class OperatorSpec extends SparkSuite {
     assert(head.forall(_.getLong(1) == 1L))
   }
 
+  test("q_vocab_coverage: budget boundary is deterministic; fields are mutually consistent") {
+    // 300 single-bigram docs "a b000".."a b299", each bigram unique: the
+    // 256-entry vocab is the tie-break prefix (count 1 for all → order by
+    // code), so docs 256..299 are exactly the OOV set
+    val dir = tmpDir("vocab")
+    (0 until 300).map(i => (i.toLong, f"a b$i%03d"))
+      .toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+    val out = graft.SparkEntry.queries("q_vocab_coverage")(spark, dir).collect()
+    assert(out.length == 300)
+    out.foreach { r =>
+      val (id, nb, noov, ppm) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(nb == 1L)
+      val expectOov = id >= 256
+      assert(noov == (if (expectOov) 1L else 0L), s"doc $id")
+      assert(ppm == (if (expectOov) 1000000L else 0L), s"doc $id")
+    }
+    // consistency on real data: n_oov <= n_bigrams and the ppm identity
+    val real = run("q_vocab_coverage").collect()
+    assert(real.nonEmpty)
+    real.foreach { r =>
+      val (nb, noov, ppm) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(noov <= nb)
+      assert(ppm == (if (nb == 0) 0L else noov * 1000000L / nb))
+    }
+  }
+
   test("q_dedup_clusters converges (empty result, no crash) on a corpus with no candidates") {
     // empty documents table: the candidate set is empty and the fixpoint
     // probe must treat SUM-over-empty as 0, not NPE on a null aggregate
