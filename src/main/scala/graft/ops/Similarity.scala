@@ -717,7 +717,7 @@ object Similarity {
     * multiplicative hash of vec_id mod nsub. Exact-integer arithmetic
     * ((id % 1048573) · 2654435761 < 2^52) so both engines agree bit-for-
     * bit; cells at or under the cap keep nsub=1 (no split). */
-  private def subcellsOf(assign: DataFrame, cap: Long): DataFrame = {
+  private[ops] def subcellsOf(assign: DataFrame, cap: Long): DataFrame = {
     val pop = assign.groupBy("cid").agg(count(lit(1)).as("cnt"))
     assign.join(broadcast(pop), "cid")
       .withColumn("__nsub",
@@ -932,6 +932,62 @@ object Similarity {
       .orderBy("dim")
   }
 
+  /** Approximate k-NN GRAPH over the whole corpus: each vector's top-3
+    * nearest neighbors among its own trained cell (and hash-subcell past
+    * the cap — the same bounded candidate set q_semdedup prunes from).
+    * The k-NN graph is the substrate of graph-based dedup/clustering and
+    * of HNSW-style index builds; this is the Spark-shaped batch variant:
+    * candidates are strictly cell-local and CAPPED, so the pair join is
+    * Σ bucket² ≤ N·cap rows, never O(N²). Scoring reuses the
+    * codegen'd exact-fold dot kernel; top-3 is one bounded window per
+    * vector (partition ≤ cap rows). The oracle replays the identical
+    * trained cells, split, and tie-break. Edges are DIRECTED (u's top-3
+    * need not contain v even when v's contains u); a vector alone in its
+    * bucket emits no edges — both facts SimilaritySpec pins. */
+  val knnGraph: Q = Q(
+    "q_knn_graph",
+    s"""WITH $ivfCtesSql,
+       |cellpop AS (SELECT cid, count(*) AS cnt FROM $AFinal GROUP BY cid),
+       |af AS (SELECT a.vec_id, a.cid,
+       |    ((a.vec_id % 1048573) * 2654435761) % ((c.cnt + p.cap - 1) // p.cap) AS sub
+       |  FROM $AFinal a JOIN cellpop c USING (cid) CROSS JOIN ivfp p),
+       |cand AS (SELECT sa.vec_id AS vid, sb.vec_id AS nbr,
+       |    round(list_inner_product(a.e, b.e) / (a.vn * b.vn), 6) AS score
+       |  FROM af sa JOIN af sb
+       |    ON sa.cid = sb.cid AND sa.sub = sb.sub AND sa.vec_id != sb.vec_id
+       |  JOIN v a ON a.vec_id = sa.vec_id
+       |  JOIN v b ON b.vec_id = sb.vec_id)
+       |SELECT vid AS vec_id, CAST(rn AS INTEGER) AS rn, nbr AS nbr_id, score FROM (
+       |  SELECT vid, nbr, score,
+       |    row_number() OVER (PARTITION BY vid ORDER BY score DESC, nbr) AS rn
+       |  FROM cand)
+       |WHERE rn <= 3 ORDER BY vec_id, rn""".stripMargin
+  ) { (s, d) =>
+    def dotF(a: Column, b: Column): Column =
+      graft.functions.VectorOps.vecDot(s, a, b)
+    val n = corpusCount(s, d)
+    val (a2, _) = trainedAssignment(s, d)
+    val af = subcellsOf(a2, cellCapOf(n))
+    val base = T.embeddings(s, d)
+      .select(col("vec_id"), col("embedding"),
+        sqrt(dotF(col("embedding"), col("embedding"))).as("nrm"))
+    val pa = af.select(col("vec_id").as("vid"), col("cid"), col("sub"))
+    val pb = af.select(col("vec_id").as("nbr"), col("cid"), col("sub"))
+    val cand = pa.join(pb, Seq("cid", "sub")).filter(col("vid") =!= col("nbr"))
+      .join(base.select(col("vec_id").as("vid"), col("embedding").as("ea"),
+        col("nrm").as("na")), "vid")
+      .join(base.select(col("vec_id").as("nbr"), col("embedding").as("eb"),
+        col("nrm").as("nb")), "nbr")
+      .select(col("vid"), col("nbr"),
+        round(dotF(col("ea"), col("eb")) / (col("na") * col("nb")), 6).as("score"))
+    val w = Window.partitionBy("vid").orderBy(col("score").desc, col("nbr"))
+    cand.withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+      .select(col("vid").as("vec_id"), col("rn"), col("nbr").as("nbr_id"),
+        col("score"))
+      .orderBy("vec_id", "rn")
+  }
+
   val all: Seq[Q] = Seq(similarityLsh, embedNearDup, lshRecall, similarityIvf,
-    annRecall, semDedup, ivfCensus, ivfAssignDelta, embedQuantize, vectorStats)
+    annRecall, semDedup, ivfCensus, ivfAssignDelta, embedQuantize, vectorStats,
+    knnGraph)
 }

@@ -168,4 +168,47 @@ class SimilaritySpec extends SparkSuite {
     assert(rows(1).getLong(3) >= rows(0).getLong(3),
       "adding bands strictly widens the candidate set")
   }
+
+  test("q_knn_graph: edges are bucket-local, ranked, self-free, and bucket-exact vs brute force") {
+    import org.apache.spark.sql.functions._
+    val edges = graft.SparkEntry.queries("q_knn_graph")(spark, sf).collect()
+    assert(edges.nonEmpty)
+    // per-vector: <= 3 edges, rn dense from 1, scores non-increasing,
+    // tie-broken by neighbor id, no self loops
+    edges.groupBy(_.getLong(0)).foreach { case (vid, es) =>
+      val sorted = es.sortBy(_.getInt(1))
+      assert(sorted.length <= 3)
+      assert(sorted.map(_.getInt(1)).toSeq == (1 to sorted.length))
+      val keys = sorted.map(r => (-r.getDouble(3), r.getLong(2)))
+      assert(keys.sortBy(identity).toSeq == keys.toSeq, s"vec $vid not ranked")
+      assert(es.forall(_.getLong(2) != vid), s"vec $vid has a self edge")
+    }
+    // every edge joins two members of the same trained cell + subcell
+    val n = graft.core.Tables.embeddings(spark, sf).count()
+    val af = Similarity.subcellsOf(
+        Similarity.trainedAssignment(spark, sf)._1, Similarity.cellCapOf(n))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    edges.foreach { r =>
+      assert(af(r.getLong(0)) == af(r.getLong(2)),
+        s"edge ${r.getLong(0)}->${r.getLong(2)} crosses buckets")
+    }
+    // bucket-exact: for each vector, the operator's neighbor set equals
+    // the brute-force top-3 of its bucket (local cosine recompute)
+    val vecs = graft.core.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var (d, na, nb, i) = (0.0, 0.0, 0.0, 0)
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      math.rint(d / (math.sqrt(na) * math.sqrt(nb)) * 1e6) / 1e6
+    }
+    val byBucket = af.groupBy(_._2).map { case (k, m) => k -> m.keys.toSeq }
+    val got = edges.groupBy(_.getLong(0))
+      .map { case (v, es) => v -> es.sortBy(_.getInt(1)).map(_.getLong(2)).toSeq }
+    af.foreach { case (vid, bucket) =>
+      val expect = byBucket(bucket).filter(_ != vid)
+        .map(u => (-cos(vecs(vid), vecs(u)), u)).sorted.take(3).map(_._2)
+      assert(got.getOrElse(vid, Nil) == expect, s"vec $vid top-3 mismatch")
+    }
+  }
 }
