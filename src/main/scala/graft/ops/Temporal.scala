@@ -462,6 +462,21 @@ object Temporal {
       .orderBy("bucket_us")
   }
 
+  /** The frozen artifacts of q_anomaly_hours for the streaming gate
+    * (Stateful.anomalyGate): the corpus hourly census (k hours, Σn,
+    * Σn²) — the same train-rarely/score-continuously split as the LM
+    * and importance gates. A 3-long control-plane read. */
+  def anomalyModel(s: org.apache.spark.sql.SparkSession, d: String)
+      : (Long, Long, Long) = {
+    val h = T.events(s, d)
+      .groupBy(date_trunc("hour", col("ts")))
+      .agg(count(lit(1)).as("n"))
+    val r = h.agg(count(lit(1)),
+      coalesce(sum(col("n")), lit(0L)),
+      coalesce(sum(col("n") * col("n")), lit(0L))).head()
+    (r.getLong(0), r.getLong(1), r.getLong(2))
+  }
+
   val all: Seq[Q] = Seq(
     timeBucket, sessionize, asofJoin, asofNative, asofTolerance, asofForward,
     asofInner, asofSql, funnel, funnelLatency, retention, gapFill, anomalyHours)

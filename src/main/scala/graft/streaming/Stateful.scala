@@ -448,6 +448,31 @@ object Stateful {
           "(CASE WHEN __bc[s.bg] IS NULL THEN 1L ELSE 0L END))")
           .as("n_unseen"))
 
+  /** s_stream_anomaly: ingest-side hourly event-rate anomaly flags — the
+    * streaming twin of q_anomaly_hours with the corpus census FROZEN
+    * (the train-rarely/score-continuously split of lmGate and
+    * importanceGate): the batch job trains (k hours, Σn, Σn²) from
+    * history (Temporal.anomalyModel), the stream counts arriving events
+    * into 1-hour event-time windows (watermark bounds the state) and
+    * flags each window with the IDENTICAL exact-integer 3σ inequality —
+    * (k·n − S)² > 9·(k·SS − S²) — as a pure map over the aggregate, so
+    * a window's final flag is bit-identical to what the batch operator
+    * would compute with the same frozen census (StatefulSpec proves
+    * parity across a micro-batch split inside one hour). Deployment
+    * shape: Append mode emits one final verdict per hour once the
+    * watermark passes; Update mode gives provisional flags per tick. */
+  def anomalyGate(events: DataFrame, k: Long, s: Long, ss: Long,
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_micros(col("window.start")).as("bucket_us"), col("n"),
+        (lit(k) * col("n") - lit(s)).as("dev_k"),
+        when((lit(k) * col("n") - lit(s)) * (lit(k) * col("n") - lit(s))
+            > lit(9L) * (lit(k) * lit(ss) - lit(s) * lit(s)), 1L)
+          .otherwise(0L).as("is_anomaly"))
+
   /** s_stream_components: incremental connected components over a stream
     * of (customer, supplier) trading edges — the streaming twin of
     * q_components_delta. State is the (node, lbl) labeling as versioned

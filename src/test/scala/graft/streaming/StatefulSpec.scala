@@ -480,6 +480,53 @@ class StatefulSpec extends SparkSuite {
     assert(rows.forall(_.getLong(3) == 0L), "n_unseen must be 0 in-corpus")
   }
 
+  test("s_stream_anomaly: frozen-census flags are bit-identical to batch q_anomaly_hours across a mid-hour batch split") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    // fixture: 30 quiet hours of 10 events + one 150-event spike hour
+    val dir = tmpDir("sanom")
+    val events = (0 until 30).flatMap { h =>
+      val n = if (h == 7) 150 else 10
+      (0 until n).map(i => (h.toLong * 1000 + i,
+        new java.sql.Timestamp(1700000000000L + h * 3600000L + i * 1000L)))
+    }
+    events.toDF("event_id", "ts").write.parquet(s"$dir/events.parquet")
+    val batch = graft.SparkEntry.queries("q_anomaly_hours")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val (k, s, ss) = graft.ops.Temporal.anomalyModel(spark, dir)
+    val in = MemoryStream[(Long, java.sql.Timestamp)]
+    // Update mode: take each window's LAST update as its current verdict
+    // (Append+watermark is the deployment shape; Update lets the spec see
+    // every revision without advancing a watermark clock)
+    val q = Stateful.anomalyGate(in.toDS().toDF("event_id", "ts"), k, s, ss)
+      .writeStream.format("memory").queryName("anom_gate")
+      .outputMode(OutputMode.Update).start()
+    // split INSIDE the spike hour: its count must accumulate across the
+    // micro-batch boundary before the flag fires
+    val (b1, b2) = events.splitAt(events.indexWhere(_._1 == 7L * 1000 + 60))
+    in.addData(b1)
+    q.processAllAvailable()
+    val provisional = spark.table("anom_gate").collect()
+      .filter(_.getLong(0) == batch.keys.toSeq.sorted.apply(7))
+    assert(provisional.nonEmpty && provisional.forall(_.getLong(1) == 60L),
+      "first batch sees only the partial spike hour")
+    in.addData(b2)
+    q.processAllAvailable()
+    val last = spark.table("anom_gate").collect()
+      .zipWithIndex.groupBy(_._1.getLong(0))
+      .map { case (b, rs) => b -> rs.maxBy(_._2)._1 }
+    q.stop()
+    assert(last.keySet == batch.keySet,
+      "the stream flags exactly the hours the batch operator flags")
+    batch.foreach { case (bucket, (n, devK, flag)) =>
+      val r = last(bucket)
+      assert((r.getLong(1), r.getLong(2), r.getLong(3)) == ((n, devK, flag)),
+        s"bucket $bucket: stream verdict != batch")
+    }
+    assert(batch.values.count(_._3 == 1L) == 1, "fixture has one anomaly")
+  }
+
   test("s_stream_components: state equals the batch closure after every arrival prefix") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.functions._
