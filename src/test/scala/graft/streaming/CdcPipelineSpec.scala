@@ -750,6 +750,20 @@ class CdcPipelineSpec extends SparkSuite {
           .otherwise($"email"))
         .coalesce(1).write.mode("append").parquet(users.inputDir)
       waitFor(4) // the diff against the pruned+compacted state: DELETE id=1
+      // the envelope line lands MID-batch (capture precedes maintenance in
+      // the same foreachBatch), so stopping on sight of line 4 can cancel
+      // exactly the prune this test exists to observe — wait until the
+      // delete epoch's own maintenance has pruned back to the floor
+      val pruneDeadline = System.currentTimeMillis() + 90000
+      def liveVersions: Seq[String] = {
+        import scala.jdk.CollectionConverters._
+        // exact v=<n> only: a stop mid-compact can strand v=N__compact_*
+        // debris, which is rewrite scaffolding, not a retained version
+        Files.list(Paths.get(stateDir)).iterator().asScala
+          .map(_.getFileName.toString).filter(_.matches("v=\\d+")).toSeq
+      }
+      while (liveVersions.size > 1 &&
+        System.currentTimeMillis() < pruneDeadline) Thread.sleep(100)
     } finally q.stop()
     val lines = jsonlLines(users.outputDir)
     assert(lines.size == 4, lines.mkString("\n"))
@@ -760,7 +774,7 @@ class CdcPipelineSpec extends SparkSuite {
     // state pruned to the retention floor (1 version survives)
     import scala.jdk.CollectionConverters._
     val versions = Files.list(Paths.get(stateDir)).iterator().asScala
-      .map(_.getFileName.toString).filter(_.startsWith("v=")).toSeq
+      .map(_.getFileName.toString).filter(_.matches("v=\\d+")).toSeq
     assert(versions.size == 1,
       s"keepStateVersions=1 must leave exactly one version, got $versions")
     // pins pruned to the committed floor: every epoch's maintenance drops
