@@ -306,6 +306,77 @@ object Curation {
         min(col("pos")).as("min_pos"), max(col("pos")).as("max_pos"))
       .orderBy("bucket", "lang")
 
+  /** Temporal train/val/test split with a leakage audit — the dataset-
+    * versioning step every eval pipeline needs before it can trust a
+    * number: events are cut at the 80% and 90% points of the corpus's
+    * OWN time range (boundaries derived by exact integer math over
+    * epoch-microsecond min/max, so both engines cut identically), and
+    * each split reports its event count, distinct-entity count, how many
+    * of its entities ALSO appear in an earlier split (train < val <
+    * test), and that overlap as ppm — the cross-split entity leakage a
+    * time-based split is supposed to allow (same user, later behavior)
+    * but an ENTITY-disjoint protocol must flag. The audit is the point:
+    * whichever protocol the eval claims, this census is the evidence.
+    *
+    * Scale shape: one 1-row time-range census broadcast back; the split
+    * id is per-row integer math (no shuffle to assign); the census is a
+    * 3-group aggregate; the leakage self-join runs on the DISTINCT
+    * (split, user) table — O(users), keyed by user_id, 3 rows per user
+    * max — never on events. */
+  val temporalSplit: Q = Q(
+    "q_temporal_split",
+    """WITH b AS (SELECT min(epoch_us(ts)) AS mn, max(epoch_us(ts)) AS mx
+      |           FROM events),
+      |a AS (SELECT user_id,
+      |        CASE WHEN epoch_us(ts) < b.mn + ((b.mx - b.mn) * 8) // 10 THEN 0
+      |             WHEN epoch_us(ts) < b.mn + ((b.mx - b.mn) * 9) // 10 THEN 1
+      |             ELSE 2 END AS sp
+      |      FROM events CROSS JOIN b),
+      |spl AS (SELECT sp, count(*) AS n_events,
+      |               count(DISTINCT user_id) AS n_users
+      |        FROM a GROUP BY 1),
+      |u AS (SELECT DISTINCT sp, user_id FROM a),
+      |seen AS (SELECT u.sp, count(DISTINCT u.user_id) AS n_seen
+      |         FROM u JOIN u p ON p.user_id = u.user_id AND p.sp < u.sp
+      |         GROUP BY 1)
+      |SELECT CASE spl.sp WHEN 0 THEN 'train' WHEN 1 THEN 'val' ELSE 'test' END
+      |    AS split,
+      |  CAST(spl.n_events AS BIGINT) AS n_events,
+      |  CAST(spl.n_users AS BIGINT) AS n_users,
+      |  CAST(coalesce(seen.n_seen, 0) AS BIGINT) AS n_seen_users,
+      |  CAST((coalesce(seen.n_seen, 0) * 1000000) // spl.n_users AS BIGINT)
+      |    AS leak_ppm
+      |FROM spl LEFT JOIN seen ON seen.sp = spl.sp
+      |ORDER BY split""".stripMargin
+  ) { (s, d) =>
+    val ev = T.events(s, d)
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"))
+    val b = ev.agg(min(col("ts_us")).as("mn"), max(col("ts_us")).as("mx"))
+    val a = ev.crossJoin(broadcast(b))
+      .select(col("user_id"),
+        when(col("ts_us") < col("mn") + expr("((mx - mn) * 8) div 10"), 0L)
+          .when(col("ts_us") < col("mn") + expr("((mx - mn) * 9) div 10"), 1L)
+          .otherwise(2L).as("sp"))
+    val spl = a.groupBy("sp")
+      .agg(count(lit(1)).as("n_events"), countDistinct(col("user_id")).as("n_users"))
+    val u = a.distinct()
+    val seen = u.as("u")
+      .join(u.select(col("sp").as("p_sp"), col("user_id").as("p_uid")),
+        col("p_uid") === col("user_id") && col("p_sp") < col("sp"))
+      .groupBy("sp")
+      .agg(countDistinct(col("user_id")).as("n_seen"))
+    spl.join(seen.withColumnRenamed("sp", "s_sp"),
+        col("s_sp") === col("sp"), "left")
+      .select(
+        when(col("sp") === 0L, "train").when(col("sp") === 1L, "val")
+          .otherwise("test").as("split"),
+        col("n_events"), col("n_users"),
+        coalesce(col("n_seen"), lit(0L)).as("n_seen_users"),
+        expr("(coalesce(n_seen, 0L) * 1000000) div n_users").as("leak_ppm"))
+      .orderBy("split")
+  }
+
   val all: Seq[Q] =
-    Seq(curate, importanceWeight, mixWeights, shardShuffle, interleave)
+    Seq(curate, importanceWeight, mixWeights, shardShuffle, interleave,
+      temporalSplit)
 }

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -337,8 +337,12 @@ object LlmPipeline {
     * score is one partial-aggregating groupBy(doc) and a top-20
     * TakeOrdered. At 100 TB: two token-census shuffles + O(docs)
     * aggregation, the minimum any lexical scorer pays. */
-  val bm25: Q = Q(
-    "q_bm25",
+  /** The full-recompute BM25 closure — shared verbatim by q_bm25 and
+    * q_bm25_delta: the oracle for BOTH is the complete scoring over the
+    * whole current corpus, which is exactly the claim the incremental
+    * index must live up to (the delta-family oracle-sharing convention:
+    * componentsClosureSql, pagerankSql). */
+  private lazy val bm25Sql: String =
     """WITH tok AS (
       |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
       |dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM tok GROUP BY 1),
@@ -363,15 +367,30 @@ object LlmPipeline {
       |  GROUP BY 1)
       |SELECT doc_id, n_terms, bm25_ppm FROM sc
       |ORDER BY bm25_ppm DESC, doc_id LIMIT 20""".stripMargin
-  ) { (s, d) =>
-    val tok = T.documents(s, d)
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
-    val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
-    val nd = T.documents(s, d).agg(count(lit(1)).as("n_docs"))
-      .crossJoin(tok.agg(count(lit(1)).as("tot")))
-    val df = tok.groupBy("token").agg(countDistinct(col("doc_id")).as("df"))
-    val q5 = df.orderBy(col("df").desc, col("token")).limit(5)
+
+  /** The four index tables BM25 serves from — (doc, token, tf) postings,
+    * (doc, dl) lengths, (token, df) document frequencies, and the 1-row
+    * (n_docs, tot) corpus census — built from one tokenization of `docs`.
+    * Shared by q_bm25 (whole corpus) and q_bm25_delta (base and delta
+    * halves separately). */
+  private def bm25Index(docs: DataFrame)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val tok = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
     val tf = tok.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val df = tok.groupBy("token").agg(countDistinct(col("doc_id")).as("df"))
+    val nd = docs.agg(count(lit(1)).as("n_docs"))
+      .crossJoin(tok.agg(count(lit(1)).as("tot")))
+    (tf, dl, df, nd)
+  }
+
+  /** The exact-integer BM25 scoring tail over prepared index tables:
+    * query = top-5 df terms, score summed per doc, top-20 presentation.
+    * `df` must carry corpus-wide document frequencies; `nd` the 1-row
+    * (n_docs, tot) census. */
+  private def bm25Score(tf: DataFrame, dl: DataFrame, df: DataFrame,
+      nd: DataFrame): DataFrame = {
+    val q5 = df.orderBy(col("df").desc, col("token")).limit(5)
     tf.join(broadcast(q5), "token")
       .join(dl, "doc_id")
       .crossJoin(broadcast(nd))
@@ -388,7 +407,161 @@ object LlmPipeline {
       .limit(20)
   }
 
+  val bm25: Q = Q("q_bm25", bm25Sql) { (s, d) =>
+    val (tf, dl, df, nd) = bm25Index(T.documents(s, d).select("doc_id", "text"))
+    bm25Score(tf, dl, df, nd)
+  }
+
+  /** Incremental BM25 index maintenance — the retrieval member of the
+    * delta family (q_ivf_assign_delta, q_pq_encode_delta,
+    * q_components_delta, q_pagerank_delta): the expensive O(corpus) step
+    * of lexical retrieval is TOKENIZATION plus the three token-census
+    * shuffles, and all four of its outputs are MONOIDAL over disjoint
+    * doc sets — postings and doc lengths union (doc sets are disjoint),
+    * document frequencies and the corpus census add. So yesterday's
+    * index (docs below the 7/8 doc_id split) is a FROZEN artifact
+    * (ModelCache "bm25-base", the train-rarely economics), today's docs
+    * tokenize alone (O(delta)), and the serving-time merge is a union +
+    * a k-term df sum — never a re-scan of the base corpus. Scoring then
+    * reads only the q5 postings, exactly as q_bm25.
+    *
+    * Global coupling is confined to the STATS, not the scan: new docs
+    * shift df/n_docs/tot, which changes every doc's score — but scores
+    * are a cheap function OF the index, so incremental index + full
+    * re-score is exact. The ORACLE is the full recompute over the whole
+    * corpus (bm25Sql, shared with q_bm25): the hash gate proves
+    * incremental == full across two engines. */
+  val bm25Delta: Q = Q("q_bm25_delta", bm25Sql) { (s, d) =>
+    val docs = T.documents(s, d).select(col("doc_id"), col("text"))
+    val (split, tfB, dlB, dfB, ndB) = graft.core.ModelCache.getOrTrain(
+      s, "bm25-base", d) {
+      val maxRow = docs.agg(max(col("doc_id"))).head()
+      val maxId = if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0)
+      val sp = 7L * maxId / 8L
+      val (tf, dl, df, nd) = bm25Index(docs.filter(col("doc_id") < sp))
+      (sp, tf.localCheckpoint(), dl.localCheckpoint(),
+        df.localCheckpoint(), nd.localCheckpoint())
+    }
+    val (tfD, dlD, dfD, ndD) = bm25Index(docs.filter(col("doc_id") >= split))
+    val df = dfB.unionAll(dfD).groupBy("token").agg(sum(col("df")).as("df"))
+    val nd = ndB.select(col("n_docs").as("nb"), col("tot").as("tb"))
+      .crossJoin(ndD.select(col("n_docs").as("ndd"), col("tot").as("td")))
+      .select((col("nb") + col("ndd")).as("n_docs"),
+        (col("tb") + col("td")).as("tot"))
+    bm25Score(tfB.unionAll(tfD), dlB.unionAll(dlD), df, nd)
+  }
+
+  /** Hybrid retrieval with reciprocal-rank fusion — the two-tower serving
+    * shape RAG stacks actually run: for each query document (the 5 lowest
+    * ids, the q_similarity_topk convention) BOTH a dense list (cosine
+    * top-10 over the embedding column) and a lexical list (top-10 by
+    * summed idf of shared tokens — the log-free idf_ppm recipe, an
+    * inverted-index join on the query's own tokens) are ranked, then
+    * fused by RRF: rrf_ppm = Σ_lists 1e6 div (60 + rank), the standard
+    * k=60 formula in exact-integer form, absent-from-list contributing
+    * zero. Fusion operates on RANKS, so the incommensurable score scales
+    * (cosine ∈ [-1,1] vs idf sums) never need calibrating — which is why
+    * RRF is the default fusion everywhere. Candidates are the docs that
+    * HAVE embeddings (the hybrid domain must be the intersection, or the
+    * lexical list votes for docs the dense list cannot see).
+    *
+    * Scale shape: the dense side is the broadcast-query scan every
+    * exact eval pays (Similarity's IVF is the sub-linear swap-in); the
+    * lexical side touches only postings of the query docs' own tokens
+    * (an inverted-index probe, never a doc×doc product); fusion joins
+    * two ≤10-row-per-query lists. */
+  val hybridRrf: Q = Q(
+    "q_hybrid_rrf",
+    """WITH cand AS (SELECT DISTINCT vec_id AS id FROM embeddings),
+      |q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe
+      |      FROM embeddings WHERE vec_id < 5),
+      |vs AS (SELECT q.qid, e.vec_id AS id,
+      |         round(list_inner_product(e.embedding::DOUBLE[], q.qe) /
+      |               (sqrt(list_inner_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) *
+      |                sqrt(list_inner_product(q.qe, q.qe))), 4) AS vscore
+      |       FROM embeddings e, q WHERE e.vec_id != q.qid),
+      |vtop AS (SELECT qid, id, r FROM (
+      |  SELECT qid, id, row_number() OVER (PARTITION BY qid ORDER BY vscore DESC, id) AS r
+      |  FROM vs) WHERE r <= 10),
+      |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+      |dtok AS (SELECT DISTINCT doc_id, token FROM tok),
+      |nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+      |df AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM dtok GROUP BY 1),
+      |qt AS (SELECT q.qid, d.token FROM q JOIN dtok d ON d.doc_id = q.qid),
+      |ls AS (SELECT qt.qid, d2.doc_id AS id,
+      |         CAST(sum(nd.n_docs * 1000000 // df.df) AS BIGINT) AS lscore
+      |       FROM qt JOIN dtok d2 USING (token) JOIN df USING (token)
+      |       JOIN cand ON cand.id = d2.doc_id CROSS JOIN nd
+      |       WHERE d2.doc_id != qt.qid GROUP BY 1, 2),
+      |ltop AS (SELECT qid, id, r FROM (
+      |  SELECT qid, id, row_number() OVER (PARTITION BY qid ORDER BY lscore DESC, id) AS r
+      |  FROM ls) WHERE r <= 10),
+      |u AS (SELECT qid, id FROM vtop UNION SELECT qid, id FROM ltop),
+      |f AS (SELECT u.qid, u.id,
+      |        CAST(coalesce(v.r, 0) AS BIGINT) AS r_vec,
+      |        CAST(coalesce(l.r, 0) AS BIGINT) AS r_lex,
+      |        CAST((CASE WHEN v.r IS NULL THEN 0 ELSE 1000000 // (60 + v.r) END) +
+      |             (CASE WHEN l.r IS NULL THEN 0 ELSE 1000000 // (60 + l.r) END)
+      |          AS BIGINT) AS rrf_ppm
+      |      FROM u LEFT JOIN vtop v ON v.qid = u.qid AND v.id = u.id
+      |             LEFT JOIN ltop l ON l.qid = u.qid AND l.id = u.id)
+      |SELECT qid, CAST(rn AS BIGINT) AS rn, id, rrf_ppm, r_vec, r_lex FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY rrf_ppm DESC, id) AS rn
+      |  FROM f)
+      |WHERE rn <= 5 ORDER BY qid, rn""".stripMargin
+  ) { (s, d) =>
+    val emb = T.embeddings(s, d)
+    val cand = emb.select(col("vec_id").as("id")).distinct()
+    // dense list: norms precomputed map-side (the q_similarity_topk shape)
+    val e = emb.select(col("vec_id"), col("embedding"),
+      l2(s)(col("embedding")).as("nrm"))
+    val qv = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("nrm").as("qn"))
+    val vs = e.crossJoin(broadcast(qv))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("id"),
+        round(dot(s)(col("embedding"), col("qe")) / (col("nrm") * col("qn")), 4)
+          .as("vscore"))
+    val wv = Window.partitionBy("qid").orderBy(col("vscore").desc, col("id"))
+    val vtop = vs.withColumn("r", row_number().over(wv).cast(LongType))
+      .filter(col("r") <= 10).select("qid", "id", "r")
+    // lexical list: inverted-index probe on the query docs' own tokens
+    val dtok = T.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .distinct()
+    val nd = T.documents(s, d).agg(count(lit(1)).as("n_docs"))
+    val df = dtok.groupBy("token").agg(count(lit(1)).as("df"))
+    val qt = dtok.filter(col("doc_id") < 5)
+      .select(col("doc_id").as("qid"), col("token"))
+    val ls = broadcast(qt).join(dtok, "token")
+      .filter(col("doc_id") =!= col("qid"))
+      .join(df, "token")
+      .join(cand.withColumnRenamed("id", "doc_id"), "doc_id")
+      .crossJoin(broadcast(nd))
+      .groupBy(col("qid"), col("doc_id").as("id"))
+      .agg(sum(expr("n_docs * 1000000 div df")).as("lscore"))
+    val wl = Window.partitionBy("qid").orderBy(col("lscore").desc, col("id"))
+    val ltop = ls.withColumn("r", row_number().over(wl).cast(LongType))
+      .filter(col("r") <= 10).select("qid", "id", "r")
+    // fuse on ranks
+    val u = vtop.select("qid", "id").union(ltop.select("qid", "id")).distinct()
+    val f = u
+      .join(vtop.withColumnRenamed("r", "vr"), Seq("qid", "id"), "left")
+      .join(ltop.withColumnRenamed("r", "lr"), Seq("qid", "id"), "left")
+      .select(col("qid"), col("id"),
+        coalesce(col("vr"), lit(0L)).as("r_vec"),
+        coalesce(col("lr"), lit(0L)).as("r_lex"),
+        (when(col("vr").isNull, 0L).otherwise(expr("1000000 div (60 + vr)")) +
+          when(col("lr").isNull, 0L).otherwise(expr("1000000 div (60 + lr)")))
+          .as("rrf_ppm"))
+    val wf = Window.partitionBy("qid").orderBy(col("rrf_ppm").desc, col("id"))
+    f.withColumn("rn", row_number().over(wf).cast(LongType))
+      .filter(col("rn") <= 5)
+      .select("qid", "rn", "id", "rrf_ppm", "r_vec", "r_lex")
+      .orderBy("qid", "rn")
+  }
+
   val all: Seq[Q] = Seq(
     dedupExact, dedupText, tokenTopK, jsonExtract, similarityTopK, multimodalStats,
-    tfidf, contamination, packSequences, chunkDocs, bm25)
+    tfidf, contamination, packSequences, chunkDocs, bm25, bm25Delta, hybridRrf)
 }

@@ -987,7 +987,90 @@ object Similarity {
       .orderBy("vec_id", "rn")
   }
 
+  /** Filtered vector search — the serving shape every production vector
+    * store actually runs ("nearest neighbors WHERE tenant/category/date
+    * = X"): the IVF probe (queries 16..20 against their own trained
+    * cell, the q_similarity_ivf convention) with a metadata predicate —
+    * candidate label must equal the query's label — applied INSIDE the
+    * candidate enumeration, BEFORE any distance math. Per query the
+    * output carries the filtered top-3 plus the selectivity census
+    * (n_cell = cell co-members, n_pass = label survivors): the numbers
+    * that decide between pre-filter (this plan) and post-filter
+    * (score-then-drop, which under-fills top-k at low selectivity).
+    *
+    * Scale shape: the predicate joins the tiny (vec_id, label) side
+    * BEFORE the vector fetch, so dropped candidates never load
+    * embeddings or pay a dot product; at 100 TB label becomes a
+    * bucketing key next to cid and the probe reads one (cell, label)
+    * bucket per query. A query whose cell holds NO label match emits no
+    * rows — the honest empty result both engines agree on. Training is
+    * the shared memoized model (ModelCache "ivf"). */
+  val filteredAnn: Q = Q(
+    "q_filtered_ann",
+    s"""WITH $ivfCtesSql,
+       |lab AS (SELECT vec_id, label FROM embeddings),
+       |qa AS (SELECT a.vec_id AS qid, a.cid, lq.label AS qlabel
+       |  FROM $AFinal a JOIN lab lq ON lq.vec_id = a.vec_id
+       |  WHERE a.vec_id BETWEEN 16 AND 20),
+       |cellc AS (SELECT qa.qid, qa.qlabel, a.vec_id AS cand_id, lc.label
+       |  FROM qa JOIN $AFinal a ON a.cid = qa.cid AND a.vec_id != qa.qid
+       |  JOIN lab lc ON lc.vec_id = a.vec_id),
+       |stats AS (SELECT qid, CAST(count(*) AS BIGINT) AS n_cell,
+       |    CAST(sum(CASE WHEN label = qlabel THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_pass
+       |  FROM cellc GROUP BY qid),
+       |cscore AS (SELECT c.qid, c.cand_id,
+       |    round(list_inner_product(vq.e, vc.e) / (vq.vn * vc.vn), 6) AS score
+       |  FROM cellc c
+       |  JOIN v vq ON vq.vec_id = c.qid
+       |  JOIN v vc ON vc.vec_id = c.cand_id
+       |  WHERE c.label = c.qlabel)
+       |SELECT r.qid, CAST(r.rn AS INTEGER) AS rn, r.cand_id AS vec_id,
+       |  r.score, s.n_cell, s.n_pass
+       |FROM (
+       |  SELECT qid, cand_id, score,
+       |    row_number() OVER (PARTITION BY qid ORDER BY score DESC, cand_id) AS rn
+       |  FROM cscore) r
+       |JOIN stats s ON s.qid = r.qid
+       |WHERE r.rn <= 3 ORDER BY r.qid, r.rn""".stripMargin
+  ) { (s, d) =>
+    def dotF(a: Column, b: Column): Column =
+      graft.functions.VectorOps.vecDot(s, a, b)
+    val (parts, _) = trainedParts(s, d)
+    val a2 = parts.assign
+    val lab = T.embeddings(s, d).select(col("vec_id"), col("label"))
+    val qa = a2.filter(col("vec_id").between(16, 20))
+      .join(lab, "vec_id")
+      .select(col("vec_id").as("qid"), col("cid"), col("label").as("qlabel"))
+    // label joined BEFORE any vector fetch: the predicate prunes the
+    // candidate list while it is still (id, id) pairs
+    val cellc = qa
+      .join(a2.select(col("vec_id").as("cand_id"), col("cid")), Seq("cid"))
+      .filter(col("cand_id") =!= col("qid"))
+      .join(lab.select(col("vec_id").as("cand_id"), col("label")), Seq("cand_id"))
+    val stats = cellc.groupBy("qid")
+      .agg(count(lit(1)).as("n_cell"),
+        sum(when(col("label") === col("qlabel"), 1L).otherwise(0L)).as("n_pass"))
+    val base = T.embeddings(s, d)
+      .select(col("vec_id"), col("embedding"),
+        sqrt(dotF(col("embedding"), col("embedding"))).as("nrm"))
+    val cscore = cellc.filter(col("label") === col("qlabel"))
+      .join(base.select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        col("nrm").as("qn")), Seq("qid"))
+      .join(base.select(col("vec_id").as("cand_id"), col("embedding").as("ce"),
+        col("nrm").as("cn")), Seq("cand_id"))
+      .select(col("qid"), col("cand_id"),
+        round(dotF(col("qe"), col("ce")) / (col("qn") * col("cn")), 6).as("score"))
+    val w = Window.partitionBy("qid").orderBy(col("score").desc, col("cand_id").asc)
+    cscore.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .join(stats, "qid")
+      .select(col("qid"), col("rn"), col("cand_id").as("vec_id"), col("score"),
+        col("n_cell"), col("n_pass"))
+      .orderBy("qid", "rn")
+  }
+
   val all: Seq[Q] = Seq(similarityLsh, embedNearDup, lshRecall, similarityIvf,
     annRecall, semDedup, ivfCensus, ivfAssignDelta, embedQuantize, vectorStats,
-    knnGraph)
+    knnGraph, filteredAnn)
 }

@@ -443,4 +443,104 @@ class OperatorSpec extends SparkSuite {
     assert(sizes.max <= 3 * math.max(1L, sizes.min),
       s"multiplicative hashing must balance shards: ${sizes.mkString(",")}")
   }
+
+  test("q_winsorize matches a local sorted-clip recompute per group") {
+    val rows = run("q_winsorize").collect()
+    val local = graft.core.Tables.lineitem(spark, sf)
+      .select("l_returnflag", "l_extendedprice").collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    assert(rows.map(_.getString(0)).toSet == local.keySet)
+    rows.foreach { r =>
+      val vs = local(r.getString(0))
+      // ANSI disc: min value whose cume_dist >= p == the ceil(p·n)-th
+      def disc(p: Double) = vs(math.ceil(p * vs.length).toInt - 1)
+      val (p05, p95) = (disc(0.05), disc(0.95))
+      assert(r.getDouble(1) == p05 && r.getDouble(2) == p95,
+        s"${r.getString(0)}: bounds ${r.getDouble(1)}/${r.getDouble(2)} != $p05/$p95")
+      assert(r.getLong(3) == vs.length)
+      assert(r.getLong(4) == vs.count(_ < p05), "n_lo")
+      assert(r.getLong(5) == vs.count(_ > p95), "n_hi")
+      val winSum = vs.map(v => BigDecimal(math.min(math.max(v, p05), p95))
+        .setScale(2, BigDecimal.RoundingMode.HALF_UP)).sum
+      assert(BigDecimal(r.getDouble(6)) == winSum, "exact clipped decimal sum")
+    }
+  }
+
+  test("q_temporal_split: splits partition events; leakage matches a local recompute") {
+    import org.apache.spark.sql.functions._
+    val rows = run("q_temporal_split").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    val ev = graft.core.Tables.events(spark, sf)
+      .select(col("user_id"), unix_micros(col("ts")).as("us")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val (mn, mx) = (ev.map(_._2).min, ev.map(_._2).max)
+    val (t80, t90) = (mn + (mx - mn) * 8 / 10, mn + (mx - mn) * 9 / 10)
+    def splitOf(us: Long) = if (us < t80) "train" else if (us < t90) "val" else "test"
+    val bySplit = ev.groupBy { case (_, us) => splitOf(us) }
+    assert(rows.keySet == bySplit.keySet)
+    assert(rows.values.map(_._1).sum == ev.length, "splits partition the events")
+    val users = bySplit.view.mapValues(_.map(_._1).toSet).toMap
+    assert(rows("train")._3 == 0, "train leads: nothing earlier to leak from")
+    val valSeen = (users.getOrElse("val", Set.empty) & users("train")).size.toLong
+    val testSeen = (users.getOrElse("test", Set.empty) &
+      (users("train") ++ users.getOrElse("val", Set.empty))).size.toLong
+    assert(rows.get("val").forall(_._3 == valSeen))
+    assert(rows.get("test").forall(_._3 == testSeen))
+    rows.foreach { case (_, (_, nu, seen, ppm)) =>
+      assert(ppm == seen * 1000000L / nu, "leak_ppm is the exact floor division")
+    }
+  }
+
+  test("q_bm25_delta: incremental index equals the full rebuild, and the delta is nonempty") {
+    val full = run("q_bm25").collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val delta = run("q_bm25_delta").collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(delta == full, "frozen base + delta merge must equal the rebuild")
+    // the merge path actually ran: the 7/8 split leaves a real delta
+    import org.apache.spark.sql.functions._
+    val docs = graft.core.Tables.documents(spark, sf)
+    val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+    assert(docs.filter(col("doc_id") >= 7L * maxId / 8L).count() > 0)
+  }
+
+  test("q_hybrid_rrf: fused score recomputes from the two ranks; ids come from both lists") {
+    val rows = run("q_hybrid_rrf").collect()
+    assert(rows.nonEmpty)
+    val perQ = rows.groupBy(_.getLong(0))
+    assert(perQ.keySet == Set(0L, 1L, 2L, 3L, 4L))
+    perQ.values.foreach(g => assert(g.length <= 5))
+    rows.foreach { r =>
+      val (rv, rl, rrf) = (r.getLong(4), r.getLong(5), r.getLong(3))
+      assert(rv >= 0 && rv <= 10 && rl >= 0 && rl <= 10)
+      assert(rv > 0 || rl > 0, "a fused id must come from at least one list")
+      val expect = (if (rv > 0) 1000000L / (60 + rv) else 0L) +
+        (if (rl > 0) 1000000L / (60 + rl) else 0L)
+      assert(rrf == expect, s"rrf_ppm $rrf != recomputed $expect")
+    }
+    // presentation: rrf desc, id asc within each query
+    perQ.values.foreach { g =>
+      val ord = g.sortBy(_.getLong(1)).map(r => (r.getLong(3), r.getLong(2)))
+      assert(ord.sortBy { case (s, id) => (-s, id) }.toSeq == ord.toSeq)
+    }
+  }
+
+  test("q_filtered_ann: every hit shares the query's label and cell; selectivity census consistent") {
+    import org.apache.spark.sql.functions._
+    val rows = run("q_filtered_ann").collect()
+    assert(rows.nonEmpty)
+    val labels = graft.core.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("label")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    rows.foreach { r =>
+      val (qid, rn, cand, nCell, nPass) =
+        (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(4), r.getLong(5))
+      assert(labels(cand) == labels(qid), s"q$qid hit $cand crosses labels")
+      assert(rn >= 1 && rn <= 3 && rn <= nPass,
+        "never more ranked hits than label survivors")
+      assert(nPass <= nCell, "label filter only shrinks the cell")
+    }
+  }
 }
