@@ -525,6 +525,90 @@ object Stateful {
       .write.mode("overwrite").parquet(s"$stateDir/v=$batchId")
   }
 
+  final case class TokOcc(doc_id: Long, token: String)
+  final case class TokenIndexStat(token: String, df: Long, cf: Long)
+
+  /** s_stream_index: running inverted-index statistics over a document
+    * stream — the streaming half of q_bm25_delta's index-maintenance
+    * story (ops/LlmPipeline.scala): the batch operator merges a frozen
+    * base index with a delta tokenization per RUN; this stage maintains
+    * the same statistics continuously at ingest, so retrieval scoring
+    * (df for idf, cf for language-model smoothing) reads fresh values at
+    * any moment instead of waiting for the nightly merge. Tokenization
+    * is a column-level explode(split(…)) — codegen'd, map-side, no
+    * UDF — and the keyed state per token is TWO counters: df counts
+    * DOCUMENTS containing the token (each doc tokenizes within one
+    * micro-batch, so a batch-local distinct-doc count never double-adds
+    * a doc), cf counts occurrences. Both are monoidal over disjoint doc
+    * sets — exactly why the final state equals the batch census no
+    * matter where batch boundaries fall (StatefulSpec proves parity
+    * with bm25-style df/cf over a split corpus). State is O(vocabulary);
+    * the shuffle key is the token, so each partition owns its tokens —
+    * the q_token_topk/runningTokenCounts scale shape with a second,
+    * doc-level counter. */
+  def indexStatsStream(docs: DataFrame): Dataset[TokenIndexStat] = {
+    val s = docs.sparkSession
+    import s.implicits._
+    docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .as[TokOcc]
+      .groupByKey(_.token)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (token: String, rows: Iterator[TokOcc], state: GroupState[(Long, Long)]) =>
+          val (df0, cf0) = state.getOption.getOrElse((0L, 0L))
+          val seen = scala.collection.mutable.HashSet.empty[Long]
+          var cf = cf0
+          rows.foreach { r => seen += r.doc_id; cf += 1 }
+          val next = (df0 + seen.size, cf)
+          state.update(next)
+          Iterator.single(TokenIndexStat(token, next._1, next._2))
+      }
+  }
+
+  final case class EvIn(event_id: Long, user_id: Long, ts_us: Long)
+  final case class LeakVerdict(event_id: Long, user_id: Long, split: String,
+      leaked: Long)
+
+  /** s_stream_leak_gate: ingest-side split-leakage flagging — the
+    * streaming twin of q_temporal_split's audit (ops/Curation.scala):
+    * the split boundaries (t80, t90 epoch-micros) are FROZEN from the
+    * batch census (the train-rarely/score-continuously convention of
+    * ivfAssignStream/lmGate), every arriving event is assigned its split
+    * by pure integer comparison, and per-user keyed state remembers the
+    * EARLIEST split the user has appeared in — an event whose user was
+    * already seen in an earlier split is flagged `leaked=1` the moment
+    * it arrives, which is when an entity-disjoint eval protocol wants to
+    * know, not at audit time. Rows within a micro-batch are processed in
+    * event-time order (sorted per user inside the group), so a user
+    * entering train and val in ONE batch still flags the val event; the
+    * verdict stream equals the batch audit whenever arrival order
+    * respects event time at batch granularity — the same at-ingest
+    * caveat as every gate here, and time-based splits make late
+    * cross-split stragglers a re-run-the-batch-audit event anyway.
+    * State is O(users) — one Int per user; shuffle keyed by user. */
+  def leakGate(events: DataFrame, t80: Long, t90: Long): Dataset[LeakVerdict] = {
+    val s = events.sparkSession
+    import s.implicits._
+    events
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("ts_us"))
+      .as[EvIn]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[EvIn], state: GroupState[Int]) =>
+          def splitOf(us: Long): Int = if (us < t80) 0 else if (us < t90) 1 else 2
+          val names = Array("train", "val", "test")
+          var minSeen = state.getOption.getOrElse(Int.MaxValue)
+          val out = rows.toSeq.sortBy(e => (e.ts_us, e.event_id)).map { e =>
+            val sp = splitOf(e.ts_us)
+            val leaked = if (minSeen < sp) 1L else 0L
+            if (sp < minSeen) minSeen = sp
+            LeakVerdict(e.event_id, uid, names(sp), leaked)
+          }
+          state.update(minSeen)
+          out.iterator
+      }
+  }
+
   /** s_session_window: native session windows, 30-minute gap per user —
     * the streaming twin of the batch gaps-and-islands in
     * graft.ops.Temporal.sessionize. */

@@ -601,4 +601,70 @@ class StatefulSpec extends SparkSuite {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
       1000010L -> 1L, 1000011L -> 1L))
   }
+
+  test("s_stream_index: final df/cf per token equals the batch census regardless of batch split") {
+    implicit val sqlCtx = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    val docs = graft.core.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    val in = MemoryStream[(Long, String)]
+    val q = Stateful.indexStatsStream(in.toDS().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("idx_stats")
+      .outputMode(OutputMode.Append).start()
+    val (b1, b2) = docs.splitAt(docs.length / 2)
+    in.addData(b1.toSeq)
+    q.processAllAvailable()
+    in.addData(b2.toSeq)
+    q.processAllAvailable()
+    val rows = spark.table("idx_stats").as[Stateful.TokenIndexStat].collect()
+    q.stop()
+    // final state = max emission per token (both counters only grow)
+    val streamed = rows.groupBy(_.token).map { case (t, rs) =>
+      t -> (rs.map(_.df).max, rs.map(_.cf).max) }
+    val batch = docs.flatMap { case (id, text) =>
+      text.split(" ").map(tok => (tok, id)) }
+      .groupBy(_._1).map { case (t, occ) =>
+        t -> (occ.map(_._2).distinct.length.toLong, occ.length.toLong) }
+    assert(streamed == batch,
+      "streamed index statistics must equal the one-shot batch census")
+  }
+
+  test("s_stream_leak_gate: per-split leaked-user sets equal the batch q_temporal_split audit") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.{col, unix_micros, max => smax, min => smin}
+    val sf = "/root/testdata/sf0.001"
+    val ev = graft.core.Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"), col("ts"),
+        unix_micros(col("ts")).as("us"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2), r.getLong(3)))
+      .sortBy(e => (e._4, e._1)) // arrival respects event time (the gate's contract)
+    val (mn, mx) = (ev.map(_._4).min, ev.map(_._4).max)
+    val (t80, t90) = (mn + (mx - mn) * 8 / 10, mn + (mx - mn) * 9 / 10)
+    val in = MemoryStream[(Long, Long, Timestamp)]
+    val q = Stateful.leakGate(in.toDS().toDF("event_id", "user_id", "ts"), t80, t90)
+      .writeStream.format("memory").queryName("leak_gate")
+      .outputMode(OutputMode.Append).start()
+    val (b1, b2) = ev.splitAt(ev.length / 2)
+    in.addData(b1.map(e => (e._1, e._2, e._3)).toSeq)
+    q.processAllAvailable()
+    in.addData(b2.map(e => (e._1, e._2, e._3)).toSeq)
+    q.processAllAvailable()
+    val verdicts = spark.table("leak_gate").as[Stateful.LeakVerdict].collect()
+    q.stop()
+    assert(verdicts.length == ev.length, "one verdict per event")
+    // the gate's leaked-user set per split IS the batch audit's census
+    val streamedLeaked = verdicts.filter(_.leaked == 1L)
+      .groupBy(_.split).map { case (s, vs) => s -> vs.map(_.user_id).toSet }
+    val audit = graft.SparkEntry.queries("q_temporal_split")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(audit("train") == 0L)
+    Seq("val", "test").foreach { s =>
+      assert(streamedLeaked.getOrElse(s, Set.empty).size.toLong == audit(s),
+        s"$s: streamed leaked users != batch n_seen_users ${audit(s)}")
+    }
+    // train events can never be flagged (nothing is earlier than train)
+    assert(verdicts.filter(_.split == "train").forall(_.leaked == 0L))
+  }
 }
