@@ -466,12 +466,70 @@ def gen_wedge(rng):
             f"FROM cp GROUP BY w ORDER BY w")
 
 
+def gen_rrf(rng):
+    # reciprocal-rank fusion over two independent rankings of one table —
+    # the q_hybrid_rrf dialect class: row_number ranks (total orders via
+    # the unique key tiebreak), fused by floor(1e6 / (60 + r)). The
+    # division is ONE double divide of exact small ints + floor —
+    # bit-identical across engines (no integer-division dialect needed).
+    t = rng.choice([t for t in TABLES
+                    if len([c for c, k in TABLES[t]
+                            if k in ("i", "d") and c != SORT_KEY[t][0]]) >= 2
+                    and len(SORT_KEY[t]) == 1])
+    cols = TABLES[t]
+    key = SORT_KEY[t][0]
+    a, b = rng.sample([c for c, k in cols if k in ("i", "d") and c != key], 2)
+    where = pred(rng, cols)
+    n = rng.randint(5, 30)
+    da, db = rng.choice(["ASC", "DESC"]), rng.choice(["ASC", "DESC"])
+    return (
+        f"WITH ra AS (SELECT {key}, CAST(row_number() OVER "
+        f"(ORDER BY {a} {da}, {key}) AS BIGINT) AS r FROM {t} WHERE {where}), "
+        f"rb AS (SELECT {key}, CAST(row_number() OVER "
+        f"(ORDER BY {b} {db}, {key}) AS BIGINT) AS r FROM {t} WHERE {where}) "
+        f"SELECT ra.{key}, ra.r AS r_a, rb.r AS r_b, "
+        f"CAST(floor(1000000 / (60 + ra.r)) + floor(1000000 / (60 + rb.r)) "
+        f"AS BIGINT) AS rrf "
+        f"FROM ra JOIN rb ON rb.{key} = ra.{key} "
+        f"WHERE ra.r <= {n} OR rb.r <= {n} "
+        f"ORDER BY rrf DESC, ra.{key} LIMIT {rng.randint(10, 40)}")
+
+
+def gen_clip(rng):
+    # winsorized aggregates — the q_winsorize dialect class: global disc-
+    # percentile clip bounds (actual data values, engine-exact), clipped
+    # sums through DECIMAL, per-side clip counts.
+    t = rng.choice([t for t in TABLES if any(k == "d" for _, k in TABLES[t])])
+    cols = TABLES[t]
+    dcol = rng.choice([c for c, k in cols if k == "d"])
+    scol = rng.choice([c for c, k in cols if k == "s"] or [SORT_KEY[t][0]])
+    lo = rng.choice([0.05, 0.1, 0.25])
+    hi = rng.choice([0.75, 0.9, 0.95])
+    where = pred(rng, cols)
+    return (
+        f"WITH b AS (SELECT "
+        f"percentile_disc({lo}) WITHIN GROUP (ORDER BY {dcol}) AS lo, "
+        f"percentile_disc({hi}) WITHIN GROUP (ORDER BY {dcol}) AS hi "
+        f"FROM {t} WHERE {where}) "
+        f"SELECT {scol}, count(*) AS n, "
+        f"CAST(SUM(CAST(least(greatest({dcol}, b.lo), b.hi) AS DECIMAL(18,2))) "
+        f"AS DOUBLE) AS win_total, "
+        f"CAST(sum(CASE WHEN {dcol} < b.lo THEN 1 ELSE 0 END) AS BIGINT) AS n_lo, "
+        f"CAST(sum(CASE WHEN {dcol} > b.hi THEN 1 ELSE 0 END) AS BIGINT) AS n_hi "
+        f"FROM {t} CROSS JOIN b WHERE {where} "
+        f"GROUP BY {scol}, b.lo, b.hi ORDER BY {scol}")
+
+
 def gen_query(rng):
     roll = rng.random()
     if roll < 0.04:
         return gen_graphcte(rng)
     if roll < 0.08:
         return gen_wedge(rng)
+    if roll < 0.11:
+        return gen_rrf(rng)
+    if roll < 0.14:
+        return gen_clip(rng)
     roll = rng.random()
     if roll < 0.05:
         return gen_percentile(rng)

@@ -274,6 +274,46 @@ class PlanShapeSpec extends SparkSuite {
     assert(p.contains("*("), p.take(600))
   }
 
+  test("q_hybrid_rrf: no cartesian; dense side is a broadcast of the query vectors") {
+    val p = plan("q_hybrid_rrf")
+    assert(!p.contains("CartesianProduct"))
+    // the cosine scan pairs each corpus vector with the 5 broadcast
+    // queries — the q_similarity_topk shape, inherited
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(600))
+  }
+
+  test("q_hybrid_rrf: the lexical probe never shuffles document text") {
+    val df = graft.SparkEntry.queries("q_hybrid_rrf")(spark, sf)
+    val formatted = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    val inputs = """\(\d+\) Exchange\nInput \[\d+\]: \[([^\]]*)\]""".r
+      .findAllMatchIn(formatted).map(_.group(1)).toSeq
+    assert(inputs.nonEmpty, formatted.take(400))
+    inputs.foreach(i => assert(!i.contains("text#"), s"text crosses an exchange: $i"))
+  }
+
+  test("q_filtered_ann: label predicate prunes candidates before any embedding is fetched") {
+    // the filtered candidate list must be strictly smaller than the cell
+    // co-member list whenever labels vary inside cells — the n_pass <
+    // n_cell census rows are the evidence the pre-filter engaged
+    val rows = graft.SparkEntry.queries("q_filtered_ann")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.exists(r => r.getLong(5) < r.getLong(4)),
+      "at least one query's cell must contain foreign labels (else the fixture proves nothing)")
+    val p = plan("q_filtered_ann")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q_bm25_delta: the frozen base index is served from checkpoint, not re-tokenized") {
+    // force the base artifact into the session cache, then the plan of a
+    // second call must scan the localCheckpointed postings (no split/
+    // explode over the base docs — only the delta tokenization remains)
+    graft.SparkEntry.queries("q_bm25_delta")(spark, sf).collect()
+    val p = plan("q_bm25_delta")
+    assert(p.contains("Scan ExistingRDD"),
+      "base postings must come from the frozen localCheckpointed artifact")
+  }
+
   test("q_curation reads the documents text column only map-side (no text in shuffles)") {
     // The shuffle payload is the Exchange's Input row in formatted explain
     // (a substring heuristic over the tree form would false-positive on a
