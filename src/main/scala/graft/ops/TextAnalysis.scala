@@ -600,8 +600,100 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** BPE merge training, 3 unrolled rounds, corpus-wide and fully
+    * declarative — the actual tokenizer-training inner loop (count all
+    * adjacent symbol pairs → merge the most frequent pair everywhere →
+    * repeat) run as three Spark plans, at word level over the documents
+    * corpus. The corpus state between rounds is a DELIMITED STRING per
+    * doc, `| t1 | t2 | … | tn |`, and a merge is one literal
+    * replace(s, "| a | b ", "| a_b ") — the pattern's leading `|` and
+    * trailing space are exactly the guards that make a left-to-right
+    * non-overlapping string replace (both engines' replace semantics)
+    * equal greedy BPE application: a token that merely ends in `a` or
+    * extends `b` cannot match, and consecutive occurrences (`a b a b`)
+    * each keep their own leading delimiter. Pair selection is exact
+    * (count DESC, then (t1, t2) — total order, no float anywhere), so
+    * the oracle replays the identical three rounds as unrolled CTEs and
+    * hash-matches the chosen merges.
+    *
+    * Scale shape per round: one explode of adjacent pairs into a
+    * partial-aggregating census shuffle (the q_bigram_topk cost), a
+    * 1-row argmax broadcast back, and a map-side replace — O(3 × token
+    * stream), no joins wider than a broadcast. This is how the
+    * first k merges of a real BPE vocabulary build run on a 100 TB
+    * corpus: the per-round census IS the classic distributed pair-count
+    * step, and rounds extend to any k by iteration. Output: one row per
+    * round — the merged pair, its pre-merge adjacent-pair count, and the
+    * corpus token count entering the round (which shrinks by roughly the
+    * applied merge count each round — the compression evidence). */
+  val bpeMerges: Q = {
+    val rounds = 3
+    def duck(i: Int): String = {
+      val prevT = s"t${i - 1}"
+      s"""p$i AS (SELECT pr[1] AS t1, pr[2] AS t2, count(*) AS n FROM (
+         |  SELECT unnest(list_transform(range(1, len(toks)),
+         |    j -> [toks[j], toks[j + 1]])) AS pr FROM $prevT) GROUP BY 1, 2),
+         |b$i AS (SELECT t1, t2, '| ' || t1 || ' | ' || t2 || ' ' AS pat, n
+         |        FROM p$i ORDER BY n DESC, t1, t2 LIMIT 1),
+         |c$i AS (SELECT CAST(coalesce(sum(len(toks)), 0) AS BIGINT) AS nt
+         |        FROM $prevT),
+         |s$i AS (SELECT doc_id, replace(s, b.pat, replace(b.pat, ' | ', '_')) AS s
+         |        FROM s${i - 1} CROSS JOIN b$i b),
+         |t$i AS (SELECT doc_id,
+         |          string_split(substr(s, 3, length(s) - 4), ' | ') AS toks
+         |        FROM s$i)""".stripMargin
+    }
+    Q(
+      "q_bpe_merges",
+      s"""WITH s0 AS (SELECT doc_id, '| ' || replace(text, ' ', ' | ') || ' |' AS s
+         |            FROM documents),
+         |t0 AS (SELECT doc_id,
+         |         string_split(substr(s, 3, length(s) - 4), ' | ') AS toks
+         |       FROM s0),
+         |${(1 to rounds).map(duck).mkString(",\n")}
+         |SELECT * FROM (
+         |${(1 to rounds).map(i =>
+        s"""  SELECT CAST($i AS BIGINT) AS round, b.t1, b.t2,
+           |    CAST(b.n AS BIGINT) AS n_pairs, c.nt AS n_tokens
+           |  FROM b$i b CROSS JOIN c$i c""".stripMargin)
+        .mkString("\n  UNION ALL\n")}
+         |) ORDER BY round""".stripMargin
+    ) { (s, d) =>
+      val s0 = T.documents(s, d).select(col("doc_id"),
+        concat(lit("| "), expr("replace(text, ' ', ' | ')"), lit(" |")).as("s"))
+      def toksOf(sdf: org.apache.spark.sql.DataFrame): org.apache.spark.sql.Column =
+        split(expr("substring(s, 3, length(s) - 4)"), " \\| ")
+      var cur = s0
+      var out: org.apache.spark.sql.DataFrame = null
+      for (i <- 1 to rounds) {
+        val withToks = cur.withColumn("toks", toksOf(cur))
+        val n1 = greatest(size(col("toks")) - 1, lit(0))
+        val pairs = withToks.select(explode(zip_with(
+          slice(col("toks"), lit(1), n1), slice(col("toks"), lit(2), n1),
+          (a, b) => struct(a.as("t1"), b.as("t2")))).as("pr"))
+        val top1 = pairs.select(col("pr.t1").as("t1"), col("pr.t2").as("t2"))
+          .groupBy("t1", "t2").agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("t1"), col("t2")).limit(1)
+          .withColumn("pat",
+            concat(lit("| "), col("t1"), lit(" | "), col("t2"), lit(" ")))
+          .localCheckpoint() // feeds the round row AND the merge map
+        val nt = withToks
+          .agg(coalesce(sum(size(col("toks")).cast(LongType)), lit(0L)).as("n_tokens"))
+        val row = top1.crossJoin(broadcast(nt))
+          .select(lit(i.toLong).as("round"), col("t1"), col("t2"),
+            col("n").as("n_pairs"), col("n_tokens"))
+        out = if (out == null) row else out.unionAll(row)
+        cur = cur.crossJoin(broadcast(top1.select(col("pat"))))
+          .select(col("doc_id"),
+            expr("replace(s, pat, replace(pat, ' | ', '_'))").as("s"))
+      }
+      out.orderBy("round")
+    }
+  }
+
   val all: Seq[Q] =
     Seq(langId, qualityScore, tokenCount, fingerprint, bigramTopK, piiScrub,
       vocabStats, lengthBuckets, charNgrams, langConfusion, corpusMix,
-      repetitionFilter, rarityScore, cooccurLift, bigramLm, vocabCoverage)
+      repetitionFilter, rarityScore, cooccurLift, bigramLm, vocabCoverage,
+      bpeMerges)
 }

@@ -527,6 +527,39 @@ class OperatorSpec extends SparkSuite {
     }
   }
 
+  test("q_bpe_merges matches a local greedy-merge recompute, and the corpus compresses") {
+    val rows = run("q_bpe_merges").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3), r.getLong(4)))
+    assert(rows.map(_._1).toSeq == Seq(1L, 2L, 3L))
+    // independent truth: list-level greedy BPE (scan, merge, skip-2) —
+    // NOT the operator's string-replace mechanism
+    var corpus = graft.core.Tables.documents(spark, sf)
+      .select("text").collect().map(_.getString(0).split(" ").toVector).toVector
+    rows.foreach { case (round, t1, t2, nPairs, nTokens) =>
+      assert(nTokens == corpus.map(_.length.toLong).sum,
+        s"round $round token census")
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      corpus.foreach(ts => ts.iterator.zip(ts.iterator.drop(1)).foreach { p =>
+        counts(p) = counts.getOrElse(p, 0L) + 1 })
+      val best = counts.toSeq.minBy { case ((a, b), n) => (-n, a, b) }
+      assert((t1, t2) == best._1, s"round $round pair: op=($t1,$t2) local=${best._1}")
+      assert(nPairs == best._2, s"round $round count")
+      corpus = corpus.map { ts =>
+        val out = Vector.newBuilder[String]
+        var i = 0
+        while (i < ts.length) {
+          if (i + 1 < ts.length && ts(i) == t1 && ts(i + 1) == t2) {
+            out += s"${t1}_$t2"; i += 2 // greedy left-to-right, skip both
+          } else { out += ts(i); i += 1 }
+        }
+        out.result()
+      }
+    }
+    // each merge strictly shrinks the token stream
+    assert(rows.map(_._5).sliding(2).forall(w => w(1) < w(0)),
+      s"token counts must strictly decrease: ${rows.map(_._5).mkString(",")}")
+  }
+
   test("q_filtered_ann: every hit shares the query's label and cell; selectivity census consistent") {
     import org.apache.spark.sql.functions._
     val rows = run("q_filtered_ann").collect()
