@@ -40,5 +40,60 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
-  val all: Seq[Q] = Seq(multimodalDecode)
+  /** Frame-sampling schedule — the planning half of video curation: per
+    * asset, derive the frame count from typed metadata (duration × fps),
+    * then emit a uniform-stride sample bounded to a fixed budget of 8
+    * frames: stride = ceil(n_frames / 8), indices 0, stride, 2·stride, …
+    * < n_frames — so every asset yields ≤ 8 frames whether it is a clip
+    * or a feature film, and the LAST sampled index is always within
+    * stride of the end (no tail bias). Each row carries the frame's
+    * timestamp (exact-integer ms at the asset's fps) and its byte offset
+    * in a hypothetical raw 1080p RGB stream — the seek arithmetic a
+    * distributed decoder hands to its codec. Metadata is synthesized
+    * deterministically from the documents table (duration = n_chars ×
+    * 40 ms, fps 24) because the container ships no real video; the
+    * schedule math — the part that distributes — is exactly what runs
+    * over real assets, and the decode stub (functions/MultimodalDecode)
+    * consumes the planned offsets.
+    *
+    * Scale shape: pure per-row integer math + one Generate whose fan-out
+    * (≤ 8 rows/asset) IS the output; no shuffle besides the presentation
+    * sort. Both engines' sequence/generate_series are inclusive-stop
+    * (the q_chunk_docs precedent). */
+  val frameSchedule: Q = Q(
+    "q_frame_schedule",
+    """WITH meta AS (SELECT doc_id AS asset_id,
+      |    CAST(n_chars * 40 AS BIGINT) AS duration_ms,
+      |    CAST(24 AS BIGINT) AS fps,
+      |    CAST((n_chars * 40 * 24) // 1000 AS BIGINT) AS n_frames
+      |  FROM documents),
+      |sched AS (SELECT asset_id, duration_ms, fps, n_frames,
+      |    (n_frames + 7) // 8 AS stride
+      |  FROM meta WHERE n_frames > 0)
+      |SELECT asset_id, n_frames,
+      |  CAST(stride AS BIGINT) AS stride,
+      |  CAST(unnest(generate_series(0, n_frames - 1, stride)) AS BIGINT)
+      |    AS frame_idx,
+      |  CAST((unnest(generate_series(0, n_frames - 1, stride)) * 1000) // fps
+      |    AS BIGINT) AS ts_ms,
+      |  CAST(unnest(generate_series(0, n_frames - 1, stride)) * 6220800
+      |    AS BIGINT) AS byte_off
+      |FROM sched ORDER BY asset_id, frame_idx""".stripMargin
+  ) { (s, d) =>
+    T.documents(s, d)
+      .select(col("doc_id").as("asset_id"),
+        (col("n_chars") * 40L).as("duration_ms"),
+        lit(24L).as("fps"),
+        expr("(n_chars * 40 * 24) div 1000").as("n_frames"))
+      .filter(col("n_frames") > 0)
+      .withColumn("stride", expr("(n_frames + 7) div 8"))
+      .withColumn("frame_idx",
+        explode(sequence(lit(0L), col("n_frames") - 1L, col("stride"))))
+      .select(col("asset_id"), col("n_frames"), col("stride"), col("frame_idx"),
+        expr("(frame_idx * 1000) div fps").as("ts_ms"),
+        (col("frame_idx") * 6220800L).as("byte_off"))
+      .orderBy("asset_id", "frame_idx")
+  }
+
+  val all: Seq[Q] = Seq(multimodalDecode, frameSchedule)
 }

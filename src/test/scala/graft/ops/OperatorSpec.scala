@@ -560,6 +560,30 @@ class OperatorSpec extends SparkSuite {
       s"token counts must strictly decrease: ${rows.map(_._5).mkString(",")}")
   }
 
+  test("q_frame_schedule: every asset stays within the 8-frame budget and covers its tail") {
+    val rows = run("q_frame_schedule").collect()
+    assert(rows.nonEmpty)
+    val perAsset = rows.groupBy(_.getLong(0))
+    val nAssets = graft.core.Tables.documents(spark, sf)
+      .filter(org.apache.spark.sql.functions.expr("(n_chars * 40 * 24) div 1000 > 0"))
+      .count()
+    assert(perAsset.size.toLong == nAssets, "every nonempty asset is scheduled")
+    perAsset.values.foreach { g =>
+      val (nFrames, stride) = (g.head.getLong(1), g.head.getLong(2))
+      assert(g.length <= 8, s"budget: ${g.length} frames sampled")
+      val idxs = g.map(_.getLong(3)).sorted
+      assert(idxs.head == 0L, "the first frame is always sampled")
+      assert(idxs.last < nFrames && nFrames - idxs.last <= stride,
+        "the last sample is within one stride of the end (no tail bias)")
+      assert(idxs.sliding(2).forall(w => w.length < 2 || w(1) - w(0) == stride),
+        "uniform stride")
+      g.foreach { r =>
+        assert(r.getLong(4) == r.getLong(3) * 1000 / 24, "ts from idx at fps")
+        assert(r.getLong(5) == r.getLong(3) * 6220800L, "byte offset arithmetic")
+      }
+    }
+  }
+
   test("q_filtered_ann: every hit shares the query's label and cell; selectivity census consistent") {
     import org.apache.spark.sql.functions._
     val rows = run("q_filtered_ann").collect()
