@@ -1070,7 +1070,113 @@ object Similarity {
       .orderBy("qid", "rn")
   }
 
+  /** Retrieval MRR — the rank-position eval recall@k cannot see: recall
+    * says whether the true neighbor is IN the candidate list, MRR says
+    * WHERE (reciprocal rank 1e6 div rank in exact-integer ppm, 0 when
+    * absent — so a channel that finds the truth at rank 7 scores worse
+    * than one that surfaces it first, which recall@10 would call equal).
+    * Per query (16..20, the IVF eval convention): the exact global top-1
+    * neighbor is the truth, and its rank is measured inside BOTH
+    * sub-linear channels — the trained-IVF own-cell candidate list and
+    * the 4-band sign-LSH candidate list (derived r), each ranked by the
+    * same rounded exact cosine. The two rr columns side by side are the
+    * channel-choice evidence q_ann_recall/q_lsh_recall give at set
+    * level, sharpened to rank level.
+    *
+    * Scale shape: the exact side is the broadcast-5-queries scan every
+    * eval pays (sampled queries at 100 TB); its scored pairs
+    * localCheckpoint once and feed the truth pick AND both channel
+    * rankings; channel candidate lists are cell-local / bucket-local
+    * joins. Training is the shared memoized model. */
+  val mrrEval: Q = Q(
+    "q_mrr_eval",
+    s"""WITH $ivfCtesSql,
+       |$lshpCteSql,
+       |${bandsCteSqlFor("bnd", Bands)},
+       |ex AS (SELECT q.vec_id AS qid, b.vec_id AS cand,
+       |    round(list_inner_product(q.e, b.e) / (q.vn * b.vn), 6) AS score
+       |  FROM v q JOIN v b ON b.vec_id != q.vec_id
+       |  WHERE q.vec_id BETWEEN 16 AND 20),
+       |truth AS (SELECT qid, cand AS t_id FROM (
+       |  SELECT qid, cand,
+       |    row_number() OVER (PARTITION BY qid ORDER BY score DESC, cand) AS rn
+       |  FROM ex) WHERE rn = 1),
+       |qa AS (SELECT vec_id AS qid, cid FROM $AFinal WHERE vec_id BETWEEN 16 AND 20),
+       |ivfrank AS (SELECT c.qid, c.cand,
+       |    row_number() OVER (PARTITION BY c.qid ORDER BY e.score DESC, c.cand) AS rn
+       |  FROM (SELECT qa.qid, a.vec_id AS cand FROM qa
+       |        JOIN $AFinal a ON a.cid = qa.cid AND a.vec_id != qa.qid) c
+       |  JOIN ex e ON e.qid = c.qid AND e.cand = c.cand),
+       |lshrank AS (SELECT c.qid, c.cand,
+       |    row_number() OVER (PARTITION BY c.qid ORDER BY e.score DESC, c.cand) AS rn
+       |  FROM (SELECT DISTINCT qb.vec_id AS qid, b.vec_id AS cand FROM bnd qb
+       |        JOIN bnd b ON b.band = qb.band AND b.bucket = qb.bucket
+       |          AND b.vec_id != qb.vec_id
+       |        WHERE qb.vec_id BETWEEN 16 AND 20) c
+       |  JOIN ex e ON e.qid = c.qid AND e.cand = c.cand)
+       |SELECT t.qid, t.t_id AS truth_id,
+       |  CAST(coalesce(ir.rn, 0) AS BIGINT) AS rank_ivf,
+       |  CAST(CASE WHEN ir.rn IS NULL THEN 0 ELSE 1000000 // ir.rn END AS BIGINT)
+       |    AS rr_ivf_ppm,
+       |  CAST(coalesce(lr.rn, 0) AS BIGINT) AS rank_lsh,
+       |  CAST(CASE WHEN lr.rn IS NULL THEN 0 ELSE 1000000 // lr.rn END AS BIGINT)
+       |    AS rr_lsh_ppm
+       |FROM truth t
+       |LEFT JOIN ivfrank ir ON ir.qid = t.qid AND ir.cand = t.t_id
+       |LEFT JOIN lshrank lr ON lr.qid = t.qid AND lr.cand = t.t_id
+       |ORDER BY t.qid""".stripMargin
+  ) { (s, d) =>
+    def dotF(a: Column, b: Column): Column =
+      graft.functions.VectorOps.vecDot(s, a, b)
+    val (parts, _) = trainedParts(s, d)
+    val base = T.embeddings(s, d)
+      .select(col("vec_id"), col("embedding"),
+        sqrt(dotF(col("embedding"), col("embedding"))).as("nrm"))
+    val q = base.filter(col("vec_id").between(16, 20))
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("nrm").as("qn"))
+    // scored (query, candidate) pairs: one broadcast scan, reused by the
+    // truth pick and both channel rankings
+    val ex = base.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("cand"),
+        round(dotF(col("embedding"), col("qe")) / (col("nrm") * col("qn")), 6)
+          .as("score"))
+      .localCheckpoint()
+    val w = Window.partitionBy("qid").orderBy(col("score").desc, col("cand").asc)
+    val truth = ex.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).select(col("qid"), col("cand").as("t_id"))
+    def rankOf(cands: DataFrame, rnName: String): DataFrame =
+      cands.join(ex, Seq("qid", "cand"))
+        .withColumn(rnName, row_number().over(w).cast(LongType))
+        .select(col("qid"), col("cand"), col(rnName))
+    val qa = parts.assign.filter(col("vec_id").between(16, 20))
+      .select(col("vec_id").as("qid"), col("cid"))
+    val ivfCands = qa
+      .join(parts.assign.select(col("vec_id").as("cand"), col("cid")), Seq("cid"))
+      .filter(col("cand") =!= col("qid")).select("qid", "cand")
+    val r = lshBitsOf(corpusCount(s, d))
+    val bands = bandsOf(T.embeddings(s, d), Bands, r)
+    val qb = bands.filter(col("vec_id").between(16, 20))
+      .select(col("vec_id").as("qid"), col("band"), col("bucket"))
+    val lshCands = broadcast(qb)
+      .join(bands.select(col("vec_id").as("cand"), col("band"), col("bucket")),
+        Seq("band", "bucket"))
+      .filter(col("cand") =!= col("qid"))
+      .select("qid", "cand").distinct()
+    truth
+      .join(rankOf(ivfCands, "ir").withColumnRenamed("cand", "t_id"),
+        Seq("qid", "t_id"), "left")
+      .join(rankOf(lshCands, "lr").withColumnRenamed("cand", "t_id"),
+        Seq("qid", "t_id"), "left")
+      .select(col("qid"), col("t_id").as("truth_id"),
+        coalesce(col("ir"), lit(0L)).as("rank_ivf"),
+        when(col("ir").isNull, 0L).otherwise(expr("1000000 div ir")).as("rr_ivf_ppm"),
+        coalesce(col("lr"), lit(0L)).as("rank_lsh"),
+        when(col("lr").isNull, 0L).otherwise(expr("1000000 div lr")).as("rr_lsh_ppm"))
+      .orderBy("qid")
+  }
+
   val all: Seq[Q] = Seq(similarityLsh, embedNearDup, lshRecall, similarityIvf,
     annRecall, semDedup, ivfCensus, ivfAssignDelta, embedQuantize, vectorStats,
-    knnGraph, filteredAnn)
+    knnGraph, filteredAnn, mrrEval)
 }

@@ -584,6 +584,22 @@ class OperatorSpec extends SparkSuite {
     }
   }
 
+  test("q_mrr_eval: reciprocal ranks recompute from ranks; absent truth scores zero") {
+    val rows = run("q_mrr_eval").collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(16L, 17L, 18L, 19L, 20L))
+    rows.foreach { r =>
+      val (truthId, rIvf, rrIvf, rLsh, rrLsh) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(truthId != r.getLong(0), "truth is never the query itself")
+      assert(rrIvf == (if (rIvf == 0) 0L else 1000000L / rIvf))
+      assert(rrLsh == (if (rLsh == 0) 0L else 1000000L / rLsh))
+      assert(rIvf >= 0 && rLsh >= 0)
+    }
+    // the eval must be non-degenerate on the real corpus: some channel
+    // finds some truth (all-zeros would mean the harness is broken)
+    assert(rows.exists(r => r.getLong(3) > 0 || r.getLong(5) > 0))
+  }
+
   test("q_filtered_ann: every hit shares the query's label and cell; selectivity census consistent") {
     import org.apache.spark.sql.functions._
     val rows = run("q_filtered_ann").collect()
