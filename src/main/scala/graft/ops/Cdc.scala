@@ -369,8 +369,80 @@ object Cdc {
       .orderBy("key")
   }
 
+  /** Changelog compaction — squash a window of I/U/D envelopes into the
+    * NET operation per key, the transformation every downstream CDC
+    * consumer (a warehouse MERGE, a compacted topic) wants instead of the
+    * raw log. The net op needs only each key's FIRST and LAST op in the
+    * window (did the key exist before the window? what is it now?):
+    * first=I ∧ last=D → nothing (created and destroyed inside the window,
+    * invisible to a consumer); first=I ∧ last≠D → net INSERT with the
+    * final value; first≠I ∧ last=D → net DELETE; otherwise net UPDATE.
+    * The reference emits every envelope unconditionally
+    * (/root/reference/pkg/duckdb/duckdb_cdc.go:217-258); this is the
+    * compaction step that makes that stream consumable at scale.
+    *
+    * Scale shape: ONE key shuffle — min_by + max_by + count are all
+    * partial-aggregating, so at 100 TB each map task reduces its slice to
+    * one (first, last, n) triple per key before anything crosses the
+    * wire; no sort of the log, no window function, no second pass. The
+    * log is synthesized from events with the same modular-op scheme as
+    * q_cdc_replay so both engines derive identical input. n_ops is the
+    * compaction-ratio evidence (rows in : rows out). */
+  val cdcCompact: Q = Q(
+    "q_cdc_compact",
+    """WITH log AS (
+      |  SELECT event_id % 1000 AS key, epoch_us(ts) AS seq_us, event_id,
+      |    CASE WHEN event_id % 17 = 0 THEN 'D'
+      |         WHEN event_id % 5 = 0 THEN 'U' ELSE 'I' END AS op,
+      |    value
+      |  FROM events),
+      |ranked AS (
+      |  SELECT key, op, value, seq_us,
+      |    row_number() OVER (PARTITION BY key
+      |                       ORDER BY seq_us ASC, event_id ASC) AS rn_a,
+      |    row_number() OVER (PARTITION BY key
+      |                       ORDER BY seq_us DESC, event_id DESC) AS rn_d,
+      |    count(*) OVER (PARTITION BY key) AS n_ops
+      |  FROM log),
+      |edges AS (
+      |  SELECT f.key, f.n_ops, f.op AS f_op,
+      |    l.op AS l_op, l.value AS l_value, l.seq_us AS last_seq_us
+      |  FROM (SELECT * FROM ranked WHERE rn_a = 1) f
+      |  JOIN (SELECT * FROM ranked WHERE rn_d = 1) l USING (key))
+      |SELECT key,
+      |  CASE WHEN l_op = 'D' THEN 'D' WHEN f_op = 'I' THEN 'I' ELSE 'U' END
+      |    AS net_op,
+      |  CASE WHEN l_op = 'D' THEN NULL ELSE l_value END AS value,
+      |  last_seq_us, CAST(n_ops AS BIGINT) AS n_ops
+      |FROM edges
+      |WHERE NOT (f_op = 'I' AND l_op = 'D')
+      |ORDER BY key""".stripMargin
+  ) { (s, d) =>
+    val log = T.events(s, d).select(
+      (col("event_id") % 1000).as("key"),
+      unix_micros(col("ts")).as("seq_us"),
+      col("event_id"),
+      when(col("event_id") % 17 === 0, "D")
+        .when(col("event_id") % 5 === 0, "U").otherwise("I").as("op"),
+      col("value"))
+    val ord = struct(col("seq_us"), col("event_id"))
+    log.groupBy("key")
+      .agg(count(lit(1)).as("n_ops"),
+        min_by(col("op"), ord).as("f_op"),
+        max_by(struct(col("op"), col("value"), col("seq_us")), ord).as("l"))
+      .filter(!(col("f_op") === "I" && col("l.op") === "D"))
+      .select(col("key"),
+        when(col("l.op") === "D", "D")
+          .when(col("f_op") === "I", "I").otherwise("U").as("net_op"),
+        when(col("l.op") === "D", lit(null).cast(DoubleType))
+          .otherwise(col("l.value")).as("value"),
+        col("l.seq_us").as("last_seq_us"),
+        col("n_ops"))
+      .orderBy("key")
+  }
+
   val all: Seq[Q] = Seq(
     tableChecksum, partitionChecksum, snapshotEnvelope, snapshotThroughput,
     latestChecksumPerTable, cdcDiff, incrementalSince, incrementalAgg,
-    cdcReplay, scd2)
+    cdcReplay, cdcCompact, scd2)
 }
