@@ -527,24 +527,30 @@ class OperatorSpec extends SparkSuite {
     }
   }
 
-  test("q_bpe_merges matches a local greedy-merge recompute, and the corpus compresses") {
+  test("q_bpe_merges matches a local dictionary-weighted greedy recompute, and the dictionary compresses") {
     val rows = run("q_bpe_merges").collect()
       .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3), r.getLong(4)))
-    assert(rows.map(_._1).toSeq == Seq(1L, 2L, 3L))
-    // independent truth: list-level greedy BPE (scan, merge, skip-2) —
-    // NOT the operator's string-replace mechanism
-    var corpus = graft.core.Tables.documents(spark, sf)
-      .select("text").collect().map(_.getString(0).split(" ").toVector).toVector
+    assert(rows.map(_._1).toSeq == (1L to 8L), "8 trained merge rounds")
+    // independent truth: the CLASSIC char-level BPE over the (word, count)
+    // frequency dictionary — list-level greedy merge (scan, merge, skip-2)
+    // weighted by word count, NOT the operator's string-replace mechanism
+    val wordCounts = graft.core.Tables.documents(spark, sf)
+      .select("text").collect()
+      .flatMap(_.getString(0).split(" ")).filterNot(_.contains("|"))
+      .groupBy(identity).map { case (w, ws) => w -> ws.length.toLong }
+    var dict: Map[Vector[String], Long] =
+      wordCounts.map { case (w, c) => w.map(_.toString).toVector -> c }.toMap
     rows.foreach { case (round, t1, t2, nPairs, nTokens) =>
-      assert(nTokens == corpus.map(_.length.toLong).sum,
-        s"round $round token census")
+      assert(nTokens == dict.map { case (ts, c) => ts.length * c }.sum,
+        s"round $round symbol census")
       val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
-      corpus.foreach(ts => ts.iterator.zip(ts.iterator.drop(1)).foreach { p =>
-        counts(p) = counts.getOrElse(p, 0L) + 1 })
+      dict.foreach { case (ts, c) =>
+        ts.iterator.zip(ts.iterator.drop(1)).foreach { p =>
+          counts(p) = counts.getOrElse(p, 0L) + c } }
       val best = counts.toSeq.minBy { case ((a, b), n) => (-n, a, b) }
       assert((t1, t2) == best._1, s"round $round pair: op=($t1,$t2) local=${best._1}")
-      assert(nPairs == best._2, s"round $round count")
-      corpus = corpus.map { ts =>
+      assert(nPairs == best._2, s"round $round weighted count")
+      dict = dict.map { case (ts, c) =>
         val out = Vector.newBuilder[String]
         var i = 0
         while (i < ts.length) {
@@ -552,12 +558,51 @@ class OperatorSpec extends SparkSuite {
             out += s"${t1}_$t2"; i += 2 // greedy left-to-right, skip both
           } else { out += ts(i); i += 1 }
         }
-        out.result()
+        out.result() -> c
       }
     }
-    // each merge strictly shrinks the token stream
+    // each merge strictly shrinks the weighted symbol stream
     assert(rows.map(_._5).sliding(2).forall(w => w(1) < w(0)),
-      s"token counts must strictly decrease: ${rows.map(_._5).mkString(",")}")
+      s"symbol counts must strictly decrease: ${rows.map(_._5).mkString(",")}")
+  }
+
+  test("q_bpe_apply encodes with the trained vocabulary: per-doc counts match the dictionary replay") {
+    // replay training locally (the merges themselves are verified against
+    // the weighted recompute above); here: the ENCODE pass must agree
+    val merges = run("q_bpe_merges").collect()
+      .map(r => (r.getString(1), r.getString(2)))
+    val docs = graft.core.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").toVector)
+    def encode(w: String): Vector[String] = {
+      var ts = w.map(_.toString).toVector
+      merges.foreach { case (t1, t2) =>
+        val out = Vector.newBuilder[String]
+        var i = 0
+        while (i < ts.length) {
+          if (i + 1 < ts.length && ts(i) == t1 && ts(i + 1) == t2) {
+            out += s"${t1}_$t2"; i += 2
+          } else { out += ts(i); i += 1 }
+        }
+        ts = out.result()
+      }
+      ts
+    }
+    val encLen = docs.flatMap(_._2).distinct.filterNot(_.contains("|"))
+      .map(w => w -> encode(w).length.toLong).toMap
+    val got = run("q_bpe_apply").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    docs.foreach { case (id, ws) =>
+      val kept = ws.filterNot(_.contains("|"))
+      if (kept.nonEmpty) {
+        val nSub = kept.map(encLen).sum
+        val nChars = kept.map(_.length.toLong).sum
+        assert(got(id) == ((kept.length.toLong, nSub, nChars,
+          nSub * 1000000L / nChars)), s"doc $id")
+        // compression: the trained merges strictly beat char-level
+        assert(nSub < nChars, s"doc $id must compress")
+      }
+    }
   }
 
   test("q_frame_schedule: every asset stays within the 8-frame budget and covers its tail") {
