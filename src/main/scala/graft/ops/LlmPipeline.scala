@@ -531,8 +531,12 @@ object LlmPipeline {
       .distinct()
     val nd = T.documents(s, d).agg(count(lit(1)).as("n_docs"))
     val df = dtok.groupBy("token").agg(count(lit(1)).as("df"))
-    val qt = dtok.filter(col("doc_id") < 5)
-      .select(col("doc_id").as("qid"), col("token"))
+    // both channels share ONE query set derived from embeddings (the
+    // oracle's construction): a doc_id < 5 without an embedding row must
+    // not spawn a lexical-only query group the dense side cannot see
+    val qt = dtok.join(broadcast(qv.select("qid")),
+        dtok("doc_id") === col("qid"))
+      .select(col("qid"), col("token"))
     val ls = broadcast(qt).join(dtok, "token")
       .filter(col("doc_id") =!= col("qid"))
       .join(df, "token")

@@ -519,28 +519,36 @@ object TextAnalysis {
   }
 
   /** The frozen artifacts of q_bigram_lm, for the streaming gate
-    * (Stateful.lmGate): corpus bigram counts, unigram counts, and the
-    * vocabulary size — the same train-rarely/score-continuously split
-    * as Curation.affinityTable. Collected to driver maps (the serving
-    * shape ships them as one plan literal); beyond literal-friendly
-    * vocabulary sizes the stream would broadcast-join the census tables
-    * instead — same plan, different shipping. */
-  def bigramModel(s: org.apache.spark.sql.SparkSession, d: String)
-      : (Map[String, Long], Map[String, Long], Long) = {
-    val toksC = split(col("text"), " ")
-    val len1 = greatest(size(toksC) - 1, lit(0))
-    val docs = T.documents(s, d)
-    val bc = docs
-      .select(explode(zip_with(
-        slice(toksC, lit(1), len1), slice(toksC, lit(2), len1),
-        (x, y) => concat(x, lit("_"), y))).as("bigram"))
-      .groupBy("bigram").agg(count(lit(1)).as("bc"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val uc = docs.select(explode(toksC).as("token"))
-      .groupBy("token").agg(count(lit(1)).as("uc"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    (bc, uc, uc.size.toLong)
-  }
+    * (Stateful.lmGate): the corpus bigram census, the unigram census,
+    * and the vocabulary size — the same train-rarely/score-continuously
+    * split as the bm25-base and ivf-base families. The censuses stay
+    * DISTRIBUTED (localCheckpointed DataFrames in ModelCache, the
+    * "bm25-base" pattern) and the stream broadcast-joins against them —
+    * bigram vocabularies at 100 TB are billions of entries, so driver
+    * collects are out (round-10 verdict #3: the gate must carry no
+    * corpus-cardinality collect; the only driver action here is the
+    * 1-number vocabulary count). */
+  final case class LmModel(
+      bc: org.apache.spark.sql.DataFrame,  // (bigram, bc)
+      uc: org.apache.spark.sql.DataFrame,  // (token, uc)
+      vocab: Long)
+
+  def lmModel(s: org.apache.spark.sql.SparkSession, d: String): LmModel =
+    graft.core.ModelCache.getOrTrain(s, "lm-base", s"$d/documents.parquet") {
+      val toksC = split(col("text"), " ")
+      val len1 = greatest(size(toksC) - 1, lit(0))
+      val docs = T.documents(s, d)
+      val bc = docs
+        .select(explode(zip_with(
+          slice(toksC, lit(1), len1), slice(toksC, lit(2), len1),
+          (x, y) => concat(x, lit("_"), y))).as("bigram"))
+        .groupBy("bigram").agg(count(lit(1)).as("bc"))
+        .localCheckpoint()
+      val uc = docs.select(explode(toksC).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("uc"))
+        .localCheckpoint()
+      LmModel(bc, uc, uc.count())
+    }
 
   /** Tokenizer-budget coverage census: how much of each document's
     * bigram stream a FIXED 256-entry vocabulary (the corpus's most

@@ -407,14 +407,29 @@ object Stateful {
           .as("unseen_frac"))
   }
 
+  final case class LmRow(doc_id: Long, bg: Option[String],
+      bc: Option[Long], uc: Option[Long])
+  final case class LmScore(doc_id: Long, n_bigrams: Long,
+      lm_ppm: Option[Long], n_unseen: Long)
+
   /** s_stream_lm: ingest-side bigram-LM quality scoring — the streaming
     * twin of q_bigram_lm with the corpus LM FROZEN (the
     * train-rarely/score-continuously split of ivfAssignStream and
     * importanceGate): the batch job trains bigram/unigram censuses
-    * (TextAnalysis.bigramModel), the stream scores arriving documents
-    * against them shipped as two map literals — pure per-row Catalyst
-    * HOFs (zip_with → transform → aggregate), zero state, zero shuffle,
-    * zero joins, append-safe at any rate.
+    * (TextAnalysis.lmModel — localCheckpointed DataFrames in ModelCache,
+    * the bm25-base pattern), and the stream joins its arriving docs'
+    * bigrams against them as STREAM-STATIC joins — Spark broadcasts a
+    * small census and shuffle-joins a billion-entry one, but either way
+    * nothing corpus-sized ever lands on the driver (round-10 verdict #3:
+    * the old gate collected both censuses to plan-literal maps —
+    * O(distinct bigrams) driver memory).
+    *
+    * Shape: map-side bigram explode (explode_outer so empty docs keep a
+    * row) → two stateless stream-static left joins on the census keys →
+    * regroup per doc via flatMapGroupsWithState with NO retained state
+    * (each doc tokenizes within one micro-batch — the doc-atomic
+    * contract of indexStatsStream — so the group emits immediately and
+    * state stays empty; Append-safe at any rate).
     *
     * Per bigram: p_ppm = (count(t₁_t₂)+1)·1e6 div (count(t₁)+V) — for
     * bigrams and unigrams the training corpus saw, bit-identical to the
@@ -424,29 +439,38 @@ object Stateful {
     * vocabulary drift per document (the importanceGate observability
     * convention). Docs with no bigram carry NULL lm_ppm rather than a
     * division crash. */
-  def lmGate(docs: DataFrame, bigramCounts: Map[String, Long],
-      unigramCounts: Map[String, Long], vocab: Long): DataFrame =
-    docs
-      .withColumn("__bc", typedlit(bigramCounts))
-      .withColumn("__uc", typedlit(unigramCounts))
+  def lmGate(docs: DataFrame, model: graft.ops.TextAnalysis.LmModel): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val v = model.vocab
+    val joined = docs
       .withColumn("toks", split(col("text"), " "))
       .withColumn("n1", greatest(size(col("toks")) - 1, lit(0)))
-      .withColumn("bgs", zip_with(
+      .select(col("doc_id"), explode_outer(zip_with(
         slice(col("toks"), lit(1), col("n1")),
         slice(col("toks"), lit(2), col("n1")),
-        (a, b) => struct(a.as("t1"), concat(a, lit("_"), b).as("bg"))))
-      .withColumn("ps", expr(
-        s"""transform(bgs, s ->
-           |  ((coalesce(__bc[s.bg], 0L) + 1) * 1000000)
-           |    div (coalesce(__uc[s.t1], 0L) + ${vocab}L))""".stripMargin))
-      .select(col("doc_id"),
-        size(col("bgs")).cast("long").as("n_bigrams"),
-        when(size(col("bgs")) > 0,
-          expr("aggregate(ps, 0L, (acc, x) -> acc + x) div size(ps)"))
-          .as("lm_ppm"),
-        expr("aggregate(bgs, 0L, (acc, s) -> acc + " +
-          "(CASE WHEN __bc[s.bg] IS NULL THEN 1L ELSE 0L END))")
-          .as("n_unseen"))
+        (a, b) => struct(a.as("t1"), concat(a, lit("_"), b).as("bg")))).as("z"))
+      .select(col("doc_id"), col("z.t1").as("t1"), col("z.bg").as("bg"))
+      .join(model.bc.select(col("bigram").as("bg"), col("bc")), Seq("bg"), "left")
+      .join(model.uc.select(col("token").as("t1"), col("uc")), Seq("t1"), "left")
+      .select(col("doc_id"), col("bg"), col("bc"), col("uc"))
+      .as[LmRow]
+    joined.groupByKey(_.doc_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (docId: Long, rows: Iterator[LmRow], _: GroupState[Boolean]) =>
+          var n = 0L; var sum = 0L; var unseen = 0L
+          rows.foreach { r =>
+            if (r.bg.isDefined) {
+              n += 1
+              sum += ((r.bc.getOrElse(0L) + 1L) * 1000000L) /
+                (r.uc.getOrElse(0L) + v)
+              if (r.bc.isEmpty) unseen += 1
+            }
+          }
+          Iterator.single(
+            LmScore(docId, n, if (n > 0) Some(sum / n) else None, unseen))
+      }.toDF()
+  }
 
   /** s_stream_anomaly: ingest-side hourly event-rate anomaly flags — the
     * streaming twin of q_anomaly_hours with the corpus census FROZEN
@@ -536,15 +560,23 @@ object Stateful {
     * (df for idf, cf for language-model smoothing) reads fresh values at
     * any moment instead of waiting for the nightly merge. Tokenization
     * is a column-level explode(split(…)) — codegen'd, map-side, no
-    * UDF — and the keyed state per token is TWO counters: df counts
-    * DOCUMENTS containing the token (each doc tokenizes within one
-    * micro-batch, so a batch-local distinct-doc count never double-adds
-    * a doc), cf counts occurrences. Both are monoidal over disjoint doc
-    * sets — exactly why the final state equals the batch census no
-    * matter where batch boundaries fall (StatefulSpec proves parity
-    * with bm25-style df/cf over a split corpus). State is O(vocabulary);
-    * the shuffle key is the token, so each partition owns its tokens —
-    * the q_token_topk/runningTokenCounts scale shape with a second,
+    * UDF — and the keyed state per token is THREE counters: df counts
+    * DOCUMENTS containing the token, cf counts occurrences, and maxDoc
+    * is a per-token high-water mark over doc ids. INGEST CONTRACT:
+    * doc ids are assigned monotonically at ingest (the usual
+    * sequence/snowflake id), so a doc already counted for this token can
+    * only re-appear with doc_id ≤ maxDoc — the df increment counts ONLY
+    * batch-distinct docs ABOVE the watermark, which keeps df exact even
+    * when one document's token rows straddle two micro-batches or a doc
+    * is re-delivered (the round-10 ADVICE gap: the old batch-local
+    * distinct double-counted a straddling doc). cf counts every
+    * occurrence row exactly once per delivery (state rollback on replay
+    * is the checkpoint's job). All three are monoidal over batches —
+    * exactly why the final state equals the batch census no matter where
+    * batch boundaries fall (StatefulSpec proves parity over a split
+    * corpus AND under a straddled doc). State is O(vocabulary); the
+    * shuffle key is the token, so each partition owns its tokens — the
+    * q_token_topk/runningTokenCounts scale shape with a second,
     * doc-level counter. */
   def indexStatsStream(docs: DataFrame): Dataset[TokenIndexStat] = {
     val s = docs.sparkSession
@@ -554,12 +586,18 @@ object Stateful {
       .as[TokOcc]
       .groupByKey(_.token)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (token: String, rows: Iterator[TokOcc], state: GroupState[(Long, Long)]) =>
-          val (df0, cf0) = state.getOption.getOrElse((0L, 0L))
-          val seen = scala.collection.mutable.HashSet.empty[Long]
+        (token: String, rows: Iterator[TokOcc],
+            state: GroupState[(Long, Long, Long)]) =>
+          val (df0, cf0, maxDoc0) = state.getOption.getOrElse((0L, 0L, -1L))
+          val seenNew = scala.collection.mutable.HashSet.empty[Long]
           var cf = cf0
-          rows.foreach { r => seen += r.doc_id; cf += 1 }
-          val next = (df0 + seen.size, cf)
+          var maxDoc = maxDoc0
+          rows.foreach { r =>
+            if (r.doc_id > maxDoc0) seenNew += r.doc_id
+            if (r.doc_id > maxDoc) maxDoc = r.doc_id
+            cf += 1
+          }
+          val next = (df0 + seenNew.size, cf, maxDoc)
           state.update(next)
           Iterator.single(TokenIndexStat(token, next._1, next._2))
       }

@@ -463,7 +463,14 @@ class OperatorSpec extends SparkSuite {
       assert(r.getLong(5) == vs.count(_ > p95), "n_hi")
       val winSum = vs.map(v => BigDecimal(math.min(math.max(v, p05), p95))
         .setScale(2, BigDecimal.RoundingMode.HALF_UP)).sum
-      assert(BigDecimal(r.getDouble(6)) == winSum, "exact clipped decimal sum")
+      // the operator's sum is exact DECIMAL, but the column is CAST to
+      // DOUBLE on the way out — compare within a half-ulp of that cast,
+      // so the assertion stays valid at scale factors where the total
+      // exceeds a double's 15-16 significant digits (round-10 ADVICE)
+      val err = (BigDecimal(r.getDouble(6)) - winSum).abs
+      val halfUlp = BigDecimal(math.ulp(winSum.toDouble)) / 2
+      assert(err <= halfUlp,
+        s"clipped decimal sum: ${r.getDouble(6)} vs $winSum (err $err > $halfUlp)")
     }
   }
 

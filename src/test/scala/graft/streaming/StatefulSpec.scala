@@ -451,13 +451,14 @@ class StatefulSpec extends SparkSuite {
     // batch truth: the oracle-checked operator's per-doc scores
     val batch = graft.SparkEntry.queries("q_bigram_lm")(spark, sf)
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
-    // train once, freeze: bigram/unigram censuses shipped as plan literals
-    val (bc, uc, v) = graft.ops.TextAnalysis.bigramModel(spark, sf)
+    // train once, freeze: bigram/unigram censuses stay DISTRIBUTED
+    // (localCheckpointed ModelCache artifact; no corpus-sized collect)
+    val model = graft.ops.TextAnalysis.lmModel(spark, sf)
     val docs = spark.read.parquet(s"$sf/documents.parquet")
       .select($"doc_id", $"text").as[(Long, String)]
       .collect().toSeq.sortBy(_._1)
     val in = MemoryStream[(Long, String)]
-    val q = Stateful.lmGate(in.toDS().toDF("doc_id", "text"), bc, uc, v)
+    val q = Stateful.lmGate(in.toDS().toDF("doc_id", "text"), model)
       .writeStream.format("memory").queryName("lm_gate")
       .outputMode(OutputMode.Append).start()
     val (b1, b2) = docs.splitAt(docs.size / 3)
@@ -628,6 +629,31 @@ class StatefulSpec extends SparkSuite {
         t -> (occ.map(_._2).distinct.length.toLong, occ.length.toLong) }
     assert(streamed == batch,
       "streamed index statistics must equal the one-shot batch census")
+  }
+
+  test("s_stream_index: a doc whose token rows straddle two micro-batches counts once for df") {
+    // the round-10 ADVICE gap: a batch-local distinct double-counted a
+    // straddling/re-delivered doc; the maxDoc watermark must not
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val q = Stateful.indexStatsStream(in.toDS().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("idx_straddle")
+      .outputMode(OutputMode.Append).start()
+    in.addData((1L, "alpha beta"), (2L, "alpha"))
+    q.processAllAvailable()
+    // doc 2's remaining rows arrive in the NEXT batch (straddle), plus a
+    // brand-new doc 3 sharing the token
+    in.addData((2L, "alpha gamma"), (3L, "alpha"))
+    q.processAllAvailable()
+    val rows = spark.table("idx_straddle").as[Stateful.TokenIndexStat].collect()
+    q.stop()
+    val fin = rows.groupBy(_.token).map { case (t, rs) =>
+      t -> (rs.map(_.df).max, rs.map(_.cf).max) }
+    // alpha: docs {1,2,3} → df 3 (doc 2 counted ONCE despite straddling),
+    // cf 4 (every occurrence row)
+    assert(fin("alpha") == ((3L, 4L)), s"alpha: ${fin("alpha")}")
+    assert(fin("beta") == ((1L, 1L)))
+    assert(fin("gamma") == ((1L, 1L)), "straddled delivery still counts NEW tokens of the doc")
   }
 
   test("s_stream_leak_gate: per-split leaked-user sets equal the batch q_temporal_split audit") {
