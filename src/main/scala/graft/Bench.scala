@@ -50,9 +50,13 @@ object Bench {
     val warm = timedPass(ordered)
     val p2 = timedPass(ordered)
     val p3 = timedPass(ordered)
+    // Round-11 tightening: 30/150 queries showed spread 1.3-1.6 in the
+    // round-10 session, so the retry net widens from 1.5 to 1.25 — any
+    // pair of measured passes disagreeing >1.25x earns a third sample,
+    // making per-query deltas in like-for-like tables signal, not noise.
     val needRetry: Set[String] = ordered.map(_._1).filter { n =>
       val ok = Seq(p2(n), p3(n)).filter(_ >= 0)
-      ok.size < 2 || ok.max / ok.min > 1.5
+      ok.size < 2 || ok.max / ok.min > 1.25
     }.toSet
     val p4 = timedPass(ordered.filter(t => needRetry(t._1)))
     val measured: Map[String, Seq[Double]] = ordered.map { case (n, _) =>

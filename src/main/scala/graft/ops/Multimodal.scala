@@ -95,5 +95,63 @@ object Multimodal {
       .orderBy("asset_id", "frame_idx")
   }
 
-  val all: Seq[Q] = Seq(multimodalDecode, frameSchedule)
+  /** Byte-range frame EXTRACTION — the consuming half of
+    * q_frame_schedule (round-10 verdict #4): the schedule plans
+    * (frame_idx, byte offset) rows; this operator executes those seeks
+    * against the asset's binary column and emits a digest per extracted
+    * frame, proving the offset arithmetic end-to-end without codecs.
+    * Here the asset is the synthetic blob (encode(text)) treated as a
+    * raw stream of 16-byte frames, so offsets land INSIDE the blob:
+    * n_frames = n_bytes div 16, the same 8-frame uniform-stride budget
+    * as the schedule (stride = ceil(n_frames/8)), byte_off = idx·16.
+    * The slice itself runs on the blob's HEX rendering (2 chars/byte —
+    * the one slicing surface both engines share; DuckDB has no BLOB
+    * substring), the last frame may run short at end-of-asset
+    * (substring truncates identically in both engines), and the digest
+    * is md5 over the frame's hex. At 100 TB this is the distributed
+    * shape of a frame-extraction pass: pure per-row integer seek math +
+    * one bounded Generate (≤ 8 frames/asset) + a map-side slice/digest —
+    * no shuffle besides the presentation sort, and the full asset bytes
+    * never cross an exchange. */
+  val frameExtract: Q = Q(
+    "q_frame_extract",
+    """WITH meta AS (SELECT doc_id AS asset_id, hex(encode(text)) AS hx,
+      |    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+      |    CAST(octet_length(encode(text)) // 16 AS BIGINT) AS n_frames
+      |  FROM documents),
+      |sched AS (SELECT asset_id, hx, n_bytes, n_frames,
+      |    (n_frames + 7) // 8 AS stride
+      |  FROM meta WHERE n_frames > 0),
+      |fr AS (SELECT asset_id, n_bytes, n_frames,
+      |    CAST(stride AS BIGINT) AS stride,
+      |    CAST(unnest(generate_series(0, n_frames - 1, stride)) AS BIGINT)
+      |      AS frame_idx,
+      |    substr(hx, CAST(unnest(generate_series(0, n_frames - 1, stride))
+      |      * 32 + 1 AS BIGINT), 32) AS fhex
+      |  FROM sched)
+      |SELECT asset_id, n_bytes, n_frames, stride, frame_idx,
+      |  frame_idx * 16 AS byte_off,
+      |  CAST(length(fhex) // 2 AS BIGINT) AS frame_bytes,
+      |  md5(fhex) AS frame_md5
+      |FROM fr ORDER BY asset_id, frame_idx""".stripMargin
+  ) { (s, d) =>
+    val bin = encode(col("text"), "UTF-8")
+    T.documents(s, d)
+      .select(col("doc_id").as("asset_id"), hex(bin).as("hx"),
+        octet_length(bin).cast("long").as("n_bytes"))
+      .withColumn("n_frames", expr("n_bytes div 16"))
+      .filter(col("n_frames") > 0)
+      .withColumn("stride", expr("(n_frames + 7) div 8"))
+      .withColumn("frame_idx",
+        explode(sequence(lit(0L), col("n_frames") - 1L, col("stride"))))
+      .withColumn("fhex",
+        expr("substring(hx, cast(frame_idx * 32 + 1 as int), 32)"))
+      .select(col("asset_id"), col("n_bytes"), col("n_frames"), col("stride"),
+        col("frame_idx"), (col("frame_idx") * 16L).as("byte_off"),
+        expr("length(fhex) div 2").cast("long").as("frame_bytes"),
+        md5(col("fhex")).as("frame_md5"))
+      .orderBy("asset_id", "frame_idx")
+  }
+
+  val all: Seq[Q] = Seq(multimodalDecode, frameSchedule, frameExtract)
 }

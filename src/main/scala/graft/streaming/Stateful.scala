@@ -499,54 +499,88 @@ object Stateful {
 
   /** s_stream_components: incremental connected components over a stream
     * of (customer, supplier) trading edges — the streaming twin of
-    * q_components_delta. State is the (node, lbl) labeling as versioned
-    * parquet (`v=<batchId>`, CdcPipeline's diff-state layout): a replayed
-    * batch overwrites its own version against the version BELOW it, so
-    * crash-replay is idempotent. Cost per micro-batch: the quotient
-    * FIXPOINT is O(batch) (only arriving edges enter it), but the
-    * relabel-and-rewrite of the full labeling is O(nodes) I/O — the
-    * state file is rewritten each batch, like any snapshot-state sink;
-    * what the incremental shape saves is the O(edges · rounds) closure,
-    * not the state write. Old `v=N` dirs are retained for crash replay
-    * and pruned past `keepVersions` (Maintenance.pruneVersions — ≥ 2
-    * keeps the replay-against-version-below invariant safe, since
-    * Structured Streaming replays at most the last uncommitted batch).
-    * After any prefix of batches the latest state is exactly the batch
-    * closure over the union of edges seen so far (StatefulSpec pins
-    * parity against a driver-side union-find). */
+    * q_components_delta. State is a LAYERED (node, lbl) labeling under
+    * `v=<batchId>` parquet partitions: every `compactEvery`-th batch
+    * (including batch 0) writes a FULL snapshot layer (marked with a
+    * `_FULL` file); every other batch writes ONLY the rows its quotient
+    * merge touched — new nodes plus relabeled components — so the
+    * per-batch state WRITE is O(batch ∪ merged components), not
+    * O(nodes) (the round-9/10 ADVICE gap: the old sink rewrote the full
+    * labeling every batch). The current labeling is the per-node
+    * newest-layer row ([[componentsState]]: partition-discovered `v`
+    * column + one max_by aggregate), so a node untouched since the last
+    * full layer carries forward by NOT being rewritten.
+    *
+    * Crash-replay stays idempotent: a replayed batch overwrites its own
+    * layer computed against the layers BELOW it, and retention only ever
+    * deletes layers below the newest full layer that is strictly older
+    * than the current batch — the exact set a replay of the current
+    * batch can still need (Structured Streaming replays at most the
+    * last uncommitted batch). After any prefix of batches the merged
+    * state is exactly the batch closure over the union of edges seen so
+    * far (StatefulSpec pins parity against a driver-side union-find, and
+    * a layer-size spec pins the O(touched) write). */
   def componentsStream(edges: DataFrame, stateDir: String,
-      keepVersions: Int = 8): org.apache.spark.sql.streaming.StreamingQuery =
+      compactEvery: Int = 8): org.apache.spark.sql.streaming.StreamingQuery =
     edges.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        componentsMergeBatch(batch, stateDir, batchId)
-        graft.core.Maintenance.pruneVersions(
-          batch.sparkSession, stateDir, keepVersions)
+        componentsMergeBatch(batch, stateDir, batchId, compactEvery)
         ()
       }
       .start()
 
+  /** The merged current labeling: newest layer wins per node. Layers at
+    * or above `below` are ignored (the replay view of that batch). */
+  def componentsState(s: SparkSession, stateDir: String,
+      below: Option[Long] = None): DataFrame = {
+    val hPath = new org.apache.hadoop.fs.Path(stateDir)
+    val fs = hPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val has = fs.exists(hPath) && fs.listStatus(hPath)
+      .exists(st => st.isDirectory && st.getPath.getName.startsWith("v="))
+    if (!has) return s.range(0).select(col("id").as("node"), col("id").as("lbl"))
+    val layers = s.read.parquet(stateDir) // partition column v = batch id
+    below.map(b => layers.filter(col("v") < b)).getOrElse(layers)
+      .groupBy("node").agg(max_by(col("lbl"), col("v")).as("lbl"))
+  }
+
   /** One incremental merge step (exposed so specs can drive it without a
     * stream). */
   private[graft] def componentsMergeBatch(batch: DataFrame, stateDir: String,
-      batchId: Long): Unit = {
+      batchId: Long, compactEvery: Int = 8): Unit = {
     val s = batch.sparkSession
     val hPath = new org.apache.hadoop.fs.Path(stateDir)
     val fs = hPath.getFileSystem(s.sparkContext.hadoopConfiguration)
-    val versions =
-      if (!fs.exists(hPath)) Seq.empty[Long]
-      else fs.listStatus(hPath).toSeq.filter(_.isDirectory)
-        .map(_.getPath.getName)
-        .collect { case n if n.startsWith("v=") => n.drop(2).toLong }
-    val prev = versions.filter(_ < batchId).maxOption match {
-      case Some(pv) => s.read.parquet(s"$stateDir/v=$pv")
-      case None => s.range(0)
-        .select(col("id").as("node"), col("id").as("lbl"))
-    }
+    val prev = componentsState(s, stateDir, Some(batchId)).localCheckpoint()
     val dE = graft.ops.Graph
       .symmetricEdges(batch.select(col("c"), col("s")))
       .localCheckpoint()
-    graft.ops.Graph.mergeDelta(prev, dE)
-      .write.mode("overwrite").parquet(s"$stateDir/v=$batchId")
+    val next = graft.ops.Graph.mergeDelta(prev, dE)
+    val isFull = batchId % compactEvery == 0
+    val out =
+      if (isFull) next
+      else // only rows the quotient merge touched: new or relabeled nodes
+        next.join(prev.withColumnRenamed("lbl", "plbl"), Seq("node"), "left")
+          .filter(col("plbl").isNull || col("plbl") =!= col("lbl"))
+          .select("node", "lbl")
+    out.write.mode("overwrite").parquet(s"$stateDir/v=$batchId")
+    if (isFull)
+      fs.create(new org.apache.hadoop.fs.Path(
+        s"$stateDir/v=$batchId/_FULL"), true).close()
+    // retention: layers below the newest COMMITTED full layer are dead —
+    // no replay (≤ current batch) can read below that floor
+    val fullBelow = fs.listStatus(hPath).toSeq.filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .collect { case n if n.startsWith("v=") => n.drop(2).toLong }
+      .filter(v => v < batchId &&
+        fs.exists(new org.apache.hadoop.fs.Path(s"$stateDir/v=$v/_FULL")))
+    fullBelow.maxOption.foreach { floor =>
+      fs.listStatus(hPath).toSeq.filter(_.isDirectory)
+        .map(_.getPath.getName)
+        .collect { case n if n.startsWith("v=") => n.drop(2).toLong }
+        .filter(_ < floor)
+        .foreach(v => fs.delete(
+          new org.apache.hadoop.fs.Path(s"$stateDir/v=$v"), true))
+    }
   }
 
   final case class TokOcc(doc_id: Long, token: String)

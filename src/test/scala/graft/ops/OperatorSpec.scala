@@ -636,6 +636,38 @@ class OperatorSpec extends SparkSuite {
     }
   }
 
+  test("q_frame_extract: every sliced frame matches a local byte-range recompute with known boundaries") {
+    // local truth: the asset's UTF-8 bytes sliced at the planned offsets —
+    // the seek arithmetic proven against an independent byte-level replay
+    val texts = graft.core.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val rows = run("q_frame_extract").collect()
+    assert(rows.nonEmpty)
+    val perAsset = rows.groupBy(_.getLong(0))
+    val hexDigits = "0123456789ABCDEF"
+    perAsset.foreach { case (id, g) =>
+      val bytes = texts(id).getBytes("UTF-8")
+      val nFrames = bytes.length / 16
+      val stride = (nFrames + 7) / 8
+      val wantIdx = (0L until nFrames.toLong by stride.toLong).toSeq
+      assert(g.map(_.getLong(4)).sorted.toSeq == wantIdx, s"asset $id frame set")
+      g.foreach { r =>
+        val idx = r.getLong(4)
+        assert(r.getLong(1) == bytes.length.toLong, "n_bytes")
+        assert(r.getLong(5) == idx * 16, "byte_off = idx * frame size")
+        val off = (idx * 16).toInt
+        val frame = bytes.slice(off, math.min(off + 16, bytes.length))
+        assert(r.getLong(6) == frame.length.toLong, "frame_bytes (short tail ok)")
+        val fhex = frame.map(b =>
+          s"${hexDigits((b & 0xf0) >> 4)}${hexDigits(b & 0x0f)}").mkString
+        val md = java.security.MessageDigest.getInstance("MD5")
+          .digest(fhex.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        assert(r.getString(7) == md, s"asset $id frame $idx digest")
+      }
+    }
+  }
+
   test("q_mrr_eval: reciprocal ranks recompute from ranks; absent truth scores zero") {
     val rows = run("q_mrr_eval").collect()
     assert(rows.map(_.getLong(0)).toSeq == Seq(16L, 17L, 18L, 19L, 20L))

@@ -107,4 +107,26 @@ class PqSpec extends SparkSuite {
         s"qid=${r.getLong(0)}: exact re-rank of the cell-local ADC shortlist cannot underperform its own top-3 (rr=$rr adc=$adc)")
     }
   }
+
+  test("q_mrr_ivfpq: re-ranked reciprocal rank dominates raw ADC rank; stages agree on misses") {
+    val rows = graft.SparkEntry.queries("q_mrr_ivfpq")(spark, sf).collect()
+    assert(rows.length == 5, "queries 16..20")
+    var recovered = 0
+    rows.foreach { r =>
+      val (rAdc, rrAdc) = (r.getLong(2), r.getLong(3))
+      val (rRr, rrRr) = (r.getLong(4), r.getLong(5))
+      assert(rrRr >= rrAdc,
+        s"qid=${r.getLong(0)}: exact re-rank must not demote the truth (rr=$rrRr adc=$rrAdc)")
+      // both stages rank the SAME shortlist: a miss is a miss in both,
+      // and a shortlisted truth re-ranks to exactly position 1 (it is
+      // the global exact minimum, present in the candidate set)
+      assert((rAdc == 0) == (rRr == 0), "stages must agree on shortlist misses")
+      if (rAdc > 0) assert(rRr == 1L,
+        s"qid=${r.getLong(0)}: shortlisted truth must re-rank to 1, got $rRr")
+      if (rAdc > 1) recovered += 1
+    }
+    // the fixture must exercise the interesting case: at least one query
+    // where quantization mis-ranks the truth and the re-rank recovers it
+    assert(recovered >= 1, "no query shows the ADC->re-rank recovery path")
+  }
 }

@@ -563,15 +563,16 @@ class StatefulSpec extends SparkSuite {
         in.addData(ch)
         q.processAllAvailable()
         seen ++= ch
-        // the state after batch i is the FULL closure of the union so far
-        val got = spark.read.parquet(s"$stateDir/v=$i").collect()
+        // the MERGED state after batch i is the FULL closure of the union
+        // so far (layers: base full snapshot + per-batch touched rows)
+        val got = Stateful.componentsState(spark, stateDir).collect()
           .map(r => r.getLong(0) -> r.getLong(1)).toMap
         assert(got == truthOver(seen),
           s"batch $i: incremental state diverged from the prefix closure")
       }
     } finally q.stop()
     // the serving artifact agrees with the declared batch operator's census
-    val finalLab = spark.read.parquet(s"$stateDir/v=${chunks.size - 1}")
+    val finalLab = Stateful.componentsState(spark, stateDir)
     val census = finalLab.groupBy(col("lbl")).agg(count(lit(1)).as("n"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val batchCensus = graft.SparkEntry.queries("q_components")(spark, sf)
@@ -580,12 +581,12 @@ class StatefulSpec extends SparkSuite {
       "streamed components census must equal q_components")
   }
 
-  test("s_stream_components: keepVersions prunes old state dirs, latest survives") {
+  test("s_stream_components: retention drops layers below the newest full layer; merged state survives") {
     implicit val sqlCtx = spark.sqlContext
     val stateDir = tmpDir("ccprune") + "/state"
     val in = MemoryStream[(Long, Long)]
     val q = Stateful.componentsStream(in.toDS().toDF("c", "s"), stateDir,
-      keepVersions = 2)
+      compactEvery = 2)
     try {
       Seq(Seq((1L, 10L)), Seq((2L, 10L)), Seq((3L, 11L)), Seq((2L, 11L)))
         .foreach { ch => in.addData(ch); q.processAllAvailable() }
@@ -594,13 +595,57 @@ class StatefulSpec extends SparkSuite {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val versions = fs.listStatus(new org.apache.hadoop.fs.Path(stateDir))
       .map(_.getPath.getName).filter(_.startsWith("v=")).sorted.toSeq
+    // fulls at v=0 and v=2 (compactEvery=2): batch 3 prunes below v=2
     assert(versions == Seq("v=2", "v=3"),
-      s"retention must keep only the newest 2 versions, got $versions")
-    // the surviving latest state is still the full closure
-    val got = spark.read.parquet(s"$stateDir/v=3").collect()
+      s"layers below the newest full layer must be pruned, got $versions")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$stateDir/v=2/_FULL")),
+      "the retained floor layer must be a full snapshot")
+    // the surviving merged state is still the full closure
+    val got = Stateful.componentsState(spark, stateDir).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
       1000010L -> 1L, 1000011L -> 1L))
+  }
+
+  test("s_stream_components: a delta layer rewrites only touched components, not O(nodes)") {
+    implicit val sqlCtx = spark.sqlContext
+    val stateDir = tmpDir("cctouch") + "/state"
+    val in = MemoryStream[(Long, Long)]
+    // large compactEvery: every batch after 0 writes a DELTA layer
+    val q = Stateful.componentsStream(in.toDS().toDF("c", "s"), stateDir,
+      compactEvery = 100)
+    def layerRows(v: Long): Map[Long, Long] =
+      spark.read.parquet(s"$stateDir/v=$v")
+        .select("node", "lbl").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    try {
+      // batch 0 (full): components {1,2,s10} and {3,4,s11} — 6 nodes
+      in.addData(Seq((1L, 10L), (2L, 10L), (3L, 11L), (4L, 11L)))
+      q.processAllAvailable()
+      assert(layerRows(0).size == 6, "base full snapshot")
+      // batch 1: a brand-new disjoint component — layer holds ONLY its
+      // 2 nodes, the 6 existing rows carry forward unwritten
+      in.addData(Seq((5L, 12L)))
+      q.processAllAvailable()
+      assert(layerRows(1) == Map(5L -> 5L, 1000012L -> 5L),
+        s"new-component delta must hold exactly the new nodes: ${layerRows(1)}")
+      // batch 2: merge the two original components via a bridge edge —
+      // the layer holds the losing component's relabeled nodes (+ none
+      // of the untouched {5,s12} component)
+      in.addData(Seq((2L, 11L)))
+      q.processAllAvailable()
+      val l2 = layerRows(2)
+      assert(!l2.contains(5L) && !l2.contains(1000012L),
+        s"untouched component must not be rewritten: $l2")
+      assert(l2.nonEmpty && l2.values.forall(_ == 1L),
+        s"relabeled rows point at the merged root: $l2")
+      assert(l2.size <= 4, s"at most the losing component + bridge: $l2")
+      // merged state = closure over everything
+      val got = Stateful.componentsState(spark, stateDir).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+        1000010L -> 1L, 1000011L -> 1L, 5L -> 5L, 1000012L -> 5L))
+    } finally q.stop()
   }
 
   test("s_stream_index: final df/cf per token equals the batch census regardless of batch split") {
