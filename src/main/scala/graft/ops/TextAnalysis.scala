@@ -724,6 +724,25 @@ object TextAnalysis {
     (out.orderBy("round"), cur)
   }
 
+  /** ModelCache-frozen BPE artifacts (the ivf-base/bm25-base/lm-base
+    * economics): one train per (session, corpus state) serves
+    * q_bpe_merges, q_bpe_apply, q_bpe_vocab AND the streaming encode
+    * gate (Stateful.bpeGate). Holds (round rows, final dict state, the
+    * encode table word → subtoken count). */
+  final case class BpeModel(
+      rounds: org.apache.spark.sql.DataFrame,
+      dict: org.apache.spark.sql.DataFrame,   // (word, cnt, s)
+      enc: org.apache.spark.sql.DataFrame)    // (word, n_sub)
+
+  def bpeModel(s: org.apache.spark.sql.SparkSession, d: String): BpeModel =
+    graft.core.ModelCache.getOrTrain(s, "bpe-base", s"$d/documents.parquet") {
+      val (rounds, dict) = bpeTrain(s, d, BpeRounds)
+      val toksCol = split(expr("substring(s, 3, length(s) - 4)"), " \\| ")
+      BpeModel(rounds.localCheckpoint(), dict,
+        dict.select(col("word"), size(toksCol).cast(LongType).as("n_sub"))
+          .localCheckpoint())
+    }
+
   val bpeMerges: Q = Q(
     "q_bpe_merges",
     s"""WITH ${bpeDuckCtes(BpeRounds)}
@@ -734,7 +753,7 @@ object TextAnalysis {
          |  FROM b$i b CROSS JOIN c$i c""".stripMargin)
       .mkString("\n  UNION ALL\n")}
        |) ORDER BY round""".stripMargin
-  ) { (s, d) => bpeTrain(s, d, BpeRounds)._1 }
+  ) { (s, d) => bpeModel(s, d).rounds.orderBy("round") }
 
   /** The missing half of the tokenizer family (round-10 verdict #2):
     * ENCODE the corpus with the vocabulary q_bpe_merges trained. Each
@@ -762,12 +781,9 @@ object TextAnalysis {
        |  CAST((n_subtok * 1000000) // n_chars AS BIGINT) AS comp_ppm
        |FROM per ORDER BY doc_id""".stripMargin
   ) { (s, d) =>
-    val toksCol = split(expr("substring(s, 3, length(s) - 4)"), " \\| ")
-    val enc = bpeTrain(s, d, BpeRounds)._2
-      .select(col("word"), size(toksCol).cast(LongType).as("n_sub"))
     T.documents(s, d)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
-      .join(broadcast(enc), "word")
+      .join(broadcast(bpeModel(s, d).enc), "word")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_words"),
         sum(col("n_sub")).as("n_subtok"),
@@ -777,10 +793,35 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** The shipped artifact of a tokenizer build: the trained VOCABULARY
+    * census after the k merge rounds — every surviving symbol (single
+    * chars plus the merged subwords), its corpus occurrence count
+    * weighted by word frequency, and whether it is a merge product.
+    * This is the table an encode deployment loads (q_bpe_apply counts
+    * against exactly these symbols), and its size is the vocabulary-
+    * budget evidence a tokenizer decision reads. Scale shape: one
+    * explode over the O(vocabulary) dictionary (weighted by cnt — the
+    * corpus itself is never re-read) + one partial-agg census. */
+  val bpeVocab: Q = Q(
+    "q_bpe_vocab",
+    s"""WITH ${bpeDuckCtes(BpeRounds)}
+       |SELECT tok, CAST(sum(cnt) AS BIGINT) AS n_occ,
+       |  CAST(CASE WHEN contains(tok, '_') THEN 1 ELSE 0 END AS BIGINT) AS is_merged
+       |FROM (SELECT cnt, unnest(toks) AS tok FROM t$BpeRounds)
+       |GROUP BY tok ORDER BY n_occ DESC, tok""".stripMargin
+  ) { (s, d) =>
+    val toksCol = split(expr("substring(s, 3, length(s) - 4)"), " \\| ")
+    bpeModel(s, d).dict
+      .select(col("cnt"), explode(toksCol).as("tok"))
+      .groupBy("tok").agg(sum(col("cnt")).as("n_occ"))
+      .select(col("tok"), col("n_occ"),
+        when(col("tok").contains("_"), 1L).otherwise(0L).as("is_merged"))
+      .orderBy(col("n_occ").desc, col("tok"))
+  }
 
   val all: Seq[Q] =
     Seq(langId, qualityScore, tokenCount, fingerprint, bigramTopK, piiScrub,
       vocabStats, lengthBuckets, charNgrams, langConfusion, corpusMix,
       repetitionFilter, rarityScore, cooccurLift, bigramLm, vocabCoverage,
-      bpeMerges, bpeApply)
+      bpeMerges, bpeApply, bpeVocab)
 }

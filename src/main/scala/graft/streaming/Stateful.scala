@@ -472,6 +472,48 @@ object Stateful {
       }.toDF()
   }
 
+  final case class BpeRow(doc_id: Long, word: String, n_sub: Option[Long])
+  final case class BpeScore(doc_id: Long, n_words: Long, n_subtok: Long,
+      n_chars: Long, comp_ppm: Long, n_oov: Long)
+
+  /** s_stream_bpe: ingest-side BPE encoding census — the streaming twin
+    * of q_bpe_apply with the trained vocabulary FROZEN (TextAnalysis
+    * .bpeModel, the same ModelCache artifact the batch operators serve
+    * from): arriving documents explode into words (map-side, codegen'd),
+    * stream-static-left-join the O(vocabulary) encode table, and regroup
+    * per doc with no retained state (the lmGate shape). Serving must
+    * survive vocabulary drift, so an out-of-vocabulary word falls back
+    * to CHARACTER-level encoding (n_sub = word length — exactly what a
+    * real BPE encoder does for unmergeable input: every symbol stays a
+    * base character) and `n_oov` reports the drift per document (the
+    * importanceGate observability convention). For in-corpus documents
+    * n_oov = 0 and the counts are bit-identical to q_bpe_apply
+    * (StatefulSpec proves parity across micro-batch boundaries). Words
+    * containing the training delimiter are dropped identically to
+    * training. */
+  def bpeGate(docs: DataFrame, enc: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .filter(!col("word").contains("|")) // training's delimiter precondition
+      .join(enc, Seq("word"), "left")
+      .select(col("doc_id"), col("word"), col("n_sub")).as[BpeRow]
+      .groupByKey(_.doc_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (docId: Long, rows: Iterator[BpeRow], _: GroupState[Boolean]) =>
+          var nw = 0L; var ns = 0L; var nc = 0L; var oov = 0L
+          rows.foreach { r =>
+            nw += 1
+            nc += r.word.length
+            ns += r.n_sub.getOrElse(r.word.length.toLong) // char fallback
+            if (r.n_sub.isEmpty) oov += 1
+          }
+          Iterator.single(BpeScore(docId, nw, ns, nc,
+            if (nc > 0) ns * 1000000L / nc else 0L, oov))
+      }.toDF()
+  }
+
   /** s_stream_anomaly: ingest-side hourly event-rate anomaly flags — the
     * streaming twin of q_anomaly_hours with the corpus census FROZEN
     * (the train-rarely/score-continuously split of lmGate and

@@ -762,7 +762,19 @@ class CdcPipelineSpec extends SparkSuite {
         Files.list(Paths.get(stateDir)).iterator().asScala
           .map(_.getFileName.toString).filter(_.matches("v=\\d+")).toSeq
       }
-      while (liveVersions.size > 1 &&
+      // ... and until the PIN floor has caught up to the delete epoch:
+      // pin pruning runs in the same maintenance pass, but a stop landing
+      // between the version prune and a later epoch's pin prune would
+      // strand pins below the floor the final assert checks
+      def pinsCaughtUp: Boolean = {
+        import scala.jdk.CollectionConverters._
+        val pins = Files.list(Paths.get(s"$ckpt-listing")).iterator().asScala
+          .map(_.getFileName.toString).filter(_.startsWith("epoch-"))
+          .map(_.stripPrefix("epoch-").toLong).toSeq.sorted
+        val eps = epochsIn(users.outputDir)
+        pins.nonEmpty && eps.nonEmpty && pins.head >= eps.max - 2
+      }
+      while ((liveVersions.size > 1 || !pinsCaughtUp) &&
         System.currentTimeMillis() < pruneDeadline) Thread.sleep(100)
     } finally q.stop()
     val lines = jsonlLines(users.outputDir)

@@ -648,6 +648,61 @@ class StatefulSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("s_stream_bpe: frozen-vocabulary encode counts are bit-identical to batch q_bpe_apply across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    val batch = graft.SparkEntry.queries("q_bpe_apply")(spark, sf)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val enc = graft.ops.TextAnalysis.bpeModel(spark, sf).enc
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id", $"text").as[(Long, String)]
+      .collect().toSeq.sortBy(_._1)
+    val in = MemoryStream[(Long, String)]
+    val q = Stateful.bpeGate(in.toDS().toDF("doc_id", "text"), enc)
+      .writeStream.format("memory").queryName("bpe_gate")
+      .outputMode(OutputMode.Append).start()
+    val (b1, b2) = docs.splitAt(docs.size / 3)
+    in.addData(b1)
+    q.processAllAvailable()
+    in.addData(b2)
+    q.processAllAvailable()
+    val rows = spark.table("bpe_gate").collect()
+    q.stop()
+    assert(rows.length == docs.size, "one encode census per arriving doc")
+    val streamed = rows.map(r => r.getLong(0) ->
+      (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(streamed.keySet == batch.keySet)
+    batch.foreach { case (id, b) =>
+      assert(streamed(id) == b, s"doc $id: stream ${streamed(id)} != batch $b")
+    }
+    // in-corpus: no drift, the char fallback never fires
+    assert(rows.forall(_.getLong(5) == 0L), "n_oov must be 0 in-corpus")
+  }
+
+  test("s_stream_bpe: out-of-vocabulary words fall back to character-level encoding, observably") {
+    implicit val sqlCtx = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    val enc = graft.ops.TextAnalysis.bpeModel(spark, sf).enc
+    val in = MemoryStream[(Long, String)]
+    val q = Stateful.bpeGate(in.toDS().toDF("doc_id", "text"), enc)
+      .writeStream.format("memory").queryName("bpe_gate_oov")
+      .outputMode(OutputMode.Append).start()
+    // "zzzzz" cannot be in the trained vocabulary (check below); a "|"
+    // word is dropped by the training precondition filter
+    in.addData((1L, "zzzzz |weird"))
+    q.processAllAvailable()
+    val r = spark.table("bpe_gate_oov").collect().head
+    q.stop()
+    assert(enc.filter(org.apache.spark.sql.functions.col("word") === "zzzzz")
+      .count() == 0, "fixture must be OOV")
+    assert(r.getLong(1) == 1L, "the delimiter word is dropped, one word remains")
+    assert(r.getLong(2) == 5L, "OOV encodes at character level: 5 subtokens")
+    assert(r.getLong(3) == 5L && r.getLong(4) == 1000000L,
+      "char-level fallback compresses nothing")
+    assert(r.getLong(5) == 1L, "drift is observable via n_oov")
+  }
+
   test("s_stream_index: final df/cf per token equals the batch census regardless of batch split") {
     implicit val sqlCtx = spark.sqlContext
     val sf = "/root/testdata/sf0.001"
