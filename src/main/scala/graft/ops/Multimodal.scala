@@ -135,8 +135,18 @@ object Multimodal {
       |  md5(fhex) AS frame_md5
       |FROM fr ORDER BY asset_id, frame_idx""".stripMargin
   ) { (s, d) =>
+    frameExtractOn(T.documents(s, d)).orderBy("asset_id", "frame_idx")
+  }
+
+  /** The extraction TRANSFORM itself, factored off the Q closure: pure
+    * stateless column work (per-row seek math + one bounded Generate +
+    * map-side slice/digest), so the SAME plan runs unchanged over a
+    * STREAMING DataFrame — s_stream_frames is exactly this function on
+    * an ingest stream (StatefulSpec proves row-level batch parity). */
+  def frameExtractOn(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
     val bin = encode(col("text"), "UTF-8")
-    T.documents(s, d)
+    docs
       .select(col("doc_id").as("asset_id"), hex(bin).as("hx"),
         octet_length(bin).cast("long").as("n_bytes"))
       .withColumn("n_frames", expr("n_bytes div 16"))
@@ -150,7 +160,6 @@ object Multimodal {
         col("frame_idx"), (col("frame_idx") * 16L).as("byte_off"),
         expr("length(fhex) div 2").cast("long").as("frame_bytes"),
         md5(col("fhex")).as("frame_md5"))
-      .orderBy("asset_id", "frame_idx")
   }
 
   val all: Seq[Q] = Seq(multimodalDecode, frameSchedule, frameExtract)

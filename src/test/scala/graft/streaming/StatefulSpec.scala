@@ -680,6 +680,30 @@ class StatefulSpec extends SparkSuite {
     assert(rows.forall(_.getLong(5) == 0L), "n_oov must be 0 in-corpus")
   }
 
+  test("s_stream_frames: the stateless extraction transform runs unchanged at ingest, row-identical to batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id", $"text").as[(Long, String)]
+      .collect().toSeq.sortBy(_._1)
+    val in = MemoryStream[(Long, String)]
+    val q = graft.ops.Multimodal.frameExtractOn(in.toDS().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("frames")
+      .outputMode(OutputMode.Append).start()
+    val (b1, b2) = docs.splitAt(docs.size / 2)
+    in.addData(b1)
+    q.processAllAvailable()
+    in.addData(b2)
+    q.processAllAvailable()
+    val streamed = spark.table("frames").collect()
+      .map(_.toSeq).toSet
+    q.stop()
+    val batch = graft.SparkEntry.queries("q_frame_extract")(spark, sf)
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch,
+      "ingest-time frame digests must equal the batch operator's rows")
+  }
+
   test("s_stream_bpe: out-of-vocabulary words fall back to character-level encoding, observably") {
     implicit val sqlCtx = spark.sqlContext
     val sf = "/root/testdata/sf0.001"
