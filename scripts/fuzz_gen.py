@@ -387,6 +387,27 @@ def gen_textfn(rng):
             f"LIMIT {rng.randint(50, 400)}")
 
 
+def gen_frames(rng):
+    # frame-schedule arithmetic + byte-range slicing (the q_frame_schedule
+    # / q_frame_extract building blocks): per doc a frame count from
+    # n_chars at a random frame size, a budget-bounded stride via exact
+    # floor over a double divide (floor(int / d) is exact under 2^53 in
+    # both engines), and md5 digests of literal-offset slices (substr
+    # past end-of-string degrades identically).
+    fsz = rng.choice([8, 16, 32, 64])
+    budget = rng.choice([4, 8, 12])
+    offs = sorted(rng.sample(range(1, 400), rng.randint(2, 4)))
+    digests = ", ".join(
+        f"md5(substr(text, {o}, {fsz})) AS f{i}" for i, o in enumerate(offs))
+    where = f"n_chars >= {rng.randint(0, 200)}"
+    return (
+        f"SELECT doc_id, CAST(floor(n_chars / {fsz}.0) AS BIGINT) AS n_frames, "
+        f"CAST(floor((floor(n_chars / {fsz}.0) + {budget - 1}) / {budget}.0) "
+        f"AS BIGINT) AS stride, {digests} "
+        f"FROM documents WHERE {where} ORDER BY doc_id "
+        f"LIMIT {rng.randint(50, 400)}")
+
+
 def gen_graphcte(rng):
     # the unrolled-iteration family (q_pagerank / q_label_prop /
     # q_components shape): derive a small edge list, unroll 1..3 rounds of
@@ -537,6 +558,8 @@ def gen_query(rng):
         return gen_argextreme(rng)
     if roll < 0.14:
         return gen_textfn(rng)
+    if roll < 0.17:
+        return gen_frames(rng)
     roll = rng.random()
     if roll < 0.04:
         return gen_arith(rng)
