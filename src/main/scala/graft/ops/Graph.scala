@@ -880,7 +880,88 @@ object Graph {
         .localCheckpoint())
   }
 
+  private val KCoreK = 2
+  private val KCoreRounds = 4
+
+  /** k-core peeling over the durable-trade graph — the degeneracy-based
+    * graph-curation primitive (keep only nodes embedded in a subgraph
+    * where everyone has ≥ k durable partners; the standard spam/fringe
+    * filter before graph features feed a model). The peel loop — drop
+    * every node with degree < k, recompute, repeat — is unrolled to a
+    * FIXED `KCoreRounds` rounds (the q_pagerank convention: both engines
+    * run the identical bounded rounds, no convergence probe crosses
+    * engines), emitting per round the surviving node/edge counts and the
+    * number peeled; `n_peeled = 0` rows are the in-result convergence
+    * evidence. Exact integer math throughout.
+    *
+    * Scale shape per round: one partial-aggregating degree census + two
+    * semi-joins of the edge state against the O(nodes) keep set —
+    * shuffles keyed on node id, never wider than the edge list, with the
+    * edge state localCheckpointed per round (flat lineage, the bpeTrain
+    * pattern). Peeling strictly shrinks the state, so later rounds get
+    * cheaper; real degeneracy orders run this same loop to fixpoint. */
+  val kcore: Q = {
+    // AS MATERIALIZED (oracle-only dialect): d_i/k_i/e_i are each
+    // referenced 2-3 times per round — left to the inliner the chain
+    // re-expands multiplicatively per round and the 10x-dir oracle runs
+    // out of memory; materialization makes each round evaluate once,
+    // exactly like the Spark side's per-round localCheckpoint
+    def kr(i: Int): String =
+      s"""d$i AS MATERIALIZED (SELECT src, count(*) AS deg FROM e${i - 1} GROUP BY src),
+         |k$i AS MATERIALIZED (SELECT src AS node FROM d$i WHERE deg >= $KCoreK),
+         |e$i AS MATERIALIZED (SELECT t.src, t.dst FROM e${i - 1} t
+         |        JOIN k$i a ON a.node = t.src JOIN k$i b ON b.node = t.dst),
+         |r$i AS (SELECT CAST($i AS BIGINT) AS round,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM k$i) AS n_nodes,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM e$i) AS n_edges,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM d$i)
+         |    - (SELECT CAST(count(*) AS BIGINT) FROM k$i) AS n_peeled)""".stripMargin
+    Q(
+      "q_kcore",
+      s"""WITH $durableEoSql,
+         |e AS MATERIALIZED (SELECT c AS src, $SuppOffset + s AS dst FROM eo
+         |      UNION ALL SELECT $SuppOffset + s AS src, c AS dst FROM eo),
+         |e0 AS (SELECT src, dst FROM e),
+         |${(1 to KCoreRounds).map(kr).mkString(",\n")}
+         |SELECT * FROM (
+         |${(1 to KCoreRounds).map(i => s"  SELECT * FROM r$i")
+        .mkString("\n  UNION ALL\n")}
+         |) ORDER BY round""".stripMargin
+    ) { (s, d) =>
+      kcorePeel(symmetricEdges(durablePairs(s, d)).localCheckpoint(),
+        KCoreK, KCoreRounds)
+    }
+  }
+
+  /** The peel loop itself, factored off the Q closure so GraphSpec can
+    * drive it over crafted graphs (the uniform synthetic corpus peels in
+    * one round; a path graph cascades one layer per round — the behavior
+    * the bounded-rounds design exists for). `e0` must be a SYMMETRIC
+    * directed edge list. */
+  private[graft] def kcorePeel(e0: DataFrame, k: Int, rounds: Int): DataFrame = {
+    var e = e0
+    var out: DataFrame = null
+    for (i <- 1 to rounds) {
+      val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+        .localCheckpoint()
+      val keep = deg.filter(col("deg") >= k)
+        .select(col("src").as("node")).localCheckpoint()
+      val e2 = e
+        .join(keep.withColumnRenamed("node", "src"), Seq("src"), "left_semi")
+        .join(keep.withColumnRenamed("node", "dst"), Seq("dst"), "left_semi")
+        .select("src", "dst").localCheckpoint()
+      val row = deg.agg(count(lit(1)).as("n_prev"))
+        .crossJoin(keep.agg(count(lit(1)).as("n_nodes")))
+        .crossJoin(e2.agg(count(lit(1)).as("n_edges")))
+        .select(lit(i.toLong).as("round"), col("n_nodes"), col("n_edges"),
+          (col("n_prev") - col("n_nodes")).as("n_peeled"))
+      out = if (out == null) row else out.unionAll(row)
+      e = e2
+    }
+    out.orderBy("round")
+  }
+
   val all: Seq[Q] =
     Seq(pagerank, pagerankDelta, degreeHist, labelProp, components,
-      componentsDelta, reachHops, butterflies, triangles)
+      componentsDelta, reachHops, butterflies, triangles, kcore)
 }

@@ -390,4 +390,49 @@ class GraphSpec extends SparkSuite {
     assert((0 until 6).map(got.getLong).forall(_ == 0L),
       "all census fields must be zero on an edgeless projection")
   }
+
+  test("q_kcore matches a local iterative-peel recompute on the corpus") {
+    val rows = graft.SparkEntry.queries("q_kcore")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.map(_._1).toSeq == (1L to 4L))
+    // local truth: the same peel over the collected durable edge list
+    import org.apache.spark.sql.functions._
+    var edges = graft.core.Tables.orders(spark, sf)
+      .join(graft.core.Tables.lineitem(spark, sf),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey").as("c"), col("l_suppkey").as("s"))
+      .agg(count(lit(1)).as("cnt")).filter(col("cnt") >= 4)
+      .select("c", "s").collect()
+      .flatMap(r => Seq((r.getLong(0), 1000000L + r.getLong(1)),
+        (1000000L + r.getLong(1), r.getLong(0)))).toSet
+    rows.foreach { case (round, nNodes, nEdges, nPeeled) =>
+      val deg = edges.groupBy(_._1).view.mapValues(_.size).toMap
+      val keep = deg.filter(_._2 >= 2).keySet
+      val e2 = edges.filter(e => keep(e._1) && keep(e._2))
+      assert((nNodes, nEdges, nPeeled) ==
+        ((keep.size.toLong, e2.size.toLong, (deg.size - keep.size).toLong)),
+        s"round $round")
+      edges = e2
+    }
+    // node counts never increase; once converged, stays converged
+    assert(rows.map(_._2).sliding(2).forall(w => w.length < 2 || w(1) <= w(0)))
+    val peels = rows.map(_._4)
+    assert(!peels.zip(peels.tail).exists { case (a, b) => a == 0L && b > 0L },
+      "a converged peel cannot resume")
+  }
+
+  test("kcorePeel cascades one layer per round on a path graph") {
+    import spark.implicits._
+    // path 1-2-3-...-8 with k=2: each round peels BOTH endpoints (deg 1),
+    // shrinking the path by two — the cascade the corpus never shows
+    val n = 8L
+    val eo = (1L until n).flatMap(i => Seq((i, i + 1), (i + 1, i)))
+    val rows = Graph.kcorePeel(eo.toDF("src", "dst"), 2, 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // survivors: 8→6→4→2→0 nodes; directed edges: 14→10→6→2→0
+    assert(rows.toSeq == Seq(
+      (1L, 6L, 10L, 2L), (2L, 4L, 6L, 2L), (3L, 2L, 2L, 2L),
+      (4L, 0L, 0L, 2L)),
+      s"path peel must cascade: ${rows.toSeq}")
+  }
 }
