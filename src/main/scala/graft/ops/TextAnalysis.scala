@@ -681,19 +681,31 @@ object TextAnalysis {
        |${(1 to rounds).map(duck).mkString(",\n")}""".stripMargin
   }
 
+  /** The word histogram — the ONE corpus-wide pass of BPE training, and
+    * the monoidal quantity q_bpe_delta's incremental path merges. */
+  private def wordHist(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    docs
+      .select(explode(split(col("text"), " ")).as("word"))
+      .filter(!col("word").contains("|")) // delimiter precondition (doc above)
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+
   /** Spark-side shared train: returns (one row per round, final dict
     * carrying the fully-merged delimited string per word). The dict is
     * materialized once; the round loop runs entirely over it. */
   private def bpeTrain(s: org.apache.spark.sql.SparkSession, d: String,
+      rounds: Int): (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) =
+    bpeRoundsOverHist(wordHist(T.documents(s, d)), rounds)
+
+  /** The round loop over a (word, cnt) histogram — however the histogram
+    * was produced (full corpus pass, or q_bpe_delta's base+delta merge). */
+  private def bpeRoundsOverHist(hist: org.apache.spark.sql.DataFrame,
       rounds: Int): (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
     val toksCol = split(expr("substring(s, 3, length(s) - 4)"), " \\| ")
-    val dict = T.documents(s, d)
-      .select(explode(split(col("text"), " ")).as("word"))
-      .filter(!col("word").contains("|")) // delimiter precondition (doc above)
-      .groupBy("word").agg(count(lit(1)).as("cnt"))
+    val dict = hist
       .withColumn("s",
         rtrim(concat(lit("| "), regexp_replace(col("word"), "(.)", "$1 | "))))
-      .localCheckpoint() // the ONE corpus pass; rounds never rescan
+      .localCheckpoint() // histogram materialized; rounds never rescan
     var cur = dict
     var out: org.apache.spark.sql.DataFrame = null
     for (i <- 1 to rounds) {
@@ -819,9 +831,83 @@ object TextAnalysis {
       .orderBy(col("n_occ").desc, col("tok"))
   }
 
+  /** Incremental BPE vocabulary maintenance — the tokenizer member of
+    * the delta family (q_ivf_assign_delta / q_pq_encode_delta /
+    * q_components_delta / q_pagerank_delta / q_bm25_delta): the only
+    * corpus-wide input to the re-shaped training loop is the word
+    * HISTOGRAM, and histograms are MONOIDAL over disjoint doc sets —
+    * counts add. So a nightly vocabulary refresh is: the frozen base
+    * histogram (docs below the 7/8 doc_id split, ModelCache
+    * "bpe-hist-base" — the bm25-base economics), today's docs tokenized
+    * ALONE (O(delta)), one groupBy-sum merge (O(vocabulary)), and the
+    * identical O(vocabulary) merge rounds. The base corpus is never
+    * re-read; the round loop's zero-file-scan shape is inherited from
+    * q_bpe_merges. The ORACLE is the full-corpus replay (shared SQL
+    * with q_bpe_merges): the hash gate proves incremental == full
+    * across two engines, and OperatorSpec pins Spark-side bit-parity. */
+  val bpeDelta: Q = Q(
+    "q_bpe_delta",
+    s"""WITH ${bpeDuckCtes(BpeRounds)}
+       |SELECT * FROM (
+       |${(1 to BpeRounds).map(i =>
+      s"""  SELECT CAST($i AS BIGINT) AS round, b.t1, b.t2,
+         |    b.n AS n_pairs, c.nt AS n_tokens
+         |  FROM b$i b CROSS JOIN c$i c""".stripMargin)
+      .mkString("\n  UNION ALL\n")}
+       |) ORDER BY round""".stripMargin
+  ) { (s, d) =>
+    val docs = T.documents(s, d).select(col("doc_id"), col("text"))
+    val (split, histB) = graft.core.ModelCache.getOrTrain(
+      s, "bpe-hist-base", s"$d/documents.parquet") {
+      val maxRow = docs.agg(max(col("doc_id"))).head()
+      val maxId = if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0)
+      val sp = 7L * maxId / 8L
+      (sp, wordHist(docs.filter(col("doc_id") < sp)).localCheckpoint())
+    }
+    val histD = wordHist(docs.filter(col("doc_id") >= split))
+    val hist = histB.unionAll(histD)
+      .groupBy("word").agg(sum(col("cnt")).as("cnt"))
+    bpeRoundsOverHist(hist, BpeRounds)._1
+  }
+
+  /** Per-language tokenizer FERTILITY — the eval that drives
+    * per-language vocabulary-budget decisions before a retrain: mean
+    * subtokens per word (fertility) and BPE tokens per character, per
+    * lang, off the same frozen encode table as q_bpe_apply. A language
+    * whose fertility stays near its character count is under-served by
+    * the vocabulary. One explode + broadcast join + partial-agg
+    * groupBy(lang). */
+  val bpeFertility: Q = Q(
+    "q_bpe_fertility",
+    s"""WITH ${bpeDuckCtes(BpeRounds)},
+       |enc AS (SELECT word, CAST(len(toks) AS BIGINT) AS n_sub FROM t$BpeRounds),
+       |tokd AS (SELECT lang, unnest(string_split(text, ' ')) AS word
+       |         FROM documents)
+       |SELECT lang, CAST(count(*) AS BIGINT) AS n_words,
+       |  CAST(sum(e.n_sub) AS BIGINT) AS n_subtok,
+       |  CAST(sum(length(t.word)) AS BIGINT) AS n_chars,
+       |  CAST((sum(e.n_sub) * 1000000) // count(*) AS BIGINT) AS fertility_ppm,
+       |  CAST((sum(e.n_sub) * 1000000) // sum(length(t.word)) AS BIGINT)
+       |    AS comp_ppm
+       |FROM tokd t JOIN enc e USING (word)
+       |GROUP BY lang ORDER BY lang""".stripMargin
+  ) { (s, d) =>
+    T.documents(s, d)
+      .select(col("lang"), explode(split(col("text"), " ")).as("word"))
+      .join(broadcast(bpeModel(s, d).enc), "word")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_sub")).as("n_subtok"),
+        sum(length(col("word")).cast(LongType)).as("n_chars"))
+      .select(col("lang"), col("n_words"), col("n_subtok"), col("n_chars"),
+        expr("(n_subtok * 1000000) div n_words").as("fertility_ppm"),
+        expr("(n_subtok * 1000000) div n_chars").as("comp_ppm"))
+      .orderBy("lang")
+  }
+
   val all: Seq[Q] =
     Seq(langId, qualityScore, tokenCount, fingerprint, bigramTopK, piiScrub,
       vocabStats, lengthBuckets, charNgrams, langConfusion, corpusMix,
       repetitionFilter, rarityScore, cooccurLift, bigramLm, vocabCoverage,
-      bpeMerges, bpeApply, bpeVocab)
+      bpeMerges, bpeApply, bpeVocab, bpeDelta, bpeFertility)
 }

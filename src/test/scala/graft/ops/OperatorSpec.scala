@@ -636,6 +636,40 @@ class OperatorSpec extends SparkSuite {
     }
   }
 
+  test("q_bpe_delta: incremental histogram merge trains the identical vocabulary (bit-parity with full)") {
+    // the delta path merges a frozen base histogram with the delta docs'
+    // tokenization; by the histogram monoid the merged counts equal the
+    // full-corpus histogram, so every round's argmax — and therefore the
+    // whole merge sequence — must be BIT-identical to q_bpe_merges
+    val full = run("q_bpe_merges").collect().map(_.toSeq).toSeq
+    val delta = run("q_bpe_delta").collect().map(_.toSeq).toSeq
+    assert(delta == full,
+      "incremental vocabulary training must equal the full recompute")
+  }
+
+  test("q_bpe_fertility: per-language stats match a local regroup of the encode table") {
+    val enc = graft.ops.TextAnalysis.bpeModel(spark, sf).enc.collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val docs = graft.core.Tables.documents(spark, sf)
+      .select("lang", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val local = docs.flatMap { case (lang, text) =>
+      text.split(" ").filterNot(_.contains("|")).map(w => (lang, w)) }
+      .groupBy(_._1).map { case (lang, ws) =>
+        val nSub = ws.map(w => enc(w._2)).sum
+        val nChars = ws.map(_._2.length.toLong).sum
+        lang -> (ws.length.toLong, nSub, nChars,
+          nSub * 1000000L / ws.length, nSub * 1000000L / nChars)
+      }
+    val got = run("q_bpe_fertility").collect().map(r => r.getString(0) ->
+      (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(got == local, s"got $got\nlocal $local")
+    // fertility must sit between 1 token/word and the char-level ceiling
+    got.values.foreach { case (_, _, _, fert, comp) =>
+      assert(fert >= 1000000L && comp <= 1000000L)
+    }
+  }
+
   test("q_frame_extract: every sliced frame matches a local byte-range recompute with known boundaries") {
     // local truth: the asset's UTF-8 bytes sliced at the planned offsets —
     // the seek arithmetic proven against an independent byte-level replay
