@@ -49,9 +49,10 @@ object Dedup {
 
   /** The Spark twin of `sigBandsCteSql`'s bands CTE: MinhashSig kernel
     * signature (one token-array walk per doc, map-side) exploded into
-    * (doc_id, band, bucket). */
-  private def bandsOf(s: SparkSession, d: String): DataFrame = {
-    val sig = T.documents(s, d)
+    * (doc_id, band, bucket). Parameterized by the doc set so
+    * q_dedup_delta can band ONLY its delta docs. */
+  private def bandsOfDocs(s: SparkSession, docs: DataFrame): DataFrame = {
+    val sig = docs
       .select(col("doc_id"),
         graft.functions.MinhashSig.sig(s, split(col("text"), " "), K).as("sig"))
     val bandKeys = (0 until Bands).map(b =>
@@ -59,6 +60,9 @@ object Dedup {
         element_at(col("sig"), 2 * b + 2).cast(StringType))))
     sig.select(col("doc_id"), posexplode(array(bandKeys: _*)).as(Seq("band", "bucket")))
   }
+
+  private def bandsOf(s: SparkSession, d: String): DataFrame =
+    bandsOfDocs(s, T.documents(s, d))
 
   /** MinHash + LSH banding: per-doc K-wide signature of min-hashed tokens,
     * banded into `Bands` buckets; docs sharing a (band, bucket) are
@@ -558,8 +562,132 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Incremental INGEST dedup — the dedup member of the delta family
+    * (its 7th, after IVF/PQ/CC/PR/BM25/BPE): the production pattern for
+    * a training-data pipeline is not "dedup the corpus nightly" but
+    * "check each arriving batch against everything already admitted".
+    * The frozen base is a PER-BUCKET SUMMARY of the admitted corpus's
+    * LSH bands — (band, bucket) → (min admitted id, population) — so the
+    * base artifact is O(distinct buckets), not even O(corpus) (ModelCache
+    * "dedup-base"); the delta batch hashes ALONE (O(delta) MinhashSig
+    * kernel work) and each delta doc reports its keeper candidate, its
+    * probe workload, and the EXACT token-set Jaccard against the keeper.
+    *
+    * THE SCALE LESSON (learned on the clone-saturated 10× dir): the
+    * naive formulation — join delta bands against all bands and
+    * enumerate (delta, smaller-id) pairs — is quadratic in the hottest
+    * bucket's population (a 40k-doc clone bucket × its delta members =
+    * hundreds of millions of rows on ONE join key; 8 minutes at 10×).
+    * The pair join is UNNECESSARY: ids are split-partitioned (every
+    * admitted id < split ≤ every delta id), so per bucket the base
+    * contributes `population` smaller ids and `min id` as its best
+    * keeper in O(1) from the frozen summary, and within the delta the
+    * smaller-id count is just rank-1 by a per-bucket window (sort, not
+    * pairs). dup_of = min over the doc's buckets of (base min, delta
+    * bucket min when not first); n_probes = Σ per-bucket smaller-id
+    * counts (a multiset census of the probe workload — the quantity a
+    * deployment budgets). No pair set is ever materialized; the exact
+    * verify fetches two token sets for ONE pair per flagged doc. The
+    * ORACLE runs the identical window/pre-agg formulation on the
+    * full-corpus banding: probe-the-frozen-base == rebuild, proven by
+    * the shared hash and a local recompute spec. */
+  val dedupDelta: Q = {
+    val Sentinel = Long.MaxValue
+    Q(
+      "q_dedup_delta",
+      s"""WITH $sigBandsCteSql,
+         |sp AS (SELECT 7 * max(doc_id) // 8 AS sp FROM documents),
+         |bb AS (SELECT band, bucket, CAST(min(doc_id) AS BIGINT) AS b_min,
+         |         CAST(count(*) AS BIGINT) AS b_cnt
+         |       FROM bands CROSS JOIN sp WHERE doc_id < sp.sp GROUP BY 1, 2),
+         |db AS (SELECT doc_id, band, bucket,
+         |         CAST(row_number() OVER (
+         |           PARTITION BY band, bucket ORDER BY doc_id) AS BIGINT) AS rk,
+         |         CAST(min(doc_id) OVER (PARTITION BY band, bucket) AS BIGINT)
+         |           AS d_min
+         |       FROM bands CROSS JOIN sp WHERE doc_id >= sp.sp),
+         |per AS (SELECT db.doc_id AS did,
+         |    coalesce(bb.b_cnt, 0) + db.rk - 1 AS n_smaller,
+         |    least(coalesce(bb.b_min, ${Sentinel}),
+         |      CASE WHEN db.rk > 1 THEN db.d_min ELSE ${Sentinel} END) AS mc
+         |  FROM db LEFT JOIN bb ON bb.band = db.band AND bb.bucket = db.bucket),
+         |agg AS (SELECT did,
+         |    CAST(CASE WHEN min(mc) = ${Sentinel} THEN NULL
+         |         ELSE min(mc) END AS BIGINT) AS dup_of,
+         |    CAST(sum(n_smaller) AS BIGINT) AS n_probes
+         |  FROM per GROUP BY did),
+         |tsets AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS ts
+         |          FROM documents),
+         |ver AS (SELECT g.did, g.dup_of, g.n_probes,
+         |  CAST((len(list_intersect(tb.ts, ta.ts)) * 1000000) //
+         |       (len(tb.ts) + len(ta.ts) - len(list_intersect(tb.ts, ta.ts)))
+         |    AS BIGINT) AS jac_ppm
+         |  FROM agg g JOIN tsets tb ON tb.doc_id = g.did
+         |             JOIN tsets ta ON ta.doc_id = g.dup_of)
+         |SELECT d.doc_id, v.dup_of,
+         |  CAST(coalesce(a2.n_probes, 0) AS BIGINT) AS n_probes, v.jac_ppm
+         |FROM documents d CROSS JOIN sp
+         |LEFT JOIN agg a2 ON a2.did = d.doc_id
+         |LEFT JOIN ver v ON v.did = d.doc_id
+         |WHERE d.doc_id >= sp.sp
+         |ORDER BY d.doc_id""".stripMargin
+    ) { (s, d) =>
+      val docs = T.documents(s, d).select(col("doc_id"), col("text"))
+      val (splitId, baseAgg) = graft.core.ModelCache.getOrTrain(
+        s, "dedup-base", s"$d/documents.parquet") {
+        val maxRow = docs.agg(max(col("doc_id"))).head()
+        val maxId = if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0)
+        val sp = 7L * maxId / 8L
+        val agg = bandsOfDocs(s, docs.filter(col("doc_id") < sp))
+          .groupBy("band", "bucket")
+          .agg(min(col("doc_id")).as("b_min"), count(lit(1)).as("b_cnt"))
+          .localCheckpoint()
+        (sp, agg)
+      }
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("band", "bucket")
+      val db = bandsOfDocs(s, docs.filter(col("doc_id") >= splitId))
+        .withColumn("rk",
+          row_number().over(w.orderBy("doc_id")).cast(LongType))
+        .withColumn("d_min", min(col("doc_id")).over(w))
+      val per = db
+        .join(baseAgg, Seq("band", "bucket"), "left")
+        .select(col("doc_id").as("did"),
+          (coalesce(col("b_cnt"), lit(0L)) + col("rk") - 1L).as("n_smaller"),
+          least(coalesce(col("b_min"), lit(Sentinel)),
+            when(col("rk") > 1L, col("d_min")).otherwise(Sentinel)).as("mc"))
+      val agg = per.groupBy("did")
+        .agg(min(col("mc")).as("m"), sum(col("n_smaller")).as("n_probes"))
+        .select(col("did"),
+          when(col("m") === Sentinel, lit(null).cast(LongType))
+            .otherwise(col("m")).as("dup_of"),
+          col("n_probes"))
+      val tsets = docs
+        .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("ts"))
+      val inter = size(array_intersect(col("tsb"), col("tsa"))).cast(LongType)
+      val union = size(col("tsb")).cast(LongType) +
+        size(col("tsa")).cast(LongType) - inter
+      val ver = agg.filter(col("dup_of").isNotNull)
+        .join(tsets.select(col("doc_id").as("did"), col("ts").as("tsb")), Seq("did"))
+        .join(tsets.select(col("doc_id").as("dup_of"), col("ts").as("tsa")),
+          Seq("dup_of"))
+        .withColumn("n_inter", inter)
+        .withColumn("n_union", union)
+        .select(col("did"), col("dup_of"),
+          expr("(n_inter * 1000000) div n_union").as("jac_ppm"))
+      docs.filter(col("doc_id") >= splitId).select(col("doc_id"))
+        .join(agg.select(col("did").as("doc_id"), col("n_probes")),
+          Seq("doc_id"), "left")
+        .join(ver.select(col("did").as("doc_id"), col("dup_of"), col("jac_ppm")),
+          Seq("doc_id"), "left")
+        .select(col("doc_id"), col("dup_of"),
+          coalesce(col("n_probes"), lit(0L)).as("n_probes"), col("jac_ppm"))
+        .orderBy("doc_id")
+    }
+  }
+
   val all: Seq[Q] =
     Seq(dedupMinhash, dedupSimhash, ngramJaccard, simhashHamming,
       dedupEditDistance, neardupPipeline, dedupClusters, dedupReport,
-      minhashJaccardEst, substringDedup, substringScrub)
+      minhashJaccardEst, substringDedup, substringScrub, dedupDelta)
 }

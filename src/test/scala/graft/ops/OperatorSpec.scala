@@ -636,6 +636,53 @@ class OperatorSpec extends SparkSuite {
     }
   }
 
+  test("q_dedup_delta matches a local full-banding recompute (probe-frozen-base == rebuild)") {
+    import org.apache.spark.sql.functions.{col, split => fsplit}
+    // local truth: band the WHOLE corpus with the same kernel + band-key
+    // encoding, then restrict to delta docs — the frozen-base probe must
+    // see exactly these candidates
+    val sig = graft.core.Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        graft.functions.MinhashSig.sig(spark, fsplit(col("text"), " "), 8).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val buckets = sig.toSeq.flatMap { case (id, sg) =>
+      (0 until 4).map(b => (b, md5hex(s"${sg(2 * b)},${sg(2 * b + 1)}")) -> id) }
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val maxId = sig.keys.max
+    val sp = 7L * maxId / 8L
+    val texts = graft.core.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").toSet).toMap
+    val expected = sig.keys.filter(_ >= sp).map { did =>
+      val myBuckets = buckets.filter(_._2.contains(did))
+      // probe workload: per-bucket MULTISET count of smaller ids
+      val nProbes = myBuckets.values
+        .map(ms => ms.count(_ < did).toLong).sum
+      val cands = myBuckets.values.flatten.filter(_ < did).toSet
+      val dup = if (cands.isEmpty) None else {
+        val dupOf = cands.min
+        val (a, b) = (texts(did), texts(dupOf))
+        val inter = (a & b).size.toLong
+        val union = a.size + b.size - inter
+        Some((dupOf, inter * 1000000L / union))
+      }
+      did -> ((nProbes, dup))
+    }.toMap
+    val got = run("q_dedup_delta").collect().map { r =>
+      r.getLong(0) -> ((r.getLong(2), if (r.isNullAt(1)) None
+        else Some((r.getLong(1), r.getLong(3)))))
+    }.toMap
+    assert(got.keySet == expected.keySet, "one row per delta doc")
+    expected.foreach { case (id, e) =>
+      assert(got(id) == e, s"doc $id: got ${got(id)} expected $e")
+    }
+    assert(expected.values.exists(_._2.isDefined),
+      "fixture must flag at least one near-dup")
+  }
+
   test("q_bpe_delta: incremental histogram merge trains the identical vocabulary (bit-parity with full)") {
     // the delta path merges a frozen base histogram with the delta docs'
     // tokenization; by the histogram monoid the merged counts equal the
