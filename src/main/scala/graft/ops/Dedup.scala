@@ -51,7 +51,7 @@ object Dedup {
     * signature (one token-array walk per doc, map-side) exploded into
     * (doc_id, band, bucket). Parameterized by the doc set so
     * q_dedup_delta can band ONLY its delta docs. */
-  private def bandsOfDocs(s: SparkSession, docs: DataFrame): DataFrame = {
+  private[graft] def bandsOfDocs(s: SparkSession, docs: DataFrame): DataFrame = {
     val sig = docs
       .select(col("doc_id"),
         graft.functions.MinhashSig.sig(s, split(col("text"), " "), K).as("sig"))
@@ -591,6 +591,22 @@ object Dedup {
     * ORACLE runs the identical window/pre-agg formulation on the
     * full-corpus banding: probe-the-frozen-base == rebuild, proven by
     * the shared hash and a local recompute spec. */
+  /** The frozen ingest-dedup artifact, shared by q_dedup_delta and the
+    * streaming admission gate (Stateful.dedupGate): (split id, per-bucket
+    * (b_min, b_cnt) summary of the admitted corpus's LSH bands). */
+  private[graft] def dedupBase(s: SparkSession, d: String): (Long, DataFrame) =
+    graft.core.ModelCache.getOrTrain(s, "dedup-base", s"$d/documents.parquet") {
+      val docs = T.documents(s, d).select(col("doc_id"), col("text"))
+      val maxRow = docs.agg(max(col("doc_id"))).head()
+      val maxId = if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0)
+      val sp = 7L * maxId / 8L
+      val agg = bandsOfDocs(s, docs.filter(col("doc_id") < sp))
+        .groupBy("band", "bucket")
+        .agg(min(col("doc_id")).as("b_min"), count(lit(1)).as("b_cnt"))
+        .localCheckpoint()
+      (sp, agg)
+    }
+
   val dedupDelta: Q = {
     val Sentinel = Long.MaxValue
     Q(
@@ -633,17 +649,7 @@ object Dedup {
          |ORDER BY d.doc_id""".stripMargin
     ) { (s, d) =>
       val docs = T.documents(s, d).select(col("doc_id"), col("text"))
-      val (splitId, baseAgg) = graft.core.ModelCache.getOrTrain(
-        s, "dedup-base", s"$d/documents.parquet") {
-        val maxRow = docs.agg(max(col("doc_id"))).head()
-        val maxId = if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0)
-        val sp = 7L * maxId / 8L
-        val agg = bandsOfDocs(s, docs.filter(col("doc_id") < sp))
-          .groupBy("band", "bucket")
-          .agg(min(col("doc_id")).as("b_min"), count(lit(1)).as("b_cnt"))
-          .localCheckpoint()
-        (sp, agg)
-      }
+      val (splitId, baseAgg) = dedupBase(s, d)
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("band", "bucket")
       val db = bandsOfDocs(s, docs.filter(col("doc_id") >= splitId))

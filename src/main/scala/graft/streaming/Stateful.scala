@@ -472,6 +472,45 @@ object Stateful {
       }.toDF()
   }
 
+  final case class DedupProbe(doc_id: Long,
+      b_min: Option[Long], b_cnt: Option[Long])
+  final case class DedupVerdict(doc_id: Long,
+      dup_of: Option[Long], n_probes: Long)
+
+  /** s_stream_admission: ingest-side near-dup ADMISSION gate — the streaming
+    * twin of q_dedup_delta with the frozen per-bucket base summary
+    * (Dedup.dedupBase — the SAME ModelCache artifact the batch operator
+    * serves from): each arriving document MinHash-bands map-side (the
+    * codegen'd kernel), stream-static-left-joins the O(distinct buckets)
+    * summary on (band, bucket), and regroups per doc with no retained
+    * state (the lmGate/bpeGate shape). The verdict per doc: the keeper
+    * candidate among ADMITTED docs (min b_min over its buckets) and the
+    * admitted-probe workload (Σ b_cnt). Intra-batch duplicates are out
+    * of the gate's scope by design — they are the batch compactor's job
+    * at the next base refreeze (the same division q_dedup_delta's
+    * split-partitioned formulation makes exact); StatefulSpec proves the
+    * gate's base-side verdict is bit-identical to a base-only recompute
+    * across micro-batch boundaries. */
+  def dedupGate(docs: DataFrame, baseAgg: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    graft.ops.Dedup.bandsOfDocs(s, docs)
+      .join(baseAgg, Seq("band", "bucket"), "left")
+      .select(col("doc_id"), col("b_min"), col("b_cnt")).as[DedupProbe]
+      .groupByKey(_.doc_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (docId: Long, rows: Iterator[DedupProbe], _: GroupState[Boolean]) =>
+          var best = Long.MaxValue
+          var probes = 0L
+          rows.foreach { r =>
+            r.b_min.foreach(m => if (m < best) best = m)
+            probes += r.b_cnt.getOrElse(0L)
+          }
+          Iterator.single(DedupVerdict(docId,
+            if (best == Long.MaxValue) None else Some(best), probes))
+      }.toDF()
+  }
+
   final case class BpeRow(doc_id: Long, word: String, n_sub: Option[Long])
   final case class BpeScore(doc_id: Long, n_words: Long, n_subtok: Long,
       n_chars: Long, comp_ppm: Long, n_oov: Long)

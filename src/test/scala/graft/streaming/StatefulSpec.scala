@@ -680,6 +680,57 @@ class StatefulSpec extends SparkSuite {
     assert(rows.forall(_.getLong(5) == 0L), "n_oov must be 0 in-corpus")
   }
 
+  test("s_stream_admission: frozen-base verdicts match a base-only recompute across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.{col, split => fsplit}
+    val sf = "/root/testdata/sf0.001"
+    val (splitId, baseAgg) = graft.ops.Dedup.dedupBase(spark, sf)
+    // local truth: band the BASE corpus with the same kernel, keep per-
+    // bucket (min, count), probe each delta doc's 4 buckets
+    val sig = graft.core.Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        graft.functions.MinhashSig.sig(spark, fsplit(col("text"), " "), 8).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    def md5hex(x: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def bucketsOf(id: Long): Seq[(Int, String)] = {
+      val sg = sig(id)
+      (0 until 4).map(b => (b, md5hex(s"${sg(2 * b)},${sg(2 * b + 1)}")))
+    }
+    val baseSummary = sig.keys.filter(_ < splitId).toSeq
+      .flatMap(id => bucketsOf(id).map(_ -> id))
+      .groupBy(_._1).view.mapValues(ids => (ids.map(_._2).min, ids.size.toLong))
+      .toMap
+    val delta = spark.read.parquet(s"$sf/documents.parquet")
+      .filter(col("doc_id") >= splitId)
+      .select($"doc_id", $"text").as[(Long, String)]
+      .collect().toSeq.sortBy(_._1)
+    assert(delta.nonEmpty)
+    val in = MemoryStream[(Long, String)]
+    val q = Stateful.dedupGate(in.toDS().toDF("doc_id", "text"), baseAgg)
+      .writeStream.format("memory").queryName("dedup_gate")
+      .outputMode(OutputMode.Append).start()
+    val (b1, b2) = delta.splitAt(delta.size / 2)
+    in.addData(b1)
+    q.processAllAvailable()
+    in.addData(b2)
+    q.processAllAvailable()
+    val got = spark.table("dedup_gate").collect().map { r =>
+      r.getLong(0) -> ((if (r.isNullAt(1)) None else Some(r.getLong(1))),
+        r.getLong(2))
+    }.toMap
+    q.stop()
+    assert(got.keySet == delta.map(_._1).toSet, "one verdict per arriving doc")
+    delta.foreach { case (id, _) =>
+      val hits = bucketsOf(id).flatMap(baseSummary.get)
+      val want = (hits.map(_._1).minOption, hits.map(_._2).sum)
+      assert(got(id) == want, s"doc $id: ${got(id)} != $want")
+    }
+    assert(got.values.exists(_._1.isDefined),
+      "fixture must flag at least one admitted-corpus near-dup")
+  }
+
   test("s_stream_frames: the stateless extraction transform runs unchanged at ingest, row-identical to batch") {
     implicit val sqlCtx = spark.sqlContext
     val sf = "/root/testdata/sf0.001"
