@@ -12,14 +12,65 @@ import org.apache.spark.sql.SparkSession
   */
 object Maintenance {
 
+  /** Crash recovery for [[rewriteSwap]]'s two-rename window: a crash (or
+    * a streaming-query stop interrupting the maintenance hook) between
+    * `rename(path → old)` and `rename(tmp → path)` leaves the data
+    * intact but NOT AT ITS PATH — the original survives at
+    * `<dir>__compact_old`. Every swap site calls this first, and state
+    * READERS may call it before listing versions, so a replayed batch
+    * sees the restored dir rather than silently reading an older
+    * version. Rules (each debris state maps to exactly one):
+    *  - path missing, old present  → the swap was interrupted mid-window:
+    *    restore the original (rename old → path), drop any tmp;
+    *  - path present, old present  → the swap completed but the cleanup
+    *    crashed: drop old;
+    *  - path present, tmp present  → the crash predates the swap: drop tmp.
+    * Returns true when any debris was found and handled. */
+  def recoverSwapDebris(spark: SparkSession, dir: String): Boolean = {
+    val path = new Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new Path(dir + "__compact_tmp")
+    val old = new Path(dir + "__compact_old")
+    val (hasPath, hasOld, hasTmp) = (fs.exists(path), fs.exists(old), fs.exists(tmp))
+    if (!hasPath && hasOld) {
+      require(fs.rename(old, path), s"debris recovery: rename $old -> $path failed")
+      if (hasTmp) fs.delete(tmp, true)
+      true
+    } else if (hasPath && hasOld) {
+      fs.delete(old, true); if (hasTmp) fs.delete(tmp, true); true
+    } else if (hasPath && hasTmp) {
+      fs.delete(tmp, true); true
+    } else false
+  }
+
+  /** Sweep a PARENT dir (e.g. a diff-state root of `v=N` leaves) for
+    * interrupted-swap debris and recover each affected leaf — called by
+    * the CDC tick BEFORE it reads state, so a crash mid-compact can
+    * never make a replayed diff silently read an older version. Returns
+    * the recovered leaf paths. */
+  def recoverAllSwapDebris(spark: SparkSession, parentDir: String): Seq[String] = {
+    val p = new Path(parentDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return Seq.empty
+    val suffix = "(__compact_old|__compact_tmp)$".r
+    fs.listStatus(p).toSeq.filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .flatMap(n => suffix.findFirstIn(n).map(sfx => n.stripSuffix(sfx)))
+      .distinct
+      .filter(base => recoverSwapDebris(spark, s"$parentDir/$base"))
+      .map(base => s"$parentDir/$base")
+  }
+
   /** Shared rewrite-and-swap: reshape a LEAF parquet dir through `build`
     * into a sibling tmp dir, then swap via two renames (the window where
     * neither dir exists is the same one every non-transactional rewriter
-    * has; a crashed swap leaves either the original or the rewritten dir
-    * intact plus debris dirs to clean). Returns (filesBefore, filesAfter). */
+    * has; a crashed swap leaves the data intact at a debris path —
+    * [[recoverSwapDebris]], called here first, restores it). Returns
+    * (filesBefore, filesAfter). */
   private def rewriteSwap(spark: SparkSession, dir: String)(
       build: (org.apache.spark.sql.DataFrame, Long) => org.apache.spark.sql.DataFrame)
       : (Int, Int) = {
+    recoverSwapDebris(spark, dir)
     val path = new Path(dir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val entries = fs.listStatus(path).toSeq

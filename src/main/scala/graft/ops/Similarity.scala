@@ -1176,7 +1176,104 @@ object Similarity {
       .orderBy("qid")
   }
 
+  /** Graded rank eval (NDCG@10) over the trained-IVF channel — the
+    * third member of the channel eval family next to recall@k (set
+    * membership) and MRR (first-relevant position): NDCG weighs EVERY
+    * relevant item by where the channel ranks it, so a channel that
+    * surfaces the top-3 truths at ranks 1/2/3 separates from one that
+    * buries the second truth at rank 9 (recall@10 and MRR call those
+    * equal). Truth per query (16..20, the IVF eval convention): the
+    * exact global top-3 neighbors by rounded cosine, graded 3/2/1.
+    * Discount weights are an INTEGER LUT — W(r) = round(1e6 / log2(r+1))
+    * for r = 1..10 as literals in both engines — because a float log
+    * crosses engines but a shared literal table cannot diverge; DCG in
+    * LUT units, NDCG in exact-integer ppm against the closed-form ideal
+    * 3·W(1) + 2·W(2) + 1·W(3).
+    *
+    * Scale shape: the exact side is the broadcast-5-query scan every
+    * eval pays (localCheckpointed once, feeding the truth pick AND the
+    * channel ranking — the q_mrr_eval shape); channel candidates are
+    * cell-local; the LUT join is a literal CASE, no table at all. */
+  val ndcgEval: Q = {
+    val W = Seq(1000000L, 630930L, 500000L, 430677L, 386853L,
+      356207L, 333333L, 315465L, 301030L, 289065L)
+    val idcg = 3 * W(0) + 2 * W(1) + 1 * W(2)
+    val wCaseSql = (1 to 10)
+      .map(r => s"WHEN $r THEN ${W(r - 1)}").mkString(" ")
+    Q(
+      "q_ndcg_eval",
+      s"""WITH $ivfCtesSql,
+         |ex AS (SELECT q.vec_id AS qid, b.vec_id AS cand,
+         |    round(list_inner_product(q.e, b.e) / (q.vn * b.vn), 6) AS score
+         |  FROM v q JOIN v b ON b.vec_id != q.vec_id
+         |  WHERE q.vec_id BETWEEN 16 AND 20),
+         |truth AS (SELECT qid, cand, CAST(4 - rn AS BIGINT) AS grade FROM (
+         |  SELECT qid, cand,
+         |    row_number() OVER (PARTITION BY qid ORDER BY score DESC, cand) AS rn
+         |  FROM ex) WHERE rn <= 3),
+         |qa AS (SELECT vec_id AS qid, cid FROM $AFinal WHERE vec_id BETWEEN 16 AND 20),
+         |chan AS (SELECT c.qid, c.cand,
+         |    row_number() OVER (PARTITION BY c.qid ORDER BY e.score DESC, c.cand) AS rn
+         |  FROM (SELECT qa.qid, a.vec_id AS cand FROM qa
+         |        JOIN $AFinal a ON a.cid = qa.cid AND a.vec_id != qa.qid) c
+         |  JOIN ex e ON e.qid = c.qid AND e.cand = c.cand),
+         |hits AS (SELECT t.qid,
+         |    CAST(count(*) AS BIGINT) AS nf,
+         |    CAST(sum(t.grade * (CASE ch.rn $wCaseSql END)) AS BIGINT) AS dcg
+         |  FROM truth t JOIN chan ch ON ch.qid = t.qid AND ch.cand = t.cand
+         |  WHERE ch.rn <= 10 GROUP BY t.qid)
+         |SELECT q.qid,
+         |  CAST(coalesce(h.nf, 0) AS BIGINT) AS n_found,
+         |  CAST(coalesce(h.dcg, 0) AS BIGINT) AS dcg_u,
+         |  CAST((coalesce(h.dcg, 0) * 1000000) // $idcg AS BIGINT) AS ndcg_ppm
+         |FROM (SELECT DISTINCT qid FROM truth) q
+         |LEFT JOIN hits h ON h.qid = q.qid
+         |ORDER BY q.qid""".stripMargin
+    ) { (s, d) =>
+      def dotF(a: Column, b: Column): Column =
+        graft.functions.VectorOps.vecDot(s, a, b)
+      val (parts, _) = trainedParts(s, d)
+      val base = T.embeddings(s, d)
+        .select(col("vec_id"), col("embedding"),
+          sqrt(dotF(col("embedding"), col("embedding"))).as("nrm"))
+      val q = base.filter(col("vec_id").between(16, 20))
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("nrm").as("qn"))
+      val ex = base.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id").as("cand"),
+          round(dotF(col("embedding"), col("qe")) / (col("nrm") * col("qn")), 6)
+            .as("score"))
+        .localCheckpoint()
+      val w = Window.partitionBy("qid").orderBy(col("score").desc, col("cand").asc)
+      val truth = ex.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("qid"), col("cand"), (lit(4L) - col("rn")).as("grade"))
+      val qa = parts.assign.filter(col("vec_id").between(16, 20))
+        .select(col("vec_id").as("qid"), col("cid"))
+      val chan = qa
+        .join(parts.assign.select(col("vec_id").as("cand"), col("cid")), Seq("cid"))
+        .filter(col("cand") =!= col("qid")).select("qid", "cand")
+        .join(ex, Seq("qid", "cand"))
+        .withColumn("rn", row_number().over(w))
+      val wExpr = expr("CASE rn " + (1 to 10)
+        .map(r => s"WHEN $r THEN ${W(r - 1)}L").mkString(" ") + " END")
+      val hits = truth.join(chan.select(col("qid"), col("cand"), col("rn")),
+          Seq("qid", "cand"))
+        .filter(col("rn") <= 10)
+        .groupBy("qid")
+        .agg(count(lit(1)).as("nf"),
+          sum(col("grade") * wExpr).as("dcg"))
+      truth.select("qid").distinct()
+        .join(hits, Seq("qid"), "left")
+        .select(col("qid"),
+          coalesce(col("nf"), lit(0L)).as("n_found"),
+          coalesce(col("dcg"), lit(0L)).as("dcg_u"),
+          expr(s"(coalesce(dcg, 0) * 1000000) div $idcg").as("ndcg_ppm"))
+        .orderBy("qid")
+    }
+  }
+
   val all: Seq[Q] = Seq(similarityLsh, embedNearDup, lshRecall, similarityIvf,
     annRecall, semDedup, ivfCensus, ivfAssignDelta, embedQuantize, vectorStats,
-    knnGraph, filteredAnn, mrrEval)
+    knnGraph, filteredAnn, mrrEval, ndcgEval)
 }

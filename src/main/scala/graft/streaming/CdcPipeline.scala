@@ -538,6 +538,14 @@ object CdcPipeline {
         // listings pinned next to the checkpoint: epoch stability across
         // crash-replay comes from re-reading the pinned file set
         val listingDir = s"$checkpointDir-listing"
+        // recover any compact swap a crash/stop interrupted BEFORE this
+        // tick reads diff state — else the replay silently diffs against
+        // an older version (the v=N dir is at its __compact_old debris
+        // path during the two-rename window)
+        if (maintainEveryEpochs > 0)
+          tables.filter(_.mode == "diff").foreach { cfg =>
+            graft.core.Maintenance.recoverAllSwapDebris(spark, diffStateDir(cfg))
+          }
         pollTickAll(spark, tables, epoch = id, listingDir = Some(listingDir))
         if (maintainEveryEpochs > 0 && id > 0 && id % maintainEveryEpochs == 0) {
           tables.filter(_.mode == "diff").foreach { cfg =>

@@ -180,4 +180,54 @@ class MaintenanceSpec extends SparkSuite {
     assert(Maintenance.pruneVersions(spark, vdir, keep = 1) == Seq(0L, 1L))
     assert(Files.exists(Paths.get(s"$vdir/v=backup")))
   }
+
+  test("recoverSwapDebris: each interrupted-swap state restores the leaf intact") {
+    import java.nio.file.{Files, Paths}
+    val root = tmpDir("swapdebris") + "/state"
+    def mkLeaf(name: String): String = {
+      val leaf = s"$root/$name"
+      spark.range(5).toDF("id").coalesce(1)
+        .write.mode("overwrite").parquet(leaf)
+      leaf
+    }
+    def rows(leaf: String): Set[Long] =
+      spark.read.parquet(leaf).collect().map(_.getLong(0)).toSet
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+    // state A: crash between the two renames — data only at __compact_old
+    val a = mkLeaf("v=1")
+    fs.rename(new org.apache.hadoop.fs.Path(a),
+      new org.apache.hadoop.fs.Path(a + "__compact_old"))
+    Files.createDirectories(Paths.get(a + "__compact_tmp"))
+    assert(Maintenance.recoverSwapDebris(spark, a), "debris must be detected")
+    assert(rows(a) == (0L until 5L).toSet, "original content restored at path")
+    assert(!Files.exists(Paths.get(a + "__compact_old")))
+    assert(!Files.exists(Paths.get(a + "__compact_tmp")))
+
+    // state B: swap completed, cleanup crashed — path + old both present
+    val b = mkLeaf("v=2")
+    Files.createDirectories(Paths.get(b + "__compact_old"))
+    assert(Maintenance.recoverSwapDebris(spark, b))
+    assert(rows(b) == (0L until 5L).toSet)
+    assert(!Files.exists(Paths.get(b + "__compact_old")))
+
+    // state C: crash before the swap — path + tmp
+    val c = mkLeaf("v=3")
+    Files.createDirectories(Paths.get(c + "__compact_tmp"))
+    assert(Maintenance.recoverSwapDebris(spark, c))
+    assert(rows(c) == (0L until 5L).toSet)
+    assert(!Files.exists(Paths.get(c + "__compact_tmp")))
+
+    // clean leaf: nothing to do
+    assert(!Maintenance.recoverSwapDebris(spark, c))
+
+    // parent sweep finds and recovers a debris leaf among clean ones
+    val d = mkLeaf("v=4")
+    fs.rename(new org.apache.hadoop.fs.Path(d),
+      new org.apache.hadoop.fs.Path(d + "__compact_old"))
+    val recovered = Maintenance.recoverAllSwapDebris(spark, root)
+    assert(recovered == Seq(d), s"sweep must recover exactly the debris leaf: $recovered")
+    assert(rows(d) == (0L until 5L).toSet)
+  }
 }

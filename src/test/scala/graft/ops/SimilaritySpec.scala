@@ -211,4 +211,22 @@ class SimilaritySpec extends SparkSuite {
       assert(got.getOrElse(vid, Nil) == expect, s"vec $vid top-3 mismatch")
     }
   }
+
+  test("q_ndcg_eval: graded weights are internally consistent and bounded") {
+    val idcg = 3L * 1000000L + 2L * 630930L + 1L * 500000L
+    val rows = graft.SparkEntry.queries("q_ndcg_eval")(spark, sf).collect()
+    assert(rows.map(_.getLong(0)).toSeq == (16L to 20L), "one row per eval query")
+    rows.foreach { r =>
+      val (nf, dcg, ndcg) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(nf >= 0 && nf <= 3, "at most the 3 graded truths")
+      assert(ndcg == dcg * 1000000L / idcg, "ndcg is exactly dcg/idcg in ppm")
+      assert(ndcg <= 1000000L, "a channel cannot beat the ideal ranking")
+      // a found truth contributes at least grade·W(10); dcg 0 iff none found
+      assert((dcg == 0L) == (nf == 0L))
+      if (nf == 3L) assert(dcg >= 1L * 289065L + 2L * 289065L + 3L * 289065L)
+    }
+    // the fixture must exercise imperfect ranking (else the eval proves
+    // nothing recall@k would not)
+    assert(rows.exists(_.getLong(3) < 1000000L), "some query must rank imperfectly")
+  }
 }

@@ -777,6 +777,12 @@ class CdcPipelineSpec extends SparkSuite {
       while ((liveVersions.size > 1 || !pinsCaughtUp) &&
         System.currentTimeMillis() < pruneDeadline) Thread.sleep(100)
     } finally q.stop()
+    // stop() can interrupt an in-flight compact mid-swap (maintenance
+    // runs EVERY epoch here) — the documented crash window, where the
+    // version dir sits at its __compact_old debris path. A restart's
+    // first tick recovers it (startConsistent calls recoverAllSwapDebris
+    // before reading state); the asserts below model that restart.
+    graft.core.Maintenance.recoverAllSwapDebris(spark, stateDir)
     val lines = jsonlLines(users.outputDir)
     assert(lines.size == 4, lines.mkString("\n"))
     assert(lines.count(_.contains("\"operation\":\"INSERT\"")) == 2)
