@@ -96,6 +96,18 @@ object Bench {
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("bench_queries.json"), fullLine)
     catch { case e: Throwable => System.err.println(s"[bench] file dump failed: ${e.getMessage}") }
+    // Round-11 judge ask #6: bench_queries.json is overwritten per run, so
+    // a round's full per-query map only survived if it happened to be the
+    // last run before commit. Append every run (timestamped, sf-tagged) to
+    // a history log that IS committed — any future round can diff any
+    // query rN → rN+1 from repo artifacts alone, regardless of how many
+    // local iterations overwrote the snapshot file.
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("bench_history.jsonl"),
+      s"""{"ts":"${java.time.Instant.now()}","line":$fullLine}\n""",
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.APPEND)
+    catch { case e: Throwable => System.err.println(s"[bench] history append failed: ${e.getMessage}") }
     println(fullLine)
     val slowest = results.toSeq.sortBy(-_._2).take(20)
     // failures record -1 and would sort LAST — invisible in the only line

@@ -47,18 +47,34 @@ object Maintenance {
     * interrupted-swap debris and recover each affected leaf — called by
     * the CDC tick BEFORE it reads state, so a crash mid-compact can
     * never make a replayed diff silently read an older version. Returns
-    * the recovered leaf paths. */
+    * the recovered leaf paths.
+    *
+    * Per-leaf failures do NOT abort the sweep: one stuck leaf (a failed
+    * restore rename — permissions, a concurrent writer) must not block
+    * recovery of every later leaf before state is read. Failures are
+    * collected and rethrown AFTER the sweep, naming every stuck leaf, so
+    * the tick still refuses to run against unrecovered state but the
+    * operator sees the full damage report and the recoverable leaves are
+    * already recovered. */
   def recoverAllSwapDebris(spark: SparkSession, parentDir: String): Seq[String] = {
     val p = new Path(parentDir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) return Seq.empty
     val suffix = "(__compact_old|__compact_tmp)$".r
-    fs.listStatus(p).toSeq.filter(_.isDirectory)
+    val leaves = fs.listStatus(p).toSeq.filter(_.isDirectory)
       .map(_.getPath.getName)
       .flatMap(n => suffix.findFirstIn(n).map(sfx => n.stripSuffix(sfx)))
       .distinct
-      .filter(base => recoverSwapDebris(spark, s"$parentDir/$base"))
-      .map(base => s"$parentDir/$base")
+    val attempts = leaves.map { base =>
+      val leaf = s"$parentDir/$base"
+      leaf -> scala.util.Try(recoverSwapDebris(spark, leaf))
+    }
+    val failed = attempts.collect { case (leaf, scala.util.Failure(e)) =>
+      s"$leaf (${e.getMessage})" }
+    if (failed.nonEmpty) throw new IllegalStateException(
+      s"swap-debris recovery failed for ${failed.size} leaf(s): " +
+        failed.mkString("; "))
+    attempts.collect { case (leaf, scala.util.Success(true)) => leaf }
   }
 
   /** Shared rewrite-and-swap: reshape a LEAF parquet dir through `build`

@@ -541,11 +541,14 @@ object CdcPipeline {
         // recover any compact swap a crash/stop interrupted BEFORE this
         // tick reads diff state — else the replay silently diffs against
         // an older version (the v=N dir is at its __compact_old debris
-        // path during the two-rename window)
-        if (maintainEveryEpochs > 0)
-          tables.filter(_.mode == "diff").foreach { cfg =>
-            graft.core.Maintenance.recoverAllSwapDebris(spark, diffStateDir(cfg))
-          }
+        // path during the two-rename window). UNCONDITIONAL: debris
+        // existence, not the current maintenance setting, is what
+        // matters — a pipeline that crashed mid-swap under maintenance
+        // and restarted with maintenance disabled must still recover
+        // (the sweep is one cheap listStatus when there is no debris).
+        tables.filter(_.mode == "diff").foreach { cfg =>
+          graft.core.Maintenance.recoverAllSwapDebris(spark, diffStateDir(cfg))
+        }
         pollTickAll(spark, tables, epoch = id, listingDir = Some(listingDir))
         if (maintainEveryEpochs > 0 && id > 0 && id % maintainEveryEpochs == 0) {
           tables.filter(_.mode == "diff").foreach { cfg =>

@@ -602,13 +602,19 @@ object Stateful {
     * far (StatefulSpec pins parity against a driver-side union-find, and
     * a layer-size spec pins the O(touched) write). */
   def componentsStream(edges: DataFrame, stateDir: String,
-      compactEvery: Int = 8): org.apache.spark.sql.streaming.StreamingQuery =
+      compactEvery: Int = 8): org.apache.spark.sql.streaming.StreamingQuery = {
+    // validate up front: 0 would crash every batch with a bare
+    // ArithmeticException (modulo by zero) and a negative value would
+    // never write a _FULL layer after batch 0 — silently disabling
+    // retention forever
+    require(compactEvery > 0, s"compactEvery must be > 0, got $compactEvery")
     edges.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         componentsMergeBatch(batch, stateDir, batchId, compactEvery)
         ()
       }
       .start()
+  }
 
   /** The merged current labeling: newest layer wins per node. Layers at
     * or above `below` are ignored (the replay view of that batch). */
@@ -628,6 +634,7 @@ object Stateful {
     * stream). */
   private[graft] def componentsMergeBatch(batch: DataFrame, stateDir: String,
       batchId: Long, compactEvery: Int = 8): Unit = {
+    require(compactEvery > 0, s"compactEvery must be > 0, got $compactEvery")
     val s = batch.sparkSession
     val hPath = new org.apache.hadoop.fs.Path(stateDir)
     val fs = hPath.getFileSystem(s.sparkContext.hadoopConfiguration)
@@ -675,24 +682,39 @@ object Stateful {
     * (df for idf, cf for language-model smoothing) reads fresh values at
     * any moment instead of waiting for the nightly merge. Tokenization
     * is a column-level explode(split(…)) — codegen'd, map-side, no
-    * UDF — and the keyed state per token is THREE counters: df counts
-    * DOCUMENTS containing the token, cf counts occurrences, and maxDoc
-    * is a per-token high-water mark over doc ids. INGEST CONTRACT:
-    * doc ids are assigned monotonically at ingest (the usual
-    * sequence/snowflake id), so a doc already counted for this token can
-    * only re-appear with doc_id ≤ maxDoc — the df increment counts ONLY
-    * batch-distinct docs ABOVE the watermark, which keeps df exact even
-    * when one document's token rows straddle two micro-batches or a doc
-    * is re-delivered (the round-10 ADVICE gap: the old batch-local
-    * distinct double-counted a straddling doc). cf counts every
-    * occurrence row exactly once per delivery (state rollback on replay
-    * is the checkpoint's job). All three are monoidal over batches —
-    * exactly why the final state equals the batch census no matter where
-    * batch boundaries fall (StatefulSpec proves parity over a split
-    * corpus AND under a straddled doc). State is O(vocabulary); the
-    * shuffle key is the token, so each partition owns its tokens — the
+    * UDF — and the keyed state per token is two counters plus a BOUNDED
+    * dedup window: df counts DOCUMENTS containing the token, cf counts
+    * occurrences, and (wm, recent) deduplicate doc arrivals — `recent`
+    * holds the counted doc_ids above the watermark `wm`, capped at
+    * [[IndexReorderWindow]] ids; when it overflows, the smallest ids
+    * are evicted and `wm` advances to the largest evicted id.
+    *
+    * DELIVERY CONTRACT (weaker than round-11's): doc ids are ASSIGNED
+    * monotonically at ingest, but ARRIVAL order may interleave — a
+    * multi-partition source can deliver a lower-id doc's first
+    * occurrence of a token AFTER a higher-id doc already advanced the
+    * token's high-water mark. A bare watermark silently DROPPED that
+    * doc (df permanently undercounts — the round-11 ADVICE gap, which
+    * traded the old straddling-doc overcount for an undercount). The
+    * bounded set makes df exact under any reordering within the
+    * window: a doc's first arrival is counted unless ≥ IndexReorderWindow
+    * DISTINCT higher-id docs of the SAME token were counted before it —
+    * the per-token analogue of a streaming event-time watermark, with
+    * the drop condition explicit instead of silent. Re-deliveries still
+    * count once: an id in `recent` or at/below `wm` (only evicted ids
+    * sit below `wm`, and only already-counted ids are ever evicted) is
+    * never re-counted. cf counts every occurrence row exactly once per
+    * delivery (state rollback on replay is the checkpoint's job). df
+    * and cf stay monoidal over batches — the final state equals the
+    * batch census no matter where batch boundaries fall (StatefulSpec
+    * proves parity over a split corpus, a straddled doc, AND an
+    * out-of-order lower-id arrival). State is O(vocabulary) ids +
+    * O(vocabulary × window) bounded set entries; the shuffle key is
+    * the token, so each partition owns its tokens — the
     * q_token_topk/runningTokenCounts scale shape with a second,
     * doc-level counter. */
+  val IndexReorderWindow: Int = 512
+
   def indexStatsStream(docs: DataFrame): Dataset[TokenIndexStat] = {
     val s = docs.sparkSession
     import s.implicits._
@@ -702,19 +724,28 @@ object Stateful {
       .groupByKey(_.token)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (token: String, rows: Iterator[TokOcc],
-            state: GroupState[(Long, Long, Long)]) =>
-          val (df0, cf0, maxDoc0) = state.getOption.getOrElse((0L, 0L, -1L))
-          val seenNew = scala.collection.mutable.HashSet.empty[Long]
+            state: GroupState[(Long, Long, Long, Seq[Long])]) =>
+          val (df0, cf0, wm0, recent0) =
+            state.getOption.getOrElse((0L, 0L, -1L, Seq.empty[Long]))
+          val recent = scala.collection.mutable.HashSet.empty[Long]
+          recent ++= recent0
+          var df = df0
           var cf = cf0
-          var maxDoc = maxDoc0
+          var wm = wm0
           rows.foreach { r =>
-            if (r.doc_id > maxDoc0) seenNew += r.doc_id
-            if (r.doc_id > maxDoc) maxDoc = r.doc_id
+            if (r.doc_id > wm && recent.add(r.doc_id)) df += 1
             cf += 1
           }
-          val next = (df0 + seenNew.size, cf, maxDoc)
-          state.update(next)
-          Iterator.single(TokenIndexStat(token, next._1, next._2))
+          val kept: Seq[Long] =
+            if (recent.size <= IndexReorderWindow) recent.toSeq
+            else {
+              val sorted = recent.toArray.sorted
+              val nEvict = sorted.length - IndexReorderWindow
+              wm = sorted(nEvict - 1) // largest evicted id
+              sorted.drop(nEvict).toSeq
+            }
+          state.update((df, cf, wm, kept))
+          Iterator.single(TokenIndexStat(token, df, cf))
       }
   }
 

@@ -831,6 +831,55 @@ class StatefulSpec extends SparkSuite {
     assert(fin("gamma") == ((1L, 1L)), "straddled delivery still counts NEW tokens of the doc")
   }
 
+  test("s_stream_index: a lower-id doc arriving AFTER a higher-id doc still counts for df") {
+    // the round-11 ADVICE gap: a bare maxDoc watermark silently dropped a
+    // lower-id doc whose first occurrence of a token arrived in a later
+    // micro-batch than a higher-id doc (multi-partition sources do not
+    // deliver in id order) — df permanently undercounted. The bounded
+    // recently-seen set counts it.
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val q = Stateful.indexStatsStream(in.toDS().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("idx_ooo")
+      .outputMode(OutputMode.Append).start()
+    in.addData((5L, "alpha"))
+    q.processAllAvailable()
+    // doc 3 < 5 arrives later; its alpha must still count. A re-delivery
+    // of doc 5 must NOT recount.
+    in.addData((3L, "alpha"), (5L, "alpha"))
+    q.processAllAvailable()
+    val rows = spark.table("idx_ooo").as[Stateful.TokenIndexStat].collect()
+    q.stop()
+    val fin = rows.groupBy(_.token).map { case (t, rs) =>
+      t -> (rs.map(_.df).max, rs.map(_.cf).max) }
+    assert(fin("alpha") == ((2L, 3L)),
+      s"out-of-order doc 3 must count for df: ${fin("alpha")}")
+  }
+
+  test("s_stream_index: the dedup window is bounded — eviction advances the watermark") {
+    // beyond IndexReorderWindow distinct higher-id docs, a late doc is
+    // dropped BY CONTRACT (the explicit per-token reorder tolerance);
+    // an already-counted doc above the advanced watermark never recounts.
+    implicit val sqlCtx = spark.sqlContext
+    val n = Stateful.IndexReorderWindow + 88
+    val in = MemoryStream[(Long, String)]
+    val q = Stateful.indexStatsStream(in.toDS().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("idx_evict")
+      .outputMode(OutputMode.Append).start()
+    in.addData((1L to n.toLong).map(i => (i, "x")): _*)
+    q.processAllAvailable()
+    // doc 50 is below the advanced watermark (88 evicted) → dropped by
+    // contract; doc 100 survives in the kept set → not recounted
+    in.addData((50L, "x"), (100L, "x"))
+    q.processAllAvailable()
+    val rows = spark.table("idx_evict").as[Stateful.TokenIndexStat].collect()
+    q.stop()
+    val df = rows.map(_.df).max
+    val cf = rows.map(_.cf).max
+    assert(df == n.toLong, s"df must stay $n (late-beyond-window dropped, kept-id not recounted): $df")
+    assert(cf == n.toLong + 2, "cf counts every delivered occurrence row")
+  }
+
   test("s_stream_leak_gate: per-split leaked-user sets equal the batch q_temporal_split audit") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.functions.{col, unix_micros, max => smax, min => smin}
