@@ -961,7 +961,102 @@ object Graph {
     out.orderBy("round")
   }
 
+  /** Full k-core DECOMPOSITION (core numbers) — the convergence-driven
+    * completion of q_kcore's bounded peel: q_kcore answers "who survives
+    * k=2 after 4 rounds"; a degeneracy user (graph curation, spam-rim
+    * trimming, feature engineering) needs each node's LARGEST k. The
+    * algorithm is the H-INDEX FIXPOINT of Lü/Chen/Ren/Zhang/Zhou/
+    * Stanley, "The H-index of a network node and its relation to degree
+    * and coreness" (Nature Communications 7:10168, 2016 — public
+    * result): h_0(v) = deg(v); h_{t+1}(v) = H-index of v's neighbors'
+    * h_t values (the largest r such that ≥ r neighbors have h_t ≥ r);
+    * the sequence is monotonically non-increasing and its fixpoint is
+    * exactly coreness(v). Unlike the sequential min-degree peel, every
+    * update is a LOCAL aggregate over neighbors — embarrassingly
+    * data-parallel, the right 100 TB shape (one edges ⋈ h join + one
+    * per-node window + one partial agg per round, state O(nodes),
+    * lineage truncated per round via Session.truncate exactly like
+    * ccFixpoint). Convergence is detected by the sum probe (values only
+    * decrease ⇒ unchanged sum IS the fixpoint — the ccFixpoint recipe),
+    * so depth adapts to the graph: the uniform corpus converges in 2-3
+    * rounds while GraphSpec's path fixture cascades one layer per round
+    * past depth 4. The ORACLE runs the IDENTICAL iteration as a DuckDB
+    * RECURSIVE CTE terminating on its own no-change probe (a window-max
+    * over per-node change flags gates the next iteration) — two
+    * unrelated fixpoint engines, same integers, the q_components
+    * precedent. H-index of a desc-sorted multiset = max(least(rank,
+    * value)) — rank ties are value-equal, so any tie order yields the
+    * same max. */
+  private[graft] def coreNumbersWithRounds(e: DataFrame): (DataFrame, Int) = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("node").orderBy(col("nh").desc)
+    var h = graft.core.Session.truncate(
+      e.groupBy("src").agg(count(lit(1)).as("h"))
+        .select(col("src").as("node"), col("h")))
+    var prevSum = -1L
+    var iter = 0
+    var converged = false
+    while (!converged && iter < 64) {
+      val nbr = e.join(h.select(col("node").as("dst"), col("h").as("nh")), "dst")
+        .select(col("src").as("node"), col("nh"))
+      h = graft.core.Session.truncate(
+        nbr.withColumn("rk", row_number().over(w).cast("long"))
+          .groupBy("node").agg(max(least(col("rk"), col("nh"))).as("h")))
+      // h is monotonically non-increasing per node (Lü et al. thm 1), so
+      // an unchanged sum IS the fixpoint (coalesce: empty graph converges
+      // on the empty frame instead of throwing)
+      val hSum = h.agg(coalesce(sum(col("h")), lit(0L))).head().getLong(0)
+      converged = hSum == prevSum
+      prevSum = hSum
+      iter += 1
+    }
+    require(converged,
+      s"core-number h-index fixpoint did not converge in $iter rounds")
+    (h, iter)
+  }
+
+  val coreNumbers: Q = Q(
+    "q_core_numbers",
+    s"""WITH RECURSIVE $durableEoSql,
+       |$durableESql,
+       |hs AS (
+       |  SELECT 0 AS it, src AS node, CAST(count(*) AS BIGINT) AS h
+       |  FROM e GROUP BY src
+       |  UNION ALL
+       |  SELECT it, node, h FROM (
+       |    SELECT nx.it, nx.node, nx.h,
+       |      max(CASE WHEN nx.h <> pv.h THEN 1 ELSE 0 END) OVER () AS any_chg
+       |    FROM (
+       |      SELECT r.it, r.node, max(least(r.rk, r.nh)) AS h
+       |      FROM (
+       |        SELECT nb.it + 1 AS it, e2.src AS node, nb.h AS nh,
+       |          CAST(row_number() OVER (
+       |            PARTITION BY e2.src ORDER BY nb.h DESC) AS BIGINT) AS rk
+       |        FROM e e2 JOIN hs nb ON nb.node = e2.dst
+       |      ) r GROUP BY r.it, r.node
+       |    ) nx JOIN hs pv ON pv.node = nx.node
+       |  ) WHERE any_chg = 1
+       |),
+       |fin AS (SELECT node, h AS core FROM hs
+       |        WHERE it = (SELECT max(it) FROM hs))
+       |SELECT core, CAST(count(*) AS BIGINT) AS n_nodes,
+       |  CAST(sum(CASE WHEN node < $SuppOffset THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_customers,
+       |  CAST(sum(CASE WHEN node >= $SuppOffset THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_suppliers
+       |FROM fin GROUP BY core ORDER BY core""".stripMargin
+  ) { (s, d) =>
+    val (h, _) = coreNumbersWithRounds(
+      symmetricEdges(durablePairs(s, d)).localCheckpoint())
+    h.groupBy(col("h").as("core"))
+      .agg(count(lit(1)).as("n_nodes"),
+        sum(when(col("node") < SuppOffset, 1L).otherwise(0L)).as("n_customers"),
+        sum(when(col("node") >= SuppOffset, 1L).otherwise(0L)).as("n_suppliers"))
+      .orderBy("core")
+  }
+
   val all: Seq[Q] =
     Seq(pagerank, pagerankDelta, degreeHist, labelProp, components,
-      componentsDelta, reachHops, butterflies, triangles, kcore)
+      componentsDelta, reachHops, butterflies, triangles, kcore,
+      coreNumbers)
 }

@@ -435,4 +435,67 @@ class GraphSpec extends SparkSuite {
       (4L, 0L, 0L, 2L)),
       s"path peel must cascade: ${rows.toSeq}")
   }
+
+  /** Local sequential min-degree peel — the textbook core-number
+    * algorithm, an INDEPENDENT formulation from the h-index fixpoint
+    * the operator runs. */
+  private def localCoreNumbers(sym: Set[(Long, Long)]): Map[Long, Long] = {
+    var edges = sym
+    var deg = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val core = scala.collection.mutable.Map.empty[Long, Long]
+    var k = 1L
+    while (deg.nonEmpty) {
+      var peeled = deg.filter(_._2 < k).keySet
+      while (peeled.nonEmpty) {
+        peeled.foreach(core(_) = k - 1)
+        edges = edges.filter(e => !peeled(e._1) && !peeled(e._2))
+        deg = (deg.keySet -- peeled)
+          .map(n => n -> edges.count(_._1 == n).toLong).toMap
+        peeled = deg.filter(_._2 < k).keySet
+      }
+      k += 1
+    }
+    core.toMap
+  }
+
+  test("q_core_numbers equals a sequential min-degree peel on the corpus") {
+    val census = graft.SparkEntry.queries("q_core_numbers")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val sym = pairsWithRepeats(4).flatMap { case (c, s) => Seq((c, s), (s, c)) }.toSet
+    val truth = localCoreNumbers(sym)
+    val truthCensus = truth.groupBy(_._2).map { case (core, m) =>
+      (core, m.size.toLong,
+        m.count(_._1 < 1000000L).toLong, m.count(_._1 >= 1000000L).toLong)
+    }.toSeq.sortBy(_._1)
+    assert(census.toSeq == truthCensus,
+      s"h-index fixpoint census ${census.toSeq} != peel census $truthCensus")
+  }
+
+  test("core-number h-index fixpoint: exact per-node cores on a crafted graph") {
+    import spark.implicits._
+    // path(8) ⊎ triangle ⊎ K4: cores 1 / 2 / 3 — three strata, cascade
+    // plus two cliques, hand-checkable
+    val eo = (1L until 8L).map(i => (i, i + 1)) ++
+      Seq((10L, 11L), (11L, 12L), (10L, 12L)) ++
+      (for (a <- 20L to 23L; b <- 20L to 23L if a < b) yield (a, b))
+    val sym = eo.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+    val (h, _) = Graph.coreNumbersWithRounds(sym.toDF("src", "dst"))
+    val got = h.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val want = ((1L to 8L).map(_ -> 1L) ++ (10L to 12L).map(_ -> 2L) ++
+      (20L to 23L).map(_ -> 3L)).toMap
+    assert(got == want, s"got $got")
+  }
+
+  test("core-number fixpoint cascades past depth 4 on a long path") {
+    import spark.implicits._
+    // h-index convergence on a path propagates one layer per round from
+    // the endpoints inward — a 16-node path needs ~7 rounds, proving the
+    // loop is convergence-driven (a fixed-4-round unroll would stop
+    // early with wrong interior values)
+    val n = 16L
+    val sym = (1L until n).flatMap(i => Seq((i, i + 1), (i + 1, i)))
+    val (h, rounds) = Graph.coreNumbersWithRounds(sym.toDF("src", "dst"))
+    assert(rounds > 4, s"path cascade must exceed 4 rounds, took $rounds")
+    assert(h.collect().forall(_.getLong(1) == 1L), "a path is 1-degenerate")
+  }
 }

@@ -749,6 +749,52 @@ class OperatorSpec extends SparkSuite {
     }
   }
 
+  test("q_audio_windows: PCM window boundaries match a local sample-arithmetic replay") {
+    // local truth: 16-bit/8 kHz framing over the asset's UTF-8 bytes —
+    // 200-sample (400-byte) windows, 80-sample hop, full windows only,
+    // ≤8-window uniform-stride budget
+    val texts = graft.core.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val rows = run("q_audio_windows").collect()
+    assert(rows.nonEmpty)
+    val hexDigits = "0123456789ABCDEF"
+    val perAsset = rows.groupBy(_.getLong(0))
+    // short assets (< 200 samples) must not appear at all
+    texts.foreach { case (id, t) =>
+      val nSamples = t.getBytes("UTF-8").length / 2
+      assert(perAsset.contains(id) == (nSamples >= 200),
+        s"asset $id with $nSamples samples presence")
+    }
+    perAsset.foreach { case (id, g) =>
+      val bytes = texts(id).getBytes("UTF-8")
+      val nSamples = bytes.length / 2
+      val nWin = (nSamples - 200) / 80 + 1
+      val stride = (nWin + 7) / 8
+      val wantIdx = (0L until nWin.toLong by stride.toLong).toSeq
+      assert(g.map(_.getLong(4)).sorted.toSeq == wantIdx, s"asset $id window set")
+      assert(g.length <= 8, "window budget")
+      g.foreach { r =>
+        val idx = r.getLong(4)
+        assert(r.getLong(1) == nSamples.toLong, "n_samples")
+        assert(r.getLong(5) == idx * 80, "start_sample = idx * hop")
+        assert(r.getLong(6) == idx * 80 * 1000 / 8000, "start_ms at 8 kHz")
+        assert(r.getLong(7) == idx * 160, "byte_off = start_sample * 2")
+        // full windows only: every window carries exactly 400 bytes and
+        // ends inside the asset
+        assert(r.getLong(8) == 400L, "win_bytes")
+        assert(idx * 80 + 200 <= nSamples, s"window $idx ends in-asset")
+        val off = (idx * 160).toInt
+        val win = bytes.slice(off, off + 400)
+        val whex = win.map(b =>
+          s"${hexDigits((b & 0xf0) >> 4)}${hexDigits(b & 0x0f)}").mkString
+        val md = java.security.MessageDigest.getInstance("MD5")
+          .digest(whex.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        assert(r.getString(9) == md, s"asset $id window $idx digest")
+      }
+    }
+  }
+
   test("q_mrr_eval: reciprocal ranks recompute from ranks; absent truth scores zero") {
     val rows = run("q_mrr_eval").collect()
     assert(rows.map(_.getLong(0)).toSeq == Seq(16L, 17L, 18L, 19L, 20L))

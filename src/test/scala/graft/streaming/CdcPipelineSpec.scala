@@ -239,6 +239,54 @@ class CdcPipelineSpec extends SparkSuite {
     assert(lines.exists(_.contains("\\\"plan\\\":\\\"free\\\"")), lines.mkString("\n"))
   }
 
+  test("q_schema_drift classification agrees with the streaming reprobe on the same drop sequence") {
+    import org.apache.spark.sql.functions.lit
+    val base = tmpDir("cdc")
+    // epoch 1: the reference users fixture; epoch 2: email dropped, plan
+    // added, id retyped int → bigint — one column per drift class
+    val epoch1 = s"$base/epoch1"
+    val epoch2 = s"$base/epoch2"
+    seedUsers.coalesce(1).write.parquet(epoch1)
+    seedUsers.drop("email")
+      .withColumn("id", $"id".cast("long"))
+      .withColumn("plan", lit("free"))
+      .coalesce(1).write.parquet(epoch2)
+    val drift = graft.ops.Cdc.schemaDriftDirs(spark, epoch1, epoch2)
+      .collect().map(r => r.getString(0) -> r.getString(3)).toMap
+    assert(drift == Map("id" -> "retyped", "name" -> "unchanged",
+      "email" -> "dropped", "created_at" -> "unchanged", "plan" -> "added"),
+      s"got $drift")
+    // cross-check against the STREAMING reprobe on the same sequence:
+    // run epoch 1 then the plan-added epoch through a live stream; the
+    // columns the second capture carries beyond the first must be
+    // exactly the batch classifier's 'added' set, and the 'dropped'
+    // column must be absent from the second capture.
+    // (column-SET drift only on the stream leg: the reprobe triggers on
+    // set difference, and a retyped column under the stale fixed stream
+    // schema is a read error, not a silent capture — so the stream drop
+    // keeps id at its original type while the batch classifier above
+    // covers the retype class)
+    val c = cfg(base)
+    Files.createDirectories(Paths.get(c.inputDir))
+    seedUsers.coalesce(1).write.mode("append").parquet(c.inputDir)
+    val q = CdcPipeline.start(spark, c, seedUsers.schema)
+    q.processAllAvailable()
+    val firstLines = jsonlLines(c.outputDir)
+    seedUsers.drop("email").withColumn("plan", lit("free")).coalesce(1)
+      .write.mode("append").parquet(c.inputDir)
+    q.processAllAvailable()
+    q.stop()
+    val secondLines = jsonlLines(c.outputDir).diff(firstLines)
+    assert(secondLines.nonEmpty, "drifted drop must be captured")
+    val added = drift.filter(_._2 == "added").keySet
+    val droppedCols = drift.filter(_._2 == "dropped").keySet
+    added.foreach(cn => assert(secondLines.forall(_.contains(s"\\\"$cn\\\"")),
+      s"reprobe must surface added column $cn"))
+    droppedCols.foreach(cn => assert(secondLines.forall(!_.contains(s"\\\"$cn\\\"")),
+      s"reprobe must not carry dropped column $cn"))
+    added.foreach(cn => assert(firstLines.forall(!_.contains(s"\\\"$cn\\\""))))
+  }
+
   test("diff mode: insert, update, delete surface as row-level envelopes") {
     val base = tmpDir("cdc")
     val c = cfg(base).copy(mode = "diff", keyCols = Seq("id"))
