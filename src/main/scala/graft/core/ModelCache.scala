@@ -78,19 +78,28 @@ object ModelCache {
     * stopped sessions). Observability for specs and ops dashboards. */
   def liveSessionCount: Int = cache.synchronized { sweepStopped(); cache.size() }
 
-  /** (name, length, mtime) digest of every data file under `path`
-    * (a file or a directory of parts). One driver-side FS listing —
-    * no Spark job. */
-  def fingerprint(spark: SparkSession, path: String): String = {
+  /** (name:length:mtime) entries of every data file under `path` (a file
+    * or a directory of parts), sorted. One driver-side FS listing — no
+    * Spark job. The raw material of [[fingerprint]] and of
+    * [[getOrRefresh]]'s append-only check. */
+  private def listing(spark: SparkSession, path: String): Seq[String] = {
     val p = new Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) return "absent"
+    if (!fs.exists(p)) return Seq.empty
     val it = fs.listFiles(p, true)
-    val parts = Iterator.continually(it)
+    Iterator.continually(it)
       .takeWhile(_.hasNext).map(_.next())
       .filterNot(_.getPath.getName.startsWith("_"))
       .map(s => s"${s.getPath.getName}:${s.getLen}:${s.getModificationTime}")
       .toSeq.sorted
+  }
+
+  /** (name, length, mtime) digest of every data file under `path`. */
+  def fingerprint(spark: SparkSession, path: String): String =
+    digestOf(listing(spark, path))
+
+  private def digestOf(parts: Seq[String]): String = {
+    if (parts.isEmpty) return "absent"
     // Wide digest, not String.hashCode: a 32-bit hash collision would
     // silently serve a stale trained model with no error. SHA-256 rather
     // than MD5 so FIPS-configured JVMs (which remove the MD5 provider)
@@ -147,9 +156,100 @@ object ModelCache {
     throw new IllegalStateException("unreachable")
   }
 
+  // ---------------------------------------------------------------------
+  // Incremental refreeze (round-11 verdict #1): for MONOIDAL artifacts a
+  // corpus change should roll the frozen base FORWARD (base ⊕ delta)
+  // instead of retraining from scratch — the proven merge the delta
+  // queries run at serve time becomes the artifact lifecycle itself.
+  // ---------------------------------------------------------------------
+
+  /** Latest frozen value per (session, kind|path), with the file listing
+    * it covers — the previous generation a refresh rolls forward from. */
+  private final case class Frozen(fp: String, files: Set[String], value: AnyRef)
+  private val latest = new java.util.IdentityHashMap[
+    SparkSession, java.util.concurrent.ConcurrentHashMap[String, Frozen]]()
+
+  /** Last lifecycle event per (session, kind|path): "trained" or
+    * "refreshed" — spec/observability surface, so a refresh test can
+    * assert the cheap path actually ran. */
+  private val events = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def latestFor(spark: SparkSession)
+      : java.util.concurrent.ConcurrentHashMap[String, Frozen] =
+    latest.synchronized {
+      val it = latest.entrySet().iterator()
+      while (it.hasNext) {
+        if (it.next().getKey.sparkContext.isStopped) it.remove()
+      }
+      var m = latest.get(spark)
+      if (m == null) {
+        m = new java.util.concurrent.ConcurrentHashMap[String, Frozen]()
+        latest.put(spark, m)
+      }
+      m
+    }
+
+  def lastEvent(kind: String, sourcePath: String): Option[String] =
+    Option(events.get(s"$kind|$sourcePath"))
+
+  /** Refresh-aware memoized train. Same contract as [[getOrTrain]], plus:
+    * when the corpus state under `sourcePath` CHANGES and the change is
+    * APPEND-ONLY (the previous generation's file entries — name, length,
+    * mtime — are a subset of the current ones: parquet sources are
+    * immutable, growth arrives as new part files), the new value is built
+    * by `refresh(previousValue)` instead of `train`. The call site's
+    * refresh closure must produce a value EXTENSIONALLY IDENTICAL to a
+    * from-scratch train on the new corpus state — true by construction
+    * for monoidal artifacts (summaries that union/add over disjoint doc
+    * sets), and pinned per artifact by RefreshSpec. A non-append change
+    * (rewritten or removed files) falls back to `train`: the monoid only
+    * covers growth.
+    *
+    * The id-slice refresh closures additionally assume ingest ids are
+    * assigned monotonically (new files carry ids at or above the frozen
+    * split) — the same contract q_dedup_delta and the streaming gates
+    * already state. */
+  def getOrRefresh[T <: AnyRef](spark: SparkSession, kind: String,
+      sourcePath: String)(train: => T)(refresh: T => T): T = {
+    val parts = listing(spark, sourcePath)
+    val fp = digestOf(parts)
+    val lkey = s"$kind|$sourcePath"
+    val key = s"$lkey|$fp"
+    while (true) {
+      val m = perSession(spark)
+      val lm = latestFor(spark)
+      val mine = new Holder(() => {
+        val prev = Option(lm.get(lkey))
+        prev match {
+          case Some(f) if f.fp != fp && f.files.subsetOf(parts.toSet) =>
+            events.put(lkey, "refreshed")
+            refresh(f.value.asInstanceOf[T])
+          case _ =>
+            events.put(lkey, "trained")
+            train
+        }
+      })
+      val h = { val prev = m.putIfAbsent(key, mine); if (prev != null) prev else mine }
+      val v = h.value // may train/refresh; no map lock held
+      cache.synchronized {
+        if (cache.get(spark) eq m) {
+          h.published = true
+          lm.put(lkey, Frozen(fp, parts.toSet, v))
+          return v.asInstanceOf[T]
+        }
+      }
+      if (!h.published) releaseDiscarded(v)
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   /** Drop every cached model (tests; session teardown). A hard barrier:
     * [[getOrTrain]] publishes only through the currently-registered
     * per-session map, so no model trained concurrently with a clear()
     * survives it. */
-  def clear(): Unit = cache.synchronized(cache.clear())
+  def clear(): Unit = cache.synchronized {
+    cache.clear()
+    latest.synchronized(latest.clear())
+    events.clear()
+  }
 }

@@ -595,7 +595,7 @@ object Dedup {
     * streaming admission gate (Stateful.dedupGate): (split id, per-bucket
     * (b_min, b_cnt) summary of the admitted corpus's LSH bands). */
   private[graft] def dedupBase(s: SparkSession, d: String): (Long, DataFrame) =
-    graft.core.ModelCache.getOrTrain(s, "dedup-base", s"$d/documents.parquet") {
+    graft.core.ModelCache.getOrRefresh(s, "dedup-base", s"$d/documents.parquet") {
       val docs = T.documents(s, d).select(col("doc_id"), col("text"))
       val maxRow = docs.agg(max(col("doc_id"))).head()
       val maxId = if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0)
@@ -605,6 +605,25 @@ object Dedup {
         .agg(min(col("doc_id")).as("b_min"), count(lit(1)).as("b_cnt"))
         .localCheckpoint()
       (sp, agg)
+    } { case (sp0, agg0) =>
+      // REFREEZE (round-11 verdict #1): the per-bucket (min, count)
+      // summary is a monoid over disjoint doc sets, so the next frozen
+      // base = old base ⊕ banded slice [sp0, sp1) — only the newly
+      // admitted docs are ever hashed; the old corpus is never re-read.
+      // RefreshSpec pins refresh == retrain bit-identically.
+      val docs = T.documents(s, d).select(col("doc_id"), col("text"))
+      val maxRow = docs.agg(max(col("doc_id"))).head()
+      val maxId = if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0)
+      val sp1 = math.max(7L * maxId / 8L, sp0) // ids are monotone at ingest
+      val deltaAgg = bandsOfDocs(s,
+          docs.filter(col("doc_id") >= sp0 && col("doc_id") < sp1))
+        .groupBy("band", "bucket")
+        .agg(min(col("doc_id")).as("b_min"), count(lit(1)).as("b_cnt"))
+      val agg1 = agg0.unionAll(deltaAgg)
+        .groupBy("band", "bucket")
+        .agg(min(col("b_min")).as("b_min"), sum(col("b_cnt")).as("b_cnt"))
+        .localCheckpoint()
+      (sp1, agg1)
     }
 
   val dedupDelta: Q = {

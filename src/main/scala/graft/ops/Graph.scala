@@ -293,8 +293,13 @@ object Graph {
     // the frozen base artifact (yesterday's closure): built once per
     // (session, corpus state) via the model registry — the same
     // train-rarely economics as ivf-base/pq-base, so the per-run cost is
-    // the quotient merge, not the base fixpoint
-    val (split, baseEo, baseLab) = graft.core.ModelCache.getOrTrain(
+    // the quotient merge, not the base fixpoint. The artifact carries the
+    // PRE-FILTER pair census alongside the durable edges and labels:
+    // durability (count >= MinRepeats) is not monotone under slice
+    // growth, but the COUNTS are monoidal — so the refresh path below can
+    // re-derive the durable set from merged counts without re-scanning
+    // the old corpus (round-11 verdict #1).
+    val (split, _, baseEo, baseLab) = graft.core.ModelCache.getOrRefresh(
       s, "cc-base", d) {
       // empty orders ⋈ lineitem → max is NULL: fall back to split 0, so
       // the base is the empty labeling and the merge path handles
@@ -303,8 +308,32 @@ object Graph {
       val maxRow = pairs.agg(max(col("o_orderkey"))).head()
       val maxKey = if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0)
       val sp = 7L * maxKey / 8L
-      val eo = durable(pairs.filter(col("o_orderkey") < sp)).localCheckpoint()
-      (sp, eo, ccFixpoint(symmetricEdges(eo).localCheckpoint()).localCheckpoint())
+      val cen = pairs.filter(col("o_orderkey") < sp)
+        .groupBy("c", "s").agg(count(lit(1)).as("cnt")).localCheckpoint()
+      val eo = cen.filter(col("cnt") >= MinRepeats).select("c", "s")
+        .localCheckpoint()
+      (sp, cen, eo,
+        ccFixpoint(symmetricEdges(eo).localCheckpoint()).localCheckpoint())
+    } { case (sp0, cen0, eo0, lab0) =>
+      // REFREEZE: merge the monoidal pair counts with the [sp0, sp1)
+      // slice, re-derive durable edges, and roll the labeling forward
+      // with the SAME quotient merge the serve path runs — the base
+      // fixpoint never re-runs on the old graph. RefreshSpec pins
+      // refresh == retrain (labels are canonical component minima).
+      val maxRow = pairs.agg(max(col("o_orderkey"))).head()
+      val maxKey = if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0)
+      val sp1 = math.max(7L * maxKey / 8L, sp0) // keys are monotone
+      val cenS = pairs
+        .filter(col("o_orderkey") >= sp0 && col("o_orderkey") < sp1)
+        .groupBy("c", "s").agg(count(lit(1)).as("cnt"))
+      val cen1 = cen0.unionAll(cenS)
+        .groupBy("c", "s").agg(sum(col("cnt")).as("cnt")).localCheckpoint()
+      val eo1 = cen1.filter(col("cnt") >= MinRepeats).select("c", "s")
+        .localCheckpoint()
+      val newE = eo1.exceptAll(eo0)
+      (sp1, cen1, eo1,
+        mergeDelta(lab0, symmetricEdges(newE).localCheckpoint())
+          .localCheckpoint())
     }
     val deltaEo = durable(pairs).exceptAll(baseEo) // newly-durable pairs
     componentCensus(mergeDelta(baseLab, symmetricEdges(deltaEo)))
@@ -376,11 +405,7 @@ object Graph {
     def eoOf(p: DataFrame) = p.select("c", "s").distinct()
     // frozen base: yesterday's pair list + PER-ROUND rank tables
     // (train-once via the model registry, the cc-base/ivf-base economics)
-    val (baseEo, baseR1, baseR2, baseRF) = graft.core.ModelCache.getOrTrain(
-      s, "pr-base", d) {
-      val maxRow = pairsAll.agg(max(col("o_orderkey"))).head()
-      val maxKey = if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0)
-      val sp = 7L * maxKey / 8L
+    def trainBase(sp: Long): (DataFrame, DataFrame, DataFrame, DataFrame) = {
       val eoB = eoOf(pairsAll.filter(col("o_orderkey") < sp)).localCheckpoint()
       val eB = symmetricEdges(eoB)
       val edB = eB.join(eB.groupBy("src").agg(count(lit(1)).as("d")), "src")
@@ -394,6 +419,72 @@ object Graph {
       }
       val Seq(r1, r2, rf) = rounds.result()
       (eoB, r1, r2, rf)
+    }
+    def splitOf: Long = {
+      val maxRow = pairsAll.agg(max(col("o_orderkey"))).head()
+      val maxKey = if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0)
+      7L * maxKey / 8L
+    }
+    val (baseEo, baseR1, baseR2, baseRF) = graft.core.ModelCache.getOrRefresh(
+      s, "pr-base", d) {
+      trainBase(splitOf)
+    } { case (eo0, b1, b2, bf) =>
+      // REFREEZE (round-11 verdict #1): ranks are NOT a simple monoid —
+      // r_i(v) couples v to its i-hop in-neighborhood — but the SAME
+      // blast-radius argument the serve path proves hash-green applies
+      // per round: after growth, r_i differs from the frozen r_i only
+      // inside the radius of the added pairs, so the next frozen base is
+      // frozen-outside ∪ recomputed-inside for EVERY round. When the
+      // radius floods (> half the graph — the uniform-corpus worst case)
+      // the roll-forward devolves to the rebuild it would no longer beat,
+      // exactly like the serve path's fallback.
+      val sp1 = splitOf
+      val eo1 = eoOf(pairsAll.filter(col("o_orderkey") < sp1)).localCheckpoint()
+      val e1 = symmetricEdges(eo1)
+      val deg1 = e1.groupBy("src").agg(count(lit(1)).as("d"))
+      val ed1 = e1.join(deg1, "src").localCheckpoint()
+      val dEo = eo1.join(eo0, Seq("c", "s"), "left_anti")
+      var affected = dEo.select(col("c").as("node"))
+        .unionAll(dEo.select((col("s") + SuppOffset).as("node")))
+        .distinct().localCheckpoint()
+      val nNodes = deg1.count()
+      var flooded = 2L * affected.count() > nNodes
+      var hops = 0
+      while (!flooded && hops < Iters) {
+        affected = graft.core.Session.truncate(
+          affected.unionAll(
+              e1.join(affected.withColumnRenamed("node", "src"), "src")
+                .select(col("dst").as("node")))
+            .distinct())
+        hops += 1
+        flooded = 2L * affected.count() > nNodes
+      }
+      if (flooded) trainBase(sp1)
+      else {
+        val baseRs0 = Seq(b1, b2, bf)
+        var rDelta: DataFrame = null
+        val merged = Seq.newBuilder[DataFrame]
+        for (i <- 1 to Iters) {
+          val inE = ed1.join(affected.withColumnRenamed("node", "dst"), "dst")
+          val withSrcRank =
+            if (i == 1) inE.withColumn("rsrc", lit(1000000L))
+            else inE
+              .join(rDelta.select(col("node").as("src"), col("r").as("rd")),
+                Seq("src"), "left")
+              .join(baseRs0(i - 2).select(col("node").as("src"), col("r").as("rb")),
+                Seq("src"), "left")
+              .withColumn("rsrc", coalesce(col("rd"), col("rb")))
+          rDelta = graft.core.Session.truncate(
+            withSrcRank.select(col("dst"), expr("rsrc div d").as("contrib"))
+              .groupBy("dst")
+              .agg((lit(150000L) + expr("(85 * sum(contrib)) div 100")).as("r"))
+              .select(col("dst").as("node"), col("r")))
+          merged += baseRs0(i - 1).join(affected, Seq("node"), "left_anti")
+            .unionAll(rDelta).localCheckpoint()
+        }
+        val Seq(m1, m2, mf) = merged.result()
+        (eo1, m1, m2, mf)
+      }
     }
     val baseRs = Seq(baseR1, baseR2, baseRF)
     val eo = eoOf(pairsAll).localCheckpoint()

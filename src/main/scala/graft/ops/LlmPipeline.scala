@@ -431,17 +431,48 @@ object LlmPipeline {
     * re-score is exact. The ORACLE is the full recompute over the whole
     * corpus (bm25Sql, shared with q_bm25): the hash gate proves
     * incremental == full across two engines. */
-  val bm25Delta: Q = Q("q_bm25_delta", bm25Sql) { (s, d) =>
+  /** The frozen lexical index base: (split, tf, dl, df, nd) over docs
+    * below the split. REFRESH (round-11 verdict #1): all four outputs
+    * are monoidal over disjoint doc sets — postings and doc-lengths
+    * union, document frequencies and the corpus census add — so a
+    * corpus change rolls the base forward by indexing ONLY the slice
+    * [sp0, sp1) and merging, never re-tokenizing the old corpus.
+    * RefreshSpec pins refresh == retrain bit-identically. */
+  private[graft] def bm25Base(s: org.apache.spark.sql.SparkSession, d: String)
+      : (Long, DataFrame, DataFrame, DataFrame, DataFrame) = {
     val docs = T.documents(s, d).select(col("doc_id"), col("text"))
-    val (split, tfB, dlB, dfB, ndB) = graft.core.ModelCache.getOrTrain(
-      s, "bm25-base", d) {
+    graft.core.ModelCache.getOrRefresh(s, "bm25-base", s"$d/documents.parquet") {
       val maxRow = docs.agg(max(col("doc_id"))).head()
       val maxId = if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0)
       val sp = 7L * maxId / 8L
       val (tf, dl, df, nd) = bm25Index(docs.filter(col("doc_id") < sp))
       (sp, tf.localCheckpoint(), dl.localCheckpoint(),
         df.localCheckpoint(), nd.localCheckpoint())
+    } { case (sp0, tf0, dl0, df0, nd0) =>
+      val maxRow = docs.agg(max(col("doc_id"))).head()
+      val maxId = if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0)
+      val sp1 = math.max(7L * maxId / 8L, sp0) // ids are monotone at ingest
+      val (tfS, dlS, dfS, ndS) = bm25Index(
+        docs.filter(col("doc_id") >= sp0 && col("doc_id") < sp1))
+      val df1 = df0.unionAll(dfS).groupBy("token").agg(sum(col("df")).as("df"))
+      val nd1 = nd0.select(col("n_docs").as("nb"), col("tot").as("tb"))
+        .crossJoin(ndS.select(col("n_docs").as("ndd"), col("tot").as("td")))
+        .select((col("nb") + col("ndd")).as("n_docs"),
+          (col("tb") + col("td")).as("tot"))
+      // tf/dl: checkpoint ONLY the delta slice — re-checkpointing the
+      // union would copy the O(corpus) base postings on every refresh,
+      // exactly the cost the refreeze exists to avoid. The union of two
+      // checkpointed frames is itself flat (one union node per refresh
+      // generation — bounded by refreezes per session, not corpus size).
+      (sp1, tf0.unionAll(tfS.localCheckpoint()),
+        dl0.unionAll(dlS.localCheckpoint()),
+        df1.localCheckpoint(), nd1.localCheckpoint())
     }
+  }
+
+  val bm25Delta: Q = Q("q_bm25_delta", bm25Sql) { (s, d) =>
+    val docs = T.documents(s, d).select(col("doc_id"), col("text"))
+    val (split, tfB, dlB, dfB, ndB) = bm25Base(s, d)
     val (tfD, dlD, dfD, ndD) = bm25Index(docs.filter(col("doc_id") >= split))
     val df = dfB.unionAll(dfD).groupBy("token").agg(sum(col("df")).as("df"))
     val nd = ndB.select(col("n_docs").as("nb"), col("tot").as("tb"))

@@ -845,6 +845,32 @@ object TextAnalysis {
     * q_bpe_merges. The ORACLE is the full-corpus replay (shared SQL
     * with q_bpe_merges): the hash gate proves incremental == full
     * across two engines, and OperatorSpec pins Spark-side bit-parity. */
+  /** The frozen word-histogram base: (split, hist over docs below the
+    * split). REFRESH (round-11 verdict #1): the word histogram is the
+    * textbook monoid — counts add over disjoint doc sets — so a corpus
+    * change rolls the frozen base forward with one groupBy-sum over the
+    * old base plus the tokenized [sp0, sp1) slice; the old corpus is
+    * never re-tokenized. RefreshSpec pins refresh == retrain. */
+  private[graft] def bpeHistBase(s: org.apache.spark.sql.SparkSession,
+      d: String): (Long, org.apache.spark.sql.DataFrame) = {
+    val docs = T.documents(s, d).select(col("doc_id"), col("text"))
+    graft.core.ModelCache.getOrRefresh(
+      s, "bpe-hist-base", s"$d/documents.parquet") {
+      val maxRow = docs.agg(max(col("doc_id"))).head()
+      val maxId = if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0)
+      val sp = 7L * maxId / 8L
+      (sp, wordHist(docs.filter(col("doc_id") < sp)).localCheckpoint())
+    } { case (sp0, hist0) =>
+      val maxRow = docs.agg(max(col("doc_id"))).head()
+      val maxId = if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0)
+      val sp1 = math.max(7L * maxId / 8L, sp0) // ids are monotone at ingest
+      val histS = wordHist(docs.filter(col("doc_id") >= sp0 && col("doc_id") < sp1))
+      (sp1, hist0.unionAll(histS)
+        .groupBy("word").agg(sum(col("cnt")).as("cnt"))
+        .localCheckpoint())
+    }
+  }
+
   val bpeDelta: Q = Q(
     "q_bpe_delta",
     s"""WITH ${bpeDuckCtes(BpeRounds)}
@@ -857,13 +883,7 @@ object TextAnalysis {
        |) ORDER BY round""".stripMargin
   ) { (s, d) =>
     val docs = T.documents(s, d).select(col("doc_id"), col("text"))
-    val (split, histB) = graft.core.ModelCache.getOrTrain(
-      s, "bpe-hist-base", s"$d/documents.parquet") {
-      val maxRow = docs.agg(max(col("doc_id"))).head()
-      val maxId = if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0)
-      val sp = 7L * maxId / 8L
-      (sp, wordHist(docs.filter(col("doc_id") < sp)).localCheckpoint())
-    }
+    val (split, histB) = bpeHistBase(s, d)
     val histD = wordHist(docs.filter(col("doc_id") >= split))
     val hist = histB.unionAll(histD)
       .groupBy("word").agg(sum(col("cnt")).as("cnt"))

@@ -1,0 +1,76 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Measures the refresh-vs-retrain economics of the monoidal frozen
+  * bases (round-11 verdict #1's "measured refresh ≪ retrain at the 10×
+  * dir" criterion): replicate the corpus K× into a working dir, train
+  * each base, append ONE more replica (append-only growth, higher ids —
+  * exactly how new data reaches a parquet lake), then time the registry
+  * access that rolls the base forward against a cleared-cache full
+  * retrain on the same grown corpus.
+  *
+  * Usage: runMain graft.tools.RefreshBench <srcSfDir> <workDir> [k]
+  * Prints one JSON line per artifact: train / refresh / retrain seconds.
+  */
+object RefreshBench {
+  def main(args: Array[String]): Unit = {
+    val src = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val work = args.lift(1).getOrElse("/tmp/refresh-bench")
+    val k = args.lift(2).map(_.toInt).getOrElse(10)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val spark = graft.core.Session.local(cpus, cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def replicate(table: String, keyCols: Seq[String], reps: Range): Unit = {
+      val base = spark.read.parquet(s"$src/$table.parquet")
+      val maxKey = base.agg(max(col(keyCols.head))).head().getLong(0) + 1L
+      // one job for the whole range: replica ids via a generated column
+      val reped = base
+        .withColumn("__r", explode(lit(reps.toArray)))
+      keyCols.foldLeft(reped) { (df, c) =>
+          df.withColumn(c, col(c) + col("__r") * lit(maxKey))
+        }
+        .drop("__r")
+        .write.mode("append").parquet(s"$work/$table.parquet")
+    }
+
+    def timed(f: => Any): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    def fmt(v: Double): String =
+      BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+
+    // base state: replicas 0..k-1; growth: replica k (higher ids). Only
+    // documents — the three artifacts measured here are all doc-side.
+    replicate("documents", Seq("doc_id"), 0 until k)
+
+    val artifacts: Seq[(String, () => Any)] = Seq(
+      "dedup-base" -> (() => graft.ops.Dedup.dedupBase(spark, work)),
+      "bm25-base" -> (() => graft.ops.LlmPipeline.bm25Base(spark, work)),
+      "bpe-hist-base" -> (() => graft.ops.TextAnalysis.bpeHistBase(spark, work)))
+
+    val tTrain = artifacts.map { case (name, f) => name -> timed(f()) }.toMap
+
+    replicate("documents", Seq("doc_id"), k until k + 1)
+
+    val tRefresh = artifacts.map { case (name, f) =>
+      val t = timed(f())
+      val path = if (name.contains("dedup") || name.contains("bm25") ||
+        name.contains("bpe")) s"$work/documents.parquet" else work
+      require(graft.core.ModelCache.lastEvent(name, path).contains("refreshed"),
+        s"$name did not take the refresh path")
+      name -> t
+    }.toMap
+
+    graft.core.ModelCache.clear()
+    val tRetrain = artifacts.map { case (name, f) => name -> timed(f()) }.toMap
+
+    artifacts.foreach { case (name, _) =>
+      println(s"""{"artifact":"$name","k":$k,"train_sec":${fmt(tTrain(name))},"refresh_sec":${fmt(tRefresh(name))},"retrain_sec":${fmt(tRetrain(name))},"speedup":${fmt(tRetrain(name) / math.max(tRefresh(name), 1e-9))}}""")
+    }
+    System.out.flush()
+    spark.stop()
+  }
+}

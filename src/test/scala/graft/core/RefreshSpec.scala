@@ -1,0 +1,195 @@
+package graft.core
+
+import org.apache.spark.sql.functions._
+import graft.SparkSuite
+
+/** Round-11 verdict #1: incremental artifact REFREEZE. For every
+  * monoidal frozen base, `ModelCache.getOrRefresh` must produce — via
+  * the base ⊕ delta merge, old corpus never re-read — a value
+  * extensionally identical to a from-scratch retrain on the grown
+  * corpus. Each test: train on corpus A, append files (corpus B),
+  * access again (must take the REFRESH path), then clear the cache and
+  * retrain on B outright; the two values must match row-for-row.
+  */
+class RefreshSpec extends SparkSuite {
+  import spark.implicits._
+
+  /** A small deterministic doc corpus: ids `range`, text drawn from a
+    * tiny vocabulary so near-dup buckets and BM25 postings overlap. */
+  private def docsOf(range: Range): org.apache.spark.sql.DataFrame =
+    range.map { i =>
+      val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon",
+        "zeta", "eta", "theta")
+      val words = (0 until 6 + i % 5).map(j => vocab((i * 7 + j * 3) % vocab.size))
+      (i.toLong, words.mkString(" "))
+    }.toDF("doc_id", "text")
+
+  private def writeDocs(dir: String, range: Range): Unit =
+    docsOf(range).coalesce(1).write.mode("append")
+      .parquet(s"$dir/documents.parquet")
+
+  private def rowsOf(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.collect().map(_.toString).sorted.toSeq
+
+  test("dedup-base: refresh == retrain, and the refresh path actually runs") {
+    val d = tmpDir("refresh-dedup")
+    ModelCache.clear()
+    writeDocs(d, 0 until 100)
+    val (sp0, _) = graft.ops.Dedup.dedupBase(spark, d)
+    assert(ModelCache.lastEvent("dedup-base", s"$d/documents.parquet")
+      .contains("trained"))
+    writeDocs(d, 100 until 160)
+    val (sp1, agg1) = graft.ops.Dedup.dedupBase(spark, d)
+    assert(ModelCache.lastEvent("dedup-base", s"$d/documents.parquet")
+      .contains("refreshed"), "append-only growth must take the merge path")
+    assert(sp1 > sp0, "the split must advance with the corpus")
+    val refreshed = rowsOf(agg1)
+    ModelCache.clear()
+    val (spR, aggR) = graft.ops.Dedup.dedupBase(spark, d)
+    assert(ModelCache.lastEvent("dedup-base", s"$d/documents.parquet")
+      .contains("trained"))
+    assert(spR == sp1)
+    assert(rowsOf(aggR) == refreshed,
+      "refreshed bucket summary must equal the from-scratch retrain")
+  }
+
+  test("dedup-base: a REWRITTEN file (non-append) falls back to retrain") {
+    val d = tmpDir("refresh-dedup-rw")
+    ModelCache.clear()
+    writeDocs(d, 0 until 100)
+    graft.ops.Dedup.dedupBase(spark, d)
+    // overwrite = delete + rewrite: the old entries vanish, so the file
+    // set is NOT a superset and the monoid merge would be wrong
+    docsOf(0 until 80).coalesce(1).write.mode("overwrite")
+      .parquet(s"$d/documents.parquet")
+    graft.ops.Dedup.dedupBase(spark, d)
+    assert(ModelCache.lastEvent("dedup-base", s"$d/documents.parquet")
+      .contains("trained"), "non-append change must retrain, never merge")
+  }
+
+  test("bm25-base: refresh == retrain across all four index tables") {
+    val d = tmpDir("refresh-bm25")
+    ModelCache.clear()
+    writeDocs(d, 0 until 100)
+    graft.ops.LlmPipeline.bm25Base(spark, d)
+    assert(ModelCache.lastEvent("bm25-base", s"$d/documents.parquet")
+      .contains("trained"))
+    writeDocs(d, 100 until 160)
+    val (sp1, tf1, dl1, df1, nd1) = graft.ops.LlmPipeline.bm25Base(spark, d)
+    assert(ModelCache.lastEvent("bm25-base", s"$d/documents.parquet")
+      .contains("refreshed"))
+    val refreshed = Seq(tf1, dl1, df1, nd1).map(rowsOf)
+    ModelCache.clear()
+    val (spR, tfR, dlR, dfR, ndR) = graft.ops.LlmPipeline.bm25Base(spark, d)
+    assert(spR == sp1)
+    assert(Seq(tfR, dlR, dfR, ndR).map(rowsOf) == refreshed,
+      "postings, doc lengths, dfs and census must all merge exactly")
+  }
+
+  test("bpe-hist-base: q_bpe_delta output identical via refresh and retrain") {
+    val d = tmpDir("refresh-bpe")
+    ModelCache.clear()
+    writeDocs(d, 0 until 100)
+    graft.SparkEntry.queries("q_bpe_delta")(spark, d).collect()
+    assert(ModelCache.lastEvent("bpe-hist-base", s"$d/documents.parquet")
+      .contains("trained"))
+    writeDocs(d, 100 until 160)
+    val viaRefresh = rowsOf(graft.SparkEntry.queries("q_bpe_delta")(spark, d))
+    assert(ModelCache.lastEvent("bpe-hist-base", s"$d/documents.parquet")
+      .contains("refreshed"))
+    ModelCache.clear()
+    val viaRetrain = rowsOf(graft.SparkEntry.queries("q_bpe_delta")(spark, d))
+    assert(ModelCache.lastEvent("bpe-hist-base", s"$d/documents.parquet")
+      .contains("trained"))
+    assert(viaRefresh == viaRetrain)
+  }
+
+  // --- trade-graph fixtures for cc-base / pr-base ------------------------
+
+  /** `nPairs` disjoint (customer, supplier) pairs, each with `rep`
+    * orders in orderkey range starting at `k0`. Far-apart components so
+    * a small delta's blast radius stays local (the pr roll-forward's
+    * bounded path). */
+  private def writeTrades(dir: String, k0: Long, pairs: Seq[(Long, Long)],
+      rep: Int): Unit = {
+    val rows = pairs.zipWithIndex.flatMap { case ((c, s), i) =>
+      (0 until rep).map(r => (k0 + i * rep + r, c, s))
+    }
+    rows.map { case (k, c, _) => (k, c) }.toDF("o_orderkey", "o_custkey")
+      .coalesce(1).write.mode("append").parquet(s"$dir/orders.parquet")
+    rows.map { case (k, _, s) => (k, s) }.toDF("l_orderkey", "l_suppkey")
+      .coalesce(1).write.mode("append").parquet(s"$dir/lineitem.parquet")
+  }
+
+  test("cc-base: q_components_delta identical via refresh and retrain") {
+    val d = tmpDir("refresh-cc")
+    ModelCache.clear()
+    // state A: 30 disjoint durable pairs, orderkeys 0..179
+    val pairsA = (0L until 30L).map(i => (i, 100L + i))
+    writeTrades(d, 0L, pairsA, rep = 6)
+    graft.SparkEntry.queries("q_components_delta")(spark, d).collect()
+    assert(ModelCache.lastEvent("cc-base", d).contains("trained"))
+    // state B: a bridging pair (merges components 0 and 1) plus a brand
+    // new pair — newly-durable edges exist in the refresh slice
+    writeTrades(d, 1000L, Seq((0L, 101L), (40L, 140L)), rep = 6)
+    val viaRefresh = rowsOf(graft.SparkEntry.queries("q_components_delta")(spark, d))
+    assert(ModelCache.lastEvent("cc-base", d).contains("refreshed"))
+    ModelCache.clear()
+    val viaRetrain = rowsOf(graft.SparkEntry.queries("q_components_delta")(spark, d))
+    assert(ModelCache.lastEvent("cc-base", d).contains("trained"))
+    assert(viaRefresh == viaRetrain)
+    // and the refreshed-base result equals the full closure computed by
+    // q_components on the same corpus — the delta query's own oracle
+    // relationship, preserved across a refreeze
+    ModelCache.clear()
+    writeTrades(d, 2000L, Seq((41L, 141L)), rep = 6)
+    graft.SparkEntry.queries("q_components_delta")(spark, d).collect()
+    writeTrades(d, 3000L, Seq((0L, 102L)), rep = 6)
+    val deltaOut = rowsOf(graft.SparkEntry.queries("q_components_delta")(spark, d))
+    assert(ModelCache.lastEvent("cc-base", d).contains("refreshed"))
+    val fullOut = rowsOf(graft.SparkEntry.queries("q_components")(spark, d))
+    assert(deltaOut == fullOut)
+  }
+
+  test("pr-base: q_pagerank_delta identical via refresh and retrain (bounded path)") {
+    val d = tmpDir("refresh-pr")
+    ModelCache.clear()
+    val pairsA = (0L until 40L).map(i => (i, 100L + i))
+    writeTrades(d, 0L, pairsA, rep = 2)
+    graft.SparkEntry.queries("q_pagerank_delta")(spark, d).collect()
+    assert(ModelCache.lastEvent("pr-base", d).contains("trained"))
+    // delta touches ONE existing component + adds one disjoint pair: the
+    // blast radius stays far below half of ~80 nodes, so the refresh
+    // takes the per-round roll-forward, not the rebuild fallback
+    writeTrades(d, 1000L, Seq((0L, 101L), (50L, 150L)), rep = 2)
+    val viaRefresh = rowsOf(graft.SparkEntry.queries("q_pagerank_delta")(spark, d))
+    assert(ModelCache.lastEvent("pr-base", d).contains("refreshed"))
+    ModelCache.clear()
+    val viaRetrain = rowsOf(graft.SparkEntry.queries("q_pagerank_delta")(spark, d))
+    assert(viaRefresh == viaRetrain)
+    // the rolled-forward base must also keep the delta query equal to
+    // the full unrolled PageRank — its oracle relationship
+    val fullOut = rowsOf(graft.SparkEntry.queries("q_pagerank")(spark, d))
+    assert(viaRetrain == fullOut)
+  }
+
+  test("refresh chains: two successive appends refresh twice and stay exact") {
+    val d = tmpDir("refresh-chain")
+    ModelCache.clear()
+    writeDocs(d, 0 until 100)
+    graft.ops.Dedup.dedupBase(spark, d)
+    writeDocs(d, 100 until 130)
+    graft.ops.Dedup.dedupBase(spark, d)
+    assert(ModelCache.lastEvent("dedup-base", s"$d/documents.parquet")
+      .contains("refreshed"))
+    writeDocs(d, 130 until 170)
+    val (sp2, agg2) = graft.ops.Dedup.dedupBase(spark, d)
+    assert(ModelCache.lastEvent("dedup-base", s"$d/documents.parquet")
+      .contains("refreshed"))
+    val chained = rowsOf(agg2)
+    ModelCache.clear()
+    val (spR, aggR) = graft.ops.Dedup.dedupBase(spark, d)
+    assert(spR == sp2 && rowsOf(aggR) == chained,
+      "a refresh of a refreshed base must still equal the retrain")
+  }
+}
