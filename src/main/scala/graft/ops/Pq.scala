@@ -173,26 +173,40 @@ object Pq {
     * (d2 asc, cand_id) window, `rn` attached — the truth picks read the
     * ranked rows instead of re-windowing the full table per eval. */
   private[graft] def truthL2Base(s: SparkSession, d: String)
-      : (DataFrame, DataFrame) =
-    graft.core.ModelCache.getOrTrain(s, "truth-l2-base",
-      s"$d/embeddings.parquet") {
-      val ed = col("embedding").cast(ArrayType(DoubleType))
-      val cdCol = transform(ed, x => round(x * Similarity.Scale, 0))
-      val codes = T.embeddings(s, d).select(col("vec_id"), cdCol.as("cd"))
-      val q = codes.filter(col("vec_id").between(16, 20))
-        .select(col("vec_id").as("qid"), col("cd").as("qcd"))
-      val diff = zip_with(col("cd"), col("qcd"), (x, y) => x - y)
-      val ex = codes.crossJoin(broadcast(q))
-        .filter(col("vec_id") =!= col("qid"))
-        .select(col("qid"), col("vec_id").as("cand_id"),
-          graft.functions.VectorOps.vecDotD(s, diff, diff).as("d2"))
-        .localCheckpoint()
-      val w = Window.partitionBy("qid").orderBy(col("d2").asc, col("cand_id").asc)
-      val top = ex.withColumn("rn", row_number().over(w).cast(LongType))
-        .filter(col("rn") <= 10)
-        .localCheckpoint()
-      (ex, top)
+      : (DataFrame, DataFrame) = {
+    val ed = col("embedding").cast(ArrayType(DoubleType))
+    val cdCol = transform(ed, x => round(x * Similarity.Scale, 0))
+    def codesOf = T.embeddings(s, d).select(col("vec_id"), cdCol.as("cd"))
+    def queriesOf = codesOf.filter(col("vec_id").between(16, 20))
+      .select(col("vec_id").as("qid"), col("cd").as("qcd"))
+    val diff = zip_with(col("cd"), col("qcd"), (x, y) => x - y)
+    def scoreOf(cands: DataFrame): DataFrame = cands.crossJoin(broadcast(queriesOf))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("cand_id"),
+        graft.functions.VectorOps.vecDotD(s, diff, diff).as("d2"))
+    val w = Window.partitionBy("qid").orderBy(col("d2").asc, col("cand_id").asc)
+    def topOf(ex: DataFrame): DataFrame = ex
+      .withColumn("rn", row_number().over(w).cast(LongType))
+      .filter(col("rn") <= 10)
+    def maxIdOf: Long = {
+      val r = T.embeddings(s, d).agg(max(col("vec_id"))).head()
+      if (r.isNullAt(0)) -1L else r.getLong(0)
     }
+    val (_, ex, top) = graft.core.ModelCache.getOrRefresh(
+      s, "truth-l2-base", s"$d/embeddings.parquet") {
+      val ex = scoreOf(codesOf).localCheckpoint()
+      (maxIdOf, ex, topOf(ex).localCheckpoint())
+    } { case (max0, ex0, top0) =>
+      // REFREEZE: same monoidal argument as Similarity.truthBase — new
+      // vectors only add scored rows for the fixed query set; top-10
+      // re-derives from old-top ∪ delta. RefreshSpec pins refresh ==
+      // retrain.
+      val exD = scoreOf(codesOf.filter(col("vec_id") > max0)).localCheckpoint()
+      (maxIdOf, ex0.unionAll(exD),
+        topOf(top0.drop("rn").unionAll(exD)).localCheckpoint())
+    }
+    (ex, top)
+  }
 
   /** Seed + `Iters` Lloyd rounds over subvector relation `sv` (a corpus
     * of `n` vectors): returns (seed codebook, trained codebook). */

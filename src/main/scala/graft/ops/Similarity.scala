@@ -750,28 +750,45 @@ object Similarity {
     * re-derived with its own full-table window now read the frozen
     * ranked rows. */
   private[graft] def truthBase(s: SparkSession, d: String)
-      : (DataFrame, DataFrame) =
-    graft.core.ModelCache.getOrTrain(s, "truth-base", s"$d/embeddings.parquet") {
-      def dotF(a: Column, b: Column): Column =
-        graft.functions.VectorOps.vecDot(s, a, b)
-      val base = T.embeddings(s, d)
-        .select(col("vec_id"), col("embedding"),
-          sqrt(dotF(col("embedding"), col("embedding"))).as("nrm"))
-      val q = base.filter(col("vec_id").between(16, 20))
-        .select(col("vec_id").as("qid"), col("embedding").as("qe"),
-          col("nrm").as("qn"))
-      val ex = base.crossJoin(broadcast(q))
-        .filter(col("vec_id") =!= col("qid"))
-        .select(col("qid"), col("vec_id").as("cand"),
-          round(dotF(col("embedding"), col("qe")) / (col("nrm") * col("qn")), 6)
-            .as("score"))
-        .localCheckpoint()
-      val w = Window.partitionBy("qid").orderBy(col("score").desc, col("cand").asc)
-      val top = ex.withColumn("rn", row_number().over(w).cast(LongType))
-        .filter(col("rn") <= 10)
-        .localCheckpoint()
-      (ex, top)
+      : (DataFrame, DataFrame) = {
+    def dotF(a: Column, b: Column): Column =
+      graft.functions.VectorOps.vecDot(s, a, b)
+    def baseOf = T.embeddings(s, d)
+      .select(col("vec_id"), col("embedding"),
+        sqrt(dotF(col("embedding"), col("embedding"))).as("nrm"))
+    def queriesOf = baseOf.filter(col("vec_id").between(16, 20))
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        col("nrm").as("qn"))
+    def scoreOf(cands: DataFrame): DataFrame = cands.crossJoin(broadcast(queriesOf))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("cand"),
+        round(dotF(col("embedding"), col("qe")) / (col("nrm") * col("qn")), 6)
+          .as("score"))
+    val w = Window.partitionBy("qid").orderBy(col("score").desc, col("cand").asc)
+    def topOf(ex: DataFrame): DataFrame = ex
+      .withColumn("rn", row_number().over(w).cast(LongType))
+      .filter(col("rn") <= 10)
+    def maxIdOf: Long = {
+      val r = T.embeddings(s, d).agg(max(col("vec_id"))).head()
+      if (r.isNullAt(0)) -1L else r.getLong(0)
     }
+    val (_, ex, top) = graft.core.ModelCache.getOrRefresh(
+      s, "truth-base", s"$d/embeddings.parquet") {
+      val ex = scoreOf(baseOf).localCheckpoint()
+      (maxIdOf, ex, topOf(ex).localCheckpoint())
+    } { case (max0, ex0, top0) =>
+      // REFREEZE: the scored table is monoidal — new corpus vectors only
+      // ADD (qid, cand, score) rows for the fixed query set, so the next
+      // frozen truth = old rows ∪ delta-only scoring, and the global
+      // top-10 re-derives from old-top ∪ delta (any new member is in one
+      // of the two). Old vectors are never re-scored. RefreshSpec pins
+      // refresh == retrain.
+      val exD = scoreOf(baseOf.filter(col("vec_id") > max0)).localCheckpoint()
+      val ex1 = ex0.unionAll(exD)
+      (maxIdOf, ex1, topOf(top0.drop("rn").unionAll(exD)).localCheckpoint())
+    }
+    (ex, top)
+  }
 
   /** Full training output incl. the final centroids (multi-probe needs
     * them to rank cells per query).

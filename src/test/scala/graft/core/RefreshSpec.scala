@@ -173,6 +173,36 @@ class RefreshSpec extends SparkSuite {
     assert(viaRetrain == fullOut)
   }
 
+  test("truth-base / truth-l2-base: refresh == retrain over grown embeddings") {
+    val d = tmpDir("refresh-truth")
+    ModelCache.clear()
+    def emb(i: Long): Array[Float] =
+      Array.tabulate(8)(j => (((i * 31 + j * 17) % 13) - 6).toFloat / 7f)
+    def write(r: Range): Unit =
+      r.map(i => (i.toLong, emb(i))).toDF("vec_id", "embedding")
+        .coalesce(1).write.mode("append").parquet(s"$d/embeddings.parquet")
+    write(0 until 40)
+    graft.ops.Similarity.truthBase(spark, d)
+    graft.ops.Pq.truthL2Base(spark, d)
+    // new vectors arrive: the scored tables must gain exactly the delta
+    // rows and the top-10 must re-derive from old-top ∪ delta
+    write(40 until 64)
+    val (exC, topC) = graft.ops.Similarity.truthBase(spark, d)
+    assert(ModelCache.lastEvent("truth-base", s"$d/embeddings.parquet")
+      .contains("refreshed"))
+    val (exL, topL) = graft.ops.Pq.truthL2Base(spark, d)
+    assert(ModelCache.lastEvent("truth-l2-base", s"$d/embeddings.parquet")
+      .contains("refreshed"))
+    val viaRefresh = Seq(exC, topC, exL, topL).map(rowsOf)
+    ModelCache.clear()
+    val (exC2, topC2) = graft.ops.Similarity.truthBase(spark, d)
+    val (exL2, topL2) = graft.ops.Pq.truthL2Base(spark, d)
+    assert(ModelCache.lastEvent("truth-base", s"$d/embeddings.parquet")
+      .contains("trained"))
+    assert(Seq(exC2, topC2, exL2, topL2).map(rowsOf) == viaRefresh,
+      "refreshed truth tables must equal the from-scratch retrain")
+  }
+
   test("refresh chains: two successive appends refresh twice and stay exact") {
     val d = tmpDir("refresh-chain")
     ModelCache.clear()

@@ -850,6 +850,34 @@ class StatefulSpec extends SparkSuite {
       "ingest-time frame digests must equal the batch operator's rows")
   }
 
+  test("s_stream_audio: PCM windowing runs unchanged at ingest, row-identical to batch") {
+    // the audio twin of s_stream_frames: audioWindowsOn is pure
+    // stateless column work (seek math + bounded Generate + map-side
+    // slice/digest), so the SAME plan runs over an ingest stream and
+    // must emit exactly the batch operator's rows regardless of batch
+    // boundaries
+    implicit val sqlCtx = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id", $"text").as[(Long, String)]
+      .collect().toSeq.sortBy(_._1)
+    val in = MemoryStream[(Long, String)]
+    val q = graft.ops.Multimodal.audioWindowsOn(in.toDS().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("audio_win")
+      .outputMode(OutputMode.Append).start()
+    val (b1, b2) = docs.splitAt(docs.size / 2)
+    in.addData(b1)
+    q.processAllAvailable()
+    in.addData(b2)
+    q.processAllAvailable()
+    val streamed = spark.table("audio_win").collect().map(_.toSeq).toSet
+    q.stop()
+    val batch = graft.SparkEntry.queries("q_audio_windows")(spark, sf)
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch,
+      "ingest-time window digests must equal the batch operator's rows")
+  }
+
   test("s_stream_bpe: out-of-vocabulary words fall back to character-level encoding, observably") {
     implicit val sqlCtx = spark.sqlContext
     val sf = "/root/testdata/sf0.001"
