@@ -228,7 +228,10 @@ object Pq {
     val sv = subvecs(s, d).localCheckpoint() // feeds every round + encode
     val n = T.embeddings(s, d).count()       // O(1) control-plane sizing probe
     val (cb0, cb) = trainCodebooks(s, sv, n)
-    PqParts(cb, assignStep(s, sv, cb, "code"), sv, cb0)
+    // the encode table is frozen WITH the model (the IvfParts.cents
+    // lesson): consumers were each paying a per-run localCheckpoint of
+    // the same corpus-sized assign join
+    PqParts(cb, assignStep(s, sv, cb, "code").localCheckpoint(), sv, cb0)
   }
 
   /** Mean per-subvector quantization error (L2²) of an encode against a
@@ -347,7 +350,7 @@ object Pq {
        |ORDER BY q.qid""".stripMargin
   ) { (s, d) =>
     val parts = pqParts(s, d)
-    val enc = parts.enc.localCheckpoint() // scored AND spined below
+    val enc = parts.enc // frozen with the model; scored AND spined below
     val qsv = parts.sv.filter(col("vec_id").between(16, 20))
       .select(col("vec_id").as("qid"), col("sub"), col("v"))
     val lut = qsv.join(broadcast(parts.cb), "sub")
@@ -439,7 +442,7 @@ object Pq {
       s, "ivfpq-serve", s"$d/embeddings.parquet") {
       val (a2, _) = Similarity.trainedAssignment(s, d)
       val parts = pqParts(s, d)
-      val enc = parts.enc.localCheckpoint()
+      val enc = parts.enc // frozen with the model
       val qsv = parts.sv.filter(col("vec_id").between(16, 20))
         .select(col("vec_id").as("qid"), col("sub"), col("v"))
       val lut = qsv.join(broadcast(parts.cb), "sub")
