@@ -533,22 +533,42 @@ object TextAnalysis {
       uc: org.apache.spark.sql.DataFrame,  // (token, uc)
       vocab: Long)
 
-  def lmModel(s: org.apache.spark.sql.SparkSession, d: String): LmModel =
-    graft.core.ModelCache.getOrTrain(s, "lm-base", s"$d/documents.parquet") {
-      val toksC = split(col("text"), " ")
-      val len1 = greatest(size(toksC) - 1, lit(0))
-      val docs = T.documents(s, d)
-      val bc = docs
-        .select(explode(zip_with(
-          slice(toksC, lit(1), len1), slice(toksC, lit(2), len1),
-          (x, y) => concat(x, lit("_"), y))).as("bigram"))
-        .groupBy("bigram").agg(count(lit(1)).as("bc"))
-        .localCheckpoint()
-      val uc = docs.select(explode(toksC).as("token"))
-        .groupBy("token").agg(count(lit(1)).as("uc"))
-        .localCheckpoint()
-      LmModel(bc, uc, uc.count())
+  def lmModel(s: org.apache.spark.sql.SparkSession, d: String): LmModel = {
+    val toksC = split(col("text"), " ")
+    val len1 = greatest(size(toksC) - 1, lit(0))
+    def bcOf(docs: org.apache.spark.sql.DataFrame) = docs
+      .select(explode(zip_with(
+        slice(toksC, lit(1), len1), slice(toksC, lit(2), len1),
+        (x, y) => concat(x, lit("_"), y))).as("bigram"))
+      .groupBy("bigram").agg(count(lit(1)).as("bc"))
+    def ucOf(docs: org.apache.spark.sql.DataFrame) = docs
+      .select(explode(toksC).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("uc"))
+    def maxIdOf: Long = {
+      val r = T.documents(s, d).agg(max(col("doc_id"))).head()
+      if (r.isNullAt(0)) -1L else r.getLong(0)
     }
+    val (_, bc, uc, vocab) = graft.core.ModelCache.getOrRefresh(
+      s, "lm-base", s"$d/documents.parquet") {
+      val uc = ucOf(T.documents(s, d)).localCheckpoint()
+      (maxIdOf, bcOf(T.documents(s, d)).localCheckpoint(), uc,
+        java.lang.Long.valueOf(uc.count()))
+    } { case (max0, bc0, uc0, _) =>
+      // REFREEZE (round-11 verdict #1 family): both censuses are count
+      // monoids over disjoint doc sets — growth tokenizes only docs
+      // above the frozen high-water id and merges with one groupBy-sum;
+      // the old corpus is never re-read. RefreshSpec pins refresh ==
+      // retrain.
+      val delta = T.documents(s, d).filter(col("doc_id") > max0)
+      val uc1 = uc0.unionAll(ucOf(delta)).groupBy("token")
+        .agg(sum(col("uc")).as("uc")).localCheckpoint()
+      (maxIdOf,
+        bc0.unionAll(bcOf(delta)).groupBy("bigram")
+          .agg(sum(col("bc")).as("bc")).localCheckpoint(),
+        uc1, java.lang.Long.valueOf(uc1.count()))
+    }
+    LmModel(bc, uc, vocab)
+  }
 
   /** Tokenizer-budget coverage census: how much of each document's
     * bigram stream a FIXED 256-entry vocabulary (the corpus's most

@@ -203,6 +203,23 @@ class RefreshSpec extends SparkSuite {
       "refreshed truth tables must equal the from-scratch retrain")
   }
 
+  test("lm-base: refreshed bigram/unigram censuses equal the retrain") {
+    val d = tmpDir("refresh-lm")
+    ModelCache.clear()
+    writeDocs(d, 0 until 100)
+    graft.ops.TextAnalysis.lmModel(spark, d)
+    assert(ModelCache.lastEvent("lm-base", s"$d/documents.parquet")
+      .contains("trained"))
+    writeDocs(d, 100 until 160)
+    val m1 = graft.ops.TextAnalysis.lmModel(spark, d)
+    assert(ModelCache.lastEvent("lm-base", s"$d/documents.parquet")
+      .contains("refreshed"))
+    val viaRefresh = (rowsOf(m1.bc), rowsOf(m1.uc), m1.vocab)
+    ModelCache.clear()
+    val m2 = graft.ops.TextAnalysis.lmModel(spark, d)
+    assert((rowsOf(m2.bc), rowsOf(m2.uc), m2.vocab) == viaRefresh)
+  }
+
   test("refresh chains: two successive appends refresh twice and stay exact") {
     val d = tmpDir("refresh-chain")
     ModelCache.clear()
