@@ -327,6 +327,20 @@ class PlanShapeSpec extends SparkSuite {
     inputs.foreach(i => assert(!i.contains("text#"), s"text crosses an exchange: $i"))
   }
 
+  test("q_core_numbers: the h-index fixpoint serves from truncated state, zero file scans past the edge checkpoint") {
+    // the Q closure checkpoints the symmetric edge list ONCE before the
+    // loop and every round truncates lineage (Session.truncate), so the
+    // returned census plan must contain no FileScan — a file scan here
+    // would mean a round re-derived edges from orders ⋈ lineitem, the
+    // exact repeated-scan shape the bpe round loop was flagged for in
+    // round 10
+    val p = plan("q_core_numbers")
+    assert("FileScan".r.findAllIn(p).isEmpty,
+      "a corpus re-scan leaked into the fixpoint:\n" + p.take(800))
+    assert(p.contains("Scan ExistingRDD"),
+      "the census must derive from the truncated fixpoint state")
+  }
+
   test("q_bpe_merges round loop runs over the dictionary only: zero file scans, zero corpus explodes in the result plan") {
     // The round-10 verdict's weak plan rewrote the whole corpus per merge
     // round. The re-shape collapses the corpus ONCE to a localCheckpointed
