@@ -711,8 +711,59 @@ object Dedup {
     }
   }
 
+  /** Cross-source duplication census — the PROVENANCE half of dedup
+    * that decides source precedence before a crawl merge: per ordered
+    * source pair, how many LSH buckets the two sources co-occupy and
+    * how many candidate near-dup pairs that implies. No doc pair is
+    * ever materialized: the per-bucket per-source POPULATION census
+    * (O(buckets × sources), sources is small) yields the pair count in
+    * closed form — n·(n−1)/2 within a source, n_a·n_b across — so the
+    * op is immune to the clone-saturated hot-bucket blowup the pair
+    * join suffers (the q_dedup_delta lesson applied at census grain).
+    * Counts are the standard band-multiset upper bound (a pair sharing
+    * k band buckets counts k times — the probe-workload convention of
+    * n_probes). Exact integers end to end; the bucket-level self-join
+    * keys on (band, bucket), the same shuffle the banding census
+    * already pays. */
+  val sourceOverlap: Q = Q(
+    "q_source_overlap",
+    s"""WITH $sigBandsCteSql,
+       |bs AS (SELECT b.band, b.bucket, d.source, CAST(count(*) AS BIGINT) AS n
+       |  FROM bands b JOIN documents d USING (doc_id) GROUP BY 1, 2, 3),
+       |px AS (SELECT a.source AS source_a, b.source AS source_b,
+       |    CASE WHEN a.source = b.source THEN a.n * (a.n - 1) // 2
+       |         ELSE a.n * b.n END AS np
+       |  FROM bs a JOIN bs b ON a.band = b.band AND a.bucket = b.bucket
+       |    AND a.source <= b.source)
+       |SELECT source_a, source_b, CAST(count(*) AS BIGINT) AS n_buckets,
+       |  CAST(sum(np) AS BIGINT) AS cand_pairs
+       |FROM px WHERE np > 0
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  ) { (s, d) =>
+    val docs = T.documents(s, d)
+    val bs = bandsOfDocs(s, docs.select(col("doc_id"), col("text")))
+      .join(docs.select(col("doc_id"), col("source")), "doc_id")
+      .groupBy("band", "bucket", "source")
+      .agg(count(lit(1)).as("n"))
+    val a = bs.select(col("band"), col("bucket"),
+      col("source").as("source_a"), col("n").as("na"))
+    val b = bs.select(col("band"), col("bucket"),
+      col("source").as("source_b"), col("n").as("nb"))
+    a.join(b, Seq("band", "bucket"))
+      .filter(col("source_a") <= col("source_b"))
+      .select(col("source_a"), col("source_b"),
+        when(col("source_a") === col("source_b"),
+          expr("na * (na - 1) div 2")).otherwise(col("na") * col("nb"))
+          .as("np"))
+      .filter(col("np") > 0)
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("n_buckets"), sum(col("np")).as("cand_pairs"))
+      .orderBy("source_a", "source_b")
+  }
+
   val all: Seq[Q] =
     Seq(dedupMinhash, dedupSimhash, ngramJaccard, simhashHamming,
       dedupEditDistance, neardupPipeline, dedupClusters, dedupReport,
-      minhashJaccardEst, substringDedup, substringScrub, dedupDelta)
+      minhashJaccardEst, substringDedup, substringScrub, dedupDelta,
+      sourceOverlap)
 }

@@ -198,6 +198,26 @@ class OperatorSpec extends SparkSuite {
     assert(perBand.values.forall(_ == nDocs))
   }
 
+  test("q_source_overlap: pair census partitions the total bucket pair count") {
+    // partition identity: summing candidate pairs over every ordered
+    // source pair must equal Σ_buckets C(pop, 2) from q_dedup_minhash's
+    // bucket census — within-source and cross-source pair counts are a
+    // partition of each bucket's total, so the two independent
+    // formulations must agree exactly
+    val totalFromBuckets = run("q_dedup_minhash").collect()
+      .map(r => { val n = r.getLong(2); n * (n - 1) / 2 }).sum
+    val rows = run("q_source_overlap").collect()
+    val totalFromSources = rows.map(_.getLong(3)).sum
+    assert(totalFromSources == totalFromBuckets,
+      s"$totalFromSources != $totalFromBuckets")
+    // ordered pairs only, and every row carries at least one pair
+    rows.foreach { r =>
+      assert(r.getString(0) <= r.getString(1))
+      assert(r.getLong(3) >= r.getLong(2),
+        "each contributing bucket contributes at least one pair")
+    }
+  }
+
   test("queries run under a plain (untuned) session — Tables self-configures") {
     val plain = spark.newSession()   // fresh SQLConf without Session.tune
     assert(graft.SparkEntry.queries("q_time_bucket")(plain, sf).count() > 0)
