@@ -534,8 +534,91 @@ object Cdc {
     }
   }
 
+  /** Value-level twin of q_schema_drift: per-COLUMN change census
+    * between two snapshot epochs. q_cdc_diff classifies whole ROWS as
+    * I/U/D; an operator tuning a capture pipeline needs the orthogonal
+    * cut — WHICH columns are churning, and at what rate (hot columns
+    * drive delta-encoding / column-family decisions at 100 TB).
+    * Snapshots A/B reuse q_cdc_diff's in-query derivation, with B's
+    * perturbation widened to three columns at different densities
+    * (value: every 13th key ×2, event_type: every 11th key mutated,
+    * props: every 17th key blanked) so the census has real signal, and
+    * ts/user_id prove the zero-drift reading.
+    *
+    * Shape: ONE key-partitioned inner join (matched keys only — row
+    * presence is q_cdc_diff's business), then a single partial-aggregated
+    * pass folding every column's null-safe inequality into one row of
+    * counters, unpivoted to (column, n_changed) rows by a bounded
+    * `stack`. The Spark side derives the counter list from df.columns —
+    * the same reflect-then-generate move as the reference's checksum
+    * builder (duckdb_cdc.go:168-173) — so a schema change reshapes the
+    * census automatically. Cost: one shuffle of (key, compared cols),
+    * O(columns) state per partition. */
+  val columnDrift: Q = Q(
+    "q_column_drift",
+    """WITH a AS (SELECT * FROM events WHERE event_id % 10 != 0),
+      |b AS (SELECT event_id, ts, user_id,
+      |        CASE WHEN event_id % 11 = 0 THEN 'mutated' ELSE event_type END
+      |          AS event_type,
+      |        CASE WHEN event_id % 13 = 0 THEN value * 2 ELSE value END
+      |          AS value,
+      |        CASE WHEN event_id % 17 = 0 THEN '{}' ELSE props END AS props
+      |      FROM events WHERE event_id % 9 != 0),
+      |j AS (SELECT a.ts AS a_ts, b.ts AS b_ts,
+      |        a.user_id AS a_user_id, b.user_id AS b_user_id,
+      |        a.event_type AS a_event_type, b.event_type AS b_event_type,
+      |        a.value AS a_value, b.value AS b_value,
+      |        a.props AS a_props, b.props AS b_props
+      |      FROM a JOIN b USING (event_id)),
+      |agg AS (SELECT CAST(count(*) AS BIGINT) AS n_matched,
+      |  CAST(sum(CASE WHEN a_ts IS DISTINCT FROM b_ts THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS chg_ts,
+      |  CAST(sum(CASE WHEN a_user_id IS DISTINCT FROM b_user_id
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS chg_user_id,
+      |  CAST(sum(CASE WHEN a_event_type IS DISTINCT FROM b_event_type
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS chg_event_type,
+      |  CAST(sum(CASE WHEN a_value IS DISTINCT FROM b_value
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS chg_value,
+      |  CAST(sum(CASE WHEN a_props IS DISTINCT FROM b_props
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS chg_props
+      |  FROM j)
+      |SELECT column_name, n_changed, n_matched,
+      |  n_changed * 1000000 // n_matched AS changed_ppm
+      |FROM (
+      |  SELECT 'ts' AS column_name, chg_ts AS n_changed, n_matched FROM agg
+      |  UNION ALL SELECT 'user_id', chg_user_id, n_matched FROM agg
+      |  UNION ALL SELECT 'event_type', chg_event_type, n_matched FROM agg
+      |  UNION ALL SELECT 'value', chg_value, n_matched FROM agg
+      |  UNION ALL SELECT 'props', chg_props, n_matched FROM agg)
+      |ORDER BY column_name""".stripMargin
+  ) { (s, d) =>
+    val e = T.events(s, d)
+    val a = e.filter(col("event_id") % 10 =!= 0)
+    val b = e.filter(col("event_id") % 9 =!= 0)
+      .withColumn("event_type",
+        when(col("event_id") % 11 === 0, "mutated").otherwise(col("event_type")))
+      .withColumn("value",
+        when(col("event_id") % 13 === 0, col("value") * 2).otherwise(col("value")))
+      .withColumn("props",
+        when(col("event_id") % 17 === 0, "{}").otherwise(col("props")))
+    // reflect-then-generate: the compared column list IS the schema
+    val cols = e.columns.filterNot(_ == "event_id").sorted
+    val j = a.as("a").join(b.as("b"), Seq("event_id"))
+    val counters = count(lit(1)).as("n_matched") +:
+      cols.map(c => sum(when(!(col(s"a.$c") <=> col(s"b.$c")), 1L).otherwise(0L))
+        .as(s"chg_$c"))
+    val row = j.agg(counters.head, counters.tail: _*)
+    val stackArgs = cols.map(c => s"'$c', chg_$c").mkString(", ")
+    row.select(
+        expr(s"stack(${cols.length}, $stackArgs) AS (column_name, n_changed)"),
+        col("n_matched"))
+      .select(col("column_name"), col("n_changed"), col("n_matched"),
+        expr("n_changed * 1000000 div n_matched").as("changed_ppm"))
+      .orderBy("column_name")
+  }
+
   val all: Seq[Q] = Seq(
     tableChecksum, partitionChecksum, snapshotEnvelope, snapshotThroughput,
     latestChecksumPerTable, cdcDiff, incrementalSince, incrementalAgg,
-    cdcReplay, cdcCompact, scd2, schemaDrift)
+    cdcReplay, cdcCompact, scd2, schemaDrift, columnDrift)
 }

@@ -501,9 +501,12 @@ object LlmPipeline {
     * lexical side touches only postings of the query docs' own tokens
     * (an inverted-index probe, never a doc×doc product); fusion joins
     * two ≤10-row-per-query lists. */
-  val hybridRrf: Q = Q(
-    "q_hybrid_rrf",
-    """WITH cand AS (SELECT DISTINCT vec_id AS id FROM embeddings),
+  /** The two retrieval channels' CTE block, shared by q_hybrid_rrf and
+    * q_rank_corr (the bm25Sql precedent: one SQL text, two oracles —
+    * the channels must be IDENTICAL for the correlation to be about the
+    * channels, not about two slightly different reconstructions). */
+  private lazy val channelCtes: String =
+    """cand AS (SELECT DISTINCT vec_id AS id FROM embeddings),
       |q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe
       |      FROM embeddings WHERE vec_id < 5),
       |vs AS (SELECT q.qid, e.vec_id AS id,
@@ -511,9 +514,6 @@ object LlmPipeline {
       |               (sqrt(list_inner_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) *
       |                sqrt(list_inner_product(q.qe, q.qe))), 4) AS vscore
       |       FROM embeddings e, q WHERE e.vec_id != q.qid),
-      |vtop AS (SELECT qid, id, r FROM (
-      |  SELECT qid, id, row_number() OVER (PARTITION BY qid ORDER BY vscore DESC, id) AS r
-      |  FROM vs) WHERE r <= 10),
       |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
       |dtok AS (SELECT DISTINCT doc_id, token FROM tok),
       |nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
@@ -523,10 +523,24 @@ object LlmPipeline {
       |         CAST(sum(nd.n_docs * 1000000 // df.df) AS BIGINT) AS lscore
       |       FROM qt JOIN dtok d2 USING (token) JOIN df USING (token)
       |       JOIN cand ON cand.id = d2.doc_id CROSS JOIN nd
-      |       WHERE d2.doc_id != qt.qid GROUP BY 1, 2),
+      |       WHERE d2.doc_id != qt.qid GROUP BY 1, 2)""".stripMargin
+
+  /** The top-10 cut of each channel — q_hybrid_rrf's serving lists.
+    * Separate from [[channelCtes]] so q_rank_corr can correlate the
+    * FULL rankings (top-10 intersections are empty on an uncorrelated
+    * synthetic corpus — 10·10/|catalog| expected hits). */
+  private lazy val topCtes: String =
+    """vtop AS (SELECT qid, id, r FROM (
+      |  SELECT qid, id, row_number() OVER (PARTITION BY qid ORDER BY vscore DESC, id) AS r
+      |  FROM vs) WHERE r <= 10),
       |ltop AS (SELECT qid, id, r FROM (
       |  SELECT qid, id, row_number() OVER (PARTITION BY qid ORDER BY lscore DESC, id) AS r
-      |  FROM ls) WHERE r <= 10),
+      |  FROM ls) WHERE r <= 10)""".stripMargin
+
+  val hybridRrf: Q = Q(
+    "q_hybrid_rrf",
+    s"""WITH $channelCtes,
+      |$topCtes,
       |u AS (SELECT qid, id FROM vtop UNION SELECT qid, id FROM ltop),
       |f AS (SELECT u.qid, u.id,
       |        CAST(coalesce(v.r, 0) AS BIGINT) AS r_vec,
@@ -541,40 +555,10 @@ object LlmPipeline {
       |  FROM f)
       |WHERE rn <= 5 ORDER BY qid, rn""".stripMargin
   ) { (s, d) =>
-    val emb = T.embeddings(s, d)
-    val cand = emb.select(col("vec_id").as("id")).distinct()
-    // dense list: norms precomputed map-side (the q_similarity_topk shape)
-    val e = emb.select(col("vec_id"), col("embedding"),
-      l2(s)(col("embedding")).as("nrm"))
-    val qv = e.filter(col("vec_id") < 5)
-      .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("nrm").as("qn"))
-    val vs = e.crossJoin(broadcast(qv))
-      .filter(col("vec_id") =!= col("qid"))
-      .select(col("qid"), col("vec_id").as("id"),
-        round(dot(s)(col("embedding"), col("qe")) / (col("nrm") * col("qn")), 4)
-          .as("vscore"))
+    val (vs, ls) = rankChannels(s, d)
     val wv = Window.partitionBy("qid").orderBy(col("vscore").desc, col("id"))
     val vtop = vs.withColumn("r", row_number().over(wv).cast(LongType))
       .filter(col("r") <= 10).select("qid", "id", "r")
-    // lexical list: inverted-index probe on the query docs' own tokens
-    val dtok = T.documents(s, d)
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
-      .distinct()
-    val nd = T.documents(s, d).agg(count(lit(1)).as("n_docs"))
-    val df = dtok.groupBy("token").agg(count(lit(1)).as("df"))
-    // both channels share ONE query set derived from embeddings (the
-    // oracle's construction): a doc_id < 5 without an embedding row must
-    // not spawn a lexical-only query group the dense side cannot see
-    val qt = dtok.join(broadcast(qv.select("qid")),
-        dtok("doc_id") === col("qid"))
-      .select(col("qid"), col("token"))
-    val ls = broadcast(qt).join(dtok, "token")
-      .filter(col("doc_id") =!= col("qid"))
-      .join(df, "token")
-      .join(cand.withColumnRenamed("id", "doc_id"), "doc_id")
-      .crossJoin(broadcast(nd))
-      .groupBy(col("qid"), col("doc_id").as("id"))
-      .agg(sum(expr("n_docs * 1000000 div df")).as("lscore"))
     val wl = Window.partitionBy("qid").orderBy(col("lscore").desc, col("id"))
     val ltop = ls.withColumn("r", row_number().over(wl).cast(LongType))
       .filter(col("r") <= 10).select("qid", "id", "r")
@@ -596,7 +580,111 @@ object LlmPipeline {
       .orderBy("qid", "rn")
   }
 
+  /** Builds the two SCORED candidate lists (dense cosine `vscore`,
+    * lexical idf_ppm `lscore`) per query doc — the channel construction
+    * factored off q_hybrid_rrf so eval operators measure the SAME
+    * channels the fusion serves. Returns (vs, ls), each
+    * (qid, id, score); callers cut their own top-k. */
+  private[graft] def rankChannels(s: org.apache.spark.sql.SparkSession,
+      d: String): (DataFrame, DataFrame) = {
+    val emb = T.embeddings(s, d)
+    val cand = emb.select(col("vec_id").as("id")).distinct()
+    // dense list: norms precomputed map-side (the q_similarity_topk shape)
+    val e = emb.select(col("vec_id"), col("embedding"),
+      l2(s)(col("embedding")).as("nrm"))
+    val qv = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("nrm").as("qn"))
+    val vs = e.crossJoin(broadcast(qv))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("id"),
+        round(dot(s)(col("embedding"), col("qe")) / (col("nrm") * col("qn")), 4)
+          .as("vscore"))
+    // lexical list: inverted-index probe on the query docs' own tokens
+    val dtok = T.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .distinct()
+    val nd = T.documents(s, d).agg(count(lit(1)).as("n_docs"))
+    val df = dtok.groupBy("token").agg(count(lit(1)).as("df"))
+    // both channels share ONE query set derived from embeddings (the
+    // oracle's construction): a doc_id < 5 without an embedding row must
+    // not spawn a lexical-only query group the dense side cannot see
+    val qt = dtok.join(broadcast(qv.select("qid")),
+        dtok("doc_id") === col("qid"))
+      .select(col("qid"), col("token"))
+    val ls = broadcast(qt).join(dtok, "token")
+      .filter(col("doc_id") =!= col("qid"))
+      .join(df, "token")
+      .join(cand.withColumnRenamed("id", "doc_id"), "doc_id")
+      .crossJoin(broadcast(nd))
+      .groupBy(col("qid"), col("doc_id").as("id"))
+      .agg(sum(expr("n_docs * 1000000 div df")).as("lscore"))
+    (vs, ls)
+  }
+
+  /** Spearman rank correlation between the dense and lexical channels —
+    * the diagnostic BEHIND q_hybrid_rrf: fusion pays off exactly when
+    * the channels disagree (ρ low) yet are individually competent, and
+    * a ρ near 1 says the second channel is redundant spend at serving
+    * time. Correlates the FULL rankings over each query's shared scored
+    * domain (docs with both a cosine and a lexical score): a top-10 ∩
+    * top-10 restriction is vacuous on an uncorrelated catalog
+    * (10·10/|catalog| expected hits), and restricted ranks are not 1..n
+    * anyway — so both channels are re-ranked densely WITHIN the shared
+    * domain and ρ = 1 − 6·Σd² / (n·(n²−1)) is exact: n and Σd² are
+    * integers in both engines (ties broken by id under both orderings,
+    * identically), the only float is the ONE final division (n ≥ 2
+    * guarded — NULL below that in both engines). Magnitudes: Σd² < n³/3
+    * and n·(n²−1) pass int64 up to n ≈ 2·10⁶ per query; the documented
+    * switch past that is DECIMAL(38,0), but a rank-eval domain is a
+    * candidate list, not a corpus.
+    *
+    * Scale shape: one (qid, id) equi-join of the two scored lists, two
+    * windows over O(domain) rows per query, one partial-aggregated
+    * groupBy — the channels themselves (the SAME frozen plans
+    * q_hybrid_rrf serves, rankChannels) carry the cost. O(queries)
+    * output rows. */
+  val rankCorr: Q = Q(
+    "q_rank_corr",
+    s"""WITH $channelCtes,
+      |j AS (SELECT vs.qid, vs.id, vs.vscore, ls.lscore
+      |      FROM vs JOIN ls USING (qid, id)),
+      |rr AS (SELECT qid,
+      |         row_number() OVER (PARTITION BY qid ORDER BY vscore DESC, id)
+      |           AS rv2,
+      |         row_number() OVER (PARTITION BY qid ORDER BY lscore DESC, id)
+      |           AS rl2
+      |       FROM j)
+      |SELECT qid, CAST(count(*) AS BIGINT) AS n_common,
+      |  CAST(sum((rv2 - rl2) * (rv2 - rl2)) AS BIGINT) AS sum_d2,
+      |  CASE WHEN count(*) >= 2 THEN
+      |    round(CAST(1 AS DOUBLE) -
+      |      CAST(6 AS DOUBLE) * CAST(sum((rv2 - rl2) * (rv2 - rl2)) AS DOUBLE)
+      |        / (count(*) * (count(*) * count(*) - 1)), 4)
+      |  END AS rho
+      |FROM rr GROUP BY qid ORDER BY qid""".stripMargin
+  ) { (s, d) =>
+    val (vs, ls) = rankChannels(s, d)
+    val j = vs.join(ls, Seq("qid", "id"))
+    val rr = j
+      .withColumn("rv2", row_number()
+        .over(Window.partitionBy("qid").orderBy(col("vscore").desc, col("id")))
+        .cast(LongType))
+      .withColumn("rl2", row_number()
+        .over(Window.partitionBy("qid").orderBy(col("lscore").desc, col("id")))
+        .cast(LongType))
+    rr.groupBy("qid")
+      .agg(count(lit(1)).as("n_common"),
+        sum((col("rv2") - col("rl2")) * (col("rv2") - col("rl2"))).as("sum_d2"))
+      .select(col("qid"), col("n_common"), col("sum_d2"),
+        when(col("n_common") >= 2,
+          round(lit(1.0) - lit(6.0) * col("sum_d2").cast(DoubleType) /
+            (col("n_common") * (col("n_common") * col("n_common") - 1)), 4))
+          .as("rho"))
+      .orderBy("qid")
+  }
+
   val all: Seq[Q] = Seq(
     dedupExact, dedupText, tokenTopK, jsonExtract, similarityTopK, multimodalStats,
-    tfidf, contamination, packSequences, chunkDocs, bm25, bm25Delta, hybridRrf)
+    tfidf, contamination, packSequences, chunkDocs, bm25, bm25Delta, hybridRrf,
+    rankCorr)
 }

@@ -253,6 +253,104 @@ object Multimodal {
         md5(col("whex")).as("win_md5"))
   }
 
+  // Image tiling geometry: a row-major frame of Pitch bytes/row, cut
+  // into TileW×TileH-byte tiles (TilesAcross = Pitch/TileW per tile
+  // row), sampled under the family's uniform-stride budget. Pitch is
+  // sized to the synthetic assets (47..558 bytes at gate scale) so most
+  // assets yield at least one full tile; a real image pipeline sets
+  // Pitch = width · bytes_per_pixel and the arithmetic is unchanged.
+  private val PitchB = 16L
+  private val TileW = 8L
+  private val TileH = 8L
+  private val TilesAcross = PitchB / TileW // 2
+  private val TileBudget = 4L
+
+  /** q_image_tiles — the 2-D member of the seek-arithmetic family
+    * (frame stride = 1-D, audio hop = fixed-rate 1-D): tile extraction
+    * from a pitched row-major image buffer, the gather every vision
+    * preprocessor (patchify/ViT, JPEG MCU access, texture upload) runs.
+    * A tile is NOT contiguous — tile (tx,ty) is TileH separate row
+    * slices at byte_off(r) = (ty·TileH + r)·Pitch + tx·TileW — so this
+    * operator proves the pitch arithmetic AND the ordered reassembly:
+    * slices are gathered per tile with an ORDER-PINNED concatenation
+    * (array_sort over (r, slice) / string_agg ORDER BY r — never a
+    * collection-order concat, H6), digested as one tile. Only full
+    * tiles are scheduled (ty·TileH + r < n_rows by construction), so
+    * every tile is exactly TileW·TileH bytes.
+    *
+    * Scale shape: per-row integer seek math, TWO bounded Generates
+    * (≤ TileBudget tiles × TileH rows = 32 rows/asset), map-side binary
+    * slices (int cast safe: a row offset is ≤ octet_length ≤ Int.Max
+    * for any JVM binary — the frameExtractOn argument), and ONE
+    * partial-aggregated groupBy on (asset, tile) whose state is a
+    * ≤ TileH-element array — the asset's full bytes never cross the
+    * exchange, only the ≤ 64-byte sampled slices do. */
+  val imageTiles: Q = Q(
+    "q_image_tiles",
+    s"""WITH meta AS (SELECT doc_id AS asset_id, hex(encode(text)) AS hx,
+       |    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+       |  FROM documents),
+       |g AS (SELECT asset_id, hx, n_bytes,
+       |    (n_bytes // $PitchB // $TileH) * $TilesAcross AS n_tiles
+       |  FROM meta),
+       |t AS (SELECT asset_id, hx, n_bytes, n_tiles,
+       |    (n_tiles + ${TileBudget - 1}) // $TileBudget AS tstride
+       |  FROM g WHERE n_tiles > 0),
+       |ti AS (SELECT asset_id, hx, n_bytes, n_tiles,
+       |    CAST(unnest(generate_series(0, n_tiles - 1, tstride)) AS BIGINT)
+       |      AS tile_idx
+       |  FROM t),
+       |tr AS (SELECT asset_id, n_bytes, n_tiles, tile_idx,
+       |    tile_idx % $TilesAcross AS tx, tile_idx // $TilesAcross AS ty,
+       |    CAST(unnest(generate_series(0, ${TileH - 1})) AS BIGINT) AS r, hx
+       |  FROM ti),
+       |sl AS (SELECT asset_id, n_bytes, n_tiles, tile_idx, tx, ty, r,
+       |    substr(hx, CAST(((ty * $TileH + r) * $PitchB + tx * $TileW) * 2 + 1
+       |      AS BIGINT), ${TileW * 2}) AS rhex
+       |  FROM tr),
+       |tb AS (SELECT asset_id, n_bytes, n_tiles, tile_idx, tx, ty,
+       |    string_agg(rhex, '' ORDER BY r) AS thex
+       |  FROM sl GROUP BY 1, 2, 3, 4, 5, 6)
+       |SELECT asset_id, n_bytes, n_tiles, tile_idx, tx, ty,
+       |  (ty * $TileH) * $PitchB + tx * $TileW AS byte_off,
+       |  CAST(length(thex) // 2 AS BIGINT) AS tile_bytes,
+       |  md5(thex) AS tile_md5
+       |FROM tb ORDER BY asset_id, tile_idx""".stripMargin
+  ) { (s, d) =>
+    imageTilesOn(T.documents(s, d)).orderBy("asset_id", "tile_idx")
+  }
+
+  /** The tiling transform itself, factored like [[frameExtractOn]] /
+    * [[audioWindowsOn]] so a streaming twin reuses it unchanged. */
+  def imageTilesOn(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val bin = encode(col("text"), "UTF-8")
+    docs
+      .select(col("doc_id").as("asset_id"), bin.as("bin"),
+        octet_length(bin).cast("long").as("n_bytes"))
+      .withColumn("n_tiles",
+        expr(s"(n_bytes div $PitchB div $TileH) * $TilesAcross"))
+      .filter(col("n_tiles") > 0)
+      .withColumn("tstride",
+        expr(s"(n_tiles + ${TileBudget - 1}) div $TileBudget"))
+      .withColumn("tile_idx",
+        explode(sequence(lit(0L), col("n_tiles") - 1L, col("tstride"))))
+      .withColumn("tx", expr(s"tile_idx % $TilesAcross"))
+      .withColumn("ty", expr(s"tile_idx div $TilesAcross"))
+      .withColumn("r", explode(sequence(lit(0L), lit(TileH - 1L))))
+      .withColumn("rhex",
+        expr(s"hex(substring(bin, cast((ty * $TileH + r) * $PitchB + " +
+          s"tx * $TileW + 1 as int), $TileW))"))
+      .groupBy("asset_id", "n_bytes", "n_tiles", "tile_idx", "tx", "ty")
+      .agg(expr("array_join(transform(array_sort(collect_list(" +
+        "struct(r, rhex))), x -> x.rhex), '')").as("thex"))
+      .select(col("asset_id"), col("n_bytes"), col("n_tiles"), col("tile_idx"),
+        col("tx"), col("ty"),
+        ((col("ty") * TileH) * PitchB + col("tx") * TileW).as("byte_off"),
+        expr("length(thex) div 2").cast("long").as("tile_bytes"),
+        md5(col("thex")).as("tile_md5"))
+  }
+
   val all: Seq[Q] =
-    Seq(multimodalDecode, frameSchedule, frameExtract, audioWindows)
+    Seq(multimodalDecode, frameSchedule, frameExtract, audioWindows, imageTiles)
 }

@@ -443,7 +443,100 @@ object Statistical {
       .orderBy("l_returnflag")
   }
 
+  /** Two-sample Kolmogorov–Smirnov drift census between the processed
+    * prefix (ts ≤ mid-month cutoff, the q_incremental_since watermark
+    * convention) and new arrivals, per event_type: has the VALUE
+    * distribution of incoming data shifted? The classic gate a training
+    * pipeline runs before admitting a new crawl slice into the mix.
+    *
+    * The statistic runs in EXACT INTEGERS: values are binned to a fixed
+    * 0.1-wide grid (floor(v·10) — one IEEE multiply + floor, identical
+    * in both engines, the q_histogram rule), and with per-bucket counts
+    * c1/c2, cumulative sums cum1/cum2 and totals n1/n2,
+    * D = max |cum1/n1 − cum2/n2| = max |cum1·n2 − cum2·n1| / (n1·n2) —
+    * the max runs over the integer numerator, so both engines agree
+    * bit-for-bit; the only float is ONE final division, rounded to 6 dp.
+    * (Magnitudes: cum ≤ n ≤ 10¹² rows/type and numerator ≤ n1·n2 ≤ 10²⁴
+    * would pass int64 at extreme scale — the documented switch there is
+    * DECIMAL(38,0), same as q_anomaly_hours; at gate scales int64 has
+    * 10⁶× headroom.)
+    *
+    * Scale shape: the watermark predicate pushes to the parquet scan on
+    * BOTH sides (Tables.eventsUntil/Since push on the raw ns column),
+    * one partial-aggregating groupBy collapses O(N) rows to
+    * O(types · buckets) ≤ a few thousand, and the window/max run on that
+    * census — per-partition state is O(buckets), never O(rows). A
+    * drifted type is then inspectable bucket-by-bucket from the same
+    * census. */
+  val ksDrift: Q = Q(
+    "q_ks_drift",
+    """WITH base AS (
+      |  SELECT event_type, CAST(floor(value * 10) AS BIGINT) AS bucket
+      |  FROM events WHERE ts <= TIMESTAMP '2024-01-16 00:00:00'
+      |    AND value IS NOT NULL),
+      |arr AS (
+      |  SELECT event_type, CAST(floor(value * 10) AS BIGINT) AS bucket
+      |  FROM events WHERE ts > TIMESTAMP '2024-01-16 00:00:00'
+      |    AND value IS NOT NULL),
+      |cb AS (SELECT event_type, bucket, CAST(count(*) AS BIGINT) AS c1
+      |       FROM base GROUP BY 1, 2),
+      |cn AS (SELECT event_type, bucket, CAST(count(*) AS BIGINT) AS c2
+      |       FROM arr GROUP BY 1, 2),
+      |m AS (SELECT event_type, bucket,
+      |        coalesce(c1, 0) AS c1, coalesce(c2, 0) AS c2
+      |      FROM cb FULL OUTER JOIN cn USING (event_type, bucket)),
+      |w AS (SELECT event_type,
+      |        CAST(sum(c1) OVER (PARTITION BY event_type ORDER BY bucket
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |          AS cum1,
+      |        CAST(sum(c2) OVER (PARTITION BY event_type ORDER BY bucket
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |          AS cum2,
+      |        CAST(sum(c1) OVER (PARTITION BY event_type) AS BIGINT) AS n1,
+      |        CAST(sum(c2) OVER (PARTITION BY event_type) AS BIGINT) AS n2
+      |      FROM m)
+      |SELECT event_type, n1 AS n_base, n2 AS n_new,
+      |  CAST(max(abs(cum1 * n2 - cum2 * n1)) AS BIGINT) AS ks_num,
+      |  round(CAST(max(abs(cum1 * n2 - cum2 * n1)) AS DOUBLE) / (n1 * n2), 6)
+      |    AS ks
+      |FROM w WHERE n1 > 0 AND n2 > 0
+      |GROUP BY event_type, n1, n2 ORDER BY event_type""".stripMargin
+  ) { (s, d) =>
+    // 2024-01-16T00:00:00Z — mid-span of the 30-day events table
+    val cutoffUs = 1705363200000000L
+    def binned(df: org.apache.spark.sql.DataFrame) =
+      df.filter(col("value").isNotNull)
+        .select(col("event_type"),
+          floor(col("value") * 10).cast(LongType).as("bucket"))
+    val cb = binned(T.eventsUntil(s, d, cutoffUs))
+      .groupBy("event_type", "bucket").agg(count(lit(1)).as("c1"))
+    val cn = binned(T.eventsSince(s, d, cutoffUs))
+      .groupBy("event_type", "bucket").agg(count(lit(1)).as("c2"))
+    val m = cb.join(cn, Seq("event_type", "bucket"), "full_outer")
+      .select(col("event_type"), col("bucket"),
+        coalesce(col("c1"), lit(0L)).as("c1"),
+        coalesce(col("c2"), lit(0L)).as("c2"))
+    val wRun = Window.partitionBy("event_type").orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy("event_type")
+    m.select(col("event_type"),
+        sum(col("c1")).over(wRun).as("cum1"),
+        sum(col("c2")).over(wRun).as("cum2"),
+        sum(col("c1")).over(wAll).as("n1"),
+        sum(col("c2")).over(wAll).as("n2"))
+      .filter(col("n1") > 0 && col("n2") > 0)
+      .groupBy(col("event_type"), col("n1"), col("n2"))
+      .agg(max(abs(col("cum1") * col("n2") - col("cum2") * col("n1")))
+        .as("ks_num"))
+      .select(col("event_type"), col("n1").as("n_base"), col("n2").as("n_new"),
+        col("ks_num"),
+        round(col("ks_num").cast(DoubleType) / (col("n1") * col("n2")), 6)
+          .as("ks"))
+      .orderBy("event_type")
+  }
+
   val all: Seq[Q] = Seq(
     histogram, corrCovar, unpivot, rangeJoin, rangeJoinBinned, collectSorted,
-    modeAgg, skewSalted, joinBigBig, skewSaltedJoin, outliers, mad, winsorize)
+    modeAgg, skewSalted, joinBigBig, skewSaltedJoin, outliers, mad, winsorize,
+    ksDrift)
 }
