@@ -617,8 +617,155 @@ object Cdc {
       .orderBy("column_name")
   }
 
+  /** q_dq_audit — the pre-capture data-quality census: the checks an
+    * ingest pipeline runs against a snapshot BEFORE trusting it (the
+    * reference trusts its source unconditionally — duckdb_cdc.go:217-258
+    * snapshots whatever is there; a 100 TB pipeline can't). Five check
+    * families over four tables: null rate, key uniqueness, FK
+    * referential integrity, value-domain range, and cross-column
+    * consistency. The corpus is clean by construction, so — the
+    * q_column_drift precedent — every check ALSO runs against an
+    * in-query perturbed twin (a modular slice of rows broken per check),
+    * proving both the zero reading and the detection in one result.
+    *
+    * Scale shape: each non-join check is ONE partial-aggregated scan
+    * computing the clean and perturbed counters side by side
+    * (conditional aggregates — the twin costs no second pass); the FK
+    * check emits both probe keys from one orders scan (a 2-row Generate)
+    * and LEFT-joins the distinct customer keys once — keys only, no
+    * payload, shuffle-partitioned on the key so it survives a dimension
+    * too big to broadcast. Output is O(checks) rows. */
+  val dqAudit: Q = Q(
+    "q_dq_audit",
+    """WITH nulls AS (
+      |  SELECT 'null_value' AS check_name, ds.dataset,
+      |    CAST(count(*) AS BIGINT) AS n_rows,
+      |    CAST(sum(CASE WHEN ds.dataset = 'perturbed'
+      |          AND event_id % 97 = 0 THEN 1
+      |        WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_bad
+      |  FROM events CROSS JOIN
+      |    (SELECT unnest(['clean','perturbed']) AS dataset) ds
+      |  GROUP BY ds.dataset),
+      |dups AS (
+      |  SELECT 'dup_key' AS check_name, 'clean' AS dataset,
+      |    CAST(count(*) AS BIGINT) AS n_rows,
+      |    CAST(count(*) - count(DISTINCT event_id) AS BIGINT) AS n_bad
+      |  FROM events
+      |  UNION ALL
+      |  SELECT 'dup_key', 'perturbed', CAST(count(*) AS BIGINT),
+      |    CAST(count(*) - count(DISTINCT
+      |      CASE WHEN event_id % 101 = 1 THEN event_id - 1 ELSE event_id END)
+      |      AS BIGINT)
+      |  FROM events),
+      |probe AS (
+      |  SELECT 'clean' AS dataset, o_custkey AS k FROM orders
+      |  UNION ALL
+      |  SELECT 'perturbed',
+      |    CASE WHEN o_orderkey % 89 = 0 THEN -o_custkey - 1 ELSE o_custkey END
+      |  FROM orders),
+      |fk AS (
+      |  SELECT 'fk_orphan' AS check_name, p.dataset,
+      |    CAST(count(*) AS BIGINT) AS n_rows,
+      |    CAST(sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_bad
+      |  FROM probe p LEFT JOIN customer c ON p.k = c.c_custkey
+      |  GROUP BY p.dataset),
+      |rng AS (
+      |  SELECT 'range_quantity' AS check_name, ds.dataset,
+      |    CAST(count(*) AS BIGINT) AS n_rows,
+      |    CAST(sum(CASE WHEN (CASE WHEN ds.dataset = 'perturbed'
+      |            AND l_orderkey % 83 = 0 THEN -l_quantity ELSE l_quantity END)
+      |          BETWEEN 0.5 AND 50.0 THEN 0 ELSE 1 END) AS BIGINT) AS n_bad
+      |  FROM lineitem CROSS JOIN
+      |    (SELECT unnest(['clean','perturbed']) AS dataset) ds
+      |  GROUP BY ds.dataset),
+      |cons AS (
+      |  SELECT 'len_mismatch' AS check_name, ds.dataset,
+      |    CAST(count(*) AS BIGINT) AS n_rows,
+      |    CAST(sum(CASE WHEN (CASE WHEN ds.dataset = 'perturbed'
+      |            AND doc_id % 71 = 0 THEN n_chars + 1 ELSE n_chars END)
+      |          != length(text) THEN 1 ELSE 0 END) AS BIGINT) AS n_bad
+      |  FROM documents CROSS JOIN
+      |    (SELECT unnest(['clean','perturbed']) AS dataset) ds
+      |  GROUP BY ds.dataset)
+      |SELECT check_name, dataset, n_rows, n_bad,
+      |  n_bad * 1000000 // n_rows AS bad_ppm
+      |FROM (SELECT * FROM nulls UNION ALL SELECT * FROM dups
+      |      UNION ALL SELECT * FROM fk UNION ALL SELECT * FROM rng
+      |      UNION ALL SELECT * FROM cons)
+      |ORDER BY check_name, dataset""".stripMargin
+  ) { (s, d) =>
+    val ds = explode(array(lit("clean"), lit("perturbed"))).as("dataset")
+    // null rate: one events scan, both datasets via a 2-row Generate
+    val nulls = T.events(s, d)
+      .select(col("event_id"), col("value"), ds)
+      .groupBy(col("dataset")).agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col("dataset") === "perturbed" && col("event_id") % 97 === 0, 1L)
+          .when(col("value").isNull, 1L).otherwise(0L)).as("n_bad"))
+      .select(lit("null_value").as("check_name"), col("dataset"),
+        col("n_rows"), col("n_bad"))
+    // uniqueness: exact distinct over the clean and remapped key
+    val e = T.events(s, d)
+    val dupsClean = e.agg(count(lit(1)).as("n_rows"),
+        (count(lit(1)) - countDistinct(col("event_id"))).as("n_bad"))
+      .select(lit("dup_key").as("check_name"), lit("clean").as("dataset"),
+        col("n_rows"), col("n_bad"))
+    val dupsPert = e.select(
+        when(col("event_id") % 101 === 1, col("event_id") - 1)
+          .otherwise(col("event_id")).as("k"))
+      .agg(count(lit(1)).as("n_rows"),
+        (count(lit(1)) - countDistinct(col("k"))).as("n_bad"))
+      .select(lit("dup_key").as("check_name"), lit("perturbed").as("dataset"),
+        col("n_rows"), col("n_bad"))
+    // FK integrity: both probe keys from one scan, one key-only left join
+    val probe = T.orders(s, d).select(explode(array(
+        struct(lit("clean").as("dataset"), col("o_custkey").as("k")),
+        struct(lit("perturbed").as("dataset"),
+          when(col("o_orderkey") % 89 === 0, -col("o_custkey") - 1)
+            .otherwise(col("o_custkey")).as("k")))).as("p"))
+      .select(col("p.dataset").as("dataset"), col("p.k").as("k"))
+    val dim = T.customer(s, d).select(col("c_custkey").as("k"),
+      lit(1).as("hit")).distinct()
+    val fk = probe.join(dim, Seq("k"), "left")
+      .groupBy(col("dataset")).agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col("hit").isNull, 1L).otherwise(0L)).as("n_bad"))
+      .select(lit("fk_orphan").as("check_name"), col("dataset"),
+        col("n_rows"), col("n_bad"))
+    // value domain: quantity must stay in (0.5, 50]
+    val rng = T.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_quantity"), ds)
+      .groupBy(col("dataset")).agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(
+          when(col("dataset") === "perturbed" && col("l_orderkey") % 83 === 0,
+            -col("l_quantity")).otherwise(col("l_quantity"))
+            .between(0.5, 50.0), 0L).otherwise(1L)).as("n_bad"))
+      .select(lit("range_quantity").as("check_name"), col("dataset"),
+        col("n_rows"), col("n_bad"))
+    // cross-column consistency: the declared length must match the text
+    val cons = T.documents(s, d)
+      .select(col("doc_id"), col("n_chars"), length(col("text")).as("len"), ds)
+      .groupBy(col("dataset")).agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(
+          when(col("dataset") === "perturbed" && col("doc_id") % 71 === 0,
+            col("n_chars") + 1).otherwise(col("n_chars")) =!= col("len"),
+          1L).otherwise(0L)).as("n_bad"))
+      .select(lit("len_mismatch").as("check_name"), col("dataset"),
+        col("n_rows"), col("n_bad"))
+    nulls.unionAll(dupsClean).unionAll(dupsPert).unionAll(fk)
+      .unionAll(rng).unionAll(cons)
+      .select(col("check_name"), col("dataset"),
+        col("n_rows").cast(LongType).as("n_rows"),
+        col("n_bad").cast(LongType).as("n_bad"),
+        expr("n_bad * 1000000 div n_rows").as("bad_ppm"))
+      .orderBy("check_name", "dataset")
+  }
+
   val all: Seq[Q] = Seq(
     tableChecksum, partitionChecksum, snapshotEnvelope, snapshotThroughput,
     latestChecksumPerTable, cdcDiff, incrementalSince, incrementalAgg,
-    cdcReplay, cdcCompact, scd2, schemaDrift, columnDrift)
+    cdcReplay, cdcCompact, scd2, schemaDrift, columnDrift, dqAudit)
 }

@@ -271,20 +271,24 @@ object Multimodal {
     * preprocessor (patchify/ViT, JPEG MCU access, texture upload) runs.
     * A tile is NOT contiguous — tile (tx,ty) is TileH separate row
     * slices at byte_off(r) = (ty·TileH + r)·Pitch + tx·TileW — so this
-    * operator proves the pitch arithmetic AND the ordered reassembly:
-    * slices are gathered per tile with an ORDER-PINNED concatenation
-    * (array_sort over (r, slice) / string_agg ORDER BY r — never a
-    * collection-order concat, H6), digested as one tile. Only full
+    * operator proves the pitch arithmetic AND the ordered reassembly.
+    * TileH is a compile-time constant, so the Spark side UNROLLS the
+    * row gather into one fixed concat of TileH substring slices — the
+    * order is pinned by construction (never a collection-order concat,
+    * H6) and the whole transform is pure map-side column work: no
+    * Generate over r, no groupBy, NO exchange at all; the oracle keeps
+    * the generate/string_agg-ORDER-BY-r formulation so the two engines
+    * prove the same reassembly through different plans. Only full
     * tiles are scheduled (ty·TileH + r < n_rows by construction), so
     * every tile is exactly TileW·TileH bytes.
     *
-    * Scale shape: per-row integer seek math, TWO bounded Generates
-    * (≤ TileBudget tiles × TileH rows = 32 rows/asset), map-side binary
-    * slices (int cast safe: a row offset is ≤ octet_length ≤ Int.Max
-    * for any JVM binary — the frameExtractOn argument), and ONE
-    * partial-aggregated groupBy on (asset, tile) whose state is a
-    * ≤ TileH-element array — the asset's full bytes never cross the
-    * exchange, only the ≤ 64-byte sampled slices do. */
+    * Scale shape: per-row integer seek math, ONE bounded Generate
+    * (≤ TileBudget tiles/asset), TileH map-side binary slices per tile
+    * (int cast safe: a row offset is ≤ octet_length ≤ Int.Max for any
+    * JVM binary — the frameExtractOn argument), zero shuffles — the
+    * asset's full bytes never leave their scan partition, and the
+    * stateless shape is what lets s_stream_tiles run the SAME plan at
+    * ingest. */
   val imageTiles: Q = Q(
     "q_image_tiles",
     s"""WITH meta AS (SELECT doc_id AS asset_id, hex(encode(text)) AS hx,
@@ -321,10 +325,18 @@ object Multimodal {
   }
 
   /** The tiling transform itself, factored like [[frameExtractOn]] /
-    * [[audioWindowsOn]] so a streaming twin reuses it unchanged. */
+    * [[audioWindowsOn]] so a streaming twin (s_stream_tiles) reuses it
+    * unchanged — stateless by construction: the TileH row slices are a
+    * compile-time-unrolled concat, not an aggregation. */
   def imageTilesOn(docs: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
     val bin = encode(col("text"), "UTF-8")
+    // unrolled ordered gather: slice r's offset is (ty·TileH + r)·Pitch
+    // + tx·TileW; concat order IS row order, pinned at plan build time
+    val rowSlices = (0L until TileH).map { r =>
+      expr(s"hex(substring(bin, cast((ty * $TileH + $r) * $PitchB + " +
+        s"tx * $TileW + 1 as int), $TileW))")
+    }
     docs
       .select(col("doc_id").as("asset_id"), bin.as("bin"),
         octet_length(bin).cast("long").as("n_bytes"))
@@ -337,13 +349,7 @@ object Multimodal {
         explode(sequence(lit(0L), col("n_tiles") - 1L, col("tstride"))))
       .withColumn("tx", expr(s"tile_idx % $TilesAcross"))
       .withColumn("ty", expr(s"tile_idx div $TilesAcross"))
-      .withColumn("r", explode(sequence(lit(0L), lit(TileH - 1L))))
-      .withColumn("rhex",
-        expr(s"hex(substring(bin, cast((ty * $TileH + r) * $PitchB + " +
-          s"tx * $TileW + 1 as int), $TileW))"))
-      .groupBy("asset_id", "n_bytes", "n_tiles", "tile_idx", "tx", "ty")
-      .agg(expr("array_join(transform(array_sort(collect_list(" +
-        "struct(r, rhex))), x -> x.rhex), '')").as("thex"))
+      .withColumn("thex", concat(rowSlices: _*))
       .select(col("asset_id"), col("n_bytes"), col("n_tiles"), col("tile_idx"),
         col("tx"), col("ty"),
         ((col("ty") * TileH) * PitchB + col("tx") * TileW).as("byte_off"),

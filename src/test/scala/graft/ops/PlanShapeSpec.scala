@@ -354,4 +354,19 @@ class PlanShapeSpec extends SparkSuite {
     assert(p.contains("Scan ExistingRDD"),
       "round rows must derive from the checkpointed dictionary")
   }
+
+  test("q_image_tiles gathers tile rows map-side: no aggregation, only the presentation sort shuffles") {
+    // The tile reassembly is a compile-time-unrolled concat of TileH
+    // substring slices — if a groupBy/collect_list creeps back in, the
+    // per-tile row set starts crossing an exchange and the stateless
+    // streaming twin (s_stream_tiles) silently breaks.
+    val p = plan("q_image_tiles")
+    assert(!p.contains("HashAggregate") && !p.contains("ObjectHashAggregate") &&
+      !p.contains("SortAggregate"),
+      "tile reassembly must be unrolled map-side, not aggregated:\n" + p.take(600))
+    assert("Exchange".r.findAllIn(p).size <= 1, p.take(600))
+    assert("Generate".r.findAllIn(p.linesIterator.filterNot(_.contains("Arguments"))
+        .mkString("\n")).size <= 2,
+      "only the bounded tile-index explode may generate rows:\n" + p.take(600))
+  }
 }

@@ -878,6 +878,34 @@ class StatefulSpec extends SparkSuite {
       "ingest-time window digests must equal the batch operator's rows")
   }
 
+  test("s_stream_tiles: pitched tile gather runs unchanged at ingest, row-identical to batch") {
+    // the 2-D twin of s_stream_frames/s_stream_audio: imageTilesOn is
+    // stateless by construction (the TileH row slices are an unrolled
+    // concat, not an aggregation — PlanShapeSpec holds the shape), so
+    // the SAME plan over an ingest stream must emit exactly the batch
+    // operator's rows regardless of micro-batch boundaries
+    implicit val sqlCtx = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id", $"text").as[(Long, String)]
+      .collect().toSeq.sortBy(_._1)
+    val in = MemoryStream[(Long, String)]
+    val q = graft.ops.Multimodal.imageTilesOn(in.toDS().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("tiles")
+      .outputMode(OutputMode.Append).start()
+    val (b1, b2) = docs.splitAt(docs.size / 2)
+    in.addData(b1)
+    q.processAllAvailable()
+    in.addData(b2)
+    q.processAllAvailable()
+    val streamed = spark.table("tiles").collect().map(_.toSeq).toSet
+    q.stop()
+    val batch = graft.SparkEntry.queries("q_image_tiles")(spark, sf)
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch,
+      "ingest-time tile digests must equal the batch operator's rows")
+  }
+
   test("s_stream_bpe: out-of-vocabulary words fall back to character-level encoding, observably") {
     implicit val sqlCtx = spark.sqlContext
     val sf = "/root/testdata/sf0.001"
