@@ -376,7 +376,69 @@ object Curation {
       .orderBy("split")
   }
 
+  /** Data-constrained epoch planning — the step AFTER q_mix_weights
+    * decides target shares: a trainer with a token budget larger than
+    * the corpus must REPEAT sources, and repeating a source beyond a few
+    * epochs stops buying quality (the public data-constrained-scaling
+    * result), so the plan is per-source "how many epochs, how many
+    * tokens allocated, how short of target". Budget = 2× the corpus's
+    * total tokens (census-derived, so the fixture is genuinely
+    * data-constrained at every sf), target share = budget split evenly
+    * across sources (the q_mix_weights uniform-target convention),
+    * epochs = target/owned capped at 4.0 — all exact-integer ppm
+    * arithmetic, so both engines agree bit-for-bit. deficit_tok > 0 is
+    * the actionable output: the tokens the mixture CANNOT supply at the
+    * cap, i.e. where to spend acquisition effort.
+    *
+    * Scale shape: ONE documents scan → partial-aggregated per-source
+    * token census (S=20 keys); the global census (budget, n_sources) is
+    * re-aggregated from the S-row per-source table — never a second
+    * corpus scan — and broadcast-cross-joined back (the q_mix_weights
+    * shape, minus its double scan). Everything after the census is
+    * O(sources) arithmetic; at 100 TB this is literally the same plan —
+    * the census is the only data-sized term. */
+  val epochPlan: Q = Q(
+    "q_epoch_plan",
+    """WITH per AS (SELECT source,
+      |    CAST(count(*) AS BIGINT) AS n_docs,
+      |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS own_tok
+      |  FROM documents GROUP BY 1),
+      |tot AS (SELECT CAST(sum(len(string_split(text, ' '))) * 2 AS BIGINT)
+      |    AS budget_tok,
+      |    CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+      |  FROM documents)
+      |SELECT source, n_docs, own_tok,
+      |  budget_tok // n_sources AS target_tok,
+      |  least(4000000, (budget_tok // n_sources) * 1000000 // own_tok)
+      |    AS epochs_ppm,
+      |  own_tok * least(4000000, (budget_tok // n_sources) * 1000000 // own_tok)
+      |    // 1000000 AS alloc_tok,
+      |  budget_tok // n_sources
+      |    - own_tok * least(4000000, (budget_tok // n_sources) * 1000000 // own_tok)
+      |      // 1000000 AS deficit_tok
+      |FROM per CROSS JOIN tot ORDER BY source""".stripMargin
+  ) { (s, d) =>
+    val toks = T.documents(s, d)
+      .select(col("source"), size(split(col("text"), " ")).cast(LongType).as("tok"))
+    // one corpus scan; the S-row census is referenced twice (the global
+    // roll-up and the output spine), so pin it
+    val per = toks.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("own_tok"))
+      .localCheckpoint()
+    val tot = per.agg((sum(col("own_tok")) * 2L).as("budget_tok"),
+      count(lit(1)).as("n_sources"))
+    per.crossJoin(broadcast(tot))
+      .withColumn("target_tok", expr("budget_tok div n_sources"))
+      .withColumn("epochs_ppm",
+        expr("least(4000000L, target_tok * 1000000 div own_tok)"))
+      .withColumn("alloc_tok", expr("own_tok * epochs_ppm div 1000000"))
+      .select(col("source"), col("n_docs"), col("own_tok"), col("target_tok"),
+        col("epochs_ppm"), col("alloc_tok"),
+        expr("target_tok - alloc_tok").as("deficit_tok"))
+      .orderBy("source")
+  }
+
   val all: Seq[Q] =
     Seq(curate, importanceWeight, mixWeights, shardShuffle, interleave,
-      temporalSplit)
+      temporalSplit, epochPlan)
 }

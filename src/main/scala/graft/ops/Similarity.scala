@@ -1309,7 +1309,91 @@ object Similarity {
     }
   }
 
+  /** Embedding-space DECONTAMINATION — the removal list a training
+    * pipeline anti-joins before any benchmark is trusted: every TRAIN
+    * vector whose cosine to some held-out EVAL vector reaches 0.3 is a
+    * leak candidate — a semantic near-match that, when it straddles the
+    * train/eval split, is the benchmark answer sitting in the training
+    * set. Eval set = vec_id % 50 = 0, the q_contamination convention —
+    * so the n-gram (surface) and embedding (semantic) contamination
+    * checks grade the same split and a curation pipeline can union both
+    * removal lists. Output is one row per contaminated train vector: its
+    * trained cell, how many eval vectors it leaks (n_hits), and the
+    * worst match (max cosine, min eval_id tie-break).
+    *
+    * Scale shape: the eval side runs the MULTIPROBE channel the served
+    * index uses (q_ann_recall's nprobe=4: cells ranked per eval vector
+    * by the same code-space centroid cosine the assignment uses — the
+    * eval×centroid ranking is a broadcast of the √N centroid table, pure
+    * map-side), so candidates are (train, eval) pairs inside the eval
+    * vector's 4 best cells: E·nprobe·cell-pop pairs with E a small
+    * census fraction — never the N·E brute force, and embeddings are
+    * fetched only after an (id, id) pair survives the cell join. A leak
+    * outside the probed cells is the documented IVF recall trade — the
+    * SAME channel the production queries run, so what this op can't see,
+    * serving can't surface either — and the oracle replays the identical
+    * probe, keeping the contract exact. Per-train top-match is a bounded
+    * window (≤ the train vector's eval matches). Training is the shared
+    * memoized model. */
+  val embedDecontam: Q = Q(
+    "q_embed_decontam",
+    s"""WITH $ivfCtesSql,
+       |qs AS (SELECT vec_id, cd, n2 FROM qc WHERE vec_id % 50 = 0),
+       |qmp AS (SELECT vec_id AS eid, cid FROM (
+       |  SELECT q.vec_id, c.cid, row_number() OVER (PARTITION BY q.vec_id
+       |    ORDER BY ${cosSql("q", "c")} DESC, c.cid) AS rn
+       |  FROM qs q, c$Iters c) WHERE rn <= $NProbe),
+       |scored AS (SELECT a.vec_id, a.cid, qmp.eid,
+       |    round(list_inner_product(vt.e, ve.e) / (vt.vn * ve.vn), 6) AS score
+       |  FROM qmp JOIN $AFinal a ON a.cid = qmp.cid AND a.vec_id % 50 != 0
+       |  JOIN v vt ON vt.vec_id = a.vec_id
+       |  JOIN v ve ON ve.vec_id = qmp.eid),
+       |hits AS (SELECT * FROM scored WHERE score >= 0.3)
+       |SELECT vec_id, cid AS cell, n_hits, eid AS eval_id, score
+       |FROM (
+       |  SELECT vec_id, cid, eid, score,
+       |    CAST(count(*) OVER (PARTITION BY vec_id) AS BIGINT) AS n_hits,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, eid) AS rn
+       |  FROM hits)
+       |WHERE rn = 1 ORDER BY vec_id""".stripMargin
+  ) { (s, d) =>
+    def dotF(a: Column, b: Column): Column =
+      graft.functions.VectorOps.vecDot(s, a, b)
+    val (parts, _) = trainedParts(s, d)
+    // eval-side multiprobe: rank cells by the code-space centroid cosine
+    // (broadcast √N centroid table), search the top NProbe cells
+    val qmp = parts.qc.filter(col("vec_id") % 50 === 0)
+      .crossJoin(broadcast(parts.cents))
+      .withColumn("cos", parts.cosExpr)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("vec_id").orderBy(col("cos").desc, col("cid").asc)))
+      .filter(col("rn") <= NProbe)
+      .select(col("vec_id").as("eid"), col("cid"))
+    val base = T.embeddings(s, d)
+      .select(col("vec_id"), col("embedding"),
+        sqrt(dotF(col("embedding"), col("embedding"))).as("nrm"))
+    val hits = qmp
+      .join(parts.assign.filter(col("vec_id") % 50 =!= 0), Seq("cid"))
+      .join(base.select(col("vec_id"), col("embedding").as("te"),
+        col("nrm").as("tn")), Seq("vec_id"))
+      .join(base.select(col("vec_id").as("eid"), col("embedding").as("ee"),
+        col("nrm").as("en")), Seq("eid"))
+      .select(col("vec_id"), col("cid"), col("eid"),
+        round(dotF(col("te"), col("ee")) / (col("tn") * col("en")), 6)
+          .as("score"))
+      .filter(col("score") >= 0.3)
+    val w = Window.partitionBy("vec_id")
+    val wr = Window.partitionBy("vec_id").orderBy(col("score").desc, col("eid").asc)
+    hits
+      .withColumn("n_hits", count(lit(1)).over(w))
+      .withColumn("rn", row_number().over(wr))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("cid").as("cell"), col("n_hits"),
+        col("eid").as("eval_id"), col("score"))
+      .orderBy("vec_id")
+  }
+
   val all: Seq[Q] = Seq(similarityLsh, embedNearDup, lshRecall, similarityIvf,
     annRecall, semDedup, ivfCensus, ivfAssignDelta, embedQuantize, vectorStats,
-    knnGraph, filteredAnn, mrrEval, ndcgEval)
+    knnGraph, filteredAnn, mrrEval, ndcgEval, embedDecontam)
 }

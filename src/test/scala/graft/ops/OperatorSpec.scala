@@ -421,6 +421,27 @@ class OperatorSpec extends SparkSuite {
     }
   }
 
+  test("q_epoch_plan: budget identities, the epoch cap, and deficit-only-when-capped") {
+    val rows = run("q_epoch_plan").collect()
+    val own = rows.map(_.getLong(2))
+    val budget = own.sum * 2L
+    val target = budget / rows.length
+    rows.foreach { r =>
+      val (ot, tt, ep, alloc, deficit) =
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))
+      assert(tt == target, "uniform target share")
+      assert(ep == math.min(4000000L, target * 1000000L / ot), "epoch ppm formula")
+      assert(alloc == ot * ep / 1000000L && alloc <= tt, "allocation never overshoots target")
+      assert(deficit == tt - alloc && deficit >= 0)
+      // a deficit only exists where the 4-epoch cap engaged (up to the
+      // integer floor's sub-ppm rounding)
+      if (ep < 4000000L) assert(deficit <= ot / 1000000L + 1)
+    }
+    // the fixture is genuinely data-constrained: budget 2× corpus means
+    // at least one source must repeat (epochs > 1)
+    assert(rows.exists(_.getLong(4) > 1000000L), "some source must need >1 epoch")
+  }
+
   test("q_bigram_lm: one row per multi-token doc, probabilities in (0, 1e6]") {
     val rows = run("q_bigram_lm").collect()
     val expected = graft.core.Tables.documents(spark, sf)

@@ -229,4 +229,41 @@ class SimilaritySpec extends SparkSuite {
     // nothing recall@k would not)
     assert(rows.exists(_.getLong(3) < 1000000L), "some query must rank imperfectly")
   }
+
+  test("q_embed_decontam: verdicts respect the split, the threshold, and the probed-channel bound") {
+    import org.apache.spark.sql.functions._
+    val out = graft.SparkEntry.queries("q_embed_decontam")(spark, sf).collect()
+    assert(out.nonEmpty, "sf0.001 corpus should contain train/eval semantic leaks at 0.3")
+    out.foreach { r =>
+      assert(r.getLong(0) % 50 != 0, "flagged rows must be TRAIN vectors")
+      assert(r.getLong(3) % 50 == 0, "worst match must be an EVAL vector")
+      assert(r.getLong(2) >= 1L, "a flagged row leaks at least one eval vector")
+      assert(r.getDouble(4) >= 0.3, "reported score must reach the threshold")
+    }
+    // the removal list is a SUBSET of the brute-force one (the nprobe=4
+    // recall trade can miss leaks, never invent them) and each reported
+    // score matches the exact cosine bit-for-bit
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      graft.functions.VectorOps.vecDot(spark, a, b)
+    val brute = emb.filter(col("vec_id") % 50 =!= 0)
+      .join(emb.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("eid"), col("embedding").as("ee")))
+      .select(col("vec_id"), col("eid"),
+        round(dot(col("embedding"), col("ee")) /
+          (sqrt(dot(col("embedding"), col("embedding"))) *
+           sqrt(dot(col("ee"), col("ee")))), 6).as("score"))
+      .filter(col("score") >= 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val bruteTrain = brute.keys.map(_._1).toSet
+    out.foreach { r =>
+      assert(bruteTrain.contains(r.getLong(0)),
+        s"flagged train ${r.getLong(0)} not in the brute-force removal list")
+      assert(brute((r.getLong(0), r.getLong(3))) == r.getDouble(4),
+        "reported worst-match score must equal the exact cosine")
+    }
+    assert(out.length * 2 >= bruteTrain.size,
+      s"nprobe=4 channel should catch at least half the brute-force leaks: ${out.length}/${bruteTrain.size}")
+  }
 }
