@@ -1360,24 +1360,13 @@ object Similarity {
     def dotF(a: Column, b: Column): Column =
       graft.functions.VectorOps.vecDot(s, a, b)
     val (parts, _) = trainedParts(s, d)
-    // eval-side multiprobe: rank cells by the code-space centroid cosine
-    // (broadcast √N centroid table), search the top NProbe cells
-    val qmp = parts.qc.filter(col("vec_id") % 50 === 0)
-      .crossJoin(broadcast(parts.cents))
-      .withColumn("cos", parts.cosExpr)
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("vec_id").orderBy(col("cos").desc, col("cid").asc)))
-      .filter(col("rn") <= NProbe)
-      .select(col("vec_id").as("eid"), col("cid"))
+    val probes = evalProbes(s, d)
     val base = T.embeddings(s, d)
-      .select(col("vec_id"), col("embedding"),
-        sqrt(dotF(col("embedding"), col("embedding"))).as("nrm"))
-    val hits = qmp
-      .join(parts.assign.filter(col("vec_id") % 50 =!= 0), Seq("cid"))
-      .join(base.select(col("vec_id"), col("embedding").as("te"),
-        col("nrm").as("tn")), Seq("vec_id"))
-      .join(base.select(col("vec_id").as("eid"), col("embedding").as("ee"),
-        col("nrm").as("en")), Seq("eid"))
+      .select(col("vec_id"), col("embedding").as("te"),
+        sqrt(dotF(col("embedding"), col("embedding"))).as("tn"))
+    val hits = parts.assign.filter(col("vec_id") % 50 =!= 0)
+      .join(probes, Seq("cid"))
+      .join(base, Seq("vec_id"))
       .select(col("vec_id"), col("cid"), col("eid"),
         round(dotF(col("te"), col("ee")) / (col("tn") * col("en")), 6)
           .as("score"))
@@ -1392,6 +1381,39 @@ object Similarity {
         col("eid").as("eval_id"), col("score"))
       .orderBy("vec_id")
   }
+
+  /** Frozen eval-side probe table of the decontamination family:
+    * (cid, eid, ee, en) — every held-out eval vector replicated into its
+    * NProbe best trained cells (ranked by the same code-space centroid
+    * cosine the assignment uses), carrying its embedding and norm so a
+    * consumer pays no second embeddings join. Derived entirely from the
+    * frozen trained model — an O(E·K) ranking against the broadcast
+    * centroid table, never a corpus scan — and memoized per corpus state
+    * (ModelCache "decontam-eval"; it re-derives with the model because
+    * probe cells are meaningless across a retrain). The batch
+    * q_embed_decontam and the ingest gate (s_stream_decontam,
+    * streaming/Stateful.decontamGate) join this SAME artifact, which is
+    * what makes their verdicts bit-comparable. */
+  private[graft] def evalProbes(s: SparkSession, d: String): DataFrame =
+    graft.core.ModelCache.getOrTrain(s, "decontam-eval",
+      s"$d/embeddings.parquet") {
+      def dotF(a: Column, b: Column): Column =
+        graft.functions.VectorOps.vecDot(s, a, b)
+      val (parts, _) = trainedParts(s, d)
+      val qmp = parts.qc.filter(col("vec_id") % 50 === 0)
+        .crossJoin(broadcast(parts.cents))
+        .withColumn("cos", parts.cosExpr)
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("vec_id").orderBy(col("cos").desc, col("cid").asc)))
+        .filter(col("rn") <= NProbe)
+        .select(col("vec_id").as("eid"), col("cid"))
+      val ev = T.embeddings(s, d).filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("eid"), col("embedding").as("ee"),
+          sqrt(dotF(col("embedding"), col("embedding"))).as("en"))
+      qmp.join(ev, Seq("eid"))
+        .select(col("cid"), col("eid"), col("ee"), col("en"))
+        .localCheckpoint()
+    }
 
   val all: Seq[Q] = Seq(similarityLsh, embedNearDup, lshRecall, similarityIvf,
     annRecall, semDedup, ivfCensus, ivfAssignDelta, embedQuantize, vectorStats,

@@ -289,6 +289,15 @@ object Stateful {
     * Output: (vec_id, cid, cos) per arriving vector — q_ivf_assign_delta's
     * exact schema. */
   def ivfAssignStream(vecs: Dataset[VecIn],
+      model: Seq[graft.ops.Similarity.FrozenCentroid]): DataFrame =
+    assignedCells(vecs, model)
+      .select(col("vec_id"), col("best.cid").as("cid"), col("best.cos").as("cos"))
+
+  /** The assignment transform itself, preserving the input columns and
+    * appending `best` (cid, cos) — factored so [[decontamGate]] can keep
+    * the embedding for scoring while sharing the bit-identical
+    * assignment expression. */
+  private def assignedCells(vecs: Dataset[VecIn],
       model: Seq[graft.ops.Similarity.FrozenCentroid]): DataFrame = {
     require(model.nonEmpty, "frozen model must hold at least one centroid")
     val s = vecs.sparkSession
@@ -315,7 +324,69 @@ object Stateful {
             struct(cos.as("cos"), c.getField("_1").as("cid")))
             .otherwise(acc)
         }))
-      .select(col("vec_id"), col("best.cid").as("cid"), col("best.cos").as("cos"))
+  }
+
+  final case class DecontamHit(vec_id: Long, cell: Long, eid: Long, score: Double)
+  final case class DecontamVerdict(vec_id: Long, cell: Long, n_hits: Long,
+      eval_id: Long, score: Double)
+
+  /** s_stream_decontam: the ingest-side embedding leak gate — the
+    * streaming twin of the batch q_embed_decontam
+    * (graft.ops.Similarity.embedDecontam): every arriving TRAIN vector is
+    * checked against the held-out eval set BEFORE it lands in the
+    * corpus, so a benchmark answer never enters training data to begin
+    * with (s_stream_leak_gate guards the temporal split; this guards the
+    * semantic one). Assignment to the trained cell is the
+    * [[ivfAssignStream]] per-row map against the frozen centroid literal
+    * (bit-identical to batch, proven by its own spec); the eval side is
+    * the SAME frozen "decontam-eval" artifact the batch operator joins
+    * (each eval vector replicated into its nprobe=4 probed cells with
+    * embedding + norm), consumed as a stream-static join on the cell id
+    * — tiny static side, no state, no watermark. The per-doc verdict
+    * regroup is the bpeGate shape: all of one vector's matches arrive in
+    * its own micro-batch (the static join cannot split them), so the
+    * flatMapGroupsWithState carries NO retained state and a re-delivered
+    * vector simply re-emits its verdict (idempotent downstream by
+    * vec_id).
+    *
+    * Emits one [[DecontamVerdict]] per CONTAMINATED arriving vector —
+    * clean vectors pass silently — with the batch operator's exact
+    * fields (n_hits, worst match by max cosine / min eval id), which
+    * StatefulSpec proves row-identical to q_embed_decontam across
+    * micro-batch boundaries. */
+  def decontamGate(vecs: Dataset[VecIn],
+      model: Seq[graft.ops.Similarity.FrozenCentroid],
+      evalProbes: DataFrame): DataFrame = {
+    val s = vecs.sparkSession
+    import s.implicits._
+    def dotF(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      graft.functions.VectorOps.vecDot(s, a, b)
+    assignedCells(vecs, model)
+      .filter(col("vec_id") % 50 =!= 0) // the gate guards TRAIN arrivals
+      .select(col("vec_id"), col("embedding"), col("best.cid").as("cid"),
+        sqrt(dotF(col("embedding"), col("embedding"))).as("tn"))
+      .join(evalProbes, Seq("cid"))
+      .select(col("vec_id"), col("cid").as("cell"), col("eid"),
+        round(dotF(col("embedding"), col("ee")) / (col("tn") * col("en")), 6)
+          .as("score"))
+      .filter(col("score") >= 0.3)
+      .as[DecontamHit]
+      .groupByKey(_.vec_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (vecId: Long, rows: Iterator[DecontamHit], _: GroupState[Boolean]) =>
+          var n = 0L
+          var bestEid = Long.MaxValue
+          var bestScore = -3.0d
+          var cell = -1L
+          rows.foreach { h =>
+            n += 1; cell = h.cell
+            if (h.score > bestScore ||
+                (h.score == bestScore && h.eid < bestEid)) {
+              bestScore = h.score; bestEid = h.eid
+            }
+          }
+          Iterator.single(DecontamVerdict(vecId, cell, n, bestEid, bestScore))
+      }.toDF()
   }
 
   /** s_stream_quality: the ingest-side curation gate — every arriving

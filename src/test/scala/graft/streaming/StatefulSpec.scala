@@ -906,6 +906,38 @@ class StatefulSpec extends SparkSuite {
       "ingest-time tile digests must equal the batch operator's rows")
   }
 
+  test("s_stream_decontam: ingest leak verdicts are row-identical to the batch q_embed_decontam") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    import graft.ops.Similarity
+    val sf = "/root/testdata/sf0.001"
+    // the SAME frozen artifacts the batch operator serves from
+    val parts = Similarity.trainedParts(spark, sf)._1
+    val model = Similarity.frozenModelOf(parts.cents)
+    val probes = Similarity.evalProbes(spark, sf)
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+      .as[Stateful.VecIn].collect().toSeq.sortBy(_.vec_id)
+    val in = MemoryStream[Stateful.VecIn]
+    val q = Stateful.decontamGate(in.toDS(), model, probes)
+      .writeStream.format("memory").queryName("decontam")
+      .outputMode(OutputMode.Append).start()
+    // the verdict regroup is batch-local, so micro-batch boundaries must
+    // not change any verdict
+    val (b1, b2) = vecs.splitAt(vecs.size / 2)
+    in.addData(b1)
+    q.processAllAvailable()
+    in.addData(b2)
+    q.processAllAvailable()
+    val streamed = spark.table("decontam").collect().map(_.toSeq).toSet
+    q.stop()
+    val batch = graft.SparkEntry.queries("q_embed_decontam")(spark, sf)
+      .collect().map(_.toSeq).toSet
+    assert(batch.nonEmpty, "fixture must contain leaks for the parity to mean anything")
+    assert(streamed == batch,
+      "ingest-time leak verdicts must equal the batch operator's rows")
+  }
+
   test("s_stream_bpe: out-of-vocabulary words fall back to character-level encoding, observably") {
     implicit val sqlCtx = spark.sqlContext
     val sf = "/root/testdata/sf0.001"
