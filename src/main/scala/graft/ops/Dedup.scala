@@ -761,9 +761,72 @@ object Dedup {
       .orderBy("source_a", "source_b")
   }
 
+  /** Threshold SWEEP over the near-dup pipeline — the tuning census run
+    * before committing to a Jaccard bar: q_dedup_report answers "how
+    * much is duplicate at 0.5", this answers "how does the removed mass
+    * move as the bar moves" (40..90 pct), which is the number that
+    * decides the threshold in the first place. For each threshold: docs
+    * whose keeper-pair survives it, distinct keepers among them
+    * (clusters engaged), and the raw token mass removal would reclaim.
+    * The verdict is the EXACT set Jaccard, compared in INTEGERS
+    * (inter·100 ≥ thr·union — no float ratio exists anywhere), so both
+    * engines agree bit-for-bit at every threshold.
+    *
+    * Scale shape: ONE candidate-pair verification pass (the
+    * q_neardup_pipeline join — LSH-bounded, one pair per doc), a 6-row
+    * Generate over the thresholds, and a two-level partial agg
+    * ((thr, doc) → thr); the sweep costs one extra tiny aggregation over
+    * the verify pass a pipeline already pays. */
+  val dedupSweep: Q = Q(
+    "q_dedup_sweep",
+    s"""WITH $candCteSql, sets AS (
+       |  SELECT doc_id, list_distinct(string_split(text, ' ')) AS t,
+       |    len(list_distinct(string_split(text, ' '))) AS n,
+       |    len(string_split(text, ' ')) AS n_tok
+       |  FROM documents
+       |),
+       |pairs AS (SELECT c.doc_id, c.keeper_id, x.n_tok,
+       |    len(list_intersect(x.t, y.t)) AS ni,
+       |    x.n + y.n - len(list_intersect(x.t, y.t)) AS nu
+       |  FROM cand c JOIN sets x ON x.doc_id = c.doc_id
+       |  JOIN sets y ON y.doc_id = c.keeper_id)
+       |SELECT thr_pct,
+       |  CAST(count(*) AS BIGINT) AS n_flagged,
+       |  CAST(count(DISTINCT keeper_id) AS BIGINT) AS n_keepers,
+       |  CAST(sum(n_tok) AS BIGINT) AS flagged_tokens
+       |FROM pairs CROSS JOIN
+       |  (SELECT unnest([40, 50, 60, 70, 80, 90]) AS thr_pct)
+       |WHERE ni * 100 >= thr_pct * nu
+       |GROUP BY thr_pct ORDER BY thr_pct""".stripMargin
+  ) { (s, d) =>
+    val cand = candidatePairs(s, d)
+    val sets = T.documents(s, d)
+      .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("t"),
+        size(split(col("text"), " ")).cast(LongType).as("n_tok"))
+      .select(col("doc_id"), col("t"), size(col("t")).cast(LongType).as("n"),
+        col("n_tok"))
+    val inter = size(array_intersect(col("t_x"), col("t_y"))).cast(LongType)
+    val uni = col("n_x") + col("n_y") - inter
+    cand
+      .join(sets.select(col("doc_id"), col("t").as("t_x"), col("n").as("n_x"),
+        col("n_tok")), "doc_id")
+      .join(sets.select(col("doc_id").as("keeper_id"), col("t").as("t_y"),
+        col("n").as("n_y")), "keeper_id")
+      .select(col("doc_id"), col("keeper_id"), col("n_tok"),
+        inter.as("ni"), uni.as("nu"))
+      .withColumn("thr_pct",
+        explode(array((40 to 90 by 10).map(t => lit(t)): _*)))
+      .filter(col("ni") * 100 >= col("thr_pct") * col("nu"))
+      .groupBy("thr_pct")
+      .agg(count(lit(1)).as("n_flagged"),
+        countDistinct(col("keeper_id")).as("n_keepers"),
+        sum(col("n_tok")).as("flagged_tokens"))
+      .orderBy("thr_pct")
+  }
+
   val all: Seq[Q] =
     Seq(dedupMinhash, dedupSimhash, ngramJaccard, simhashHamming,
       dedupEditDistance, neardupPipeline, dedupClusters, dedupReport,
       minhashJaccardEst, substringDedup, substringScrub, dedupDelta,
-      sourceOverlap)
+      sourceOverlap, dedupSweep)
 }

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.{Q, Tables => T}
 
@@ -143,50 +143,272 @@ object Graph {
     * in O(log diameter) rounds when FULL components are needed; this is
     * the fixed-round streaming-friendly variant profiled here as the
     * community-size census. */
-  val labelProp: Q = Q(
-    "q_label_prop",
-    s"""WITH eo AS (SELECT o_custkey AS c, l_suppkey AS s
+  /** The label-propagation CTE chain (strong-edge subgraph + `Iters`
+    * min-label rounds ending at `l$Iters`), shared verbatim by
+    * q_label_prop and q_modularity so the communities the two operators
+    * see are identical BY CONSTRUCTION, not by parallel maintenance.
+    * The round CTEs are AS MATERIALIZED (the q_kcore convention — the
+    * SQL twin of the Spark side's localCheckpoint): each l_i is
+    * referenced twice per round (join + union) and l$Iters up to three
+    * more times downstream, so the inlined form re-expands
+    * multiplicatively — q_modularity's first 10× oracle run was killed
+    * at 54 GB / 2 CPU-hours; materialized it runs in seconds. */
+  private val lpCtesSql: String =
+    s"""eo AS MATERIALIZED (SELECT o_custkey AS c, l_suppkey AS s
        |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
        |  GROUP BY 1, 2 HAVING count(*) >= 2),
-       |e AS (SELECT c AS src, $SuppOffset + s AS dst FROM eo
+       |e AS MATERIALIZED (SELECT c AS src, $SuppOffset + s AS dst FROM eo
        |      UNION ALL SELECT $SuppOffset + s AS src, c AS dst FROM eo),
        |deg AS (SELECT src, count(*) AS d FROM e GROUP BY src),
-       |l0 AS (SELECT src AS node, src AS lbl FROM deg),
+       |l0 AS MATERIALIZED (SELECT src AS node, src AS lbl FROM deg),
        |${(1 to Iters).map { i =>
-      s"""l$i AS (SELECT node, min(lbl) AS lbl FROM (
+      s"""l$i AS MATERIALIZED (SELECT node, min(lbl) AS lbl FROM (
          |  SELECT e.dst AS node, l.lbl FROM e
          |  JOIN l${i - 1} l ON l.node = e.src
          |  UNION ALL SELECT node, lbl FROM l${i - 1}) GROUP BY node)""".stripMargin
-    }.mkString(",\n")}
+    }.mkString(",\n")}""".stripMargin
+
+  /** The same chain on the Spark side: (directed edges, final node→lbl
+    * table), both localCheckpointed — the labels feed three downstream
+    * references in q_modularity and the fold must run once. Frozen as a
+    * ModelCache artifact ("lp-base", the pr-base/cc-base convention) so
+    * q_label_prop and q_modularity share ONE fixpoint run per corpus
+    * state, with an incremental REFREEZE (the 8th refresh-family member,
+    * see below) rolling the rounds forward on append-only growth. */
+  private def lpLabels(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val (_, _, ed, _, _, lf) = lpBase(s, d)
+    (ed, lf)
+  }
+
+  private def lpPairs(s: SparkSession, d: String): DataFrame =
+    T.orders(s, d)
+      .join(T.lineitem(s, d), col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_orderkey"), col("o_custkey").as("c"), col("l_suppkey").as("s"))
+
+  private def lpEdgesOf(eo: DataFrame): DataFrame =
+    eo.select(col("c").as("src"), (col("s") + SuppOffset).as("dst"))
+      .unionAll(eo.select((col("s") + SuppOffset).as("src"), col("c").as("dst")))
+
+  /** Full train: (max orderkey, pair census, edges, l1, l2, l`Iters`) —
+    * per-round label tables retained because the refresh's bounded
+    * recompute needs boundary values at every depth (the pr-base
+    * argument, with min in place of the rank sum). */
+  private def lpTrain(s: SparkSession, d: String)
+      : (Long, DataFrame, DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val pairs = lpPairs(s, d)
+    val maxRow = pairs.agg(max(col("o_orderkey"))).head()
+    val max0 = if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0)
+    val cen = pairs.groupBy("c", "s").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
+    val ed = lpEdgesOf(cen.filter(col("cnt") >= 2).select("c", "s"))
+      .localCheckpoint()
+    var l = ed.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("lbl"))
+    val rounds = Seq.newBuilder[DataFrame]
+    for (_ <- 1 to Iters) {
+      l = ed.join(l.withColumnRenamed("node", "src"), "src")
+        .select(col("dst").as("node"), col("lbl"))
+        .unionAll(l)
+        .groupBy("node")
+        .agg(min(col("lbl")).as("lbl"))
+        .localCheckpoint()
+      rounds += l
+    }
+    val Seq(l1, l2, lf) = rounds.result()
+    (max0, cen, ed, l1, l2, lf)
+  }
+
+  /** lp-base with incremental refreeze — the 8th refresh-family member.
+    * Min-label rounds admit the SAME blast-radius exactness argument as
+    * pr-base (l_i(v) depends only on v's i-hop in-neighborhood; edges
+    * only appear, because the pair census is a count monoid and the
+    * cnt ≥ 2 gate is monotone under growth), and min makes the merge
+    * even cleaner than ranks: labels only DECREASE, and only inside the
+    * radius of newly-strong pairs. Refresh: merge the monoidal census
+    * with the delta slice (old corpus never re-read), re-derive strong
+    * edges, expand the new-edge endpoints `Iters` hops with the per-hop
+    * flood probe (uniform corpora flood → full retrain, the documented
+    * worst case), then per round recompute ONLY edges into the radius,
+    * sources outside it reading their frozen round-(i−1) label; outside
+    * nodes keep frozen labels verbatim. RefreshSpec pins
+    * refresh == retrain on a bounded-radius fixture. */
+  private[graft] def lpBase(s: SparkSession, d: String)
+      : (Long, DataFrame, DataFrame, DataFrame, DataFrame, DataFrame) =
+    graft.core.ModelCache.getOrRefresh(s, "lp-base", d) {
+      lpTrain(s, d)
+    } { case (max0, cen0, _, b1, b2, bf) =>
+      // the delta census never touches the old corpus: both scan sides
+      // carry the key predicate (parquet row-group pruning skips the
+      // base slice) and only the DELTA rows meet in the join — without
+      // this the refresh paid a full orders ⋈ lineitem pass just to
+      // advance the split, which RefreshBench measured at ~80% of the
+      // retrain it was supposed to beat. Key-aligned arrival (an order
+      // and its lineitems land in the same slice) is the delta family's
+      // stated corpus contract (cc-base/pr-base rely on it identically).
+      val maxRow = T.orders(s, d).agg(max(col("o_orderkey"))).head()
+      val max1 = math.max(if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0), max0)
+      val cenD = T.orders(s, d).filter(col("o_orderkey") > max0)
+        .join(T.lineitem(s, d).filter(col("l_orderkey") > max0),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_custkey").as("c"), col("l_suppkey").as("s"))
+        .agg(count(lit(1)).as("cnt"))
+      val cen1 = cen0.unionAll(cenD)
+        .groupBy("c", "s").agg(sum(col("cnt")).as("cnt")).localCheckpoint()
+      val eo1 = cen1.filter(col("cnt") >= 2).select("c", "s")
+      val ed1 = lpEdgesOf(eo1).localCheckpoint()
+      val newEo = eo1.exceptAll(cen0.filter(col("cnt") >= 2).select("c", "s"))
+      var affected = newEo.select(col("c").as("node"))
+        .unionAll(newEo.select((col("s") + SuppOffset).as("node")))
+        .distinct().localCheckpoint()
+      val nNodes = ed1.select("src").distinct().count()
+      var flooded = 2L * affected.count() > nNodes
+      var hops = 0
+      while (!flooded && hops < Iters) {
+        affected = graft.core.Session.truncate(
+          affected.unionAll(
+              ed1.join(affected.withColumnRenamed("node", "src"), "src")
+                .select(col("dst").as("node")))
+            .distinct())
+        hops += 1
+        flooded = 2L * affected.count() > nNodes
+      }
+      if (flooded) lpTrain(s, d)
+      else {
+        val baseRs = Seq(b1, b2, bf)
+        var lDelta: DataFrame = null
+        val merged = Seq.newBuilder[DataFrame]
+        for (i <- 1 to Iters) {
+          val inE = ed1.join(affected.withColumnRenamed("node", "dst"), "dst")
+          // neighbor term: the source's round-(i−1) label — delta overlay
+          // wins, frozen fills the rest; round 0 is the identity labeling
+          val nbr =
+            if (i == 1) inE.select(col("dst").as("node"), col("src").as("lbl"))
+            else inE
+              .join(lDelta.select(col("node").as("src"), col("lbl").as("ld")),
+                Seq("src"), "left")
+              .join(baseRs(i - 2).select(col("node").as("src"), col("lbl").as("lb")),
+                Seq("src"), "left")
+              .select(col("dst").as("node"),
+                coalesce(col("ld"), col("lb"), col("src")).as("lbl"))
+          // own term: every affected node keeps its round-(i−1) label even
+          // with no in-edge in the radius (the union-with-own in the full
+          // round), including brand-new nodes (round 0 = own id)
+          val own =
+            if (i == 1) affected.select(col("node"), col("node").as("lbl"))
+            else affected
+              .join(lDelta.select(col("node"), col("lbl").as("ld")),
+                Seq("node"), "left")
+              .join(baseRs(i - 2).select(col("node"), col("lbl").as("lb")),
+                Seq("node"), "left")
+              .select(col("node"),
+                coalesce(col("ld"), col("lb"), col("node")).as("lbl"))
+          lDelta = graft.core.Session.truncate(
+            nbr.unionAll(own).groupBy("node").agg(min(col("lbl")).as("lbl")))
+          merged += baseRs(i - 1).join(affected, Seq("node"), "left_anti")
+            .unionAll(lDelta).localCheckpoint()
+        }
+        val Seq(m1, m2, mf) = merged.result()
+        (max1, cen1, ed1, m1, m2, mf)
+      }
+    }
+
+  val labelProp: Q = Q(
+    "q_label_prop",
+    s"""WITH $lpCtesSql
        |SELECT lbl AS community, count(*) AS n_nodes,
        |  CAST(min(node) AS BIGINT) AS min_node,
        |  CAST(max(node) AS BIGINT) AS max_node
        |FROM l$Iters GROUP BY lbl
        |ORDER BY n_nodes DESC, community LIMIT 25""".stripMargin
   ) { (s, d) =>
-    val eo = T.orders(s, d)
-      .join(T.lineitem(s, d), col("l_orderkey") === col("o_orderkey"))
-      .groupBy(col("o_custkey").as("c"), col("l_suppkey").as("s"))
-      .agg(count(lit(1)).as("cnt"))
-      .filter(col("cnt") >= 2)
-      .select("c", "s")
-    val e = eo.select(col("c").as("src"), (col("s") + SuppOffset).as("dst"))
-      .unionAll(eo.select((col("s") + SuppOffset).as("src"), col("c").as("dst")))
-    val ed = e.localCheckpoint()
-    val l0 = ed.groupBy("src").agg(count(lit(1)).as("d"))
-      .select(col("src").as("node"), col("src").as("lbl"))
-    val lFinal = (1 to Iters).foldLeft(l0) { case (l, _) =>
-      ed.join(l.withColumnRenamed("node", "src"), "src")
-        .select(col("dst").as("node"), col("lbl"))
-        .unionAll(l)
-        .groupBy("node")
-        .agg(min(col("lbl")).as("lbl"))
-    }
+    val (_, lFinal) = lpLabels(s, d)
     lFinal
       .groupBy(col("lbl").as("community"))
       .agg(count(lit(1)).as("n_nodes"),
         min(col("node")).as("min_node"),
         max(col("node")).as("max_node"))
+      .orderBy(col("n_nodes").desc, col("community"))
+      .limit(25)
+  }
+
+  /** Modularity of the label-propagation communities — the quality eval
+    * the clustering family lacked: community detection without a quality
+    * number is unfalsifiable, and modularity is THE standard one
+    * (fraction of edges inside communities minus the fraction a
+    * degree-preserving random graph would put there). Computed
+    * EXACT-INTEGER: with M the directed edge count, a_c the directed
+    * intra-community edge count and d_c the community's degree mass,
+    * M²·Q = Σ_c (M·a_c − d_c²) — every term a BIGINT, so both engines
+    * agree bit-for-bit and the only division is the final ppm rendering
+    * (truncation-toward-zero spelled as an explicit CASE in BOTH
+    * dialects, because Spark's `div` truncates while DuckDB's `//`
+    * floors — they differ exactly on the negative-Q case this eval
+    * exists to catch). Communities and graph come from the SHARED
+    * lpCtesSql/lpLabels chain, so this grades exactly what q_label_prop
+    * reports. Output: the top-25 communities (the q_label_prop
+    * presentation) with their exact census and contribution numerator,
+    * plus the GLOBAL (all-community) modularity ppm repeated per row —
+    * the dq_audit convention for global context columns.
+    *
+    * Scale shape: labels join the edge list twice (src, dst) — the same
+    * two shuffles a PageRank round pays, on keys the fixpoint already
+    * shuffled on — then everything is partial-aggregated censuses:
+    * O(communities) rows into the final window-free arithmetic. The
+    * BIGINT headroom is census-checked by spec (M²·1e6 < 2^63 up to
+    * ~3·10^6 directed edges per corpus; past that the ppm rendering
+    * moves to DECIMAL(38), the numerators stay BIGINT-exact far longer). */
+  val modularity: Q = Q(
+    "q_modularity",
+    s"""WITH $lpCtesSql,
+       |lbl AS (SELECT node, lbl FROM l$Iters),
+       |el AS (SELECT ls.lbl AS cs, ld.lbl AS cd FROM e
+       |  JOIN lbl ls ON ls.node = e.src
+       |  JOIN lbl ld ON ld.node = e.dst),
+       |per AS (SELECT cs AS community,
+       |    CAST(count(*) AS BIGINT) AS deg_mass,
+       |    CAST(sum(CASE WHEN cs = cd THEN 1 ELSE 0 END) AS BIGINT) AS intra
+       |  FROM el GROUP BY cs),
+       |nn AS (SELECT lbl AS community, CAST(count(*) AS BIGINT) AS n_nodes
+       |  FROM lbl GROUP BY lbl),
+       |contrib AS (SELECT p.community, p.deg_mass, p.intra,
+       |    g.m * p.intra - p.deg_mass * p.deg_mass AS contrib_num
+       |  FROM per p CROSS JOIN (SELECT CAST(sum(deg_mass) AS BIGINT) AS m
+       |                         FROM per) g),
+       |q AS (SELECT
+       |    (SELECT CAST(sum(deg_mass) AS BIGINT) FROM per) AS m,
+       |    CAST(sum(contrib_num) AS BIGINT) AS num
+       |  FROM contrib)
+       |SELECT c.community, n.n_nodes, c.intra, c.deg_mass, c.contrib_num,
+       |  q.m AS m_directed,
+       |  CASE WHEN q.num >= 0 THEN q.num * 1000000 // (q.m * q.m)
+       |       ELSE -((-q.num) * 1000000 // (q.m * q.m)) END AS q_ppm
+       |FROM contrib c JOIN nn n USING (community) CROSS JOIN q
+       |ORDER BY n.n_nodes DESC, c.community LIMIT 25""".stripMargin
+  ) { (s, d) =>
+    val (ed, lFinal) = lpLabels(s, d)
+    val el = ed
+      .join(lFinal.select(col("node").as("src"), col("lbl").as("cs")), "src")
+      .join(lFinal.select(col("node").as("dst"), col("lbl").as("cd")), "dst")
+      .select("cs", "cd")
+    val per = el.groupBy(col("cs").as("community"))
+      .agg(count(lit(1)).as("deg_mass"),
+        sum(when(col("cs") === col("cd"), 1L).otherwise(0L)).as("intra"))
+      .localCheckpoint() // referenced by the global census AND the rows
+    val nn = lFinal.groupBy(col("lbl").as("community"))
+      .agg(count(lit(1)).as("n_nodes"))
+    val m = per.agg(sum(col("deg_mass")).as("m"))
+    val contrib = per.crossJoin(broadcast(m))
+      .withColumn("contrib_num",
+        col("m") * col("intra") - col("deg_mass") * col("deg_mass"))
+    val q = contrib.agg(max(col("m")).as("m"),
+      sum(col("contrib_num")).as("num"))
+      .select(col("m"),
+        when(col("num") >= 0, expr("num * 1000000 div (m * m)"))
+          .otherwise(-expr("(-num) * 1000000 div (m * m)")).as("q_ppm"))
+    contrib.drop("m").join(nn, Seq("community"))
+      .crossJoin(broadcast(q))
+      .select(col("community"), col("n_nodes"), col("intra"), col("deg_mass"),
+        col("contrib_num"), col("m").as("m_directed"), col("q_ppm"))
       .orderBy(col("n_nodes").desc, col("community"))
       .limit(25)
   }
@@ -1147,7 +1369,7 @@ object Graph {
   }
 
   val all: Seq[Q] =
-    Seq(pagerank, pagerankDelta, degreeHist, labelProp, components,
-      componentsDelta, reachHops, butterflies, triangles, kcore,
-      coreNumbers)
+    Seq(pagerank, pagerankDelta, degreeHist, labelProp, modularity,
+      components, componentsDelta, reachHops, butterflies, triangles,
+      kcore, coreNumbers)
 }

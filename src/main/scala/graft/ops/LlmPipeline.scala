@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -241,9 +241,11 @@ object LlmPipeline {
     * single-partition cumsum that would straggle at 100 TB never exists;
     * global pack identity is (shard, pack). All integer math, engine-
     * exact. One window shuffle on shard + the tiny per-pack aggregate. */
-  val packSequences: Q = Q(
-    "q_pack_sequences",
-    """WITH d AS (
+  /** The shard-local packing CTEs, shared verbatim by q_pack_sequences
+    * and q_pack_efficiency so the packs the census grades are exactly
+    * the packs the packer emits. */
+  private val packCtesSql: String =
+    """d AS (
       |  SELECT doc_id, doc_id % 8 AS shard,
       |    len(string_split(text, ' ')) AS n_tok
       |  FROM documents),
@@ -252,12 +254,10 @@ object LlmPipeline {
       |    CAST(floor((SUM(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok)
       |      / 512) AS BIGINT) AS pack
-      |  FROM d)
-      |SELECT shard, pack, COUNT(*) AS n_docs,
-      |  CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
-      |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
-      |FROM c GROUP BY shard, pack ORDER BY shard, pack""".stripMargin
-  ) { (s, d) =>
+      |  FROM d)""".stripMargin
+
+  /** The packing assignment (doc → (shard, pack)), shared by both ops. */
+  private[graft] def packedDocs(s: SparkSession, d: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("shard").orderBy("doc_id")
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
@@ -267,10 +267,66 @@ object LlmPipeline {
         size(split(col("text"), " ")).cast(LongType).as("n_tok"))
       .withColumn("pack",
         floor((sum(col("n_tok")).over(w) - col("n_tok")) / 512).cast(LongType))
+  }
+
+  val packSequences: Q = Q(
+    "q_pack_sequences",
+    s"""WITH $packCtesSql
+      |SELECT shard, pack, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+      |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+      |FROM c GROUP BY shard, pack ORDER BY shard, pack""".stripMargin
+  ) { (s, d) =>
+    packedDocs(s, d)
       .groupBy("shard", "pack")
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"),
         min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
       .orderBy("shard", "pack")
+  }
+
+  /** Packing-efficiency census — the number a training-batch pipeline
+    * watches after q_pack_sequences runs: start-offset packing never
+    * splits a document, so a pack can OVERFLOW its 512-token budget
+    * (the straddling doc's tail) or UNDERFILL it (the next doc started a
+    * new pack) — both are wasted accelerator time (overflow truncates,
+    * underfill pads). Per shard: pack count, token mass, nominal
+    * capacity, fill ppm, the overflow/underfill token masses, and the
+    * extreme pack sizes — all integer-exact, derived from the SAME
+    * packing CTEs the packer emits, so the census can never drift from
+    * the packing it grades.
+    *
+    * Scale shape: q_pack_sequences' one shard-local window shuffle, then
+    * two partial-agg levels ((shard, pack) → shard, 8 output rows);
+    * the census adds one tiny aggregation to the packing pass. */
+  val packEfficiency: Q = Q(
+    "q_pack_efficiency",
+    s"""WITH $packCtesSql,
+      |p AS (SELECT shard, pack, CAST(SUM(n_tok) AS BIGINT) AS pt
+      |  FROM c GROUP BY shard, pack)
+      |SELECT shard,
+      |  CAST(count(*) AS BIGINT) AS n_packs,
+      |  CAST(sum(pt) AS BIGINT) AS n_tokens,
+      |  CAST(count(*) * 512 AS BIGINT) AS capacity,
+      |  CAST(sum(pt) * 1000000 // (count(*) * 512) AS BIGINT) AS fill_ppm,
+      |  CAST(sum(greatest(pt - 512, 0)) AS BIGINT) AS overflow_tokens,
+      |  CAST(sum(greatest(512 - pt, 0)) AS BIGINT) AS underfill_tokens,
+      |  CAST(min(pt) AS BIGINT) AS min_pack,
+      |  CAST(max(pt) AS BIGINT) AS max_pack
+      |FROM p GROUP BY shard ORDER BY shard""".stripMargin
+  ) { (s, d) =>
+    packedDocs(s, d)
+      .groupBy("shard", "pack")
+      .agg(sum(col("n_tok")).as("pt"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_packs"),
+        sum(col("pt")).as("n_tokens"),
+        (count(lit(1)) * 512L).as("capacity"),
+        expr("sum(pt) * 1000000 div (count(1) * 512)").as("fill_ppm"),
+        sum(greatest(col("pt") - 512L, lit(0L))).as("overflow_tokens"),
+        sum(greatest(lit(512L) - col("pt"), lit(0L))).as("underfill_tokens"),
+        min(col("pt")).as("min_pack"),
+        max(col("pt")).as("max_pack"))
+      .orderBy("shard")
   }
 
   /** Context-window chunking with stride — the sequence-prep step between
@@ -685,6 +741,6 @@ object LlmPipeline {
 
   val all: Seq[Q] = Seq(
     dedupExact, dedupText, tokenTopK, jsonExtract, similarityTopK, multimodalStats,
-    tfidf, contamination, packSequences, chunkDocs, bm25, bm25Delta, hybridRrf,
-    rankCorr)
+    tfidf, contamination, packSequences, packEfficiency, chunkDocs, bm25,
+    bm25Delta, hybridRrf, rankCorr)
 }

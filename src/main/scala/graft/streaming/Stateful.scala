@@ -245,6 +245,60 @@ object Stateful {
       }
   }
 
+  final case class PackAssign(doc_id: Long, shard: Long, n_tok: Long, pack: Long)
+
+  /** s_stream_pack: ingest-time sequence packing — the streaming twin of
+    * q_pack_sequences (graft.ops.LlmPipeline): every arriving document
+    * is assigned its (shard, pack) training-context slot THE MOMENT it
+    * lands, so the shard writer can append to the right pack file
+    * instead of waiting for a nightly batch packer. Packing is
+    * shard-local (shard = doc_id % 8, the batch convention) and the
+    * keyed state is TWO LONGS per shard — the last packed id and the
+    * running token count — O(shards) total, the smallest state of any
+    * pipeline here; the shuffle key is the shard, so each partition owns
+    * its shards' cursors.
+    *
+    * DELIVERY CONTRACT (stronger than indexStatsStream's, by the nature
+    * of the operator): a prefix-sum packer is order-DEFINED — doc X's
+    * pack is a function of every lower-id doc in its shard, so exact
+    * ingest-time packing requires per-shard id-ordered arrival across
+    * micro-batches (the ordered ingest queue a sequential shard writer
+    * consumes anyway); within a micro-batch the packer sorts its shard
+    * slice, so intra-batch interleaving is immaterial. The contract is
+    * ENFORCED, not assumed: an arrival at or below the shard's
+    * high-water mark emits its verdict with pack = −1 (explicitly
+    * rejected, never silently mis-packed — the admission-gate
+    * convention) and leaves the cursor untouched, so one late doc
+    * cannot shift every later pack boundary in the shard.
+    * StatefulSpec proves in-order assignments row-identical to the
+    * batch packer across micro-batch boundaries, and the −1 verdict on
+    * an out-of-order replay. */
+  def packStream(docs: DataFrame): Dataset[PackAssign] = {
+    val s = docs.sparkSession
+    import s.implicits._
+    docs
+      .select(col("doc_id"),
+        (col("doc_id") % 8).as("shard"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .as[(Long, Long, Long)]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (shard: Long, rows: Iterator[(Long, Long, Long)],
+            state: GroupState[(Long, Long)]) =>
+          var (last, cum) = state.getOption.getOrElse((-1L, 0L))
+          val out = rows.toSeq.sortBy(_._1).map { case (id, _, nt) =>
+            if (id <= last) PackAssign(id, shard, nt, -1L)
+            else {
+              val pack = cum / 512L
+              cum += nt; last = id
+              PackAssign(id, shard, nt, pack)
+            }
+          }
+          state.update((last, cum))
+          out.iterator
+      }
+  }
+
   final case class TokenCount(token: String, n: Long)
 
   /** s_stream_topk: streaming heavy hitters — running per-token counts in

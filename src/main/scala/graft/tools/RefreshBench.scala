@@ -42,18 +42,42 @@ object RefreshBench {
     def fmt(v: Double): String =
       BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
 
-    // base state: replicas 0..k-1; growth: replica k (higher ids). Only
-    // documents — the three artifacts measured here are all doc-side.
+    // Trade-table replicas for the graph-side artifact (lp-base):
+    // per-replica offsets keep node spaces DISJOINT — customers shift by
+    // 10M (far above the 1e6 supplier offset), suppliers by 10k (so
+    // s + 1e6 never collides with any shifted custkey) — which makes the
+    // growth a LOCAL delta (a disjoint new subgraph), the case the
+    // blast-radius roll-forward exists for.
+    def replicateTrades(reps: Range): Unit = {
+      val o = spark.read.parquet(s"$src/orders.parquet")
+      val li = spark.read.parquet(s"$src/lineitem.parquet")
+      val maxOrd = o.agg(max(col("o_orderkey"))).head().getLong(0) + 1L
+      o.withColumn("__r", explode(lit(reps.toArray)))
+        .withColumn("o_orderkey", col("o_orderkey") + col("__r") * lit(maxOrd))
+        .withColumn("o_custkey", col("o_custkey") + col("__r") * lit(10000000L))
+        .drop("__r")
+        .write.mode("append").parquet(s"$work/orders.parquet")
+      li.withColumn("__r", explode(lit(reps.toArray)))
+        .withColumn("l_orderkey", col("l_orderkey") + col("__r") * lit(maxOrd))
+        .withColumn("l_suppkey", col("l_suppkey") + col("__r") * lit(10000L))
+        .drop("__r")
+        .write.mode("append").parquet(s"$work/lineitem.parquet")
+    }
+
+    // base state: replicas 0..k-1; growth: replica k (higher ids).
     replicate("documents", Seq("doc_id"), 0 until k)
+    replicateTrades(0 until k)
 
     val artifacts: Seq[(String, () => Any)] = Seq(
       "dedup-base" -> (() => graft.ops.Dedup.dedupBase(spark, work)),
       "bm25-base" -> (() => graft.ops.LlmPipeline.bm25Base(spark, work)),
-      "bpe-hist-base" -> (() => graft.ops.TextAnalysis.bpeHistBase(spark, work)))
+      "bpe-hist-base" -> (() => graft.ops.TextAnalysis.bpeHistBase(spark, work)),
+      "lp-base" -> (() => graft.ops.Graph.lpBase(spark, work)))
 
     val tTrain = artifacts.map { case (name, f) => name -> timed(f()) }.toMap
 
     replicate("documents", Seq("doc_id"), k until k + 1)
+    replicateTrades(k until k + 1)
 
     val tRefresh = artifacts.map { case (name, f) =>
       val t = timed(f())

@@ -151,6 +151,35 @@ class RefreshSpec extends SparkSuite {
     assert(deltaOut == fullOut)
   }
 
+  test("lp-base: q_label_prop and q_modularity identical via refresh and retrain (bounded path)") {
+    val d = tmpDir("refresh-lp")
+    ModelCache.clear()
+    // state A: 40 disjoint strong pairs (rep=2 crosses the cnt>=2 gate)
+    val pairsA = (0L until 40L).map(i => (i, 100L + i))
+    writeTrades(d, 0L, pairsA, rep = 2)
+    graft.SparkEntry.queries("q_label_prop")(spark, d).collect()
+    assert(ModelCache.lastEvent("lp-base", d).contains("trained"))
+    // delta: one bridge into an existing pair's component (labels there
+    // must DROP to the bridged minimum) + one disjoint new pair — the
+    // radius stays far below half of ~80 nodes, so the refresh takes the
+    // per-round roll-forward, not the rebuild fallback
+    writeTrades(d, 1000L, Seq((0L, 101L), (50L, 150L)), rep = 2)
+    val viaRefresh = Seq("q_label_prop", "q_modularity")
+      .map(q => rowsOf(graft.SparkEntry.queries(q)(spark, d)))
+    assert(ModelCache.lastEvent("lp-base", d).contains("refreshed"),
+      "append-only growth with a local delta must take the roll-forward")
+    ModelCache.clear()
+    val viaRetrain = Seq("q_label_prop", "q_modularity")
+      .map(q => rowsOf(graft.SparkEntry.queries(q)(spark, d)))
+    assert(ModelCache.lastEvent("lp-base", d).contains("trained"))
+    assert(viaRefresh == viaRetrain,
+      "rolled-forward labels must equal the from-scratch fixpoint")
+    // the bridge must actually have moved a label: community of node 1
+    // (pair (1,101)) now includes node 0's id via 0—101
+    assert(viaRetrain.head.exists(_.contains("[0,")),
+      "the merged community under label 0 must exist after the bridge")
+  }
+
   test("pr-base: q_pagerank_delta identical via refresh and retrain (bounded path)") {
     val d = tmpDir("refresh-pr")
     ModelCache.clear()

@@ -498,4 +498,50 @@ class GraphSpec extends SparkSuite {
     assert(rounds > 4, s"path cascade must exceed 4 rounds, took $rounds")
     assert(h.collect().forall(_.getLong(1) == 1L), "a path is 1-degenerate")
   }
+
+  test("q_modularity matches a local label-prop + modularity recompute (multi-community fixture)") {
+    import org.apache.spark.sql.functions._
+    // sf0.01: the sf0.001 strong graph collapses to ONE community, which
+    // would vacuously pass — the larger corpus gives 25+ with a negative
+    // global Q (the eval exposing that 3-round truncated label prop is a
+    // weak community detector — that honesty is the point of the op)
+    val sf01 = "/root/testdata/sf0.01"
+    val edges = graft.core.Tables.orders(spark, sf01)
+      .join(graft.core.Tables.lineitem(spark, sf01),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey").as("c"), col("l_suppkey").as("s"))
+      .agg(count(lit(1)).as("cnt")).filter(col("cnt") >= 2)
+      .select("c", "s").collect()
+      .flatMap(r => Seq((r.getLong(0), 1000000L + r.getLong(1)),
+        (1000000L + r.getLong(1), r.getLong(0))))
+    // local 3-round min-label propagation
+    val adjIn = edges.groupBy(_._2).view.mapValues(_.map(_._1)).toMap
+    var lbl = edges.map(_._1).distinct.map(n => n -> n).toMap
+    (1 to 3).foreach { _ =>
+      lbl = lbl.map { case (n, l) =>
+        n -> math.min(l, adjIn.getOrElse(n, Array.empty[Long])
+          .map(lbl).foldLeft(Long.MaxValue)(math.min))
+      }
+    }
+    val m = edges.length.toLong
+    val degMass = edges.groupBy(e => lbl(e._1)).view.mapValues(_.size.toLong).toMap
+    val intra = edges.filter(e => lbl(e._1) == lbl(e._2))
+      .groupBy(e => lbl(e._1)).view.mapValues(_.size.toLong).toMap
+    val num = degMass.map { case (c, dm) =>
+      m * intra.getOrElse(c, 0L) - dm * dm }.sum
+    val qPpm = if (num >= 0) num * 1000000L / (m * m)
+               else -((-num) * 1000000L / (m * m))
+    val rows = graft.SparkEntry.queries("q_modularity")(spark, sf01).collect()
+    assert(rows.length > 1, "fixture must yield multiple communities")
+    rows.foreach { r =>
+      val c = r.getLong(0)
+      assert(r.getLong(1) == lbl.values.count(_ == c).toLong, s"n_nodes of $c")
+      assert(r.getLong(2) == intra.getOrElse(c, 0L), s"intra of $c")
+      assert(r.getLong(3) == degMass(c), s"deg_mass of $c")
+      assert(r.getLong(4) == m * intra.getOrElse(c, 0L) - degMass(c) * degMass(c))
+      assert(r.getLong(5) == m && r.getLong(6) == qPpm)
+    }
+    assert(qPpm < 0, "the truncated label prop should measure NEGATIVE here " +
+      "(communities are k-hop min-label boundaries, not modularity optima)")
+  }
 }

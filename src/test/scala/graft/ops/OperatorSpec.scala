@@ -421,6 +421,50 @@ class OperatorSpec extends SparkSuite {
     }
   }
 
+  test("q_pack_efficiency: census identities hold against the pack table it grades") {
+    val packs = run("q_pack_sequences").collect()
+      .map(r => (r.getLong(0), r.getLong(3))) // (shard, n_tokens of pack)
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val rows = run("q_pack_efficiency").collect()
+    assert(rows.length == packs.size, "one census row per shard")
+    rows.foreach { r =>
+      val pt = packs(r.getLong(0))
+      assert(r.getLong(1) == pt.size.toLong)
+      assert(r.getLong(2) == pt.sum)
+      assert(r.getLong(3) == pt.size * 512L)
+      assert(r.getLong(4) == pt.sum * 1000000L / (pt.size * 512L))
+      assert(r.getLong(5) == pt.map(t => math.max(t - 512L, 0L)).sum)
+      assert(r.getLong(6) == pt.map(t => math.max(512L - t, 0L)).sum)
+      assert(r.getLong(7) == pt.min && r.getLong(8) == pt.max)
+      // identity: tokens − capacity == overflow − underfill
+      assert(r.getLong(2) - r.getLong(3) == r.getLong(5) - r.getLong(6))
+    }
+    // the fixture must exercise BOTH waste modes, or the census grades
+    // nothing a row count wouldn't
+    assert(rows.exists(_.getLong(5) > 0) && rows.exists(_.getLong(6) > 0))
+  }
+
+  test("q_dedup_sweep: monotone in the threshold and anchored to the pipeline verdict at 0.5") {
+    val rows = run("q_dedup_sweep").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty && rows.map(_._1).toSeq == rows.map(_._1).sorted.toSeq)
+    // raising the bar can only shrink the removal list, its cluster
+    // count, and its token mass
+    rows.sliding(2).foreach {
+      case Array((_, f1, k1, t1), (_, f2, k2, t2)) =>
+        assert(f2 <= f1 && k2 <= k1 && t2 <= t1)
+      case _ =>
+    }
+    rows.foreach { case (_, f, k, t) =>
+      assert(k >= 1 && k <= f && t >= f, "a flagged doc has >=1 token")
+    }
+    // the 50-pct row IS q_neardup_pipeline's is_dup census (integer
+    // compare inter*100 >= 50*union ⇔ jaccard >= 0.5 exactly)
+    val dupAt50 = run("q_neardup_pipeline").collect().count(_.getInt(5) == 1).toLong
+    assert(rows.find(_._1 == 50).map(_._2).getOrElse(0L) == dupAt50,
+      "sweep at 50 must equal the pipeline verdict count")
+  }
+
   test("q_epoch_plan: budget identities, the epoch cap, and deficit-only-when-capped") {
     val rows = run("q_epoch_plan").collect()
     val own = rows.map(_.getLong(2))

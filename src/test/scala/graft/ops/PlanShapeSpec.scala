@@ -355,6 +355,20 @@ class PlanShapeSpec extends SparkSuite {
       "round rows must derive from the checkpointed dictionary")
   }
 
+  test("q_modularity serves from the frozen lp-base artifact: zero file scans in the plan") {
+    // the fixpoint runs once per corpus state (ModelCache "lp-base");
+    // if a FileScan creeps back into the modularity plan, the operator
+    // has silently stopped serving from the frozen labels and pays the
+    // whole label-prop fold per run (the IvfParts.cents replay lesson)
+    graft.SparkEntry.queries("q_label_prop")(spark, sf).collect() // freeze
+    val p = plan("q_modularity")
+    assert(!p.contains("FileScan") && !p.contains("Scan parquet"),
+      "modularity must join the frozen edges/labels, not rescan the corpus:\n" +
+        p.take(600))
+    assert(p.contains("Scan ExistingRDD"),
+      "inputs must be the localCheckpointed artifact members")
+  }
+
   test("q_image_tiles gathers tile rows map-side: no aggregation, only the presentation sort shuffles") {
     // The tile reassembly is a compile-time-unrolled concat of TileH
     // substring slices — if a groupBy/collect_list creeps back in, the

@@ -906,6 +906,48 @@ class StatefulSpec extends SparkSuite {
       "ingest-time tile digests must equal the batch operator's rows")
   }
 
+  test("s_stream_pack: in-order ingest packing equals the batch packer; out-of-order is rejected, not mis-packed") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    val sf = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id", $"text").as[(Long, String)]
+      .collect().toSeq.sortBy(_._1)
+    val in = MemoryStream[(Long, String)]
+    val q = Stateful.packStream(in.toDS().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("packs")
+      .outputMode(OutputMode.Append).start()
+    // ordered delivery split across batches: the per-shard cursors must
+    // carry the prefix sum over the boundary
+    val (b1, b2) = docs.splitAt(docs.size / 2)
+    in.addData(b1)
+    q.processAllAvailable()
+    in.addData(b2)
+    q.processAllAvailable()
+    val streamed = spark.table("packs").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val batch = graft.ops.LlmPipeline.packedDocs(spark, sf)
+      .select(col("doc_id"), col("shard"), col("n_tok"), col("pack"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(streamed == batch,
+      "ingest-time pack assignments must equal the batch prefix-sum packer")
+    // an out-of-order replay (id below the shard cursor) must be
+    // explicitly rejected and must NOT move any later boundary
+    in.addData(Seq(docs.head))
+    q.processAllAvailable()
+    val afterOoo = spark.table("packs").collect()
+      .map(r => (r.getLong(0), r.getLong(3)))
+    assert(afterOoo.count(_._2 == -1L) == 1, "the replay must surface as pack = -1")
+    val maxId = docs.last._1
+    in.addData(Seq((maxId + 8, "alpha beta gamma")))
+    q.processAllAvailable()
+    val tail = spark.table("packs").collect()
+      .find(r => r.getLong(0) == maxId + 8).get
+    q.stop()
+    assert(tail.getLong(3) >= 0, "a later in-order doc still packs normally")
+  }
+
   test("s_stream_decontam: ingest leak verdicts are row-identical to the batch q_embed_decontam") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.functions.col
