@@ -1309,6 +1309,77 @@ object Similarity {
     }
   }
 
+  /** Recall CURVE — the k-dimension the point evals fix: q_ann_recall
+    * reports recall@3, q_mrr_eval/q_ndcg_eval rank quality at one
+    * cutoff; deployments choose k by reading recall@k ACROSS cutoffs
+    * (serve 1? rerank 10?), so this emits the own-cell channel's
+    * recall at k ∈ {1, 3, 10} per query — the curve the k decision is
+    * actually read from. A query whose cell holds fewer than k
+    * co-members simply cannot fill the list; recall is still n_hits/k
+    * (the honest penalty for an under-filled shortlist, identical in
+    * both engines).
+    *
+    * Scale shape: everything is frozen — channel candidates come from
+    * the frozen assignment, scores and the truth ranking from the
+    * frozen truth-base (nothing is rescored), so the operator is two
+    * bounded windows over per-query candidate lists and a 15-row
+    * output. The recurring eval-job economics of the whole family. */
+  val recallCurve: Q = Q(
+    "q_recall_curve",
+    s"""WITH $ivfCtesSql,
+       |ex AS (SELECT q.vec_id AS qid, b.vec_id AS cand,
+       |    round(list_inner_product(q.e, b.e) / (q.vn * b.vn), 6) AS score
+       |  FROM v q JOIN v b ON b.vec_id != q.vec_id
+       |  WHERE q.vec_id BETWEEN 16 AND 20),
+       |tt AS (SELECT qid, cand,
+       |    row_number() OVER (PARTITION BY qid ORDER BY score DESC, cand) AS rn
+       |  FROM ex),
+       |qa AS (SELECT vec_id AS qid, cid FROM $AFinal WHERE vec_id BETWEEN 16 AND 20),
+       |ct AS (SELECT c.qid, c.cand,
+       |    row_number() OVER (PARTITION BY c.qid ORDER BY e.score DESC, c.cand) AS rn
+       |  FROM (SELECT qa.qid, a.vec_id AS cand FROM qa
+       |        JOIN $AFinal a ON a.cid = qa.cid AND a.vec_id != qa.qid) c
+       |  JOIN ex e ON e.qid = c.qid AND e.cand = c.cand),
+       |ks AS (SELECT unnest([1, 3, 10]) AS k),
+       |hits AS (SELECT c.qid, k.k, CAST(count(*) AS BIGINT) AS n_hits
+       |  FROM ct c JOIN tt t ON t.qid = c.qid AND t.cand = c.cand
+       |  CROSS JOIN ks k
+       |  WHERE c.rn <= k.k AND t.rn <= k.k
+       |  GROUP BY c.qid, k.k)
+       |SELECT b.qid, CAST(b.k AS BIGINT) AS k,
+       |  coalesce(h.n_hits, 0) AS n_hits,
+       |  coalesce(h.n_hits, 0) * 1000000 // b.k AS recall_ppm
+       |FROM (SELECT qid, k FROM qa CROSS JOIN ks) b
+       |LEFT JOIN hits h ON h.qid = b.qid AND h.k = b.k
+       |ORDER BY b.qid, b.k""".stripMargin
+  ) { (s, d) =>
+    val (parts, _) = trainedParts(s, d)
+    val (ex, top) = truthBase(s, d)
+    val w = Window.partitionBy("qid").orderBy(col("score").desc, col("cand").asc)
+    val tt = top.select(col("qid"), col("cand"), col("rn"))
+    val qa = parts.assign.filter(col("vec_id").between(16, 20))
+      .select(col("vec_id").as("qid"), col("cid"))
+    val ct = qa
+      .join(parts.assign.select(col("vec_id").as("cand"), col("cid")), Seq("cid"))
+      .filter(col("cand") =!= col("qid")).select("qid", "cand")
+      .join(ex, Seq("qid", "cand"))
+      .withColumn("rn", row_number().over(w))
+      .select(col("qid"), col("cand"), col("rn"))
+    val ks = Seq(1L, 3L, 10L)
+    val hits = ct.join(tt.withColumnRenamed("rn", "rn_t"), Seq("qid", "cand"))
+      .withColumn("k", explode(array(ks.map(lit): _*)))
+      .filter(col("rn") <= col("k") && col("rn_t") <= col("k"))
+      .groupBy("qid", "k")
+      .agg(count(lit(1)).as("n_hits"))
+    qa.select("qid")
+      .withColumn("k", explode(array(ks.map(lit): _*)))
+      .join(hits, Seq("qid", "k"), "left")
+      .select(col("qid"), col("k"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        expr("coalesce(n_hits, 0) * 1000000 div k").as("recall_ppm"))
+      .orderBy("qid", "k")
+  }
+
   /** Embedding-space DECONTAMINATION — the removal list a training
     * pipeline anti-joins before any benchmark is trusted: every TRAIN
     * vector whose cosine to some held-out EVAL vector reaches 0.3 is a
@@ -1417,5 +1488,5 @@ object Similarity {
 
   val all: Seq[Q] = Seq(similarityLsh, embedNearDup, lshRecall, similarityIvf,
     annRecall, semDedup, ivfCensus, ivfAssignDelta, embedQuantize, vectorStats,
-    knnGraph, filteredAnn, mrrEval, ndcgEval, embedDecontam)
+    knnGraph, filteredAnn, mrrEval, ndcgEval, embedDecontam, recallCurve)
 }

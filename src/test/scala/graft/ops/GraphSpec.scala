@@ -499,6 +499,31 @@ class GraphSpec extends SparkSuite {
     assert(h.collect().forall(_.getLong(1) == 1L), "a path is 1-degenerate")
   }
 
+  test("q_assortativity matches a local Pearson recompute and stays inside int64 headroom") {
+    val edges = pairsWithRepeats(4).flatMap(p => Seq(p, (p._2, p._1)))
+    val deg = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val m = edges.length.toLong
+    val sumD = edges.map(e => deg(e._1)).sum
+    val sumDudv = edges.map(e => deg(e._1) * deg(e._2)).sum
+    val sumD2 = edges.map(e => deg(e._1) * deg(e._1)).sum
+    val num = m * sumDudv - sumD * sumD
+    val den = m * sumD2 - sumD * sumD
+    val r = graft.SparkEntry.queries("q_assortativity")(spark, sf).head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((m, sumD, sumDudv, sumD2)))
+    assert(r.getLong(4) == num && r.getLong(5) == den)
+    assert(r.getLong(6) == (BigInt(num) * 1000000 / BigInt(den)).toLong)
+    // float cross-check: the exact rational vs the textbook Pearson
+    val rF = num.toDouble / den.toDouble
+    assert(math.abs(r.getLong(6) / 1e6 - rF) < 1e-6)
+    // the documented int64 bound: every retained term and the oracle's
+    // pre-division products must clear int64 with the measured moments
+    assert(BigInt(m) * BigInt(sumDudv) < BigInt(Long.MaxValue))
+    assert(BigInt(sumD) * BigInt(sumD) < BigInt(Long.MaxValue))
+    // bipartite hub-to-leaf trade graph: disassortative by nature
+    assert(r.getLong(6) < 0, "the durable trade graph should measure r < 0")
+  }
+
   test("q_modularity matches a local label-prop + modularity recompute (multi-community fixture)") {
     import org.apache.spark.sql.functions._
     // sf0.01: the sf0.001 strong graph collapses to ONE community, which

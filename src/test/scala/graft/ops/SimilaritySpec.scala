@@ -230,6 +230,29 @@ class SimilaritySpec extends SparkSuite {
     assert(rows.exists(_.getLong(3) < 1000000L), "some query must rank imperfectly")
   }
 
+  test("q_recall_curve: hits nest with k and the k=3 point IS q_ann_recall's single-probe count") {
+    val rows = graft.SparkEntry.queries("q_recall_curve")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.length == 15, "5 queries x 3 cutoffs")
+    rows.foreach { case (_, k, h, ppm) =>
+      assert(h >= 0 && h <= k, "hits bounded by the cutoff")
+      assert(ppm == h * 1000000L / k)
+    }
+    // channel and truth top-k lists NEST with k, so hit counts are
+    // non-decreasing along each query's curve
+    rows.groupBy(_._1).values.foreach { qr =>
+      val byK = qr.sortBy(_._2).map(_._3)
+      assert(byK.zip(byK.tail).forall { case (a, b) => b >= a })
+    }
+    // cross-operator anchor: recall@3 counts exactly what q_ann_recall's
+    // nprobe=1 column counts (same frozen channel, same frozen truth)
+    val ar = graft.SparkEntry.queries("q_ann_recall")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.filter(_._2 == 3L).foreach { case (qid, _, h, _) =>
+      assert(h == ar(qid), s"recall@3 of $qid must equal ann_recall n_hits_1")
+    }
+  }
+
   test("q_embed_decontam: verdicts respect the split, the threshold, and the probed-channel bound") {
     import org.apache.spark.sql.functions._
     val out = graft.SparkEntry.queries("q_embed_decontam")(spark, sf).collect()
