@@ -369,6 +369,20 @@ class PlanShapeSpec extends SparkSuite {
       "inputs must be the localCheckpointed artifact members")
   }
 
+  test("q_recall_curve serves entirely from frozen artifacts: zero file scans") {
+    // channel candidates come from the frozen assignment, scores and the
+    // truth ranking from the frozen truth-base — a FileScan appearing
+    // here means an eval started re-reading (and re-scoring) the corpus
+    // per run, the exact recurring cost the frozen eval family removed
+    graft.SparkEntry.queries("q_ann_recall")(spark, sf).collect() // freeze
+    val p = plan("q_recall_curve")
+    assert(!p.contains("FileScan") && !p.contains("Scan parquet"),
+      "recall curve must join frozen tables, not rescan the corpus:\n" +
+        p.take(600))
+    assert(p.contains("Scan ExistingRDD"),
+      "inputs must be the localCheckpointed artifact members")
+  }
+
   test("q_image_tiles gathers tile rows map-side: no aggregation, only the presentation sort shuffles") {
     // The tile reassembly is a compile-time-unrolled concat of TileH
     // substring slices — if a groupBy/collect_list creeps back in, the
