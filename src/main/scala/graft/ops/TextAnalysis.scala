@@ -945,9 +945,91 @@ object TextAnalysis {
       .orderBy("lang")
   }
 
+  /** Vocabulary GROWTH across ingest history — the Heaps-law census
+    * behind every tokenizer-budget and dedup-capacity decision:
+    * q_vocab_stats says how big the vocabulary IS, this says how fast it
+    * is still GROWING. Ids are assigned monotonically at ingest (the
+    * delta family's corpus contract), so quarters of the id RANGE are
+    * quarters of ingest history: for each checkpoint, the docs ingested
+    * by then, the tokens first seen in that quarter, and the cumulative
+    * vocabulary. A still-steep curve at the last checkpoint says the
+    * corpus has not saturated its domain (keep acquiring); a flat one
+    * says new data is mostly re-spending known vocabulary (dedup harder,
+    * budget tokenizer now). All thresholds are exact-integer arithmetic
+    * from a 1-row (min, max) census — no order statistics, no sort.
+    *
+    * Scale shape: one token explode + per-token min partial-agg (the
+    * q_vocab_stats cost family), one documents scan with a 4-row
+    * broadcast checkpoint table (conditional aggregates — the dq_audit
+    * twin shape), and a 4-row window for the cumulative. Nothing touches
+    * a global sort or a driver loop. */
+  val vocabGrowth: Q = Q(
+    "q_vocab_growth",
+    """WITH c AS (SELECT min(doc_id) AS mn, max(doc_id) AS mx FROM documents),
+      |ks AS (SELECT unnest([1, 2, 3, 4]) AS k),
+      |b AS (SELECT CAST(k AS BIGINT) AS k,
+      |    mn - 1 + (mx - mn + 1) * k // 4 AS bound
+      |  FROM ks CROSS JOIN c),
+      |nd AS (SELECT b.k, b.bound,
+      |    CAST(count(*) FILTER (WHERE d.doc_id <= b.bound) AS BIGINT) AS n_docs
+      |  FROM documents d CROSS JOIN b GROUP BY b.k, b.bound),
+      |toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |units AS (
+      |  SELECT 'token' AS unit, unnest(t) AS u, doc_id FROM toks
+      |  UNION ALL
+      |  SELECT 'shingle8', unnest([array_to_string(t[i:i+7], ' ')
+      |      for i in generate_series(1, len(t) - 7)]), doc_id
+      |  FROM toks WHERE len(t) >= 8),
+      |fd AS (SELECT unit, u, min(doc_id) AS fdoc FROM units GROUP BY 1, 2),
+      |nu AS (SELECT unit, k, CAST(count(*) AS BIGINT) AS new_units FROM (
+      |    SELECT f.unit, f.u, min(b.k) AS k
+      |    FROM fd f JOIN b ON f.fdoc <= b.bound GROUP BY f.unit, f.u)
+      |  GROUP BY unit, k)
+      |SELECT nd.k AS checkpoint, u.unit, nd.bound AS bound_id, nd.n_docs,
+      |  coalesce(nu.new_units, 0) AS new_units,
+      |  CAST(sum(coalesce(nu.new_units, 0))
+      |    OVER (PARTITION BY u.unit ORDER BY nd.k) AS BIGINT) AS units_cum
+      |FROM nd CROSS JOIN (SELECT DISTINCT unit FROM units) u
+      |LEFT JOIN nu ON nu.k = nd.k AND nu.unit = u.unit
+      |ORDER BY checkpoint, u.unit""".stripMargin
+  ) { (s, d) =>
+    val docs = T.documents(s, d)
+    val cRow = docs.agg(min(col("doc_id")), max(col("doc_id"))).head()
+    val (mn, mx) = (cRow.getLong(0), cRow.getLong(1))
+    val bounds = (1 to 4).map(k => (k.toLong, mn - 1 + (mx - mn + 1) * k / 4))
+    val boundArr = array(bounds.map { case (k, bd) =>
+      struct(lit(k).as("k"), lit(bd).as("bound")) }: _*)
+    val b = docs.sparkSession.range(1).select(explode(boundArr).as("p"))
+      .select(col("p.k").as("k"), col("p.bound").as("bound"))
+    val nd = docs.crossJoin(broadcast(b))
+      .groupBy("k", "bound")
+      .agg(sum(when(col("doc_id") <= col("bound"), 1L).otherwise(0L)).as("n_docs"))
+    val toks = docs.select(col("doc_id"), split(col("text"), " ").as("t"))
+    val units = toks
+      .select(lit("token").as("unit"), explode(col("t")).as("u"), col("doc_id"))
+      .unionAll(toks.filter(size(col("t")) >= 8)
+        .select(lit("shingle8").as("unit"), explode(expr(
+          "transform(sequence(1, size(t) - 7), i -> concat_ws(' ', slice(t, i, 8)))"))
+          .as("u"), col("doc_id")))
+    val fd = units.groupBy("unit", "u").agg(min(col("doc_id")).as("fdoc"))
+    val nu = fd.join(broadcast(b), col("fdoc") <= col("bound"))
+      .groupBy("unit", "u").agg(min(col("k")).as("k"))
+      .groupBy("unit", "k").agg(count(lit(1)).as("new_units"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("unit").orderBy("checkpoint")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    nd.crossJoin(units.select("unit").distinct())
+      .join(nu, Seq("unit", "k"), "left")
+      .select(col("k").as("checkpoint"), col("unit"), col("bound").as("bound_id"),
+        col("n_docs"), coalesce(col("new_units"), lit(0L)).as("new_units"))
+      .withColumn("units_cum", sum(col("new_units")).over(w))
+      .orderBy("checkpoint", "unit")
+  }
+
   val all: Seq[Q] =
     Seq(langId, qualityScore, tokenCount, fingerprint, bigramTopK, piiScrub,
       vocabStats, lengthBuckets, charNgrams, langConfusion, corpusMix,
       repetitionFilter, rarityScore, cooccurLift, bigramLm, vocabCoverage,
-      bpeMerges, bpeApply, bpeVocab, bpeDelta, bpeFertility)
+      bpeMerges, bpeApply, bpeVocab, bpeDelta, bpeFertility, vocabGrowth)
 }

@@ -421,6 +421,32 @@ class OperatorSpec extends SparkSuite {
     }
   }
 
+  test("q_vocab_growth: curves are cumulative, total-anchored, and show both growth regimes") {
+    val rows = run("q_vocab_growth").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(rows.length == 8, "4 checkpoints x 2 units")
+    rows.groupBy(_._2).foreach { case (_, qr) =>
+      val byK = qr.sortBy(_._1)
+      // cumulative = running sum of new units, docs non-decreasing
+      assert(byK.map(_._4).scanLeft(0L)(_ + _).tail.toSeq == byK.map(_._5).toSeq)
+      assert(byK.map(_._3).zip(byK.map(_._3).tail).forall { case (a, b) => b >= a })
+    }
+    // checkpoint 4 covers the whole corpus; the token curve's total IS
+    // q_vocab_stats' vocabulary (same unit, same corpus)
+    val nDocs = graft.core.Tables.documents(spark, sf).count()
+    val vocab = run("q_vocab_stats").head().getLong(0)
+    val last = rows.filter(_._1 == 4L)
+    assert(last.forall(_._3 == nDocs))
+    assert(last.find(_._2 == "token").get._5 == vocab)
+    // the two regimes the op exists to contrast: the synthetic token
+    // space saturates early; the 8-gram shingle space keeps growing
+    val tok = rows.filter(r => r._2 == "token" && r._1 > 1L)
+    val sh = rows.filter(r => r._2 == "shingle8" && r._1 > 1L)
+    assert(tok.map(_._4).sum < sh.map(_._4).sum,
+      "shingles must out-grow tokens after the first quarter")
+    assert(sh.forall(_._4 > 0L), "shingle vocabulary must still be growing")
+  }
+
   test("q_pack_efficiency: census identities hold against the pack table it grades") {
     val packs = run("q_pack_sequences").collect()
       .map(r => (r.getLong(0), r.getLong(3))) // (shard, n_tokens of pack)
