@@ -1432,8 +1432,294 @@ object Graph {
       .toDF("m", "sum_d", "sum_dudv", "sum_d2", "num", "den", "r_ppm")
   }
 
+  /** Shared projection-graph CTE chain (oracle dialect) for the
+    * projection-analytics ops below: `ce` = the co-trading projection
+    * edges (u < v, customers sharing ≥ TriMinShared qualifying
+    * suppliers — the exact q_triangles projection), `sym`/`deg` its
+    * symmetric adjacency and degrees. AS MATERIALIZED (the q_kcore
+    * lesson): each is referenced 2–4 times downstream, and the inlined
+    * chain re-expands multiplicatively at the 10× dir. */
+  private val projCtesSql =
+    s"""$triEoSql,
+       |cp AS (SELECT a.c AS u, b.c AS v, count(*) AS w
+       |  FROM eo a JOIN eo b ON a.s = b.s AND a.c < b.c GROUP BY 1, 2),
+       |ce AS MATERIALIZED (SELECT u, v FROM cp WHERE w >= $TriMinShared),
+       |sym AS MATERIALIZED (SELECT u AS x, v AS y FROM ce
+       |      UNION ALL SELECT v AS x, u AS y FROM ce),
+       |deg AS MATERIALIZED (SELECT x, CAST(count(*) AS BIGINT) AS dg
+       |  FROM sym GROUP BY x)""".stripMargin
+
+  /** Co-trading projection edges (the first half of triangleCensus,
+    * factored for reuse): customer pairs sharing ≥ TriMinShared
+    * suppliers, built through the capped hub-split spoke-pair machinery
+    * so no hub supplier explodes a shuffle key. Emits u < v. */
+  private def projectionEdges(s: SparkSession, d: String): DataFrame = {
+    val eo = T.orders(s, d)
+      .join(T.lineitem(s, d), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey").as("c"), col("l_suppkey").as("s"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= TriMinRepeats)
+      .select("c", "s")
+      .localCheckpoint() // feeds the census read + the pair join
+    val (sKeys, nEdges, _) = sideCensus(eo, "s")
+    blockedSpokePairs(eo.select(col("s").as("k"), col("c").as("v")),
+        wedgeCap(nEdges, sKeys))
+      .groupBy("v1", "v2").agg(count(lit(1)).as("w"))
+      .filter(col("w") >= TriMinShared)
+      .select(col("v1").as("u"), col("v2").as("v"))
+  }
+
+  /** Common-neighbor link prediction on the co-trading projection — the
+    * graph-completion primitive (recommend a not-yet-observed pairing
+    * from shared structure; in a curation pipeline, the "these two
+    * sources behave alike" signal). For every NON-adjacent customer
+    * pair sharing ≥1 neighbor: the common-neighbor count and the exact
+    * integer Jaccard of their neighborhoods, top 25 under a total
+    * order. A predicted link must out-score existing structure to be
+    * actionable, so both endpoint degrees ship with each row.
+    *
+    * Scale shape: candidate pairs are enumerated per MID-node adjacency
+    * through the same capped hub-split machinery as the butterfly /
+    * triangle censuses (blockedSpokePairs — a hub's C(deg,2) pair work
+    * is spread across ~cap²-sized blocks, never one shuffle key); the
+    * total is the projection's open-wedge count, the same Σ C(deg,2)
+    * budget q_triangles reports as n_wedges. Non-adjacency is one
+    * left_anti join against the edge list; everything else is
+    * partial-agg + broadcast-sized joins on node ids. */
+  val linkPredict: Q = Q(
+    "q_link_predict",
+    s"""WITH $projCtesSql,
+       |wp AS MATERIALIZED (SELECT a.y AS u, b.y AS v,
+       |    CAST(count(*) AS BIGINT) AS cn
+       |  FROM sym a JOIN sym b ON a.x = b.x AND a.y < b.y GROUP BY 1, 2),
+       |cand AS (SELECT wp.u, wp.v, wp.cn FROM wp
+       |  WHERE NOT EXISTS (SELECT 1 FROM ce WHERE ce.u = wp.u AND ce.v = wp.v))
+       |SELECT c.u, c.v, c.cn, du.dg AS deg_u, dv.dg AS deg_v,
+       |  CAST(c.cn * 1000000 // (du.dg + dv.dg - c.cn) AS BIGINT) AS jaccard_ppm
+       |FROM cand c JOIN deg du ON du.x = c.u JOIN deg dv ON dv.x = c.v
+       |ORDER BY jaccard_ppm DESC, cn DESC, u, v LIMIT 25""".stripMargin
+  ) { (s, d) =>
+    val ce = projectionEdges(s, d).localCheckpoint() // sym (2×) + anti join
+    val sym = ce.select(col("u").as("x"), col("v").as("y"))
+      .unionAll(ce.select(col("v").as("x"), col("u").as("y")))
+      .localCheckpoint() // feeds deg + the wedge enumeration
+    val deg = sym.groupBy("x").agg(count(lit(1)).as("dg")).localCheckpoint()
+    val r = deg.agg(count(lit(1)), coalesce(sum(col("dg")), lit(0L))).head()
+    val wp = blockedSpokePairs(sym.select(col("x").as("k"), col("y").as("v")),
+        wedgeCap(nEdges = r.getLong(1), nKeys = r.getLong(0)))
+      .groupBy("v1", "v2").agg(count(lit(1)).as("cn"))
+    wp.join(ce, wp("v1") === ce("u") && wp("v2") === ce("v"), "left_anti")
+      .join(deg.select(col("x").as("v1"), col("dg").as("deg_u")), "v1")
+      .join(deg.select(col("x").as("v2"), col("dg").as("deg_v")), "v2")
+      .select(col("v1").as("u"), col("v2").as("v"), col("cn"),
+        col("deg_u"), col("deg_v"),
+        expr("cn * 1000000 div (deg_u + deg_v - cn)").as("jaccard_ppm"))
+      .orderBy(col("jaccard_ppm").desc, col("cn").desc, col("u"), col("v"))
+      .limit(25)
+  }
+
+  /** Per-node clustering-coefficient census of the co-trading
+    * projection — the LOCAL breakdown of q_triangles' single global
+    * coefficient (a spam/bot-farm signature is exactly "high degree,
+    * near-zero local clustering", invisible in the global number).
+    * Buckets nodes by cc_ppm deciles (bucket −1 = degree-1 nodes with
+    * no wedge to close); per bucket the node count, total triangle
+    * participations, and the degree range — the shape a curation gate
+    * thresholds on. Exact integer math; Σ sum_tri = 3 · n_triangles
+    * (every triangle counted at each of its three corners, the spec's
+    * cross-anchor to q_triangles).
+    *
+    * Scale shape: identical bounds to triangleCensus — the oriented
+    * wedge join's per-key work is capped at √(2m) by the
+    * degree-orientation argument — plus one explode-free 3-way union of
+    * the triangle rows (localCheckpointed once) and an O(nodes)
+    * partial-agg. */
+  val localClustering: Q = Q(
+    "q_local_clustering",
+    s"""WITH $projCtesSql,
+       |oe AS MATERIALIZED (SELECT s.x AS src, s.y AS dst FROM sym s
+       |  JOIN deg da ON da.x = s.x JOIN deg db ON db.x = s.y
+       |  WHERE (da.dg, s.x) < (db.dg, s.y)),
+       |tr AS MATERIALIZED (SELECT a.src AS n1, cl.src AS n2, cl.dst AS n3
+       |  FROM oe a JOIN oe b ON b.src = a.src AND b.dst != a.dst
+       |  JOIN oe cl ON cl.src = a.dst AND cl.dst = b.dst),
+       |tn AS (SELECT n, CAST(count(*) AS BIGINT) AS t FROM (
+       |    SELECT n1 AS n FROM tr UNION ALL SELECT n2 FROM tr
+       |    UNION ALL SELECT n3 FROM tr) GROUP BY n),
+       |pc AS (SELECT d.x AS node, d.dg, coalesce(tn.t, 0) AS t,
+       |    CASE WHEN d.dg < 2 THEN -1
+       |      ELSE CAST(coalesce(tn.t, 0) * 1000000
+       |        // (d.dg * (d.dg - 1) // 2) AS BIGINT) END AS cc_ppm
+       |  FROM deg d LEFT JOIN tn ON tn.n = d.x)
+       |SELECT CAST(CASE WHEN cc_ppm < 0 THEN -1
+       |    ELSE cc_ppm // 100000 END AS BIGINT) AS bucket,
+       |  CAST(count(*) AS BIGINT) AS n_nodes, CAST(sum(t) AS BIGINT) AS sum_tri,
+       |  CAST(min(dg) AS BIGINT) AS min_deg, CAST(max(dg) AS BIGINT) AS max_deg
+       |FROM pc GROUP BY 1 ORDER BY bucket""".stripMargin
+  ) { (s, d) =>
+    val ce = projectionEdges(s, d).localCheckpoint()
+    val sym = ce.select(col("u").as("x"), col("v").as("y"))
+      .unionAll(ce.select(col("v").as("x"), col("u").as("y")))
+    val deg = sym.groupBy("x").agg(count(lit(1)).as("dg")).localCheckpoint()
+    val oe = sym
+      .join(deg.select(col("x"), col("dg").as("dx")), "x")
+      .join(deg.select(col("x").as("y"), col("dg").as("dy")), "y")
+      .filter(struct(col("dx"), col("x")) < struct(col("dy"), col("y")))
+      .select(col("x").as("src"), col("y").as("dst"))
+      .localCheckpoint() // wedge join (2×) + the closing join
+    val tr = oe.as("a").join(oe.as("b"),
+        col("a.src") === col("b.src") && col("a.dst") =!= col("b.dst"))
+      .select(col("a.src").as("n1"), col("a.dst").as("p"), col("b.dst").as("q"))
+      .join(oe.as("cl"), col("p") === col("cl.src") && col("q") === col("cl.dst"))
+      .select(col("n1"), col("p").as("n2"), col("q").as("n3"))
+      .localCheckpoint() // the 3-way corner union reads it three times
+    val tn = tr.select(col("n1").as("n"))
+      .unionAll(tr.select(col("n2").as("n")))
+      .unionAll(tr.select(col("n3").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("t"))
+    deg.join(tn, col("x") === col("n"), "left")
+      .select(col("dg"), coalesce(col("t"), lit(0L)).as("t"))
+      .withColumn("cc_ppm", when(col("dg") < 2, lit(-1L))
+        .otherwise(expr("t * 1000000 div (dg * (dg - 1) div 2)")))
+      .groupBy(when(col("cc_ppm") < 0, lit(-1L))
+        .otherwise(expr("cc_ppm div 100000")).as("bucket"))
+      .agg(count(lit(1)).as("n_nodes"), sum(col("t")).as("sum_tri"),
+        min(col("dg")).as("min_deg"), max(col("dg")).as("max_deg"))
+      .orderBy("bucket")
+  }
+
+  /** SALSA hub/authority scoring on the bipartite trade graph (Lempel &
+    * Moran 2000) — the degree-normalized HITS variant, and the natural
+    * exact-integer one: classic HITS rescales by a max/norm each round
+    * (a 1e6-scaled multiply that overflows int64 once a hub's raw score
+    * passes ~9e12 — reachable at the 100 TB corpus this is designed
+    * for), while SALSA's random-walk update `a(s) = Σ_c h(c) div deg(c)`
+    * / `h(c) = Σ_s a(s) div deg(s)` only ever floor-divides before
+    * summing, so scores stay bounded by the initial mass (n·1e6) with no
+    * rescale step — the exact q_pagerank damping-arithmetic recipe on
+    * the UNPROJECTED bipartite structure. Customers are hubs (they point
+    * at what they buy), suppliers are authorities; `Iters` unrolled
+    * alternating half-rounds; top 15 per role under a total order.
+    *
+    * Scale shape: per half-round one (pairs ⋈ score) shuffle on the
+    * sending side's key plus one partial-aggregating shuffle on the
+    * receiving side's — identical bounds to a q_pagerank round. The
+    * degree-annotated pair list is built once (localCheckpoint) and
+    * reused by all 2·Iters half-rounds; no window, no driver state, and
+    * the final top-15s are partial TakeOrdered, never a global sort. */
+  val salsa: Q = Q(
+    "q_salsa",
+    s"""WITH eo AS MATERIALIZED (SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+       |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+       |dc AS MATERIALIZED (SELECT c, CAST(count(*) AS BIGINT) AS d FROM eo GROUP BY c),
+       |ds AS MATERIALIZED (SELECT s, CAST(count(*) AS BIGINT) AS d FROM eo GROUP BY s),
+       |h0 AS (SELECT c AS node, CAST(1000000 AS BIGINT) AS v FROM dc),
+       |${(1 to Iters).map { i =>
+      s"""a$i AS MATERIALIZED (SELECT eo.s AS node, CAST(sum(h.v // dc.d) AS BIGINT) AS v
+         |  FROM eo JOIN dc ON dc.c = eo.c JOIN h${i - 1} h ON h.node = eo.c
+         |  GROUP BY eo.s),
+         |h$i AS MATERIALIZED (SELECT eo.c AS node, CAST(sum(a.v // ds.d) AS BIGINT) AS v
+         |  FROM eo JOIN ds ON ds.s = eo.s JOIN a$i a ON a.node = eo.s
+         |  GROUP BY eo.c)""".stripMargin
+    }.mkString(",\n")}
+       |SELECT role, node, score FROM (
+       |  SELECT 'authority' AS role, node, v AS score FROM
+       |    (SELECT node, v FROM a$Iters ORDER BY v DESC, node LIMIT 15)
+       |  UNION ALL
+       |  SELECT 'hub' AS role, node, v AS score FROM
+       |    (SELECT node, v FROM h$Iters ORDER BY v DESC, node LIMIT 15))
+       |ORDER BY role, score DESC, node""".stripMargin
+  ) { (s, d) =>
+    val eo = T.orders(s, d)
+      .join(T.lineitem(s, d), col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_suppkey").as("s"))
+      .distinct()
+    val dc = eo.groupBy("c").agg(count(lit(1)).as("cd"))
+    val ds = eo.groupBy("s").agg(count(lit(1)).as("sd"))
+    // degree-annotated pair list feeds every half-round: build it once
+    val ec = eo.join(dc, "c").join(ds, "s").localCheckpoint()
+    val h0 = dc.select(col("c"), lit(1000000L).as("hv"))
+    val (aF, hF) = (1 to Iters).foldLeft((null: DataFrame, h0)) {
+      case ((_, h), _) =>
+        val a = ec.join(h, "c")
+          .select(col("s"), expr("hv div cd").as("contrib"))
+          .groupBy("s").agg(sum(col("contrib")).as("av"))
+        val hn = ec.join(a, "s")
+          .select(col("c"), expr("av div sd").as("contrib"))
+          .groupBy("c").agg(sum(col("contrib")).as("hv"))
+        (a, hn)
+    }
+    aF.orderBy(col("av").desc, col("s")).limit(15)
+      .select(lit("authority").as("role"), col("s").as("node"), col("av").as("score"))
+      .unionAll(hF.orderBy(col("hv").desc, col("c")).limit(15)
+        .select(lit("hub").as("role"), col("c").as("node"), col("hv").as("score")))
+      .orderBy(col("role"), col("score").desc, col("node"))
+  }
+
+  /** Walk-step budget and start-set size for q_random_walk — one
+    * constant pair shared by both engines (the MaxHops convention). */
+  private val WalkSteps = 6
+  private val WalkStarts = 8
+
+  /** Deterministic pseudo-random walks over the symmetric trade graph —
+    * the sampling stage of DeepWalk/node2vec-style embedding training
+    * made reproducible: from each of the `WalkStarts` highest-degree
+    * nodes, walk `WalkSteps` steps, choosing the next neighbor by a pure
+    * integer hash of (current node, step) modulo the degree — both
+    * engines evaluate the identical multiply/add/mod chain over int64
+    * (node·2654435761 stays < 2^63 for node ids < ~3.4e9, ~2 orders
+    * beyond the 100 TB customer count), so the full traces agree
+    * bit-for-bit with no RNG state to ship. Neighbor index → neighbor is
+    * resolved through a rank-annotated adjacency (row_number over dst
+    * within src), the same per-key bounded window as q_window_rank.
+    * Emits the complete traces: (walk_id = start node, step, node).
+    *
+    * Scale shape: the adjacency ranking is ONE window shuffle on src
+    * (per-key work bounded by max degree), checkpointed and reused by
+    * all steps; each step then joins an O(WalkStarts)-row frontier
+    * against it — Spark broadcasts the frontier, so a step is one
+    * broadcast-hash probe over the adjacency, no shuffle. Walks never
+    * terminate early: the symmetric edge list gives every node
+    * out-degree ≥ 1. */
+  val randomWalk: Q = Q(
+    "q_random_walk",
+    s"""WITH $edgeCtesSql,
+       |adj AS MATERIALIZED (SELECT src, dst,
+       |    row_number() OVER (PARTITION BY src ORDER BY dst) AS rn,
+       |    CAST(count(*) OVER (PARTITION BY src) AS BIGINT) AS d
+       |  FROM e),
+       |starts AS (SELECT src AS node FROM deg ORDER BY d DESC, src LIMIT $WalkStarts),
+       |w0 AS (SELECT node AS walk_id, CAST(0 AS BIGINT) AS step, node FROM starts),
+       |${(1 to WalkSteps).map { t =>
+      s"""w$t AS MATERIALIZED (SELECT w.walk_id, CAST($t AS BIGINT) AS step,
+         |  a.dst AS node FROM w${t - 1} w JOIN adj a ON a.src = w.node
+         |  AND a.rn = 1 + (w.node * 2654435761 + $t * 40503) % a.d)""".stripMargin
+    }.mkString(",\n")}
+       |SELECT walk_id, step, node FROM (
+       |  ${(0 to WalkSteps).map(t => s"SELECT * FROM w$t").mkString(" UNION ALL ")})
+       |ORDER BY walk_id, step""".stripMargin
+  ) { (s, d) =>
+    val (e, deg) = edgesOf(s, d)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("src")
+    val adj = e
+      .withColumn("rn", row_number().over(w.orderBy("dst")).cast("long"))
+      .withColumn("d", count(lit(1)).over(w))
+      .localCheckpoint() // every step probes it
+    val starts = deg.orderBy(col("d").desc, col("src")).limit(WalkStarts)
+      .select(col("src").as("node"))
+    val w0 = starts.select(col("node").as("walk_id"), lit(0L).as("step"), col("node"))
+    val trace = (1 to WalkSteps).scanLeft(w0) { case (front, t) =>
+      broadcast(front.select(col("walk_id"), col("node").as("cur")))
+        .join(adj, col("cur") === col("src") &&
+          col("rn") === lit(1L) + (col("cur") * 2654435761L + t * 40503L) % col("d"))
+        .select(col("walk_id"), lit(t.toLong).as("step"), col("dst").as("node"))
+    }
+    trace.reduce(_ unionAll _).orderBy("walk_id", "step")
+  }
+
   val all: Seq[Q] =
     Seq(pagerank, pagerankDelta, degreeHist, labelProp, modularity,
       components, componentsDelta, reachHops, butterflies, triangles,
-      kcore, coreNumbers, assortativity)
+      kcore, coreNumbers, assortativity, linkPredict, localClustering,
+      salsa, randomWalk)
 }

@@ -447,6 +447,109 @@ class OperatorSpec extends SparkSuite {
     assert(sh.forall(_._4 > 0L), "shingle vocabulary must still be growing")
   }
 
+  /** Independent (unblocked, plain-join) recompute of the co-trading
+    * projection adjacency at sf0.001 — the cross-anchor for the two
+    * projection-analytics ops. Returns node -> neighbor set. */
+  private def projAdjacency(): Map[Long, Set[Long]] = {
+    import org.apache.spark.sql.functions._
+    val eo = graft.core.Tables.orders(spark, sf)
+      .join(graft.core.Tables.lineitem(spark, sf), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey").as("c"), col("l_suppkey").as("s"))
+      .agg(count(lit(1)).as("cnt")).filter(col("cnt") >= 2).select("c", "s")
+    val ce = eo.as("a").join(eo.as("b"),
+        col("a.s") === col("b.s") && col("a.c") < col("b.c"))
+      .groupBy(col("a.c").as("u"), col("b.c").as("v"))
+      .agg(count(lit(1)).as("w")).filter(col("w") >= 2)
+      .select("u", "v").collect().map(r => (r.getLong(0), r.getLong(1)))
+    ce.flatMap { case (u, v) => Seq(u -> v, v -> u) }
+      .groupBy(_._1).map { case (n, xs) => n -> xs.map(_._2).toSet }
+  }
+
+  test("q_link_predict: score identities hold and every prediction is a true non-edge") {
+    val adj = projAdjacency()
+    val rows = run("q_link_predict").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(rows.nonEmpty && rows.length <= 25)
+    rows.foreach { case (u, v, cn, du, dv, j) =>
+      assert(u < v)
+      assert(!adj(u).contains(v), s"($u,$v) is an existing edge")
+      assert(cn == adj(u).intersect(adj(v)).size.toLong, s"cn mismatch for ($u,$v)")
+      assert(du == adj(u).size.toLong && dv == adj(v).size.toLong)
+      assert(cn >= 1L && cn <= math.min(du, dv))
+      assert(j == cn * 1000000L / (du + dv - cn) && j <= 1000000L)
+    }
+    // the claimed total order actually holds
+    val keys = rows.map { case (u, v, cn, _, _, j) => (-j, -cn, u, v) }
+    assert(keys.sameElements(keys.sorted))
+  }
+
+  test("q_local_clustering: buckets partition the projection nodes; corners sum to 3x triangles") {
+    val adj = projAdjacency()
+    val rows = run("q_local_clustering").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.map(_._1).forall(b => b >= -1L && b <= 10L))
+    assert(rows.map(_._1).sameElements(rows.map(_._1).sorted))
+    assert(rows.map(_._2).sum == adj.size.toLong, "buckets must partition all nodes")
+    val nTri = run("q_triangles").head().getLong(4)
+    assert(rows.map(_._3).sum == 3L * nTri, "corner participations must sum to 3x triangles")
+    rows.find(_._1 == -1L).foreach { case (_, _, sumTri, _, maxDeg) =>
+      assert(maxDeg == 1L && sumTri == 0L, "bucket -1 is exactly the degree-1 nodes")
+    }
+  }
+
+  /** Distinct (customer, supplier) trading pairs at sf0.001, collected
+    * once for the local SALSA / random-walk recomputes. */
+  private def tradePairs(): Array[(Long, Long)] = {
+    import org.apache.spark.sql.functions._
+    graft.core.Tables.orders(spark, sf)
+      .join(graft.core.Tables.lineitem(spark, sf), col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_suppkey").as("s")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+  }
+
+  test("q_salsa: top hubs/authorities match an independent local SALSA recompute") {
+    val eo = tradePairs()
+    val dc = eo.groupBy(_._1).map { case (k, v) => k -> v.length.toLong }
+    val ds = eo.groupBy(_._2).map { case (k, v) => k -> v.length.toLong }
+    var h = dc.map { case (c, _) => c -> 1000000L }
+    var a = Map.empty[Long, Long]
+    for (_ <- 1 to 3) {
+      a = eo.groupBy(_._2).map { case (s, ps) =>
+        s -> ps.map { case (c, _) => h(c) / dc(c) }.sum }
+      h = eo.groupBy(_._1).map { case (c, ps) =>
+        c -> ps.map { case (_, s) => a(s) / ds(s) }.sum }
+    }
+    def top15(m: Map[Long, Long]) =
+      m.toSeq.sortBy { case (n, v) => (-v, n) }.take(15)
+    val expected =
+      (top15(a).map { case (n, v) => ("authority", n, v) } ++
+        top15(h).map { case (n, v) => ("hub", n, v) })
+        .sortBy { case (r, n, v) => (r, -v, n) }
+    val got = run("q_salsa").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == expected)
+  }
+
+  test("q_random_walk: full traces match a local hash-driven walk") {
+    val Off = 1000000L
+    val eo = tradePairs()
+    val adj = eo.flatMap { case (c, s) => Seq(c -> (s + Off), (s + Off) -> c) }
+      .groupBy(_._1).map { case (n, xs) => n -> xs.map(_._2).sorted.toVector }
+    val starts = adj.toSeq.map { case (n, ns) => (n, ns.length.toLong) }
+      .sortBy { case (n, d) => (-d, n) }.take(8).map(_._1)
+    val expected = starts.flatMap { start =>
+      val trace = (1 to 6).scanLeft(start) { (cur, t) =>
+        val ns = adj(cur)
+        ns(((cur * 2654435761L + t * 40503L) % ns.length).toInt)
+      }
+      trace.zipWithIndex.map { case (node, step) => (start, step.toLong, node) }
+    }.sortBy { case (w, st, _) => (w, st) }
+    val got = run("q_random_walk").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == expected)
+    assert(got.map(_._1).distinct.size == 8 && got.size == 8 * 7)
+  }
+
   test("q_pack_efficiency: census identities hold against the pack table it grades") {
     val packs = run("q_pack_sequences").collect()
       .map(r => (r.getLong(0), r.getLong(3))) // (shard, n_tokens of pack)
