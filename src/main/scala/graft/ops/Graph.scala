@@ -1639,14 +1639,17 @@ object Graph {
     // degree-annotated pair list feeds every half-round: build it once
     val ec = eo.join(dc, "c").join(ds, "s").localCheckpoint()
     val h0 = dc.select(col("c"), lit(1000000L).as("hv"))
+    // checkpoint each half-round: the final union's two branches (top-15
+    // authorities, top-15 hubs) would otherwise each replay the whole
+    // alternating chain from round 1 — the artifact-lineage-replay lesson
     val (aF, hF) = (1 to Iters).foldLeft((null: DataFrame, h0)) {
       case ((_, h), _) =>
-        val a = ec.join(h, "c")
+        val a = graft.core.Session.truncate(ec.join(h, "c")
           .select(col("s"), expr("hv div cd").as("contrib"))
-          .groupBy("s").agg(sum(col("contrib")).as("av"))
-        val hn = ec.join(a, "s")
+          .groupBy("s").agg(sum(col("contrib")).as("av")))
+        val hn = graft.core.Session.truncate(ec.join(a, "s")
           .select(col("c"), expr("av div sd").as("contrib"))
-          .groupBy("c").agg(sum(col("contrib")).as("hv"))
+          .groupBy("c").agg(sum(col("contrib")).as("hv")))
         (a, hn)
     }
     aF.orderBy(col("av").desc, col("s")).limit(15)
@@ -1701,18 +1704,25 @@ object Graph {
   ) { (s, d) =>
     val (e, deg) = edgesOf(s, d)
     val w = org.apache.spark.sql.expressions.Window.partitionBy("src")
+    // degree comes from the already-aggregated deg table, not a second
+    // window pass: count-over-partition needs a different frame than
+    // row_number and would cost its own sort
     val adj = e
       .withColumn("rn", row_number().over(w.orderBy("dst")).cast("long"))
-      .withColumn("d", count(lit(1)).over(w))
+      .join(deg, "src")
       .localCheckpoint() // every step probes it
     val starts = deg.orderBy(col("d").desc, col("src")).limit(WalkStarts)
       .select(col("src").as("node"))
     val w0 = starts.select(col("node").as("walk_id"), lit(0L).as("step"), col("node"))
+    // checkpoint each frontier: the final union evaluates every step
+    // independently, so an unmaterialized step t would replay steps 1..t
+    // (21 probes instead of 6 for the 7-member union)
     val trace = (1 to WalkSteps).scanLeft(w0) { case (front, t) =>
-      broadcast(front.select(col("walk_id"), col("node").as("cur")))
-        .join(adj, col("cur") === col("src") &&
-          col("rn") === lit(1L) + (col("cur") * 2654435761L + t * 40503L) % col("d"))
-        .select(col("walk_id"), lit(t.toLong).as("step"), col("dst").as("node"))
+      graft.core.Session.truncate(
+        broadcast(front.select(col("walk_id"), col("node").as("cur")))
+          .join(adj, col("cur") === col("src") &&
+            col("rn") === lit(1L) + (col("cur") * 2654435761L + t * 40503L) % col("d"))
+          .select(col("walk_id"), lit(t.toLong).as("step"), col("dst").as("node")))
     }
     trace.reduce(_ unionAll _).orderBy("walk_id", "step")
   }
