@@ -1634,22 +1634,25 @@ object Graph {
       .join(T.lineitem(s, d), col("l_orderkey") === col("o_orderkey"))
       .select(col("o_custkey").as("c"), col("l_suppkey").as("s"))
       .distinct()
-    val dc = eo.groupBy("c").agg(count(lit(1)).as("cd"))
-    val ds = eo.groupBy("s").agg(count(lit(1)).as("sd"))
-    // degree-annotated pair list feeds every half-round: build it once
-    val ec = eo.join(dc, "c").join(ds, "s").localCheckpoint()
+      .localCheckpoint() // feeds both degree censuses + every half-round
+    // degree normalization stays NODE-level (h div deg joined on the
+    // score table, O(nodes) rows) rather than widening every pair row
+    // with both degrees — the pair-level join per half-round then ships
+    // only (key, contribution)
+    val dc = eo.groupBy("c").agg(count(lit(1)).as("cd")).localCheckpoint()
+    val ds = eo.groupBy("s").agg(count(lit(1)).as("sd")).localCheckpoint()
     val h0 = dc.select(col("c"), lit(1000000L).as("hv"))
     // checkpoint each half-round: the final union's two branches (top-15
     // authorities, top-15 hubs) would otherwise each replay the whole
     // alternating chain from round 1 — the artifact-lineage-replay lesson
     val (aF, hF) = (1 to Iters).foldLeft((null: DataFrame, h0)) {
       case ((_, h), _) =>
-        val a = graft.core.Session.truncate(ec.join(h, "c")
-          .select(col("s"), expr("hv div cd").as("contrib"))
-          .groupBy("s").agg(sum(col("contrib")).as("av")))
-        val hn = graft.core.Session.truncate(ec.join(a, "s")
-          .select(col("c"), expr("av div sd").as("contrib"))
-          .groupBy("c").agg(sum(col("contrib")).as("hv")))
+        val a = graft.core.Session.truncate(
+          eo.join(h.join(dc, "c").select(col("c"), expr("hv div cd").as("hc")), "c")
+            .groupBy("s").agg(sum(col("hc")).as("av")))
+        val hn = graft.core.Session.truncate(
+          eo.join(a.join(ds, "s").select(col("s"), expr("av div sd").as("ac")), "s")
+            .groupBy("c").agg(sum(col("ac")).as("hv")))
         (a, hn)
     }
     aF.orderBy(col("av").desc, col("s")).limit(15)
