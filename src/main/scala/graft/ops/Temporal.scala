@@ -477,7 +477,87 @@ object Temporal {
     (r.getLong(0), r.getLong(1), r.getLong(2))
   }
 
+  /** Interval-overlap join: every CROSS-USER pair of concurrently-active
+    * sessions, aggregated per hour — the interval-interval member the
+    * range-join family lacks (q_range_join/q_range_join_binned are
+    * point-in-interval against a 4-row band table; here BOTH sides are
+    * derived interval sets). Pairs are attributed to the hour containing
+    * the LATER start (each overlapping pair counted exactly once), with
+    * the pairwise overlap durations aggregated — the concurrency census
+    * behind capacity sizing and contention analysis. Same-user pairs
+    * are excluded by construction and by the gap-based sessionization
+    * (a user's own sessions are disjoint by > 30 min).
+    *
+    * Scale shape: the textbook distributed interval join — each session
+    * explodes into the hour buckets it spans (bounded by session length,
+    * never by table size), the self-join becomes an EQUI-join on bucket
+    * (shuffle-partitionable, no broadcast needed on either side), and
+    * the later-start-bucket predicate dedups pairs without a global
+    * distinct. Per-bucket work is quadratic in that hour's active
+    * sessions — intrinsic to pair ENUMERATION (the output aggregates
+    * per-pair overlap durations, which no sweep-line count can produce);
+    * a count-only variant could go pair-free via an active-at-start
+    * sweep. The DuckDB oracle is the naive inequality join (IEJoin),
+    * cross-checking the binned formulation against an unbinned one. */
+  val intervalJoin: Q = Q(
+    "q_interval_join",
+    """WITH flagged AS (
+      |  SELECT user_id, epoch_us(ts) AS ts_us,
+      |    CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+      |         OR lag(epoch_us(ts)) OVER w IS NULL THEN 1 ELSE 0 END AS new_sess
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |), sess AS (
+      |  SELECT user_id, ts_us,
+      |    CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+      |  FROM flagged
+      |), s AS MATERIALIZED (
+      |  SELECT user_id, session_id, MIN(ts_us) AS start_us, MAX(ts_us) AS end_us
+      |  FROM sess GROUP BY user_id, session_id
+      |), p AS (
+      |  SELECT (greatest(a.start_us, b.start_us) // 3600000000) * 3600000000 AS bucket_us,
+      |    least(a.end_us, b.end_us) - greatest(a.start_us, b.start_us) AS ov
+      |  FROM s a JOIN s b ON a.user_id < b.user_id
+      |    AND a.start_us <= b.end_us AND b.start_us <= a.end_us)
+      |SELECT bucket_us, CAST(count(*) AS BIGINT) AS n_pairs,
+      |  CAST(sum(ov) AS BIGINT) AS sum_overlap_us,
+      |  CAST(max(ov) AS BIGINT) AS max_overlap_us
+      |FROM p GROUP BY 1 ORDER BY 1""".stripMargin
+  ) { (s, d) =>
+    val HourUs = 3600000000L
+    val w = Window.partitionBy("user_id").orderBy(col("ts_us"))
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val sess = T.events(s, d)
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"))
+      .withColumn("prev_us", lag(col("ts_us"), 1).over(w))
+      .withColumn("new_sess",
+        when(col("prev_us").isNull || col("ts_us") - col("prev_us") > 1800000000L, 1)
+          .otherwise(0))
+      .withColumn("session_id", sum(col("new_sess")).over(wRun))
+      .groupBy("user_id", "session_id")
+      .agg(min(col("ts_us")).as("start_us"), max(col("ts_us")).as("end_us"))
+      .localCheckpoint() // both sides of the self-join explode from it
+    val ex = sess.withColumn("bucket",
+      explode(expr(s"sequence(start_us div $HourUs, end_us div $HourUs)")))
+    val a = ex.select(col("bucket"), col("user_id").as("ua"),
+      col("start_us").as("sa"), col("end_us").as("ea"))
+    val b = ex.select(col("bucket"), col("user_id").as("ub"),
+      col("start_us").as("sb"), col("end_us").as("eb"))
+    a.join(b, Seq("bucket"))
+      .filter(col("ua") < col("ub") &&
+        col("sa") <= col("eb") && col("sb") <= col("ea") &&
+        expr(s"greatest(sa, sb) div $HourUs") === col("bucket"))
+      .select((col("bucket") * HourUs).as("bucket_us"),
+        (least(col("ea"), col("eb")) - greatest(col("sa"), col("sb"))).as("ov"))
+      .groupBy("bucket_us")
+      .agg(count(lit(1)).as("n_pairs"), sum(col("ov")).as("sum_overlap_us"),
+        max(col("ov")).as("max_overlap_us"))
+      .orderBy("bucket_us")
+  }
+
   val all: Seq[Q] = Seq(
     timeBucket, sessionize, asofJoin, asofNative, asofTolerance, asofForward,
-    asofInner, asofSql, funnel, funnelLatency, retention, gapFill, anomalyHours)
+    asofInner, asofSql, funnel, funnelLatency, retention, gapFill, anomalyHours,
+    intervalJoin)
 }

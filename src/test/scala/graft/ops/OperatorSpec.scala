@@ -550,6 +550,24 @@ class OperatorSpec extends SparkSuite {
     assert(got.map(_._1).distinct.size == 8 && got.size == 8 * 7)
   }
 
+  test("q_interval_join: pair census matches a naive local interval join over q_sessionize output") {
+    val HourUs = 3600000000L
+    val sess = run("q_sessionize").collect()
+      .map(r => (r.getLong(0), r.getLong(3), r.getLong(3) + r.getLong(4)))
+    val pairs = for {
+      a <- sess; b <- sess
+      if a._1 < b._1 && a._2 <= b._3 && b._2 <= a._3
+    } yield (math.max(a._2, b._2) / HourUs * HourUs,
+      math.min(a._3, b._3) - math.max(a._2, b._2))
+    val expected = pairs.groupBy(_._1).map { case (bk, ps) =>
+      (bk, ps.length.toLong, ps.map(_._2).sum, ps.map(_._2).max)
+    }.toSeq.sortBy(_._1)
+    val got = run("q_interval_join").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == expected)
+    assert(got.map(_._2).sum == pairs.length.toLong)
+  }
+
   test("q_pack_efficiency: census identities hold against the pack table it grades") {
     val packs = run("q_pack_sequences").collect()
       .map(r => (r.getLong(0), r.getLong(3))) // (shard, n_tokens of pack)
