@@ -535,8 +535,92 @@ object Statistical {
       .orderBy("event_type")
   }
 
+  /** Sample autocorrelation of the hourly event-rate series at fixed
+    * lags (0, 1, 2, 3, 6, 12, 24 h) — the seasonality census that says
+    * whether ingest volume has a daily cycle (r₂₄ high), short-range
+    * burst memory (r₁ high), or is white (all ≈ 0): what a
+    * capacity-planning or anomaly-baseline job reads before trusting
+    * q_anomaly_hours' single global σ. The series is the GAP-FILLED
+    * hour grid (missing hours are real zeros — dropping them would
+    * splice non-adjacent hours together at every gap), and the whole
+    * statistic is exact-rational: with μ = S/m, scaling numerator and
+    * denominator by m² clears the fraction — num_k·m² = m²·Σnₜnₜ₊ₖ −
+    * m·S·(Aₖ+Bₖ) + (m−k)·S², den·m² = m²·Σn² − m·S² (Aₖ/Bₖ the prefix/
+    * suffix sums the lag join aggregates anyway) — so both engines
+    * compute identical int64 moments; only the final ppm rendering
+    * crosses int64 and runs 128-bit, sign-explicit (the q_assortativity
+    * recipe: HUGEINT in the oracle, driver-side BigInt over the 7-row
+    * control read here). Lag 0 is emitted as the built-in cross-anchor:
+    * its numerator collapses to the denominator, so r must be exactly
+    * 1e6.
+    *
+    * Scale shape: one partial-agg census over events (the q_time_bucket
+    * cost), a gap-fill join against a generated hour range, then a
+    * 7-lag self-join of the TINY hour grid (O(hours·lags) rows — hours,
+    * not events) and a 7-row driver fold. Nothing downstream of the
+    * first aggregate touches event-scale data. */
+  val autocorr: Q = Q(
+    "q_autocorr",
+    """WITH hb AS (SELECT epoch_us(date_trunc('hour', ts)) // 3600000000 AS t,
+      |    CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1),
+      |g AS MATERIALIZED (SELECT gs.t, coalesce(hb.n, 0) AS n
+      |  FROM (SELECT unnest(generate_series((SELECT min(t) FROM hb),
+      |    (SELECT max(t) FROM hb))) AS t) gs
+      |  LEFT JOIN hb ON hb.t = gs.t),
+      |c AS (SELECT CAST(count(*) AS BIGINT) AS m, CAST(sum(n) AS BIGINT) AS s,
+      |    CAST(sum(n * n) AS BIGINT) AS s2 FROM g),
+      |ks AS (SELECT CAST(unnest([0, 1, 2, 3, 6, 12, 24]) AS BIGINT) AS k),
+      |j AS (SELECT ks.k, CAST(count(*) AS BIGINT) AS cnt,
+      |    CAST(sum(a.n * b.n) AS BIGINT) AS sab,
+      |    CAST(sum(a.n) AS BIGINT) AS sa, CAST(sum(b.n) AS BIGINT) AS sb
+      |  FROM ks, g a, g b WHERE b.t = a.t + ks.k GROUP BY ks.k)
+      |SELECT j.k AS lag_hours, j.cnt AS n_terms,
+      |  CAST(CASE WHEN c.m * c.m * c.s2 - c.m * c.s * c.s = 0 THEN 0
+      |    WHEN c.m * c.m * j.sab - c.m * c.s * (j.sa + j.sb) + j.cnt * c.s * c.s >= 0
+      |    THEN CAST(c.m * c.m * j.sab - c.m * c.s * (j.sa + j.sb)
+      |        + j.cnt * c.s * c.s AS HUGEINT) * 1000000
+      |      // (c.m * c.m * c.s2 - c.m * c.s * c.s)
+      |    ELSE -(CAST(-(c.m * c.m * j.sab - c.m * c.s * (j.sa + j.sb)
+      |        + j.cnt * c.s * c.s) AS HUGEINT) * 1000000
+      |      // (c.m * c.m * c.s2 - c.m * c.s * c.s)) END AS BIGINT) AS r_ppm
+      |FROM j CROSS JOIN c ORDER BY lag_hours""".stripMargin
+  ) { (sp, d) =>
+    val HourUs = 3600000000L
+    val hb = T.events(sp, d)
+      .select(expr(s"unix_micros(date_trunc('HOUR', ts)) div $HourUs").as("t"))
+      .groupBy("t").agg(count(lit(1)).as("n"))
+      .localCheckpoint() // feeds the range probe + the gap-fill join
+    val mm = hb.agg(min(col("t")), max(col("t"))).head()
+    val g = sp.range(mm.getLong(0), mm.getLong(1) + 1).toDF("t")
+      .join(hb, Seq("t"), "left")
+      .select(col("t"), coalesce(col("n"), lit(0L)).as("n"))
+      .localCheckpoint() // census + both sides of the lag join
+    val cRow = g.agg(count(lit(1)), sum(col("n")), sum(col("n") * col("n"))).head()
+    val (m, s, s2) = (cRow.getLong(0), cRow.getLong(1), cRow.getLong(2))
+    val lags = Seq(0L, 1L, 2L, 3L, 6L, 12L, 24L)
+    val lagDf = sp.range(1).select(explode(array(lags.map(lit): _*)).as("k"))
+    val rows = g.select(col("t").as("ta"), col("n").as("na"))
+      .crossJoin(broadcast(lagDf))
+      .join(g.select(col("t").as("tb"), col("n").as("nb")),
+        col("tb") === col("ta") + col("k"))
+      .groupBy("k")
+      .agg(count(lit(1)).as("cnt"), sum(col("na") * col("nb")).as("sab"),
+        sum(col("na")).as("sa"), sum(col("nb")).as("sb"))
+      .collect() // 7-row control read (the q_assortativity convention)
+    val den = m * m * s2 - m * s * s
+    val out = rows.map { r =>
+      val (k, cnt, sab, sa, sb) = (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))
+      val num = m * m * sab - m * s * (sa + sb) + cnt * s * s
+      val rPpm = if (den == 0L) 0L else (BigInt(num) * 1000000 / BigInt(den)).toLong
+      (k, cnt, rPpm)
+    }.sortBy(_._1).toSeq
+    import sp.implicits._
+    out.toDF("lag_hours", "n_terms", "r_ppm")
+  }
+
   val all: Seq[Q] = Seq(
     histogram, corrCovar, unpivot, rangeJoin, rangeJoinBinned, collectSorted,
     modeAgg, skewSalted, joinBigBig, skewSaltedJoin, outliers, mad, winsorize,
-    ksDrift)
+    ksDrift, autocorr)
 }

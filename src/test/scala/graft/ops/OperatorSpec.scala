@@ -568,6 +568,33 @@ class OperatorSpec extends SparkSuite {
     assert(got.map(_._2).sum == pairs.length.toLong)
   }
 
+  test("q_autocorr: lag 0 is exactly 1e6 and all lags match a local exact-rational ACF") {
+    import org.apache.spark.sql.functions._
+    val HourUs = 3600000000L
+    val counts = graft.core.Tables.events(spark, sf)
+      .select((unix_micros(date_trunc("HOUR", col("ts"))) / HourUs).cast("long").as("t"))
+      .groupBy("t").agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val (tMin, tMax) = (counts.keys.min, counts.keys.max)
+    val n = (tMin to tMax).map(t => counts.getOrElse(t, 0L))
+    val m = n.length.toLong
+    val s = n.sum
+    val den = BigInt(m) * m * n.map(x => x * x).sum - BigInt(m) * s * s
+    val expected = Seq(0L, 1L, 2L, 3L, 6L, 12L, 24L).map { k =>
+      val pairs = n.dropRight(k.toInt).zip(n.drop(k.toInt))
+      val (sab, sa, sb) = (pairs.map { case (a, b) => a * b }.sum,
+        pairs.map(_._1).sum, pairs.map(_._2).sum)
+      val num = BigInt(m) * m * sab - BigInt(m) * s * (sa + sb) +
+        BigInt(pairs.length) * s * s
+      (k, pairs.length.toLong,
+        (if (den == 0) BigInt(0) else num * 1000000 / den).toLong)
+    }
+    val got = run("q_autocorr").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == expected)
+    assert(got.head == ((0L, m, 1000000L)), "lag-0 autocorrelation must be exactly 1")
+  }
+
   test("q_pack_efficiency: census identities hold against the pack table it grades") {
     val packs = run("q_pack_sequences").collect()
       .map(r => (r.getLong(0), r.getLong(3))) // (shard, n_tokens of pack)
