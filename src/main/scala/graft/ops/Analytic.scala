@@ -410,8 +410,69 @@ object Analytic {
       .orderBy("user_id", "event_id")
   }
 
+  /** First-touch / last-touch conversion attribution — which prior
+    * event type gets credit for each purchase: the per-conversion
+    * backward scan every marketing/ads warehouse runs, and the window
+    * idiom q_user_path (adjacent transitions) and the as-of family
+    * (single keyed match) don't cover — attribution needs BOTH the
+    * earliest and the most recent qualifying touch strictly before the
+    * conversion in one pass. Non-purchase events are the touches;
+    * first_value/last_value with IGNORE NULLS over a ROWS … 1 PRECEDING
+    * frame resolve both models inside ONE per-user sort (the frame
+    * excludes the conversion row itself, so a purchase never attributes
+    * to itself or a later event). Census per (model, touch_type):
+    * conversions and exact-decimal revenue (the H3 dsum convention).
+    *
+    * Scale shape: one window shuffle on user_id (both window expressions
+    * share the frame spec, so one sort), then a map-side unpivot of the
+    * two models and a ≤ 2·|event types|-group partial aggregate. No
+    * join, no second shuffle beyond the final tiny group-by. */
+  val attribution: Q = Q(
+    "q_attribution",
+    """WITH ev AS (
+      |  SELECT user_id, event_id, ts, value, event_type,
+      |    CASE WHEN event_type <> 'purchase' THEN event_type END AS touch
+      |  FROM events),
+      |ann AS (
+      |  SELECT event_type, value,
+      |    first_value(touch IGNORE NULLS) OVER w AS first_touch,
+      |    last_value(touch IGNORE NULLS) OVER w AS last_touch
+      |  FROM ev
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+      |SELECT model, touch_type, CAST(count(*) AS BIGINT) AS n_conversions,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM (
+      |  SELECT 'first' AS model, first_touch AS touch_type, value
+      |  FROM ann WHERE event_type = 'purchase' AND first_touch IS NOT NULL
+      |  UNION ALL
+      |  SELECT 'last', last_touch, value
+      |  FROM ann WHERE event_type = 'purchase' AND last_touch IS NOT NULL)
+      |GROUP BY model, touch_type ORDER BY model, touch_type""".stripMargin
+  ) { (s, d) =>
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ann = T.events(s, d)
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"),
+        col("event_type"),
+        when(col("event_type") =!= "purchase", col("event_type")).as("touch"))
+      .select(col("event_type"), col("value"),
+        first(col("touch"), ignoreNulls = true).over(w).as("first_touch"),
+        last(col("touch"), ignoreNulls = true).over(w).as("last_touch"))
+      .filter(col("event_type") === "purchase")
+    ann.filter(col("first_touch").isNotNull)
+      .select(lit("first").as("model"), col("first_touch").as("touch_type"),
+        col("value"))
+      .unionAll(ann.filter(col("last_touch").isNotNull)
+        .select(lit("last").as("model"), col("last_touch").as("touch_type"),
+          col("value")))
+      .groupBy("model", "touch_type")
+      .agg(count(lit(1)).as("n_conversions"), C.dsum(col("value")).as("sum_value"))
+      .orderBy("model", "touch_type")
+  }
+
   val all: Seq[Q] = Seq(
     windowLeadLag, windowNtile, windowMoving, cube, groupingSets,
     existsCorrelated, subqueryScalar, stringFuncs, dateFuncs, arrayFuncs,
-    conditionalFuncs, topkPerGroup, userPath, rfm, windowDistinct)
+    conditionalFuncs, topkPerGroup, userPath, rfm, windowDistinct, attribution)
 }

@@ -595,6 +595,32 @@ class OperatorSpec extends SparkSuite {
     assert(got.head == ((0L, m, 1000000L)), "lag-0 autocorrelation must be exactly 1")
   }
 
+  test("q_attribution: both models match a local backward scan; conversions bounded by purchases") {
+    import org.apache.spark.sql.functions._
+    val evs = graft.core.Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"),
+        col("event_type"), col("value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3), r.getDouble(4)))
+    val att = evs.groupBy(_._1).toSeq.flatMap { case (_, es) =>
+      val sorted = es.sortBy(e => (e._3, e._2))
+      sorted.indices.filter(i => sorted(i)._4 == "purchase").flatMap { i =>
+        val touches = sorted.take(i).filter(_._4 != "purchase")
+        touches.headOption.map(t => ("first", t._4, sorted(i)._5)).toSeq ++
+          touches.lastOption.map(t => ("last", t._4, sorted(i)._5))
+      }
+    }
+    val expected = att.groupBy(a => (a._1, a._2)).map { case ((m, t), xs) =>
+      (m, t, xs.length.toLong,
+        xs.map(x => BigDecimal(x._3).setScale(2, BigDecimal.RoundingMode.HALF_UP)).sum.toDouble)
+    }.toSeq.sortBy(x => (x._1, x._2))
+    val got = run("q_attribution").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(got == expected)
+    val nPurchases = evs.count(_._4 == "purchase").toLong
+    assert(got.filter(_._1 == "first").map(_._3).sum <= nPurchases)
+  }
+
   test("q_pack_efficiency: census identities hold against the pack table it grades") {
     val packs = run("q_pack_sequences").collect()
       .map(r => (r.getLong(0), r.getLong(3))) // (shard, n_tokens of pack)
