@@ -933,6 +933,54 @@ object Stateful {
       }
   }
 
+  final case class AttEvIn(event_id: Long, user_id: Long, ts_us: Long,
+      event_type: String, value: Double)
+  final case class AttVerdict(event_id: Long, user_id: Long,
+      first_touch: String, last_touch: String, value: Double)
+
+  /** s_stream_attribution: ingest-time conversion attribution — the
+    * streaming twin of q_attribution (ops/Analytic.scala): the batch
+    * operator resolves first/last-touch per purchase with one window
+    * pass at audit time; this gate emits the SAME verdict the moment the
+    * purchase arrives, which is when a bidding/budgeting loop needs it.
+    * Per-user keyed state is exactly the two columns the batch window
+    * carries — (first_touch, last_touch) — updated by every non-purchase
+    * arrival and read (never consumed) by purchases, so state is
+    * O(users) × two strings, shuffle keyed by user. Rows within a
+    * micro-batch are processed in (event-time, id) order inside the
+    * group, so a touch and its conversion landing in ONE batch still
+    * attribute correctly; verdicts equal the batch scan whenever arrival
+    * order respects event time at batch granularity (the leakGate
+    * caveat). A purchase with no prior touch emits nothing, matching the
+    * batch operator's IS NOT NULL filter. StatefulSpec proves the
+    * aggregated (model, touch) census equals q_attribution across a
+    * micro-batch split. */
+  def attributionGate(events: DataFrame): Dataset[AttVerdict] = {
+    val s = events.sparkSession
+    import s.implicits._
+    events
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        col("event_type"), col("value"))
+      .as[AttEvIn]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[AttEvIn], state: GroupState[(String, String)]) =>
+          var (ft, lt) = state.getOption.getOrElse((null: String, null: String))
+          val out = rows.toSeq.sortBy(e => (e.ts_us, e.event_id)).flatMap { e =>
+            if (e.event_type == "purchase") {
+              if (lt != null) Some(AttVerdict(e.event_id, uid, ft, lt, e.value))
+              else None
+            } else {
+              if (ft == null) ft = e.event_type
+              lt = e.event_type
+              None
+            }
+          }
+          state.update((ft, lt))
+          out.iterator
+      }
+  }
+
   final case class EvIn(event_id: Long, user_id: Long, ts_us: Long)
   final case class LeakVerdict(event_id: Long, user_id: Long, split: String,
       leaked: Long)

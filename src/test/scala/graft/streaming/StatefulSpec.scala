@@ -1105,6 +1105,45 @@ class StatefulSpec extends SparkSuite {
     assert(cf == n.toLong + 2, "cf counts every delivered occurrence row")
   }
 
+  test("s_stream_attribution: verdict census equals the batch q_attribution across a micro-batch split") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.{col, unix_micros}
+    val sf = "/root/testdata/sf0.001"
+    val ev = graft.core.Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("event_type"), col("value"), unix_micros(col("ts")).as("us"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2),
+        r.getString(3), r.getDouble(4), r.getLong(5)))
+      .sortBy(e => (e._6, e._1)) // arrival respects event time (the gate's contract)
+    val in = MemoryStream[(Long, Long, Timestamp, String, Double)]
+    val q = Stateful.attributionGate(
+        in.toDS().toDF("event_id", "user_id", "ts", "event_type", "value"))
+      .writeStream.format("memory").queryName("att_gate")
+      .outputMode(OutputMode.Append).start()
+    val (b1, b2) = ev.splitAt(ev.length / 2)
+    in.addData(b1.map(e => (e._1, e._2, e._3, e._4, e._5)).toSeq)
+    q.processAllAvailable()
+    in.addData(b2.map(e => (e._1, e._2, e._3, e._4, e._5)).toSeq)
+    q.processAllAvailable()
+    val verdicts = spark.table("att_gate").as[Stateful.AttVerdict].collect()
+    q.stop()
+    // aggregate the per-purchase verdicts into the batch operator's census
+    def census(model: String, touch: Stateful.AttVerdict => String) =
+      verdicts.groupBy(touch).map { case (t, vs) =>
+        (model, t, vs.length.toLong,
+          vs.map(v => BigDecimal(v.value).setScale(2, BigDecimal.RoundingMode.HALF_UP))
+            .sum.toDouble)
+      }
+    val streamed = (census("first", _.first_touch) ++ census("last", _.last_touch))
+      .toSeq.sortBy(x => (x._1, x._2))
+    val batch = graft.SparkEntry.queries("q_attribution")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(streamed == batch)
+    // every verdict carries both models (first set iff last set)
+    assert(verdicts.forall(v => v.first_touch != null && v.last_touch != null))
+  }
+
   test("s_stream_leak_gate: per-split leaked-user sets equal the batch q_temporal_split audit") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.functions.{col, unix_micros, max => smax, min => smin}
