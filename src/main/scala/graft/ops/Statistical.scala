@@ -619,8 +619,63 @@ object Statistical {
     out.toDF("lag_hours", "n_terms", "r_ppm")
   }
 
+  /** Per-source Gini concentration of document sizes — the inequality
+    * census behind "is this source a few giant documents or many small
+    * ones?": a mix-weighting or packing policy treats those very
+    * differently at the same total byte count, and no moment the
+    * existing censuses report (mean, quantiles, MAD) pins concentration
+    * the way Gini does. Exact rational via the rank formulation
+    * G = (2·Σ rk·x − (n+1)·Σx) / (n·Σx) with rk the ascending rank —
+    * deterministic under ties (equal x makes Σ rk·x invariant to their
+    * rank order, and the (n_chars, doc_id) sort fixes the order anyway).
+    * Every moment is int64; only the ppm rendering crosses it and runs
+    * 128-bit sign-explicit (the q_assortativity recipe — HUGEINT in the
+    * oracle, driver-side BigInt over the O(sources) control read).
+    *
+    * Scale shape: one window shuffle partitioned by source (exact rank
+    * statistics cost a per-source sort — the q_window_rank family
+    * bound), collapsed immediately by a partial-aggregating census to
+    * O(sources) rows. Nothing but the 3-moment census leaves the sort. */
+  val gini: Q = Q(
+    "q_gini",
+    """WITH r AS (SELECT source, n_chars AS x,
+      |    CAST(row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id)
+      |      AS BIGINT) AS rk
+      |  FROM documents),
+      |a AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      |    CAST(sum(x) AS BIGINT) AS sum_chars,
+      |    CAST(sum(rk * x) AS BIGINT) AS srx FROM r GROUP BY source)
+      |SELECT source, n_docs, sum_chars,
+      |  CAST(CASE WHEN n_docs * sum_chars = 0 THEN 0
+      |    WHEN 2 * srx - (n_docs + 1) * sum_chars >= 0
+      |    THEN CAST(2 * srx - (n_docs + 1) * sum_chars AS HUGEINT) * 1000000
+      |      // (n_docs * sum_chars)
+      |    ELSE -(CAST(-(2 * srx - (n_docs + 1) * sum_chars) AS HUGEINT) * 1000000
+      |      // (n_docs * sum_chars)) END AS BIGINT) AS gini_ppm
+      |FROM a ORDER BY source""".stripMargin
+  ) { (sp, d) =>
+    val w = Window.partitionBy("source").orderBy(col("n_chars"), col("doc_id"))
+    val census = T.documents(sp, d)
+      .select(col("source"), col("n_chars").as("x"),
+        row_number().over(w).cast(LongType).as("rk"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("x")).as("sum_chars"),
+        sum(col("rk") * col("x")).as("srx"))
+      .collect() // O(sources) control read (the q_assortativity convention)
+    val out = census.map { r =>
+      val (src, n, sx, srx) =
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      val num = BigInt(2) * srx - BigInt(n + 1) * sx
+      val gini = if (n * sx == 0L) 0L
+        else (num * 1000000 / (BigInt(n) * sx)).toLong
+      (src, n, sx, gini)
+    }.sortBy(_._1).toSeq
+    import sp.implicits._
+    out.toDF("source", "n_docs", "sum_chars", "gini_ppm")
+  }
+
   val all: Seq[Q] = Seq(
     histogram, corrCovar, unpivot, rangeJoin, rangeJoinBinned, collectSorted,
     modeAgg, skewSalted, joinBigBig, skewSaltedJoin, outliers, mad, winsorize,
-    ksDrift, autocorr)
+    ksDrift, autocorr, gini)
 }

@@ -621,6 +621,33 @@ class OperatorSpec extends SparkSuite {
     assert(got.filter(_._1 == "first").map(_._3).sum <= nPurchases)
   }
 
+  test("q_gini: matches the mean-absolute-difference definition computed locally") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.core.Tables.documents(spark, sf)
+      .select(col("source"), col("n_chars")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    // independent definition: G = sum_ij |x_i - x_j| / (2 n^2 mu)
+    // = sum_ij |x_i - x_j| * 1e6 / (2 n sum), truncated like the operator
+    val expected = docs.groupBy(_._1).map { case (src, xs) =>
+      val v = xs.map(_._2)
+      val n = v.length.toLong
+      val sx = v.sum
+      val mad = (for (a <- v; b <- v) yield math.abs(a - b)).map(BigInt(_)).sum
+      val gini = if (n * sx == 0L) 0L else (mad * 1000000 / (BigInt(2) * n * sx)).toLong
+      (src, n, sx, gini)
+    }.toSeq.sortBy(_._1)
+    val got = run("q_gini").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got.map(x => (x._1, x._2, x._3)) == expected.map(x => (x._1, x._2, x._3)))
+    // rank formula vs pairwise-difference formula: identical rationals,
+    // so the truncated ppm may differ only when the exact values differ
+    // in the last ulp of the integer division — they must be equal here
+    got.zip(expected).foreach { case (g, e) =>
+      assert(g._4 == e._4, s"${g._1}: rank-form ${g._4} != pairwise-form ${e._4}")
+      assert(g._4 >= 0L && g._4 < 1000000L)
+    }
+  }
+
   test("q_pack_efficiency: census identities hold against the pack table it grades") {
     val packs = run("q_pack_sequences").collect()
       .map(r => (r.getLong(0), r.getLong(3))) // (shard, n_tokens of pack)
