@@ -438,7 +438,80 @@ object Curation {
       .orderBy("source")
   }
 
+  /** Split-churn audit under corpus growth — the WHY behind hash-based
+    * split assignment, measured: an id-RANGE 80/10/10 split (the
+    * q_temporal_split shape, thresholds derived from the corpus census)
+    * moves its boundaries UP every time the corpus grows, silently
+    * promoting documents the previous checkpoint evaluated on into the
+    * new training set (the worst possible leak: yesterday's val/test is
+    * tomorrow's training data); a content-HASH split
+    * (the q_hash_sample md5-bucket membership) is checkpoint-independent
+    * by construction. This operator replays both policies at two ingest
+    * checkpoints (the id-half prefix — the q_vocab_growth convention —
+    * and the full corpus) and emits the split transition matrix over the
+    * documents present at both: the hash policy's matrix must be exactly
+    * diagonal, and the range policy's off-diagonal mass IS the churn an
+    * entity-stable eval protocol cannot absorb (with monotone ids the
+    * boundaries only grow, so every off-diagonal cell is a val/test →
+    * train promotion; the matrix shows each explicitly).
+    *
+    * Scale shape: one 2-value census (min/max id, a 1-row control read),
+    * then a single map-side pass over documents — two CASE columns and
+    * an md5 bucket per row, no join, no window — into a ≤ 18-group
+    * partial aggregate. Nothing shuffles but the final tiny group-by. */
+  val splitChurn: Q = Q(
+    "q_split_churn",
+    """WITH c AS (SELECT min(doc_id) AS mn, max(doc_id) AS mx FROM documents),
+      |b AS (SELECT mn, mx, mid,
+      |    mn - 1 + (mid - mn + 1) * 8 // 10 AS t80o,
+      |    mn - 1 + (mid - mn + 1) * 9 // 10 AS t90o,
+      |    mn - 1 + (mx - mn + 1) * 8 // 10 AS t80n,
+      |    mn - 1 + (mx - mn + 1) * 9 // 10 AS t90n
+      |  FROM (SELECT mn, mx, mn - 1 + (mx - mn + 1) // 2 AS mid FROM c)),
+      |r AS (
+      |  SELECT 'range' AS policy,
+      |    CASE WHEN doc_id <= t80o THEN 'train' WHEN doc_id <= t90o THEN 'val'
+      |      ELSE 'test' END AS old_split,
+      |    CASE WHEN doc_id <= t80n THEN 'train' WHEN doc_id <= t90n THEN 'val'
+      |      ELSE 'test' END AS new_split
+      |  FROM documents CROSS JOIN b WHERE doc_id <= mid
+      |  UNION ALL
+      |  SELECT 'hash',
+      |    CASE WHEN hb < 80 THEN 'train' WHEN hb < 90 THEN 'val' ELSE 'test' END,
+      |    CASE WHEN hb < 80 THEN 'train' WHEN hb < 90 THEN 'val' ELSE 'test' END
+      |  FROM (SELECT doc_id,
+      |      ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT % 100 AS hb
+      |    FROM documents) h CROSS JOIN b WHERE doc_id <= mid)
+      |SELECT policy, old_split, new_split, CAST(count(*) AS BIGINT) AS n_docs
+      |FROM r GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+  ) { (s, d) =>
+    val docs = T.documents(s, d)
+    val cRow = docs.agg(min(col("doc_id")), max(col("doc_id"))).head()
+    val (mn, mx) = (cRow.getLong(0), cRow.getLong(1))
+    val mid = mn - 1 + (mx - mn + 1) / 2
+    def rangeSplit(id: org.apache.spark.sql.Column, hi: Long)
+        : org.apache.spark.sql.Column = {
+      val t80 = mn - 1 + (hi - mn + 1) * 8 / 10
+      val t90 = mn - 1 + (hi - mn + 1) * 9 / 10
+      when(id <= t80, "train").when(id <= t90, "val").otherwise("test")
+    }
+    val hashSplit = {
+      val hb = graft.core.Canonical.md5Long48(col("doc_id").cast("string")) % 100
+      when(hb < 80, "train").when(hb < 90, "val").otherwise("test")
+    }
+    val prefix = docs.filter(col("doc_id") <= mid)
+    prefix
+      .select(lit("range").as("policy"),
+        rangeSplit(col("doc_id"), mid).as("old_split"),
+        rangeSplit(col("doc_id"), mx).as("new_split"))
+      .unionAll(prefix.select(lit("hash").as("policy"),
+        hashSplit.as("old_split"), hashSplit.as("new_split")))
+      .groupBy("policy", "old_split", "new_split")
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("policy", "old_split", "new_split")
+  }
+
   val all: Seq[Q] =
     Seq(curate, importanceWeight, mixWeights, shardShuffle, interleave,
-      temporalSplit, epochPlan)
+      temporalSplit, epochPlan, splitChurn)
 }

@@ -648,6 +648,21 @@ class OperatorSpec extends SparkSuite {
     }
   }
 
+  test("q_split_churn: hash policy is exactly diagonal; range churn only promotes into train") {
+    val rows = run("q_split_churn").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getLong(3)))
+    val (hash, range) = rows.partition(_._1 == "hash")
+    assert(hash.nonEmpty && range.nonEmpty)
+    assert(hash.forall(r => r._2 == r._3), "hash split must be checkpoint-independent")
+    // monotone ids => boundaries only grow => train can never be demoted
+    assert(range.forall(r => r._2 == r._3 || r._3 == "train"),
+      s"unexpected range transition: ${range.filterNot(r => r._2 == r._3 || r._3 == "train").mkString(",")}")
+    assert(range.exists(r => r._2 != r._3),
+      "growing the corpus must churn the range split at this data")
+    // both policies cover the identical prefix population
+    assert(hash.map(_._4).sum == range.map(_._4).sum)
+  }
+
   test("q_pack_efficiency: census identities hold against the pack table it grades") {
     val packs = run("q_pack_sequences").collect()
       .map(r => (r.getLong(0), r.getLong(3))) // (shard, n_tokens of pack)
