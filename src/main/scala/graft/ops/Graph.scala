@@ -1730,9 +1730,107 @@ object Graph {
     trace.reduce(_ unionAll _).orderBy("walk_id", "step")
   }
 
+  /** Hub count for q_percolation — one constant for both engines (the
+    * MaxHops convention). 3 keeps the after-graph nonempty even at
+    * sf0.001, where the durable graph has only ~10 suppliers. */
+  private val PercK = 3
+
+  /** Targeted-attack percolation census: remove the `PercK` highest-
+    * degree nodes from the durable trade graph and re-run the full
+    * connected-components closure — does the structure hinge on a few
+    * hubs (giant component collapses, nodes strand) or survive
+    * (robustness)? For a dedup/near-dup cluster graph this is the "is
+    * our cluster structure one hub document away from dissolving" audit;
+    * q_components says what is connected, this says how FRAGILE that
+    * connectivity is. Emits one row per phase (before/after): node,
+    * edge, component counts, the giant component's size, and the nodes
+    * STRANDED by the removal (every edge they had went to a removed
+    * hub — they leave the edge-list graph entirely, the direct victims
+    * of the attack).
+    *
+    * Scale shape: both phases run the identical pointer-jumping fixpoint
+    * machinery as q_components (O(log diameter) rounds of edge⋈label +
+    * min partial-agg); hub removal is two broadcast anti-joins against a
+    * PercK-row list; the summaries are 1-row control reads (the
+    * q_assortativity convention). The oracle re-walks both closures as
+    * RECURSIVE CTEs — two unrelated fixpoint engines agreeing twice. */
+  val percolation: Q = Q(
+    "q_percolation",
+    s"""WITH RECURSIVE $durableEoSql,
+       |$durableESql,
+       |deg AS (SELECT src, count(*) AS dd FROM e GROUP BY src),
+       |hubs AS MATERIALIZED (SELECT src AS h FROM deg
+       |  ORDER BY dd DESC, src LIMIT $PercK),
+       |e2 AS MATERIALIZED (SELECT src, dst FROM e
+       |  WHERE src NOT IN (SELECT h FROM hubs)
+       |    AND dst NOT IN (SELECT h FROM hubs)),
+       |reach AS (
+       |  SELECT src AS node, dst AS r FROM e
+       |  UNION
+       |  SELECT re.node, x.dst FROM reach re JOIN e x ON re.r = x.src),
+       |comp AS MATERIALIZED (SELECT node, least(node, min(r)) AS root
+       |  FROM reach GROUP BY node),
+       |reach2 AS (
+       |  SELECT src AS node, dst AS r FROM e2
+       |  UNION
+       |  SELECT re.node, x.dst FROM reach2 re JOIN e2 x ON re.r = x.src),
+       |comp2 AS MATERIALIZED (SELECT node, least(node, min(r)) AS root
+       |  FROM reach2 GROUP BY node)
+       |SELECT phase, n_nodes, n_edges, n_components, giant_size, n_stranded
+       |FROM (
+       |  SELECT 'after' AS phase,
+       |    CAST(coalesce((SELECT count(*) FROM comp2), 0) AS BIGINT) AS n_nodes,
+       |    CAST((SELECT count(*) FROM e2) AS BIGINT) AS n_edges,
+       |    CAST(coalesce((SELECT count(DISTINCT root) FROM comp2), 0) AS BIGINT)
+       |      AS n_components,
+       |    CAST(coalesce((SELECT max(n) FROM
+       |      (SELECT count(*) AS n FROM comp2 GROUP BY root)), 0) AS BIGINT)
+       |      AS giant_size,
+       |    CAST((SELECT count(*) FROM comp) - $PercK
+       |      - coalesce((SELECT count(*) FROM comp2), 0) AS BIGINT) AS n_stranded
+       |  UNION ALL
+       |  SELECT 'before',
+       |    CAST((SELECT count(*) FROM comp) AS BIGINT),
+       |    CAST((SELECT count(*) FROM e) AS BIGINT),
+       |    CAST((SELECT count(DISTINCT root) FROM comp) AS BIGINT),
+       |    CAST((SELECT max(n) FROM
+       |      (SELECT count(*) AS n FROM comp GROUP BY root)) AS BIGINT),
+       |    CAST(0 AS BIGINT))
+       |ORDER BY phase""".stripMargin
+  ) { (s, d) =>
+    val e = symmetricEdges(durablePairs(s, d)).localCheckpoint()
+    val deg = e.groupBy("src").agg(count(lit(1)).as("dd"))
+    val hubs = deg.orderBy(col("dd").desc, col("src")).limit(PercK)
+      .select(col("src").as("h")).localCheckpoint() // both anti-joins read it
+    val e2 = e
+      .join(broadcast(hubs), col("src") === col("h"), "left_anti")
+      .join(broadcast(hubs), col("dst") === col("h"), "left_anti")
+      .localCheckpoint()
+    // (n_nodes, n_edges, n_components, giant) via two 1-row control reads
+    def summary(edges: DataFrame): (Long, Long, Long, Long) = {
+      val nEdges = edges.count()
+      if (nEdges == 0L) (0L, 0L, 0L, 0L)
+      else {
+        val lab = ccFixpoint(edges)
+        val sizes = lab.groupBy("lbl").agg(count(lit(1)).as("n"))
+        val r = sizes.agg(coalesce(sum(col("n")), lit(0L)),
+          count(lit(1)), coalesce(max(col("n")), lit(0L))).head()
+        (r.getLong(0), nEdges, r.getLong(1), r.getLong(2))
+      }
+    }
+    val (nb, eb, cb, gb) = summary(e)
+    val (na, ea, ca, ga) = summary(e2)
+    import s.implicits._
+    Seq(("after", na, ea, ca, ga, nb - PercK - na),
+      ("before", nb, eb, cb, gb, 0L))
+      .toDF("phase", "n_nodes", "n_edges", "n_components", "giant_size",
+        "n_stranded")
+      .orderBy("phase")
+  }
+
   val all: Seq[Q] =
     Seq(pagerank, pagerankDelta, degreeHist, labelProp, modularity,
       components, componentsDelta, reachHops, butterflies, triangles,
       kcore, coreNumbers, assortativity, linkPredict, localClustering,
-      salsa, randomWalk)
+      salsa, randomWalk, percolation)
 }

@@ -663,6 +663,25 @@ class OperatorSpec extends SparkSuite {
     assert(hash.map(_._4).sum == range.map(_._4).sum)
   }
 
+  test("q_percolation: before-phase equals q_components; attack accounting balances") {
+    val rows = run("q_percolation").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(rows.map(_._1) == Seq("after", "before"))
+    val (after, before) = (rows.head, rows.last)
+    // the before phase IS the q_components census, re-aggregated
+    val comp = run("q_components").collect()
+      .map(r => (r.getLong(1))) // n_nodes per component
+    assert(before._2 == comp.sum && before._4 == comp.length.toLong &&
+      before._5 == comp.max)
+    assert(before._6 == 0L)
+    // removal accounting: nodes_before = K + nodes_after + stranded
+    assert(before._2 == 3L + after._2 + after._6)
+    // an attack can only shrink: fewer/equal edges, smaller/equal giant
+    assert(after._3 <= before._3 && after._5 <= before._5)
+    assert(after._6 >= 0L)
+  }
+
   test("q_pack_efficiency: census identities hold against the pack table it grades") {
     val packs = run("q_pack_sequences").collect()
       .map(r => (r.getLong(0), r.getLong(3))) // (shard, n_tokens of pack)
