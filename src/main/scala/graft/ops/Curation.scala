@@ -511,7 +511,98 @@ object Curation {
       .orderBy("policy", "old_split", "new_split")
   }
 
+  /** Shuffle-quality eval: does the deterministic shard shuffle actually
+    * DECORRELATE sources at read time? A training loader that reads
+    * same-source documents back-to-back trains on correlated batches no
+    * matter how balanced the shards are (q_shard_shuffle audits balance,
+    * not order). Within each shard this measures the serial source
+    * correlation of two read orders — ingest (doc_id) and shuffled (the
+    * md5-bucket key, the q_hash_sample membership hash as a sort key) —
+    * as the fraction of ADJACENT pairs sharing a source, next to the
+    * exact random-permutation expectation: in a uniform shuffle of a
+    * shard with per-source counts c_s (n total), the expected number of
+    * same-source adjacencies is Σ c_s(c_s−1)/n; per-shard values are
+    * ppm-scaled, floored, then pooled over shards (both engines run the
+    * identical floor chain, so the pooled statistic is engine-exact). A
+    * healthy shuffle reads ≈ expected; ingest order deviating in EITHER
+    * direction marks structure — above when sources arrive in runs,
+    * below when a round-robin writer interleaved them (this corpus reads
+    * 0 ppm at ingest: perfectly anti-correlated, which would starve any
+    * loader that assumes i.i.d. batches of per-source statistics).
+    *
+    * Scale shape: shard assignment and the md5 key are map-side; each
+    * read order costs one window shuffle partitioned by shard (per-key
+    * work bounded by the ~128-doc shard size q_shard_shuffle fixes by
+    * construction); the expectation is two partial-agg censuses. All
+    * final arithmetic happens on a 2×4-value control read. */
+  val shuffleQuality: Q = Q(
+    "q_shuffle_quality",
+    """WITH nd AS (SELECT count(*) // 128 + 1 AS s FROM documents),
+      |a AS MATERIALIZED (SELECT
+      |    ((doc_id % 1048573) * 2654435761) % nd.s AS shard, doc_id, source,
+      |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT AS rnd
+      |  FROM documents CROSS JOIN nd),
+      |ing AS (SELECT source,
+      |    lag(source) OVER (PARTITION BY shard ORDER BY doc_id) AS prev FROM a),
+      |shf AS (SELECT source,
+      |    lag(source) OVER (PARTITION BY shard ORDER BY rnd, doc_id) AS prev FROM a),
+      |obs AS (
+      |  SELECT 'ingest' AS read_order, CAST(count(prev) AS BIGINT) AS n_pairs,
+      |    CAST(count(*) FILTER (WHERE prev = source) AS BIGINT) AS n_same
+      |  FROM ing
+      |  UNION ALL
+      |  SELECT 'shuffled', CAST(count(prev) AS BIGINT),
+      |    CAST(count(*) FILTER (WHERE prev = source) AS BIGINT)
+      |  FROM shf),
+      |cs AS (SELECT shard, source, CAST(count(*) AS BIGINT) AS c
+      |  FROM a GROUP BY 1, 2),
+      |ex AS (SELECT CAST(sum(en) AS BIGINT) AS num, CAST(sum(n - 1) AS BIGINT) AS den
+      |  FROM (SELECT shard, sum(c * (c - 1)) * 1000000 // sum(c) AS en,
+      |      sum(c) AS n
+      |    FROM cs GROUP BY shard))
+      |SELECT read_order, n_pairs, n_same,
+      |  CAST(CASE WHEN n_pairs = 0 THEN 0
+      |    ELSE n_same * 1000000 // n_pairs END AS BIGINT) AS same_ppm,
+      |  CAST(CASE WHEN ex.den = 0 THEN 0 ELSE ex.num // ex.den END AS BIGINT)
+      |    AS expected_ppm
+      |FROM obs CROSS JOIN ex ORDER BY read_order""".stripMargin
+  ) { (s, d) =>
+    val docs = T.documents(s, d)
+    val nd = docs.agg(expr("count(*) div 128 + 1").as("s"))
+    val a = docs.crossJoin(broadcast(nd))
+      .select(expr("((doc_id % 1048573) * 2654435761) % s").as("shard"),
+        col("doc_id"), col("source"),
+        graft.core.Canonical.md5Long48(col("doc_id").cast("string")).as("rnd"))
+      .localCheckpoint() // two window passes + the expectation censuses
+    def adjacency(w: org.apache.spark.sql.expressions.WindowSpec): (Long, Long) = {
+      val r = a.select(col("source"), lag(col("source"), 1).over(w).as("prev"))
+        .agg(count(col("prev")),
+          coalesce(sum(when(col("prev") === col("source"), 1L).otherwise(0L)),
+            lit(0L)))
+        .head()
+      (r.getLong(0), r.getLong(1))
+    }
+    val (ingP, ingS) = adjacency(
+      Window.partitionBy("shard").orderBy(col("doc_id")))
+    val (shfP, shfS) = adjacency(
+      Window.partitionBy("shard").orderBy(col("rnd"), col("doc_id")))
+    val ex = a.groupBy("shard", "source").agg(count(lit(1)).as("c"))
+      .groupBy("shard")
+      .agg(expr("sum(c * (c - 1)) * 1000000 div sum(c)").as("en"),
+        sum(col("c")).as("n"))
+      .agg(coalesce(sum(col("en")), lit(0L)),
+        coalesce(sum(col("n") - 1L), lit(0L)))
+      .head()
+    val expPpm = if (ex.getLong(1) == 0L) 0L else ex.getLong(0) / ex.getLong(1)
+    def ppm(same: Long, pairs: Long) = if (pairs == 0L) 0L else same * 1000000L / pairs
+    import s.implicits._
+    Seq(("ingest", ingP, ingS, ppm(ingS, ingP), expPpm),
+      ("shuffled", shfP, shfS, ppm(shfS, shfP), expPpm))
+      .toDF("read_order", "n_pairs", "n_same", "same_ppm", "expected_ppm")
+      .orderBy("read_order")
+  }
+
   val all: Seq[Q] =
     Seq(curate, importanceWeight, mixWeights, shardShuffle, interleave,
-      temporalSplit, epochPlan, splitChurn)
+      temporalSplit, epochPlan, splitChurn, shuffleQuality)
 }

@@ -682,6 +682,45 @@ class OperatorSpec extends SparkSuite {
     assert(after._6 >= 0L)
   }
 
+  test("q_shuffle_quality: both read orders and the expectation match a full local recompute") {
+    import org.apache.spark.sql.functions._
+    def md5Long48(id: Long): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(12)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val docs = graft.core.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val nShards = docs.length / 128 + 1
+    val byShard = docs.map { case (id, src) =>
+      (((id % 1048573L) * 2654435761L) % nShards, id, src, md5Long48(id))
+    }.groupBy(_._1)
+    def adjacency(order: ((Long, Long, String, Long)) => (Long, Long)): (Long, Long) = {
+      val per = byShard.values.map { rows =>
+        val srcs = rows.sortBy(order).map(_._3)
+        (srcs.length - 1, srcs.sliding(2).count(p => p.length == 2 && p(0) == p(1)))
+      }
+      (per.map(_._1.toLong).sum, per.map(_._2.toLong).sum)
+    }
+    val (ingP, ingS) = adjacency(r => (r._2, 0L))
+    val (shfP, shfS) = adjacency(r => (r._4, r._2))
+    val (exNum, exDen) = byShard.values.map { rows =>
+      val n = rows.length.toLong
+      val cc = rows.groupBy(_._3).values.map(g => g.length.toLong * (g.length - 1)).sum
+      (cc * 1000000L / n, n - 1)
+    }.foldLeft((0L, 0L)) { case ((a, b), (x, y)) => (a + x, b + y) }
+    val expPpm = if (exDen == 0L) 0L else exNum / exDen
+    def ppm(s2: Long, p: Long) = if (p == 0L) 0L else s2 * 1000000L / p
+    val expected = Seq(
+      ("ingest", ingP, ingS, ppm(ingS, ingP), expPpm),
+      ("shuffled", shfP, shfS, ppm(shfS, shfP), expPpm))
+    val got = run("q_shuffle_quality").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    assert(got == expected)
+  }
+
   test("q_pack_efficiency: census identities hold against the pack table it grades") {
     val packs = run("q_pack_sequences").collect()
       .map(r => (r.getLong(0), r.getLong(3))) // (shard, n_tokens of pack)
