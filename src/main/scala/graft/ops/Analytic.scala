@@ -452,7 +452,11 @@ object Analytic {
   ) { (s, d) =>
     val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val ann = T.events(s, d)
+    // unpivot the two models with ONE bounded explode instead of a
+    // self-union: a union would evaluate the window subtree once per
+    // branch (two sorts over the reused exchange); this keeps a single
+    // Window operator in the plan (PlanShapeSpec pins it)
+    T.events(s, d)
       .select(col("user_id"), col("event_id"), col("ts"), col("value"),
         col("event_type"),
         when(col("event_type") =!= "purchase", col("event_type")).as("touch"))
@@ -460,13 +464,12 @@ object Analytic {
         first(col("touch"), ignoreNulls = true).over(w).as("first_touch"),
         last(col("touch"), ignoreNulls = true).over(w).as("last_touch"))
       .filter(col("event_type") === "purchase")
-    ann.filter(col("first_touch").isNotNull)
-      .select(lit("first").as("model"), col("first_touch").as("touch_type"),
-        col("value"))
-      .unionAll(ann.filter(col("last_touch").isNotNull)
-        .select(lit("last").as("model"), col("last_touch").as("touch_type"),
-          col("value")))
-      .groupBy("model", "touch_type")
+      .select(col("value"), explode(array(
+        struct(lit("first").as("model"), col("first_touch").as("touch_type")),
+        struct(lit("last").as("model"), col("last_touch").as("touch_type"))))
+        .as("mt"))
+      .filter(col("mt.touch_type").isNotNull)
+      .groupBy(col("mt.model").as("model"), col("mt.touch_type").as("touch_type"))
       .agg(count(lit(1)).as("n_conversions"), C.dsum(col("value")).as("sum_value"))
       .orderBy("model", "touch_type")
   }

@@ -383,6 +383,33 @@ class PlanShapeSpec extends SparkSuite {
       "inputs must be the localCheckpointed artifact members")
   }
 
+  test("q_attribution resolves both models in ONE window pass; no join") {
+    // a self-union formulation would evaluate the window subtree once
+    // per model (two sorts over the user exchange); the explode-unpivot
+    // keeps it at one
+    val p = plan("q_attribution")
+    assert("(?m)^\\s*[+:]?-?\\s*Window ".r.findAllIn(p).size <= 2, // physical + optimized rendering
+      "both attribution models must share one Window operator:\n" + p.take(800))
+    assert(!p.contains("Join"), "attribution is a window scan, never a join")
+    assert("Generate".r.findAllIn(p).size >= 1, "the 2-model unpivot is a bounded explode")
+  }
+
+  test("q_split_churn is a pure map over documents: no join, no window, partial agg only") {
+    val p = plan("q_split_churn")
+    assert(!p.contains("Join") && !p.contains("Window") && !p.contains("Generate"),
+      "split assignment must be per-row CASE/md5 work:\n" + p.take(600))
+    assert(p.contains("partial_count") || p.contains("partial_"),
+      "the transition matrix must partial-aggregate map-side")
+  }
+
+  test("q_interval_join binned self-join is an equi-join on bucket, never a cartesian") {
+    val p = plan("q_interval_join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "the interval join must bin to an equi-join:\n" + p.take(800))
+    assert(p.contains("Scan ExistingRDD"),
+      "both sides must explode from the checkpointed session table")
+  }
+
   test("q_image_tiles gathers tile rows map-side: no aggregation, only the presentation sort shuffles") {
     // The tile reassembly is a compile-time-unrolled concat of TileH
     // substring slices — if a groupBy/collect_list creeps back in, the
