@@ -556,8 +556,59 @@ object Temporal {
       .orderBy("bucket_us")
   }
 
+  /** Time-weighted average (TWAP) of each user's `value` series — the
+    * irregular-sample integration primitive the temporal family lacked:
+    * a plain AVG over-weights burst periods; TWAP holds each observation
+    * until the next one (last-observation-carried-forward) and
+    * integrates, which is how metrics stores and financial pipelines
+    * define the honest mean of an unevenly-sampled series. Exact-integer
+    * end to end: values go through the DECIMAL(18,2) mediation to CENTS
+    * (never a double→int cast — Spark truncates where DuckDB rounds),
+    * intervals floor to SECONDS, and the integral Σ cents·Δs stays well
+    * inside int64 (the per-term bound is ~2.6e11 at a 30-day span); the
+    * reported TWAP is the floor-divided integer cents both engines agree
+    * on bit-for-bit.
+    *
+    * Scale shape: one window shuffle on user_id (the lead() pass shares
+    * the per-user sort with nothing else it needs), collapsed by a
+    * partial-aggregating group-by to one row per user. No join; the
+    * presentation sort is the only other exchange. */
+  val twap: Q = Q(
+    "q_twap",
+    """WITH ev AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+      |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      |  FROM events),
+      |st AS (SELECT user_id, cents, ts_us,
+      |    lead(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS nxt
+      |  FROM ev),
+      |a AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+      |    (max(ts_us) - min(ts_us)) // 1000000 AS span_s,
+      |    CAST(coalesce(sum(CASE WHEN nxt IS NOT NULL
+      |      THEN cents * ((nxt - ts_us) // 1000000) END), 0) AS BIGINT) AS wsum
+      |  FROM st GROUP BY user_id)
+      |SELECT user_id, n_events, CAST(span_s AS BIGINT) AS span_s, wsum,
+      |  CAST(wsum // span_s AS BIGINT) AS twap_cents
+      |FROM a WHERE span_s > 0 ORDER BY user_id""".stripMargin
+  ) { (s, d) =>
+    val w = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+    T.events(s, d)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"),
+        (col("value").cast(DecimalType(18, 2)) * 100).cast(LongType).as("cents"))
+      .withColumn("nxt", lead(col("ts_us"), 1).over(w))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        expr("(max(ts_us) - min(ts_us)) div 1000000").as("span_s"),
+        coalesce(sum(when(col("nxt").isNotNull,
+          col("cents") * expr("(nxt - ts_us) div 1000000"))), lit(0L))
+          .as("wsum"))
+      .filter(col("span_s") > 0)
+      .select(col("user_id"), col("n_events"), col("span_s"), col("wsum"),
+        expr("wsum div span_s").as("twap_cents"))
+      .orderBy("user_id")
+  }
+
   val all: Seq[Q] = Seq(
     timeBucket, sessionize, asofJoin, asofNative, asofTolerance, asofForward,
     asofInner, asofSql, funnel, funnelLatency, retention, gapFill, anomalyHours,
-    intervalJoin)
+    intervalJoin, twap)
 }

