@@ -607,8 +607,56 @@ object Temporal {
       .orderBy("user_id")
   }
 
+  /** Hourly OHLC (open/high/low/close) bars of `value` per event type —
+    * the candlestick downsampling every metrics/market store serves, and
+    * the order-sensitive sibling of q_time_bucket's order-free sums:
+    * open/close are POSITIONAL (first/last observation in the bar), so
+    * they need the struct-keyed min_by/max_by tie-break convention
+    * (ordering key (ts_us, event_id) — H5), while high/low are plain
+    * extremes. Values compare under the DECIMAL(18,2) mediation and only
+    * render to DOUBLE at the end, so no float comparison crosses
+    * engines.
+    *
+    * Scale shape: ONE partial-aggregating shuffle on (type, hour) —
+    * min_by/max_by/min/max all combine map-side, so each input partition
+    * collapses to ≤ bars-spanned rows before the exchange (the oracle
+    * states the same positional semantics with row_number windows;
+    * Spark's agg form needs no window sort at all). */
+  val ohlc: Q = Q(
+    "q_ohlc",
+    """WITH e AS (SELECT event_type, epoch_us(date_trunc('hour', ts)) AS bucket_us,
+      |    ts, event_id, CAST(value AS DECIMAL(18,2)) AS v FROM events),
+      |r AS (SELECT event_type, bucket_us, v,
+      |    row_number() OVER (PARTITION BY event_type, bucket_us
+      |      ORDER BY ts, event_id) AS ra,
+      |    row_number() OVER (PARTITION BY event_type, bucket_us
+      |      ORDER BY ts DESC, event_id DESC) AS rd
+      |  FROM e)
+      |SELECT event_type, bucket_us, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(max(CASE WHEN ra = 1 THEN v END) AS DOUBLE) AS open,
+      |  CAST(max(v) AS DOUBLE) AS high,
+      |  CAST(min(v) AS DOUBLE) AS low,
+      |  CAST(max(CASE WHEN rd = 1 THEN v END) AS DOUBLE) AS close
+      |FROM r GROUP BY 1, 2 ORDER BY event_type, bucket_us""".stripMargin
+  ) { (s, d) =>
+    val v = col("value").cast(DecimalType(18, 2))
+    T.events(s, d)
+      .select(col("event_type"),
+        unix_micros(date_trunc("HOUR", col("ts"))).as("bucket_us"),
+        unix_micros(col("ts")).as("ts_us"), col("event_id"), v.as("v"))
+      .groupBy("event_type", "bucket_us")
+      .agg(count(lit(1)).as("n"),
+        min_by(col("v"), struct(col("ts_us"), col("event_id")))
+          .cast("double").as("open"),
+        max(col("v")).cast("double").as("high"),
+        min(col("v")).cast("double").as("low"),
+        max_by(col("v"), struct(col("ts_us"), col("event_id")))
+          .cast("double").as("close"))
+      .orderBy("event_type", "bucket_us")
+  }
+
   val all: Seq[Q] = Seq(
     timeBucket, sessionize, asofJoin, asofNative, asofTolerance, asofForward,
     asofInner, asofSql, funnel, funnelLatency, retention, gapFill, anomalyHours,
-    intervalJoin, twap)
+    intervalJoin, twap, ohlc)
 }

@@ -751,6 +751,29 @@ class OperatorSpec extends SparkSuite {
     }
   }
 
+  test("q_ohlc: bars match a local first/last/extreme recompute; OHLC identities hold") {
+    import org.apache.spark.sql.functions._
+    val HourUs = 3600000000L
+    val evs = graft.core.Tables.events(spark, sf)
+      .select(col("event_type"), unix_micros(col("ts")).as("ts_us"), col("event_id"),
+        col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDecimal(3).doubleValue()))
+    val expected = evs.groupBy(e => (e._1, e._2 / HourUs * HourUs)).toSeq
+      .map { case ((t, bk), es) =>
+        val sorted = es.sortBy(e => (e._2, e._3))
+        (t, bk, es.length.toLong, sorted.head._4, es.map(_._4).max,
+          es.map(_._4).min, sorted.last._4)
+      }.sortBy(x => (x._1, x._2))
+    val got = run("q_ohlc").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5), r.getDouble(6))).toSeq
+    assert(got == expected)
+    got.foreach { case (_, _, n, o, h, l, c) =>
+      assert(l <= o && o <= h && l <= c && c <= h && n >= 1L)
+    }
+  }
+
   test("q_pack_efficiency: census identities hold against the pack table it grades") {
     val packs = run("q_pack_sequences").collect()
       .map(r => (r.getLong(0), r.getLong(3))) // (shard, n_tokens of pack)
