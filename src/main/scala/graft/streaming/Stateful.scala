@@ -981,6 +981,55 @@ object Stateful {
       }
   }
 
+  final case class TwapEvIn(event_id: Long, user_id: Long, ts_us: Long,
+      cents: Long)
+  final case class TwapVerdict(event_id: Long, user_id: Long, n_events: Long,
+      span_s: Long, wsum: Long, twap_cents: Long)
+
+  /** s_stream_twap: running time-weighted average at ingest — the
+    * streaming twin of q_twap (ops/Temporal.scala): the batch operator
+    * integrates each user's LOCF step function in one window pass at
+    * audit time; this gate maintains the integral incrementally and
+    * emits the running TWAP with every arriving event, which is when an
+    * alerting/billing loop reads it. Per-user keyed state is exactly the
+    * four numbers the integration needs — (first_ts, last_ts,
+    * last_cents, Σ cents·Δs) plus the event count — updated with the
+    * IDENTICAL per-interval floor chain as the batch operator (cents via
+    * the DECIMAL mediation upstream, Δ floored to seconds), so the LAST
+    * verdict per user is bit-identical to the batch row (StatefulSpec
+    * proves it across a micro-batch split). Events with no elapsed span
+    * yet report twap_cents = 0 with span_s = 0, mirroring the batch
+    * operator's span > 0 filter. State is O(users) × five longs,
+    * shuffled by user; in-batch rows process in (event-time, id) order
+    * (the leakGate delivery caveat). */
+  def twapGate(events: DataFrame): Dataset[TwapVerdict] = {
+    val s = events.sparkSession
+    import s.implicits._
+    events
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"))
+      .as[TwapEvIn]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[TwapEvIn],
+            state: GroupState[(Long, Long, Long, Long, Long)]) =>
+          var (first, last, lastCents, acc, n) =
+            state.getOption.getOrElse((-1L, -1L, 0L, 0L, 0L))
+          val out = rows.toSeq.sortBy(e => (e.ts_us, e.event_id)).map { e =>
+            if (n == 0L) first = e.ts_us
+            else acc += lastCents * ((e.ts_us - last) / 1000000L)
+            last = e.ts_us
+            lastCents = e.cents
+            n += 1
+            val span = (last - first) / 1000000L
+            TwapVerdict(e.event_id, uid, n, span, acc,
+              if (span > 0L) acc / span else 0L)
+          }
+          state.update((first, last, lastCents, acc, n))
+          out.iterator
+      }
+  }
+
   final case class EvIn(event_id: Long, user_id: Long, ts_us: Long)
   final case class LeakVerdict(event_id: Long, user_id: Long, split: String,
       leaked: Long)

@@ -1144,6 +1144,45 @@ class StatefulSpec extends SparkSuite {
     assert(verdicts.forall(v => v.first_touch != null && v.last_touch != null))
   }
 
+  test("s_stream_twap: final running verdict per user is bit-identical to the batch q_twap") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.{col, unix_micros}
+    val sf = "/root/testdata/sf0.001"
+    val ev = graft.core.Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"),
+        unix_micros(col("ts")).as("us"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2), r.getDouble(3), r.getLong(4)))
+      .sortBy(e => (e._5, e._1)) // arrival respects event time (the gate's contract)
+    val in = MemoryStream[(Long, Long, Timestamp, Double)]
+    val q = Stateful.twapGate(in.toDS().toDF("event_id", "user_id", "ts", "value"))
+      .writeStream.format("memory").queryName("twap_gate")
+      .outputMode(OutputMode.Append).start()
+    val (b1, b2) = ev.splitAt(ev.length / 2)
+    in.addData(b1.map(e => (e._1, e._2, e._3, e._4)).toSeq)
+    q.processAllAvailable()
+    in.addData(b2.map(e => (e._1, e._2, e._3, e._4)).toSeq)
+    q.processAllAvailable()
+    val verdicts = spark.table("twap_gate").as[Stateful.TwapVerdict].collect()
+    q.stop()
+    assert(verdicts.length == ev.length, "one running verdict per event")
+    val finalPerUser = verdicts.groupBy(_.user_id)
+      .map { case (u, vs) => u -> vs.maxBy(_.n_events) }
+    val batch = graft.SparkEntry.queries("q_twap")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(batch.nonEmpty)
+    batch.foreach { case (u, n, span, wsum, twap) =>
+      val v = finalPerUser(u)
+      assert((v.n_events, v.span_s, v.wsum, v.twap_cents) == ((n, span, wsum, twap)),
+        s"user $u: streamed final != batch")
+    }
+    // running integrals never decrease for non-negative values
+    verdicts.groupBy(_.user_id).values.foreach { vs =>
+      val ordered = vs.sortBy(_.n_events).map(_.wsum)
+      assert(ordered.zip(ordered.tail).forall { case (a, b) => b >= a })
+    }
+  }
+
   test("s_stream_leak_gate: per-split leaked-user sets equal the batch q_temporal_split audit") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.functions.{col, unix_micros, max => smax, min => smin}
