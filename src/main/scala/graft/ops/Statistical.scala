@@ -674,8 +674,58 @@ object Statistical {
     out.toDF("source", "n_docs", "sum_chars", "gini_ppm")
   }
 
+  /** Benford's-law leading-digit audit of order totals — the classic
+    * forensic/data-quality screen: naturally-grown monetary values
+    * follow P(d) = log10(1+1/d); synthetic, capped, or fabricated values
+    * don't, and the per-digit deviation vector is the fingerprint an
+    * auditor reads (this corpus's uniform generator shows the expected
+    * anti-Benford deviation — the falsifier direction, like
+    * q_modularity's negative Q). Everything float-free: values go
+    * through the DECIMAL(18,2)→cents mediation, the leading digit is
+    * the first character of the INTEGER's decimal rendering (int→string
+    * is exact in both engines, unlike double formatting), and the
+    * Benford expectation ships as a 9-entry ppm literal table — the
+    * q_ndcg_eval integer-LUT recipe, so no log10 crosses engines.
+    *
+    * Scale shape: one map-side digit extraction into a 9-group partial
+    * aggregate, one 1-row total broadcast for the ppm scaling, one
+    * 9-row broadcast LUT join. Nothing shuffles at data scale. */
+  val benford: Q = Q(
+    "q_benford",
+    """WITH lut(digit, exp_ppm) AS (VALUES
+      |  ('1', CAST(301030 AS BIGINT)), ('2', 176091), ('3', 124939),
+      |  ('4', 96910), ('5', 79181), ('6', 66947), ('7', 57992),
+      |  ('8', 51153), ('9', 45757)),
+      |d AS (SELECT substr(CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+      |    AS BIGINT) AS VARCHAR), 1, 1) AS digit FROM orders),
+      |c AS (SELECT digit, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY digit),
+      |t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM c)
+      |SELECT c.digit, c.n,
+      |  CAST(c.n * 1000000 // t.total AS BIGINT) AS obs_ppm, lut.exp_ppm,
+      |  CAST(c.n * 1000000 // t.total - lut.exp_ppm AS BIGINT) AS dev_ppm
+      |FROM c JOIN lut ON lut.digit = c.digit CROSS JOIN t
+      |ORDER BY c.digit""".stripMargin
+  ) { (sp, d) =>
+    val lutRows = Seq(("1", 301030L), ("2", 176091L), ("3", 124939L),
+      ("4", 96910L), ("5", 79181L), ("6", 66947L), ("7", 57992L),
+      ("8", 51153L), ("9", 45757L))
+    import sp.implicits._
+    val lut = lutRows.toDF("digit", "exp_ppm")
+    val c = T.orders(sp, d)
+      .select(substring((col("o_totalprice").cast(DecimalType(18, 2)) * 100)
+        .cast(LongType).cast(StringType), 1, 1).as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n"))
+    val t = c.agg(sum(col("n")).as("total"))
+    c.crossJoin(broadcast(t))
+      .join(broadcast(lut), "digit")
+      .select(col("digit"), col("n"),
+        expr("n * 1000000 div total").as("obs_ppm"), col("exp_ppm"),
+        expr("n * 1000000 div total - exp_ppm").as("dev_ppm"))
+      .orderBy("digit")
+  }
+
   val all: Seq[Q] = Seq(
     histogram, corrCovar, unpivot, rangeJoin, rangeJoinBinned, collectSorted,
     modeAgg, skewSalted, joinBigBig, skewSaltedJoin, outliers, mad, winsorize,
-    ksDrift, autocorr, gini)
+    ksDrift, autocorr, gini, benford)
 }

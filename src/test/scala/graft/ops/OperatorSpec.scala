@@ -774,6 +774,26 @@ class OperatorSpec extends SparkSuite {
     }
   }
 
+  test("q_benford: digit census matches a local recompute; LUT is the true Benford ppm") {
+    import org.apache.spark.sql.functions._
+    val cents = graft.core.Tables.orders(spark, sf)
+      .select((col("o_totalprice").cast(org.apache.spark.sql.types.DecimalType(18, 2)) * 100)
+        .cast("long")).collect().map(_.getLong(0))
+    val byDigit = cents.groupBy(_.toString.head.toString).map { case (dg, xs) =>
+      dg -> xs.length.toLong }
+    val total = cents.length.toLong
+    val got = run("q_benford").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.map(g => g._1 -> g._2).toMap == byDigit)
+    got.foreach { case (dg, n, obs, exp2, dev) =>
+      assert(obs == n * 1000000L / total && dev == obs - exp2)
+      // the shipped LUT is round(1e6 * log10(1 + 1/d)) — recompute here
+      val trueExp = math.round(1e6 * math.log10(1.0 + 1.0 / dg.toInt))
+      assert(exp2 == trueExp, s"digit $dg: LUT $exp2 != round(1e6*log10(1+1/d)) $trueExp")
+    }
+    assert(got.map(_._2).sum == total, "all orders carry a leading digit")
+  }
+
   test("q_pack_efficiency: census identities hold against the pack table it grades") {
     val packs = run("q_pack_sequences").collect()
       .map(r => (r.getLong(0), r.getLong(3))) // (shard, n_tokens of pack)
