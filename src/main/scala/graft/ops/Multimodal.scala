@@ -357,6 +357,48 @@ object Multimodal {
         md5(col("thex")).as("tile_md5"))
   }
 
+  /** Cross-asset frame-level dedup — the removal list video curation
+    * actually runs: the SAME sampled frame content (by digest) appearing
+    * in ≥ 2 distinct assets marks re-uploads, clipped copies, and
+    * shared intros/outros that document-level dedup (keyed on the whole
+    * asset) can never see. Consumes the q_frame_extract machinery
+    * unchanged (same stride schedule, same digests — the two operators
+    * agree row-for-row by construction) and emits, per duplicated
+    * digest: distinct-asset and occurrence counts plus the min-asset-id
+    * keeper (the dedup family's keeper convention). The emitted rows ARE
+    * the removal list, the q_embed_decontam output shape.
+    *
+    * Scale shape: one partial-aggregating shuffle keyed on the 32-hex
+    * digest (count + count-distinct collapse map-side; the digest key is
+    * uniform by construction so no salting needed), then the
+    * presentation sort. The frame explode itself is the bounded ≤ 8-
+    * frames-per-asset Generate q_frame_extract already pays. */
+  val frameDedup: Q = Q(
+    "q_frame_dedup",
+    """WITH meta AS (SELECT doc_id AS asset_id, hex(encode(text)) AS hx,
+      |    CAST(octet_length(encode(text)) // 16 AS BIGINT) AS n_frames
+      |  FROM documents),
+      |sched AS (SELECT asset_id, hx, n_frames, (n_frames + 7) // 8 AS stride
+      |  FROM meta WHERE n_frames > 0),
+      |fr AS (SELECT asset_id,
+      |    md5(substr(hx, CAST(unnest(generate_series(0, n_frames - 1, stride))
+      |      * 32 + 1 AS BIGINT), 32)) AS frame_md5
+      |  FROM sched)
+      |SELECT frame_md5, CAST(count(DISTINCT asset_id) AS BIGINT) AS n_assets,
+      |  CAST(count(*) AS BIGINT) AS n_occ,
+      |  CAST(min(asset_id) AS BIGINT) AS keeper_asset
+      |FROM fr GROUP BY frame_md5 HAVING count(DISTINCT asset_id) >= 2
+      |ORDER BY n_occ DESC, frame_md5""".stripMargin
+  ) { (s, d) =>
+    frameExtractOn(T.documents(s, d))
+      .groupBy("frame_md5")
+      .agg(countDistinct(col("asset_id")).as("n_assets"),
+        count(lit(1)).as("n_occ"), min(col("asset_id")).as("keeper_asset"))
+      .filter(col("n_assets") >= 2)
+      .orderBy(col("n_occ").desc, col("frame_md5"))
+  }
+
   val all: Seq[Q] =
-    Seq(multimodalDecode, frameSchedule, frameExtract, audioWindows, imageTiles)
+    Seq(multimodalDecode, frameSchedule, frameExtract, audioWindows, imageTiles,
+      frameDedup)
 }

@@ -794,6 +794,20 @@ class OperatorSpec extends SparkSuite {
     assert(got.map(_._2).sum == total, "all orders carry a leading digit")
   }
 
+  test("q_frame_dedup: removal list is exactly the >=2-asset digests of q_frame_extract") {
+    val frames = run("q_frame_extract").collect()
+      .map(r => (r.getLong(0), r.getString(7))) // (asset_id, frame_md5)
+    val expected = frames.groupBy(_._2).collect {
+      case (md, xs) if xs.map(_._1).distinct.length >= 2 =>
+        (md, xs.map(_._1).distinct.length.toLong, xs.length.toLong, xs.map(_._1).min)
+    }.toSeq.sortBy(x => (-x._3, x._1))
+    val got = run("q_frame_dedup").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == expected)
+    assert(got.nonEmpty, "the corpus must contain cross-asset duplicate frames")
+    got.foreach { case (_, na, no, _) => assert(no >= na && na >= 2L) }
+  }
+
   test("q_pack_efficiency: census identities hold against the pack table it grades") {
     val packs = run("q_pack_sequences").collect()
       .map(r => (r.getLong(0), r.getLong(3))) // (shard, n_tokens of pack)
