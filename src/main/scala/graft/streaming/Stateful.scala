@@ -1074,6 +1074,36 @@ object Stateful {
       }
   }
 
+  /** s_stream_ohlc: live hourly OHLC bars per event type — the streaming
+    * twin of q_ohlc (ops/Temporal.scala): the same struct-keyed
+    * min_by/max_by positional opens/closes and DECIMAL-mediated extremes,
+    * maintained as a watermarked windowed aggregation so a dashboard
+    * reads the forming bar at every tick instead of waiting for the
+    * batch job. All five aggregates are declarative and partial-combine,
+    * so state per (type, hour) is one row of combiners — O(types ×
+    * watermarked hours), the anomalyGate state shape. Deployment: Append
+    * emits each bar once when the watermark closes its hour; Update
+    * serves the forming bar per tick (StatefulSpec uses Update and
+    * proves the FINAL update per bar is bit-identical to q_ohlc across a
+    * mid-hour micro-batch split). */
+  def ohlcBars(events: DataFrame, watermark: String = "2 hours"): DataFrame = {
+    val v = col("value").cast("decimal(18,2)")
+    events
+      .withWatermark("ts", watermark)
+      .select(col("event_type"), col("ts"), col("event_id"),
+        unix_micros(col("ts")).as("ts_us"), v.as("v"))
+      .groupBy(col("event_type"), window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n"),
+        min_by(col("v"), struct(col("ts_us"), col("event_id")))
+          .cast("double").as("open"),
+        max(col("v")).cast("double").as("high"),
+        min(col("v")).cast("double").as("low"),
+        max_by(col("v"), struct(col("ts_us"), col("event_id")))
+          .cast("double").as("close"))
+      .select(col("event_type"), unix_micros(col("window.start")).as("bucket_us"),
+        col("n"), col("open"), col("high"), col("low"), col("close"))
+  }
+
   /** s_session_window: native session windows, 30-minute gap per user —
     * the streaming twin of the batch gaps-and-islands in
     * graft.ops.Temporal.sessionize. */

@@ -1183,6 +1183,47 @@ class StatefulSpec extends SparkSuite {
     }
   }
 
+  test("s_stream_ohlc: final update per bar is bit-identical to the batch q_ohlc") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.{col, unix_micros}
+    val sf = "/root/testdata/sf0.001"
+    val ev = graft.core.Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"),
+        col("value"), unix_micros(col("ts")).as("us"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2), r.getString(3),
+        r.getDouble(4), r.getLong(5)))
+      .sortBy(e => (e._6, e._1))
+    val in = MemoryStream[(Long, Long, Timestamp, String, Double)]
+    // Update mode: the deployment shape is Append-on-watermark; Update
+    // lets the spec read every bar without advancing a watermark clock
+    val q = Stateful.ohlcBars(
+        in.toDS().toDF("event_id", "user_id", "ts", "event_type", "value"))
+      .writeStream.format("memory").queryName("ohlc_bars")
+      .outputMode(OutputMode.Update).start()
+    // split mid-series so many bars accumulate across the batch boundary
+    val (b1, b2) = ev.splitAt(ev.length / 2)
+    in.addData(b1.map(e => (e._1, e._2, e._3, e._4, e._5)).toSeq)
+    q.processAllAvailable()
+    in.addData(b2.map(e => (e._1, e._2, e._3, e._4, e._5)).toSeq)
+    q.processAllAvailable()
+    val updates = spark.table("ohlc_bars").collect()
+      .map(r => ((r.getString(0), r.getLong(1)),
+        (r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getDouble(6))))
+    q.stop()
+    // the final update per bar = the one with the largest n (n only grows)
+    val finalBars = updates.groupBy(_._1).map { case (k, vs) =>
+      k -> vs.map(_._2).maxBy(_._1) }
+    val batch = graft.SparkEntry.queries("q_ohlc")(spark, sf).collect()
+      .map(r => ((r.getString(0), r.getLong(1)),
+        (r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getDouble(6))))
+      .toMap
+    assert(finalBars.size == batch.size, "one bar per (type, hour) in both")
+    batch.foreach { case (k, b) =>
+      assert(finalBars(k) == b, s"bar $k: streamed final != batch")
+    }
+  }
+
   test("s_stream_leak_gate: per-split leaked-user sets equal the batch q_temporal_split audit") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.functions.{col, unix_micros, max => smax, min => smin}
