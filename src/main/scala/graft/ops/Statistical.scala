@@ -724,8 +724,52 @@ object Statistical {
       .orderBy("digit")
   }
 
+  /** Rolling exact median of purchase values over a trailing 25-row
+    * window per user — the ROBUST sibling of q_window_moving's rolling
+    * mean (one fat-fingered order drags a mean for 25 rows; the median
+    * shrugs it off, which is why alerting baselines prefer it). Exact
+    * and interpolation-free: values go through the DECIMAL→cents
+    * mediation, the window's sorted list is picked at the two middle
+    * RANKS (med_lo/med_hi — equal when the window is odd), so no float
+    * midpoint crosses engines. The bounded collect-sort per row is the
+    * honest cost of an exact order statistic over a sliding window
+    * (O(w log w) per row with w = 25 — constant, never data-sized; an
+    * approximate-sketch variant is the scale escape hatch, q_quantiles'
+    * territory).
+    *
+    * Scale shape: one window shuffle on user_id; the per-row work is
+    * bounded by the 25-row frame; output is one row per purchase. */
+  val rollingMedian: Q = Q(
+    "q_rolling_median",
+    """WITH p AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+      |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      |  FROM events WHERE event_type = 'purchase'),
+      |r AS (SELECT user_id, event_id, ts_us, cents,
+      |    list_sort(list(cents) OVER w) AS win
+      |  FROM p WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id
+      |    ROWS BETWEEN 24 PRECEDING AND CURRENT ROW))
+      |SELECT user_id, event_id, ts_us, cents,
+      |  CAST(len(win) AS BIGINT) AS n_win,
+      |  CAST(win[CAST((len(win) + 1) // 2 AS BIGINT)] AS BIGINT) AS med_lo,
+      |  CAST(win[CAST(len(win) // 2 + 1 AS BIGINT)] AS BIGINT) AS med_hi
+      |FROM r ORDER BY user_id, ts_us, event_id""".stripMargin
+  ) { (sp, d) =>
+    val w = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+      .rowsBetween(-24, Window.currentRow)
+    T.events(sp, d)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"),
+        (col("value").cast(DecimalType(18, 2)) * 100).cast(LongType).as("cents"))
+      .withColumn("win", sort_array(collect_list(col("cents")).over(w)))
+      .select(col("user_id"), col("event_id"), col("ts_us"), col("cents"),
+        size(col("win")).cast(LongType).as("n_win"),
+        element_at(col("win"), expr("cast((size(win) + 1) div 2 as int)")).as("med_lo"),
+        element_at(col("win"), expr("cast(size(win) div 2 + 1 as int)")).as("med_hi"))
+      .orderBy("user_id", "ts_us", "event_id")
+  }
+
   val all: Seq[Q] = Seq(
     histogram, corrCovar, unpivot, rangeJoin, rangeJoinBinned, collectSorted,
     modeAgg, skewSalted, joinBigBig, skewSaltedJoin, outliers, mad, winsorize,
-    ksDrift, autocorr, gini, benford)
+    ksDrift, autocorr, gini, benford, rollingMedian)
 }

@@ -808,6 +808,31 @@ class OperatorSpec extends SparkSuite {
     got.foreach { case (_, na, no, _) => assert(no >= na && na >= 2L) }
   }
 
+  test("q_rolling_median: trailing-window picks match a local recompute; lo <= hi bracket") {
+    import org.apache.spark.sql.functions._
+    val evs = graft.core.Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"),
+        (col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)) * 100).cast("long"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val expected = evs.groupBy(_._1).toSeq.flatMap { case (u, es) =>
+      val s = es.sortBy(e => (e._3, e._2))
+      s.indices.map { i =>
+        val win = s.slice(math.max(0, i - 24), i + 1).map(_._4).sorted
+        (u, s(i)._2, s(i)._3, s(i)._4, win.length.toLong,
+          win((win.length + 1) / 2 - 1), win(win.length / 2))
+      }
+    }.sortBy(x => (x._1, x._3, x._2))
+    val got = run("q_rolling_median").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toSeq
+    assert(got == expected)
+    got.foreach { case (_, _, _, _, n, lo, hi) =>
+      assert(lo <= hi && n >= 1L && n <= 25L)
+    }
+  }
+
   test("q_pack_efficiency: census identities hold against the pack table it grades") {
     val packs = run("q_pack_sequences").collect()
       .map(r => (r.getLong(0), r.getLong(3))) // (shard, n_tokens of pack)
