@@ -1,6 +1,7 @@
 package graft
 
 import org.scalatest.funsuite.AnyFunSuite
+import scala.jdk.CollectionConverters._
 
 /** Doc-drift guard (round-10 verdict #5: the README's operator count was
   * stale the moment two late operators landed). The counts a reader
@@ -38,5 +39,55 @@ class InventorySpec extends AnyFunSuite {
       s"SURVEY closing inventory must state '$nDeclared batch operators'")
     assert(survey.contains(s"$nOracle oracle-verified"),
       s"SURVEY closing inventory must state '$nOracle oracle-verified'")
+  }
+
+  // ---- §2E ledger file:line validation (round-12 verdict #7) ----
+  // The ledger's site convention: the line of the `Q(` / `Q.noOracle(`
+  // call whose first string-literal argument is the key. Re-derive that
+  // mapping from source here and assert the SURVEY table IS it — same
+  // logic as scripts/gen_ledger.py, which rewrites the table on drift.
+
+  private def trueSites: Map[String, String] = {
+    val src = java.nio.file.Paths.get("src/main/scala/graft")
+    val decl = """\bQ(?:\.noOracle)?\(\s*\n?\s*"(q_[a-z0-9_]+)"""".r
+    val files = java.nio.file.Files.walk(src).iterator().asScala
+      .filter(_.toString.endsWith(".scala")).toSeq.sortBy(_.toString)
+    files.flatMap { p =>
+      val text = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+      decl.findAllMatchIn(text).map { m =>
+        val line = text.substring(0, m.start).count(_ == '\n') + 1
+        m.group(1) -> s"${src.relativize(p).toString.replace('\\', '/')}:$line"
+      }
+    }.toMap
+  }
+
+  private def ledgerSites: Map[String, String] = {
+    val survey = read("SURVEY.md")
+    val start = survey.indexOf("| batch key | site | batch key | site |")
+    assert(start >= 0, "SURVEY.md ledger table header not found")
+    val rows = survey.substring(start).linesIterator
+      .takeWhile(_.startsWith("|")).toSeq.drop(2)
+    val cell = """(q_[a-z0-9_]+) \| `([^`]+)`""".r
+    rows.flatMap(r => cell.findAllMatchIn(r).map(m => m.group(1) -> m.group(2))).toMap
+  }
+
+  test("SURVEY.md ledger lists every declared batch key exactly once") {
+    val ledger = ledgerSites.keySet
+    val reg = declared.map(_.name).toSet
+    assert(ledger == reg,
+      s"ledger missing: ${(reg -- ledger).toSeq.sorted.mkString(",")}; " +
+        s"stale extras: ${(ledger -- reg).toSeq.sorted.mkString(",")} " +
+        "(run scripts/gen_ledger.py --write)")
+  }
+
+  test("every SURVEY.md ledger file:line resolves to that operator's Q declaration") {
+    val truth = trueSites
+    assert(truth.keySet == declared.map(_.name).toSet,
+      "site scan out of sync with registry — a Q declaration pattern changed")
+    val stale = ledgerSites.collect {
+      case (k, site) if truth.get(k).exists(_ != site) => s"$k: $site -> ${truth(k)}"
+    }
+    assert(stale.isEmpty,
+      s"stale ledger sites (run scripts/gen_ledger.py --write): ${stale.mkString("; ")}")
   }
 }

@@ -1324,4 +1324,26 @@ class OperatorSpec extends SparkSuite {
       assert(nPass <= nCell, "label filter only shrinks the cell")
     }
   }
+  test("q_concurrency: pair-free sweep n_pairs == q_interval_join's enumerated pairs; census invariants hold") {
+    import org.apache.spark.sql.functions._
+    // Two independent formulations of the same statistic: the sweep-line
+    // (sessions-active-at-each-start) and the per-hour-bucket pair join.
+    val sweep = run("q_concurrency")
+      .select("bucket_us", "n_pairs").filter(col("n_pairs") > 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val pairs = run("q_interval_join")
+      .select("bucket_us", "n_pairs")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sweep == pairs,
+      s"sweep-vs-pair drift: ${(sweep.toSet diff pairs.toSet).take(3)} / ${(pairs.toSet diff sweep.toSet).take(3)}")
+    // census sanity: peak concurrency never exceeds active-session count,
+    // integral fits inside n_active full hours, starts bounded by actives
+    run("q_concurrency").collect().foreach { r =>
+      val (nActive, nStarts, activeUs, nPairs, maxC) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(nActive >= 1 && nStarts <= nActive && maxC <= nActive)
+      assert(activeUs >= 1 && activeUs <= nActive * 3600000000L)
+      assert(nPairs <= nActive * (nActive - 1) / 2)
+    }
+  }
 }
