@@ -84,6 +84,51 @@ object Bench {
     def jmap(kvs: Seq[(String, Double)]): String =
       kvs.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
+    // ---- host-drift anchor (round-12 verdict #1) -----------------------
+    // The 2× perf gate compares totals against BASELINE numbers recorded
+    // in a different host window; two byte-identical runs already measured
+    // a UNIFORM 1.20–1.32× apart, so growth + drift would eventually trip
+    // the gate on a non-regression. The divisor: 20 pinned queries (shape-
+    // diverse, spread ≤1.1 at the round-12 close) whose closing times are
+    // frozen below; their times in THIS run come from the same session,
+    // same protocol, same passes as every other number in this JSON.
+    // drift = MEDIAN of per-query now/close ratios — robust to a handful
+    // of genuine per-query regressions or optimizations polluting the
+    // host signal (a lone outlier moves the median by nothing; the full
+    // ratio map is emitted so an outlier is also VISIBLE). The anchor
+    // list is FROZEN: optimizing one of these queries requires re-pinning
+    // its close value in the same commit (BASELINE.md "drift anchor").
+    val anchorClose: Map[String, Double] = Map(
+      "q_pagerank" -> 3.1858, "q_snapshot_throughput" -> 2.7454,
+      "q_vocab_growth" -> 2.4214, "q_partition_checksum" -> 2.3215,
+      "q_corr_covar" -> 2.1304, "q_winsorize" -> 2.1282,
+      "q_local_clustering" -> 1.9144, "q_hybrid_rrf" -> 1.8691,
+      "q_unpivot" -> 1.7645, "q_group_agg" -> 1.6108,
+      "q_char_ngrams" -> 1.5965, "q_bigram_lm" -> 1.5879,
+      "q_interval_join" -> 1.5285, "q_cooccur_lift" -> 1.3148,
+      "q_cube" -> 1.2202, "q_knn_graph" -> 1.1452,
+      "q_dedup_clusters" -> 1.0260, "q_sessionize" -> 0.8453,
+      "q_temporal_split" -> 0.7881, "q_join_3way" -> 0.6878)
+    val anchorRatios: Seq[(String, Double)] = anchorClose.toSeq
+      .flatMap { case (n, c) => results.get(n).filter(_ > 0).map(n -> _ / c) }
+      .sortBy(_._1)
+    val drift =
+      if (anchorRatios.size < anchorClose.size / 2) -1.0 // filtered run: no signal
+      else {
+        val sorted = anchorRatios.map(_._2).sorted
+        val k = sorted.size
+        if (k % 2 == 1) sorted(k / 2) else (sorted(k / 2 - 1) + sorted(k / 2)) / 2
+      }
+    val anchorNow = anchorRatios.map { case (n, _) => results(n) }.sum
+    val anchorAtClose = anchorRatios.map { case (n, _) => anchorClose(n) }.sum
+    // ---- cold model-train costs (round-12 verdict #2) ------------------
+    // ModelCache artifacts (ivf, pq, bpe, bm25, truth bases, …) train once
+    // per session — the warmup pass pays, measured passes serve warm, so
+    // per-query numbers are SERVE costs. The per-kind train seconds are
+    // reported as their own lines so the gate grades real costs instead
+    // of crediting whichever query happened to train first.
+    val trainCosts = graft.core.ModelCache.buildCosts.toSeq.sortBy(_._1)
+    val trainTotal = trainCosts.map(_._2).sum
     // The harness keeps only the TAIL of stdout (~2,000 chars); at 100+
     // queries the full per-query map alone exceeds that, so rounds 1-3 all
     // lost the headline to mid-line truncation. Emit the full map FIRST
@@ -92,7 +137,7 @@ object Bench {
     // always fully inside the capture tail.
     val all = results.toSeq.sortBy(_._1)
     val fullLine =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${jmap(all)},"spread":${jmap(spreads.toSeq.sortBy(_._1))},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${jmap(all)},"spread":${jmap(spreads.toSeq.sortBy(_._1))},"drift":${fmt(drift)},"anchor_now":${fmt(anchorNow)},"anchor_close":${fmt(anchorAtClose)},"anchor_ratios":${jmap(anchorRatios)},"model_train":${jmap(trainCosts)},"model_train_total":${fmt(trainTotal)},"sf":"$sfDir"}"""
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("bench_queries.json"), fullLine)
     catch { case e: Throwable => System.err.println(s"[bench] file dump failed: ${e.getMessage}") }
@@ -119,7 +164,7 @@ object Bench {
     // flags the driver gate should consult before calling a regression
     val loose = spreads.toSeq.filter(_._2 > 1.5).sortBy(-_._2).take(10)
     val spreadMax = spreads.values.filter(_ > 0).maxOption.getOrElse(-1.0)
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${jmap(slowest)},"sf":"$sfDir","n_queries":${results.size},"n_failed":${failed.size},"failed":$failedJson,"n_retried":${needRetry.size},"spread_max":${fmt(spreadMax)},"spread_gt15":${jmap(loose)},"queries_shown":"slowest20","full_map":"bench_queries.json"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${jmap(slowest)},"sf":"$sfDir","n_queries":${results.size},"n_failed":${failed.size},"failed":$failedJson,"n_retried":${needRetry.size},"spread_max":${fmt(spreadMax)},"spread_gt15":${jmap(loose)},"drift":${fmt(drift)},"total_drift_adj":${fmt(if (drift > 0) total / drift else -1.0)},"model_train":${jmap(trainCosts)},"model_train_total":${fmt(trainTotal)},"queries_shown":"slowest20","full_map":"bench_queries.json"}""")
     System.out.flush()
     spark.stop()
   }

@@ -49,12 +49,36 @@ object Session {
       case None => df.localCheckpoint()
     }
 
+  /** Flatten an incrementally-grown union once its analyzed plan carries
+    * more than `maxLegs` union branches (round-12 advice: refresh
+    * closures store base ∪ delta WITHOUT materializing — the delta legs
+    * are checkpointed but the union node stack grows one per generation,
+    * so a long-lived session refreshing every few minutes accretes an
+    * unbounded plan). Below the threshold the frame passes through
+    * untouched (refresh stays delta-cost); crossing it pays ONE
+    * truncate — O(artifact) every maxLegs generations, amortizing to a
+    * fraction of a generation's delta cost while pinning plan depth.
+    * Leg counting is a driver-side walk of the analyzed plan — no job. */
+  def flattenWide(df: org.apache.spark.sql.DataFrame, maxLegs: Int = 8)
+      : org.apache.spark.sql.DataFrame = {
+    val legs = df.queryExecution.analyzed.collect {
+      case u: org.apache.spark.sql.catalyst.plans.logical.Union => u.children.size
+    }.sum
+    if (legs > maxLegs) truncate(df) else df
+  }
+
   def local(cores: Int, shufflePartitions: Int): SparkSession = {
     val s = tune(SparkSession.builder()
       .master(s"local[$cores]")
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString))
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    // Opt into RELIABLE fixpoint checkpointing for a whole Verify/Bench
+    // run (round-12 verdict #4: prove the full gate, not just the unit
+    // spec, under the cluster-fault-tolerant mode):
+    //   SPARK_GRAFT_CHECKPOINT_DIR=/tmp/ckpt runMain graft.Verify ...
+    sys.env.get("SPARK_GRAFT_CHECKPOINT_DIR").filter(_.nonEmpty)
+      .foreach(d => s.conf.set(CheckpointDirKey, d))
     s
   }
 }

@@ -1306,10 +1306,19 @@ object Graph {
     var h = graft.core.Session.truncate(
       e.groupBy("src").agg(count(lit(1)).as("h"))
         .select(col("src").as("node"), col("h")))
+    // Graph-derived round cap (round-12 advice: a fixed 64 fails a
+    // long-chain peel cascade the DuckDB oracle would iterate through).
+    // Values are monotone non-increasing and a non-converged round
+    // strictly decreases the sum by ≥1, so Σ initial degrees PROVABLY
+    // bounds the rounds — the cap can only fire on a monotonicity bug,
+    // which is exactly what the require below is for. Real graphs exit
+    // on the sum probe within a handful of rounds.
     var prevSum = -1L
     var iter = 0
     var converged = false
-    while (!converged && iter < 64) {
+    val cap = math.max(64L,
+      h.agg(coalesce(sum(col("h")), lit(0L))).head().getLong(0) + 1L)
+    while (!converged && iter < cap) {
       val nbr = e.join(h.select(col("node").as("dst"), col("h").as("nh")), "dst")
         .select(col("src").as("node"), col("nh"))
       h = graft.core.Session.truncate(

@@ -517,11 +517,12 @@ object LlmPipeline {
           (col("tb") + col("td")).as("tot"))
       // tf/dl: checkpoint ONLY the delta slice — re-checkpointing the
       // union would copy the O(corpus) base postings on every refresh,
-      // exactly the cost the refreeze exists to avoid. The union of two
-      // checkpointed frames is itself flat (one union node per refresh
-      // generation — bounded by refreezes per session, not corpus size).
-      (sp1, tf0.unionAll(tfS.localCheckpoint()),
-        dl0.unionAll(dlS.localCheckpoint()),
+      // exactly the cost the refreeze exists to avoid. The union nodes
+      // accrete one per refresh generation, so flattenWide re-materializes
+      // once every ~8 generations — amortized a fraction of a delta,
+      // plan depth pinned for month-long sessions.
+      (sp1, graft.core.Session.flattenWide(tf0.unionAll(tfS.localCheckpoint())),
+        graft.core.Session.flattenWide(dl0.unionAll(dlS.localCheckpoint())),
         df1.localCheckpoint(), nd1.localCheckpoint())
     }
   }

@@ -202,7 +202,8 @@ object Pq {
       // re-derives from old-top ∪ delta. RefreshSpec pins refresh ==
       // retrain.
       val exD = scoreOf(codesOf.filter(col("vec_id") > max0)).localCheckpoint()
-      (maxIdOf, ex0.unionAll(exD),
+      // flattenWide: pin the stored union's plan depth (leg per refresh)
+      (maxIdOf, graft.core.Session.flattenWide(ex0.unionAll(exD)),
         topOf(top0.drop("rn").unionAll(exD)).localCheckpoint())
     }
     (ex, top)

@@ -791,7 +791,9 @@ object Similarity {
       // of the two). Old vectors are never re-scored. RefreshSpec pins
       // refresh == retrain.
       val exD = scoreOf(baseOf.filter(col("vec_id") > max0)).localCheckpoint()
-      val ex1 = ex0.unionAll(exD)
+      // flattenWide: the stored union grows a leg per refresh generation —
+      // pin plan depth by re-materializing once every ~8 generations
+      val ex1 = graft.core.Session.flattenWide(ex0.unionAll(exD))
       (maxIdOf, ex1, topOf(top0.drop("rn").unionAll(exD)).localCheckpoint())
     }
     (ex, top)

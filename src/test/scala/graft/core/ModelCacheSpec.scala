@@ -167,4 +167,82 @@ class ModelCacheSpec extends SparkSuite {
       "the served model must keep its blocks")
     assert(served._1.eq(dfs.get(1)))
   }
+  test("getOrRefresh publish is monotone: a straggler's older generation cannot regress `latest`") {
+    // Round-12 advice: two callers straddling a corpus append could
+    // publish generations out of order — last-writer-wins would point
+    // `latest` back at the OLDER fingerprint, and the next refresh
+    // would derive its delta from a base that already lost a merge.
+    // The straggler (thread A) lists gen-1, blocks inside its train;
+    // the main thread appends a file and completes a gen-2 train; A
+    // then finishes — its publish must be REFUSED (gen-1's files are
+    // not a superset of gen-2's, nor newer). Proof is behavioral: a
+    // THIRD generation must refresh from the gen-2 artifact.
+    ModelCache.clear()
+    val dir = tmpDir("mono")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$dir/corpus"))
+    def drop(n: Int): Unit = {
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$dir/corpus/part-$n"),
+        s"data$n".getBytes("UTF-8"))
+      // strictly increasing mtimes so "newer rewrite" can never be the
+      // reason the straggler wins
+      java.nio.file.Files.setLastModifiedTime(
+        java.nio.file.Paths.get(s"$dir/corpus/part-$n"),
+        java.nio.file.attribute.FileTime.fromMillis(1700000000000L + n * 1000L))
+    }
+    def files(): Int =
+      java.nio.file.Files.list(java.nio.file.Paths.get(s"$dir/corpus"))
+        .count().toInt
+    drop(1)
+    val listed = new java.util.concurrent.CountDownLatch(1)
+    val go = new java.util.concurrent.CountDownLatch(1)
+    val straggler = scala.concurrent.Future {
+      ModelCache.getOrRefresh(spark, "mono", s"$dir/corpus") {
+        val seen = s"base:${files()}"
+        listed.countDown(); go.await()
+        seen
+      }(prev => s"$prev+delta")
+    }(scala.concurrent.ExecutionContext.global)
+    listed.await() // A's listing (gen 1) is pinned; its train is in flight
+    drop(2)
+    val gen2 = ModelCache.getOrRefresh(spark, "mono", s"$dir/corpus") {
+      s"base:${files()}"
+    }(prev => s"$prev+delta")
+    assert(gen2 == "base:2", "main thread trains gen 2 fresh (no latest yet)")
+    go.countDown()
+    val gen1 = scala.concurrent.Await.result(straggler,
+      scala.concurrent.duration.Duration(30, "s"))
+    assert(gen1 == "base:1", "the straggler still gets ITS generation's value")
+    // third generation: the refresh must roll forward from gen 2
+    drop(3)
+    val gen3 = ModelCache.getOrRefresh(spark, "mono", s"$dir/corpus") {
+      s"base:${files()}"
+    }(prev => s"$prev+delta")
+    assert(gen3 == "base:2+delta",
+      s"latest regressed to the straggler's generation: refresh produced $gen3")
+  }
+
+  test("buildCosts ledger: train and refresh seconds accumulate per kind; clear resets") {
+    ModelCache.clear()
+    assert(ModelCache.buildCosts.isEmpty)
+    val dir = tmpDir("costs")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$dir/c"))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/c/p1"), "x".getBytes)
+    ModelCache.getOrTrain(spark, "cost-kind", s"$dir/c") {
+      Thread.sleep(30); new Object
+    }
+    val afterTrain = ModelCache.buildCosts("cost-kind")
+    assert(afterTrain >= 0.025, s"train wall time must be recorded: $afterTrain")
+    // cache hit: no additional cost
+    ModelCache.getOrTrain(spark, "cost-kind", s"$dir/c")(new Object)
+    assert(ModelCache.buildCosts("cost-kind") == afterTrain)
+    // a refresh on another kind records under ITS kind
+    ModelCache.getOrRefresh(spark, "cost-kind2", s"$dir/c") {
+      Thread.sleep(10); "v1"
+    }(p => p + "+d")
+    assert(ModelCache.buildCosts.contains("cost-kind2"))
+    ModelCache.clear()
+    assert(ModelCache.buildCosts.isEmpty)
+  }
 }

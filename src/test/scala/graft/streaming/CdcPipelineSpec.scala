@@ -533,6 +533,54 @@ class CdcPipelineSpec extends SparkSuite {
     assert(payloads == afterFirst)
   }
 
+  test("effectively-once: a stream killed between capture and checksum record does not duplicate envelopes on restart") {
+    // Round-12 verdict #5, the REAL-STREAM version of the processBatch
+    // replay test above: run CdcPipeline.start, then reconstruct the
+    // worst-case kill window — envelopes written, checksum record and
+    // micro-batch commit both lost — and restart against the same
+    // checkpoint. The file source re-delivers batch 0 with its pinned
+    // file set; the batchId-deterministic capture dir (batch=0, written
+    // with overwrite) must REPLACE the orphaned envelopes, not append.
+    val base = tmpDir("cdc")
+    val c = cfg(base)
+    Files.createDirectories(Paths.get(c.inputDir))
+    seedUsers.coalesce(1).write.mode("append").parquet(c.inputDir)
+    val q = CdcPipeline.start(spark, c, seedUsers.schema)
+    q.processAllAvailable(); q.stop()
+    def payloads = jsonlLines(c.outputDir)
+      .map(_.replaceAll("\"timestamp\":\"[^\"]*\",", "")).sorted
+    val afterFirst = payloads
+    assert(afterFirst.size == 2)
+    // the kill window: capture landed, but neither the checksum record
+    // nor the streaming commit did. Erase exactly those two artifacts —
+    // what a kill -9 inside foreachBatch after the envelope write leaves.
+    Files.walk(Paths.get(c.metadataDir)).iterator().asScala.toSeq
+      .sortBy(-_.getNameCount).foreach(Files.delete)
+    val commit0 = Paths.get(s"${c.checkpointDir}/commits/0")
+    assert(Files.exists(commit0), "test premise: batch 0 committed a marker")
+    Files.delete(commit0)
+    // the local ChecksumFileSystem shadows every file with .<name>.crc;
+    // a stale shadow makes the replay's commit rename fail and read as
+    // "multiple queries on one checkpoint" — a kill -9 would have lost
+    // both files together, so model that
+    Files.deleteIfExists(Paths.get(s"${c.checkpointDir}/commits/.0.crc"))
+    // restart: the checkpoint holds offsets/0 without commits/0, so the
+    // stream re-executes batch 0 against the same discovered file
+    val q2 = CdcPipeline.start(spark, c, seedUsers.schema)
+    q2.processAllAvailable(); q2.stop()
+    assert(jsonlLines(c.outputDir).size == 2,
+      "replayed batch must yield exactly the original row count — zero duplicates")
+    assert(payloads == afterFirst,
+      "replayed capture must be payload-identical to the orphaned one")
+    // and the pipeline is live afterwards: a NEW drop still captures
+    Seq((3, "Bob Wilson", "bob@example.com", t0))
+      .toDF("id", "name", "email", "created_at")
+      .coalesce(1).write.mode("append").parquet(c.inputDir)
+    val q3 = CdcPipeline.start(spark, c, seedUsers.schema)
+    q3.processAllAvailable(); q3.stop()
+    assert(jsonlLines(c.outputDir).size == 3)
+  }
+
   test("streaming end-to-end: snapshot drops are discovered and captured") {
     val base = tmpDir("cdc")
     val c = cfg(base)
