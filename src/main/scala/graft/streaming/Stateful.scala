@@ -1104,6 +1104,60 @@ object Stateful {
         col("n"), col("open"), col("high"), col("low"), col("close"))
   }
 
+  final case class ConcEvIn(event_id: Long, user_id: Long, ts_us: Long)
+  /** One sweep event: kind 1 = session opened (delta +1) at `ts`; kind
+    * 0 = session closed (delta −1) at its last event's ts + 1 — the
+    * exact (ts, kind, delta) relation q_concurrency sweeps in batch. */
+  final case class ConcBoundary(user_id: Long, ts: Long, kind: Int, delta: Long)
+
+  /** s_stream_concurrency: live session-boundary events — the streaming
+    * twin of q_concurrency's sweep relation (ops/Temporal.scala): the
+    * batch census sessionizes at audit time and sweeps +1/−1 boundary
+    * events per hour; this gate EMITS those boundary events at ingest,
+    * so a downstream watermarked running sum serves the live
+    * concurrency gauge (and the hourly census) with no pair join and no
+    * audit-time sessionize. Per-user keyed state is two longs — the
+    * open session's (start_us, last_ts_us): a first-ever event opens a
+    * session (+1 at its ts); an event past the 30-min gap closes the
+    * previous session (−1 at prev_last+1 — retroactive by at most the
+    * gap, exactly the lag a gap-based definition makes intrinsic: a
+    * session is only KNOWN closed when the next event proves the gap)
+    * and opens a new one; an in-gap event just extends state and emits
+    * nothing, so steady-state traffic costs zero output rows. The
+    * still-open tail session per user has no close event yet — the
+    * same truth the batch sees only because its input ends. StatefulSpec
+    * proves: emitted boundaries across a micro-batch split equal the
+    * batch sessionize's boundary relation minus exactly those open
+    * tails, and a driver-side sweep over emitted+tail events reproduces
+    * q_concurrency's per-hour n_pairs/n_starts. State O(users) × two
+    * longs; shuffle keyed by user; in-batch rows process in
+    * (event-time, id) order (the leakGate delivery caveat). */
+  def concurrencyEvents(events: DataFrame): Dataset[ConcBoundary] = {
+    val s = events.sparkSession
+    import s.implicits._
+    events
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("ts_us"))
+      .as[ConcEvIn]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[ConcEvIn], state: GroupState[(Long, Long)]) =>
+          var (start, last) = state.getOption.getOrElse((-1L, -1L))
+          val out = scala.collection.mutable.ArrayBuffer.empty[ConcBoundary]
+          rows.toSeq.sortBy(e => (e.ts_us, e.event_id)).foreach { e =>
+            if (start < 0L) {
+              out += ConcBoundary(uid, e.ts_us, 1, 1L)
+              start = e.ts_us; last = e.ts_us
+            } else if (e.ts_us - last > 1800000000L) {
+              out += ConcBoundary(uid, last + 1L, 0, -1L)
+              out += ConcBoundary(uid, e.ts_us, 1, 1L)
+              start = e.ts_us; last = e.ts_us
+            } else last = math.max(last, e.ts_us)
+          }
+          state.update((start, last))
+          out.iterator
+      }
+  }
+
   /** s_session_window: native session windows, 30-minute gap per user —
     * the streaming twin of the batch gaps-and-islands in
     * graft.ops.Temporal.sessionize. */

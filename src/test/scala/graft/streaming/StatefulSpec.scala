@@ -1261,4 +1261,81 @@ class StatefulSpec extends SparkSuite {
     // train events can never be flagged (nothing is earlier than train)
     assert(verdicts.filter(_.split == "train").forall(_.leaked == 0L))
   }
+  test("s_stream_concurrency: boundaries equal batch sessionize minus open tails; sweep reproduces q_concurrency") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.{col, unix_micros}
+    val sf = "/root/testdata/sf0.001"
+    val ev = graft.core.Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"), col("ts"),
+        unix_micros(col("ts")).as("us"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2), r.getLong(3)))
+      .sortBy(e => (e._4, e._1)) // arrival respects event time (the gate's contract)
+    val in = MemoryStream[(Long, Long, Timestamp)]
+    val q = Stateful.concurrencyEvents(in.toDS().toDF("event_id", "user_id", "ts"))
+      .writeStream.format("memory").queryName("conc_gate")
+      .outputMode(OutputMode.Append).start()
+    val (b1, b2) = ev.splitAt(ev.length / 2)
+    in.addData(b1.map(e => (e._1, e._2, e._3)).toSeq)
+    q.processAllAvailable()
+    in.addData(b2.map(e => (e._1, e._2, e._3)).toSeq)
+    q.processAllAvailable()
+    val emitted = spark.table("conc_gate").as[Stateful.ConcBoundary].collect().toSeq
+    q.stop()
+    // driver-side sessionize: a THIRD independent implementation (the
+    // batch op is Spark, its oracle DuckDB — this one is plain Scala)
+    val sessions: Seq[(Long, Long, Long)] = ev.groupBy(_._2).toSeq.flatMap {
+      case (u, es) =>
+        val ts = es.map(_._4).sorted
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+        var s0 = ts.head; var lastT = ts.head
+        ts.tail.foreach { t =>
+          if (t - lastT > 1800000000L) { out += ((u, s0, lastT)); s0 = t }
+          lastT = t
+        }
+        out += ((u, s0, lastT))
+        out.toSeq
+    }
+    val lastPerUser: Map[Long, (Long, Long, Long)] =
+      sessions.groupBy(_._1).map { case (u, ss) => u -> ss.maxBy(_._2) }
+    // expected emissions: every session opens; every session EXCEPT each
+    // user's still-open tail closes at end+1
+    val expected: Seq[(Long, Long, Int, Long)] =
+      sessions.map(s => (s._1, s._2, 1, 1L)) ++
+        sessions.filterNot(s => lastPerUser(s._1) == s)
+          .map(s => (s._1, s._3 + 1L, 0, -1L))
+    assert(emitted.map(b => (b.user_id, b.ts, b.kind, b.delta)).sorted
+        == expected.sorted,
+      "emitted boundary multiset diverges from the batch sessionize")
+    assert(sessions.exists(s => lastPerUser(s._1) != s),
+      "fixture must contain CLOSED sessions for the parity to mean anything")
+    // full sweep (emitted + the open tails the batch sees only because
+    // its input ends): per-hour n_pairs and n_starts must reproduce
+    // q_concurrency exactly
+    val HourUs = 3600000000L
+    val full: Seq[(Long, Int)] = emitted.map(b => (b.ts, b.kind)) ++
+      lastPerUser.values.map(s => (s._3 + 1L, 0))
+    var c = 0L
+    val pairs = scala.collection.mutable.Map.empty[Long, Long]
+    val starts = scala.collection.mutable.Map.empty[Long, Long]
+    full.sorted.foreach { case (t, k) =>
+      if (k == 1) {
+        c += 1
+        val b = (t / HourUs) * HourUs
+        pairs(b) = pairs.getOrElse(b, 0L) + (c - 1)
+        starts(b) = starts.getOrElse(b, 0L) + 1
+      } else c -= 1
+    }
+    assert(c == 0L, "with open tails appended, every open must close")
+    val batch = graft.SparkEntry.queries("q_concurrency")(spark, sf).collect()
+    assert(batch.nonEmpty)
+    batch.foreach { r =>
+      val (b, nStarts, nPairs) = (r.getLong(0), r.getLong(2), r.getLong(4))
+      assert(starts.getOrElse(b, 0L) == nStarts,
+        s"bucket $b: streamed starts ${starts.getOrElse(b, 0L)} != batch $nStarts")
+      assert(pairs.getOrElse(b, 0L) == nPairs,
+        s"bucket $b: streamed pairs ${pairs.getOrElse(b, 0L)} != batch $nPairs")
+    }
+    assert(pairs.values.sum == batch.map(_.getLong(4)).sum)
+  }
 }
