@@ -824,9 +824,101 @@ object Dedup {
       .orderBy("thr_pct")
   }
 
+  /** Shingle-CONTAINMENT census — the near-dup direction Jaccard misses:
+    * a short doc engulfed inside a long one (boilerplate-wrapped repost,
+    * quote-expansion, aggregator page) has low Jaccard (the union is
+    * dominated by the engulfer) but overlap-coefficient ≈ 1. Per flagged
+    * pair: the engulfed doc (smaller 8-token-shingle set; tie → lower
+    * id), its engulfer, both set sizes, the exact common-shingle count,
+    * and cont_pct = ⌊100·|∩| / n_small⌋ — integers end to end, pairs
+    * kept at ≥ 50%.
+    *
+    * Scale shape — candidate generation is an inverted index on RARE
+    * shingles only (2 ≤ df ≤ 8): df=1 shingles pair nobody, df>8
+    * shingles are template boilerplate (they signal shared chrome, not
+    * engulfment) AND are exactly the hot keys that would blow up a
+    * pair join — capping df bounds per-shingle fan-out at C(8,2)=28
+    * pairs, so candidate volume is O(rare shingles), never O(docs²).
+    * Verification is the exact set-intersection join over candidates —
+    * LSH-free because the candidates are already evidence-bearing (a
+    * shared rare shingle). The shingle relation is checkpointed once
+    * and reused by all four consumers (census, df, both pair sides).
+    * Fixture note: the ScaleGen 10× dir clones every doc ~10×, lifting
+    * every shingle's df past the cap — the boilerplate filter correctly
+    * rejects cloned mass there and the census is empty (hash-equal with
+    * DuckDB); organic growth keeps rare shingles rare (sf0.1: 256
+    * flagged pairs).
+    * Reference anchor: none (duckdb_cdc.go has no analytics); this is
+    * the training-data curation surface (SURVEY §2B dedup family,
+    * q_contamination's canonical 8-token shingle definition). */
+  val dedupContainment: Q = Q(
+    "q_dedup_containment",
+    """WITH toksr AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |sh0 AS (
+      |  SELECT doc_id, unnest([array_to_string(toks[i:i+7], ' ')
+      |                         for i in generate_series(1, len(toks) - 7)]) AS shingle
+      |  FROM toksr WHERE len(toks) >= 8),
+      |sh AS MATERIALIZED (SELECT DISTINCT doc_id, shingle FROM sh0),
+      |sz AS MATERIALIZED (
+      |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY 1),
+      |rare AS (
+      |  SELECT shingle FROM sh GROUP BY shingle
+      |  HAVING count(*) BETWEEN 2 AND 8),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+      |  FROM sh a JOIN rare r ON a.shingle = r.shingle
+      |            JOIN sh b ON b.shingle = r.shingle
+      |  WHERE a.doc_id < b.doc_id),
+      |com AS (
+      |  SELECT c.da, c.db, CAST(count(*) AS BIGINT) AS n_common
+      |  FROM cand c JOIN sh ta ON ta.doc_id = c.da
+      |              JOIN sh tb ON tb.doc_id = c.db AND tb.shingle = ta.shingle
+      |  GROUP BY 1, 2)
+      |SELECT CASE WHEN sb.n < sa.n THEN c.db ELSE c.da END AS engulfed,
+      |  CASE WHEN sb.n < sa.n THEN c.da ELSE c.db END AS engulfer,
+      |  least(sa.n, sb.n) AS n_small, greatest(sa.n, sb.n) AS n_big, n_common,
+      |  (100 * n_common) // least(sa.n, sb.n) AS cont_pct
+      |FROM com c JOIN sz sa ON sa.doc_id = c.da JOIN sz sb ON sb.doc_id = c.db
+      |WHERE 100 * n_common >= 50 * least(sa.n, sb.n)
+      |ORDER BY 1, 2""".stripMargin
+  ) { (s, d) =>
+    val sh = T.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= 8)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(toks) - 7), i -> concat_ws(' ', slice(toks, i, 8)))"))
+        .as("shingle"))
+      .distinct()
+      .localCheckpoint() // reused by sz, rare, both pair sides, verify
+    val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val rare = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+      .filter(col("df").between(2, 8)).select("shingle")
+    val withRare = sh.join(rare, "shingle")
+    val cand = withRare.select(col("shingle"), col("doc_id").as("da"))
+      .join(withRare.select(col("shingle"), col("doc_id").as("db")), "shingle")
+      .filter(col("da") < col("db"))
+      .select("da", "db").distinct()
+    val com = cand
+      .join(sh.select(col("doc_id").as("da"), col("shingle")), Seq("da"))
+      .join(sh.select(col("doc_id").as("db"), col("shingle")), Seq("db", "shingle"))
+      .groupBy("da", "db").agg(count(lit(1)).as("n_common"))
+    com
+      .join(sz.select(col("doc_id").as("da"), col("n").as("na")), "da")
+      .join(sz.select(col("doc_id").as("db"), col("n").as("nb")), "db")
+      .filter(lit(100) * col("n_common") >= lit(50) * least(col("na"), col("nb")))
+      .select(
+        when(col("nb") < col("na"), col("db")).otherwise(col("da")).as("engulfed"),
+        when(col("nb") < col("na"), col("da")).otherwise(col("db")).as("engulfer"),
+        least(col("na"), col("nb")).as("n_small"),
+        greatest(col("na"), col("nb")).as("n_big"),
+        col("n_common"),
+        expr("(100 * n_common) div least(na, nb)").as("cont_pct"))
+      .orderBy("engulfed", "engulfer")
+  }
+
   val all: Seq[Q] =
     Seq(dedupMinhash, dedupSimhash, ngramJaccard, simhashHamming,
       dedupEditDistance, neardupPipeline, dedupClusters, dedupReport,
       minhashJaccardEst, substringDedup, substringScrub, dedupDelta,
-      sourceOverlap, dedupSweep)
+      sourceOverlap, dedupSweep, dedupContainment)
 }

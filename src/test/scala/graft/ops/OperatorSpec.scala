@@ -1346,4 +1346,18 @@ class OperatorSpec extends SparkSuite {
       assert(nPairs <= nActive * (nActive - 1) / 2)
     }
   }
+  test("q_dedup_containment: engulfment invariants and the overlap-coefficient bound") {
+    val rows = run("q_dedup_containment").collect()
+    assert(rows.nonEmpty, "fixture must contain engulfed docs")
+    val pairs = rows.map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.distinct.length == pairs.length, "each pair flagged once")
+    rows.foreach { r =>
+      val (engulfed, engulfer, nSmall, nBig, nCommon, pct) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(engulfed != engulfer)
+      assert(nCommon <= nSmall && nSmall <= nBig,
+        s"pair ($engulfed,$engulfer): intersection exceeds a set size")
+      assert(pct == 100L * nCommon / nSmall && pct >= 50L && pct <= 100L)
+    }
+  }
 }
