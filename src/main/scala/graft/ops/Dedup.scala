@@ -824,6 +824,41 @@ object Dedup {
       .orderBy("thr_pct")
   }
 
+  /** The canonical 8-token shingle relation (doc_id, shingle), distinct
+    * per doc — q_contamination's definition, shared by the containment
+    * census, its streaming admission gate, and their specs so all four
+    * see the same shingles. */
+  private[graft] def shinglesOf(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    docs
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= 8)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(toks) - 7), i -> concat_ws(' ', slice(toks, i, 8)))"))
+        .as("shingle"))
+      .distinct()
+
+  /** Frozen engulfment-probe artifact for the streaming admission gate:
+    * the base corpus's full shingle relation, the rare-shingle inverted
+    * index (df ≤ 8 IN THE BASE — an arriving doc is the occurrence that
+    * makes a df-1 shingle pair-worthy, so the lower bound of the batch
+    * census's 2..8 band does not apply), and per-doc set sizes. */
+  final case class ContainBase(full: org.apache.spark.sql.DataFrame,
+      rareIdx: org.apache.spark.sql.DataFrame,
+      sizes: org.apache.spark.sql.DataFrame)
+
+  private[graft] def containmentBase(s: SparkSession, d: String): ContainBase =
+    graft.core.ModelCache.getOrTrain(s, "containment-base", s"$d/documents.parquet") {
+      val sh = shinglesOf(T.documents(s, d).select(col("doc_id"), col("text")))
+        .select(col("doc_id").as("bdoc"), col("shingle"))
+        .localCheckpoint()
+      val rare = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= 8).select("shingle")
+      ContainBase(sh,
+        sh.join(rare, "shingle").localCheckpoint(),
+        sh.groupBy("bdoc").agg(count(lit(1)).as("n_base")).localCheckpoint())
+    }
+
   /** Shingle-CONTAINMENT census — the near-dup direction Jaccard misses:
     * a short doc engulfed inside a long one (boilerplate-wrapped repost,
     * quote-expansion, aggregator page) has low Jaccard (the union is
@@ -882,13 +917,7 @@ object Dedup {
       |WHERE 100 * n_common >= 50 * least(sa.n, sb.n)
       |ORDER BY 1, 2""".stripMargin
   ) { (s, d) =>
-    val sh = T.documents(s, d)
-      .select(col("doc_id"), split(col("text"), " ").as("toks"))
-      .filter(size(col("toks")) >= 8)
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(1, size(toks) - 7), i -> concat_ws(' ', slice(toks, i, 8)))"))
-        .as("shingle"))
-      .distinct()
+    val sh = shinglesOf(T.documents(s, d).select(col("doc_id"), col("text")))
       .localCheckpoint() // reused by sz, rare, both pair sides, verify
     val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val rare = sh.groupBy("shingle").agg(count(lit(1)).as("df"))

@@ -695,6 +695,63 @@ object Stateful {
       }
       .start()
 
+  /** s_stream_containment: ingest-side ENGULFMENT admission gate — the
+    * streaming twin of q_dedup_containment with the base corpus's
+    * shingle relation FROZEN (Dedup.containmentBase, a ModelCache
+    * artifact): each arriving doc shingles map-side, probes the rare-
+    * shingle inverted index (df ≤ 8 in the base — the fan-out cap that
+    * keeps the probe O(evidence) instead of O(hot-shingle df)), and
+    * pays the exact set-intersection join ONLY for the evidence-bearing
+    * (doc, base-doc) candidates, exactly the batch census's two-phase
+    * shape. Verdict per arriving doc: the best engulfer (highest
+    * ⌊100·|∩|/n_new⌋, tie → lower base id) when containment ≥ 50%, the
+    * best percentage either way, and the candidate count probed.
+    * Verdicts depend only on the doc and the STATIC base, so they are
+    * invariant to micro-batch placement (StatefulSpec proves the split
+    * run equals the one-batch run AND a driver-side recompute). Served
+    * per micro-batch through [[containmentStream]] (the admissionStream
+    * shape — foreachBatch re-resolves the frozen artifact through the
+    * registry each tick, so a corpus drop retrains without restarting
+    * the stream). */
+  def containmentVerdictsBatch(docs: DataFrame,
+      base: graft.ops.Dedup.ContainBase): DataFrame = {
+    val sNew = graft.ops.Dedup.shinglesOf(docs)
+    val nNew = sNew.groupBy("doc_id").agg(count(lit(1)).as("n_new"))
+    val cand = sNew.join(base.rareIdx, "shingle")
+      .select("doc_id", "bdoc").distinct()
+    val common = cand
+      .join(sNew, Seq("doc_id"))
+      .join(base.full, Seq("bdoc", "shingle"))
+      .groupBy("doc_id", "bdoc").agg(count(lit(1)).as("n_common"))
+    val best = common.join(nNew, "doc_id")
+      .select(col("doc_id"), col("bdoc"),
+        expr("(100 * n_common) div n_new").as("pct"))
+      .groupBy("doc_id")
+      .agg(max_by(struct(col("pct"), (-col("bdoc")).as("nb")),
+        struct(col("pct"), (-col("bdoc")).as("nb"))).as("b"),
+        count(lit(1)).as("n_cand"))
+      .select(col("doc_id"), col("b.pct").as("cont_pct"),
+        (-col("b.nb")).as("best_bdoc"), col("n_cand"))
+    docs.select("doc_id").join(best, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("cont_pct") >= 50L, col("best_bdoc")).otherwise(lit(null))
+          .cast("long").as("engulfer"),
+        coalesce(col("cont_pct"), lit(0L)).as("cont_pct"),
+        coalesce(col("n_cand"), lit(0L)).as("n_cand"))
+  }
+
+  /** Streaming driver for [[containmentVerdictsBatch]] (admissionStream
+    * shape): the static side re-resolves through ModelCache per batch. */
+  def containmentStream(docs: DataFrame, d: String)(
+      sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val base = graft.ops.Dedup.containmentBase(batch.sparkSession, d)
+        sink(containmentVerdictsBatch(batch, base), id)
+      }
+      .start()
+
   final case class BpeRow(doc_id: Long, word: String, n_sub: Option[Long])
   final case class BpeScore(doc_id: Long, n_words: Long, n_subtok: Long,
       n_chars: Long, comp_ppm: Long, n_oov: Long)

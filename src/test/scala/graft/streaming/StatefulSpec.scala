@@ -1338,4 +1338,72 @@ class StatefulSpec extends SparkSuite {
     }
     assert(pairs.values.sum == batch.map(_.getLong(4)).sum)
   }
+  test("s_stream_containment: frozen-base engulfment verdicts are split-invariant and match a driver recompute") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    val sf = "/root/testdata/sf0.001"
+    val all = graft.core.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect().sortBy(_._1)
+    val splitId = (all.map(_._1).max * 8) / 10
+    val baseDir = tmpDir("contain-base")
+    spark.createDataFrame(all.filter(_._1 < splitId).toSeq).toDF("doc_id", "text")
+      .coalesce(1).write.parquet(s"$baseDir/documents.parquet")
+    graft.core.ModelCache.clear()
+    val base = graft.ops.Dedup.containmentBase(spark, baseDir)
+    val delta = all.filter(_._1 >= splitId).toSeq
+    assert(delta.nonEmpty)
+    // streamed: two micro-batches through the foreachBatch driver
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Option[Long], Long, Long)]
+    val in = MemoryStream[(Long, String)]
+    val q = Stateful.containmentStream(in.toDS().toDF("doc_id", "text"), baseDir) {
+      (verdicts, _) =>
+        buf.synchronized {
+          buf ++= verdicts.collect().map(r => (r.getLong(0),
+            if (r.isNullAt(1)) None else Some(r.getLong(1)),
+            r.getLong(2), r.getLong(3)))
+        }
+    }
+    val (b1, b2) = delta.splitAt(delta.size / 2)
+    in.addData(b1); q.processAllAvailable()
+    in.addData(b2); q.processAllAvailable()
+    q.stop()
+    val streamed = buf.toSeq.sortBy(_._1)
+    // one-shot batch run over the same slice: verdicts are per-doc vs a
+    // STATIC base, so micro-batch placement must not matter
+    val oneShot = Stateful.containmentVerdictsBatch(
+        spark.createDataFrame(delta).toDF("doc_id", "text"), base)
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getLong(1)),
+        r.getLong(2), r.getLong(3))).sortBy(_._1).toSeq
+    assert(streamed == oneShot, "micro-batch split changed a verdict")
+    // driver-side recompute (independent implementation)
+    def shinglesOf(text: String): Set[String] = {
+      val t = text.split(" ")
+      if (t.length < 8) Set.empty
+      else (0 to t.length - 8).map(i => t.slice(i, i + 8).mkString(" ")).toSet
+    }
+    val baseSh: Map[Long, Set[String]] =
+      all.filter(_._1 < splitId).map { case (id, tx) => id -> shinglesOf(tx) }.toMap
+    val df = baseSh.toSeq.flatMap { case (id, ss) => ss.map(_ -> id) }
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val rareIdx = df.filter(_._2.size <= 8)
+    delta.foreach { case (id, tx) =>
+      val sNew = shinglesOf(tx)
+      val cands = sNew.flatMap(rareIdx.get).flatten
+      val scored = cands.toSeq.map { bd =>
+        val common = (sNew & baseSh(bd)).size.toLong
+        (100L * common / sNew.size, bd)
+      }
+      val want =
+        if (scored.isEmpty) (id, None, 0L, 0L)
+        else {
+          val (pct, bd) = scored.maxBy { case (p, b) => (p, -b) }
+          (id, if (pct >= 50) Some(bd) else None, pct, cands.size.toLong)
+        }
+      val got = streamed.find(_._1 == id).get
+      assert(got == want, s"doc $id: streamed $got != recomputed $want")
+    }
+    assert(streamed.exists(_._2.isDefined),
+      "fixture must flag at least one engulfed arrival")
+  }
 }
