@@ -258,6 +258,87 @@ object Statistical {
       .orderBy("event_type")
   }
 
+  /** Pre-join SKEW DIAGNOSIS — the census that decides whether a join
+    * needs [[skewSalted]]'s treatment (or core.Skew.saltedEquiJoin)
+    * BEFORE the shuffle is paid: for each (relation, join-key) pair the
+    * planner cares about, the rows-per-key distribution (exact p50/p99
+    * via the bounded GridPercentile path — never a per-group row
+    * buffer), the heaviest key's share, and the heaviest partition's
+    * share under the analytical key-mod-32 placement model (a
+    * deterministic stand-in for hash partitioning that both engines
+    * compute identically — the real question is "does one reducer own
+    * the job", and max-partition-share answers it for any balanced hash
+    * family). top1_ppm ≈ maxpart_ppm ≫ 1/32 means salting helps;
+    * maxpart_ppm ≈ 1/32 with a big max_rows means AQE skew-split
+    * suffices. All integers; one partial-agg key census per relation —
+    * the same shuffle the join itself would pay, at one count column of
+    * width. */
+  val joinSkewDiag: Q = Q(
+    "q_join_skew_diag",
+    """WITH kc_ord AS (
+      |  SELECT l_orderkey AS k, CAST(count(*) AS BIGINT) AS n
+      |  FROM lineitem GROUP BY 1),
+      |kc_sup AS (
+      |  SELECT l_suppkey AS k, CAST(count(*) AS BIGINT) AS n
+      |  FROM lineitem GROUP BY 1),
+      |kc_usr AS (
+      |  SELECT user_id AS k, CAST(count(*) AS BIGINT) AS n
+      |  FROM events GROUP BY 1)
+      |SELECT 'lineitem' AS rel, 'l_orderkey' AS key_col,
+      |  CAST(sum(n) AS BIGINT) AS n_rows, CAST(count(*) AS BIGINT) AS n_keys,
+      |  CAST(max(n) AS BIGINT) AS max_rows,
+      |  CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY n) AS BIGINT) AS p50_rows,
+      |  CAST(percentile_disc(0.99) WITHIN GROUP (ORDER BY n) AS BIGINT) AS p99_rows,
+      |  CAST((1000000 * max(n)) // sum(n) AS BIGINT) AS top1_ppm,
+      |  CAST((1000000 * (SELECT max(pn) FROM (
+      |     SELECT sum(n) AS pn FROM kc_ord GROUP BY k % 32))) // sum(n) AS BIGINT) AS maxpart_ppm
+      |FROM kc_ord
+      |UNION ALL
+      |SELECT 'lineitem', 'l_suppkey', CAST(sum(n) AS BIGINT),
+      |  CAST(count(*) AS BIGINT), CAST(max(n) AS BIGINT),
+      |  CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY n) AS BIGINT),
+      |  CAST(percentile_disc(0.99) WITHIN GROUP (ORDER BY n) AS BIGINT),
+      |  CAST((1000000 * max(n)) // sum(n) AS BIGINT),
+      |  CAST((1000000 * (SELECT max(pn) FROM (
+      |     SELECT sum(n) AS pn FROM kc_sup GROUP BY k % 32))) // sum(n) AS BIGINT)
+      |FROM kc_sup
+      |UNION ALL
+      |SELECT 'events', 'user_id', CAST(sum(n) AS BIGINT),
+      |  CAST(count(*) AS BIGINT), CAST(max(n) AS BIGINT),
+      |  CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY n) AS BIGINT),
+      |  CAST(percentile_disc(0.99) WITHIN GROUP (ORDER BY n) AS BIGINT),
+      |  CAST((1000000 * max(n)) // sum(n) AS BIGINT),
+      |  CAST((1000000 * (SELECT max(pn) FROM (
+      |     SELECT sum(n) AS pn FROM kc_usr GROUP BY k % 32))) // sum(n) AS BIGINT)
+      |FROM kc_usr
+      |ORDER BY rel, key_col""".stripMargin
+  ) { (s, d) =>
+    def diag(df: org.apache.spark.sql.DataFrame, rel: String, keyCol: String) = {
+      val kc = df.groupBy(col(keyCol).as("k")).agg(count(lit(1)).as("n"))
+        .withColumn("rel", lit(rel))
+        .localCheckpoint() // feeds totals, percentile grid, partition model
+      val tot = kc.groupBy("rel").agg(
+        sum(col("n")).as("n_rows"), count(lit(1)).as("n_keys"),
+        max(col("n")).as("max_rows"))
+      val pct = graft.core.GridPercentile.disc(
+        kc, Seq("rel"), "n", Seq(("p50_rows", 0.5), ("p99_rows", 0.99)))
+      val part = kc.groupBy(col("rel"), pmod(col("k"), lit(32)).as("p"))
+        .agg(sum(col("n")).as("pn"))
+        .groupBy("rel").agg(max(col("pn")).as("max_part"))
+      tot.join(pct, "rel").join(part, "rel")
+        .select(col("rel"), lit(keyCol).as("key_col"),
+          col("n_rows"), col("n_keys"), col("max_rows"),
+          col("p50_rows").cast("long").as("p50_rows"),
+          col("p99_rows").cast("long").as("p99_rows"),
+          expr("(1000000 * max_rows) div n_rows").as("top1_ppm"),
+          expr("(1000000 * max_part) div n_rows").as("maxpart_ppm"))
+    }
+    diag(T.lineitem(s, d), "lineitem", "l_orderkey")
+      .unionByName(diag(T.lineitem(s, d), "lineitem", "l_suppkey"))
+      .unionByName(diag(T.events(s, d), "events", "user_id"))
+      .orderBy("rel", "key_col")
+  }
+
   /** Big-big shuffle join: lineitem ⋈ orders with an explicit MERGE hint.
     * At sf0.01 AQE would broadcast the 15k-row orders side, which is the
     * right call locally but the wrong plan to regression-test: at 100 TB
@@ -770,6 +851,6 @@ object Statistical {
 
   val all: Seq[Q] = Seq(
     histogram, corrCovar, unpivot, rangeJoin, rangeJoinBinned, collectSorted,
-    modeAgg, skewSalted, joinBigBig, skewSaltedJoin, outliers, mad, winsorize,
+    modeAgg, skewSalted, joinSkewDiag, joinBigBig, skewSaltedJoin, outliers, mad, winsorize,
     ksDrift, autocorr, gini, benford, rollingMedian)
 }

@@ -1360,4 +1360,24 @@ class OperatorSpec extends SparkSuite {
       assert(pct == 100L * nCommon / nSmall && pct >= 50L && pct <= 100L)
     }
   }
+  test("q_join_skew_diag: census invariants and the salting decision signal") {
+    val rows = run("q_join_skew_diag").collect()
+    assert(rows.length == 3)
+    rows.foreach { r =>
+      val (nRows, nKeys, maxRows, p50, p99, top1, maxPart) =
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6),
+          r.getLong(7), r.getLong(8))
+      assert(nKeys >= 1 && nKeys <= nRows)
+      assert(p50 <= p99 && p99 <= maxRows && maxRows <= nRows)
+      assert(top1 == 1000000L * maxRows / nRows)
+      // the heaviest of 32 model partitions holds at least its fair share
+      // and at least the heaviest single key
+      assert(maxPart >= 1000000L / 32 && maxPart >= top1 && maxPart <= 1000000L)
+    }
+    // the fixture's known shapes: l_orderkey is fine-grained (many keys,
+    // light max), l_suppkey and user_id are coarse (the salting cases)
+    val byKey = rows.map(r => r.getString(1) -> r.getLong(3)).toMap
+    assert(byKey("l_orderkey") > byKey("l_suppkey") &&
+      byKey("l_orderkey") > byKey("user_id"))
+  }
 }
