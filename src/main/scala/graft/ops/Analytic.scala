@@ -474,8 +474,83 @@ object Analytic {
       .orderBy("model", "touch_type")
   }
 
+  /** Pairwise AUDIENCE OVERLAP between event types — "how many users do
+    * checkout and search share?" — here over the HIGH-VALUE audience
+    * (users with a value ≥ 200 event of the type; the sf events value
+    * tail — unfiltered, every user does every type and the census is
+    * all-ones), done the way it scales: never a
+    * user-level self-join (users² at 100 TB), but a per-user TYPE
+    * BITMASK (one bit_or aggregate, the only user-keyed shuffle), then a
+    * mask census of ≤ 2^types rows, from which every pair's |A|, |B|,
+    * |A∩B|, |A∪B| falls out in closed form by conditional sums over the
+    * tiny census × pair table. Exact integers; jaccard as floor-ppm.
+    * The bit index is the rank of the type name in sorted order — a
+    * deterministic dictionary both engines derive identically. Grows
+    * O(2^types) census rows — right for enumerable type sets (5 here);
+    * a high-cardinality "type" would switch to per-pair sketches
+    * (q_approx_distinct's path). */
+  val audienceOverlap: Q = Q(
+    "q_audience_overlap",
+    """WITH ty AS (
+      |  SELECT event_type,
+      |    CAST(row_number() OVER (ORDER BY event_type) - 1 AS INT) AS idx
+      |  FROM (SELECT DISTINCT event_type FROM events)),
+      |um AS (
+      |  SELECT user_id, CAST(bit_or(1::BIGINT << idx) AS BIGINT) AS mask
+      |  FROM events JOIN ty USING (event_type)
+      |  WHERE value >= 200 GROUP BY user_id),
+      |mc AS (SELECT mask, CAST(count(*) AS BIGINT) AS c FROM um GROUP BY 1),
+      |pr AS (
+      |  SELECT a.event_type AS type_a, a.idx AS ia,
+      |         b.event_type AS type_b, b.idx AS ib
+      |  FROM ty a JOIN ty b ON a.idx < b.idx),
+      |agg AS (
+      |  SELECT type_a, type_b,
+      |    CAST(sum(CASE WHEN (mask >> ia) & 1 = 1 THEN c ELSE 0 END) AS BIGINT) AS n_a,
+      |    CAST(sum(CASE WHEN (mask >> ib) & 1 = 1 THEN c ELSE 0 END) AS BIGINT) AS n_b,
+      |    CAST(sum(CASE WHEN (mask >> ia) & 1 = 1 AND (mask >> ib) & 1 = 1
+      |             THEN c ELSE 0 END) AS BIGINT) AS n_both,
+      |    CAST(sum(CASE WHEN (mask >> ia) & 1 = 1 OR (mask >> ib) & 1 = 1
+      |             THEN c ELSE 0 END) AS BIGINT) AS n_union
+      |  FROM pr CROSS JOIN mc GROUP BY 1, 2)
+      |SELECT type_a, type_b, n_a, n_b, n_both, n_union,
+      |  CAST(CASE WHEN n_union = 0 THEN 0
+      |       ELSE (1000000 * n_both) // n_union END AS BIGINT) AS jaccard_ppm
+      |FROM agg ORDER BY 1, 2""".stripMargin
+  ) { (s, d) =>
+    val w = Window.orderBy("event_type")
+    // type dictionary: O(types) rows — the lone unpartitioned window
+    val ty = T.events(s, d).select("event_type").distinct()
+      .withColumn("idx", (row_number().over(w) - 1).cast(IntegerType))
+    val um = T.events(s, d).filter(col("value") >= 200)
+      .join(broadcast(ty), "event_type")
+      .groupBy("user_id")
+      .agg(bit_or(expr("shiftleft(1L, idx)")).as("mask"))
+    val mc = um.groupBy("mask").agg(count(lit(1)).as("c"))
+    val pr = ty.select(col("event_type").as("type_a"), col("idx").as("ia"))
+      .crossJoin(ty.select(col("event_type").as("type_b"), col("idx").as("ib")))
+      .filter(col("ia") < col("ib"))
+    def hasBit(bitCol: String) =
+      expr(s"(mask >> $bitCol) & 1").cast(LongType) === 1L
+    broadcast(pr).crossJoin(mc)
+      .groupBy("type_a", "type_b")
+      .agg(
+        sum(when(hasBit("ia"), col("c")).otherwise(0L)).as("n_a"),
+        sum(when(hasBit("ib"), col("c")).otherwise(0L)).as("n_b"),
+        sum(when(hasBit("ia") && hasBit("ib"), col("c")).otherwise(0L))
+          .as("n_both"),
+        sum(when(hasBit("ia") || hasBit("ib"), col("c")).otherwise(0L))
+          .as("n_union"))
+      .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"),
+        col("n_both"), col("n_union"),
+        when(col("n_union") === 0L, 0L)
+          .otherwise(expr("(1000000 * n_both) div n_union")).as("jaccard_ppm"))
+      .orderBy("type_a", "type_b")
+  }
+
   val all: Seq[Q] = Seq(
     windowLeadLag, windowNtile, windowMoving, cube, groupingSets,
     existsCorrelated, subqueryScalar, stringFuncs, dateFuncs, arrayFuncs,
-    conditionalFuncs, topkPerGroup, userPath, rfm, windowDistinct, attribution)
+    conditionalFuncs, topkPerGroup, userPath, rfm, windowDistinct, attribution,
+    audienceOverlap)
 }

@@ -1380,4 +1380,19 @@ class OperatorSpec extends SparkSuite {
     assert(byKey("l_orderkey") > byKey("l_suppkey") &&
       byKey("l_orderkey") > byKey("user_id"))
   }
+  test("q_audience_overlap: set algebra holds and the census is non-degenerate") {
+    val rows = run("q_audience_overlap").collect()
+    assert(rows.length == 10, "5 types -> 10 unordered pairs")
+    rows.foreach { r =>
+      val (na, nb, both, union, jac) =
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))
+      assert(both <= math.min(na, nb), "intersection bounded by either side")
+      assert(union == na + nb - both, "inclusion-exclusion")
+      assert(jac == (if (union == 0) 0L else 1000000L * both / union))
+    }
+    // the value>=200 audience must differentiate (all-ones would mean the
+    // filter stopped filtering and the census reads nothing)
+    assert(rows.map(_.getLong(6)).distinct.length > 1)
+    assert(rows.exists(_.getLong(6) < 1000000L))
+  }
 }
