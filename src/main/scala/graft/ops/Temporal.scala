@@ -711,6 +711,78 @@ object Temporal {
       .orderBy("bucket_us")
   }
 
+  /** Watermark PLANNING census — the number every Structured Streaming
+    * deployment needs before setting `withWatermark`: how out-of-order
+    * is this stream, per event type? Lateness of an event = how far the
+    * stream's event-time high-water mark (max ts over all events with a
+    * SMALLER event_id — ingest ids are monotone, the same arrival-order
+    * contract the refresh closures and streaming gates state) had
+    * already passed its own ts, floored to seconds. Reported per type:
+    * event count, late count, exact p50/p99 lateness (the p99 IS the
+    * watermark candidate: a `p99_late_s`-second watermark drops 1% of
+    * this stream), and the max (the zero-loss delay).
+    *
+    * Scale shape: the naive formulation is a running max over the
+    * GLOBAL event_id order — a single-partition window (the exact
+    * scale-killer WindowExec warns about). Here it is the q_concurrency
+    * carry decomposition instead: per-id-bucket running max (window
+    * PARTITIONED by bucket of 8192 ids), plus a carry-in joined from
+    * the tiny one-row-per-bucket prefix-max table (the lone
+    * unpartitioned window runs over #buckets rows). Percentiles go
+    * through the bounded GridPercentile grid on SECONDS-floored
+    * lateness. The DuckDB oracle runs the naive global window —
+    * cross-checking the decomposition against the direct form. */
+  val watermarkPlan: Q = Q(
+    "q_watermark_plan",
+    """WITH ev AS (
+      |  SELECT event_id, event_type, epoch_us(ts) AS ts_us FROM events),
+      |lt AS (
+      |  SELECT event_type,
+      |    greatest(0, COALESCE(max(ts_us) OVER (ORDER BY event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), ts_us) - ts_us)
+      |      // 1000000 AS late_s
+      |  FROM ev)
+      |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(CASE WHEN late_s > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+      |  CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY late_s) AS BIGINT) AS p50_late_s,
+      |  CAST(percentile_disc(0.99) WITHIN GROUP (ORDER BY late_s) AS BIGINT) AS p99_late_s,
+      |  CAST(max(late_s) AS BIGINT) AS max_late_s
+      |FROM lt GROUP BY 1 ORDER BY 1""".stripMargin
+  ) { (s, d) =>
+    val B = 8192L
+    val ev = T.events(s, d)
+      .select(col("event_id"), col("event_type"), unix_micros(col("ts")).as("ts_us"))
+      .withColumn("bucket", expr(s"event_id div $B"))
+    // per-bucket running max over STRICTLY EARLIER ids (same bucket)
+    val wIn = Window.partitionBy("bucket").orderBy("event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // carry: max ts of all STRICTLY EARLIER buckets — one row per bucket
+    val wCarry = Window.orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carry = ev.groupBy("bucket").agg(max(col("ts_us")).as("bmax"))
+      .withColumn("carry", max(col("bmax")).over(wCarry))
+      .select("bucket", "carry")
+    val lt = ev
+      .withColumn("rmax_in", max(col("ts_us")).over(wIn))
+      .join(broadcast(carry), Seq("bucket"))
+      .select(col("event_type"),
+        expr("greatest(0L, coalesce(greatest(rmax_in, carry), rmax_in, carry, ts_us) - ts_us) div 1000000")
+          .as("late_s"))
+    val agg = lt.groupBy("event_type").agg(
+      count(lit(1)).as("n"),
+      sum(when(col("late_s") > 0L, 1L).otherwise(0L)).as("n_late"),
+      max(col("late_s")).as("max_late_s"))
+    val pct = graft.core.GridPercentile.disc(
+      lt, Seq("event_type"), "late_s",
+      Seq(("p50_late_s", 0.5), ("p99_late_s", 0.99)))
+    agg.join(pct, "event_type")
+      .select(col("event_type"), col("n"), col("n_late"),
+        col("p50_late_s").cast("long").as("p50_late_s"),
+        col("p99_late_s").cast("long").as("p99_late_s"),
+        col("max_late_s"))
+      .orderBy("event_type")
+  }
+
   /** Time-weighted average (TWAP) of each user's `value` series — the
     * irregular-sample integration primitive the temporal family lacked:
     * a plain AVG over-weights burst periods; TWAP holds each observation
@@ -813,5 +885,5 @@ object Temporal {
   val all: Seq[Q] = Seq(
     timeBucket, sessionize, asofJoin, asofNative, asofTolerance, asofForward,
     asofInner, asofSql, funnel, funnelLatency, retention, gapFill, anomalyHours,
-    intervalJoin, concurrency, twap, ohlc)
+    intervalJoin, concurrency, twap, ohlc, watermarkPlan)
 }

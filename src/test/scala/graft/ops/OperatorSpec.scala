@@ -1395,4 +1395,42 @@ class OperatorSpec extends SparkSuite {
     assert(rows.map(_.getLong(6)).distinct.length > 1)
     assert(rows.exists(_.getLong(6) < 1000000L))
   }
+  test("q_watermark_plan: injected disorder yields exact lateness percentiles (driver recompute)") {
+    // the sf fixtures are id-monotone in ts (all-zero lateness — the op
+    // correctly reports "no watermark needed"), so prove the binned
+    // running-max decomposition on REAL disorder: every 7th event's ts
+    // is pulled back a deterministic 3-23 seconds.
+    val dir = tmpDir("wmplan")
+    val base = 1700000000000000L
+    val rows = (0 until 4000).map { i =>
+      val pullbackUs = if (i % 7 == 3) (3L + (i % 21)) * 1000000L else 0L
+      (i.toLong, new java.sql.Timestamp((base + i * 1000000L - pullbackUs) / 1000L),
+        if (i % 2 == 0) "a" else "b")
+    }
+    rows.toDF("event_id", "ts", "event_type").write.parquet(s"$dir/events.parquet")
+    val got = graft.SparkEntry.queries("q_watermark_plan")(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toMap
+    // driver recompute: naive global running max
+    var hwm = Long.MinValue
+    val lates = scala.collection.mutable.Map.empty[String, scala.collection.mutable.ArrayBuffer[Long]]
+    rows.sortBy(_._1).foreach { case (_, ts, tp) =>
+      val us = ts.getTime * 1000L
+      val late = if (hwm == Long.MinValue) 0L else math.max(0L, hwm - us) / 1000000L
+      lates.getOrElseUpdate(tp, scala.collection.mutable.ArrayBuffer.empty) += late
+      hwm = math.max(hwm, us)
+    }
+    def disc(v: Seq[Long], p: Double): Long = {
+      val s = v.sorted
+      s(math.ceil(p * s.size).toInt - 1)
+    }
+    lates.foreach { case (tp, ls) =>
+      val want = (ls.size.toLong, ls.count(_ > 0).toLong,
+        disc(ls.toSeq, 0.5), disc(ls.toSeq, 0.99), ls.max)
+      assert(got(tp) == want, s"type $tp: ${got(tp)} != $want")
+    }
+    assert(lates.values.exists(_.exists(_ > 0)), "fixture must contain disorder")
+    // and the real corpus reads clean — the "no watermark needed" verdict
+    run("q_watermark_plan").collect().foreach(r => assert(r.getLong(5) == 0L))
+  }
 }
