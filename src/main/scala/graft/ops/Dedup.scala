@@ -945,9 +945,105 @@ object Dedup {
       .orderBy("engulfed", "engulfer")
   }
 
+  /** Containment ESTIMATOR eval — can the K=8 MinHash signature stand in
+    * for the exact overlap coefficient? For every pair the exact census
+    * ([[dedupContainment]]) flags, report the exact containment (ppm)
+    * next to the sketch-derived estimate: Ĵ = matching-component
+    * fraction of the SHINGLE-set signatures, algebraically converted to
+    * containment via |∩|̂ = Ĵ(n_a+n_b)/(1+Ĵ), Ĉ = |∩|̂/n_small — the
+    * standard size-aware Jaccard→containment bridge, possible because
+    * exact set SIZES are one groupBy away while exact INTERSECTIONS are
+    * the expensive part sketches exist to avoid. The q_ann_recall /
+    * q_lsh_recall pattern applied to the dedup axis: the estimator and
+    * its ground truth in one row, so a threshold decision reads its own
+    * error margin. Signatures are one map-side kernel pass per doc
+    * (duplicates cannot perturb a min); floats appear only in the final
+    * identical-shape division, rounded to 6 dp (H3 discipline). */
+  val containmentEst: Q = Q(
+    "q_containment_est",
+    s"""WITH toksr AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |sh0 AS (
+      |  SELECT doc_id, unnest([array_to_string(toks[i:i+7], ' ')
+      |                         for i in generate_series(1, len(toks) - 7)]) AS shingle
+      |  FROM toksr WHERE len(toks) >= 8),
+      |sh AS MATERIALIZED (SELECT DISTINCT doc_id, shingle FROM sh0),
+      |sz AS MATERIALIZED (
+      |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY 1),
+      |rare AS (
+      |  SELECT shingle FROM sh GROUP BY shingle
+      |  HAVING count(*) BETWEEN 2 AND 8),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+      |  FROM sh a JOIN rare r ON a.shingle = r.shingle
+      |            JOIN sh b ON b.shingle = r.shingle
+      |  WHERE a.doc_id < b.doc_id),
+      |com AS (
+      |  SELECT c.da, c.db, CAST(count(*) AS BIGINT) AS n_common
+      |  FROM cand c JOIN sh ta ON ta.doc_id = c.da
+      |              JOIN sh tb ON tb.doc_id = c.db AND tb.shingle = ta.shingle
+      |  GROUP BY 1, 2),
+      |el AS (
+      |  SELECT doc_id,
+      |    ('0x' || substr(md5(shingle), 1, 12))::BIGINT AS a,
+      |    ('0x' || substr(md5(shingle), 13, 12))::BIGINT AS b
+      |  FROM sh),
+      |sig AS MATERIALIZED (
+      |  SELECT doc_id, ${(0 until K).map(i => s"min(a + $i * b) AS h$i").mkString(", ")}
+      |  FROM el GROUP BY doc_id)
+      |SELECT c.da AS a_id, c.db AS b_id,
+      |  least(sa.n, sb.n) AS n_small, n_common,
+      |  (1000000 * n_common) // least(sa.n, sb.n) AS exact_ppm,
+      |  CAST(${(0 until K).map(i => s"CASE WHEN ga.h$i = gb.h$i THEN 1 ELSE 0 END").mkString(" + ")} AS BIGINT) AS n_match,
+      |  round((${(0 until K).map(i => s"CASE WHEN ga.h$i = gb.h$i THEN 1 ELSE 0 END").mkString(" + ")}) / $K.0
+      |    * (sa.n + sb.n)
+      |    / ((1 + (${(0 until K).map(i => s"CASE WHEN ga.h$i = gb.h$i THEN 1 ELSE 0 END").mkString(" + ")}) / $K.0)
+      |       * least(sa.n, sb.n)), 6) AS est_containment
+      |FROM com c JOIN sz sa ON sa.doc_id = c.da JOIN sz sb ON sb.doc_id = c.db
+      |  JOIN sig ga ON ga.doc_id = c.da JOIN sig gb ON gb.doc_id = c.db
+      |WHERE 100 * n_common >= 50 * least(sa.n, sb.n)
+      |ORDER BY 1, 2""".stripMargin
+  ) { (s, d) =>
+    val sh = shinglesOf(T.documents(s, d).select(col("doc_id"), col("text")))
+      .localCheckpoint() // census, rare, pair sides, verify, and sigs
+    val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val rare = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+      .filter(col("df").between(2, 8)).select("shingle")
+    val withRare = sh.join(rare, "shingle")
+    val cand = withRare.select(col("shingle"), col("doc_id").as("da"))
+      .join(withRare.select(col("shingle"), col("doc_id").as("db")), "shingle")
+      .filter(col("da") < col("db"))
+      .select("da", "db").distinct()
+    val com = cand
+      .join(sh.select(col("doc_id").as("da"), col("shingle")), Seq("da"))
+      .join(sh.select(col("doc_id").as("db"), col("shingle")), Seq("db", "shingle"))
+      .groupBy("da", "db").agg(count(lit(1)).as("n_common"))
+    val sig = sh.groupBy("doc_id")
+      .agg(collect_list(col("shingle")).as("shs"))
+      .select(col("doc_id"),
+        graft.functions.MinhashSig.sig(s, col("shs"), K).as("sig"))
+    val nMatch = (1 to K).map(i =>
+      when(element_at(col("sa"), i) === element_at(col("sb"), i), 1L).otherwise(0L))
+      .reduce(_ + _)
+    val jhat = nMatch / lit(K.toDouble)
+    com
+      .join(sz.select(col("doc_id").as("da"), col("n").as("na")), "da")
+      .join(sz.select(col("doc_id").as("db"), col("n").as("nb")), "db")
+      .join(sig.select(col("doc_id").as("da"), col("sig").as("sa")), "da")
+      .join(sig.select(col("doc_id").as("db"), col("sig").as("sb")), "db")
+      .filter(lit(100) * col("n_common") >= lit(50) * least(col("na"), col("nb")))
+      .select(col("da").as("a_id"), col("db").as("b_id"),
+        least(col("na"), col("nb")).as("n_small"), col("n_common"),
+        expr("(1000000 * n_common) div least(na, nb)").as("exact_ppm"),
+        nMatch.as("n_match"),
+        round(jhat * (col("na") + col("nb")) /
+          ((lit(1) + jhat) * least(col("na"), col("nb"))), 6)
+          .as("est_containment"))
+      .orderBy("a_id", "b_id")
+  }
+
   val all: Seq[Q] =
     Seq(dedupMinhash, dedupSimhash, ngramJaccard, simhashHamming,
       dedupEditDistance, neardupPipeline, dedupClusters, dedupReport,
       minhashJaccardEst, substringDedup, substringScrub, dedupDelta,
-      sourceOverlap, dedupSweep, dedupContainment)
+      sourceOverlap, dedupSweep, dedupContainment, containmentEst)
 }

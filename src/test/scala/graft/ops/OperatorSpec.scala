@@ -1433,4 +1433,24 @@ class OperatorSpec extends SparkSuite {
     // and the real corpus reads clean — the "no watermark needed" verdict
     run("q_watermark_plan").collect().foreach(r => assert(r.getLong(5) == 0L))
   }
+  test("q_containment_est: estimator aligns with exact truth within MinHash-K=8 error") {
+    val rows = run("q_containment_est").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nSmall, nCommon, exactPpm, nMatch, est) =
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getDouble(6))
+      assert(nMatch >= 0 && nMatch <= 8)
+      assert(exactPpm == 1000000L * nCommon / nSmall && exactPpm >= 500000L)
+      // K=8 signature: one component is 12.5% of J-hat; through the size
+      // bridge the containment estimate stays within a coarse but real
+      // band of the exact value for the fixture's near-total engulfments
+      assert(est >= 0.5 && est <= 1.5,
+        s"estimate $est implausibly far from exact ${exactPpm / 1e6}")
+    }
+    // the sketch must carry signal: mean estimate near the exact mean
+    val meanExact = rows.map(_.getLong(4)).sum.toDouble / rows.length / 1e6
+    val meanEst = rows.map(_.getDouble(6)).sum / rows.length
+    assert(math.abs(meanEst - meanExact) < 0.15,
+      s"estimator bias too large: est $meanEst vs exact $meanExact")
+  }
 }
