@@ -842,7 +842,16 @@ object Dedup {
     * the base corpus's full shingle relation, the rare-shingle inverted
     * index (df ≤ 8 IN THE BASE — an arriving doc is the occurrence that
     * makes a df-1 shingle pair-worthy, so the lower bound of the batch
-    * census's 2..8 band does not apply), and per-doc set sizes. */
+    * census's 2..8 band does not apply), and per-doc set sizes.
+    *
+    * Deliberately getOrTrain, NOT getOrRefresh: the rare index is not
+    * monoidal under corpus growth — an append can push a shingle's df
+    * PAST the cap, which must REMOVE it from the index, and removal is
+    * exactly what a base ⊕ delta merge cannot express (the same reason
+    * non-append rewrites fall back to retrain everywhere else). A
+    * content-fingerprint retrain per corpus generation is the honest
+    * lifecycle here; the full relation and sizes are monoidal but ride
+    * along since the index rebuild already scans the delta'd corpus. */
   final case class ContainBase(full: org.apache.spark.sql.DataFrame,
       rareIdx: org.apache.spark.sql.DataFrame,
       sizes: org.apache.spark.sql.DataFrame)

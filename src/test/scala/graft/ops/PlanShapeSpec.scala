@@ -424,4 +424,28 @@ class PlanShapeSpec extends SparkSuite {
         .mkString("\n")).size <= 2,
       "only the bounded tile-index explode may generate rows:\n" + p.take(600))
   }
+  test("q_concurrency never plans a cartesian or sort-merge pair join; carries broadcast") {
+    val p = plan("q_concurrency")
+    assert(!p.contains("CartesianProduct"), "census must stay pair-free")
+    // the hour-axis carry and sweep tables are tiny: they must ship as
+    // broadcasts, never shuffle the boundary-event stream again
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p.take(600))
+  }
+
+  test("q_watermark_plan's lateness pass is bucket-partitioned, carry is broadcast") {
+    val p = plan("q_watermark_plan")
+    assert(!p.contains("CartesianProduct"))
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 1, p.take(600))
+    // the per-event window must be PARTITIONED (by id bucket) — a global
+    // running max would read "Window" with an empty partition spec over
+    // the event stream; the only unpartitioned windows here run over the
+    // tiny per-bucket prefix table and GridPercentile grids
+    assert(p.contains("windowspecdefinition(bucket"), p.take(800))
+  }
+
+  test("q_audience_overlap shuffles users once; pair expansion is broadcast x tiny census") {
+    val p = plan("q_audience_overlap")
+    assert(!p.contains("SortMergeJoin"), "census x pairs must never co-shuffle")
+    assert("BroadcastNestedLoopJoin|BroadcastHashJoin".r.findAllIn(p).nonEmpty, p.take(600))
+  }
 }
