@@ -268,4 +268,39 @@ class RefreshSpec extends SparkSuite {
     assert(spR == sp2 && rowsOf(aggR) == chained,
       "a refresh of a refreshed base must still equal the retrain")
   }
+  test("bm25-base: ten refresh generations keep the stored plan's union depth bounded (flattenWide) and values exact") {
+    // Round-12 advice: each refresh stores base UNION delta lazily, so a
+    // long-lived session grew one union leg per generation without
+    // bound. Session.flattenWide truncates once the analyzed plan
+    // crosses 8 legs — drive TEN generations and assert both halves:
+    // the plan stays bounded AND the final value still equals a
+    // from-scratch retrain.
+    def unionLegs(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.analyzed.collect {
+        case u: org.apache.spark.sql.catalyst.plans.logical.Union => u.children.size
+      }.sum
+    val d = tmpDir("refresh-deep")
+    ModelCache.clear()
+    writeDocs(d, 0 until 60)
+    graft.ops.LlmPipeline.bm25Base(spark, d)
+    var refreshes = 0
+    (1 to 10).foreach { g =>
+      writeDocs(d, (60 + (g - 1) * 20) until (60 + g * 20))
+      val (_, tf, dl, _, _) = graft.ops.LlmPipeline.bm25Base(spark, d)
+      if (ModelCache.lastEvent("bm25-base", s"$d/documents.parquet")
+          .contains("refreshed")) refreshes += 1
+      assert(unionLegs(tf) <= 9,
+        s"generation $g: tf plan grew to ${unionLegs(tf)} union legs")
+      assert(unionLegs(dl) <= 9,
+        s"generation $g: dl plan grew to ${unionLegs(dl)} union legs")
+    }
+    assert(refreshes == 10, s"every append must take the merge path: $refreshes")
+    val (spC, tfC, dlC, dfC, ndC) = graft.ops.LlmPipeline.bm25Base(spark, d)
+    val chained = (rowsOf(tfC), rowsOf(dlC), rowsOf(dfC), rowsOf(ndC))
+    ModelCache.clear()
+    val (spR, tfR, dlR, dfR, ndR) = graft.ops.LlmPipeline.bm25Base(spark, d)
+    assert(spR == spC)
+    assert((rowsOf(tfR), rowsOf(dlR), rowsOf(dfR), rowsOf(ndR)) == chained,
+      "ten chained refreshes (with mid-chain flattens) must equal the retrain")
+  }
 }
