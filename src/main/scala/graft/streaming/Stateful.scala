@@ -752,6 +752,73 @@ object Stateful {
       }
       .start()
 
+  /** s_stream_watermark: live out-of-orderness census — the streaming
+    * twin of q_watermark_plan (ops/Temporal.scala): the batch op sizes
+    * a watermark from history; this gate reports each micro-batch's
+    * lateness census AS IT ARRIVES, which is when an operator deciding
+    * "is my configured watermark still wide enough" wants the number.
+    * The event-time high-water mark carries across batches in one
+    * driver-held long (state O(1)); within a batch the same binned
+    * running-max decomposition as the batch op computes each event's
+    * lateness against max(carried hwm, earlier-in-batch max). Emitted
+    * per (batch, event_type): event count, late count, max lateness
+    * seconds. StatefulSpec proves the per-type totals over an
+    * id-ordered two-batch replay equal the batch census exactly —
+    * including events whose high-water predecessor arrived in the
+    * PREVIOUS batch (the hwm-continuity case a per-batch-only census
+    * would miss). Restart note: the returned handle re-seeds its hwm
+    * from `seedHwm` — a deployment restarting mid-stream passes the
+    * last emitted hwm (or replays from the checkpoint start). */
+  final class WatermarkHandle(val hwm: java.util.concurrent.atomic.AtomicLong)
+
+  def watermarkStream(events: DataFrame, seedHwm: Long = -1L)(
+      sink: (DataFrame, Long) => Unit)
+      : (org.apache.spark.sql.streaming.StreamingQuery, WatermarkHandle) = {
+    // sentinel -1, never Long.MinValue: "behind = sentinel - ts" must not
+    // underflow-wrap into a huge positive lateness on the first event
+    require(seedHwm >= -1L, "seedHwm is an epoch-micros value or -1")
+    val handle = new WatermarkHandle(
+      new java.util.concurrent.atomic.AtomicLong(seedHwm))
+    val q = events.writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val B = 8192L
+        val hwmIn = handle.hwm.get()
+        val ev = batch
+          .select(col("event_id"), col("event_type"),
+            unix_micros(col("ts")).as("ts_us"))
+          .withColumn("bucket", expr(s"event_id div $B"))
+        val wIn = org.apache.spark.sql.expressions.Window
+          .partitionBy("bucket").orderBy("event_id")
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+        val wCarry = org.apache.spark.sql.expressions.Window
+          .orderBy("bucket")
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+        val carry = ev.groupBy("bucket").agg(max(col("ts_us")).as("bmax"))
+          .withColumn("bcarry", max(col("bmax")).over(wCarry))
+          .select("bucket", "bcarry")
+        val census = ev
+          .withColumn("rmax_in", max(col("ts_us")).over(wIn))
+          .join(broadcast(carry), Seq("bucket"))
+          .select(col("event_type"),
+            (greatest(coalesce(col("rmax_in"), lit(-1L)),
+              coalesce(col("bcarry"), lit(-1L)),
+              lit(hwmIn)) - col("ts_us")).as("behind"))
+          .select(col("event_type"),
+            expr("(CASE WHEN behind > 0 THEN behind ELSE 0 END) div 1000000")
+              .as("late_s"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("late_s") > 0L, 1L).otherwise(0L)).as("n_late"),
+            max(col("late_s")).as("max_late_s"))
+        val batchMax = ev.agg(max(col("ts_us"))).head()
+        if (!batchMax.isNullAt(0))
+          handle.hwm.getAndUpdate(h => math.max(h, batchMax.getLong(0)))
+        sink(census, id)
+      }
+      .start()
+    (q, handle)
+  }
+
   final case class BpeRow(doc_id: Long, word: String, n_sub: Option[Long])
   final case class BpeScore(doc_id: Long, n_words: Long, n_subtok: Long,
       n_chars: Long, comp_ppm: Long, n_oov: Long)

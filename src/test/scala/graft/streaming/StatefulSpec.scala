@@ -1406,4 +1406,47 @@ class StatefulSpec extends SparkSuite {
     assert(streamed.exists(_._2.isDefined),
       "fixture must flag at least one engulfed arrival")
   }
+  test("s_stream_watermark: per-batch lateness censuses with a carried hwm sum to the batch q_watermark_plan") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    // the deterministic-disorder fixture from OperatorSpec's
+    // q_watermark_plan case: every 7th event pulled back 3-23 seconds
+    val dir = tmpDir("wmstream")
+    val base = 1700000000000000L
+    val rows = (0 until 4000).map { i =>
+      val pullbackUs = if (i % 7 == 3) (3L + (i % 21)) * 1000000L else 0L
+      (i.toLong, new Timestamp((base + i * 1000000L - pullbackUs) / 1000L),
+        if (i % 2 == 0) "a" else "b")
+    }
+    spark.createDataFrame(rows).toDF("event_id", "ts", "event_type")
+      .write.parquet(s"$dir/events.parquet")
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long, Long)]
+    val in = MemoryStream[(Long, Timestamp, String)]
+    val (q, handle) = Stateful.watermarkStream(
+      in.toDS().toDF("event_id", "ts", "event_type")) { (census, _) =>
+      buf.synchronized {
+        buf ++= census.collect().map(r =>
+          (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      }
+    }
+    // split right BEFORE a pulled-back event (i=2005): its lateness is
+    // determined ONLY by the PREVIOUS batch's high-water mark — the
+    // continuity case a per-batch-only census would miss
+    val (b1, b2) = rows.splitAt(2005)
+    in.addData(b1); q.processAllAvailable()
+    in.addData(b2); q.processAllAvailable()
+    q.stop()
+    assert(handle.hwm.get() == base + 3999L * 1000000L, "hwm tracks the stream max")
+    val streamedTotals = buf.groupBy(_._1).map { case (tp, cs) =>
+      tp -> ((cs.map(_._2).sum, cs.map(_._3).sum, cs.map(_._4).max))
+    }
+    val batch = graft.SparkEntry.queries("q_watermark_plan")(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(5)))).toMap
+    assert(batch.keySet == streamedTotals.keySet)
+    batch.foreach { case (tp, want) =>
+      assert(streamedTotals(tp) == want,
+        s"type $tp: streamed ${streamedTotals(tp)} != batch $want")
+    }
+    assert(batch.values.map(_._2).sum > 0, "fixture must contain late events")
+  }
 }
