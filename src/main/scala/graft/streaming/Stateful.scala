@@ -1282,6 +1282,54 @@ object Stateful {
       }
   }
 
+  /** [[concurrencyEvents]] on Spark 4's transformWithState (arbitrary-
+    * state v2) — the second gate on the forward-looking API after
+    * ChecksumProcessor, proving the migration recipe generalizes beyond
+    * a single-value state machine: the open session's (start, last) pair
+    * lives in one named ValueState with an explicit tuple encoder,
+    * RocksDB-backed, TTL-ready. StatefulSpec runs both engines over the
+    * same replay and asserts boundary-for-boundary equality. */
+  class ConcurrencyProcessor
+      extends StatefulProcessor[Long, ConcEvIn, ConcBoundary] {
+    @transient private var open: ValueState[(Long, Long)] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      open = getHandle.getValueState("open",
+        Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong), TTLConfig.NONE)
+
+    override def handleInputRows(
+        uid: Long,
+        rows: Iterator[ConcEvIn],
+        timers: TimerValues): Iterator[ConcBoundary] = {
+      var (start, last) = Option(open.get()).getOrElse((-1L, -1L))
+      val out = scala.collection.mutable.ArrayBuffer.empty[ConcBoundary]
+      rows.toSeq.sortBy(e => (e.ts_us, e.event_id)).foreach { e =>
+        if (start < 0L) {
+          out += ConcBoundary(uid, e.ts_us, 1, 1L)
+          start = e.ts_us; last = e.ts_us
+        } else if (e.ts_us - last > 1800000000L) {
+          out += ConcBoundary(uid, last + 1L, 0, -1L)
+          out += ConcBoundary(uid, e.ts_us, 1, 1L)
+          start = e.ts_us; last = e.ts_us
+        } else last = math.max(last, e.ts_us)
+      }
+      open.update((start, last))
+      out.iterator
+    }
+  }
+
+  /** concurrencyEvents on the transformWithState engine. */
+  def concurrencyEventsTws(events: DataFrame): Dataset[ConcBoundary] = {
+    val s = events.sparkSession
+    import s.implicits._
+    events
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("ts_us"))
+      .as[ConcEvIn]
+      .groupByKey(_.user_id)
+      .transformWithState(new ConcurrencyProcessor, TimeMode.None(),
+        OutputMode.Append())
+  }
+
   /** s_session_window: native session windows, 30-minute gap per user —
     * the streaming twin of the batch gaps-and-islands in
     * graft.ops.Temporal.sessionize. */

@@ -1449,4 +1449,38 @@ class StatefulSpec extends SparkSuite {
     }
     assert(batch.values.map(_._2).sum > 0, "fixture must contain late events")
   }
+  test("s_stream_concurrency (transformWithState): boundary-for-boundary parity with the fMGWS gate on RocksDB") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.{col, unix_micros}
+    val sf = "/root/testdata/sf0.001"
+    val ev = graft.core.Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"), col("ts"),
+        unix_micros(col("ts")).as("us"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2), r.getLong(3)))
+      .sortBy(e => (e._4, e._1))
+    val (b1, b2) = ev.splitAt(ev.length / 2)
+    def runGate(name: String,
+        gate: org.apache.spark.sql.DataFrame => org.apache.spark.sql.Dataset[Stateful.ConcBoundary])
+        : Seq[(Long, Long, Int, Long)] = {
+      val in = MemoryStream[(Long, Long, Timestamp)]
+      val q = gate(in.toDS().toDF("event_id", "user_id", "ts"))
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append).start()
+      in.addData(b1.map(e => (e._1, e._2, e._3)).toSeq); q.processAllAvailable()
+      in.addData(b2.map(e => (e._1, e._2, e._3)).toSeq); q.processAllAvailable()
+      val out = spark.table(name).as[Stateful.ConcBoundary].collect()
+        .map(b => (b.user_id, b.ts, b.kind, b.delta)).sorted.toSeq
+      q.stop()
+      out
+    }
+    val classic = runGate("conc_fmgws", Stateful.concurrencyEvents)
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val tws =
+      try runGate("conc_tws", Stateful.concurrencyEventsTws)
+      finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    assert(classic.nonEmpty && classic == tws,
+      s"engines diverged: fMGWS ${classic.size} boundaries, tws ${tws.size}")
+  }
 }
