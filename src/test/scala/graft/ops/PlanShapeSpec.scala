@@ -448,4 +448,10 @@ class PlanShapeSpec extends SparkSuite {
     assert(!p.contains("SortMergeJoin"), "census x pairs must never co-shuffle")
     assert("BroadcastNestedLoopJoin|BroadcastHashJoin".r.findAllIn(p).nonEmpty, p.take(600))
   }
+  test("q_dedup_containment: no cartesian, no nested-loop — every pair join is key-equi") {
+    val p = plan("q_dedup_containment")
+    assert(!p.contains("CartesianProduct"), "candidate gen must stay equi-keyed")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "the shingle relation must join on keys, never loop")
+  }
 }
