@@ -78,6 +78,17 @@ object Tables {
       raw.filter(col("ts") <= timestamp_micros(lit(cutoffMicros)))
   }
 
+  /** (event_id, user_id, ts_us) for events with lo ≤ event_id < hi — the
+    * id-slice reader the temporal delta family uses (ids are assigned
+    * monotonically at ingest, the same contract as the doc-id slices).
+    * The id predicate is on a stored column, so it reaches the parquet
+    * scan regardless of the ts normalization. */
+  def eventsRawSlice(s: SparkSession, d: String, lo: Long, hi: Long): DataFrame =
+    events(s, d)
+      .filter(col("event_id") >= lo && col("event_id") < hi)
+      .select(col("event_id"), col("user_id"),
+        org.apache.spark.sql.functions.unix_micros(col("ts")).as("ts_us"))
+
   def documents(s: SparkSession, d: String): DataFrame  = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 }

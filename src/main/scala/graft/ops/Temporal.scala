@@ -1,5 +1,6 @@
 package graft.ops
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -711,6 +712,145 @@ object Temporal {
       .orderBy("bucket_us")
   }
 
+  /** Frozen sessionization base for [[sessionizeDelta]]: sessions over
+    * the id-prefix corpus, split into CLOSED sessions (immutable — a
+    * user's later events can never reopen them, the 30-min gap
+    * guarantees it) and per-user TAILS (each user's last session:
+    * start, last event ts, count, id), which are exactly the rows new
+    * events can mutate — the same two-longs-per-user truth
+    * s_stream_concurrency keeps as keyed state, frozen as a batch
+    * artifact. Monoidal under append-only, id-monotone growth (the
+    * dedup/bm25 delta contract): a refresh re-sessionizes ONLY the
+    * delta slice seeded with the tails; old events are never re-read. */
+  private[graft] def sessBase(s: SparkSession, d: String)
+      : (Long, DataFrame, DataFrame) =
+    graft.core.ModelCache.getOrRefresh(s, "sess-base", s"$d/events.parquet") {
+      val maxRow = T.events(s, d).agg(max(col("event_id"))).head()
+      val maxId = if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0)
+      val sp = 7L * maxId / 8L
+      val sess = sessionsOf(T.eventsRawSlice(s, d, -1L, sp))
+      val (closed, tails) = splitTails(sess)
+      (sp, closed.localCheckpoint(), tails.localCheckpoint())
+    } { case (sp0, closed0, tails0) =>
+      val maxRow = T.events(s, d).agg(max(col("event_id"))).head()
+      val maxId = if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0)
+      val sp1 = math.max(7L * maxId / 8L, sp0)
+      val delta = T.eventsRawSlice(s, d, sp0, sp1)
+      val (closedNew, tailsNew) = stitch(closed0, tails0, delta)
+      (sp1, closedNew.localCheckpoint(), tailsNew.localCheckpoint())
+    }
+
+  /** (user_id, session_id, start_us, last_us, n) over an event slice —
+    * the sessionize chain shared by base train, refresh, and serve. */
+  private def sessionsOf(ev: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev.withColumn("prev_us", lag(col("ts_us"), 1).over(w))
+      .withColumn("new_sess",
+        when(col("prev_us").isNull || col("ts_us") - col("prev_us") > 1800000000L, 1)
+          .otherwise(0))
+      .withColumn("session_id", sum(col("new_sess")).over(wRun))
+      .groupBy("user_id", "session_id")
+      .agg(min(col("ts_us")).as("start_us"), max(col("ts_us")).as("last_us"),
+        count(lit(1)).as("n"))
+  }
+
+  /** Split a session table into (closed, tails): tails = each user's
+    * highest-id session, the only rows future events can extend. */
+  private def splitTails(sess: DataFrame): (DataFrame, DataFrame) = {
+    val wm = Window.partitionBy("user_id")
+    val marked = sess.withColumn("__max_sid", max(col("session_id")).over(wm))
+    (marked.filter(col("session_id") =!= col("__max_sid")).drop("__max_sid"),
+      marked.filter(col("session_id") === col("__max_sid")).drop("__max_sid"))
+  }
+
+  /** Re-sessionize ONLY the delta events, seeded with the frozen tails:
+    * each tail becomes a marker row at its last event's ts carrying its
+    * (start, n, id); the standard gap chain then decides whether the
+    * first delta event stitches into the tail session or opens id+1 —
+    * O(delta + touched users), old events never re-read. Returns the
+    * rolled-forward (closed, tails). */
+  private def stitch(closed0: DataFrame, tails0: DataFrame, delta: DataFrame)
+      : (DataFrame, DataFrame) = {
+    val deltaUsers = delta.select("user_id").distinct()
+    val touched = tails0.join(deltaUsers, Seq("user_id"), "left_semi")
+    val untouched = tails0.join(deltaUsers, Seq("user_id"), "left_anti")
+    val marker = touched.select(col("user_id"), col("last_us").as("ts_us"),
+      lit(0L).as("event_id"), lit(1).as("is_marker"),
+      col("start_us").as("m_start"), col("n").as("m_n"),
+      col("session_id").as("m_sid"))
+    val rows = delta.select(col("user_id"), col("ts_us"), col("event_id"),
+        lit(0).as("is_marker"), lit(null).cast("long").as("m_start"),
+        lit(null).cast("long").as("m_n"), lit(null).cast("long").as("m_sid"))
+      .unionByName(marker)
+    // marker first on a ts tie: it summarizes strictly-earlier history
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts_us"), col("is_marker").desc, col("event_id"))
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy("user_id")
+      .orderBy(col("ts_us"), col("is_marker").desc, col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val stitched = rows
+      .withColumn("prev_us", lag(col("ts_us"), 1).over(w))
+      .withColumn("new_sess",
+        when(col("prev_us").isNull || col("ts_us") - col("prev_us") > 1800000000L, 1)
+          .otherwise(0))
+      .withColumn("seq", sum(col("new_sess")).over(wRun))
+      // users with a tail: the marker's segment keeps the tail's id;
+      // brand-new users: ids start at 1
+      .withColumn("base_sid",
+        coalesce(first(col("m_sid"), ignoreNulls = true).over(wAll), lit(1L)))
+      .withColumn("session_id", col("seq") - 1L + col("base_sid"))
+      .groupBy("user_id", "session_id")
+      .agg(
+        min(coalesce(col("m_start"), col("ts_us"))).as("start_us"),
+        max(col("ts_us")).as("last_us"),
+        sum(coalesce(col("m_n"), lit(1L))).as("n"))
+    val (newlyClosed, tails1) = splitTails(stitched)
+    (closed0.unionByName(newlyClosed), tails1.unionByName(untouched))
+  }
+
+  /** Incremental sessionization — the TEMPORAL member of the delta
+    * family (q_components_delta / q_bm25_delta / q_dedup_delta …): the
+    * full session table over the whole corpus, produced WITHOUT
+    * re-sessionizing the frozen prefix. The base artifact ([[sessBase]])
+    * holds closed sessions (immutable by the gap guarantee) and each
+    * user's tail; serve-time stitches only the events past the frozen
+    * split against those tails — the batch form of exactly the state
+    * s_stream_concurrency carries at ingest. A session STRADDLING the
+    * split is the correctness crux: the tail's marker row anchors the
+    * gap test at the old last-event ts, so the stitched id/count/span
+    * equal the from-scratch sessionize bit-for-bit — which IS the
+    * oracle (q_sessionize's own SQL over all events). Refresh cost is
+    * O(delta + touched users); RefreshSpec pins refresh == retrain
+    * across chained appends including straddle and new-user cases. */
+  val sessionizeDelta: Q = Q(
+    "q_sessionize_delta",
+    """WITH flagged AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+      |    CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+      |         OR lag(epoch_us(ts)) OVER w IS NULL THEN 1 ELSE 0 END AS new_sess
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |), sess AS (
+      |  SELECT user_id, event_id, ts_us,
+      |    CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+      |  FROM flagged)
+      |SELECT user_id, session_id, COUNT(*) AS n_events,
+      |  MIN(ts_us) AS start_us, MAX(ts_us) - MIN(ts_us) AS duration_us
+      |FROM sess GROUP BY user_id, session_id
+      |ORDER BY user_id, session_id""".stripMargin
+  ) { (s, d) =>
+    val (sp, closed, tails) = sessBase(s, d)
+    val delta = T.eventsRawSlice(s, d, sp, Long.MaxValue)
+    val (closedAll, tailsAll) = stitch(closed, tails, delta)
+    closedAll.unionByName(tailsAll)
+      .select(col("user_id"), col("session_id"), col("n").as("n_events"),
+        col("start_us"), (col("last_us") - col("start_us")).as("duration_us"))
+      .orderBy("user_id", "session_id")
+  }
+
   /** Watermark PLANNING census — the number every Structured Streaming
     * deployment needs before setting `withWatermark`: how out-of-order
     * is this stream, per event type? Lateness of an event = how far the
@@ -885,5 +1025,5 @@ object Temporal {
   val all: Seq[Q] = Seq(
     timeBucket, sessionize, asofJoin, asofNative, asofTolerance, asofForward,
     asofInner, asofSql, funnel, funnelLatency, retention, gapFill, anomalyHours,
-    intervalJoin, concurrency, twap, ohlc, watermarkPlan)
+    intervalJoin, concurrency, twap, ohlc, watermarkPlan, sessionizeDelta)
 }

@@ -303,4 +303,42 @@ class RefreshSpec extends SparkSuite {
     assert((rowsOf(tfR), rowsOf(dlR), rowsOf(dfR), rowsOf(ndR)) == chained,
       "ten chained refreshes (with mid-chain flattens) must equal the retrain")
   }
+  test("sess-base: q_sessionize_delta identical via refresh and retrain (straddle + new-user + chained appends)") {
+    val d = tmpDir("refresh-sess")
+    ModelCache.clear()
+    def write(rows: Seq[(Long, Long, Long)]): Unit =
+      spark.createDataFrame(rows.map { case (id, uid, tsSec) =>
+        (id, uid, new java.sql.Timestamp(1700000000000L + tsSec * 1000L))
+      }).toDF("event_id", "user_id", "ts")
+        .coalesce(1).write.mode("append").parquet(s"$d/events.parquet")
+    def result(): Seq[String] =
+      rowsOf(graft.ops.Temporal.sessionizeDelta.fn(spark, d))
+    def retrain(): Seq[String] = {
+      ModelCache.clear()
+      rowsOf(graft.ops.Temporal.sessionizeDelta.fn(spark, d))
+    }
+    // gen A: user 1 two sessions, users 2-3 one each
+    write(Seq((0L, 1L, 0L), (1L, 1L, 60L), (2L, 1L, 120L),
+      (3L, 1L, 7200L), (4L, 1L, 7260L),
+      (5L, 2L, 100L), (6L, 2L, 160L), (7L, 3L, 50L)))
+    assert(result() == retrain())
+    // gen B: user 1 STRADDLES their open session (gap 140s) then opens a
+    // new one; user 2 opens a new session; user 4 is brand new
+    write(Seq((100L, 1L, 7400L), (101L, 1L, 20000L),
+      (102L, 2L, 10000L), (103L, 4L, 500L), (104L, 4L, 560L)))
+    val afterB = result()
+    assert(ModelCache.lastEvent("sess-base", s"$d/events.parquet")
+      .contains("refreshed"), "append-only growth must take the merge path")
+    assert(afterB == retrain())
+    // the straddled session must carry the merged count and span
+    assert(afterB.exists(_.contains("[1,2,3,1700007200000000,200000000]")),
+      s"user 1 session 2 must merge to 3 events over 200s: $afterB")
+    // gen C with far-higher ids pushes gen B fully into the REFRESH slice
+    write(Seq((800L, 1L, 30000L), (801L, 5L, 40000L)))
+    val afterC = result()
+    assert(ModelCache.lastEvent("sess-base", s"$d/events.parquet")
+      .contains("refreshed"))
+    assert(afterC == retrain(),
+      "chained refresh (straddle + new user processed in-refresh) must equal retrain")
+  }
 }
