@@ -597,8 +597,9 @@ object Temporal {
     * multiset of running-sum values over k equal-ts same-kind events is
     * fixed. Reference anchor: duckdb_cdc.go has no analytics; this is
     * north-star surface (SURVEY §2B temporal family). */
-  val concurrency: Q = Q(
-    "q_concurrency",
+  /** q_concurrency's oracle, shared verbatim by q_concurrency_delta:
+    * the incremental formulation must reproduce the SAME census. */
+  private val concurrencySql: String =
     """WITH flagged AS (
       |  SELECT user_id, epoch_us(ts) AS ts_us,
       |    CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
@@ -657,20 +658,14 @@ object Temporal {
       |FROM act JOIN carry c ON act.bucket_us = c.bucket_us
       |  LEFT JOIN sweep p ON act.bucket_us = p.bucket_us
       |ORDER BY 1""".stripMargin
-  ) { (s, d) =>
+
+  /** The pair-free hourly census over an already-built session table
+    * (user_id, session_id, start_us, end_us) — shared by q_concurrency
+    * (inline sessionize) and q_concurrency_delta (sessions rolled
+    * forward from the frozen sess-base). The input must be checkpointed
+    * by the caller: act AND ev both consume it. */
+  private def concurrencyCensus(sess: DataFrame): DataFrame = {
     val HourUs = 3600000000L
-    val w = Window.partitionBy("user_id").orderBy(col("ts_us"))
-    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val sess = T.events(s, d)
-      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"))
-      .withColumn("prev_us", lag(col("ts_us"), 1).over(w))
-      .withColumn("new_sess",
-        when(col("prev_us").isNull || col("ts_us") - col("prev_us") > 1800000000L, 1)
-          .otherwise(0))
-      .withColumn("session_id", sum(col("new_sess")).over(wRun))
-      .groupBy("user_id", "session_id")
-      .agg(min(col("ts_us")).as("start_us"), max(col("ts_us")).as("end_us"))
-      .localCheckpoint() // feeds act AND ev — don't replay the sessionize sort
     val act = sess
       .withColumn("bucket",
         explode(expr(s"sequence(start_us div $HourUs, end_us div $HourUs)")))
@@ -710,6 +705,42 @@ object Temporal {
         greatest(col("carry_in"), coalesce(col("max_start_c"), col("carry_in")))
           .as("max_concurrent"))
       .orderBy("bucket_us")
+  }
+
+  val concurrency: Q = Q("q_concurrency", concurrencySql) { (s, d) =>
+    val w = Window.partitionBy("user_id").orderBy(col("ts_us"))
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val sess = T.events(s, d)
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"))
+      .withColumn("prev_us", lag(col("ts_us"), 1).over(w))
+      .withColumn("new_sess",
+        when(col("prev_us").isNull || col("ts_us") - col("prev_us") > 1800000000L, 1)
+          .otherwise(0))
+      .withColumn("session_id", sum(col("new_sess")).over(wRun))
+      .groupBy("user_id", "session_id")
+      .agg(min(col("ts_us")).as("start_us"), max(col("ts_us")).as("end_us"))
+      .localCheckpoint() // feeds act AND ev — don't replay the sessionize sort
+    concurrencyCensus(sess)
+  }
+
+  /** The concurrency census fed by the INCREMENTAL session base — the
+    * composition that completes the temporal delta story: sess-base
+    * rolls sessions forward (closed frozen, tails stitched —
+    * [[sessionizeDelta]]), and the pair-free sweep censuses the result.
+    * The oracle is q_concurrency's own SQL VERBATIM: the incremental
+    * path must reproduce the from-scratch census bit-for-bit, which
+    * also transitively cross-checks it against q_interval_join's pair
+    * enumeration. At steady state the census costs O(delta sessions +
+    * hours), never a re-sessionize of history. */
+  val concurrencyDelta: Q = Q("q_concurrency_delta", concurrencySql) { (s, d) =>
+    val (sp, closed, tails) = sessBase(s, d)
+    val delta = T.eventsRawSlice(s, d, sp, Long.MaxValue)
+    val (closedAll, tailsAll) = stitch(closed, tails, delta)
+    concurrencyCensus(
+      closedAll.unionByName(tailsAll)
+        .select(col("user_id"), col("session_id"), col("start_us"),
+          col("last_us").as("end_us"))
+        .localCheckpoint())
   }
 
   /** Frozen sessionization base for [[sessionizeDelta]]: sessions over
@@ -1025,5 +1056,6 @@ object Temporal {
   val all: Seq[Q] = Seq(
     timeBucket, sessionize, asofJoin, asofNative, asofTolerance, asofForward,
     asofInner, asofSql, funnel, funnelLatency, retention, gapFill, anomalyHours,
-    intervalJoin, concurrency, twap, ohlc, watermarkPlan, sessionizeDelta)
+    intervalJoin, concurrency, concurrencyDelta, twap, ohlc, watermarkPlan,
+    sessionizeDelta)
 }

@@ -1453,4 +1453,11 @@ class OperatorSpec extends SparkSuite {
     assert(math.abs(meanEst - meanExact) < 0.15,
       s"estimator bias too large: est $meanEst vs exact $meanExact")
   }
+  test("q_concurrency_delta: the incremental census equals the from-scratch form row-for-row") {
+    graft.core.ModelCache.clear() // force a fresh sess-base for this dir
+    val inline = run("q_concurrency").collect().map(_.toString).sorted.toSeq
+    val delta = run("q_concurrency_delta").collect().map(_.toString).sorted.toSeq
+    assert(inline.nonEmpty && delta == inline,
+      "sess-base + stitch must reproduce the inline sessionize census exactly")
+  }
 }
