@@ -767,8 +767,13 @@ object Temporal {
       val maxId = if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0)
       val sp1 = math.max(7L * maxId / 8L, sp0)
       val delta = T.eventsRawSlice(s, d, sp0, sp1)
-      val (closedNew, tailsNew) = stitch(closed0, tails0, delta)
-      (sp1, closedNew.localCheckpoint(), tailsNew.localCheckpoint())
+      // freeze = true: checkpoint only the DELTA-SIZED legs inside the
+      // stitch; the stored unions stay lazy over already-frozen legs
+      // (flattenWide bounds their depth) — re-checkpointing the full
+      // closed set per refresh was measured SLOWER than retrain (the
+      // lp-base lesson: refresh must never pay an O(corpus) write)
+      val (closedNew, tailsNew) = stitch(closed0, tails0, delta, freeze = true)
+      (sp1, closedNew, tailsNew)
     }
 
   /** (user_id, session_id, start_us, last_us, n) over an event slice —
@@ -801,8 +806,8 @@ object Temporal {
     * first delta event stitches into the tail session or opens id+1 —
     * O(delta + touched users), old events never re-read. Returns the
     * rolled-forward (closed, tails). */
-  private def stitch(closed0: DataFrame, tails0: DataFrame, delta: DataFrame)
-      : (DataFrame, DataFrame) = {
+  private def stitch(closed0: DataFrame, tails0: DataFrame, delta: DataFrame,
+      freeze: Boolean = false): (DataFrame, DataFrame) = {
     val deltaUsers = delta.select("user_id").distinct()
     val touched = tails0.join(deltaUsers, Seq("user_id"), "left_semi")
     val untouched = tails0.join(deltaUsers, Seq("user_id"), "left_anti")
@@ -837,8 +842,18 @@ object Temporal {
         min(coalesce(col("m_start"), col("ts_us"))).as("start_us"),
         max(col("ts_us")).as("last_us"),
         sum(coalesce(col("m_n"), lit(1L))).as("n"))
-    val (newlyClosed, tails1) = splitTails(stitched)
-    (closed0.unionByName(newlyClosed), tails1.unionByName(untouched))
+    val (newlyClosed0, tails10) = splitTails(stitched)
+    // freeze: the artifact path checkpoints ONLY the delta-sized legs and
+    // keeps the stored unions lazy (depth bounded by flattenWide)
+    val (newlyClosed, tails1) =
+      if (freeze) (newlyClosed0.localCheckpoint(), tails10.localCheckpoint())
+      else (newlyClosed0, tails10)
+    val closedAll = closed0.unionByName(newlyClosed)
+    val tailsAll = tails1.unionByName(untouched)
+    if (freeze)
+      (graft.core.Session.flattenWide(closedAll),
+        graft.core.Session.flattenWide(tailsAll))
+    else (closedAll, tailsAll)
   }
 
   /** Incremental sessionization — the TEMPORAL member of the delta

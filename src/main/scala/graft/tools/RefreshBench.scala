@@ -66,23 +66,30 @@ object RefreshBench {
 
     // base state: replicas 0..k-1; growth: replica k (higher ids).
     replicate("documents", Seq("doc_id"), 0 until k)
+    // events: event_id AND user_id shift per replica — growth arrives as
+    // new users with fresh ids (the id-monotone ingest contract)
+    replicate("events", Seq("event_id", "user_id"), 0 until k)
     replicateTrades(0 until k)
 
     val artifacts: Seq[(String, () => Any)] = Seq(
       "dedup-base" -> (() => graft.ops.Dedup.dedupBase(spark, work)),
       "bm25-base" -> (() => graft.ops.LlmPipeline.bm25Base(spark, work)),
       "bpe-hist-base" -> (() => graft.ops.TextAnalysis.bpeHistBase(spark, work)),
-      "lp-base" -> (() => graft.ops.Graph.lpBase(spark, work)))
+      "lp-base" -> (() => graft.ops.Graph.lpBase(spark, work)),
+      "sess-base" -> (() => graft.ops.Temporal.sessBase(spark, work)))
 
     val tTrain = artifacts.map { case (name, f) => name -> timed(f()) }.toMap
 
     replicate("documents", Seq("doc_id"), k until k + 1)
+    replicate("events", Seq("event_id", "user_id"), k until k + 1)
     replicateTrades(k until k + 1)
 
     val tRefresh = artifacts.map { case (name, f) =>
       val t = timed(f())
       val path = if (name.contains("dedup") || name.contains("bm25") ||
-        name.contains("bpe")) s"$work/documents.parquet" else work
+        name.contains("bpe")) s"$work/documents.parquet"
+      else if (name.contains("sess")) s"$work/events.parquet"
+      else work
       require(graft.core.ModelCache.lastEvent(name, path).contains("refreshed"),
         s"$name did not take the refresh path")
       name -> t
