@@ -236,7 +236,7 @@ object Graph {
       : (Long, DataFrame, DataFrame, DataFrame, DataFrame, DataFrame) =
     graft.core.ModelCache.getOrRefresh(s, "lp-base", d) {
       lpTrain(s, d)
-    } { case (max0, cen0, _, b1, b2, bf) =>
+    } { case (max0, cen0, ed0, b1, b2, bf) =>
       // the delta census never touches the old corpus: both scan sides
       // carry the key predicate (parquet row-group pruning skips the
       // base slice) and only the DELTA rows meet in the join — without
@@ -252,11 +252,30 @@ object Graph {
           col("l_orderkey") === col("o_orderkey"))
         .groupBy(col("o_custkey").as("c"), col("l_suppkey").as("s"))
         .agg(count(lit(1)).as("cnt"))
-      val cen1 = cen0.unionAll(cenD)
-        .groupBy("c", "s").agg(sum(col("cnt")).as("cnt")).localCheckpoint()
-      val eo1 = cen1.filter(col("cnt") >= 2).select("c", "s")
-      val ed1 = lpEdgesOf(eo1).localCheckpoint()
-      val newEo = eo1.exceptAll(cen0.filter(col("cnt") >= 2).select("c", "s"))
+        .localCheckpoint()
+      // Roll census and edges forward with DELTA-SIZED writes only (the
+      // sess-base lesson, which RefreshBench caught here at the 40×
+      // corpus: the old full re-agg + full-census/full-edge checkpoints
+      // made refresh cost scale with the BASE). A pair's count can only
+      // change if the delta touched its key, and edges only APPEAR
+      // (cnt ≥ 2 is monotone under growth): merge counts for delta keys
+      // alone (base counts fetched by broadcast key lookup — a scan of
+      // the frozen census blocks, never a base-sized shuffle or write),
+      // keep every other stored row verbatim behind a lazy anti-join,
+      // and append only the newly-strong pairs' edges. flattenWide
+      // bounds the stored unions' depth across generations.
+      val dKeys = broadcast(cenD.select("c", "s"))
+      val oldD = cen0.join(dKeys, Seq("c", "s"), "left_semi")
+      val mergedD = cenD.unionAll(oldD)
+        .groupBy("c", "s").agg(sum(col("cnt")).as("cnt"))
+        .localCheckpoint()
+      val cen1 = graft.core.Session.flattenWide(
+        cen0.join(dKeys, Seq("c", "s"), "left_anti").unionAll(mergedD))
+      val newEo = mergedD.filter(col("cnt") >= 2).select("c", "s")
+        .exceptAll(oldD.filter(col("cnt") >= 2).select("c", "s"))
+        .localCheckpoint()
+      val ed1 = graft.core.Session.flattenWide(
+        ed0.unionAll(lpEdgesOf(newEo)))
       var affected = newEo.select(col("c").as("node"))
         .unionAll(newEo.select((col("s") + SuppOffset).as("node")))
         .distinct().localCheckpoint()
@@ -304,8 +323,13 @@ object Graph {
                 coalesce(col("ld"), col("lb"), col("node")).as("lbl"))
           lDelta = graft.core.Session.truncate(
             nbr.unionAll(own).groupBy("node").agg(min(col("lbl")).as("lbl")))
-          merged += baseRs(i - 1).join(affected, Seq("node"), "left_anti")
-            .unionAll(lDelta).localCheckpoint()
+          // lDelta is already truncated; keep the stored round LAZY
+          // (anti-join over the frozen base leg ∪ the delta labels) —
+          // checkpointing the full label table per round per refresh was
+          // the third O(base)-write term
+          merged += graft.core.Session.flattenWide(
+            baseRs(i - 1).join(affected, Seq("node"), "left_anti")
+              .unionAll(lDelta))
         }
         val Seq(m1, m2, mf) = merged.result()
         (max1, cen1, ed1, m1, m2, mf)
