@@ -277,10 +277,20 @@ object ModelCache {
           // this generation is same-or-newer: its file set covers the
           // stored one (append-only growth), or its listing carries a
           // strictly newer mtime (a non-append rewrite).
+          // Equal-mtime tiebreak (round-13 advice): filesystem mtime is
+          // coarse, so a non-append rewrite can land in the SAME tick as
+          // the stored generation — ">" alone would then pin `latest` to
+          // the old generation forever and silently lose the refresh
+          // path. The straggler-ordering hazard only exists between
+          // generations related by APPEND (my files ⊂ stored files), so
+          // when mtimes tie and neither set contains the other, publish.
           val cur = lm.get(lkey)
-          if (cur == null || cur.fp == fp || cur.files.subsetOf(parts.toSet) ||
-              maxMtime(parts) > maxMtime(cur.files))
-            lm.put(lkey, Frozen(fp, parts.toSet, v))
+          val pset = parts.toSet
+          if (cur == null || cur.fp == fp || cur.files.subsetOf(pset) ||
+              maxMtime(parts) > maxMtime(cur.files) ||
+              (maxMtime(parts) == maxMtime(cur.files) &&
+                !pset.subsetOf(cur.files)))
+            lm.put(lkey, Frozen(fp, pset, v))
           return v.asInstanceOf[T]
         }
       }

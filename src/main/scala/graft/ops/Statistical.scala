@@ -291,7 +291,7 @@ object Statistical {
       |  CAST(percentile_disc(0.99) WITHIN GROUP (ORDER BY n) AS BIGINT) AS p99_rows,
       |  CAST((1000000 * max(n)) // sum(n) AS BIGINT) AS top1_ppm,
       |  CAST((1000000 * (SELECT max(pn) FROM (
-      |     SELECT sum(n) AS pn FROM kc_ord GROUP BY k % 32))) // sum(n) AS BIGINT) AS maxpart_ppm
+      |     SELECT sum(n) AS pn FROM kc_ord GROUP BY ((k % 32) + 32) % 32))) // sum(n) AS BIGINT) AS maxpart_ppm
       |FROM kc_ord
       |UNION ALL
       |SELECT 'lineitem', 'l_suppkey', CAST(sum(n) AS BIGINT),
@@ -300,7 +300,7 @@ object Statistical {
       |  CAST(percentile_disc(0.99) WITHIN GROUP (ORDER BY n) AS BIGINT),
       |  CAST((1000000 * max(n)) // sum(n) AS BIGINT),
       |  CAST((1000000 * (SELECT max(pn) FROM (
-      |     SELECT sum(n) AS pn FROM kc_sup GROUP BY k % 32))) // sum(n) AS BIGINT)
+      |     SELECT sum(n) AS pn FROM kc_sup GROUP BY ((k % 32) + 32) % 32))) // sum(n) AS BIGINT)
       |FROM kc_sup
       |UNION ALL
       |SELECT 'events', 'user_id', CAST(sum(n) AS BIGINT),
@@ -309,7 +309,7 @@ object Statistical {
       |  CAST(percentile_disc(0.99) WITHIN GROUP (ORDER BY n) AS BIGINT),
       |  CAST((1000000 * max(n)) // sum(n) AS BIGINT),
       |  CAST((1000000 * (SELECT max(pn) FROM (
-      |     SELECT sum(n) AS pn FROM kc_usr GROUP BY k % 32))) // sum(n) AS BIGINT)
+      |     SELECT sum(n) AS pn FROM kc_usr GROUP BY ((k % 32) + 32) % 32))) // sum(n) AS BIGINT)
       |FROM kc_usr
       |ORDER BY rel, key_col""".stripMargin
   ) { (s, d) =>
@@ -322,6 +322,10 @@ object Statistical {
         max(col("n")).as("max_rows"))
       val pct = graft.core.GridPercentile.disc(
         kc, Seq("rel"), "n", Seq(("p50_rows", 0.5), ("p99_rows", 0.99)))
+      // pmod is non-negative; the DuckDB oracle mirrors it with
+      // ((k % 32) + 32) % 32 (DuckDB % takes the dividend's sign), so the
+      // partition model stays sign-stable if a key column carries
+      // negative ids
       val part = kc.groupBy(col("rel"), pmod(col("k"), lit(32)).as("p"))
         .agg(sum(col("n")).as("pn"))
         .groupBy("rel").agg(max(col("pn")).as("max_part"))

@@ -573,7 +573,7 @@ object Temporal {
     *   n_pairs         overlapping session pairs attributed to the hour
     *                   of the LATER start — definitionally identical to
     *                   q_interval_join's n_pairs (cross-checked by
-    *                   TemporalSpec), derived as Σ over starts of
+    *                   OperatorSpec), derived as Σ over starts of
     *                   (concurrency at that start − 1),
     *   max_concurrent  peak concurrency: max over the value entering the
     *                   hour and after each in-hour transition.
@@ -913,11 +913,16 @@ object Temporal {
     * scale-killer WindowExec warns about). Here it is the q_concurrency
     * carry decomposition instead: per-id-bucket running max (window
     * PARTITIONED by bucket of 8192 ids), plus a carry-in joined from
-    * the tiny one-row-per-bucket prefix-max table (the lone
-    * unpartitioned window runs over #buckets rows). Percentiles go
-    * through the bounded GridPercentile grid on SECONDS-floored
-    * lateness. The DuckDB oracle runs the naive global window —
-    * cross-checking the decomposition against the direct form. */
+    * the one-row-per-bucket prefix-max table. That carry table itself
+    * grows as N/8192, so its prefix max goes through
+    * [[graft.core.PrefixCarry]] — super-buckets of 8192 buckets; the
+    * lone unpartitioned window runs over N/8192² rows (the round-13
+    * `weak`, retired). The carry join carries no broadcast hint: AQE
+    * broadcasts it while it is small and falls back to a bucket-keyed
+    * shuffle join when it is not. Percentiles go through the bounded
+    * GridPercentile grid on SECONDS-floored lateness. The DuckDB oracle
+    * runs the naive global window — cross-checking the decomposition
+    * against the direct form. */
   val watermarkPlan: Q = Q(
     "q_watermark_plan",
     """WITH ev AS (
@@ -942,15 +947,13 @@ object Temporal {
     // per-bucket running max over STRICTLY EARLIER ids (same bucket)
     val wIn = Window.partitionBy("bucket").orderBy("event_id")
       .rowsBetween(Window.unboundedPreceding, -1)
-    // carry: max ts of all STRICTLY EARLIER buckets — one row per bucket
-    val wCarry = Window.orderBy("bucket")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val carry = ev.groupBy("bucket").agg(max(col("ts_us")).as("bmax"))
-      .withColumn("carry", max(col("bmax")).over(wCarry))
-      .select("bucket", "carry")
+    // carry: max ts of all STRICTLY EARLIER buckets — super-bucketed so
+    // no window partition grows with N (PrefixCarry scaladoc)
+    val bm = ev.groupBy("bucket").agg(max(col("ts_us")).as("bmax"))
+    val carry = graft.core.PrefixCarry.carry(bm, "bucket", "bmax", "carry")
     val lt = ev
       .withColumn("rmax_in", max(col("ts_us")).over(wIn))
-      .join(broadcast(carry), Seq("bucket"))
+      .join(carry, Seq("bucket"))
       .select(col("event_type"),
         expr("greatest(0L, coalesce(greatest(rmax_in, carry), rmax_in, carry, ts_us) - ts_us) div 1000000")
           .as("late_s"))

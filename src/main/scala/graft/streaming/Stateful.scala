@@ -768,8 +768,63 @@ object Stateful {
     * PREVIOUS batch (the hwm-continuity case a per-batch-only census
     * would miss). Restart note: the returned handle re-seeds its hwm
     * from `seedHwm` — a deployment restarting mid-stream passes the
-    * last emitted hwm (or replays from the checkpoint start). */
-  final class WatermarkHandle(val hwm: java.util.concurrent.atomic.AtomicLong)
+    * last emitted hwm (or replays from the checkpoint start). In-run
+    * retries need no seeding: foreachBatch is at-least-once, so a batch
+    * can re-run after a failure that already advanced the hwm — the
+    * handle pins (lastBatchId, hwmBefore) and a replay of the SAME id
+    * recomputes lateness against the hwm as it stood before that batch
+    * first ran, keeping the census idempotent (round-13 advice;
+    * StatefulSpec's same-id replay case). */
+  final class WatermarkHandle(val hwm: java.util.concurrent.atomic.AtomicLong) {
+    private[streaming] var lastBatchId: Long = -1L
+    private[streaming] var hwmBefore: Long = hwm.get()
+    /** The hwm snapshot batch `id` computes lateness against: taken on
+      * first sight of the id, reused verbatim on an at-least-once retry
+      * so the batch's own (failed-attempt) max never inflates it. */
+    private[streaming] def hwmInFor(id: Long): Long = synchronized {
+      if (id != lastBatchId) { lastBatchId = id; hwmBefore = hwm.get() }
+      hwmBefore
+    }
+  }
+
+  /** One micro-batch of the s_stream_watermark census — package-visible
+    * so StatefulSpec can replay the SAME batch id and assert the census
+    * is idempotent under foreachBatch's at-least-once contract. */
+  private[graft] def watermarkCensus(handle: WatermarkHandle,
+      batch: DataFrame, id: Long): DataFrame = {
+    val B = 8192L
+    val hwmIn = handle.hwmInFor(id)
+    val ev = batch
+      .select(col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"))
+      .withColumn("bucket", expr(s"event_id div $B"))
+    val wIn = org.apache.spark.sql.expressions.Window
+      .partitionBy("bucket").orderBy("event_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    // cross-bucket carry through PrefixCarry: no window partition grows
+    // with the micro-batch (the batch twin's round-13 `weak`, retired
+    // here too); AQE broadcasts the carry while it is small
+    val bm = ev.groupBy("bucket").agg(max(col("ts_us")).as("bmax"))
+    val carry = graft.core.PrefixCarry.carry(bm, "bucket", "bmax", "bcarry")
+    val census = ev
+      .withColumn("rmax_in", max(col("ts_us")).over(wIn))
+      .join(carry, Seq("bucket"))
+      .select(col("event_type"),
+        (greatest(coalesce(col("rmax_in"), lit(-1L)),
+          coalesce(col("bcarry"), lit(-1L)),
+          lit(hwmIn)) - col("ts_us")).as("behind"))
+      .select(col("event_type"),
+        expr("(CASE WHEN behind > 0 THEN behind ELSE 0 END) div 1000000")
+          .as("late_s"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("late_s") > 0L, 1L).otherwise(0L)).as("n_late"),
+        max(col("late_s")).as("max_late_s"))
+    val batchMax = ev.agg(max(col("ts_us"))).head()
+    if (!batchMax.isNullAt(0))
+      handle.hwm.getAndUpdate(h => math.max(h, batchMax.getLong(0)))
+    census
+  }
 
   def watermarkStream(events: DataFrame, seedHwm: Long = -1L)(
       sink: (DataFrame, Long) => Unit)
@@ -781,39 +836,7 @@ object Stateful {
       new java.util.concurrent.atomic.AtomicLong(seedHwm))
     val q = events.writeStream
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        val B = 8192L
-        val hwmIn = handle.hwm.get()
-        val ev = batch
-          .select(col("event_id"), col("event_type"),
-            unix_micros(col("ts")).as("ts_us"))
-          .withColumn("bucket", expr(s"event_id div $B"))
-        val wIn = org.apache.spark.sql.expressions.Window
-          .partitionBy("bucket").orderBy("event_id")
-          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-        val wCarry = org.apache.spark.sql.expressions.Window
-          .orderBy("bucket")
-          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-        val carry = ev.groupBy("bucket").agg(max(col("ts_us")).as("bmax"))
-          .withColumn("bcarry", max(col("bmax")).over(wCarry))
-          .select("bucket", "bcarry")
-        val census = ev
-          .withColumn("rmax_in", max(col("ts_us")).over(wIn))
-          .join(broadcast(carry), Seq("bucket"))
-          .select(col("event_type"),
-            (greatest(coalesce(col("rmax_in"), lit(-1L)),
-              coalesce(col("bcarry"), lit(-1L)),
-              lit(hwmIn)) - col("ts_us")).as("behind"))
-          .select(col("event_type"),
-            expr("(CASE WHEN behind > 0 THEN behind ELSE 0 END) div 1000000")
-              .as("late_s"))
-          .groupBy("event_type")
-          .agg(count(lit(1)).as("n"),
-            sum(when(col("late_s") > 0L, 1L).otherwise(0L)).as("n_late"),
-            max(col("late_s")).as("max_late_s"))
-        val batchMax = ev.agg(max(col("ts_us"))).head()
-        if (!batchMax.isNullAt(0))
-          handle.hwm.getAndUpdate(h => math.max(h, batchMax.getLong(0)))
-        sink(census, id)
+        sink(watermarkCensus(handle, batch, id), id)
       }
       .start()
     (q, handle)

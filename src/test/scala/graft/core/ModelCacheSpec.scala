@@ -222,6 +222,45 @@ class ModelCacheSpec extends SparkSuite {
       s"latest regressed to the straggler's generation: refresh produced $gen3")
   }
 
+  test("getOrRefresh publish: a same-mtime non-append rewrite still publishes (coarse-mtime tiebreak)") {
+    // Round-13 advice: filesystem mtime is coarse, so a rewrite can land
+    // in the SAME tick as the generation it replaces. Monotone publish
+    // must not refuse it — ">" alone would pin `latest` to the old
+    // generation forever, and every later generation would retrain
+    // instead of refresh. The append-straggler hazard needs my-files ⊂
+    // stored-files, which a rewrite (disjoint file sets) never is.
+    ModelCache.clear()
+    val dir = tmpDir("tie")
+    val corpus = java.nio.file.Paths.get(s"$dir/corpus")
+    java.nio.file.Files.createDirectories(corpus)
+    val tick = java.nio.file.attribute.FileTime.fromMillis(1700000000000L)
+    def put(name: String, mtime: java.nio.file.attribute.FileTime): Unit = {
+      val p = corpus.resolve(name)
+      java.nio.file.Files.write(p, s"data-$name".getBytes("UTF-8"))
+      java.nio.file.Files.setLastModifiedTime(p, mtime)
+    }
+    put("part-a", tick)
+    val gen1 = ModelCache.getOrRefresh(spark, "tie", s"$dir/corpus") {
+      "base:a"
+    }(prev => s"$prev+delta")
+    assert(gen1 == "base:a")
+    // rewrite in the same mtime tick: part-a replaced by part-b
+    java.nio.file.Files.delete(corpus.resolve("part-a"))
+    put("part-b", tick)
+    val gen2 = ModelCache.getOrRefresh(spark, "tie", s"$dir/corpus") {
+      "base:b"
+    }(prev => s"$prev+delta")
+    assert(gen2 == "base:b", "a rewrite is a retrain, never a refresh")
+    // third generation appends — its refresh must roll forward from the
+    // REWRITTEN base, proving the same-tick publish was accepted
+    put("part-c", java.nio.file.attribute.FileTime.fromMillis(1700000001000L))
+    val gen3 = ModelCache.getOrRefresh(spark, "tie", s"$dir/corpus") {
+      "base:unexpected-retrain"
+    }(prev => s"$prev+delta")
+    assert(gen3 == "base:b+delta",
+      s"same-tick rewrite publish was refused: gen3 = $gen3")
+  }
+
   test("buildCosts ledger: train and refresh seconds accumulate per kind; clear resets") {
     ModelCache.clear()
     assert(ModelCache.buildCosts.isEmpty)

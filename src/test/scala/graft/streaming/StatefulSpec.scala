@@ -1449,6 +1449,38 @@ class StatefulSpec extends SparkSuite {
     }
     assert(batch.values.map(_._2).sum > 0, "fixture must contain late events")
   }
+  test("s_stream_watermark: an at-least-once replay of the same batch id reproduces the census") {
+    // foreachBatch can re-run a batch after a failure that already
+    // advanced the driver-held hwm (round-13 advice): the retry must
+    // compute lateness against the hwm as it stood BEFORE the batch
+    // first ran, not one inflated by the failed attempt's own max.
+    val base = 1700000000000000L
+    def df(rows: Seq[(Long, Timestamp, String)]) =
+      spark.createDataFrame(rows).toDF("event_id", "ts", "event_type")
+    def ts(us: Long) = new Timestamp(us / 1000L)
+    val handle = new Stateful.WatermarkHandle(
+      new java.util.concurrent.atomic.AtomicLong(-1L))
+    // batch 0 establishes hwm = base+60s
+    Stateful.watermarkCensus(handle,
+      df(Seq((0L, ts(base), "a"), (1L, ts(base + 60000000L), "a"))), 0L)
+      .collect()
+    // batch 1: event 2 is 50s behind batch-0's hwm; event 3 advances it
+    val b1 = Seq((2L, ts(base + 10000000L), "a"), (3L, ts(base + 70000000L), "a"))
+    val first = Stateful.watermarkCensus(handle, df(b1), 1L).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(first == Seq(("a", 2L, 1L, 50L)), s"first run census: $first")
+    assert(handle.hwm.get() == base + 70000000L, "hwm advanced by batch 1")
+    // the retry of the SAME id: without the pinned snapshot it would see
+    // hwm = base+70s and report event 2 as 60s late
+    val retry = Stateful.watermarkCensus(handle, df(b1), 1L).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(retry == first, s"replayed census diverged: $retry != $first")
+    // a NEW id then sees the advanced hwm as normal
+    val next = Stateful.watermarkCensus(handle,
+      df(Seq((4L, ts(base + 65000000L), "a"))), 2L).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(next == Seq(("a", 1L, 1L, 5L)), s"post-retry batch census: $next")
+  }
   test("s_stream_concurrency (transformWithState): boundary-for-boundary parity with the fMGWS gate on RocksDB") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.functions.{col, unix_micros}
