@@ -735,7 +735,8 @@ object Temporal {
   val concurrencyDelta: Q = Q("q_concurrency_delta", concurrencySql) { (s, d) =>
     val (sp, closed, tails) = sessBase(s, d)
     val delta = T.eventsRawSlice(s, d, sp, Long.MaxValue)
-    val (closedAll, tailsAll) = stitch(closed, tails, delta)
+    val (closedAll, tailsAll) = stitch(closed, tails, delta,
+      T.eventsRawSlice(s, d, -1L, Long.MaxValue))
     concurrencyCensus(
       closedAll.unionByName(tailsAll)
         .select(col("user_id"), col("session_id"), col("start_us"),
@@ -750,9 +751,13 @@ object Temporal {
     * start, last event ts, count, id), which are exactly the rows new
     * events can mutate — the same two-longs-per-user truth
     * s_stream_concurrency keeps as keyed state, frozen as a batch
-    * artifact. Monoidal under append-only, id-monotone growth (the
-    * dedup/bm25 delta contract): a refresh re-sessionizes ONLY the
-    * delta slice seeded with the tails; old events are never re-read. */
+    * artifact. Monoidal under append-only growth (the dedup/bm25 delta
+    * contract): a refresh re-sessionizes ONLY the delta slice seeded
+    * with the tails. Old events are re-read ONLY for users whose delta
+    * carries a LATE arrival (event-time behind their frozen tail) —
+    * [[stitch]] detects and routes those through a per-user full
+    * re-sessionize, so the contract needs no per-user event-time
+    * monotonicity across the split (round-13 advice). */
   private[graft] def sessBase(s: SparkSession, d: String)
       : (Long, DataFrame, DataFrame) =
     graft.core.ModelCache.getOrRefresh(s, "sess-base", s"$d/events.parquet") {
@@ -772,7 +777,8 @@ object Temporal {
       // (flattenWide bounds their depth) — re-checkpointing the full
       // closed set per refresh was measured SLOWER than retrain (the
       // lp-base lesson: refresh must never pay an O(corpus) write)
-      val (closedNew, tailsNew) = stitch(closed0, tails0, delta, freeze = true)
+      val (closedNew, tailsNew) = stitch(closed0, tails0, delta,
+        T.eventsRawSlice(s, d, -1L, sp1), freeze = true)
       (sp1, closedNew, tailsNew)
     }
 
@@ -805,17 +811,43 @@ object Temporal {
     * (start, n, id); the standard gap chain then decides whether the
     * first delta event stitches into the tail session or opens id+1 —
     * O(delta + touched users), old events never re-read. Returns the
-    * rolled-forward (closed, tails). */
+    * rolled-forward (closed, tails).
+    *
+    * The marker stitch is exact only when every delta event lands
+    * at-or-after its user's frozen tail (per-user event-time
+    * monotonicity across the id split). A LATE arrival — a delta event
+    * whose ts predates the tail's last event, the exact disorder
+    * q_watermark_plan censuses — can merge FROZEN history (e.g. bridge
+    * the 30-min gap between a closed session and the tail), which no
+    * stitch can reproduce from aggregates. Round-13 advice: such users
+    * are detected (min delta ts < tail last_us) and routed through a
+    * full per-user re-sessionize over `fullEvents` — O(late users'
+    * events), zero extra work when the arrival contract holds (a
+    * driver-side existence probe keeps the happy-path plan identical),
+    * never O(corpus). RefreshSpec's late-arrival case pins
+    * refresh == retrain across a closed-session bridge. */
   private def stitch(closed0: DataFrame, tails0: DataFrame, delta: DataFrame,
-      freeze: Boolean = false): (DataFrame, DataFrame) = {
-    val deltaUsers = delta.select("user_id").distinct()
-    val touched = tails0.join(deltaUsers, Seq("user_id"), "left_semi")
-    val untouched = tails0.join(deltaUsers, Seq("user_id"), "left_anti")
+      fullEvents: DataFrame, freeze: Boolean = false): (DataFrame, DataFrame) = {
+    val lateUsers = delta.groupBy("user_id").agg(min(col("ts_us")).as("__dmin"))
+      .join(tails0.select(col("user_id"), col("last_us")), Seq("user_id"))
+      .filter(col("__dmin") < col("last_us"))
+      .select("user_id")
+    // existence probe is O(delta): only a non-empty late set pays the
+    // routing legs (and only those users' events are ever re-read)
+    val anyLate = lateUsers.limit(1).count() > 0
+    val (closedKept, tailsKept, deltaClean) =
+      if (!anyLate) (closed0, tails0, delta)
+      else (closed0.join(lateUsers, Seq("user_id"), "left_anti"),
+        tails0.join(lateUsers, Seq("user_id"), "left_anti"),
+        delta.join(lateUsers, Seq("user_id"), "left_anti"))
+    val deltaUsers = deltaClean.select("user_id").distinct()
+    val touched = tailsKept.join(deltaUsers, Seq("user_id"), "left_semi")
+    val untouched = tailsKept.join(deltaUsers, Seq("user_id"), "left_anti")
     val marker = touched.select(col("user_id"), col("last_us").as("ts_us"),
       lit(0L).as("event_id"), lit(1).as("is_marker"),
       col("start_us").as("m_start"), col("n").as("m_n"),
       col("session_id").as("m_sid"))
-    val rows = delta.select(col("user_id"), col("ts_us"), col("event_id"),
+    val rows = deltaClean.select(col("user_id"), col("ts_us"), col("event_id"),
         lit(0).as("is_marker"), lit(null).cast("long").as("m_start"),
         lit(null).cast("long").as("m_n"), lit(null).cast("long").as("m_sid"))
       .unionByName(marker)
@@ -848,8 +880,21 @@ object Temporal {
     val (newlyClosed, tails1) =
       if (freeze) (newlyClosed0.localCheckpoint(), tails10.localCheckpoint())
       else (newlyClosed0, tails10)
-    val closedAll = closed0.unionByName(newlyClosed)
-    val tailsAll = tails1.unionByName(untouched)
+    var closedAll = closedKept.unionByName(newlyClosed)
+    var tailsAll = tails1.unionByName(untouched)
+    if (anyLate) {
+      // late users: frozen rows replaced outright by a from-scratch
+      // per-user sessionize — the only leg that re-reads old events,
+      // bounded by the late users' own history
+      val redone = sessionsOf(
+        fullEvents.join(lateUsers, Seq("user_id"), "left_semi"))
+      val (lateClosed0, lateTails0) = splitTails(redone)
+      val (lateClosed, lateTails) =
+        if (freeze) (lateClosed0.localCheckpoint(), lateTails0.localCheckpoint())
+        else (lateClosed0, lateTails0)
+      closedAll = closedAll.unionByName(lateClosed)
+      tailsAll = tailsAll.unionByName(lateTails)
+    }
     if (freeze)
       (graft.core.Session.flattenWide(closedAll),
         graft.core.Session.flattenWide(tailsAll))
@@ -890,7 +935,8 @@ object Temporal {
   ) { (s, d) =>
     val (sp, closed, tails) = sessBase(s, d)
     val delta = T.eventsRawSlice(s, d, sp, Long.MaxValue)
-    val (closedAll, tailsAll) = stitch(closed, tails, delta)
+    val (closedAll, tailsAll) = stitch(closed, tails, delta,
+      T.eventsRawSlice(s, d, -1L, Long.MaxValue))
     closedAll.unionByName(tailsAll)
       .select(col("user_id"), col("session_id"), col("n").as("n_events"),
         col("start_us"), (col("last_us") - col("start_us")).as("duration_us"))

@@ -341,4 +341,55 @@ class RefreshSpec extends SparkSuite {
     assert(afterC == retrain(),
       "chained refresh (straddle + new user processed in-refresh) must equal retrain")
   }
+  test("sess-base: LATE delta arrivals route through per-user re-sessionize (refresh == retrain)") {
+    // Round-13 advice: a delta event whose ts predates its user's frozen
+    // tail can merge FROZEN history — e.g. bridge the 30-min gap between
+    // a closed session and the tail — which the marker stitch cannot
+    // reproduce from aggregates. Such users must take the full per-user
+    // re-sessionize path and still equal the from-scratch oracle.
+    val d = tmpDir("refresh-late")
+    ModelCache.clear()
+    def write(rows: Seq[(Long, Long, Long)]): Unit =
+      spark.createDataFrame(rows.map { case (id, uid, tsSec) =>
+        (id, uid, new java.sql.Timestamp(1700000000000L + tsSec * 1000L))
+      }).toDF("event_id", "user_id", "ts")
+        .coalesce(1).write.mode("append").parquet(s"$d/events.parquet")
+    def result(): Seq[String] =
+      rowsOf(graft.ops.Temporal.sessionizeDelta.fn(spark, d))
+    def retrain(): Seq[String] = {
+      ModelCache.clear()
+      rowsOf(graft.ops.Temporal.sessionizeDelta.fn(spark, d))
+    }
+    // gen A: user 1 closed session [0..120] + tail [7200..7260];
+    // user 2 tail [100..160]; user 3 single event
+    write(Seq((0L, 1L, 0L), (1L, 1L, 60L), (2L, 1L, 120L),
+      (3L, 1L, 7200L), (4L, 1L, 7260L),
+      (5L, 2L, 100L), (6L, 2L, 160L), (7L, 3L, 50L)))
+    assert(result() == retrain())
+    // gen B: id 100 is LATE for user 1 (ts 1500 < tail last 7260) and
+    // bridges the gap into the CLOSED session [0..120] (1500-120 < 1800);
+    // id 101 is late INSIDE user 2's tail span; id 103 is an on-time
+    // event for the same routed user 1; id 102 is an on-time normal
+    // arrival for user 3 (must stay on the marker-stitch path)
+    write(Seq((100L, 1L, 1500L), (101L, 2L, 150L),
+      (102L, 3L, 4000L), (103L, 1L, 7400L)))
+    val afterB = result()
+    assert(afterB == retrain(), "late-arrival serve stitch must equal retrain")
+    // the closed session must have absorbed the late bridge event
+    assert(afterB.exists(_.contains("[1,1,4,1700000000000000,1500000000]")),
+      s"user 1 session 1 must merge to 4 events over 1500s: $afterB")
+    // gen C pushes the late events into the REFRESH slice (freeze path)
+    write(Seq((800L, 1L, 30000L), (801L, 3L, 40000L)))
+    val afterC = result()
+    assert(ModelCache.lastEvent("sess-base", s"$d/events.parquet")
+      .contains("refreshed"), "append-only growth must take the merge path")
+    assert(afterC == retrain(),
+      "late arrivals processed in-refresh must equal retrain")
+    // the concurrency census composed on the same base must also agree
+    ModelCache.clear()
+    val viaDelta = rowsOf(graft.ops.Temporal.concurrencyDelta.fn(spark, d))
+    val fromScratch = rowsOf(graft.ops.Temporal.concurrency.fn(spark, d))
+    assert(viaDelta == fromScratch,
+      "q_concurrency_delta over a late-arrival corpus must equal q_concurrency")
+  }
 }
