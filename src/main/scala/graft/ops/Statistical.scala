@@ -366,9 +366,14 @@ object Statistical {
   }
 
   /** The salted-join counterpart of q_skew_salted: events ⋈ customer
-    * through core.Skew.saltedEquiJoin (big side salted 8 ways, small side
-    * replicated), aggregated after. The oracle is the PLAIN join — the
-    * salt changes only the shuffle layout, never the result. */
+    * through core.Skew.autoSaltedEquiJoin — the fan-out is DECIDED by
+    * the q_join_skew_diag census (round-13 verdict ask #7: the census
+    * now feeds an actual decision instead of an unconditional salt 8).
+    * On this corpus user_id is balanced, so the decision is n = 1 and
+    * the plan is the plain join bit-identical (PlanShapeSpec); SkewSpec
+    * proves a coarse/hot key flips the decision to n > 1 and salts. The
+    * oracle is the PLAIN join — salting changes only the shuffle
+    * layout, never the result. */
   val skewSaltedJoin: Q = Q(
     "q_skew_salted_join",
     """SELECT c_mktsegment, COUNT(*) AS n,
@@ -379,7 +384,7 @@ object Statistical {
     val e = T.events(s, d)
       .select(col("user_id").as("c_custkey"), col("value"))
     val c = T.customer(s, d).select("c_custkey", "c_mktsegment")
-    graft.core.Skew.saltedEquiJoin(e, c, "c_custkey", 8)
+    graft.core.Skew.autoSaltedEquiJoin(e, c, "c_custkey")
       .groupBy("c_mktsegment")
       .agg(count(lit(1)).as("n"), C.dsum(col("value")).as("total_value"))
       .orderBy("c_mktsegment")

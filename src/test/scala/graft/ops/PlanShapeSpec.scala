@@ -158,10 +158,18 @@ class PlanShapeSpec extends SparkSuite {
     assert(!p.contains("BroadcastHashJoin"))
   }
 
-  test("q_skew_salted_join salts the big side and replicates the small side") {
-    val p = plan("q_skew_salted_join")
-    assert(p.contains("xxhash64"), "salt must be a deterministic hash")
-    assert(p.contains("explode"), "small side must replicate per salt")
+  test("q_skew_salted_join: the census decides — balanced corpus keeps the plain-join plan") {
+    // round-13 ask #7: salting is no longer unconditional. At sf0.01
+    // user_id is balanced (150 users, top1 ≈ 8600 ppm), so
+    // autoSaltedEquiJoin must decide n = 1 and leave the join
+    // untouched: no salt column, no replication. (SkewSpec pins the
+    // n > 1 path on hot-key data — including this same query's key at
+    // sf0.001, where 15 users IS a hot distribution.)
+    val df = graft.SparkEntry.queries("q_skew_salted_join")(spark, "/root/testdata/sf0.01")
+    val p = df.queryExecution.executedPlan.toString() + "\n" +
+      df.queryExecution.optimizedPlan.toString()
+    assert(!p.contains("__salt"), "balanced key must not pay the salt column")
+    assert(!p.contains("explode"), "balanced key must not replicate the small side")
   }
 
   test("q_mad has no PercentileDisc row buffer: partial aggregates below every percentile") {
