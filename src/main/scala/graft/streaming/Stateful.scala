@@ -2,8 +2,9 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode,
-  StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState,
+  GroupStateTimeout, ListState, OutputMode, StatefulProcessor, TTLConfig,
+  TimeMode, TimerValues, ValueState}
 
 /** Streaming state machines and event-time windows (SURVEY.md §2B
   * streaming rows). These are DataFrame→DataFrame transforms so tests
@@ -1363,4 +1364,107 @@ object Stateful {
       .agg(count(lit(1)).as("n_events"))
       .select(col("user_id"), col("session_window.start").as("session_start"),
         col("n_events"))
+
+  final case class SessEvIn(user_id: Long, ts_us: Long)
+  final case class SessionOut(user_id: Long,
+      session_start: java.sql.Timestamp, n_events: Long)
+
+  /** Timer-driven session closing on transformWithState — the third tws
+    * port and the first to exercise the API's TIMERS (round-13 verdict
+    * ask #3; ChecksumProcessor and ConcurrencyProcessor use only
+    * ValueState). Where [[sessionCounts]]'s session_window aggregation
+    * closes sessions retroactively when the watermark overtakes them,
+    * here the state machine is explicit and forward-looking: each
+    * user's open session holds one EVENT-TIME timer at
+    * last_event + 30 min; an arriving event extends the session and
+    * SLIDES the timer (deleteTimer + registerTimer); a mid-batch gap
+    * parks the closed session in a ListState under its own timer; and
+    * [[handleExpiredTimer]] emits exactly when the watermark crosses a
+    * session's gap boundary. Merge rule matches session_window's
+    * half-open windows (merge iff next < last + gap, strictly).
+    * StatefulSpec replays one stream through both gates and asserts the
+    * emitted session sets are identical. */
+  class SessionProcessor
+      extends StatefulProcessor[Long, SessEvIn, SessionOut] {
+    private val GapUs = 1800000000L
+    private def expiryMs(lastUs: Long): Long = lastUs / 1000L + 30L * 60L * 1000L
+    private def startTs(startUs: Long) = new java.sql.Timestamp(startUs / 1000L)
+
+    @transient private var open: ValueState[(Long, Long, Long)] = _
+    @transient private var pending: ListState[(Long, Long, Long)] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      val enc = Encoders.tuple(
+        Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaLong)
+      open = getHandle.getValueState("open", enc, TTLConfig.NONE)
+      pending = getHandle.getListState("pending", enc, TTLConfig.NONE)
+    }
+
+    override def handleInputRows(uid: Long, rows: Iterator[SessEvIn],
+        timers: TimerValues): Iterator[SessionOut] = {
+      val prev = Option(open.get())
+      var cur = prev
+      val parked = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+      rows.toSeq.sortBy(_.ts_us).foreach { e =>
+        cur match {
+          case Some((start, last, n)) if e.ts_us - last < GapUs =>
+            cur = Some((start, math.max(last, e.ts_us), n + 1L))
+          case Some(closed) =>
+            // gap inside the batch: park under its own timer — it still
+            // emits only when the WATERMARK passes its boundary, exactly
+            // like the aggregation form
+            parked += closed
+            cur = Some((e.ts_us, e.ts_us, 1L))
+          case None =>
+            cur = Some((e.ts_us, e.ts_us, 1L))
+        }
+      }
+      // slide the open-session timer: drop the pre-batch one, then cover
+      // every parked boundary and the new open session
+      prev.foreach(p => getHandle.deleteTimer(expiryMs(p._2)))
+      parked.foreach { p =>
+        pending.appendValue(p)
+        getHandle.registerTimer(expiryMs(p._2))
+      }
+      cur.foreach { c =>
+        open.update(c)
+        getHandle.registerTimer(expiryMs(c._2))
+      }
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(uid: Long, timers: TimerValues,
+        info: ExpiredTimerInfo): Iterator[SessionOut] = {
+      val fired = info.getExpiryTimeInMs
+      val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+      val keep = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+      pending.get().foreach { case s @ (start, last, n) =>
+        if (expiryMs(last) <= fired) out += SessionOut(uid, startTs(start), n)
+        else keep += s
+      }
+      if (out.nonEmpty) {
+        pending.clear()
+        keep.foreach(pending.appendValue)
+      }
+      Option(open.get()).foreach { case (start, last, n) =>
+        if (expiryMs(last) <= fired) {
+          out += SessionOut(uid, startTs(start), n)
+          open.clear()
+        }
+      }
+      out.iterator
+    }
+  }
+
+  /** [[sessionCounts]] re-expressed through [[SessionProcessor]]. */
+  def sessionCountsTws(events: DataFrame): Dataset[SessionOut] = {
+    val s = events.sparkSession
+    import s.implicits._
+    events
+      .withWatermark("ts", "10 minutes")
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us")).as[SessEvIn]
+      .groupByKey(_.user_id)
+      .transformWithState(new SessionProcessor, TimeMode.EventTime(),
+        OutputMode.Append())
+  }
 }

@@ -1515,4 +1515,57 @@ class StatefulSpec extends SparkSuite {
     assert(classic.nonEmpty && classic == tws,
       s"engines diverged: fMGWS ${classic.size} boundaries, tws ${tws.size}")
   }
+  test("s_session_timer (transformWithState TIMERS): session-for-session parity with session_window") {
+    // Round-13 ask #3: the first tws port exercising registerTimer —
+    // sessions close when the gap timer fires (watermark crosses
+    // last + 30 min), not retroactively inside an aggregation. Both
+    // gates replay the same three-batch stream; a far-future sentinel
+    // user advances the watermark so every real session closes; the
+    // emitted (user, start, n) sets must be identical.
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.{col, unix_micros}
+    val sf = "/root/testdata/sf0.001"
+    val ev = graft.core.Tables.events(spark, sf)
+      .select(col("user_id"), col("ts"), unix_micros(col("ts")).as("us"))
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2)))
+      .sortBy(_._3)
+    val sentinelUser = -1L
+    val sentinel = (sentinelUser,
+      new Timestamp(ev.last._2.getTime + 7L * 24 * 3600 * 1000), 0L)
+    val (b1, rest) = ev.splitAt(ev.length / 3)
+    val (b2, b3) = rest.splitAt(rest.length / 2)
+    def runGate(name: String,
+        gate: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)
+        : Seq[(Long, Long, Long)] = {
+      val in = MemoryStream[(Long, Timestamp)]
+      val q = gate(in.toDS().toDF("user_id", "ts"))
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append).start()
+      Seq(b1.toSeq, b2.toSeq, b3.toSeq, Seq(sentinel)).foreach { b =>
+        in.addData(b.map(e => (e._1, e._2))); q.processAllAvailable()
+      }
+      // one more empty pass: emissions land in the batch AFTER the
+      // watermark advance that the sentinel caused
+      in.addData(Seq.empty[(Long, Timestamp)]); q.processAllAvailable()
+      val out = spark.table(name).collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1).getTime, r.getLong(2)))
+        .filter(_._1 != sentinelUser).sorted.toSeq
+      q.stop()
+      out
+    }
+    val classic = runGate("sess_window", Stateful.sessionCounts)
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val timered =
+      try runGate("sess_tws_timer", df => Stateful.sessionCountsTws(df).toDF())
+      finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    assert(classic.nonEmpty, "fixture must close at least one session")
+    assert(classic == timered,
+      s"engines diverged: session_window ${classic.size} sessions, timer ${timered.size}")
+    // the timer path must have emitted MULTIPLE sessions for some user
+    // (proves mid-stream closes, not just the sentinel flush)
+    assert(timered.groupBy(_._1).exists(_._2.size > 1),
+      "fixture must produce multiple sessions per user")
+  }
 }
