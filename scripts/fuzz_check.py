@@ -41,6 +41,14 @@ def main(sf_dir, sql_json, out_dir):
                 if not eq.all():
                     ok = False
                     break
+        # gen_sweepcarry embeds its own decomposition-vs-naive assertion:
+        # a column named expect_zero must be all-zero IN the (matching)
+        # results — a cross-engine-consistent wrong decomposition would
+        # otherwise slip through the compare
+        if ok and "expect_zero" in duck_df.columns \
+                and (duck_df["expect_zero"] != 0).any():
+            ok = False
+            print(f"FAIL {name}: expect_zero violated\n  SQL: {sql[:200]}")
         if ok:
             n_pass += 1
         else:

@@ -541,7 +541,167 @@ def gen_clip(rng):
         f"GROUP BY {scol}, b.lo, b.hi ORDER BY {scol}")
 
 
+def gen_containment(rng):
+    # the q_dedup_containment / q_containment_est dialect class (round-14
+    # ask #4): set containment + the size-aware Jaccard→containment
+    # bridge over integer/label element sets per user. The pair join is
+    # bounded by the element domain; every ratio is FLOOR of one double
+    # division of exact ints (bit-identical across engines — never an
+    # integer-division dialect or a double→int CAST, which rounds in
+    # DuckDB and truncates in Spark).
+    B = rng.choice([25, 50, 100, 200])
+    thr = rng.choice([20, 30, 50, 70])
+    el = rng.choice([
+        f"CAST(FLOOR(value / {B}) AS BIGINT)",
+        "event_type",
+        f"concat(event_type, '#', CAST(CAST(FLOOR(value / {B}) AS BIGINT) AS STRING))",
+    ])
+    where = " AND ".join(pred(rng, TABLES["events"])
+                         for _ in range(rng.randint(1, 2)))
+    base = (
+        f"WITH el AS (SELECT user_id AS sid, {el} AS e FROM events "
+        f"WHERE {where} GROUP BY 1, 2), "
+        f"sz AS (SELECT sid, CAST(count(*) AS BIGINT) AS n FROM el GROUP BY 1), ")
+    shape = rng.random()
+    if shape < 0.3:
+        # rare-band inverted-index candidate generation (the df-cap shape)
+        lo = rng.randint(2, 3)
+        hi = lo + rng.randint(2, 8)
+        return base + (
+            f"rare AS (SELECT e FROM el GROUP BY e "
+            f"HAVING count(*) BETWEEN {lo} AND {hi}), "
+            f"pr AS (SELECT a.sid AS sa, b.sid AS sb, "
+            f"CAST(count(*) AS BIGINT) AS c "
+            f"FROM el a JOIN rare r ON a.e = r.e "
+            f"JOIN el b ON b.e = r.e AND a.sid < b.sid GROUP BY 1, 2) "
+            f"SELECT sa, sb, c, za.n AS na, zb.n AS nb, "
+            f"CAST(FLOOR((100.0 * c) / LEAST(za.n, zb.n)) AS BIGINT) AS cont_pct "
+            f"FROM pr JOIN sz za ON za.sid = pr.sa JOIN sz zb ON zb.sid = pr.sb "
+            f"ORDER BY sa, sb")
+    pair = (
+        f"pr AS (SELECT a.sid AS sa, b.sid AS sb, CAST(count(*) AS BIGINT) AS c "
+        f"FROM el a JOIN el b ON b.e = a.e AND a.sid < b.sid GROUP BY 1, 2) ")
+    if shape < 0.65:
+        # both metrics + the size-aware bridge: Ĉ derived from exact
+        # Ĵ = c/(na+nb−c) via |∩|̂ = Ĵ(na+nb)/(1+Ĵ) — algebraically the
+        # containment again, probing the bridge arithmetic cross-engine
+        j = "(c / CAST(za.n + zb.n - c AS DOUBLE))"
+        return base + pair + (
+            f"SELECT sa, sb, c, za.n AS na, zb.n AS nb, "
+            f"CAST(FLOOR((100.0 * c) / LEAST(za.n, zb.n)) AS BIGINT) AS cont_pct, "
+            f"CAST(FLOOR((1000000.0 * c) / (za.n + zb.n - c)) AS BIGINT) AS jacc_ppm, "
+            f"CAST(FLOOR(1000000.0 * ({j} * (za.n + zb.n) / (1.0 + {j})) "
+            f"/ LEAST(za.n, zb.n)) AS BIGINT) AS cont_bridge_ppm "
+            f"FROM pr JOIN sz za ON za.sid = pr.sa JOIN sz zb ON zb.sid = pr.sb "
+            f"WHERE 100 * c >= {thr} * LEAST(za.n, zb.n) "
+            f"ORDER BY sa, sb")
+    # engulfed/engulfer census (the q_dedup_containment output contract)
+    return base + pair + (
+        f"SELECT CASE WHEN zb.n < za.n THEN sb ELSE sa END AS engulfed, "
+        f"CASE WHEN zb.n < za.n THEN sa ELSE sb END AS engulfer, "
+        f"LEAST(za.n, zb.n) AS n_small, GREATEST(za.n, zb.n) AS n_big, "
+        f"c AS n_common "
+        f"FROM pr JOIN sz za ON za.sid = pr.sa JOIN sz zb ON zb.sid = pr.sb "
+        f"WHERE 100 * c >= {thr} * LEAST(za.n, zb.n) "
+        f"ORDER BY 1, 2")
+
+
+def gen_sweepcarry(rng):
+    # the q_watermark_plan / PrefixCarry dialect class (round-14 ask #4):
+    # a prefix aggregate over a unique axis computed BOTH ways in one
+    # query — the naive global-order window and the bucket-partitioned
+    # window + carry-join decomposition — with the mismatch count emitted
+    # as `expect_zero` (fuzz_check asserts that column is all-zero, on
+    # top of the cross-engine compare). Merge is COALESCE/CASE based:
+    # GREATEST/LEAST null semantics differ across engines.
+    B = rng.choice([64, 256, 1024, 8192])
+    agg = rng.choice(["MAX", "MIN", "SUM"])
+    axis, measure, tbl = rng.choice([
+        ("event_id", "CAST(FLOOR(value * 100) AS BIGINT)", "events"),
+        ("o_orderkey", "CAST(FLOOR(o_totalprice * 100) AS BIGINT)", "orders"),
+        ("c_custkey", "CAST(FLOOR(c_acctbal * 100) AS BIGINT)", "customer"),
+        ("p_partkey", "CAST(p_size AS BIGINT)", "part"),
+    ])
+    where = pred(rng, TABLES[tbl])
+    if agg == "SUM":
+        merge = ("CASE WHEN w.rin IS NULL AND cr.cv IS NULL THEN NULL "
+                 "ELSE COALESCE(w.rin, 0) + COALESCE(cr.cv, 0) END")
+    else:
+        cmp_ = ">" if agg == "MAX" else "<"
+        merge = ("CASE WHEN w.rin IS NULL THEN cr.cv "
+                 "WHEN cr.cv IS NULL THEN w.rin "
+                 f"WHEN w.rin {cmp_} cr.cv THEN w.rin ELSE cr.cv END")
+    frame = "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING"
+    sql = (
+        f"WITH ev AS (SELECT {axis} AS k, {measure} AS v FROM {tbl} "
+        f"WHERE {where}), "
+        f"b AS (SELECT k, v, CAST(FLOOR(k / {B}) AS BIGINT) AS bk FROM ev), "
+        f"naive AS (SELECT k, {agg}(v) OVER (ORDER BY k {frame}) AS r FROM ev), "
+        f"w AS (SELECT k, bk, {agg}(v) OVER "
+        f"(PARTITION BY bk ORDER BY k {frame}) AS rin FROM b), "
+        f"bm AS (SELECT bk, {agg}(v) AS bv FROM b GROUP BY 1), "
+        f"cr AS (SELECT bk, {agg}(bv) OVER (ORDER BY bk {frame}) AS cv FROM bm), "
+        f"dec AS (SELECT w.k, {merge} AS m FROM w JOIN cr ON cr.bk = w.bk) ")
+    if rng.random() < 0.6:
+        # COALESCE(…, 0): an empty filter result must read as 0 mismatches,
+        # not a NULL sum
+        return sql + (
+            "SELECT CAST(count(*) AS BIGINT) AS n, "
+            "CAST(COALESCE(SUM(CASE WHEN n1.r IS DISTINCT FROM d.m "
+            "THEN 1 ELSE 0 END), 0) AS BIGINT) AS expect_zero, "
+            "CAST(COALESCE(SUM(COALESCE(d.m, -1)), 0) AS BIGINT) AS chk "
+            "FROM naive n1 JOIN dec d ON d.k = n1.k")
+    return sql + (f"SELECT d.k, d.m FROM dec d ORDER BY d.k "
+                  f"LIMIT {rng.randint(100, 1000)}")
+
+
+def gen_bitmask(rng):
+    # the q_audience_overlap dialect class (round-14 ask #4): per-user
+    # bitmask over a bounded label alphabet, then mask census / bit-pair
+    # overlap / popcount histogram — bits packed and extracted with pure
+    # FLOOR-divide arithmetic (no engine-specific bit operators).
+    nb = rng.randint(3, 6)
+    B = rng.choice([100, 150, 200, 250])
+    lbl = rng.choice([
+        f"CAST(FLOOR(value / {B}) AS BIGINT) % {nb}",
+        f"event_id % {nb}",
+        f"(user_id + event_id) % {nb}",
+    ])
+    where = pred(rng, TABLES["events"])
+    base = (
+        f"WITH el AS (SELECT user_id AS uid, CAST({lbl} AS BIGINT) AS b "
+        f"FROM events WHERE {where} GROUP BY 1, 2), "
+        f"mask AS (SELECT uid, CAST(SUM(CAST(FLOOR(POWER(2.0, b)) AS BIGINT)) "
+        f"AS BIGINT) AS m FROM el GROUP BY 1) ")
+    def bit(p):
+        return f"(FLOOR(m / {1 << p}) - 2 * FLOOR(m / {1 << (p + 1)}))"
+    shape = rng.random()
+    if shape < 0.4:
+        return base + ("SELECT m, CAST(count(*) AS BIGINT) AS n_users "
+                       "FROM mask GROUP BY m ORDER BY m")
+    if shape < 0.8:
+        i = rng.randint(0, nb - 1)
+        j = (i + rng.randint(1, nb - 1)) % nb
+        return base + (
+            f"SELECT CAST(SUM(CASE WHEN {bit(i)} = 1 AND {bit(j)} = 1 "
+            f"THEN 1 ELSE 0 END) AS BIGINT) AS both_ij, "
+            f"CAST(SUM(CASE WHEN {bit(i)} = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_i, "
+            f"CAST(SUM(CASE WHEN {bit(j)} = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_j, "
+            f"CAST(count(*) AS BIGINT) AS n_users FROM mask")
+    bits = " + ".join(bit(p) for p in range(nb))
+    return base + (f"SELECT CAST({bits} AS BIGINT) AS n_types, "
+                   f"CAST(count(*) AS BIGINT) AS n_users "
+                   f"FROM mask GROUP BY 1 ORDER BY 1")
+
+
 def gen_query(rng):
+    roll = rng.random()
+    if roll < 0.03:
+        return gen_containment(rng)
+    if roll < 0.06:
+        return gen_sweepcarry(rng)
+    if roll < 0.09:
+        return gen_bitmask(rng)
     roll = rng.random()
     if roll < 0.04:
         return gen_graphcte(rng)
@@ -622,8 +782,18 @@ def gen_query(rng):
 def main():
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 100
     seed = int(sys.argv[2]) if len(sys.argv) > 2 else 42
+    fam = None
+    for a in sys.argv[3:]:
+        if a.startswith("--family="):
+            fam = a.split("=", 1)[1]
     rng = random.Random(seed)
-    queries = {f"fz_{i:04d}": gen_query(rng) for i in range(n)}
+    if fam:
+        gens = {"containment": gen_containment, "sweepcarry": gen_sweepcarry,
+                "bitmask": gen_bitmask}
+        fns = [gens[f] for f in fam.split(",")]
+        queries = {f"fz_{i:04d}": fns[i % len(fns)](rng) for i in range(n)}
+    else:
+        queries = {f"fz_{i:04d}": gen_query(rng) for i in range(n)}
     json.dump(queries, sys.stdout, indent=0)
 
 

@@ -839,33 +839,84 @@ object Dedup {
       .distinct()
 
   /** Frozen engulfment-probe artifact for the streaming admission gate:
-    * the base corpus's full shingle relation, the rare-shingle inverted
-    * index (df ≤ 8 IN THE BASE — an arriving doc is the occurrence that
-    * makes a df-1 shingle pair-worthy, so the lower bound of the batch
-    * census's 2..8 band does not apply), and per-doc set sizes.
-    *
-    * Deliberately getOrTrain, NOT getOrRefresh: the rare index is not
-    * monoidal under corpus growth — an append can push a shingle's df
-    * PAST the cap, which must REMOVE it from the index, and removal is
-    * exactly what a base ⊕ delta merge cannot express (the same reason
-    * non-append rewrites fall back to retrain everywhere else). A
-    * content-fingerprint retrain per corpus generation is the honest
-    * lifecycle here; the full relation and sizes are monoidal but ride
-    * along since the index rebuild already scans the delta'd corpus. */
-  final case class ContainBase(full: org.apache.spark.sql.DataFrame,
+    * the covered doc-id bound, the base corpus's full shingle relation,
+    * the per-shingle df census, the rare-shingle inverted index (df ≤ 8
+    * IN THE BASE — an arriving doc is the occurrence that makes a df-1
+    * shingle pair-worthy, so the lower bound of the batch census's 2..8
+    * band does not apply), and per-doc set sizes. */
+  final case class ContainBase(sp: Long,
+      full: org.apache.spark.sql.DataFrame,
+      df: org.apache.spark.sql.DataFrame,
       rareIdx: org.apache.spark.sql.DataFrame,
       sizes: org.apache.spark.sql.DataFrame)
 
+  /** containment-base — the TENTH delta-family member (round-13 verdict
+    * ask #2, retiring the retrain-only lifecycle). Round 13 argued the
+    * rare index is not monoidal because an append can push a shingle's
+    * df PAST the cap, and removal is what base ⊕ delta cannot express —
+    * but the per-shingle DF CENSUS is a count monoid under append, and
+    * rare membership can only change for DELTA-TOUCHED shingles (df
+    * never decreases). So the refresh is the lp-base census pattern:
+    * merge df for delta keys alone (base counts fetched by a lazy
+    * key-semi-join over the frozen census, never a base-sized shuffle
+    * or write), keep every untouched row behind a lazy anti-join, then
+    * rebuild ONLY the rare-index slice whose membership changed —
+    * postings of shingles crossing OUT (merged df > 8) drop behind an
+    * anti-join on the delta-sized out-set; delta postings of shingles
+    * staying/arriving ≤ 8 append. Base postings of a still-rare shingle
+    * are already in the stored index (train capped at the same ≤ 8), so
+    * no old document is ever re-shingled: every checkpoint is
+    * delta-sized, flattenWide bounds the stored unions' depth, and a
+    * non-append rewrite falls back to retrain via the fingerprint as
+    * everywhere else. RefreshSpec pins refresh == retrain bit-identically
+    * including a shingle crossing INTO and OUT OF the rare band. */
   private[graft] def containmentBase(s: SparkSession, d: String): ContainBase =
-    graft.core.ModelCache.getOrTrain(s, "containment-base", s"$d/documents.parquet") {
-      val sh = shinglesOf(T.documents(s, d).select(col("doc_id"), col("text")))
+    graft.core.ModelCache.getOrRefresh(s, "containment-base", s"$d/documents.parquet") {
+      val docs = T.documents(s, d).select(col("doc_id"), col("text"))
+      val maxRow = docs.agg(max(col("doc_id"))).head()
+      val sp = if (maxRow.isNullAt(0)) -1L else maxRow.getLong(0)
+      val sh = shinglesOf(docs)
         .select(col("doc_id").as("bdoc"), col("shingle"))
         .localCheckpoint()
-      val rare = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
-        .filter(col("df") <= 8).select("shingle")
-      ContainBase(sh,
-        sh.join(rare, "shingle").localCheckpoint(),
+      val df = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+        .localCheckpoint()
+      ContainBase(sp, sh, df,
+        sh.join(df.filter(col("df") <= 8).select("shingle"), "shingle")
+          .localCheckpoint(),
         sh.groupBy("bdoc").agg(count(lit(1)).as("n_base")).localCheckpoint())
+    } { case ContainBase(sp0, full0, df0, rareIdx0, sizes0) =>
+      val docs = T.documents(s, d).select(col("doc_id"), col("text"))
+      val maxRow = docs.agg(max(col("doc_id"))).head()
+      val sp1 = math.max(if (maxRow.isNullAt(0)) -1L else maxRow.getLong(0), sp0)
+      val shD = shinglesOf(docs.filter(col("doc_id") > sp0))
+        .select(col("doc_id").as("bdoc"), col("shingle"))
+        .localCheckpoint()
+      val dfD = shD.groupBy("shingle").agg(count(lit(1)).as("df"))
+      val dKeys = broadcast(dfD.select("shingle"))
+      // merged census rows for delta-touched shingles only — the lp-base
+      // shape: old counts arrive via a lazy semi-join on the frozen
+      // census (a scan, never a base-sized write)
+      val mergedD = dfD.unionAll(df0.join(dKeys, Seq("shingle"), "left_semi"))
+        .groupBy("shingle").agg(sum(col("df")).as("df"))
+        .localCheckpoint()
+      val df1 = graft.core.Session.flattenWide(
+        df0.join(dKeys, Seq("shingle"), "left_anti").unionAll(mergedD))
+      // rare membership: df only grows, so only delta-touched shingles
+      // can cross the cap — and only OUTWARD
+      val outShingles = mergedD.filter(col("df") > 8).select("shingle")
+        .localCheckpoint()
+      val rareDeltaPostings = shD
+        .join(broadcast(mergedD.filter(col("df") <= 8).select("shingle")),
+          "shingle")
+        .localCheckpoint()
+      val rareIdx1 = graft.core.Session.flattenWide(
+        rareIdx0.join(broadcast(outShingles), Seq("shingle"), "left_anti")
+          .unionByName(rareDeltaPostings))
+      val full1 = graft.core.Session.flattenWide(full0.unionByName(shD))
+      val sizes1 = graft.core.Session.flattenWide(
+        sizes0.unionByName(
+          shD.groupBy("bdoc").agg(count(lit(1)).as("n_base")).localCheckpoint()))
+      ContainBase(sp1, full1, df1, rareIdx1, sizes1)
     }
 
   /** Shingle-CONTAINMENT census — the near-dup direction Jaccard misses:

@@ -712,8 +712,9 @@ object Stateful {
     * run equals the one-batch run AND a driver-side recompute). Served
     * per micro-batch through [[containmentStream]] (the admissionStream
     * shape — foreachBatch re-resolves the frozen artifact through the
-    * registry each tick, so a corpus drop retrains without restarting
-    * the stream). */
+    * registry each tick, so a corpus APPEND re-points the gate through
+    * the delta refresh and a rewrite retrains, neither restarting the
+    * stream; StatefulSpec's mid-stream re-point case). */
   def containmentVerdictsBatch(docs: DataFrame,
       base: graft.ops.Dedup.ContainBase): DataFrame = {
     val sNew = graft.ops.Dedup.shinglesOf(docs)

@@ -76,7 +76,8 @@ object RefreshBench {
       "bm25-base" -> (() => graft.ops.LlmPipeline.bm25Base(spark, work)),
       "bpe-hist-base" -> (() => graft.ops.TextAnalysis.bpeHistBase(spark, work)),
       "lp-base" -> (() => graft.ops.Graph.lpBase(spark, work)),
-      "sess-base" -> (() => graft.ops.Temporal.sessBase(spark, work)))
+      "sess-base" -> (() => graft.ops.Temporal.sessBase(spark, work)),
+      "containment-base" -> (() => graft.ops.Dedup.containmentBase(spark, work)))
 
     val tTrain = artifacts.map { case (name, f) => name -> timed(f()) }.toMap
 
@@ -87,7 +88,8 @@ object RefreshBench {
     val tRefresh = artifacts.map { case (name, f) =>
       val t = timed(f())
       val path = if (name.contains("dedup") || name.contains("bm25") ||
-        name.contains("bpe")) s"$work/documents.parquet"
+        name.contains("bpe") || name.contains("containment"))
+        s"$work/documents.parquet"
       else if (name.contains("sess")) s"$work/events.parquet"
       else work
       require(graft.core.ModelCache.lastEvent(name, path).contains("refreshed"),
@@ -101,6 +103,39 @@ object RefreshBench {
     artifacts.foreach { case (name, _) =>
       println(s"""{"artifact":"$name","k":$k,"train_sec":${fmt(tTrain(name))},"refresh_sec":${fmt(tRefresh(name))},"retrain_sec":${fmt(tRetrain(name))},"speedup":${fmt(tRetrain(name) / math.max(tRefresh(name), 1e-9))}}""")
     }
+
+    // Round-14 ask #6: a SKEWED delta for sess-base — one replica's worth
+    // of events concentrated on 1% of the existing users (hot-user
+    // append), timestamps shifted past every frozen tail so the delta
+    // rides the stitch path (on-time arrival), not the late-routing
+    // fallback. Refresh must stay O(delta): the per-user stitch window
+    // partitions by user, so 15 hot users each own one partition of
+    // delta/15 rows — no single-task degeneration.
+    // ts dialect follows Tables.events: ns-long in some generations of
+    // the fixtures, timestamp[us] in others — shift in micros either way
+    val rawEv = spark.read.parquet(s"$work/events.parquet")
+    val tsIsLong =
+      rawEv.schema("ts").dataType == org.apache.spark.sql.types.LongType
+    def tsUs(c: org.apache.spark.sql.Column) =
+      if (tsIsLong) c / lit(1000L) cast "long" else unix_micros(c)
+    val evAgg = rawEv
+      .agg(max(col("event_id")), max(tsUs(col("ts"))), min(tsUs(col("ts"))))
+      .head()
+    val shiftUs = evAgg.getLong(1) - evAgg.getLong(2) + 7200L * 1000000L
+    val shiftedTs =
+      if (tsIsLong) col("ts") + lit(shiftUs * 1000L)
+      else timestamp_micros(unix_micros(col("ts")) + lit(shiftUs))
+    spark.read.parquet(s"$src/events.parquet")
+      .withColumn("event_id", col("event_id") + lit(evAgg.getLong(0) + 1L))
+      .withColumn("user_id", pmod(col("user_id"), lit(15L)) + lit(1L))
+      .withColumn("ts", shiftedTs)
+      .write.mode("append").parquet(s"$work/events.parquet")
+    val tSkew = timed(graft.ops.Temporal.sessBase(spark, work))
+    require(graft.core.ModelCache.lastEvent("sess-base", s"$work/events.parquet")
+      .contains("refreshed"), "hot-user append must take the refresh path")
+    graft.core.ModelCache.clear()
+    val tSkewRetrain = timed(graft.ops.Temporal.sessBase(spark, work))
+    println(s"""{"artifact":"sess-base-hotdelta","k":$k,"refresh_sec":${fmt(tSkew)},"retrain_sec":${fmt(tSkewRetrain)},"speedup":${fmt(tSkewRetrain / math.max(tSkew, 1e-9))}}""")
     System.out.flush()
     spark.stop()
   }

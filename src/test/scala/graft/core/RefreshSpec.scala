@@ -341,6 +341,70 @@ class RefreshSpec extends SparkSuite {
     assert(afterC == retrain(),
       "chained refresh (straddle + new user processed in-refresh) must equal retrain")
   }
+  test("containment-base: refresh == retrain bit-identically, incl. shingles crossing the rare band") {
+    // Round-13 ask #2 (tenth delta-family member): the per-shingle df
+    // census is monoidal under append; rare membership changes only for
+    // delta-touched shingles, and only OUTWARD. Docs of exactly 8
+    // tokens carry exactly one shingle, so df is script-controlled.
+    val d = tmpDir("refresh-contain")
+    ModelCache.clear()
+    val S1 = "a b c d e f g h"   // base df 8 (at the cap)
+    val S2 = "i j k l m n o p"   // base df 1
+    val S3 = "q r s t u v w x"   // base df 2
+    val S4 = "a1 b1 c1 d1 e1 f1 g1 h1" // arrives only in the delta
+    def write(rows: Seq[(Long, String)]): Unit =
+      spark.createDataFrame(rows).toDF("doc_id", "text")
+        .coalesce(1).write.mode("append").parquet(s"$d/documents.parquet")
+    def snapshot(): (Long, Seq[String], Seq[String], Seq[String], Seq[String]) = {
+      val b = graft.ops.Dedup.containmentBase(spark, d)
+      (b.sp, rowsOf(b.full), rowsOf(b.df), rowsOf(b.rareIdx), rowsOf(b.sizes))
+    }
+    // gen A
+    write((1L to 8L).map(i => (i, S1)) ++ Seq((9L, S2), (10L, S3), (11L, S3)))
+    val genA = snapshot()
+    assert(ModelCache.lastEvent("containment-base", s"$d/documents.parquet")
+      .contains("trained"))
+    assert(genA._4.count(_.contains(S1.take(5))) == 8, "S1 at the cap is still rare")
+    // gen B: S1 crosses OUT (df 8→9); S2 gains its pair (1→2, stays in);
+    // S4 arrives new (→ in); S3 grows inside the band (2→3)
+    write(Seq((20L, S1), (21L, S2), (22L, S4), (23L, S3)))
+    val viaRefresh = snapshot()
+    assert(ModelCache.lastEvent("containment-base", s"$d/documents.parquet")
+      .contains("refreshed"), "append-only growth must take the merge path")
+    ModelCache.clear()
+    val viaRetrain = snapshot()
+    assert(viaRefresh == viaRetrain,
+      s"refresh diverged from retrain:\n$viaRefresh\nvs\n$viaRetrain")
+    // the crossing really happened: S1's postings must be GONE from the
+    // refreshed index, S4's present
+    assert(!viaRefresh._4.exists(_.contains("a b c")), "df 9 must leave the index")
+    assert(viaRefresh._4.exists(_.contains("a1 b1")), "new rare shingle must enter")
+    // gen C chains another append on the refreshed artifact
+    write(Seq((30L, S4), (31L, S2)))
+    val genC = snapshot()
+    assert(ModelCache.lastEvent("containment-base", s"$d/documents.parquet")
+      .contains("refreshed"))
+    ModelCache.clear()
+    assert(genC == snapshot(), "chained refresh must equal retrain")
+    // and the admission gate served from the refreshed base must equal
+    // one served from a retrained base (same probe batch)
+    val probe = spark.createDataFrame(Seq((100L, S2), (101L, S1)))
+      .toDF("doc_id", "text")
+    ModelCache.clear()
+    val b1 = graft.ops.Dedup.containmentBase(spark, d)
+    val vRetrain = rowsOf(graft.streaming.Stateful.containmentVerdictsBatch(probe, b1))
+    write(Seq((40L, S3))) // force one more refresh generation
+    val b2 = graft.ops.Dedup.containmentBase(spark, d)
+    assert(ModelCache.lastEvent("containment-base", s"$d/documents.parquet")
+      .contains("refreshed"))
+    ModelCache.clear()
+    val b3 = graft.ops.Dedup.containmentBase(spark, d)
+    assert(rowsOf(graft.streaming.Stateful.containmentVerdictsBatch(probe, b2))
+      == rowsOf(graft.streaming.Stateful.containmentVerdictsBatch(probe, b3)),
+      "verdicts from refreshed and retrained bases must match")
+    assert(vRetrain.nonEmpty)
+  }
+
   test("sess-base: LATE delta arrivals route through per-user re-sessionize (refresh == retrain)") {
     // Round-13 advice: a delta event whose ts predates its user's frozen
     // tail can merge FROZEN history — e.g. bridge the 30-min gap between

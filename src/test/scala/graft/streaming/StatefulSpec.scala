@@ -1406,6 +1406,44 @@ class StatefulSpec extends SparkSuite {
     assert(streamed.exists(_._2.isDefined),
       "fixture must flag at least one engulfed arrival")
   }
+  test("s_stream_containment: a mid-stream corpus append re-points the gate via REFRESH") {
+    // Round-13 ask #2 closing piece: containmentStream re-resolves the
+    // artifact per micro-batch, and containment-base is now a
+    // getOrRefresh member — so an append between batches must flip the
+    // verdict through the MERGE path (never a retrain) without
+    // restarting the stream.
+    implicit val sqlCtx = spark.sqlContext
+    val baseDir = tmpDir("contain-repoint")
+    val S = "w1 w2 w3 w4 w5 w6 w7 w8" // one 8-token shingle
+    val other = "z1 z2 z3 z4 z5 z6 z7 z8"
+    spark.createDataFrame(Seq((1L, other))).toDF("doc_id", "text")
+      .coalesce(1).write.mode("append").parquet(s"$baseDir/documents.parquet")
+    graft.core.ModelCache.clear()
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Option[Long], Long)]
+    val in = MemoryStream[(Long, String)]
+    val q = Stateful.containmentStream(in.toDS().toDF("doc_id", "text"), baseDir) {
+      (verdicts, id) =>
+        buf.synchronized {
+          buf ++= verdicts.collect().map(r => (id, r.getLong(0),
+            if (r.isNullAt(1)) None else Some(r.getLong(1)), r.getLong(2)))
+        }
+    }
+    // batch 0: S is unknown to the base — no engulfer
+    in.addData(Seq((100L, S))); q.processAllAvailable()
+    assert(buf.toSeq == Seq((0L, 100L, None, 0L)),
+      s"pre-append probe must find nothing: $buf")
+    // corpus grows mid-stream: doc 2 carries S
+    spark.createDataFrame(Seq((2L, S))).toDF("doc_id", "text")
+      .coalesce(1).write.mode("append").parquet(s"$baseDir/documents.parquet")
+    in.addData(Seq((101L, S))); q.processAllAvailable()
+    q.stop()
+    assert(graft.core.ModelCache.lastEvent(
+      "containment-base", s"$baseDir/documents.parquet").contains("refreshed"),
+      "the mid-stream re-point must take the refresh path, not retrain")
+    val after = buf.toSeq.filter(_._2 == 101L)
+    assert(after == Seq((1L, 101L, Some(2L), 100L)),
+      s"post-append probe must flag doc 2 as engulfer at 100%: $after")
+  }
   test("s_stream_watermark: per-batch lateness censuses with a carried hwm sum to the batch q_watermark_plan") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.functions.col
