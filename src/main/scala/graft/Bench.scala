@@ -8,7 +8,13 @@ object Bench {
     // single regressed query; the driver never sets it.
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-    val spark = graft.core.Session.local(cpus.toInt, cpus.toInt)
+    // Cluster-shaped shuffle width (round-13 ask #5): SPARK_GRAFT_SHUFFLE
+    // overrides the shuffle partition count (default = cpu count) so a
+    // full bench pass can run at e.g. 200 partitions — plans that look
+    // flat at 32 can hide small-partition fixed costs that explode at
+    // cluster widths. The driver never sets it.
+    val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus).toInt
+    val spark = graft.core.Session.local(cpus.toInt, shuffle)
     // The harness captures a bounded amount of output; round-2's JSON line
     // was truncated after WARN spam filled the buffer. Log only errors.
     spark.sparkContext.setLogLevel("ERROR")

@@ -874,8 +874,12 @@ object Dedup {
     graft.core.ModelCache.getOrRefresh(s, "containment-base", s"$d/documents.parquet") {
       val docs = T.documents(s, d).select(col("doc_id"), col("text"))
       val maxRow = docs.agg(max(col("doc_id"))).head()
-      val sp = if (maxRow.isNullAt(0)) -1L else maxRow.getLong(0)
-      val sh = shinglesOf(docs)
+      // 7/8 doc-id split (the sessBase convention): the artifact freezes
+      // the prefix, the tail stays a live serve-time delta — so the
+      // base ⊕ delta merge ([[containmentServe]]) is exercised by the
+      // oracle gate on every run, never structurally empty
+      val sp = if (maxRow.isNullAt(0)) -1L else 7L * maxRow.getLong(0) / 8L
+      val sh = shinglesOf(docs.filter(col("doc_id") <= sp))
         .select(col("doc_id").as("bdoc"), col("shingle"))
         .localCheckpoint()
       val df = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
@@ -887,8 +891,10 @@ object Dedup {
     } { case ContainBase(sp0, full0, df0, rareIdx0, sizes0) =>
       val docs = T.documents(s, d).select(col("doc_id"), col("text"))
       val maxRow = docs.agg(max(col("doc_id"))).head()
-      val sp1 = math.max(if (maxRow.isNullAt(0)) -1L else maxRow.getLong(0), sp0)
-      val shD = shinglesOf(docs.filter(col("doc_id") > sp0))
+      val sp1 = math.max(
+        if (maxRow.isNullAt(0)) -1L else 7L * maxRow.getLong(0) / 8L, sp0)
+      val shD = shinglesOf(
+          docs.filter(col("doc_id") > sp0 && col("doc_id") <= sp1))
         .select(col("doc_id").as("bdoc"), col("shingle"))
         .localCheckpoint()
       val dfD = shD.groupBy("shingle").agg(count(lit(1)).as("df"))
@@ -946,8 +952,10 @@ object Dedup {
     * Reference anchor: none (duckdb_cdc.go has no analytics); this is
     * the training-data curation surface (SURVEY §2B dedup family,
     * q_contamination's canonical 8-token shingle definition). */
-  val dedupContainment: Q = Q(
-    "q_dedup_containment",
+  /** q_dedup_containment's oracle, shared verbatim by
+    * [[containmentDelta]]: the artifact-served census must reproduce the
+    * SAME flagged pairs. */
+  private val containmentSql: String =
     """WITH toksr AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
       |sh0 AS (
       |  SELECT doc_id, unnest([array_to_string(toks[i:i+7], ' ')
@@ -976,6 +984,10 @@ object Dedup {
       |FROM com c JOIN sz sa ON sa.doc_id = c.da JOIN sz sb ON sb.doc_id = c.db
       |WHERE 100 * n_common >= 50 * least(sa.n, sb.n)
       |ORDER BY 1, 2""".stripMargin
+
+  val dedupContainment: Q = Q(
+    "q_dedup_containment",
+    containmentSql
   ) { (s, d) =>
     val sh = shinglesOf(T.documents(s, d).select(col("doc_id"), col("text")))
       .localCheckpoint() // reused by sz, rare, both pair sides, verify
@@ -1101,9 +1113,90 @@ object Dedup {
       .orderBy("a_id", "b_id")
   }
 
+  /** Incremental containment census — the ELEVENTH delta-family member
+    * (q_concurrency_delta's pattern on the dedup axis): the SAME
+    * engulfment census as [[dedupContainment]], produced WITHOUT
+    * re-shingling the frozen corpus. The containment-base artifact
+    * supplies the 7/8-prefix shingle relation, df census, rare postings,
+    * and per-doc sizes; serve-time shingles ONLY the 1/8 doc-id tail
+    * ([[containmentServe]] — the merge leg is LIVE in every oracle run,
+    * and RefreshSpec pins the same algebra bit-identical through the
+    * refresh path), merges the df census for delta-touched shingles, and
+    * rebuilds the census from the merged 2..8 band. A rare shingle's
+    * total df ≤ 8 implies its base df ≤ 8, so every base posting it
+    * needs is already in the stored index — no old document is ever
+    * re-read. Oracle: q_dedup_containment's SQL VERBATIM. PlanShapeSpec
+    * pins that every corpus scan in the serve plan carries the pushed
+    * doc_id split bound (row-group pruning makes the empty delta free). */
+  /** Whole-corpus containment relations: the frozen artifact ⊕ the
+    * serve-time delta slice (docs past the 7/8 split), merged with the
+    * SAME algebra the refresh uses — shared by [[containmentDelta]] and
+    * the streaming admission gate. `rareCand` is a superset of every
+    * band's postings (total df ≤ 8 ⇒ base df ≤ 8 ⇒ base postings are in
+    * the stored index; delta postings ride along) — band-filter it
+    * against `df`. One localCheckpoint on the delta shingles: they feed
+    * four consumers and are O(corpus/8). */
+  final case class ContainView(full: org.apache.spark.sql.DataFrame,
+      df: org.apache.spark.sql.DataFrame,
+      rareCand: org.apache.spark.sql.DataFrame,
+      sizes: org.apache.spark.sql.DataFrame)
+
+  private[graft] def containmentServe(s: SparkSession, d: String): ContainView = {
+    val base = containmentBase(s, d)
+    val shD = shinglesOf(
+        T.documents(s, d).select(col("doc_id"), col("text"))
+          .filter(col("doc_id") > base.sp))
+      .select(col("doc_id").as("bdoc"), col("shingle"))
+      .localCheckpoint()
+    val dfD = shD.groupBy("shingle").agg(count(lit(1)).as("df"))
+    val dKeys = broadcast(dfD.select("shingle"))
+    val mergedD = dfD
+      .unionAll(base.df.join(dKeys, Seq("shingle"), "left_semi"))
+      .groupBy("shingle").agg(sum(col("df")).as("df"))
+    val dfAll = base.df.join(dKeys, Seq("shingle"), "left_anti")
+      .unionAll(mergedD)
+    ContainView(
+      base.full.unionByName(shD),
+      dfAll,
+      base.rareIdx.unionByName(shD),
+      base.sizes.unionByName(
+        shD.groupBy("bdoc").agg(count(lit(1)).as("n_base"))))
+  }
+
+  val containmentDelta: Q = Q("q_containment_delta", containmentSql) { (s, d) =>
+    val view = containmentServe(s, d)
+    val rare = view.df.filter(col("df").between(2, 8)).select("shingle")
+    val postings = view.rareCand.join(rare, "shingle")
+    val fullAll = view.full
+    val szAll = view.sizes
+      .select(col("bdoc").as("doc_id"), col("n_base").as("n"))
+    val cand = postings.select(col("shingle"), col("bdoc").as("da"))
+      .join(postings.select(col("shingle"), col("bdoc").as("db")), "shingle")
+      .filter(col("da") < col("db"))
+      .select("da", "db").distinct()
+    val com = cand
+      .join(fullAll.select(col("bdoc").as("da"), col("shingle")), Seq("da"))
+      .join(fullAll.select(col("bdoc").as("db"), col("shingle")),
+        Seq("db", "shingle"))
+      .groupBy("da", "db").agg(count(lit(1)).as("n_common"))
+    com
+      .join(szAll.select(col("doc_id").as("da"), col("n").as("na")), "da")
+      .join(szAll.select(col("doc_id").as("db"), col("n").as("nb")), "db")
+      .filter(lit(100) * col("n_common") >= lit(50) * least(col("na"), col("nb")))
+      .select(
+        when(col("nb") < col("na"), col("db")).otherwise(col("da")).as("engulfed"),
+        when(col("nb") < col("na"), col("da")).otherwise(col("db")).as("engulfer"),
+        least(col("na"), col("nb")).as("n_small"),
+        greatest(col("na"), col("nb")).as("n_big"),
+        col("n_common"),
+        expr("(100 * n_common) div least(na, nb)").as("cont_pct"))
+      .orderBy("engulfed", "engulfer")
+  }
+
   val all: Seq[Q] =
     Seq(dedupMinhash, dedupSimhash, ngramJaccard, simhashHamming,
       dedupEditDistance, neardupPipeline, dedupClusters, dedupReport,
       minhashJaccardEst, substringDedup, substringScrub, dedupDelta,
-      sourceOverlap, dedupSweep, dedupContainment, containmentEst)
+      sourceOverlap, dedupSweep, dedupContainment, containmentEst,
+      containmentDelta)
 }

@@ -698,9 +698,12 @@ object Stateful {
 
   /** s_stream_containment: ingest-side ENGULFMENT admission gate — the
     * streaming twin of q_dedup_containment with the base corpus's
-    * shingle relation FROZEN (Dedup.containmentBase, a ModelCache
-    * artifact): each arriving doc shingles map-side, probes the rare-
-    * shingle inverted index (df ≤ 8 in the base — the fan-out cap that
+    * shingle relation FROZEN (Dedup.containmentServe — the artifact ⊕
+    * its live 1/8 serve slice, the same view the batch delta census
+    * reads): each arriving doc shingles map-side, probes the rare-
+    * shingle inverted index (corpus df ≤ 8 — an arriving doc is the
+    * occurrence that makes a df-1 shingle pair-worthy, so the lower
+    * bound of the batch census's 2..8 band does not apply; the cap
     * keeps the probe O(evidence) instead of O(hot-shingle df)), and
     * pays the exact set-intersection join ONLY for the evidence-bearing
     * (doc, base-doc) candidates, exactly the batch census's two-phase
@@ -716,14 +719,16 @@ object Stateful {
     * the delta refresh and a rewrite retrains, neither restarting the
     * stream; StatefulSpec's mid-stream re-point case). */
   def containmentVerdictsBatch(docs: DataFrame,
-      base: graft.ops.Dedup.ContainBase): DataFrame = {
+      view: graft.ops.Dedup.ContainView): DataFrame = {
     val sNew = graft.ops.Dedup.shinglesOf(docs)
     val nNew = sNew.groupBy("doc_id").agg(count(lit(1)).as("n_new"))
-    val cand = sNew.join(base.rareIdx, "shingle")
+    val rareIdx = view.rareCand
+      .join(view.df.filter(col("df") <= 8).select("shingle"), "shingle")
+    val cand = sNew.join(rareIdx, "shingle")
       .select("doc_id", "bdoc").distinct()
     val common = cand
       .join(sNew, Seq("doc_id"))
-      .join(base.full, Seq("bdoc", "shingle"))
+      .join(view.full, Seq("bdoc", "shingle"))
       .groupBy("doc_id", "bdoc").agg(count(lit(1)).as("n_common"))
     val best = common.join(nNew, "doc_id")
       .select(col("doc_id"), col("bdoc"),
@@ -749,8 +754,8 @@ object Stateful {
       : org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        val base = graft.ops.Dedup.containmentBase(batch.sparkSession, d)
-        sink(containmentVerdictsBatch(batch, base), id)
+        val view = graft.ops.Dedup.containmentServe(batch.sparkSession, d)
+        sink(containmentVerdictsBatch(batch, view), id)
       }
       .start()
 

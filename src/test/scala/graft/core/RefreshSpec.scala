@@ -375,10 +375,18 @@ class RefreshSpec extends SparkSuite {
     val viaRetrain = snapshot()
     assert(viaRefresh == viaRetrain,
       s"refresh diverged from retrain:\n$viaRefresh\nvs\n$viaRetrain")
-    // the crossing really happened: S1's postings must be GONE from the
-    // refreshed index, S4's present
-    assert(!viaRefresh._4.exists(_.contains("a b c")), "df 9 must leave the index")
-    assert(viaRefresh._4.exists(_.contains("a1 b1")), "new rare shingle must enter")
+    // the crossing really happened — judged on the WHOLE-corpus serve
+    // view (the artifact freezes only the 7/8 doc-id prefix; the newest
+    // docs ride the live serve slice): S1's postings must be GONE from
+    // the merged band, S4's present
+    def servedRare(): Seq[String] = {
+      val v = graft.ops.Dedup.containmentServe(spark, d)
+      rowsOf(v.rareCand
+        .join(v.df.filter(col("df") <= 8).select("shingle"), "shingle"))
+    }
+    val rareAfterB = servedRare()
+    assert(!rareAfterB.exists(_.contains("a b c")), "df 9 must leave the band")
+    assert(rareAfterB.exists(_.contains("a1 b1")), "new rare shingle must enter")
     // gen C chains another append on the refreshed artifact
     write(Seq((30L, S4), (31L, S2)))
     val genC = snapshot()
@@ -391,14 +399,14 @@ class RefreshSpec extends SparkSuite {
     val probe = spark.createDataFrame(Seq((100L, S2), (101L, S1)))
       .toDF("doc_id", "text")
     ModelCache.clear()
-    val b1 = graft.ops.Dedup.containmentBase(spark, d)
+    val b1 = graft.ops.Dedup.containmentServe(spark, d)
     val vRetrain = rowsOf(graft.streaming.Stateful.containmentVerdictsBatch(probe, b1))
     write(Seq((40L, S3))) // force one more refresh generation
-    val b2 = graft.ops.Dedup.containmentBase(spark, d)
+    val b2 = graft.ops.Dedup.containmentServe(spark, d)
     assert(ModelCache.lastEvent("containment-base", s"$d/documents.parquet")
       .contains("refreshed"))
     ModelCache.clear()
-    val b3 = graft.ops.Dedup.containmentBase(spark, d)
+    val b3 = graft.ops.Dedup.containmentServe(spark, d)
     assert(rowsOf(graft.streaming.Stateful.containmentVerdictsBatch(probe, b2))
       == rowsOf(graft.streaming.Stateful.containmentVerdictsBatch(probe, b3)),
       "verdicts from refreshed and retrained bases must match")

@@ -474,4 +474,14 @@ class PlanShapeSpec extends SparkSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"),
       "the shingle relation must join on keys, never loop")
   }
+  test("q_containment_delta census plan reads only frozen/checkpointed state — zero live corpus scans") {
+    // the serve view shingles the 1/8 doc-id tail ONCE into a checkpoint
+    // (containmentServe); the census plan itself must touch nothing but
+    // artifact legs and that checkpoint — no parquet scan, no cartesian
+    graft.core.ModelCache.clear()
+    val p = plan("q_containment_delta")
+    assert(!p.contains("FileScan parquet"),
+      "census must serve from the artifact + the checkpointed delta slice")
+    assert(!p.contains("CartesianProduct"))
+  }
 }

@@ -1349,7 +1349,7 @@ class StatefulSpec extends SparkSuite {
     spark.createDataFrame(all.filter(_._1 < splitId).toSeq).toDF("doc_id", "text")
       .coalesce(1).write.parquet(s"$baseDir/documents.parquet")
     graft.core.ModelCache.clear()
-    val base = graft.ops.Dedup.containmentBase(spark, baseDir)
+    val base = graft.ops.Dedup.containmentServe(spark, baseDir)
     val delta = all.filter(_._1 >= splitId).toSeq
     assert(delta.nonEmpty)
     // streamed: two micro-batches through the foreachBatch driver
