@@ -352,10 +352,19 @@ object Analytic {
 
   /** RFM segmentation: per-customer recency (latest order date), frequency
     * (order count), monetary (exact decimal total), then quartile labels
-    * via ntile over a TOTAL order (metric + customer key — ties broken
-    * deterministically, the H6 rule ntile needs). Two aggregates + one
-    * window; the per-customer table is the small output of the first
-    * aggregate, so the ntile sort is over customers, not orders. */
+    * over a TOTAL order (metric + customer key — ties broken
+    * deterministically, the H6 rule ntile needs).
+    *
+    * Scale shape: a window `ntile(4) OVER (ORDER BY …)` moves EVERY
+    * customer through one window task — fine at sf, a single-task funnel
+    * at 10⁸ customers (the q_watermark_plan class of scale-killer, round
+    * 14 audit). Each quartile label goes through
+    * [[graft.core.GlobalRank.withNtile]] instead: range-repartitioned
+    * distributed sort, rank within partitions, per-partition prefix
+    * offsets (one P-row control read), closed-form SQL-ntile from
+    * (rank, n) — bit-identical to the window ntile (GlobalRankSpec
+    * sweeps n×k; the DuckDB oracle still runs the naive window form).
+    * PlanShapeSpec pins the no-global-window plan. */
   val rfm: Q = Q(
     "q_rfm",
     """WITH base AS (
@@ -375,10 +384,14 @@ object Analytic {
       .agg(max(unix_micros(col("o_orderdate"))).as("recency_us"),
         count(lit(1)).as("freq"),
         C.dsum(col("o_totalprice")).as("monetary"))
-    base
-      .withColumn("r_q", ntile(4).over(Window.orderBy(col("recency_us"), col("cust"))).cast(LongType))
-      .withColumn("f_q", ntile(4).over(Window.orderBy(col("freq"), col("cust"))).cast(LongType))
-      .withColumn("m_q", ntile(4).over(Window.orderBy(col("monetary"), col("cust"))).cast(LongType))
+    val G = graft.core.GlobalRank
+    val rq = G.withNtile(base, "r_q", 4, col("recency_us"), col("cust"))
+    val fq = G.withNtile(rq, "f_q", 4, col("freq"), col("cust"))
+    G.withNtile(fq, "m_q", 4, col("monetary"), col("cust"))
+      .select(col("cust"), col("recency_us"), col("freq"), col("monetary"),
+        col("r_q").cast(LongType).as("r_q"),
+        col("f_q").cast(LongType).as("f_q"),
+        col("m_q").cast(LongType).as("m_q"))
       .orderBy("cust")
   }
 

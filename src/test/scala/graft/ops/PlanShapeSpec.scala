@@ -474,6 +474,22 @@ class PlanShapeSpec extends SparkSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"),
       "the shingle relation must join on keys, never loop")
   }
+  test("q_rfm: no global-order window — every quartile rides GlobalRank's range partitioning") {
+    // round-14 audit: ntile(4) OVER (ORDER BY …) was the last remaining
+    // single-task window over a data-sized axis. The plan must show only
+    // __pid-partitioned windows (GlobalRank) — an unpartitioned window
+    // prints its order column right after the open paren.
+    val df = graft.SparkEntry.queries("q_rfm")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString() + "\n" +
+      df.queryExecution.optimizedPlan.toString()
+    Seq("recency_us", "freq", "monetary").foreach { c =>
+      assert(s"windowspecdefinition\\($c#\\d+".r.findFirstIn(p).isEmpty,
+        s"quartile over $c must not be a global-order window")
+    }
+    assert(p.contains("windowspecdefinition(__pid"),
+      "GlobalRank's partitioned rank window missing")
+  }
+
   test("q_containment_delta census plan reads only frozen/checkpointed state — zero live corpus scans") {
     // the serve view shingles the 1/8 doc-id tail ONCE into a checkpoint
     // (containmentServe); the census plan itself must touch nothing but
