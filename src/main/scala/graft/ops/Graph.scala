@@ -1217,6 +1217,236 @@ object Graph {
         .localCheckpoint())
   }
 
+  // ---------------------------------------------------------------------
+  // Incremental triangle census (tri-base + q_triangles_delta)
+  // ---------------------------------------------------------------------
+
+  /** Unfiltered co-trading pair census (u < v, w = shared suppliers)
+    * over a durable edge list — the q_triangles projection join WITHOUT
+    * the w ≥ TriMinShared gate, because the tri-base artifact must see
+    * w = 1 pairs to detect their crossing INTO the projection when a
+    * delta lifts them (the containment-base df-band lesson: store the
+    * sub-threshold census, it is what makes thresholds refreshable). */
+  private[graft] def triPairCensus(eo: DataFrame): DataFrame = {
+    val (sKeys, nEdges, _) = sideCensus(eo, "s")
+    val cap = wedgeCap(nEdges, sKeys)
+    blockedSpokePairs(eo.select(col("s").as("k"), col("c").as("v")), cap)
+      .groupBy("v1", "v2").agg(count(lit(1)).as("w"))
+      .select(col("v1").as("u"), col("v2").as("v"), col("w"))
+  }
+
+  /** Exact triangle count of a canonical (u < v) edge list — the
+    * degree-oriented O(m^1.5) wedge join, i.e. the q_triangles plan from
+    * `ce` down, returned as a 1-row DataFrame. Paid only when tri-base
+    * TRAINS; the refresh and serve paths count triangles incrementally
+    * ([[triDeltaCount]]) and never run this on the full graph again. */
+  private def triCount(ce: DataFrame): DataFrame = {
+    val sym = ce.select(col("u").as("x"), col("v").as("y"))
+      .unionAll(ce.select(col("v").as("x"), col("u").as("y")))
+    val deg = sym.groupBy("x").agg(count(lit(1)).as("dg"))
+    val oe = sym
+      .join(deg.select(col("x"), col("dg").as("dx")), "x")
+      .join(deg.select(col("x").as("y"), col("dg").as("dy")), "y")
+      .filter(struct(col("dx"), col("x")) < struct(col("dy"), col("y")))
+      .select(col("x").as("src"), col("y").as("dst"))
+      .localCheckpoint() // feeds the wedge join (2×) + the closing join
+    val wedges = oe.as("a").join(oe.as("b"),
+        col("a.src") === col("b.src") && col("a.dst") =!= col("b.dst"))
+      .select(col("a.dst").as("p"), col("b.dst").as("q"))
+    wedges.join(oe.as("cl"),
+        col("p") === col("cl.src") && col("q") === col("cl.dst"))
+      .agg(count(lit(1)).as("n_triangles"))
+  }
+
+  /** The base ⊕ delta merge legs shared by the q_triangles_delta serve
+    * path and the tri-base refreeze — one algebra, two callers (the
+    * containmentServe convention, so RefreshSpec's bit-parity proof
+    * covers the serve path too).
+    *
+    * Everything here is delta-proportional: under append-only growth
+    * the (c, s) order counts and the pair weights w only GROW, so
+    * durable edges and projection edges only APPEAR — `eoNew` is the
+    * newly-durable edge set (merged cnt crosses TriMinRepeats,
+    * restricted to delta-touched keys via a broadcast semi-join),
+    * `dw` enumerates ONLY pairs with ≥ 1 new endpoint edge (per
+    * supplier: new×old ∪ new×new, each pair once — Σ|N_s|·|A_s| rows,
+    * never the full Σ C(deg, 2) pair join), and `ceNew` is the pairs
+    * whose merged weight crosses TriMinShared. */
+  private[graft] final case class TriMerge(eoNew: DataFrame, dw: DataFrame,
+      ceNew: DataFrame, ceAll: DataFrame)
+
+  private[graft] def triMergeOf(cen0: DataFrame, cp0: DataFrame,
+      cenD: DataFrame): TriMerge = {
+    val dKeys = broadcast(cenD.select("c", "s"))
+    val mergedTouched = cen0.join(dKeys, Seq("c", "s"), "left_semi")
+      .unionAll(cenD)
+      .groupBy("c", "s").agg(sum(col("cnt")).as("cnt"))
+    val base0 = cen0.join(dKeys, Seq("c", "s"), "left_semi")
+      .select(col("c"), col("s"), col("cnt").as("cnt0"))
+    val eoNew = mergedTouched.join(base0, Seq("c", "s"), "left")
+      .filter(col("cnt") >= TriMinRepeats &&
+        coalesce(col("cnt0"), lit(0L)) < TriMinRepeats)
+      .select("c", "s")
+      .localCheckpoint() // feeds new×old, new×new (2×), and eoAll
+    val eo0 = cen0.filter(col("cnt") >= TriMinRepeats).select("c", "s")
+    // per supplier: every pair with ≥ 1 new endpoint, exactly once
+    // (N_s and O_s are disjoint for a fixed s: an edge is old xor new)
+    val newBy = eoNew.select(col("s").as("k"), col("c").as("nv"))
+    val oldBy = eo0.select(col("s").as("k"), col("c").as("ov"))
+    val no = newBy.join(oldBy, "k")
+      .select(least(col("nv"), col("ov")).as("u"),
+        greatest(col("nv"), col("ov")).as("v"))
+    val nn = newBy.as("a").join(newBy.as("b"),
+        col("a.k") === col("b.k") && col("a.nv") < col("b.nv"))
+      .select(col("a.nv").as("u"), col("b.nv").as("v"))
+    val dw = no.unionAll(nn).groupBy("u", "v")
+      .agg(count(lit(1)).as("dw"))
+      .localCheckpoint() // feeds ceNew + the refreeze's cp roll-forward
+    val ceNew = dw
+      .join(cp0.select(col("u"), col("v"), col("w").as("w0")),
+        Seq("u", "v"), "left")
+      .filter(coalesce(col("w0"), lit(0L)) < TriMinShared &&
+        coalesce(col("w0"), lit(0L)) + col("dw") >= TriMinShared)
+      .select("u", "v")
+      .localCheckpoint() // feeds A (2× via symNew), W2, T3 (3×)
+    val ceAll = cp0.filter(col("w") >= TriMinShared).select("u", "v")
+      .unionAll(ceNew)
+      .localCheckpoint() // feeds symAll (2×), W2 close, presentation
+    TriMerge(eoNew, dw, ceNew, ceAll)
+  }
+
+  /** Δtriangles by inclusion–exclusion over how many of a triangle's
+    * edges are new. Projection edges only appear under append (weights
+    * only grow), so every triangle of the merged graph that is absent
+    * from the base contains ≥ 1 new edge, and with
+    * t_k = #triangles with exactly k new edges:
+    *   A  = Σ_{new edge (u,v)} |N_all(u) ∩ N_all(v)| = t1 + 2·t2 + 3·t3
+    *   W2 = #(unordered new-edge wedges closed by any merged edge)
+    *      = t2 + 3·t3
+    *   T3 = #all-new triangles (counted once via u < v < w ordering) = t3
+    *   Δ  = A − W2 + T3 = t1 + t2 + t3.
+    * Every join is anchored on `ceNew` — O(Σ_{new edge} deg) rows, never
+    * the merged graph's O(m^1.5) wedge join. */
+  private[graft] def triDeltaCount(ceNew: DataFrame, ceAll: DataFrame): DataFrame = {
+    val symAll = ceAll.select(col("u").as("x"), col("v").as("y"))
+      .unionAll(ceAll.select(col("v").as("x"), col("u").as("y")))
+    val a = ceNew.as("e")
+      .join(symAll.as("na"), col("na.x") === col("e.u"))
+      .join(symAll.as("nb"),
+        col("nb.x") === col("e.v") && col("nb.y") === col("na.y"))
+      .agg(count(lit(1)).as("a1"))
+    val symNew = ceNew.select(col("u").as("x"), col("v").as("y"))
+      .unionAll(ceNew.select(col("v").as("x"), col("u").as("y")))
+    val wedges = symNew.as("a").join(symNew.as("b"),
+        col("a.x") === col("b.x") && col("a.y") < col("b.y"))
+      .select(col("a.y").as("u"), col("b.y").as("v"))
+    val w2 = wedges.join(ceAll, Seq("u", "v")).agg(count(lit(1)).as("w2"))
+    val t3 = ceNew.as("e1")
+      .join(ceNew.as("e2"),
+        col("e1.u") === col("e2.u") && col("e1.v") < col("e2.v"))
+      .join(ceNew.as("e3"),
+        col("e3.u") === col("e1.v") && col("e3.v") === col("e2.v"))
+      .agg(count(lit(1)).as("t3"))
+    a.crossJoin(broadcast(w2)).crossJoin(broadcast(t3))
+      .select((col("a1") - col("w2") + col("t3")).as("d_tri"))
+  }
+
+  /** The frozen incremental-triangle artifact — tri-base, the TWELFTH
+    * delta-family member: (split orderkey, pre-filter (c, s, cnt) order
+    * census, UNFILTERED pair census (u, v, w), frozen triangle count)
+    * over orders below the 7/8 split. Both censuses are monoidal under
+    * append, so the refreeze rolls them forward with delta-sized writes
+    * and counts only the NEW triangles (triDeltaCount) — the O(m^1.5)
+    * wedge join runs once at train and never again. */
+  private[graft] def triBase(s: SparkSession, d: String)
+      : (Long, DataFrame, DataFrame, Long) = {
+    def pairsOf = T.orders(s, d)
+      .join(T.lineitem(s, d), col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_orderkey"), col("o_custkey").as("c"),
+        col("l_suppkey").as("s"))
+    graft.core.ModelCache.getOrRefresh(s, "tri-base", d) {
+      val pairs = pairsOf
+      val maxRow = pairs.agg(max(col("o_orderkey"))).head()
+      val maxKey = if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0)
+      val sp = 7L * maxKey / 8L
+      val cen = pairs.filter(col("o_orderkey") < sp)
+        .groupBy("c", "s").agg(count(lit(1)).as("cnt")).localCheckpoint()
+      val eo = cen.filter(col("cnt") >= TriMinRepeats).select("c", "s")
+      val cp = triPairCensus(eo).localCheckpoint()
+      val ce = cp.filter(col("w") >= TriMinShared).select("u", "v")
+      (sp, cen, cp, triCount(ce).head().getLong(0))
+    } { case (sp0, cen0, cp0, tri0) =>
+      // REFREEZE: merge the monoidal censuses with the [sp0, sp1) slice
+      // and roll the triangle count forward with the SAME delta algebra
+      // the serve path runs — the old graph's pair join never re-runs.
+      // RefreshSpec pins refresh == retrain bit-identically, including
+      // cnt and w threshold crossings caused by the slice.
+      val pairs = pairsOf
+      val maxRow = pairs.agg(max(col("o_orderkey"))).head()
+      val maxKey = if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0)
+      val sp1 = math.max(7L * maxKey / 8L, sp0) // keys are monotone
+      val cenS = pairs
+        .filter(col("o_orderkey") >= sp0 && col("o_orderkey") < sp1)
+        .groupBy("c", "s").agg(count(lit(1)).as("cnt"))
+      val m = triMergeOf(cen0, cp0, cenS)
+      val cen1 = cen0.unionAll(cenS)
+        .groupBy("c", "s").agg(sum(col("cnt")).as("cnt")).localCheckpoint()
+      val cp1 = cp0
+        .unionAll(m.dw.select(col("u"), col("v"), col("dw").as("w")))
+        .groupBy("u", "v").agg(sum(col("w")).as("w")).localCheckpoint()
+      (sp1, cen1, cp1, tri0 + triDeltaCount(m.ceNew, m.ceAll).head().getLong(0))
+    }
+  }
+
+  /** Incremental triangle census — the TWELFTH delta-family member,
+    * extending the incremental-graph story (q_components_delta labels,
+    * q_pagerank_delta ranks) to the projection's TRIANGLE structure:
+    * the SAME census as q_triangles, produced WITHOUT re-running either
+    * quadratic step on the frozen corpus. The tri-base artifact supplies
+    * the 7/8-orderkey-prefix order census, pair census, and triangle
+    * count; serve-time aggregates ONLY the order tail, derives the
+    * newly-durable edges and newly-projected pairs from the merged
+    * monoidal censuses (triMergeOf — the merge leg is LIVE in every
+    * oracle run), and counts new triangles by inclusion–exclusion
+    * anchored on the new edges (triDeltaCount). The presentation
+    * censuses (degrees, wedges, orientation max-outdeg) are linear
+    * passes over the merged edge list — the two O(m^1.5)/O(Σ C(deg,2))
+    * joins are confined to train time. Oracle: q_triangles' SQL
+    * VERBATIM, so the hash gate proves incremental == full across two
+    * engines; GraphSpec additionally pins the inclusion–exclusion on a
+    * hand-built graph with 1-, 2- and 3-new-edge triangles. */
+  val trianglesDelta: Q = Q("q_triangles_delta", triangles.oracle.get) { (s, d) =>
+    val (sp, cen0, cp0, tri0) = triBase(s, d)
+    val cenD = T.orders(s, d)
+      .join(T.lineitem(s, d), col("l_orderkey") === col("o_orderkey"))
+      .filter(col("o_orderkey") >= sp)
+      .groupBy(col("o_custkey").as("c"), col("l_suppkey").as("s"))
+      .agg(count(lit(1)).as("cnt"))
+    val m = triMergeOf(cen0, cp0, cenD)
+    val dTri = triDeltaCount(m.ceNew, m.ceAll)
+    val sym = m.ceAll.select(col("u").as("x"), col("v").as("y"))
+      .unionAll(m.ceAll.select(col("v").as("x"), col("u").as("y")))
+    val deg = sym.groupBy("x").agg(count(lit(1)).as("dg"))
+    val oe = sym
+      .join(deg.select(col("x"), col("dg").as("dx")), "x")
+      .join(deg.select(col("x").as("y"), col("dg").as("dy")), "y")
+      .filter(struct(col("dx"), col("x")) < struct(col("dy"), col("y")))
+      .select(col("x").as("src"), col("y").as("dst"))
+    val od = oe.groupBy("src").agg(count(lit(1)).as("odg"))
+      .agg(coalesce(max(col("odg")), lit(0L)).as("max_outdeg"))
+    val nodes = deg.agg(count(lit(1)).as("n_nodes"),
+      coalesce(sum(expr("dg * (dg - 1) div 2")), lit(0L)).as("n_wedges"))
+    val edges = m.ceAll.agg(count(lit(1)).as("n_edges"))
+    nodes.crossJoin(broadcast(edges)).crossJoin(broadcast(od))
+      .crossJoin(broadcast(dTri))
+      .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
+        col("max_outdeg"),
+        (lit(tri0) + col("d_tri")).as("n_triangles"),
+        when(col("n_wedges") === 0L, 0L)
+          .otherwise(expr(s"(3 * ($tri0 + d_tri) * 1000000) div n_wedges"))
+          .as("ccoef_ppm"))
+  }
+
   private val KCoreK = 2
   private val KCoreRounds = 4
 
@@ -1864,6 +2094,7 @@ object Graph {
   val all: Seq[Q] =
     Seq(pagerank, pagerankDelta, degreeHist, labelProp, modularity,
       components, componentsDelta, reachHops, butterflies, triangles,
+      trianglesDelta,
       kcore, coreNumbers, assortativity, linkPredict, localClustering,
       salsa, randomWalk, percolation)
 }

@@ -151,6 +151,41 @@ class RefreshSpec extends SparkSuite {
     assert(deltaOut == fullOut)
   }
 
+  test("tri-base: q_triangles_delta identical via refresh and retrain, with both threshold crossings") {
+    val d = tmpDir("refresh-tri")
+    ModelCache.clear()
+    // state A: customers 1-3 each trade durably with suppliers 101+102
+    // (pairwise w=2 → triangle {1,2,3}); customer 4 durable with 101
+    // only (pairs (i,4) sit at w=1, just below the projection gate);
+    // customer 5 has ONE order with 101 (below the durability gate)
+    val pairsA = (1L to 3L).flatMap(c => Seq((c, 101L), (c, 102L))) ++
+      Seq((4L, 101L))
+    writeTrades(d, 0L, pairsA, rep = 2)
+    writeTrades(d, 500L, Seq((5L, 101L)), rep = 1)
+    graft.SparkEntry.queries("q_triangles_delta")(spark, d).collect()
+    assert(ModelCache.lastEvent("tri-base", d).contains("trained"))
+    // delta: (4,102) becomes durable → pairs (i,4) cross w 1→2 → three
+    // new projection edges completing K4 (3 new triangles, each with 2
+    // new edges); (5,101)'s second order crosses cnt 1→2 → newly-durable
+    // edge whose pairs stay at w=1 (durability crossing, no projection)
+    writeTrades(d, 1000L, Seq((4L, 102L)), rep = 2)
+    writeTrades(d, 1100L, Seq((5L, 101L)), rep = 1)
+    val viaRefresh = rowsOf(graft.SparkEntry.queries("q_triangles_delta")(spark, d))
+    assert(ModelCache.lastEvent("tri-base", d).contains("refreshed"),
+      "append-only growth must take the merge path")
+    ModelCache.clear()
+    val viaRetrain = rowsOf(graft.SparkEntry.queries("q_triangles_delta")(spark, d))
+    assert(ModelCache.lastEvent("tri-base", d).contains("trained"))
+    assert(viaRefresh == viaRetrain,
+      "rolled-forward censuses and triangle count must equal the retrain")
+    val fullOut = rowsOf(graft.SparkEntry.queries("q_triangles")(spark, d))
+    assert(viaRefresh == fullOut,
+      "incremental census must equal the full q_triangles on the grown corpus")
+    val row = graft.SparkEntry.queries("q_triangles")(spark, d).head()
+    assert(row.getLong(row.fieldIndex("n_triangles")) == 4L,
+      "fixture sanity: K4 after the delta must hold 4 triangles")
+  }
+
   test("lp-base: q_label_prop and q_modularity identical via refresh and retrain (bounded path)") {
     val d = tmpDir("refresh-lp")
     ModelCache.clear()

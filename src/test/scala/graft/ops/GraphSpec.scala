@@ -391,6 +391,34 @@ class GraphSpec extends SparkSuite {
       "all census fields must be zero on an edgeless projection")
   }
 
+  test("triDeltaCount: inclusion–exclusion on 1-, 2- and 3-new-edge triangles") {
+    import spark.implicits._
+    // old edges close {1,2,3} except (2,3); {4,5,6} except (4,6),(5,6);
+    // nothing of {7,8,9}. New edges complete all three triangles —
+    // exactly one with 1 new edge, one with 2, one with 3 — plus a
+    // no-triangle new edge (1,4) to prove non-closing edges count zero.
+    val oldE = Seq((1L, 2L), (1L, 3L), (4L, 5L))
+    val newE = Seq((2L, 3L), (4L, 6L), (5L, 6L), (7L, 8L), (7L, 9L),
+      (8L, 9L), (1L, 4L))
+    val all = (oldE ++ newE).toDF("u", "v")
+    val d = Graph.triDeltaCount(newE.toDF("u", "v"), all).head().getLong(0)
+    assert(d == 3L,
+      s"Δ must be t1 + t2 + t3 = 3 (A−W2+T3 inclusion–exclusion), got $d")
+    // and with NO new edges the delta is zero even on a triangle-rich graph
+    val none = Seq.empty[(Long, Long)].toDF("u", "v")
+    assert(Graph.triDeltaCount(none, all).head().getLong(0) == 0L)
+  }
+
+  test("q_triangles_delta on testdata equals the full q_triangles census") {
+    graft.core.ModelCache.clear()
+    val full = graft.SparkEntry.queries("q_triangles")(spark, sf)
+      .collect().map(_.toString).toSeq
+    val delta = graft.SparkEntry.queries("q_triangles_delta")(spark, sf)
+      .collect().map(_.toString).toSeq
+    assert(delta == full,
+      "artifact-served incremental census must equal the full recompute")
+  }
+
   test("q_kcore matches a local iterative-peel recompute on the corpus") {
     val rows = graft.SparkEntry.queries("q_kcore")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
