@@ -561,9 +561,93 @@ object Analytic {
       .orderBy("type_a", "type_b")
   }
 
+  /** Pair-support floor: a rule must cover ≥ 2.2% of baskets to be
+    * emitted — right at the uniform-brand expectation, so the gate
+    * genuinely bisects the pair population instead of admitting
+    * everything (the classic a-priori min-support gate; compared on
+    * exact integers — n_both·10⁶ ≥ ppm·n_orders — so no float ever
+    * decides membership). */
+  private val BasketMinSupportPpm = 22000L
+
+  /** Market-basket association rules over order baskets — the classic
+    * retail-analytics operator the inventory lacked (q_cooccur_lift is
+    * the TOKEN-pair lift inside documents; this is basket-level support
+    * / confidence / lift over what customers put in one ORDER, the
+    * output a recommender or store-layout job consumes). Items are part
+    * BRANDS (lineitem ⋈ part), baskets are orders; a rule ante → conseq
+    * is emitted in BOTH directions (confidence is asymmetric) when the
+    * pair clears the min-support gate.
+    *
+    * All three metrics are exact integer ppm: support = n_both/n_orders,
+    * confidence = n_both/n_ante, lift = n_both·n_orders/(n_ante·n_conseq)
+    * (numerator n_both·n_orders·10⁶ ≈ 2·10¹⁶ at sf0.1 — int64-safe;
+    * past ~10⁹ baskets the documented switch is DECIMAL(38,0), the
+    * q_ks_drift rule).
+    *
+    * Scale shape: one partial-aggregating distinct over (order, brand),
+    * then the pair self-join keyed on o_orderkey — per-basket fan-out is
+    * C(k, 2) with k ≤ min(basket size, |brand dictionary| = 25), so no
+    * join key ever explodes (the bound is structural, not data-luck:
+    * a basket cannot contain more distinct brands than the dictionary
+    * holds; for catalog-sized dictionaries the hub-split recipe from
+    * Graph.blockedSpokePairs applies verbatim). The pair census
+    * collapses to ≤ dict² rows before the broadcast metric joins. */
+  val basketRules: Q = Q(
+    "q_basket_rules",
+    s"""WITH b AS (SELECT DISTINCT l_orderkey AS ok, p_brand AS item
+       |  FROM lineitem JOIN part ON p_partkey = l_partkey),
+       |t AS (SELECT CAST(count(DISTINCT ok) AS BIGINT) AS n_orders FROM b),
+       |ic AS (SELECT item, CAST(count(*) AS BIGINT) AS n_item FROM b GROUP BY 1),
+       |pc AS (SELECT a.item AS i1, c.item AS i2, CAST(count(*) AS BIGINT) AS n_both
+       |       FROM b a JOIN b c ON a.ok = c.ok AND a.item < c.item GROUP BY 1, 2),
+       |keep AS (SELECT i1, i2, n_both FROM pc CROSS JOIN t
+       |         WHERE n_both * 1000000 >= $BasketMinSupportPpm * n_orders),
+       |dir AS (SELECT i1 AS ante, i2 AS conseq, n_both FROM keep
+       |        UNION ALL SELECT i2 AS ante, i1 AS conseq, n_both FROM keep)
+       |SELECT dir.ante, dir.conseq, dir.n_both,
+       |  ia.n_item AS n_ante, ic2.n_item AS n_conseq,
+       |  CAST(dir.n_both * 1000000 // t.n_orders AS BIGINT) AS support_ppm,
+       |  CAST(dir.n_both * 1000000 // ia.n_item AS BIGINT) AS confidence_ppm,
+       |  CAST(dir.n_both * t.n_orders * 1000000 // (ia.n_item * ic2.n_item)
+       |    AS BIGINT) AS lift_ppm
+       |FROM dir CROSS JOIN t
+       |JOIN ic ia ON ia.item = dir.ante
+       |JOIN ic ic2 ON ic2.item = dir.conseq
+       |ORDER BY ante, conseq""".stripMargin
+  ) { (s, d) =>
+    val b = T.lineitem(s, d)
+      .join(T.part(s, d), col("p_partkey") === col("l_partkey"))
+      .select(col("l_orderkey").as("ok"), col("p_brand").as("item"))
+      .distinct()
+      .localCheckpoint() // feeds totals, item counts, and both pair sides
+    val t = b.agg(countDistinct(col("ok")).as("n_orders"))
+    val ic = b.groupBy("item").agg(count(lit(1)).as("n_item"))
+    val pc = b.as("a").join(b.as("c"),
+        col("a.ok") === col("c.ok") && col("a.item") < col("c.item"))
+      .groupBy(col("a.item").as("i1"), col("c.item").as("i2"))
+      .agg(count(lit(1)).as("n_both"))
+    val keep = pc.crossJoin(broadcast(t))
+      .filter(col("n_both") * 1000000L >= lit(BasketMinSupportPpm) * col("n_orders"))
+    val dir = keep.select(col("i1").as("ante"), col("i2").as("conseq"),
+        col("n_both"), col("n_orders"))
+      .unionAll(keep.select(col("i2").as("ante"), col("i1").as("conseq"),
+        col("n_both"), col("n_orders")))
+    dir
+      .join(broadcast(ic.select(col("item").as("ante"), col("n_item").as("n_ante"))),
+        "ante")
+      .join(broadcast(ic.select(col("item").as("conseq"), col("n_item").as("n_conseq"))),
+        "conseq")
+      .select(col("ante"), col("conseq"), col("n_both"),
+        col("n_ante"), col("n_conseq"),
+        expr("n_both * 1000000 div n_orders").as("support_ppm"),
+        expr("n_both * 1000000 div n_ante").as("confidence_ppm"),
+        expr("n_both * n_orders * 1000000 div (n_ante * n_conseq)").as("lift_ppm"))
+      .orderBy("ante", "conseq")
+  }
+
   val all: Seq[Q] = Seq(
     windowLeadLag, windowNtile, windowMoving, cube, groupingSets,
     existsCorrelated, subqueryScalar, stringFuncs, dateFuncs, arrayFuncs,
     conditionalFuncs, topkPerGroup, userPath, rfm, windowDistinct, attribution,
-    audienceOverlap)
+    audienceOverlap, basketRules)
 }

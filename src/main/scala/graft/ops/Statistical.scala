@@ -625,6 +625,74 @@ object Statistical {
       .orderBy("event_type")
   }
 
+  /** Two-sample chi-square homogeneity census — the CATEGORICAL sibling
+    * of q_ks_drift (KS compares a numeric distribution; this compares
+    * the event-type MIX between the frozen base window and the arrival
+    * window — "did the new crawl slice change what kinds of events we
+    * ingest", the other half of the drift gate a pipeline runs before
+    * admitting a slice).
+    *
+    * Exact-integer recipe: per category with counts o1/o2 and window
+    * totals n1/n2, the two-cell contribution against the pooled
+    * expectation collapses algebraically to D²/(n1·n2·(o1+o2)) with
+    * D = o1·n2 − o2·n1 — D is computed EXACTLY in int64 (|D| ≤ n1·n2,
+    * ~9·10¹⁰ at sf0.1; the documented switch past ~10⁹ rows/window is
+    * DECIMAL(38,0), the q_ks_drift rule), and the only float work is
+    * the final single division chain on exactly-representable integers
+    * (< 2⁵³), identically associated in both engines, rounded to 6 dp.
+    * Mix shares are exact integer ppm. No float is ever SUMMED (the H3
+    * hazard), so no order-dependence exists anywhere in the plan.
+    *
+    * Scale shape: the watermark predicate pushes to the parquet scan on
+    * both sides, one partial-aggregating groupBy collapses O(N) rows to
+    * O(types), and everything downstream — the full-outer mix join, the
+    * broadcast of the 1-row totals, the term arithmetic — runs on that
+    * O(types) census. */
+  val chisqDrift: Q = Q(
+    "q_chisq_drift",
+    """WITH cb AS (SELECT event_type, CAST(count(*) AS BIGINT) AS o1
+      |  FROM events WHERE ts <= TIMESTAMP '2024-01-16 00:00:00' GROUP BY 1),
+      |cn AS (SELECT event_type, CAST(count(*) AS BIGINT) AS o2
+      |  FROM events WHERE ts > TIMESTAMP '2024-01-16 00:00:00' GROUP BY 1),
+      |m AS (SELECT event_type, coalesce(o1, 0) AS o1, coalesce(o2, 0) AS o2
+      |      FROM cb FULL OUTER JOIN cn USING (event_type)),
+      |t AS (SELECT CAST(sum(o1) AS BIGINT) AS n1, CAST(sum(o2) AS BIGINT) AS n2
+      |      FROM m)
+      |SELECT event_type, o1 AS o_base, o2 AS o_new,
+      |  CAST(o1 * 1000000 // n1 AS BIGINT) AS share_base_ppm,
+      |  CAST(o2 * 1000000 // n2 AS BIGINT) AS share_new_ppm,
+      |  CAST(o1 * n2 - o2 * n1 AS BIGINT) AS d_num,
+      |  round((CAST(o1 * n2 - o2 * n1 AS DOUBLE) * CAST(o1 * n2 - o2 * n1 AS DOUBLE))
+      |    / ((CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)) * CAST(o1 + o2 AS DOUBLE)), 6)
+      |    AS chi_term
+      |FROM m CROSS JOIN t WHERE n1 > 0 AND n2 > 0
+      |ORDER BY event_type""".stripMargin
+  ) { (s, d) =>
+    val cutoffUs = 1705363200000000L // mid-span, shared with q_ks_drift
+    val cb = T.eventsUntil(s, d, cutoffUs)
+      .groupBy("event_type").agg(count(lit(1)).as("o1"))
+    val cn = T.eventsSince(s, d, cutoffUs)
+      .groupBy("event_type").agg(count(lit(1)).as("o2"))
+    val m = cb.join(cn, Seq("event_type"), "full_outer")
+      .select(col("event_type"),
+        coalesce(col("o1"), lit(0L)).as("o1"),
+        coalesce(col("o2"), lit(0L)).as("o2"))
+    val t = m.agg(sum(col("o1")).as("n1"), sum(col("o2")).as("n2"))
+    val dNum = col("o1") * col("n2") - col("o2") * col("n1")
+    m.crossJoin(broadcast(t))
+      .filter(col("n1") > 0 && col("n2") > 0)
+      .select(col("event_type"),
+        col("o1").as("o_base"), col("o2").as("o_new"),
+        expr("o1 * 1000000 div n1").as("share_base_ppm"),
+        expr("o2 * 1000000 div n2").as("share_new_ppm"),
+        dNum.as("d_num"),
+        round((dNum.cast(DoubleType) * dNum.cast(DoubleType)) /
+            ((col("n1").cast(DoubleType) * col("n2").cast(DoubleType)) *
+              (col("o1") + col("o2")).cast(DoubleType)), 6)
+          .as("chi_term"))
+      .orderBy("event_type")
+  }
+
   /** Sample autocorrelation of the hourly event-rate series at fixed
     * lags (0, 1, 2, 3, 6, 12, 24 h) — the seasonality census that says
     * whether ingest volume has a daily cycle (r₂₄ high), short-range
@@ -861,5 +929,5 @@ object Statistical {
   val all: Seq[Q] = Seq(
     histogram, corrCovar, unpivot, rangeJoin, rangeJoinBinned, collectSorted,
     modeAgg, skewSalted, joinSkewDiag, joinBigBig, skewSaltedJoin, outliers, mad, winsorize,
-    ksDrift, autocorr, gini, benford, rollingMedian)
+    ksDrift, chisqDrift, autocorr, gini, benford, rollingMedian)
 }

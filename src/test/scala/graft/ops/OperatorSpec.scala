@@ -1460,4 +1460,52 @@ class OperatorSpec extends SparkSuite {
     assert(inline.nonEmpty && delta == inline,
       "sess-base + stitch must reproduce the inline sessionize census exactly")
   }
+
+  test("q_chisq_drift: the collapsed D²-form equals the textbook pooled chi-square per category") {
+    val rows = run("q_chisq_drift").collect()
+    assert(rows.nonEmpty)
+    val n1 = rows.map(r => r.getLong(r.fieldIndex("o_base"))).sum.toDouble
+    val n2 = rows.map(r => r.getLong(r.fieldIndex("o_new"))).sum.toDouble
+    rows.foreach { r =>
+      val o1 = r.getLong(r.fieldIndex("o_base")).toDouble
+      val o2 = r.getLong(r.fieldIndex("o_new")).toDouble
+      val p = (o1 + o2) / (n1 + n2)
+      val (e1, e2) = (n1 * p, n2 * p)
+      val textbook = math.pow(o1 - e1, 2) / e1 + math.pow(o2 - e2, 2) / e2
+      val got = r.getDouble(r.fieldIndex("chi_term"))
+      assert(math.abs(got - textbook) < 1e-5,
+        s"${r.getString(0)}: D²/(n1·n2·(o1+o2)) = $got must equal textbook $textbook")
+      assert(r.getLong(r.fieldIndex("d_num")) ==
+        (o1 * n2 - o2 * n1).toLong)
+    }
+  }
+
+  test("q_basket_rules matches a local brute-force recompute of support/confidence/lift") {
+    val b = graft.core.Tables.lineitem(spark, sf)
+      .join(graft.core.Tables.part(spark, sf),
+        org.apache.spark.sql.functions.col("p_partkey") ===
+          org.apache.spark.sql.functions.col("l_partkey"))
+      .select("l_orderkey", "p_brand").distinct()
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val nOrders = b.map(_._1).distinct.length.toLong
+    val itemN = b.groupBy(_._2).map { case (k, v) => k -> v.length.toLong }
+    val pairN = b.groupBy(_._1).values.flatMap { basket =>
+      val items = basket.map(_._2).sorted
+      for (i <- items.indices; j <- (i + 1) until items.length)
+        yield (items(i), items(j))
+    }.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val expect = pairN.toSeq
+      .filter { case (_, nb) => nb * 1000000L >= 22000L * nOrders }
+      .flatMap { case ((a, c), nb) => Seq((a, c, nb), (c, a, nb)) }
+      .map { case (a, c, nb) =>
+        val (na, nc) = (itemN(a), itemN(c))
+        (a, c, nb, na, nc, nb * 1000000L / nOrders, nb * 1000000L / na,
+          nb * nOrders * 1000000L / (na * nc))
+      }.sortBy(t => (t._1, t._2))
+    val got = run("q_basket_rules").collect().map(r =>
+      (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))).toSeq
+    assert(got.nonEmpty && got == expect,
+      "rule set and all three ppm metrics must equal the brute-force recompute")
+  }
 }
