@@ -1473,4 +1473,107 @@ object Stateful {
       .transformWithState(new SessionProcessor, TimeMode.EventTime(),
         OutputMode.Append())
   }
+
+  // -----------------------------------------------------------------------
+  // s_stream_triangles: live graph-impact census over arriving trades
+  // -----------------------------------------------------------------------
+
+  /** Carried state for [[triangleImpactBatch]]: the FROZEN tri-base
+    * censuses (never rewritten) plus OVERLAYS holding the merged counts
+    * of every key the stream has touched — so the per-tick state WRITE
+    * is O(touched ∪ overlay), while the frozen base participates only
+    * as a read-side union leg (the sess-base "freeze only delta-sized
+    * legs" lesson applied to streaming state). The triangle count is one
+    * long. Replay safety: (lastBatchId, state-before) is pinned on first
+    * sight of a batch id and reused verbatim on an at-least-once retry
+    * (the WatermarkHandle recipe), so a replayed batch recomputes the
+    * identical census and re-advances to the identical state. */
+  final class TriangleHandle(
+      private[streaming] val cen0: DataFrame,
+      private[streaming] val cp0: DataFrame,
+      @volatile private[streaming] var cenOv: DataFrame,
+      @volatile private[streaming] var cpOv: DataFrame,
+      @volatile private[streaming] var tri: Long) {
+    private var lastBatchId = -1L
+    private var before: (DataFrame, DataFrame, Long) = (cenOv, cpOv, tri)
+    private[streaming] def stateFor(id: Long): (DataFrame, DataFrame, Long) =
+      synchronized {
+        if (id != lastBatchId) { lastBatchId = id; before = (cenOv, cpOv, tri) }
+        before
+      }
+    private[streaming] def advance(id: Long, c: DataFrame, p: DataFrame,
+        t: Long): Unit =
+      synchronized { if (id == lastBatchId) { cenOv = c; cpOv = p; tri = t } }
+    /** Cumulative triangle count over base ⊕ everything admitted. */
+    def triangles: Long = synchronized(tri)
+  }
+
+  /** Seed a [[TriangleHandle]] from the frozen tri-base artifact of
+    * `d`; returns the split orderkey so the deployment knows where the
+    * tail replay starts. */
+  def triangleHandleOf(s: SparkSession, d: String): (Long, TriangleHandle) = {
+    val (sp, cen0, cp0, tri0) = graft.ops.Graph.triBase(s, d)
+    (sp, new TriangleHandle(cen0, cp0,
+      cen0.limit(0).localCheckpoint(), cp0.limit(0).localCheckpoint(), tri0))
+  }
+
+  /** One micro-batch of the s_stream_triangles census — the streaming
+    * twin of q_triangles_delta: each arriving batch of trade pairs
+    * (c, s) reports the graph impact it causes AS IT IS ADMITTED —
+    * how many (customer, supplier) edges its orders made durable, how
+    * many co-trading projection edges those crossed into existence, and
+    * how many triangles the new edges closed (the same inclusion–
+    * exclusion count the batch delta op runs, Graph.triDeltaCount) —
+    * against base ⊕ everything previously admitted, so verdicts compose
+    * across batches: the cumulative count equals the batch q_triangles
+    * on the grown corpus (StatefulSpec proves split-run == one-batch run
+    * == the full census, and a same-id replay is idempotent).
+    * Package-visible so the spec can replay a batch id. */
+  private[graft] def triangleImpactBatch(handle: TriangleHandle,
+      batch: DataFrame, id: Long): DataFrame = {
+    val (cenOv, cpOv, tri0) = handle.stateFor(id)
+    val ovCK = broadcast(cenOv.select("c", "s"))
+    val ovPK = broadcast(cpOv.select("u", "v"))
+    val cenView = handle.cen0.join(ovCK, Seq("c", "s"), "left_anti")
+      .unionAll(cenOv)
+    val cpView = handle.cp0.join(ovPK, Seq("u", "v"), "left_anti")
+      .unionAll(cpOv)
+    val cenD = batch.groupBy("c", "s").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
+    val m = graft.ops.Graph.triMergeOf(cenView, cpView, cenD)
+    val dTri = graft.ops.Graph.triDeltaCount(m.ceNew, m.ceAll)
+      .head().getLong(0)
+    val nNewE = m.eoNew.count()
+    val nNewP = m.ceNew.count()
+    // roll the overlays: touched keys take their merged counts; the
+    // frozen base legs are read, never rewritten
+    val dK = broadcast(cenD.select("c", "s"))
+    val cenT = cenView.join(dK, Seq("c", "s"), "left_semi").unionAll(cenD)
+      .groupBy("c", "s").agg(sum(col("cnt")).as("cnt"))
+    val cenOv2 = cenOv.join(dK, Seq("c", "s"), "left_anti").unionAll(cenT)
+      .localCheckpoint()
+    val dwK = broadcast(m.dw.select("u", "v"))
+    val cpT = cpView.join(dwK, Seq("u", "v"), "left_semi")
+      .unionAll(m.dw.select(col("u"), col("v"), col("dw").as("w")))
+      .groupBy("u", "v").agg(sum(col("w")).as("w"))
+    val cpOv2 = cpOv.join(dwK, Seq("u", "v"), "left_anti").unionAll(cpT)
+      .localCheckpoint()
+    handle.advance(id, cenOv2, cpOv2, tri0 + dTri)
+    val sp = batch.sparkSession
+    import sp.implicits._
+    Seq((id, nNewE, nNewP, dTri, tri0 + dTri))
+      .toDF("batch_id", "n_new_durable", "n_new_proj_edges", "d_triangles",
+        "n_triangles_total")
+  }
+
+  /** Streaming driver for [[triangleImpactBatch]]: `pairs` is an
+    * unbounded (c, s) trade-pair stream (one row per order line). */
+  def triangleStream(pairs: DataFrame, handle: TriangleHandle)(
+      sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    pairs.writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        sink(triangleImpactBatch(handle, batch, id), id)
+      }
+      .start()
 }

@@ -1606,4 +1606,94 @@ class StatefulSpec extends SparkSuite {
     assert(timered.groupBy(_._1).exists(_._2.size > 1),
       "fixture must produce multiple sessions per user")
   }
+
+  /** Trade-corpus writer for the triangle gate fixtures (the RefreshSpec
+    * writeTrades shape): `rep` orders per (customer, supplier) pair. */
+  private def writeTrades(dir: String, k0: Long, pairs: Seq[(Long, Long)],
+      rep: Int): Unit = {
+    val rows = pairs.zipWithIndex.flatMap { case ((c, s), i) =>
+      (0 until rep).map(r => (k0 + i * rep + r, c, s))
+    }
+    rows.map { case (k, c, _) => (k, c) }.toDF("o_orderkey", "o_custkey")
+      .coalesce(1).write.mode("append").parquet(s"$dir/orders.parquet")
+    rows.map { case (k, _, s) => (k, s) }.toDF("l_orderkey", "l_suppkey")
+      .coalesce(1).write.mode("append").parquet(s"$dir/lineitem.parquet")
+  }
+
+  test("s_stream_triangles: hand-checkable impact verdicts, replay-idempotent, split-invariant") {
+    // base: triangle {1,2,3} via suppliers 101+102; customer 4 durable
+    // with 101 only (pairs at w=1); a high-key padding pair pushes the
+    // 7/8 split past every base order so the frozen artifact holds the
+    // full triangle state and the dir tail is just the padding pair
+    val d = tmpDir("stream-tri")
+    val pairsA = (1L to 3L).flatMap(c => Seq((c, 101L), (c, 102L))) ++
+      Seq((4L, 101L))
+    writeTrades(d, 0L, pairsA, rep = 2)
+    writeTrades(d, 10000L, Seq((99L, 999L)), rep = 2)
+    graft.core.ModelCache.clear()
+    val (sp, handle) = Stateful.triangleHandleOf(spark, d)
+    assert(sp > 13L && sp <= 10000L,
+      s"padding must freeze the full base state: split $sp")
+    assert(handle.triangles == 1L, "base artifact must hold the {1,2,3} triangle")
+    // batch 0 — the dir-tail replay: the padding pair becomes durable,
+    // projects nothing (supplier 999 has one customer)
+    val b0 = Stateful.triangleImpactBatch(handle,
+      Seq((99L, 999L), (99L, 999L)).toDF("c", "s"), 0L).head()
+    assert((b0.getLong(1), b0.getLong(2), b0.getLong(3), b0.getLong(4))
+      == ((1L, 0L, 0L, 1L)),
+      s"padding batch: one durable edge, no projection, no triangles: $b0")
+    // batch 1 — (4,102) turns durable: pairs (i,4) cross w 1→2, K4
+    // completes, 3 new triangles close
+    val b1 = Stateful.triangleImpactBatch(handle,
+      Seq((4L, 102L), (4L, 102L)).toDF("c", "s"), 1L).head()
+    assert((b1.getLong(1), b1.getLong(2), b1.getLong(3), b1.getLong(4))
+      == ((1L, 3L, 3L, 4L)),
+      s"K4 batch: 1 durable edge, 3 projection edges, 3 new triangles: $b1")
+    assert(handle.triangles == 4L)
+    // at-least-once replay of the SAME batch id: identical census,
+    // state does not double-advance
+    val b1r = Stateful.triangleImpactBatch(handle,
+      Seq((4L, 102L), (4L, 102L)).toDF("c", "s"), 1L).head()
+    assert(b1r.toString == b1.toString, "same-id replay must be idempotent")
+    assert(handle.triangles == 4L, "replay must not re-count triangles")
+    // split-invariance: both batches as ONE batch on a fresh handle
+    val (_, h2) = Stateful.triangleHandleOf(spark, d)
+    val one = Stateful.triangleImpactBatch(h2,
+      Seq((99L, 999L), (99L, 999L), (4L, 102L), (4L, 102L)).toDF("c", "s"),
+      0L).head()
+    assert(one.getLong(4) == 4L && h2.triangles == 4L,
+      "one-batch run must reach the same cumulative count")
+  }
+
+  test("s_stream_triangles: streamed tail reproduces the batch q_triangles census on testdata") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    val sf = "/root/testdata/sf0.001"
+    graft.core.ModelCache.clear()
+    val (sp, handle) = Stateful.triangleHandleOf(spark, sf)
+    val tail = graft.core.Tables.orders(spark, sf)
+      .join(graft.core.Tables.lineitem(spark, sf),
+        col("l_orderkey") === col("o_orderkey"))
+      .filter(col("o_orderkey") >= sp)
+      .select(col("o_orderkey"), col("o_custkey"), col("l_suppkey"))
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(tail.nonEmpty, "the 7/8 split must leave a replayable tail")
+    val buf = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val in = MemoryStream[(Long, Long)]
+    val q = Stateful.triangleStream(in.toDS().toDF("c", "s"), handle) {
+      (census, _) =>
+        buf.synchronized { buf += census.head().getLong(4) }
+    }
+    val mid = tail(tail.length / 2)._1
+    in.addData(tail.filter(_._1 < mid).map(t => (t._2, t._3)).toIndexedSeq: _*)
+    q.processAllAvailable()
+    in.addData(tail.filter(_._1 >= mid).map(t => (t._2, t._3)).toIndexedSeq: _*)
+    q.processAllAvailable()
+    q.stop()
+    val full = graft.SparkEntry.queries("q_triangles")(spark, sf).head()
+    assert(handle.triangles == full.getLong(full.fieldIndex("n_triangles")),
+      "cumulative streamed count must equal the batch census on the corpus")
+    assert(buf.lastOption.contains(handle.triangles),
+      "the last emitted total must be the cumulative count")
+  }
 }
