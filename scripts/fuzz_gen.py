@@ -694,6 +694,135 @@ def gen_bitmask(rng):
                    f"FROM mask GROUP BY 1 ORDER BY 1")
 
 
+def gen_chisq(rng):
+    # the q_chisq_drift dialect class: two-window categorical mix census
+    # with the collapsed two-cell chi-square D^2/(n1*n2*(o1+o2)) —
+    # D = o1*n2 - o2*n1 exact in int64, the only float work one
+    # identically-associated double chain (FLOOR-ppm, never a float sum).
+    day = rng.randint(8, 24)
+    cut = f"TIMESTAMP '2024-01-{day:02d} 00:00:00'"
+    k = rng.randint(3, 9)
+    cat = rng.choice([
+        "event_type",
+        f"CAST(user_id % {k} AS BIGINT)",
+        f"concat(event_type, '#', CAST(CAST(event_id % {k} AS BIGINT) AS STRING))",
+    ])
+    where = pred(rng, TABLES["events"])
+    base = (
+        f"WITH cb AS (SELECT {cat} AS k, CAST(count(*) AS BIGINT) AS o1 "
+        f"FROM events WHERE ts <= {cut} AND {where} GROUP BY 1), "
+        f"cn AS (SELECT {cat} AS k, CAST(count(*) AS BIGINT) AS o2 "
+        f"FROM events WHERE ts > {cut} AND {where} GROUP BY 1), "
+        f"m AS (SELECT k, coalesce(o1, 0) AS o1, coalesce(o2, 0) AS o2 "
+        f"FROM cb FULL OUTER JOIN cn USING (k)), "
+        f"t AS (SELECT CAST(sum(o1) AS BIGINT) AS n1, "
+        f"CAST(sum(o2) AS BIGINT) AS n2 FROM m) ")
+    d = "(o1 * n2 - o2 * n1)"
+    shape = rng.random()
+    if shape < 0.4:
+        return base + (
+            f"SELECT k, o1, o2, CAST({d} AS BIGINT) AS d_num, "
+            f"CAST(FLOOR((CAST({d} AS DOUBLE) * CAST({d} AS DOUBLE)) "
+            f"/ ((CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)) "
+            f"* CAST(o1 + o2 AS DOUBLE)) * 1000000.0) AS BIGINT) AS chi_ppm "
+            f"FROM m CROSS JOIN t WHERE n1 > 0 AND n2 > 0 ORDER BY k")
+    if shape < 0.8:
+        return base + (
+            f"SELECT k, o1, o2, "
+            f"CAST(FLOOR(o1 * 1000000.0 / n1) AS BIGINT) AS share_base_ppm, "
+            f"CAST(FLOOR(o2 * 1000000.0 / n2) AS BIGINT) AS share_new_ppm, "
+            f"CAST(ABS({d}) AS BIGINT) AS d_abs "
+            f"FROM m CROSS JOIN t WHERE n1 > 0 AND n2 > 0 ORDER BY k")
+    return base + (
+        f"SELECT k, CAST(ABS({d}) AS BIGINT) AS d_abs "
+        f"FROM m CROSS JOIN t WHERE n1 > 0 AND n2 > 0 "
+        f"ORDER BY d_abs DESC, k LIMIT {rng.randint(2, 5)}")
+
+
+def gen_basket(rng):
+    # the q_basket_rules dialect class: basket pair support / confidence
+    # / lift in FLOOR-ppm over a bounded item alphabet — per-basket pair
+    # fan-out is structurally capped by the alphabet, so the self-join
+    # never explodes a key.
+    if rng.random() < 0.5:
+        k = rng.randint(4, 10)
+        basket, item, tbl = ("l_orderkey",
+                             f"CAST(l_suppkey % {k} AS BIGINT)", "lineitem")
+        where = pred(rng, TABLES["lineitem"])
+    else:
+        basket, item, tbl = "user_id", "event_type", "events"
+        where = pred(rng, TABLES["events"])
+    minb = rng.randint(1, 4)
+    base = (
+        f"WITH b AS (SELECT DISTINCT {basket} AS ok, {item} AS item "
+        f"FROM {tbl} WHERE {where}), "
+        f"t AS (SELECT CAST(count(DISTINCT ok) AS BIGINT) AS n FROM b), "
+        f"ic AS (SELECT item, CAST(count(*) AS BIGINT) AS ni FROM b GROUP BY 1), "
+        f"pc AS (SELECT a.item AS i1, c.item AS i2, "
+        f"CAST(count(*) AS BIGINT) AS nb "
+        f"FROM b a JOIN b c ON a.ok = c.ok AND a.item < c.item GROUP BY 1, 2) ")
+    if rng.random() < 0.5:
+        return base + (
+            f"SELECT i1, i2, nb, ia.ni AS n1, ib.ni AS n2, "
+            f"CAST(FLOOR(nb * 1000000.0 / t.n) AS BIGINT) AS support_ppm, "
+            f"CAST(FLOOR(nb * 1000000.0 / ia.ni) AS BIGINT) AS conf_ppm "
+            f"FROM pc CROSS JOIN t JOIN ic ia ON ia.item = pc.i1 "
+            f"JOIN ic ib ON ib.item = pc.i2 "
+            f"WHERE nb >= {minb} ORDER BY i1, i2")
+    return base + (
+        f"SELECT i1, i2, nb, "
+        f"CAST(FLOOR(nb * 1000000.0 * t.n / (ia.ni * ib.ni)) AS BIGINT) "
+        f"AS lift_ppm "
+        f"FROM pc CROSS JOIN t JOIN ic ia ON ia.item = pc.i1 "
+        f"JOIN ic ib ON ib.item = pc.i2 "
+        f"WHERE nb >= {minb} ORDER BY i1, i2")
+
+
+def gen_tridelta(rng):
+    # the q_triangles_delta dialect class: the inclusion–exclusion
+    # identity Δ = A − W2 + T3 asserted IN the query (the gen_sweepcarry
+    # expect_zero pattern) — on a derived co-occurrence projection with a
+    # hash-chosen "new" edge subset, tri(all) − tri(old) must equal the
+    # new-edge-anchored recount for ANY 2-coloring (the identity is
+    # set-theoretic; append-monotonicity is only what makes it USABLE
+    # incrementally). Triangle counting uses the canonical a<b<c order.
+    M = rng.choice([40, 60, 80])
+    p = rng.randint(3, 7)
+    where = pred(rng, TABLES["events"])
+    base = (
+        f"WITH e0 AS (SELECT DISTINCT CAST(user_id % {M} AS BIGINT) AS u, "
+        f"CAST({M} + (event_id % {M}) AS BIGINT) AS v "
+        f"FROM events WHERE {where}), "
+        f"ce AS (SELECT a.u AS u, b.u AS v FROM e0 a JOIN e0 b "
+        f"ON a.v = b.v AND a.u < b.u GROUP BY 1, 2), "
+        f"newe AS (SELECT u, v FROM ce WHERE (u * 31 + v * 17) % {p} = 0), "
+        f"olde AS (SELECT u, v FROM ce WHERE (u * 31 + v * 17) % {p} != 0), "
+        f"sym AS (SELECT u AS x, v AS y FROM ce "
+        f"UNION ALL SELECT v AS x, u AS y FROM ce), "
+        f"symn AS (SELECT u AS x, v AS y FROM newe "
+        f"UNION ALL SELECT v AS x, u AS y FROM newe), "
+        f"ta AS (SELECT CAST(count(*) AS BIGINT) AS t FROM ce a "
+        f"JOIN ce b ON b.u = a.u AND b.v > a.v "
+        f"JOIN ce c ON c.u = a.v AND c.v = b.v), "
+        f"tod AS (SELECT CAST(count(*) AS BIGINT) AS t FROM olde a "
+        f"JOIN olde b ON b.u = a.u AND b.v > a.v "
+        f"JOIN olde c ON c.u = a.v AND c.v = b.v), "
+        f"aa AS (SELECT CAST(count(*) AS BIGINT) AS a FROM newe n "
+        f"JOIN sym sa ON sa.x = n.u "
+        f"JOIN sym sb ON sb.x = n.v AND sb.y = sa.y), "
+        f"w2 AS (SELECT CAST(count(*) AS BIGINT) AS w FROM symn a "
+        f"JOIN symn b ON b.x = a.x AND b.y > a.y "
+        f"JOIN ce e ON e.u = a.y AND e.v = b.y), "
+        f"t3 AS (SELECT CAST(count(*) AS BIGINT) AS t FROM newe a "
+        f"JOIN newe b ON b.u = a.u AND b.v > a.v "
+        f"JOIN newe c ON c.u = a.v AND c.v = b.v) ")
+    return base + (
+        "SELECT ta.t AS tri_all, tod.t AS tri_old, aa.a AS a_term, "
+        "w2.w AS w2_term, t3.t AS t3_term, "
+        "(ta.t - tod.t) - (aa.a - w2.w + t3.t) AS expect_zero "
+        "FROM ta CROSS JOIN tod CROSS JOIN aa CROSS JOIN w2 CROSS JOIN t3")
+
+
 def gen_query(rng):
     roll = rng.random()
     if roll < 0.03:
@@ -702,6 +831,13 @@ def gen_query(rng):
         return gen_sweepcarry(rng)
     if roll < 0.09:
         return gen_bitmask(rng)
+    roll = rng.random()
+    if roll < 0.03:
+        return gen_chisq(rng)
+    if roll < 0.06:
+        return gen_basket(rng)
+    if roll < 0.08:
+        return gen_tridelta(rng)
     roll = rng.random()
     if roll < 0.04:
         return gen_graphcte(rng)
@@ -789,7 +925,8 @@ def main():
     rng = random.Random(seed)
     if fam:
         gens = {"containment": gen_containment, "sweepcarry": gen_sweepcarry,
-                "bitmask": gen_bitmask}
+                "bitmask": gen_bitmask, "chisq": gen_chisq,
+                "basket": gen_basket, "tridelta": gen_tridelta}
         fns = [gens[f] for f in fam.split(",")]
         queries = {f"fz_{i:04d}": fns[i % len(fns)](rng) for i in range(n)}
     else:

@@ -615,16 +615,25 @@ object Analytic {
        |JOIN ic ic2 ON ic2.item = dir.conseq
        |ORDER BY ante, conseq""".stripMargin
   ) { (s, d) =>
-    val b = T.lineitem(s, d)
+    // one shuffle builds the baskets (collect_set dedups in the agg);
+    // pairs then expand MAP-SIDE from each sorted basket array — no
+    // second shuffle of the (order, item) relation and no self-join:
+    // per-basket fan-out is C(k, 2) with k capped by the dictionary
+    val baskets = T.lineitem(s, d)
       .join(T.part(s, d), col("p_partkey") === col("l_partkey"))
       .select(col("l_orderkey").as("ok"), col("p_brand").as("item"))
-      .distinct()
-      .localCheckpoint() // feeds totals, item counts, and both pair sides
-    val t = b.agg(countDistinct(col("ok")).as("n_orders"))
-    val ic = b.groupBy("item").agg(count(lit(1)).as("n_item"))
-    val pc = b.as("a").join(b.as("c"),
-        col("a.ok") === col("c.ok") && col("a.item") < col("c.item"))
-      .groupBy(col("a.item").as("i1"), col("c.item").as("i2"))
+      .groupBy("ok").agg(sort_array(collect_set(col("item"))).as("items"))
+      .localCheckpoint() // feeds totals, item counts, and the pair expansion
+    val t = baskets.agg(count(lit(1)).as("n_orders"))
+    val ic = baskets
+      .select(explode(col("items")).as("item"))
+      .groupBy("item").agg(count(lit(1)).as("n_item"))
+    val pc = baskets
+      .select(explode(expr(
+        """flatten(transform(items, (x, i) ->
+          |  transform(slice(items, i + 2, size(items) - i - 1),
+          |    y -> struct(x AS i1, y AS i2))))""".stripMargin)).as("p"))
+      .groupBy(col("p.i1").as("i1"), col("p.i2").as("i2"))
       .agg(count(lit(1)).as("n_both"))
     val keep = pc.crossJoin(broadcast(t))
       .filter(col("n_both") * 1000000L >= lit(BasketMinSupportPpm) * col("n_orders"))

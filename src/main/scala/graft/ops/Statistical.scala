@@ -677,9 +677,14 @@ object Statistical {
       .select(col("event_type"),
         coalesce(col("o1"), lit(0L)).as("o1"),
         coalesce(col("o2"), lit(0L)).as("o2"))
-    val t = m.agg(sum(col("o1")).as("n1"), sum(col("o2")).as("n2"))
+    // totals via ONE unpartitioned window over the O(types) census (the
+    // q_audience_overlap dictionary-window precedent) — a separate
+    // aggregate leg would re-run both event scans (4 scans, not 2)
+    val wAll = Window.partitionBy()
     val dNum = col("o1") * col("n2") - col("o2") * col("n1")
-    m.crossJoin(broadcast(t))
+    m.select(col("event_type"), col("o1"), col("o2"),
+        sum(col("o1")).over(wAll).as("n1"),
+        sum(col("o2")).over(wAll).as("n2"))
       .filter(col("n1") > 0 && col("n2") > 0)
       .select(col("event_type"),
         col("o1").as("o_base"), col("o2").as("o_new"),

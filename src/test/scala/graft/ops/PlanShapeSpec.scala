@@ -500,4 +500,38 @@ class PlanShapeSpec extends SparkSuite {
       "census must serve from the artifact + the checkpointed delta slice")
     assert(!p.contains("CartesianProduct"))
   }
+
+  test("q_triangles_delta census plan reads only frozen/checkpointed state — zero live corpus scans") {
+    // the delta legs (order-tail census, merge, new-edge enumeration) are
+    // checkpointed inside triMergeOf, so the census plan itself touches
+    // nothing but artifact legs and those checkpoints — the containment
+    // convention; the tail scans that BUILT them carry the pushed
+    // o_orderkey >= split bound at materialization time
+    graft.core.ModelCache.clear()
+    val p = plan("q_triangles_delta")
+    assert(!p.contains("FileScan parquet"),
+      "census must serve from the artifact + the checkpointed delta legs")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q_basket_rules: ONE basket shuffle, pairs expand map-side (no self-join of the item relation)") {
+    val p = plan("q_basket_rules")
+    assert(!p.contains("SortMergeJoin"),
+      "pair expansion must be the in-array transform, never a co-shuffled self-join")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("Generate explode"),
+      "pairs must come from the map-side array expansion")
+  }
+
+  test("q_chisq_drift: both window scans push the ts cutoff, prune to 2 columns, scan once") {
+    val p = plan("q_chisq_drift")
+    assert(p.contains("LessThanOrEqual(ts,") && p.contains("GreaterThan(ts,"),
+      "both window predicates must reach the parquet scan")
+    assert(p.contains("ReadSchema: struct<ts:timestamp,event_type:string>"),
+      "the scan must prune to the two needed columns")
+    assert(p.contains("partial_count"),
+      "window counts must partial-aggregate before the exchange")
+    assert("FileScan parquet".r.findAllIn(p).size <= 2,
+      "the O(types) census is checkpointed — the totals leg must not re-scan events")
+  }
 }
