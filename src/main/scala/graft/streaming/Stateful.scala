@@ -321,6 +321,57 @@ object Stateful {
       }
   }
 
+  /** [[runningTokenCounts]] on Spark 4's transformWithState, exercising
+    * MAP STATE (round-13 ask #3's tail): the grouping key is a hash
+    * SHARD (64-way), and each shard's per-token counts live in one named
+    * MapState[token, count] — composite state under a coarse key instead
+    * of one grouping key per token. At the 10⁸-distinct-token scale this
+    * is what keeps the state-store key space and shuffle fan-out
+    * bounded: the shard count, not the vocabulary, is the key
+    * cardinality.
+    *
+    * TTL is injectable (`ttl`) but defaults to NONE, deliberately: a
+    * retention deployment passes TTLConfig(hours) + TimeMode
+    * .ProcessingTime + a real trigger interval, and stale tokens age
+    * out of the store — but processing-time TTL makes EVERY batch
+    * schedule a follow-up (processing time always advances, unlike a
+    * watermark), so under trigger(0)/AvailableNow the engine re-batches
+    * endlessly and a synchronous processAllAvailable test never settles
+    * (measured: 6,600+ empty micro-batches before the spec was killed).
+    * The spec therefore pins the NONE form; the TTL path differs only
+    * in the store's eviction bookkeeping, not in this processor's
+    * logic. */
+  class TokenShardProcessor(ttl: TTLConfig = TTLConfig.NONE)
+      extends StatefulProcessor[Long, (Long, String), TokenCount] {
+    @transient private var counts: org.apache.spark.sql.streaming.MapState[String, Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      counts = getHandle.getMapState("counts", Encoders.STRING,
+        Encoders.scalaLong, ttl)
+
+    override def handleInputRows(shard: Long, rows: Iterator[(Long, String)],
+        timers: TimerValues): Iterator[TokenCount] = {
+      val batch = rows.foldLeft(Map.empty[String, Long]) { case (m, (_, t)) =>
+        m.updated(t, m.getOrElse(t, 0L) + 1L)
+      }
+      batch.toSeq.sortBy(_._1).map { case (tok, dn) =>
+        val n = (if (counts.containsKey(tok)) counts.getValue(tok) else 0L) + dn
+        counts.updateValue(tok, n)
+        TokenCount(tok, n)
+      }.iterator
+    }
+  }
+
+  /** [[runningTokenCounts]] through [[TokenShardProcessor]]. */
+  def runningTokenCountsTws(tokens: Dataset[String]): Dataset[TokenCount] = {
+    import tokens.sparkSession.implicits._
+    tokens
+      .map(t => ((t.hashCode & 0x7fffffff).toLong % 64L, t))
+      .groupByKey(_._1)
+      .transformWithState(new TokenShardProcessor, TimeMode.None(),
+        OutputMode.Append())
+  }
+
   final case class VecIn(vec_id: Long, embedding: Array[Float])
 
   /** s_stream_ivf_assign: continuous IVF assignment of arriving vectors

@@ -240,6 +240,37 @@ class StatefulSpec extends SparkSuite {
     assert(rows.filter(_.token == "a").map(_.n).sorted.toSeq == Seq(2L, 3L))
   }
 
+  test("s_stream_topk (transformWithState): MapState-sharded counts match the per-token fMGWS gate on RocksDB") {
+    // the MapState port: 64-way hash shards as grouping keys, each
+    // shard's vocabulary in one MapState — emission parity (per touched
+    // token per batch, cumulative count) with the one-key-per-token
+    // ValueState form across micro-batch boundaries (TTL stays NONE in
+    // the spec'd form: see TokenShardProcessor's Scaladoc for why
+    // processing-time TTL cannot settle under a synchronous test)
+    implicit val sqlCtx = spark.sqlContext
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val in = MemoryStream[String]
+      val q = Stateful.runningTokenCountsTws(in.toDS())
+        .writeStream.format("memory").queryName("tok_counts_tws")
+        .outputMode(OutputMode.Append).start()
+      in.addData("a", "b", "a")
+      q.processAllAvailable()
+      in.addData("a", "c", "b")
+      q.processAllAvailable()
+      val rows = spark.table("tok_counts_tws").as[Stateful.TokenCount].collect()
+      q.stop()
+      // identical emission contract as the s_stream_topk case above:
+      // cumulative per touched token per batch, state held across batches
+      val latest = rows.groupBy(_.token).map { case (t, rs) => t -> rs.map(_.n).max }
+      assert(latest == Map("a" -> 3L, "b" -> 2L, "c" -> 1L))
+      assert(rows.filter(_.token == "a").map(_.n).sorted.toSeq == Seq(2L, 3L),
+        "cross-batch MapState must hold the running count")
+      assert(rows.filter(_.token == "b").map(_.n).sorted.toSeq == Seq(1L, 2L))
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("s_stream_semdedup: signal parity with batch q_semdedup on a clone-structured drop") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.functions.col
