@@ -1275,9 +1275,19 @@ object Graph {
   private[graft] final case class TriMerge(eoNew: DataFrame, dw: DataFrame,
       ceNew: DataFrame, ceAll: DataFrame)
 
-  private[graft] def triMergeOf(cen0: DataFrame, cp0: DataFrame,
-      cenD: DataFrame): TriMerge = {
-    val dKeys = broadcast(cenD.select("c", "s"))
+  /** The pre-pair-join half of [[triMergeOf]]: the newly-durable edges
+    * (checkpointed) and the base durable edges — cheap (no pair join),
+    * so the flood probe can read |eoNew| BEFORE any quadratic work.
+    * No broadcast hint on the delta keys: a streaming tick's delta is
+    * tiny (AQE broadcasts it), but a refreeze delta can be a whole
+    * day's corpus — forcing the hint there measured SLOWER than
+    * retrain (19.8 s vs 12.8 s at the k=10 replica board) before this
+    * was left to AQE. */
+  private[graft] final case class TriEdges(eoNew: DataFrame, eo0: DataFrame,
+      cenTouched: DataFrame, dKeys: DataFrame)
+
+  private[graft] def triEoNew(cen0: DataFrame, cenD: DataFrame): TriEdges = {
+    val dKeys = cenD.select("c", "s")
     val mergedTouched = cen0.join(dKeys, Seq("c", "s"), "left_semi")
       .unionAll(cenD)
       .groupBy("c", "s").agg(sum(col("cnt")).as("cnt"))
@@ -1287,8 +1297,39 @@ object Graph {
       .filter(col("cnt") >= TriMinRepeats &&
         coalesce(col("cnt0"), lit(0L)) < TriMinRepeats)
       .select("c", "s")
-      .localCheckpoint() // feeds new×old, new×new (2×), and eoAll
-    val eo0 = cen0.filter(col("cnt") >= TriMinRepeats).select("c", "s")
+      .localCheckpoint() // feeds the probe, new×old, new×new (2×), eoAll
+    TriEdges(eoNew, cen0.filter(col("cnt") >= TriMinRepeats).select("c", "s"),
+      mergedTouched, dKeys)
+  }
+
+  /** Flood probe on the DURABLE-EDGE axis — readable before any pair
+    * join is paid, and it bounds everything downstream (dw rows ≤
+    * Σ_s |N_s|·|A_s|, ceNew ≤ dw): when the newly-durable edges exceed
+    * 1/`frac` of the merged edge set, the per-new-edge delta joins
+    * would cost more than rebuilding the projection through the bounded
+    * machinery — the q_pagerank_delta flood-fallback convention. The
+    * two callers pass MEASURED thresholds, not guesses (k=10 replica
+    * board): the REFREEZE uses frac=16 — a 9%-of-edges bulk slice
+    * through the unoriented delta joins plus the census rolls ran 0.79×
+    * of retrain, the 0.1% local slice 1.6×, so 1/16 sits between them —
+    * while the SERVE path uses frac=4: it pays no census rolls, and its
+    * structural 1/8 tail ran 3.5 s incremental vs 4.7 s rebuilt at
+    * sf0.1. Two bounded control reads on checkpointed/derived
+    * censuses. */
+  private[graft] def triEdgeFlooded(eoNew: DataFrame, eo0: DataFrame,
+      frac: Long): Boolean = {
+    val nNew = eoNew.count()
+    nNew > 0L && frac * nNew > eo0.count() + nNew
+  }
+
+  private[graft] def triMergeOf(cen0: DataFrame, cp0: DataFrame,
+      cenD: DataFrame): TriMerge = {
+    val em = triEoNew(cen0, cenD)
+    triMergeFrom(em.eoNew, em.eo0, cp0)
+  }
+
+  private[graft] def triMergeFrom(eoNew: DataFrame, eo0: DataFrame,
+      cp0: DataFrame): TriMerge = {
     // per supplier: every pair with ≥ 1 new endpoint, exactly once
     // (N_s and O_s are disjoint for a fixed s: an edge is old xor new)
     val newBy = eoNew.select(col("s").as("k"), col("c").as("nv"))
@@ -1325,8 +1366,15 @@ object Graph {
     *      = t2 + 3·t3
     *   T3 = #all-new triangles (counted once via u < v < w ordering) = t3
     *   Δ  = A − W2 + T3 = t1 + t2 + t3.
-    * Every join is anchored on `ceNew` — O(Σ_{new edge} deg) rows, never
-    * the merged graph's O(m^1.5) wedge join. */
+    * Every join is anchored on `ceNew` — O(Σ_{new edge} deg_all) rows.
+    * These joins are UNORIENTED (per-new-edge adjacency, not the √(2m)-
+    * capped oriented form), so they are delta-proportional for a LOCAL
+    * delta but degrade toward O(Σ deg²) when the delta is a large
+    * fraction of the graph — which is why every caller runs
+    * [[triFlooded]] first and falls back to the oriented full count
+    * (the q_pagerank_delta flood-probe convention; measured at the
+    * k=10 replica board: a whole-replica delta through these joins was
+    * 0.7× retrain, through the fallback ≈ retrain, never worse). */
   private[graft] def triDeltaCount(ceNew: DataFrame, ceAll: DataFrame): DataFrame = {
     val symAll = ceAll.select(col("u").as("x"), col("v").as("y"))
       .unionAll(ceAll.select(col("v").as("x"), col("u").as("y")))
@@ -1350,6 +1398,7 @@ object Graph {
     a.crossJoin(broadcast(w2)).crossJoin(broadcast(t3))
       .select((col("a1") - col("w2") + col("t3")).as("d_tri"))
   }
+
 
   /** The frozen incremental-triangle artifact — tri-base, the TWELFTH
     * delta-family member: (split orderkey, pre-filter (c, s, cnt) order
@@ -1388,13 +1437,39 @@ object Graph {
       val cenS = pairs
         .filter(col("o_orderkey") >= sp0 && col("o_orderkey") < sp1)
         .groupBy("c", "s").agg(count(lit(1)).as("cnt"))
-      val m = triMergeOf(cen0, cp0, cenS)
-      val cen1 = cen0.unionAll(cenS)
-        .groupBy("c", "s").agg(sum(col("cnt")).as("cnt")).localCheckpoint()
-      val cp1 = cp0
-        .unionAll(m.dw.select(col("u"), col("v"), col("dw").as("w")))
-        .groupBy("u", "v").agg(sum(col("w")).as("w")).localCheckpoint()
-      (sp1, cen1, cp1, tri0 + triDeltaCount(m.ceNew, m.ceAll).head().getLong(0))
+      val em = triEoNew(cen0, cenS)
+      // the containment-base roll shape: checkpoint only the TOUCHED
+      // slice, keep the stored census a lazy anti-join ∪ overlay view
+      // (flattenWide bounds the union depth across generations) — a
+      // full-census groupBy+checkpoint per refreeze measured as the
+      // dominant refresh cost (the pair census is the largest artifact)
+      val cenTouched = em.cenTouched.localCheckpoint()
+      val cen1 = graft.core.Session.flattenWide(
+        cen0.join(em.dKeys, Seq("c", "s"), "left_anti").unionAll(cenTouched))
+      if (triEdgeFlooded(em.eoNew, em.eo0, frac = 16L)) {
+        // bulk slice: rebuild the projection through the bounded
+        // (blocked + oriented) machinery — only the old ORDER SCAN is
+        // saved (cen rolls forward); refresh ≈ retrain, never worse.
+        // eo1 is CHECKPOINTED first: cen1 is a lazy anti-join ∪ overlay
+        // view, and the pair machinery scans its edge input 3× (side
+        // census, degree, kv join) — unmaterialized, each scan re-runs
+        // the roll (measured 25 s vs retrain's 12 s before this)
+        val eo1 = cen1.filter(col("cnt") >= TriMinRepeats).select("c", "s")
+          .localCheckpoint()
+        val cp1 = triPairCensus(eo1).localCheckpoint()
+        val ce1 = cp1.filter(col("w") >= TriMinShared).select("u", "v")
+        (sp1, cen1, cp1, triCount(ce1).head().getLong(0))
+      } else {
+        val m = triMergeFrom(em.eoNew, em.eo0, cp0)
+        val dwK = m.dw.select("u", "v")
+        val cpTouched = m.dw.select(col("u"), col("v"), col("dw").as("w"))
+          .unionAll(cp0.join(dwK, Seq("u", "v"), "left_semi"))
+          .groupBy("u", "v").agg(sum(col("w")).as("w")).localCheckpoint()
+        val cp1 = graft.core.Session.flattenWide(
+          cp0.join(dwK, Seq("u", "v"), "left_anti").unionAll(cpTouched))
+        (sp1, cen1, cp1,
+          tri0 + triDeltaCount(m.ceNew, m.ceAll).head().getLong(0))
+      }
     }
   }
 
@@ -1406,15 +1481,18 @@ object Graph {
     * the 7/8-orderkey-prefix order census, pair census, and triangle
     * count; serve-time aggregates ONLY the order tail, derives the
     * newly-durable edges and newly-projected pairs from the merged
-    * monoidal censuses (triMergeOf — the merge leg is LIVE in every
-    * oracle run), and counts new triangles by inclusion–exclusion
-    * anchored on the new edges (triDeltaCount). The presentation
-    * censuses (degrees, wedges, orientation max-outdeg) are linear
-    * passes over the merged edge list — the two O(m^1.5)/O(Σ C(deg,2))
-    * joins are confined to train time. Oracle: q_triangles' SQL
-    * VERBATIM, so the hash gate proves incremental == full across two
-    * engines; GraphSpec additionally pins the inclusion–exclusion on a
-    * hand-built graph with 1-, 2- and 3-new-edge triangles. */
+    * monoidal censuses (the merge leg is LIVE in every oracle run), and
+    * counts new triangles by inclusion–exclusion anchored on the new
+    * edges (triDeltaCount) — behind the edge-axis FLOOD PROBE
+    * (triEdgeFlooded): a tail holding more than a quarter of the merged
+    * edges recomputes the projection through the bounded machinery
+    * instead, so the serve cost is min(delta-proportional, rebuild),
+    * never worse than either. The presentation censuses (degrees,
+    * wedges, orientation max-outdeg) are linear passes over the merged
+    * edge list. Oracle: q_triangles' SQL VERBATIM, so the hash gate
+    * proves incremental == full across two engines; GraphSpec pins the
+    * inclusion–exclusion on a hand-built graph with 1-, 2- and
+    * 3-new-edge triangles; RefreshSpec covers BOTH probe branches. */
   val trianglesDelta: Q = Q("q_triangles_delta", triangles.oracle.get) { (s, d) =>
     val (sp, cen0, cp0, tri0) = triBase(s, d)
     val cenD = T.orders(s, d)
@@ -1422,10 +1500,24 @@ object Graph {
       .filter(col("o_orderkey") >= sp)
       .groupBy(col("o_custkey").as("c"), col("l_suppkey").as("s"))
       .agg(count(lit(1)).as("cnt"))
-    val m = triMergeOf(cen0, cp0, cenD)
-    val dTri = triDeltaCount(m.ceNew, m.ceAll)
-    val sym = m.ceAll.select(col("u").as("x"), col("v").as("y"))
-      .unionAll(m.ceAll.select(col("v").as("x"), col("u").as("y")))
+    val em = triEoNew(cen0, cenD)
+    val (eoNew, eo0) = (em.eoNew, em.eo0)
+    val (ceAll, nTri) =
+      if (triEdgeFlooded(eoNew, eo0, frac = 4L)) {
+        // bulk tail (e.g. a long no-refreeze period): recompute the
+        // projection through the bounded machinery rather than the
+        // per-new-edge delta joins — the flood-fallback convention
+        val cpAll = triPairCensus(eo0.unionAll(eoNew).localCheckpoint())
+        val ce = cpAll.filter(col("w") >= TriMinShared).select("u", "v")
+          .localCheckpoint()
+        (ce, triCount(ce))
+      } else {
+        val m = triMergeFrom(eoNew, eo0, cp0)
+        (m.ceAll, triDeltaCount(m.ceNew, m.ceAll)
+          .select((lit(tri0) + col("d_tri")).as("n_triangles")))
+      }
+    val sym = ceAll.select(col("u").as("x"), col("v").as("y"))
+      .unionAll(ceAll.select(col("v").as("x"), col("u").as("y")))
     val deg = sym.groupBy("x").agg(count(lit(1)).as("dg"))
     val oe = sym
       .join(deg.select(col("x"), col("dg").as("dx")), "x")
@@ -1436,14 +1528,13 @@ object Graph {
       .agg(coalesce(max(col("odg")), lit(0L)).as("max_outdeg"))
     val nodes = deg.agg(count(lit(1)).as("n_nodes"),
       coalesce(sum(expr("dg * (dg - 1) div 2")), lit(0L)).as("n_wedges"))
-    val edges = m.ceAll.agg(count(lit(1)).as("n_edges"))
+    val edges = ceAll.agg(count(lit(1)).as("n_edges"))
     nodes.crossJoin(broadcast(edges)).crossJoin(broadcast(od))
-      .crossJoin(broadcast(dTri))
+      .crossJoin(broadcast(nTri))
       .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
-        col("max_outdeg"),
-        (lit(tri0) + col("d_tri")).as("n_triangles"),
+        col("max_outdeg"), col("n_triangles"),
         when(col("n_wedges") === 0L, 0L)
-          .otherwise(expr(s"(3 * ($tri0 + d_tri) * 1000000) div n_wedges"))
+          .otherwise(expr("(3 * n_triangles * 1000000) div n_wedges"))
           .as("ccoef_ppm"))
   }
 

@@ -1583,14 +1583,18 @@ object Stateful {
   private[graft] def triangleImpactBatch(handle: TriangleHandle,
       batch: DataFrame, id: Long): DataFrame = {
     val (cenOv, cpOv, tri0) = handle.stateFor(id)
-    val ovCK = broadcast(cenOv.select("c", "s"))
-    val ovPK = broadcast(cpOv.select("u", "v"))
+    val ovCK = cenOv.select("c", "s")
+    val ovPK = cpOv.select("u", "v")
     val cenView = handle.cen0.join(ovCK, Seq("c", "s"), "left_anti")
       .unionAll(cenOv)
     val cpView = handle.cp0.join(ovPK, Seq("u", "v"), "left_anti")
       .unionAll(cpOv)
     val cenD = batch.groupBy("c", "s").agg(count(lit(1)).as("cnt"))
       .localCheckpoint()
+    // streaming ticks are small by nature, so the gate runs the delta
+    // joins unconditionally — a BULK backfill belongs in the batch
+    // refreeze (tri-base refresh), whose flood probe falls back to the
+    // bounded full recount
     val m = graft.ops.Graph.triMergeOf(cenView, cpView, cenD)
     val dTri = graft.ops.Graph.triDeltaCount(m.ceNew, m.ceAll)
       .head().getLong(0)
@@ -1598,12 +1602,12 @@ object Stateful {
     val nNewP = m.ceNew.count()
     // roll the overlays: touched keys take their merged counts; the
     // frozen base legs are read, never rewritten
-    val dK = broadcast(cenD.select("c", "s"))
+    val dK = cenD.select("c", "s")
     val cenT = cenView.join(dK, Seq("c", "s"), "left_semi").unionAll(cenD)
       .groupBy("c", "s").agg(sum(col("cnt")).as("cnt"))
     val cenOv2 = cenOv.join(dK, Seq("c", "s"), "left_anti").unionAll(cenT)
       .localCheckpoint()
-    val dwK = broadcast(m.dw.select("u", "v"))
+    val dwK = m.dw.select("u", "v")
     val cpT = cpView.join(dwK, Seq("u", "v"), "left_semi")
       .unionAll(m.dw.select(col("u"), col("v"), col("dw").as("w")))
       .groupBy("u", "v").agg(sum(col("w")).as("w"))

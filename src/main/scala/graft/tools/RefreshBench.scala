@@ -77,7 +77,8 @@ object RefreshBench {
       "bpe-hist-base" -> (() => graft.ops.TextAnalysis.bpeHistBase(spark, work)),
       "lp-base" -> (() => graft.ops.Graph.lpBase(spark, work)),
       "sess-base" -> (() => graft.ops.Temporal.sessBase(spark, work)),
-      "containment-base" -> (() => graft.ops.Dedup.containmentBase(spark, work)))
+      "containment-base" -> (() => graft.ops.Dedup.containmentBase(spark, work)),
+      "tri-base" -> (() => graft.ops.Graph.triBase(spark, work)))
 
     val tTrain = artifacts.map { case (name, f) => name -> timed(f()) }.toMap
 
@@ -136,6 +137,41 @@ object RefreshBench {
     graft.core.ModelCache.clear()
     val tSkewRetrain = timed(graft.ops.Temporal.sessBase(spark, work))
     println(s"""{"artifact":"sess-base-hotdelta","k":$k,"refresh_sec":${fmt(tSkew)},"retrain_sec":${fmt(tSkewRetrain)},"speedup":${fmt(tSkewRetrain / math.max(tSkew, 1e-9))}}""")
+
+    // tri-base LOCAL delta: ~0.1% of one replica's orders, keys COMPACTED
+    // to a dense range just above the corpus max (an uncompacted slice
+    // would span the whole src keyspace and drag the 7/8 split — and
+    // therefore the refreeze slice — across a bulk of the corpus),
+    // customers/suppliers unshifted so the new trades attach to the
+    // replica-0 subgraph. The refreeze slice is then O(slice span) and
+    // the edge-axis flood probe keeps the inclusion–exclusion branch.
+    {
+      import org.apache.spark.sql.expressions.Window
+      // re-establish a live tri-base generation (the hot-delta leg above
+      // cleared the registry) so the local append can take the MERGE path
+      graft.ops.Graph.triBase(spark, work)
+      val maxO = spark.read.parquet(s"$work/orders.parquet")
+        .agg(max(col("o_orderkey"))).head().getLong(0)
+      val oS = spark.read.parquet(s"$src/orders.parquet")
+        .filter(col("o_orderkey") % 997 === 0)
+      val mapDf = oS.select(col("o_orderkey").as("old_k"))
+        .withColumn("new_k",
+          lit(maxO) + row_number().over(Window.orderBy("old_k")))
+        .localCheckpoint()
+      oS.join(mapDf, col("o_orderkey") === col("old_k"))
+        .withColumn("o_orderkey", col("new_k")).drop("old_k", "new_k")
+        .write.mode("append").parquet(s"$work/orders.parquet")
+      spark.read.parquet(s"$src/lineitem.parquet")
+        .join(mapDf, col("l_orderkey") === col("old_k"))
+        .withColumn("l_orderkey", col("new_k")).drop("old_k", "new_k")
+        .write.mode("append").parquet(s"$work/lineitem.parquet")
+      val tTriLocal = timed(graft.ops.Graph.triBase(spark, work))
+      require(graft.core.ModelCache.lastEvent("tri-base", work)
+        .contains("refreshed"), "local trade append must take the refresh path")
+      graft.core.ModelCache.clear()
+      val tTriRetrain = timed(graft.ops.Graph.triBase(spark, work))
+      println(s"""{"artifact":"tri-base-localdelta","k":$k,"refresh_sec":${fmt(tTriLocal)},"retrain_sec":${fmt(tTriRetrain)},"speedup":${fmt(tTriRetrain / math.max(tTriLocal, 1e-9))}}""")
+    }
     System.out.flush()
     spark.stop()
   }

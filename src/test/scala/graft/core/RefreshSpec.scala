@@ -184,6 +184,38 @@ class RefreshSpec extends SparkSuite {
     val row = graft.SparkEntry.queries("q_triangles")(spark, d).head()
     assert(row.getLong(row.fieldIndex("n_triangles")) == 4L,
       "fixture sanity: K4 after the delta must hold 4 triangles")
+    // NOTE: this fixture's 3-of-6 new-edge delta FLOODS the probe
+    // (> 1/4 of merged edges), so the case above proves the fallback
+    // branch; the case below proves the incremental branch
+  }
+
+  test("tri-base: a LOCAL delta takes the incremental branch (refresh == retrain == full)") {
+    val d = tmpDir("refresh-tri-local")
+    ModelCache.clear()
+    // 30 disjoint durable triangles (90 projection edges) — big enough
+    // that the 3-edge delta below stays far under the 1/4 flood probe,
+    // so the refreeze and serve take the inclusion–exclusion branch
+    val pairsA = (0L until 30L).flatMap { i =>
+      (1L to 3L).flatMap(c =>
+        Seq((10 * i + c, 500L + 2 * i), (10 * i + c, 501L + 2 * i)))
+    }
+    writeTrades(d, 0L, pairsA, rep = 2)
+    writeTrades(d, 5000L, Seq((4L, 500L)), rep = 2) // w=1 pairs to triple 0
+    graft.SparkEntry.queries("q_triangles_delta")(spark, d).collect()
+    assert(ModelCache.lastEvent("tri-base", d).contains("trained"))
+    // delta: (4, 501) durable → pairs (i, 4) cross w 1→2 → K4 on the
+    // first triple → exactly 3 new triangles via the delta joins
+    writeTrades(d, 9000L, Seq((4L, 501L)), rep = 2)
+    val viaRefresh = rowsOf(graft.SparkEntry.queries("q_triangles_delta")(spark, d))
+    assert(ModelCache.lastEvent("tri-base", d).contains("refreshed"))
+    ModelCache.clear()
+    val viaRetrain = rowsOf(graft.SparkEntry.queries("q_triangles_delta")(spark, d))
+    assert(viaRefresh == viaRetrain)
+    val fullOut = rowsOf(graft.SparkEntry.queries("q_triangles")(spark, d))
+    assert(viaRefresh == fullOut)
+    val row = graft.SparkEntry.queries("q_triangles")(spark, d).head()
+    assert(row.getLong(row.fieldIndex("n_triangles")) == 33L,
+      "30 base triangles + the 3 K4 completions")
   }
 
   test("lp-base: q_label_prop and q_modularity identical via refresh and retrain (bounded path)") {
