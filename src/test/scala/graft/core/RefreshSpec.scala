@@ -184,9 +184,91 @@ class RefreshSpec extends SparkSuite {
     val row = graft.SparkEntry.queries("q_triangles")(spark, d).head()
     assert(row.getLong(row.fieldIndex("n_triangles")) == 4L,
       "fixture sanity: K4 after the delta must hold 4 triangles")
-    // NOTE: this fixture's 3-of-6 new-edge delta FLOODS the probe
-    // (> 1/4 of merged edges), so the case above proves the fallback
-    // branch; the case below proves the incremental branch
+  }
+
+  test("tri-base: FLOOD branches — a dense tail and a bulk refreeze slice both fall back exactly") {
+    // SERVE flood: edges concentrated in the top-1/8 keyspan, so the
+    // serve tail holds far more than 1/4 of the merged edge set and the
+    // serve path must rebuild the projection (frac = 4 probe)
+    val d1 = tmpDir("refresh-tri-flood-serve")
+    ModelCache.clear()
+    // sparse prefix: 3 durable pairs spread over keys 0..5
+    writeTrades(d1, 0L, Seq((1L, 101L), (2L, 101L), (1L, 102L)), rep = 2)
+    // dense top: 15 pairs forming 5 triangles, keys 7000+ (past the
+    // 7/8 split of maxkey ≈ 7030, so ALL of them serve from the tail)
+    val dense = (0L until 5L).flatMap { i =>
+      (1L to 3L).flatMap(c =>
+        Seq((100 * (i + 1) + c, 700L + 2 * i), (100 * (i + 1) + c, 701L + 2 * i)))
+    }
+    writeTrades(d1, 7000L, dense, rep = 2)
+    val deltaOut = rowsOf(graft.SparkEntry.queries("q_triangles_delta")(spark, d1))
+    val fullOut = rowsOf(graft.SparkEntry.queries("q_triangles")(spark, d1))
+    assert(deltaOut == fullOut,
+      "flooded serve must equal the full census exactly")
+    val r1 = graft.SparkEntry.queries("q_triangles")(spark, d1).head()
+    assert(r1.getLong(r1.fieldIndex("n_triangles")) == 5L,
+      "fixture sanity: the five dense triangles")
+    // prove the probe actually FIRES for this split (the branch isn't
+    // taken on faith): rebuild the serve-time censuses and ask it
+    locally {
+      import org.apache.spark.sql.functions._
+      val pairs = graft.core.Tables.orders(spark, d1)
+        .join(graft.core.Tables.lineitem(spark, d1),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_orderkey"), col("o_custkey").as("c"),
+          col("l_suppkey").as("s"))
+      val sp = 7L * pairs.agg(max(col("o_orderkey"))).head().getLong(0) / 8L
+      val cen0 = pairs.filter(col("o_orderkey") < sp)
+        .groupBy("c", "s").agg(count(lit(1)).as("cnt"))
+      val cenD = pairs.filter(col("o_orderkey") >= sp)
+        .groupBy("c", "s").agg(count(lit(1)).as("cnt"))
+      val em = graft.ops.Graph.triEoNew(cen0, cenD)
+      assert(graft.ops.Graph.triEdgeFlooded(em.eoNew, em.eo0, 4L),
+        "fixture must genuinely flood the serve probe")
+    }
+
+    // REFRESH flood: delta pairs positioned INSIDE the next refreeze
+    // slice (a far padding key drags the 7/8 split past them), so the
+    // refreeze sees a bulk slice (> 1/16 of edges) and must take the
+    // rebuild branch
+    val d2 = tmpDir("refresh-tri-flood-refreeze")
+    ModelCache.clear()
+    writeTrades(d2, 0L, Seq((1L, 101L), (2L, 101L), (1L, 102L)), rep = 2)
+    writeTrades(d2, 10000L, Seq((99L, 999L)), rep = 2) // pins sp ≈ 8750
+    graft.SparkEntry.queries("q_triangles_delta")(spark, d2).collect()
+    assert(ModelCache.lastEvent("tri-base", d2).contains("trained"))
+    // bulk growth at keys 11000+ plus a far padding at 100000: the new
+    // split ≈ 87500 swallows the whole bulk into the refreeze slice
+    writeTrades(d2, 11000L, dense, rep = 2)
+    writeTrades(d2, 100000L, Seq((98L, 998L)), rep = 2)
+    val viaRefresh = rowsOf(graft.SparkEntry.queries("q_triangles_delta")(spark, d2))
+    assert(ModelCache.lastEvent("tri-base", d2).contains("refreshed"),
+      "append-only growth must take the merge path even when flooded")
+    ModelCache.clear()
+    val viaRetrain = rowsOf(graft.SparkEntry.queries("q_triangles_delta")(spark, d2))
+    assert(viaRefresh == viaRetrain,
+      "flooded refreeze must equal the retrain exactly")
+    assert(viaRefresh ==
+      rowsOf(graft.SparkEntry.queries("q_triangles")(spark, d2)))
+    // prove the REFREEZE slice genuinely floods its probe (frac = 16)
+    locally {
+      import org.apache.spark.sql.functions._
+      val pairs = graft.core.Tables.orders(spark, d2)
+        .join(graft.core.Tables.lineitem(spark, d2),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_orderkey"), col("o_custkey").as("c"),
+          col("l_suppkey").as("s"))
+      val sp0 = 8750L // 7/8 of the 10001 training max
+      val sp1 = 7L * pairs.agg(max(col("o_orderkey"))).head().getLong(0) / 8L
+      val cen0 = pairs.filter(col("o_orderkey") < sp0)
+        .groupBy("c", "s").agg(count(lit(1)).as("cnt"))
+      val cenS = pairs
+        .filter(col("o_orderkey") >= sp0 && col("o_orderkey") < sp1)
+        .groupBy("c", "s").agg(count(lit(1)).as("cnt"))
+      val em = graft.ops.Graph.triEoNew(cen0, cenS)
+      assert(graft.ops.Graph.triEdgeFlooded(em.eoNew, em.eo0, 16L),
+        "fixture must genuinely flood the refreeze probe")
+    }
   }
 
   test("tri-base: a LOCAL delta takes the incremental branch (refresh == retrain == full)") {
