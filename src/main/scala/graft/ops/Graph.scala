@@ -1406,7 +1406,20 @@ object Graph {
     * over orders below the 7/8 split. Both censuses are monoidal under
     * append, so the refreeze rolls them forward with delta-sized writes
     * and counts only the NEW triangles (triDeltaCount) — the O(m^1.5)
-    * wedge join runs once at train and never again. */
+    * wedge join runs once at train and never again (bulk slices: the
+    * triEdgeFlooded fallback).
+    *
+    * ARTIFACT SIZE, stated plainly: the unfiltered pair census holds
+    * every co-trading pair with w ≥ 1 — O(Σ_s C(deg_s, 2)) distinct
+    * pairs, the quadratic term of the projection itself. That is the
+    * price of threshold refreshability (a w = 1 pair must be findable
+    * when a delta lifts it to 2), and it is the SAME magnitude the full
+    * recompute shuffles transiently on every run — the artifact pays it
+    * once in storage instead of per query. A deployment that cannot
+    * afford it bounds the projection the way q_dedup_containment bounds
+    * shingles (a supplier-degree cap excludes hub suppliers from pair
+    * evidence — a semantic change that must then live in the oracle
+    * too), or retrains on a cadence instead of refreshing. */
   private[graft] def triBase(s: SparkSession, d: String)
       : (Long, DataFrame, DataFrame, Long) = {
     def pairsOf = T.orders(s, d)

@@ -646,8 +646,12 @@ object Statistical {
     * Scale shape: the watermark predicate pushes to the parquet scan on
     * both sides, one partial-aggregating groupBy collapses O(N) rows to
     * O(types), and everything downstream — the full-outer mix join, the
-    * broadcast of the 1-row totals, the term arithmetic — runs on that
-    * O(types) census. */
+    * totals window, the term arithmetic — runs on that O(types) census.
+    * CONTRACT: the categorical axis must be BOUNDED (a type dictionary,
+    * a bucketed value — like q_audience_overlap's label alphabet); an
+    * unbounded axis (raw user ids) would grow the census and its
+    * unpartitioned totals window with the data — bucket such an axis
+    * first, or use q_ks_drift's per-type grid. */
   val chisqDrift: Q = Q(
     "q_chisq_drift",
     """WITH cb AS (SELECT event_type, CAST(count(*) AS BIGINT) AS o1

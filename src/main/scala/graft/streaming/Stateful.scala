@@ -1534,7 +1534,13 @@ object Stateful {
     * of every key the stream has touched — so the per-tick state WRITE
     * is O(touched ∪ overlay), while the frozen base participates only
     * as a read-side union leg (the sess-base "freeze only delta-sized
-    * legs" lesson applied to streaming state). The triangle count is one
+    * legs" lesson applied to streaming state). The overlays grow with
+    * the stream's LIFETIME (touched keys accrete); the lifecycle bound
+    * is the admission gates': fold them into a tri-base REFREEZE on a
+    * cadence (write the admitted orders to the corpus, re-seed the
+    * handle from the refreshed artifact — empty overlays again), how a
+    * deployment rotates any per-stream state into its nightly artifact.
+    * The triangle count is one
     * long. Replay safety: (lastBatchId, state-before) is pinned on first
     * sight of a batch id and reused verbatim on an at-least-once retry
     * (the WatermarkHandle recipe), so a replayed batch recomputes the
