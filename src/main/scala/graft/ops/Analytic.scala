@@ -619,22 +619,9 @@ object Analytic {
     // pairs then expand MAP-SIDE from each sorted basket array — no
     // second shuffle of the (order, item) relation and no self-join:
     // per-basket fan-out is C(k, 2) with k capped by the dictionary
-    val baskets = T.lineitem(s, d)
-      .join(T.part(s, d), col("p_partkey") === col("l_partkey"))
-      .select(col("l_orderkey").as("ok"), col("p_brand").as("item"))
-      .groupBy("ok").agg(sort_array(collect_set(col("item"))).as("items"))
-      .localCheckpoint() // feeds totals, item counts, and the pair expansion
-    val t = baskets.agg(count(lit(1)).as("n_orders"))
-    val ic = baskets
-      .select(explode(col("items")).as("item"))
-      .groupBy("item").agg(count(lit(1)).as("n_item"))
-    val pc = baskets
-      .select(explode(expr(
-        """flatten(transform(items, (x, i) ->
-          |  transform(slice(items, i + 2, size(items) - i - 1),
-          |    y -> struct(x AS i1, y AS i2))))""".stripMargin)).as("p"))
-      .groupBy(col("p.i1").as("i1"), col("p.i2").as("i2"))
-      .agg(count(lit(1)).as("n_both"))
+    // (basketCensus, shared with q_basket_chisq)
+    val (t0, ic, pc) = basketCensus(s, d)
+    val t = t0.select(col("n_baskets").as("n_orders"))
     val keep = pc.crossJoin(broadcast(t))
       .filter(col("n_both") * 1000000L >= lit(BasketMinSupportPpm) * col("n_orders"))
     val dir = keep.select(col("i1").as("ante"), col("i2").as("conseq"),
@@ -654,9 +641,94 @@ object Analytic {
       .orderBy("ante", "conseq")
   }
 
+  /** The shared basket machinery (one shuffle, map-side pair expansion)
+    * factored for [[basketRules]]' sibling censuses: (baskets, 1-row
+    * total, per-item counts, unordered pair counts). */
+  private def basketCensus(s: org.apache.spark.sql.SparkSession, d: String)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
+         org.apache.spark.sql.DataFrame) = {
+    val baskets = T.lineitem(s, d)
+      .join(T.part(s, d), col("p_partkey") === col("l_partkey"))
+      .select(col("l_orderkey").as("ok"), col("p_brand").as("item"))
+      .groupBy("ok").agg(sort_array(collect_set(col("item"))).as("items"))
+      .localCheckpoint() // feeds totals, item counts, and the pair expansion
+    val t = baskets.agg(count(lit(1)).as("n_baskets"))
+    val ic = baskets
+      .select(explode(col("items")).as("item"))
+      .groupBy("item").agg(count(lit(1)).as("n_item"))
+    val pc = baskets
+      .select(explode(expr(
+        """flatten(transform(items, (x, i) ->
+          |  transform(slice(items, i + 2, size(items) - i - 1),
+          |    y -> struct(x AS i1, y AS i2))))""".stripMargin)).as("p"))
+      .groupBy(col("p.i1").as("i1"), col("p.i2").as("i2"))
+      .agg(count(lit(1)).as("n_both"))
+    (t, ic, pc)
+  }
+
+  /** Rule-significance census — the chi-square INTERESTINGNESS measure
+    * basket mining runs after support/confidence/lift (q_basket_rules):
+    * per unordered item pair, the 2×2 presence/absence contingency test
+    * against independence. The textbook N·(ad−bc)²/(r₁·r₂·c₁·c₂)
+    * collapses on the basket margins to N·D²/(n₁(N−n₁)·n₂(N−n₂)) with
+    * D = n_both·N − n₁·n₂ — EXACT in int64 (|D| ≤ N², ~2·10¹⁰ at sf0.1;
+    * the documented DECIMAL(38,0) switch past ~10⁹ baskets), so the only
+    * float work is one identically-associated double chain rounded to
+    * 6 dp (the q_chisq_drift recipe on the association axis; no float is
+    * ever summed). D's SIGN is the association direction (positive =
+    * co-occur above independence), emitted as exact integer evidence.
+    * Universal items (n = N) are excluded by both engines — a margin of
+    * zero makes the statistic undefined, and an item in every basket
+    * carries no association signal.
+    *
+    * Scale shape: identical to q_basket_rules — the shared basketCensus
+    * (one shuffle + map-side pair expansion, per-basket fan-out capped
+    * by the dictionary), then O(dict²) arithmetic rows. */
+  val basketChisq: Q = Q(
+    "q_basket_chisq",
+    """WITH b AS (SELECT DISTINCT l_orderkey AS ok, p_brand AS item
+      |  FROM lineitem JOIN part ON p_partkey = l_partkey),
+      |t AS (SELECT CAST(count(DISTINCT ok) AS BIGINT) AS n FROM b),
+      |ic AS (SELECT item, CAST(count(*) AS BIGINT) AS ni FROM b GROUP BY 1),
+      |pc AS (SELECT a.item AS i1, c.item AS i2, CAST(count(*) AS BIGINT) AS nb
+      |       FROM b a JOIN b c ON a.ok = c.ok AND a.item < c.item GROUP BY 1, 2)
+      |SELECT i1, i2, nb AS n_both, ia.ni AS n_i1, ib.ni AS n_i2,
+      |  CAST(nb * t.n - ia.ni * ib.ni AS BIGINT) AS d_num,
+      |  round((CAST(t.n AS DOUBLE)
+      |      * (CAST(nb * t.n - ia.ni * ib.ni AS DOUBLE)
+      |         * CAST(nb * t.n - ia.ni * ib.ni AS DOUBLE)))
+      |    / ((CAST(ia.ni AS DOUBLE) * CAST(t.n - ia.ni AS DOUBLE))
+      |       * (CAST(ib.ni AS DOUBLE) * CAST(t.n - ib.ni AS DOUBLE))), 6)
+      |    AS chi2
+      |FROM pc CROSS JOIN t
+      |JOIN ic ia ON ia.item = pc.i1 JOIN ic ib ON ib.item = pc.i2
+      |WHERE ia.ni < t.n AND ib.ni < t.n
+      |ORDER BY i1, i2""".stripMargin
+  ) { (s, d) =>
+    val (t, ic, pc) = basketCensus(s, d)
+    val dNum = col("n_both") * col("n") - col("ni1") * col("ni2")
+    pc.crossJoin(broadcast(t.select(col("n_baskets").as("n"))))
+      .join(broadcast(ic.select(col("item").as("i1"), col("n_item").as("ni1"))),
+        "i1")
+      .join(broadcast(ic.select(col("item").as("i2"), col("n_item").as("ni2"))),
+        "i2")
+      .filter(col("ni1") < col("n") && col("ni2") < col("n"))
+      .select(col("i1"), col("i2"), col("n_both"),
+        col("ni1").as("n_i1"), col("ni2").as("n_i2"),
+        dNum.as("d_num"),
+        round((col("n").cast(DoubleType) *
+            (dNum.cast(DoubleType) * dNum.cast(DoubleType))) /
+          ((col("ni1").cast(DoubleType) *
+            (col("n") - col("ni1")).cast(DoubleType)) *
+           (col("ni2").cast(DoubleType) *
+            (col("n") - col("ni2")).cast(DoubleType))), 6)
+          .as("chi2"))
+      .orderBy("i1", "i2")
+  }
+
   val all: Seq[Q] = Seq(
     windowLeadLag, windowNtile, windowMoving, cube, groupingSets,
     existsCorrelated, subqueryScalar, stringFuncs, dateFuncs, arrayFuncs,
     conditionalFuncs, topkPerGroup, userPath, rfm, windowDistinct, attribution,
-    audienceOverlap, basketRules)
+    audienceOverlap, basketRules, basketChisq)
 }

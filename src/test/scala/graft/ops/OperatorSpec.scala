@@ -1480,6 +1480,29 @@ class OperatorSpec extends SparkSuite {
     }
   }
 
+  test("q_basket_chisq: the margin-collapsed form equals the textbook 2×2 contingency chi-square") {
+    val rows = run("q_basket_chisq").collect()
+    assert(rows.nonEmpty)
+    // N from the same basket derivation the op uses
+    val n = graft.core.Tables.lineitem(spark, sf)
+      .join(graft.core.Tables.part(spark, sf),
+        org.apache.spark.sql.functions.col("p_partkey") ===
+          org.apache.spark.sql.functions.col("l_partkey"))
+      .select("l_orderkey").distinct().count().toDouble
+    rows.foreach { r =>
+      val (nb, n1, n2) = (r.getLong(2).toDouble, r.getLong(3).toDouble,
+        r.getLong(4).toDouble)
+      val (a, b, c0, d0) = (nb, n1 - nb, n2 - nb, n - n1 - n2 + nb)
+      val textbook = n * math.pow(a * d0 - b * c0, 2) /
+        ((a + b) * (c0 + d0) * (a + c0) * (b + d0))
+      val got = r.getDouble(r.fieldIndex("chi2"))
+      assert(math.abs(got - textbook) < 1e-5,
+        s"${r.getString(0)}/${r.getString(1)}: N·D²/margins = $got must equal textbook $textbook")
+      assert(r.getLong(r.fieldIndex("d_num")) == (nb * n - n1 * n2).toLong,
+        "the association-direction evidence must be the exact integer D")
+    }
+  }
+
   test("q_basket_rules matches a local brute-force recompute of support/confidence/lift") {
     val b = graft.core.Tables.lineitem(spark, sf)
       .join(graft.core.Tables.part(spark, sf),
