@@ -56,25 +56,123 @@ object GlobalRank {
     (out0, acc)
   }
 
-  /** `df` plus `out` = exact `ntile(k)` over the total order `keys` —
-    * SQL ntile semantics (bucket sizes differ by at most one, larger
-    * buckets first), derived in closed form from the global rank and
-    * the total count, identical to Spark's and DuckDB's window ntile. */
+  /** Closed-form SQL ntile from (1-based global rank, total count) —
+    * bucket sizes differ by at most one, larger buckets first, identical
+    * to Spark's and DuckDB's window ntile (GlobalRankSpec sweeps n × k). */
+  private def tileExpr(rankCol: String, n: Long, k: Int): Column = {
+    val small = n / k
+    val m = n % k
+    if (n == 0L) lit(null).cast("int")
+    else if (small == 0L) col(rankCol) // n < k: one row per leading bucket
+    else {
+      val bigSpan = m * (small + 1)
+      when(col(rankCol) <= bigSpan,
+        expr(s"(`$rankCol` - 1) div ${small + 1} + 1"))
+        .otherwise(expr(s"$m + (`$rankCol` - 1 - $bigSpan) div $small + 1"))
+    }
+  }
+
+  /** `df` plus `out` = exact `ntile(k)` over the total order `keys`. */
   def withNtile(df: DataFrame, out: String, k: Int, keys: Column*): DataFrame = {
     require(k > 0, "ntile bucket count must be positive")
     val rankCol = s"__rank_$out"
     val (ranked, n) = rankedWithTotal(df, rankCol, keys: _*)
-    val small = n / k
-    val m = n % k
-    val tile =
-      if (n == 0L) lit(null).cast("int")
-      else if (small == 0L) col(rankCol) // n < k: one row per leading bucket
-      else {
-        val bigSpan = m * (small + 1)
-        when(col(rankCol) <= bigSpan,
-          expr(s"($rankCol - 1) div ${small + 1} + 1"))
-          .otherwise(expr(s"$m + ($rankCol - 1 - $bigSpan) div $small + 1"))
+    ranked.withColumn(out, tileExpr(rankCol, n, k).cast("int")).drop(rankCol)
+  }
+
+  /** BATCHED multi-key ntile — `df` plus one exact `ntile(k)` column per
+    * spec `(out, k, keys)`, each over its own total order, in ONE range
+    * exchange + ONE offset-census action + ONE pivot aggregate,
+    * regardless of how many keys are ranked. q_rfm's three sequential
+    * `withNtile` calls paid the per-key fixed cost 3× (3 eager
+    * checkpoints + 3 synchronous control reads + 3 range-sampling jobs
+    * for a 10k-row census: 0.56 → 2.19 s at sf0.1, round-14 verdict #2).
+    *
+    * Shape: the input is exploded TALL — one copy per spec, tagged with
+    * the spec index, payload columns carried only on tag 0 — and every
+    * spec's sort key is normalized into shared (long, double) slot
+    * pairs: an integral key fills the long slot (double slot constant
+    * 0), a floating key the double slot (long slot constant 0), so
+    * lexicographic order on (tag, slots…) restricted to one tag IS that
+    * spec's key order, exactly. One `repartitionByRange` over the tall
+    * frame (lazily checkpointed — census and rank reads must see the
+    * same sampled bounds; checkpoint materialization truncates lineage
+    * for both), one per-partition count census, and the global rank is
+    * partition offset + intra-partition row_number. Every tag holds
+    * exactly n = |df| rows, so spec i's rank = global rank − i·n — no
+    * per-spec census needed. Tiles come from the closed-form
+    * (rank, n, k) ntile; one groupBy(joinKeys) max(when) pivot
+    * reassembles the row, so there is no join at all.
+    *
+    * Constraints: `joinKeys` must uniquely identify rows of `df`; every
+    * spec key must be a NULL-free integral or floating column (the slot
+    * normalization is exact for both; decimals would silently lose
+    * order under a double cast, so they are rejected — pre-cast). */
+  def withNtiles(df: DataFrame, joinKeys: Seq[String],
+                 specs: Seq[(String, Int, Seq[Column])]): DataFrame = {
+    require(specs.nonEmpty, "withNtiles needs at least one (out, k, keys) spec")
+    require(specs.forall(_._2 > 0), "ntile bucket count must be positive")
+    val s = df.sparkSession
+    import s.implicits._
+    import org.apache.spark.sql.types._
+    val p = s.conf.get("spark.sql.shuffle.partitions").toInt
+    val payload = df.columns.filterNot(joinKeys.contains).toSeq
+    val arity = specs.map(_._3.size).max
+    // resolve key datatypes once, against a slim projection
+    val keyTypes: Seq[Seq[DataType]] = specs.map { case (_, _, keys) =>
+      df.select(keys: _*).schema.fields.map(_.dataType).toSeq
+    }
+    def isIntegral(t: DataType) = t match {
+      case _: ByteType | _: ShortType | _: IntegerType | _: LongType => true
+      case _ => false
+    }
+    def isFloating(t: DataType) = t match {
+      case _: FloatType | _: DoubleType => true
+      case _ => false
+    }
+    keyTypes.zip(specs).foreach { case (ts, (out, _, _)) =>
+      ts.foreach(t => require(isIntegral(t) || isFloating(t),
+        s"withNtiles spec '$out' has a ${t.simpleString} key — only " +
+          "integral/floating keys rank exactly under slot normalization; " +
+          "pre-cast (a decimal→double cast would silently reorder)"))
+    }
+    // tall: one struct per spec — (tag, slot pairs, payload-on-tag-0)
+    val copies = specs.zipWithIndex.map { case ((_, _, keys), i) =>
+      val slots = (0 until arity).flatMap { j =>
+        val (l, d) =
+          if (j >= keys.size) (lit(0L), lit(0.0))
+          else if (isIntegral(keyTypes(i)(j))) (keys(j).cast(LongType), lit(0.0))
+          else (lit(0L), keys(j).cast(DoubleType))
+        Seq(l.as(s"__l$j"), d.as(s"__d$j"))
       }
-    ranked.withColumn(out, tile.cast("int")).drop(rankCol)
+      val pay = payload.map(c =>
+        (if (i == 0) col(c) else lit(null).cast(df.schema(c).dataType)).as(c))
+      struct(Seq(lit(i).as("__tag")) ++ slots ++ pay: _*)
+    }
+    val sortCols = col("__tag") +:
+      (0 until arity).flatMap(j => Seq(col(s"__l$j"), col(s"__d$j")))
+    val parted = df
+      .select(joinKeys.map(col) :+ explode(array(copies: _*)).as("__c"): _*)
+      .select(joinKeys.map(col) :+ col("__c.*"): _*)
+      .repartitionByRange(p, sortCols: _*)
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(false)
+    // ONE action: per-partition counts → prefix offsets (P rows) + n
+    val counts = parted.groupBy("__pid").agg(count(lit(1)).as("__n"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    var acc = 0L
+    val offsets = counts.map { case (pid, c) => val o = (pid, acc); acc += c; o }
+    val n = acc / specs.size
+    val offDf = offsets.toSeq.toDF("__pid", "__off")
+    val w = Window.partitionBy("__pid").orderBy(sortCols: _*)
+    val ranked = parted.join(broadcast(offDf), "__pid")
+      .withColumn("__rank",
+        col("__off") + row_number().over(w) - col("__tag") * n)
+    val aggs = payload.map(c => max(col(c)).as(c)) ++
+      specs.zipWithIndex.map { case ((out, k, _), i) =>
+        max(when(col("__tag") === i, tileExpr("__rank", n, k).cast("int")))
+          .as(out)
+      }
+    ranked.groupBy(joinKeys.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
 }

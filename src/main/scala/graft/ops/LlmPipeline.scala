@@ -429,9 +429,17 @@ object LlmPipeline {
     * (n_docs, tot) corpus census — built from one tokenization of `docs`.
     * Shared by q_bm25 (whole corpus) and q_bm25_delta (base and delta
     * halves separately). */
-  private def bm25Index(docs: DataFrame)
+  private def bm25Index(docs: DataFrame, freeze: Boolean = false)
       : (DataFrame, DataFrame, DataFrame, DataFrame) = {
-    val tok = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+    // freeze: the four outputs are four separate plans over `tok`, so an
+    // un-materialized tok re-tokenizes `docs` once PER OUTPUT — fine for
+    // the one-shot full build (pushed-down corpus scans Catalyst
+    // pipelines), a 4× delta tokenization in q_bpe-style serve/refresh
+    // paths (round-14 verdict #3: 16 jobs per q_bm25_delta serve, the
+    // four ~0.2-0.45 s legs were the same slice re-exploded). Delta
+    // slices are O(delta), so the checkpoint write is delta-sized.
+    val tok0 = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+    val tok = if (freeze) tok0.localCheckpoint() else tok0
     val tf = tok.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
     val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
     val df = tok.groupBy("token").agg(countDistinct(col("doc_id")).as("df"))
@@ -509,7 +517,7 @@ object LlmPipeline {
       val maxId = if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0)
       val sp1 = math.max(7L * maxId / 8L, sp0) // ids are monotone at ingest
       val (tfS, dlS, dfS, ndS) = bm25Index(
-        docs.filter(col("doc_id") >= sp0 && col("doc_id") < sp1))
+        docs.filter(col("doc_id") >= sp0 && col("doc_id") < sp1), freeze = true)
       val df1 = df0.unionAll(dfS).groupBy("token").agg(sum(col("df")).as("df"))
       val nd1 = nd0.select(col("n_docs").as("nb"), col("tot").as("tb"))
         .crossJoin(ndS.select(col("n_docs").as("ndd"), col("tot").as("td")))
@@ -530,7 +538,8 @@ object LlmPipeline {
   val bm25Delta: Q = Q("q_bm25_delta", bm25Sql) { (s, d) =>
     val docs = T.documents(s, d).select(col("doc_id"), col("text"))
     val (split, tfB, dlB, dfB, ndB) = bm25Base(s, d)
-    val (tfD, dlD, dfD, ndD) = bm25Index(docs.filter(col("doc_id") >= split))
+    val (tfD, dlD, dfD, ndD) =
+      bm25Index(docs.filter(col("doc_id") >= split), freeze = true)
     val df = dfB.unionAll(dfD).groupBy("token").agg(sum(col("df")).as("df"))
     val nd = ndB.select(col("n_docs").as("nb"), col("tot").as("tb"))
       .crossJoin(ndD.select(col("n_docs").as("ndd"), col("tot").as("td")))

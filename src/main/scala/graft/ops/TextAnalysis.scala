@@ -718,42 +718,69 @@ object TextAnalysis {
     bpeRoundsOverHist(wordHist(T.documents(s, d)), rounds)
 
   /** The round loop over a (word, cnt) histogram — however the histogram
-    * was produced (full corpus pass, or q_bpe_delta's base+delta merge). */
+    * was produced (full corpus pass, or q_bpe_delta's base+delta merge).
+    *
+    * Each round is ONE Spark action: the pair census and the round's
+    * token count ride the same shuffle (the token count is a sentinel
+    * row in the census union — nt = Σ cnt·#toks = Σ_pairs cnt + Σ cnt,
+    * both sums partial-aggregate map-side), the winning pair and nt come
+    * back in a single 1-row driver collect, and the dictionary rewrite
+    * uses the collected pair as a LITERAL — no broadcast join, no
+    * per-round checkpoint. The first cut paid TWO eager localCheckpoints
+    * per round (top1 + rewritten dict), each fanning into several AQE
+    * scheduler jobs: 56 jobs per q_bpe_delta serve measured at the
+    * round-15 open (the unexplained 1.8→2.3 s creep in the round-14
+    * verdict was this fixed overhead under host drift). Now: rounds + 2
+    * actions. The un-checkpointed rewrite chain is ≤ `rounds` map-side
+    * `replace` calls over the O(vocabulary) dict checkpoint —
+    * recomputing round i's prefix is cheaper than one scheduler job —
+    * and the FINAL dict is checkpointed once for its downstream readers
+    * (bpeModel's dict/enc tables). */
   private def bpeRoundsOverHist(hist: org.apache.spark.sql.DataFrame,
       rounds: Int): (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    val s = hist.sparkSession
+    import s.implicits._
     val toksCol = split(expr("substring(s, 3, length(s) - 4)"), " \\| ")
     val dict = hist
       .withColumn("s",
         rtrim(concat(lit("| "), regexp_replace(col("word"), "(.)", "$1 | "))))
       .localCheckpoint() // histogram materialized; rounds never rescan
     var cur = dict
-    var out: org.apache.spark.sql.DataFrame = null
+    var out = List.empty[(Long, String, String, Long, Long)]
     for (i <- 1 to rounds) {
       val withToks = cur.withColumn("toks", toksCol)
       val n1 = greatest(size(col("toks")) - 1, lit(0))
-      val pairs = withToks.select(col("cnt"), explode(zip_with(
-        slice(col("toks"), lit(1), n1), slice(col("toks"), lit(2), n1),
-        (a, b) => struct(a.as("t1"), b.as("t2")))).as("pr"))
-      val top1 = pairs.select(col("pr.t1").as("t1"), col("pr.t2").as("t2"), col("cnt"))
-        .groupBy("t1", "t2").agg(sum(col("cnt")).as("n"))
-        .orderBy(col("n").desc, col("t1"), col("t2")).limit(1)
-        .withColumn("pat",
-          concat(lit("| "), col("t1"), lit(" | "), col("t2"), lit(" ")))
-        .localCheckpoint() // feeds the round row AND the merge map
-      val nt = withToks
-        .agg(coalesce(sum(size(col("toks")).cast(LongType) * col("cnt")), lit(0L))
-          .as("n_tokens"))
-      val row = top1.crossJoin(broadcast(nt))
-        .select(lit(i.toLong).as("round"), col("t1"), col("t2"),
-          col("n").as("n_pairs"), col("n_tokens"))
-      out = if (out == null) row else out.unionAll(row)
-      // O(vocabulary) rewrite; checkpoint keeps round-k lineage flat
-      cur = cur.crossJoin(broadcast(top1.select(col("pat"))))
-        .select(col("word"), col("cnt"),
-          expr("replace(s, pat, replace(pat, ' | ', '_'))").as("s"))
-        .localCheckpoint()
+      val pairRows = withToks.select(col("cnt"), explode(zip_with(
+          slice(col("toks"), lit(1), n1), slice(col("toks"), lit(2), n1),
+          (a, b) => struct(a.as("t1"), b.as("t2")))).as("pr"))
+        .select(lit(false).as("is_nt"), col("pr.t1").as("t1"),
+          col("pr.t2").as("t2"), col("cnt").as("n"))
+      val ntRow = withToks.select(lit(true).as("is_nt"),
+        lit(null).cast("string").as("t1"), lit(null).cast("string").as("t2"),
+        (size(col("toks")).cast(LongType) * col("cnt")).as("n"))
+      // min over struct(-n, t1, t2) ≡ ORDER BY n DESC, t1, t2 LIMIT 1
+      val r = pairRows.unionAll(ntRow)
+        .groupBy("is_nt", "t1", "t2").agg(sum(col("n")).as("n"))
+        .agg(
+          min(when(!col("is_nt"),
+            struct((-col("n")).as("negn"), col("t1"), col("t2")))).as("top"),
+          sum(when(col("is_nt"), col("n"))).as("nt"))
+        .collect()(0)
+      if (r.isNullAt(0)) {
+        // no adjacent pairs anywhere: the old top1-crossJoin form emitted
+        // no further round rows and emptied the dict — preserve exactly
+        cur = cur.filter(lit(false))
+      } else {
+        val top = r.getStruct(0)
+        val (n, t1, t2) = (-top.getLong(0), top.getString(1), top.getString(2))
+        out :+= ((i.toLong, t1, t2, n, r.getLong(1)))
+        val pat = s"| $t1 | $t2 "
+        cur = cur.select(col("word"), col("cnt"),
+          replace(col("s"), lit(pat), lit(pat.replace(" | ", "_"))).as("s"))
+      }
     }
-    (out.orderBy("round"), cur)
+    (out.toDF("round", "t1", "t2", "n_pairs", "n_tokens").orderBy("round"),
+      cur.localCheckpoint())
   }
 
   /** ModelCache-frozen BPE artifacts (the ivf-base/bm25-base/lm-base

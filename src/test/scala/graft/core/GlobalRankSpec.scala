@@ -40,4 +40,28 @@ class GlobalRankSpec extends SparkSuite {
       }
     }
   }
+
+  test("withNtiles == per-key window ntiles — batched census, multiple orders, ties") {
+    for (n <- Seq(0, 1, 3, 7, 41, 500, 5000)) {
+      val df = (0 until n).map { i =>
+        ((i * 2654435761L) % 97L, (i * 31L) % 11L, i * 0.5, i.toLong)
+      }.toDF("a", "b", "c", "id")
+      val naive = df
+        .withColumn("ta", ntile(4).over(Window.orderBy(col("a"), col("id"))))
+        .withColumn("tb", ntile(3).over(Window.orderBy(col("b"), col("id"))))
+        .withColumn("tc", ntile(7).over(Window.orderBy(col("c"), col("id"))))
+        .select("id", "ta", "tb", "tc").collect()
+        .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2), r.getInt(3))).toMap
+      val got = GlobalRank.withNtiles(df, Seq("id"), Seq(
+        ("ta", 4, Seq(col("a"), col("id"))),
+        ("tb", 3, Seq(col("b"), col("id"))),
+        ("tc", 7, Seq(col("c"), col("id")))))
+        .select("id", "ta", "tb", "tc").collect()
+        .map(r => (r.getLong(0), (r.getInt(1), r.getInt(2), r.getInt(3))))
+      assert(got.length == n, s"n=$n lost rows")
+      got.foreach { case (id, t) =>
+        assert(t == naive(id), s"n=$n id=$id: got $t want ${naive(id)}")
+      }
+    }
+  }
 }

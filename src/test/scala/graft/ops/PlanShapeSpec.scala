@@ -532,6 +532,7 @@ class PlanShapeSpec extends SparkSuite {
     assert(p.contains("partial_count"),
       "window counts must partial-aggregate before the exchange")
     assert("FileScan parquet".r.findAllIn(p).size <= 2,
-      "the O(types) census is checkpointed — the totals leg must not re-scan events")
+      "totals come from ONE unpartitioned window over the O(types) census " +
+        "(one plan, no separate aggregate leg re-running the event scans)")
   }
 }
