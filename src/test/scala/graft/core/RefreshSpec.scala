@@ -398,6 +398,37 @@ class RefreshSpec extends SparkSuite {
     assert((rowsOf(m2.bc), rowsOf(m2.uc), m2.vocab) == viaRefresh)
   }
 
+  test("layout-base: q_compact_plan_delta identical via refresh and retrain, and == the full planner") {
+    val d = tmpDir("refresh-layout")
+    ModelCache.clear()
+    // events with event_type + multi-day spread so the census has many
+    // (type, day) files and bins split across the 50k target
+    def write(range: Range): Unit =
+      spark.createDataFrame(range.map { i =>
+        (i.toLong, (i % 7).toLong,
+          new java.sql.Timestamp(1700000000000L + i.toLong * 3600_000L),
+          s"t${i % 3}")
+      }).toDF("event_id", "user_id", "ts", "event_type")
+        .coalesce(1).write.mode("append").parquet(s"$d/events.parquet")
+    def delta(): Seq[String] =
+      rowsOf(graft.ops.Layout.compactPlanDelta.fn(spark, d))
+    write(0 until 400)
+    val a = delta()
+    assert(ModelCache.lastEvent("layout-base", s"$d/events.parquet")
+      .contains("trained"))
+    assert(a == rowsOf(graft.ops.Layout.compactPlan.fn(spark, d)),
+      "incremental plan must equal the from-scratch planner")
+    // append a slice landing on EXISTING (type, day) files and new days:
+    // the merge must add counts into frozen census rows, not just append
+    write(400 until 520)
+    val b = delta()
+    assert(ModelCache.lastEvent("layout-base", s"$d/events.parquet")
+      .contains("refreshed"), "append-only growth must take the merge path")
+    assert(b == rowsOf(graft.ops.Layout.compactPlan.fn(spark, d)))
+    ModelCache.clear()
+    assert(delta() == b, "refreshed census must equal the retrain")
+  }
+
   test("refresh chains: two successive appends refresh twice and stay exact") {
     val d = tmpDir("refresh-chain")
     ModelCache.clear()

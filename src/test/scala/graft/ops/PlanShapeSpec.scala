@@ -523,6 +523,16 @@ class PlanShapeSpec extends SparkSuite {
       "pairs must come from the map-side array expansion")
   }
 
+  test("q_compact_plan_delta: the only live events scan is the id-sliced delta") {
+    // the frozen layout census serves history; the serve plan may scan
+    // events ONLY for the delta slice, with the split pushed to parquet
+    val p = plan("q_compact_plan_delta")
+    val scans = "FileScan parquet".r.findAllIn(p).size
+    assert(scans <= 1, s"serve plan must scan events at most once, saw $scans")
+    assert(p.contains("GreaterThanOrEqual(event_id"),
+      "the delta slice's id bound must reach the parquet scan")
+  }
+
   test("q_chisq_drift: both window scans push the ts cutoff, prune to 2 columns, scan once") {
     val p = plan("q_chisq_drift")
     assert(p.contains("LessThanOrEqual(ts,") && p.contains("GreaterThan(ts,"),
