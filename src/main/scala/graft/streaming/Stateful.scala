@@ -362,13 +362,20 @@ object Stateful {
     }
   }
 
-  /** [[runningTokenCounts]] through [[TokenShardProcessor]]. */
-  def runningTokenCountsTws(tokens: Dataset[String]): Dataset[TokenCount] = {
+  /** [[runningTokenCounts]] through [[TokenShardProcessor]]. A non-NONE
+    * `ttl` switches the query to TimeMode.ProcessingTime (TTL's
+    * requirement); StatefulSpec's eviction case drives this form with a
+    * polling await — NEVER processAllAvailable, which the TTL
+    * follow-up batches starve (the Scaladoc spin gotcha above). */
+  def runningTokenCountsTws(tokens: Dataset[String],
+      ttl: TTLConfig = TTLConfig.NONE): Dataset[TokenCount] = {
     import tokens.sparkSession.implicits._
+    val timeMode =
+      if (ttl == TTLConfig.NONE) TimeMode.None() else TimeMode.ProcessingTime()
     tokens
       .map(t => ((t.hashCode & 0x7fffffff).toLong % 64L, t))
       .groupByKey(_._1)
-      .transformWithState(new TokenShardProcessor, TimeMode.None(),
+      .transformWithState(new TokenShardProcessor(ttl), timeMode,
         OutputMode.Append())
   }
 
