@@ -823,6 +823,54 @@ def gen_tridelta(rng):
         "FROM ta CROSS JOIN tod CROSS JOIN aa CROSS JOIN w2 CROSS JOIN t3")
 
 
+def gen_rank(rng):
+    # the GlobalRank/withNtiles dialect class (round-15, verdict ask #7):
+    # SQL ntile(k) computed BOTH ways in one query — the window form and
+    # the closed form from (global rank, total count) that the engine's
+    # distributed ranker uses — with the mismatch count emitted as
+    # `expect_zero` (the gen_sweepcarry pattern: fuzz_check asserts that
+    # column is all-zero on top of the cross-engine compare). Closed
+    # form: small = n//k, m = n%k, bigSpan = m*(small+1);
+    # tile = rank if small == 0 else
+    #        (rank-1)//(small+1)+1           if rank <= bigSpan
+    #        m + (rank-1-bigSpan)//small + 1 otherwise.
+    k = rng.choice([2, 3, 4, 5, 7, 10, 16, 100])
+    key, val, tbl = rng.choice([
+        ("event_id", "CAST(FLOOR(value * 100) AS BIGINT)", "events"),
+        ("o_orderkey", "CAST(FLOOR(o_totalprice * 100) AS BIGINT)", "orders"),
+        ("c_custkey", "CAST(FLOOR(c_acctbal * 100) AS BIGINT)", "customer"),
+        ("p_partkey", "CAST(p_size AS BIGINT)", "part"),
+    ])
+    where = pred(rng, TABLES[tbl])
+    small = f"CAST(FLOOR(nn.n / {k}) AS BIGINT)"
+    m = f"(nn.n % {k})"
+    big_span = f"({m} * ({small} + 1))"
+    closed = (
+        f"CASE WHEN {small} = 0 THEN r.rk "
+        f"WHEN r.rk <= {big_span} "
+        f"THEN CAST(FLOOR((r.rk - 1) / ({small} + 1)) AS BIGINT) + 1 "
+        f"ELSE {m} + CAST(FLOOR((r.rk - 1 - {big_span}) / {small}) AS BIGINT) + 1 "
+        f"END")
+    base = (
+        f"WITH ev AS (SELECT {key} AS id, {val} AS v FROM {tbl} "
+        f"WHERE {where}), "
+        f"nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM ev), "
+        f"r AS (SELECT id, v, "
+        f"CAST(row_number() OVER (ORDER BY v, id) AS BIGINT) AS rk, "
+        f"CAST(ntile({k}) OVER (ORDER BY v, id) AS BIGINT) AS wt FROM ev), "
+        f"c AS (SELECT r.id, r.v, r.wt, {closed} AS ct "
+        f"FROM r CROSS JOIN nn) ")
+    if rng.random() < 0.6:
+        # COALESCE(…, 0): an empty filter must read as 0 mismatches
+        return base + (
+            "SELECT CAST(count(*) AS BIGINT) AS n_rows, "
+            "CAST(COALESCE(SUM(CASE WHEN ct IS DISTINCT FROM wt "
+            "THEN 1 ELSE 0 END), 0) AS BIGINT) AS expect_zero, "
+            "CAST(COALESCE(SUM(ct), 0) AS BIGINT) AS chk FROM c")
+    return base + (f"SELECT id, v, wt, ct FROM c ORDER BY id "
+                   f"LIMIT {rng.randint(100, 1000)}")
+
+
 def gen_query(rng):
     roll = rng.random()
     if roll < 0.03:
@@ -838,6 +886,8 @@ def gen_query(rng):
         return gen_basket(rng)
     if roll < 0.08:
         return gen_tridelta(rng)
+    if roll < 0.11:
+        return gen_rank(rng)
     roll = rng.random()
     if roll < 0.04:
         return gen_graphcte(rng)
@@ -926,7 +976,8 @@ def main():
     if fam:
         gens = {"containment": gen_containment, "sweepcarry": gen_sweepcarry,
                 "bitmask": gen_bitmask, "chisq": gen_chisq,
-                "basket": gen_basket, "tridelta": gen_tridelta}
+                "basket": gen_basket, "tridelta": gen_tridelta,
+                "rank": gen_rank}
         fns = [gens[f] for f in fam.split(",")]
         queries = {f"fz_{i:04d}": fns[i % len(fns)](rng) for i in range(n)}
     else:

@@ -1,0 +1,70 @@
+#!/usr/bin/env python3
+"""Drift-anchor selection (round-14 verdict #1): pick 30-40 anchors
+STRATIFIED across the shapes that dominate the runtime, from a fresh
+full bench run's bench_queries.json, and emit the Scala map literal for
+Bench.scala's anchorClose.
+
+Selection rules per the verdict: spread <= 1.15 (the reported min
+reproduced), runtime >= 0.25 s (timing signal above scheduler noise),
+4-6 per family so no shape class dominates the median.
+
+Usage: python3 scripts/pin_anchors.py [bench_queries.json]
+"""
+import json, sys
+
+FAMILIES = {
+    "graph-iterative": ["q_pagerank", "q_salsa", "q_components", "q_label_prop",
+                        "q_core_numbers", "q_random_walk", "q_reach_hops",
+                        "q_kcore", "q_local_clustering"],
+    "delta-serve": ["q_bpe_delta", "q_bm25_delta", "q_concurrency_delta",
+                    "q_sessionize_delta", "q_components_delta",
+                    "q_containment_delta", "q_dedup_delta", "q_pq_encode_delta",
+                    "q_ivf_assign_delta", "q_compact_plan_delta"],
+    "artifact-serve": ["q_bpe_apply", "q_similarity_ivf", "q_ann_recall",
+                       "q_pq_adc_recall", "q_mrr_ivfpq", "q_bm25",
+                       "q_bpe_vocab", "q_embed_decontam", "q_recall_curve"],
+    "census-statistical": ["q_corr_covar", "q_winsorize", "q_chisq_drift",
+                           "q_benford", "q_gini", "q_histogram", "q_unpivot",
+                           "q_autocorr", "q_mad"],
+    "relational": ["q_group_agg", "q_join_3way", "q_set_ops", "q_window_rank",
+                   "q_cube", "q_rollup", "q_pivot", "q_semi_anti"],
+    "text-token": ["q_char_ngrams", "q_bigram_lm", "q_vocab_growth",
+                   "q_cooccur_lift", "q_token_count", "q_rarity_score",
+                   "q_lang_confusion"],
+    "temporal": ["q_sessionize", "q_interval_join", "q_concurrency",
+                 "q_funnel_latency", "q_twap", "q_gap_fill"],
+    "dedup-similarity": ["q_dedup_clusters", "q_neardup_pipeline", "q_knn_graph",
+                         "q_embed_near_dup", "q_dedup_sweep", "q_substring_dedup"],
+    "cdc": ["q_partition_checksum", "q_snapshot_throughput", "q_cdc_diff",
+            "q_table_checksum", "q_dq_audit"],
+}
+PER_FAMILY = 4
+
+
+def main():
+    path = sys.argv[1] if len(sys.argv) > 1 else "bench_queries.json"
+    run = json.load(open(path))
+    q, spread = run["queries"], run["spread"]
+    picked = {}
+    for fam, names in FAMILIES.items():
+        ok = [(n, q[n]) for n in names
+              if n in q and q[n] >= 0.25 and 0 < spread.get(n, -1) <= 1.15]
+        # prefer the LARGEST reproducible runtimes: more timing signal
+        ok.sort(key=lambda t: -t[1])
+        for n, v in ok[:PER_FAMILY]:
+            picked[n] = v
+        if len(ok) < PER_FAMILY:
+            print(f"// WARN {fam}: only {len(ok)} eligible of {len(names)}",
+                  file=sys.stderr)
+    print(f"// {len(picked)} anchors over {len(FAMILIES)} families "
+          f"(spread<=1.15, t>=0.25s, top-{PER_FAMILY} per family)")
+    items = sorted(picked.items())
+    for i in range(0, len(items), 2):
+        pair = items[i:i + 2]
+        line = ", ".join(f'"{n}" -> {v:.4f}' for n, v in pair)
+        sep = "," if i + 2 < len(items) else ")"
+        print(f"      {line}{sep}")
+
+
+if __name__ == "__main__":
+    main()
