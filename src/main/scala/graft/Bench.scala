@@ -90,31 +90,47 @@ object Bench {
     def jmap(kvs: Seq[(String, Double)]): String =
       kvs.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
-    // ---- host-drift anchor (round-12 verdict #1) -----------------------
+    // ---- host-drift anchor (round-12 verdict #1; re-pinned r15) --------
     // The 2× perf gate compares totals against BASELINE numbers recorded
     // in a different host window; two byte-identical runs already measured
     // a UNIFORM 1.20–1.32× apart, so growth + drift would eventually trip
-    // the gate on a non-regression. The divisor: 20 pinned queries (shape-
-    // diverse, spread ≤1.1 at the round-12 close) whose closing times are
-    // frozen below; their times in THIS run come from the same session,
-    // same protocol, same passes as every other number in this JSON.
-    // drift = MEDIAN of per-query now/close ratios — robust to a handful
-    // of genuine per-query regressions or optimizations polluting the
-    // host signal (a lone outlier moves the median by nothing; the full
-    // ratio map is emitted so an outlier is also VISIBLE). The anchor
-    // list is FROZEN: optimizing one of these queries requires re-pinning
-    // its close value in the same commit (BASELINE.md "drift anchor").
+    // the gate on a non-regression. The divisor: pinned queries whose
+    // closing times are frozen below; their times in THIS run come from
+    // the same session, same protocol, same passes as every other number
+    // in this JSON. drift = MEDIAN of per-query now/close ratios — robust
+    // to a handful of genuine per-query regressions or optimizations
+    // polluting the host signal (the full ratio map is emitted so an
+    // outlier is also VISIBLE). The anchor list is FROZEN: optimizing one
+    // of these queries requires re-pinning its close value in the same
+    // commit (BASELINE.md "drift anchor").
+    //
+    // Round-15 re-pin (verdict #1): the 20 round-12-era anchors diverged
+    // ~15% from the 200-query bulk at the r14 close — none of the delta-
+    // serve or artifact-serve shapes that now dominate the tail were
+    // pinned. Re-selected by scripts/pin_anchors.py from the r15 run-A
+    // full map: 33 anchors stratified over 9 shape families (graph-
+    // iterative, delta-serve, artifact-serve, census, relational, text,
+    // temporal, dedup-similarity, cdc), top-4 reproducible (spread
+    // ≤1.15) runtimes ≥0.25 s per family. Old→new mapping recorded in
+    // BASELINE.md "Drift anchor re-pin (r15)".
     val anchorClose: Map[String, Double] = Map(
-      "q_pagerank" -> 3.1858, "q_snapshot_throughput" -> 2.7454,
-      "q_vocab_growth" -> 2.4214, "q_partition_checksum" -> 2.3215,
-      "q_corr_covar" -> 2.1304, "q_winsorize" -> 2.1282,
-      "q_local_clustering" -> 1.9144, "q_hybrid_rrf" -> 1.8691,
-      "q_unpivot" -> 1.7645, "q_group_agg" -> 1.6108,
-      "q_char_ngrams" -> 1.5965, "q_bigram_lm" -> 1.5879,
-      "q_interval_join" -> 1.5285, "q_cooccur_lift" -> 1.3148,
-      "q_cube" -> 1.2202, "q_knn_graph" -> 1.1452,
-      "q_dedup_clusters" -> 1.0260, "q_sessionize" -> 0.8453,
-      "q_temporal_split" -> 0.7881, "q_join_3way" -> 0.6878)
+      "q_ann_recall" -> 0.5321, "q_bigram_lm" -> 1.2842,
+      "q_bm25" -> 0.9440, "q_bm25_delta" -> 0.7982,
+      "q_bpe_delta" -> 1.7070, "q_cdc_diff" -> 0.5177,
+      "q_char_ngrams" -> 1.6375, "q_components" -> 2.0954,
+      "q_concurrency_delta" -> 2.1667, "q_cooccur_lift" -> 1.4054,
+      "q_core_numbers" -> 1.9753, "q_corr_covar" -> 2.1540,
+      "q_cube" -> 1.3253, "q_dedup_sweep" -> 0.9259,
+      "q_funnel_latency" -> 0.4590, "q_gap_fill" -> 0.5800,
+      "q_group_agg" -> 1.5310, "q_knn_graph" -> 0.9489,
+      "q_mad" -> 2.5210, "q_neardup_pipeline" -> 0.7733,
+      "q_partition_checksum" -> 2.0353, "q_pq_adc_recall" -> 0.7249,
+      "q_random_walk" -> 4.3861, "q_recall_curve" -> 0.3989,
+      "q_rollup" -> 0.8586, "q_salsa" -> 3.9634,
+      "q_sessionize" -> 0.7688, "q_sessionize_delta" -> 1.3183,
+      "q_twap" -> 0.5377, "q_unpivot" -> 1.7265,
+      "q_vocab_growth" -> 2.2666, "q_window_rank" -> 0.5065,
+      "q_winsorize" -> 2.1014)
     val anchorRatios: Seq[(String, Double)] = anchorClose.toSeq
       .flatMap { case (n, c) => results.get(n).filter(_ > 0).map(n -> _ / c) }
       .sortBy(_._1)
