@@ -985,11 +985,16 @@ object Similarity {
         max(col("v")).as("max_c"), sum(col("v")).as("sum_c"),
         sum(col("v") * col("v")).as("sum_sq"))
       .select(col("dim"), col("n"), col("min_c"), col("max_c"), col("sum_c"),
-        // sum_c can be NEGATIVE (codes are signed): Spark's `div`
-        // truncates toward zero but DuckDB's `//` floors, so spell the
-        // floor explicitly — subtracting the (always-positive) pmod
-        // makes the numerator exactly divisible and div == floor
-        expr("(sum_c * 1000 - pmod(sum_c * 1000, n)) div n").as("mean_milli"),
+        // sum_c can be NEGATIVE (codes are signed). DuckDB's `//`
+        // FLOORS only for floating operands; on INTEGERS it truncates
+        // toward zero exactly like Spark's `div` (probed: -7 // 2 = -3,
+        // -129130000 // 20000 = -6456), so plain div IS the match. The
+        // first cut spelled an explicit pmod-floor here on the opposite
+        // belief — latent until the round-15 full 10× gate hit a dim
+        // whose negative sum divided to an exact half (-6456.5: floor
+        // -6457 vs both engines' true -6456) — the one mismatch in 206
+        // ops, caught by running EVERY op at the 10× dir (r14 ask #4)
+        expr("(sum_c * 1000) div n").as("mean_milli"),
         col("sum_sq"))
       .orderBy("dim")
   }

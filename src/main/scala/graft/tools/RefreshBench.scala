@@ -77,6 +77,7 @@ object RefreshBench {
       "bpe-hist-base" -> (() => graft.ops.TextAnalysis.bpeHistBase(spark, work)),
       "lp-base" -> (() => graft.ops.Graph.lpBase(spark, work)),
       "sess-base" -> (() => graft.ops.Temporal.sessBase(spark, work)),
+      "layout-base" -> (() => graft.ops.Layout.layoutBase(spark, work)),
       "containment-base" -> (() => graft.ops.Dedup.containmentBase(spark, work)),
       "tri-base" -> (() => graft.ops.Graph.triBase(spark, work)))
 
@@ -91,7 +92,8 @@ object RefreshBench {
       val path = if (name.contains("dedup") || name.contains("bm25") ||
         name.contains("bpe") || name.contains("containment"))
         s"$work/documents.parquet"
-      else if (name.contains("sess")) s"$work/events.parquet"
+      else if (name.contains("sess") || name.contains("layout"))
+        s"$work/events.parquet"
       else work
       require(graft.core.ModelCache.lastEvent(name, path).contains("refreshed"),
         s"$name did not take the refresh path")
