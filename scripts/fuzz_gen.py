@@ -871,6 +871,42 @@ def gen_rank(rng):
                    f"LIMIT {rng.randint(100, 1000)}")
 
 
+def gen_signed(rng):
+    # the q_vector_stats regression class (round-15): SIGNED division /
+    # modulo semantics pinned cross-engine. Probed ground truth: both
+    # engines' % is trunc-mod (sign of dividend: -7 % 3 = -1, 7 % -3 = 1),
+    # int/int `/` is true division returning double in both, and
+    # FLOOR(a/b) is the common floor-division spelling. The floor-mod
+    # bridge ((a % b) + b) % b == a - FLOOR(a/b)*b (b > 0) is asserted
+    # IN-QUERY as expect_zero — the identity that fails the moment one
+    # side pairs trunc with floor, which is exactly how q_vector_stats'
+    # pmod-floor spell diverged against DuckDB's truncating integer `//`.
+    key, val, tbl = rng.choice([
+        ("event_id", "CAST(FLOOR(value * 100) AS BIGINT)", "events"),
+        ("o_orderkey", "CAST(FLOOR(o_totalprice * 100) AS BIGINT)", "orders"),
+        ("c_custkey", "CAST(FLOOR(c_acctbal * 100) AS BIGINT)", "customer"),
+        ("p_partkey", "CAST(p_size AS BIGINT)", "part"),
+    ])
+    shift = rng.randint(20, 500000)  # push a good fraction of a negative
+    b = rng.choice([2, 3, 7, 16, 20, 97, 1000])
+    where = pred(rng, TABLES[tbl])
+    base = (
+        f"WITH ev AS (SELECT {key} AS id, ({val} - {shift}) AS a "
+        f"FROM {tbl} WHERE {where}), "
+        f"d AS (SELECT id, a, a % {b} AS tm, "
+        f"CAST(FLOOR(a / {b}) AS BIGINT) AS fq, "
+        f"((a % {b}) + {b}) % {b} AS fm FROM ev) ")
+    if rng.random() < 0.5:
+        return base + (
+            "SELECT CAST(count(*) AS BIGINT) AS n_rows, "
+            f"CAST(COALESCE(SUM(CASE WHEN fm != a - fq * {b} "
+            "THEN 1 ELSE 0 END), 0) AS BIGINT) AS expect_zero, "
+            "CAST(COALESCE(SUM(tm), 0) AS BIGINT) AS chk_tm, "
+            "CAST(COALESCE(SUM(fq), 0) AS BIGINT) AS chk_fq FROM d")
+    return base + (f"SELECT id, a, tm, fq, fm FROM d ORDER BY id "
+                   f"LIMIT {rng.randint(100, 1000)}")
+
+
 def gen_query(rng):
     roll = rng.random()
     if roll < 0.03:
@@ -888,6 +924,8 @@ def gen_query(rng):
         return gen_tridelta(rng)
     if roll < 0.11:
         return gen_rank(rng)
+    if roll < 0.14:
+        return gen_signed(rng)
     roll = rng.random()
     if roll < 0.04:
         return gen_graphcte(rng)
@@ -977,7 +1015,7 @@ def main():
         gens = {"containment": gen_containment, "sweepcarry": gen_sweepcarry,
                 "bitmask": gen_bitmask, "chisq": gen_chisq,
                 "basket": gen_basket, "tridelta": gen_tridelta,
-                "rank": gen_rank}
+                "rank": gen_rank, "signed": gen_signed}
         fns = [gens[f] for f in fam.split(",")]
         queries = {f"fz_{i:04d}": fns[i % len(fns)](rng) for i in range(n)}
     else:
