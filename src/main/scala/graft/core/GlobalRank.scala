@@ -82,13 +82,21 @@ object GlobalRank {
 
   /** BATCHED multi-key ntile — `df` plus one exact `ntile(k)` column per
     * spec `(out, k, keys)`, each over its own total order, in ONE range
-    * exchange + ONE pivot aggregate and ZERO driver round-trips: the
-    * partition offsets are computed in-plan by a bounded P-row window
-    * over the pid census, so the whole batch is a single Spark action
+    * exchange + ONE offset-census action + ONE pivot aggregate,
     * regardless of how many keys are ranked. q_rfm's three sequential
     * `withNtile` calls paid the per-key fixed cost 3× (3 eager
     * checkpoints + 3 synchronous control reads + 3 range-sampling jobs
     * for a 10k-row census: 0.56 → 2.19 s at sf0.1, round-14 verdict #2).
+    *
+    * The offset census is a DRIVER COLLECT of P rows (one per shuffle
+    * partition) — the established O(partitions) control-read pattern —
+    * kept deliberately over the zero-round-trip alternative: an in-plan
+    * variant (offsets via a bounded window over the pid census,
+    * broadcast-joined back) was built and A/B'd at r15 — same-window
+    * solo benches read collect 1.25/1.26 s vs in-plan 1.44/1.45 s at
+    * sf0.1; the computed-broadcast leg costs more in scheduling than
+    * the 32-row driver round-trip it removes, and at cluster scale a
+    * P-row collect stays O(partitions), never O(data).
     *
     * Shape: the input is exploded TALL — one copy per spec, tagged with
     * the spec index, payload columns carried only on tag 0 — and every
@@ -158,40 +166,22 @@ object GlobalRank {
       .select(joinKeys.map(col) :+ col("__c.*"): _*)
       .repartitionByRange(p, sortCols: _*)
       .withColumn("__pid", spark_partition_id())
-      // the lazy checkpoint pins ONE set of sampled range boundaries for
-      // the census and rank subtrees below — without it the two legs
-      // could resample and split rows differently (exchange reuse is an
-      // optimization, not a guarantee). Lazy because no driver read
-      // needs it eagerly: the whole batch is a single action now.
       .localCheckpoint(false)
-    // offsets IN-PLAN (no driver collect): the per-partition counts are
-    // a P-row relation, so the prefix-sum window and the total are the
-    // bounded dictionary-window shape (q_audience_overlap precedent) —
-    // WindowExec's single partition holds P = shuffle-partition rows,
-    // never data
-    val wOff = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
-    val offs = parted.groupBy("__pid").agg(count(lit(1)).as("__n"))
-      .withColumn("__off", coalesce(sum(col("__n")).over(wOff), lit(0L)))
-      .withColumn("__nrows", expr(s"(sum(__n) OVER ()) div ${specs.size}"))
-      .select("__pid", "__off", "__nrows")
+    // ONE action: per-partition counts → prefix offsets (P rows) + n
+    val counts = parted.groupBy("__pid").agg(count(lit(1)).as("__n"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    var acc = 0L
+    val offsets = counts.map { case (pid, c) => val o = (pid, acc); acc += c; o }
+    val n = acc / specs.size
+    val offDf = offsets.toSeq.toDF("__pid", "__off")
     val w = Window.partitionBy("__pid").orderBy(sortCols: _*)
-    val ranked = parted.join(broadcast(offs), "__pid")
+    val ranked = parted.join(broadcast(offDf), "__pid")
       .withColumn("__rank",
-        col("__off") + row_number().over(w) - col("__tag") * col("__nrows"))
-    // closed-form SQL ntile with n as a COLUMN (same algebra as
-    // tileExpr, which keeps the driver-literal form for withNtile)
-    def tileCol(k: Int): Column = expr(
-      s"""CASE WHEN __nrows = 0 THEN CAST(NULL AS INT)
-         |WHEN (__nrows div $k) = 0 THEN CAST(__rank AS INT)
-         |WHEN __rank <= (__nrows % $k) * ((__nrows div $k) + 1)
-         |  THEN CAST((__rank - 1) div ((__nrows div $k) + 1) + 1 AS INT)
-         |ELSE CAST((__nrows % $k) +
-         |  (__rank - 1 - (__nrows % $k) * ((__nrows div $k) + 1))
-         |    div (__nrows div $k) + 1 AS INT)
-         |END""".stripMargin)
+        col("__off") + row_number().over(w) - col("__tag") * n)
     val aggs = payload.map(c => max(col(c)).as(c)) ++
       specs.zipWithIndex.map { case ((out, k, _), i) =>
-        max(when(col("__tag") === i, tileCol(k))).as(out)
+        max(when(col("__tag") === i, tileExpr("__rank", n, k).cast("int")))
+          .as(out)
       }
     ranked.groupBy(joinKeys.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
