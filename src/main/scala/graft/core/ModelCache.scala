@@ -79,10 +79,15 @@ object ModelCache {
   def liveSessionCount: Int = cache.synchronized { sweepStopped(); cache.size() }
 
   /** (name:length:mtime) entries of every data file under `path` (a file
-    * or a directory of parts), sorted. One driver-side FS listing — no
-    * Spark job. The raw material of [[fingerprint]] and of
-    * [[getOrRefresh]]'s append-only check. */
-  private def listing(spark: SparkSession, path: String): Seq[String] = {
+    * or a directory of parts), each paired with the file's FULL path,
+    * sorted by entry. One driver-side FS listing — no Spark job. The
+    * entries are the raw material of [[fingerprint]] and of
+    * [[getOrRefresh]]'s append-only check; the paths let
+    * [[getOrRefreshGuarded]] hand a refresh closure exactly the files
+    * appended since the frozen generation (so a backfill probe reads
+    * O(delta files), never the corpus). */
+  private def listingPathed(spark: SparkSession, path: String)
+      : Seq[(String, String)] = {
     val p = new Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) return Seq.empty
@@ -90,9 +95,13 @@ object ModelCache {
     Iterator.continually(it)
       .takeWhile(_.hasNext).map(_.next())
       .filterNot(_.getPath.getName.startsWith("_"))
-      .map(s => s"${s.getPath.getName}:${s.getLen}:${s.getModificationTime}")
-      .toSeq.sorted
+      .map(s => (s"${s.getPath.getName}:${s.getLen}:${s.getModificationTime}",
+        s.getPath.toString))
+      .toSeq.sortBy(_._1)
   }
+
+  private def listing(spark: SparkSession, path: String): Seq[String] =
+    listingPathed(spark, path).map(_._1)
 
   /** (name, length, mtime) digest of every data file under `path`. */
   def fingerprint(spark: SparkSession, path: String): String =
@@ -242,10 +251,31 @@ object ModelCache {
     * The id-slice refresh closures additionally assume ingest ids are
     * assigned monotonically (new files carry ids at or above the frozen
     * split) — the same contract q_dedup_delta and the streaming gates
-    * already state. */
+    * already state. Call sites whose frozen artifact would be SILENTLY
+    * WRONG when that assumption breaks (a backfill: appended files
+    * carrying ids below the frozen split, invisible to an id-sliced
+    * delta scan) must use [[getOrRefreshGuarded]] and probe the new
+    * files before merging. */
   def getOrRefresh[T <: AnyRef](spark: SparkSession, kind: String,
-      sourcePath: String)(train: => T)(refresh: T => T): T = {
-    val parts = listing(spark, sourcePath)
+      sourcePath: String)(train: => T)(refresh: T => T): T =
+    getOrRefreshGuarded(spark, kind, sourcePath)(train)(
+      (prev, _) => Some(refresh(prev)))
+
+  /** [[getOrRefresh]] with a refusal path: the refresh closure receives
+    * `(previousValue, newFilePaths)` — the data files appended since the
+    * frozen generation, exactly `current listing − frozen listing` — and
+    * returns `None` to DECLINE the merge, falling back to a from-scratch
+    * `train` (recorded as lifecycle event `"retrained"`, distinct from
+    * both `"trained"` and `"refreshed"` so specs can assert the guard
+    * fired). This is the backfill guard for id-slice bases: probe
+    * min(id) over ONLY the new files (O(delta files), column-pruned) and
+    * refuse the monoid merge when any id lands below the frozen split —
+    * the merge would silently under-count, while a retrain re-censuses
+    * the whole corpus correctly. See [[Backfill.minId]]. */
+  def getOrRefreshGuarded[T <: AnyRef](spark: SparkSession, kind: String,
+      sourcePath: String)(train: => T)(refresh: (T, Seq[String]) => Option[T]): T = {
+    val pathed = listingPathed(spark, sourcePath)
+    val parts = pathed.map(_._1)
     val fp = digestOf(parts)
     val lkey = s"$kind|$sourcePath"
     val key = s"$lkey|$fp"
@@ -256,8 +286,16 @@ object ModelCache {
         val prev = Option(lm.get(lkey))
         prev match {
           case Some(f) if f.fp != fp && f.files.subsetOf(parts.toSet) =>
-            events.put(lkey, "refreshed")
-            refresh(f.value.asInstanceOf[T])
+            // duplicate (name:len:mtime) entries across subdirs collapse
+            // here exactly as they do in the fingerprint — documented
+            // limitation of the listing shape, not of the guard
+            val newPaths = pathed.collect {
+              case (e, p) if !f.files.contains(e) => p
+            }
+            refresh(f.value.asInstanceOf[T], newPaths) match {
+              case Some(v) => events.put(lkey, "refreshed"); v
+              case None => events.put(lkey, "retrained"); train
+            }
           case _ =>
             events.put(lkey, "trained")
             train

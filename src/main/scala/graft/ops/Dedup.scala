@@ -595,7 +595,7 @@ object Dedup {
     * streaming admission gate (Stateful.dedupGate): (split id, per-bucket
     * (b_min, b_cnt) summary of the admitted corpus's LSH bands). */
   private[graft] def dedupBase(s: SparkSession, d: String): (Long, DataFrame) =
-    graft.core.ModelCache.getOrRefresh(s, "dedup-base", s"$d/documents.parquet") {
+    graft.core.ModelCache.getOrRefreshGuarded(s, "dedup-base", s"$d/documents.parquet") {
       val docs = T.documents(s, d).select(col("doc_id"), col("text"))
       val maxRow = docs.agg(max(col("doc_id"))).head()
       val maxId = if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0)
@@ -605,25 +605,31 @@ object Dedup {
         .agg(min(col("doc_id")).as("b_min"), count(lit(1)).as("b_cnt"))
         .localCheckpoint()
       (sp, agg)
-    } { case (sp0, agg0) =>
+    } { case ((sp0, agg0), newFiles) =>
       // REFREEZE (round-11 verdict #1): the per-bucket (min, count)
       // summary is a monoid over disjoint doc sets, so the next frozen
       // base = old base ⊕ banded slice [sp0, sp1) — only the newly
       // admitted docs are ever hashed; the old corpus is never re-read.
-      // RefreshSpec pins refresh == retrain bit-identically.
-      val docs = T.documents(s, d).select(col("doc_id"), col("text"))
-      val maxRow = docs.agg(max(col("doc_id"))).head()
-      val maxId = if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0)
-      val sp1 = math.max(7L * maxId / 8L, sp0) // ids are monotone at ingest
-      val deltaAgg = bandsOfDocs(s,
-          docs.filter(col("doc_id") >= sp0 && col("doc_id") < sp1))
-        .groupBy("band", "bucket")
-        .agg(min(col("doc_id")).as("b_min"), count(lit(1)).as("b_cnt"))
-      val agg1 = agg0.unionAll(deltaAgg)
-        .groupBy("band", "bucket")
-        .agg(min(col("b_min")).as("b_min"), sum(col("b_cnt")).as("b_cnt"))
-        .localCheckpoint()
-      (sp1, agg1)
+      // RefreshSpec pins refresh == retrain bit-identically. Backfill
+      // guard (round-15 verdict #1): a new file with doc_id < sp0 sits
+      // inside the frozen prefix the slice scan never revisits — decline
+      // the merge, ModelCache retrains.
+      if (graft.core.Backfill.below(s, newFiles, "doc_id", sp0)) None
+      else Some {
+        val docs = T.documents(s, d).select(col("doc_id"), col("text"))
+        val maxRow = docs.agg(max(col("doc_id"))).head()
+        val maxId = if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0)
+        val sp1 = math.max(7L * maxId / 8L, sp0) // monotone, now CHECKED
+        val deltaAgg = bandsOfDocs(s,
+            docs.filter(col("doc_id") >= sp0 && col("doc_id") < sp1))
+          .groupBy("band", "bucket")
+          .agg(min(col("doc_id")).as("b_min"), count(lit(1)).as("b_cnt"))
+        val agg1 = agg0.unionAll(deltaAgg)
+          .groupBy("band", "bucket")
+          .agg(min(col("b_min")).as("b_min"), sum(col("b_cnt")).as("b_cnt"))
+          .localCheckpoint()
+        (sp1, agg1)
+      }
     }
 
   val dedupDelta: Q = {
@@ -871,7 +877,7 @@ object Dedup {
     * everywhere else. RefreshSpec pins refresh == retrain bit-identically
     * including a shingle crossing INTO and OUT OF the rare band. */
   private[graft] def containmentBase(s: SparkSession, d: String): ContainBase =
-    graft.core.ModelCache.getOrRefresh(s, "containment-base", s"$d/documents.parquet") {
+    graft.core.ModelCache.getOrRefreshGuarded(s, "containment-base", s"$d/documents.parquet") {
       val docs = T.documents(s, d).select(col("doc_id"), col("text"))
       val maxRow = docs.agg(max(col("doc_id"))).head()
       // 7/8 doc-id split (the sessBase convention): the artifact freezes
@@ -888,7 +894,12 @@ object Dedup {
         sh.join(df.filter(col("df") <= 8).select("shingle"), "shingle")
           .localCheckpoint(),
         sh.groupBy("bdoc").agg(count(lit(1)).as("n_base")).localCheckpoint())
-    } { case ContainBase(sp0, full0, df0, rareIdx0, sizes0) =>
+    } { case (ContainBase(sp0, full0, df0, rareIdx0, sizes0), newFiles) =>
+      // Backfill guard (round-15 verdict #1): this base freezes the
+      // INCLUSIVE prefix doc_id <= sp0, so a new file at doc_id <= sp0
+      // (i.e. < sp0 + 1) breaks the slice merge — decline, retrain.
+      if (graft.core.Backfill.below(s, newFiles, "doc_id", sp0 + 1)) None
+      else Some {
       val docs = T.documents(s, d).select(col("doc_id"), col("text"))
       val maxRow = docs.agg(max(col("doc_id"))).head()
       val sp1 = math.max(
@@ -923,6 +934,7 @@ object Dedup {
         sizes0.unionByName(
           shD.groupBy("bdoc").agg(count(lit(1)).as("n_base")).localCheckpoint()))
       ContainBase(sp1, full1, df1, rareIdx1, sizes1)
+      }
     }
 
   /** Shingle-CONTAINMENT census — the near-dup direction Jaccard misses:

@@ -234,9 +234,18 @@ object Graph {
     * refresh == retrain on a bounded-radius fixture. */
   private[graft] def lpBase(s: SparkSession, d: String)
       : (Long, DataFrame, DataFrame, DataFrame, DataFrame, DataFrame) =
-    graft.core.ModelCache.getOrRefresh(s, "lp-base", d) {
+    graft.core.ModelCache.getOrRefreshGuarded(s, "lp-base", d) {
       lpTrain(s, d)
-    } { case (max0, cen0, ed0, b1, b2, bf) =>
+    } { case ((max0, cen0, ed0, b1, b2, bf), newFiles) =>
+      // Backfill guard (round-15 verdict #1): the delta census below
+      // filters BOTH join sides to keys > max0, so an appended file
+      // carrying an order key (or a lineitem of an old order) at or
+      // below the frozen high-water is invisible to it — decline the
+      // merge, ModelCache retrains. Both tables are probed because a new
+      // lineitem under an OLD orderkey changes the pair census exactly
+      // like a backfilled order does.
+      if (tradeBackfilled(s, newFiles, max0 + 1)) None
+      else Some {
       // the delta census never touches the old corpus: both scan sides
       // carry the key predicate (parquet row-group pruning skips the
       // base slice) and only the DELTA rows meet in the join — without
@@ -334,7 +343,25 @@ object Graph {
         val Seq(m1, m2, mf) = merged.result()
         (max1, cen1, ed1, m1, m2, mf)
       }
+      }
     }
+
+  /** Shared backfill probe for the trade-graph bases (lp/cc/tri): true
+    * when any appended orders file carries o_orderkey, or any appended
+    * lineitem file carries l_orderkey, below `split` — the frozen prefix
+    * their [key-sliced] delta censuses never rescan. pr-base needs NO
+    * guard: its refresh re-derives the edge set from a full filtered
+    * scan of the current corpus and seeds the blast radius from the
+    * edge DIFF against the frozen base, so backfilled keys surface as
+    * new edges and are recomputed inside the radius (or flood to a full
+    * retrain) — correct either way by the same argument as any other
+    * delta. */
+  private def tradeBackfilled(s: SparkSession, newFiles: Seq[String],
+      split: Long): Boolean =
+    graft.core.Backfill.below(s,
+      graft.core.Backfill.tableFiles(newFiles, "orders"), "o_orderkey", split) ||
+    graft.core.Backfill.below(s,
+      graft.core.Backfill.tableFiles(newFiles, "lineitem"), "l_orderkey", split)
 
   val labelProp: Q = Q(
     "q_label_prop",
@@ -545,7 +572,7 @@ object Graph {
     // growth, but the COUNTS are monoidal — so the refresh path below can
     // re-derive the durable set from merged counts without re-scanning
     // the old corpus (round-11 verdict #1).
-    val (split, _, baseEo, baseLab) = graft.core.ModelCache.getOrRefresh(
+    val (split, _, baseEo, baseLab) = graft.core.ModelCache.getOrRefreshGuarded(
       s, "cc-base", d) {
       // empty orders ⋈ lineitem → max is NULL: fall back to split 0, so
       // the base is the empty labeling and the merge path handles
@@ -560,15 +587,19 @@ object Graph {
         .localCheckpoint()
       (sp, cen, eo,
         ccFixpoint(symmetricEdges(eo).localCheckpoint()).localCheckpoint())
-    } { case (sp0, cen0, eo0, lab0) =>
+    } { case ((sp0, cen0, eo0, lab0), newFiles) =>
       // REFREEZE: merge the monoidal pair counts with the [sp0, sp1)
       // slice, re-derive durable edges, and roll the labeling forward
       // with the SAME quotient merge the serve path runs — the base
       // fixpoint never re-runs on the old graph. RefreshSpec pins
       // refresh == retrain (labels are canonical component minima).
+      // Backfill guard (round-15 verdict #1): keys below sp0 in a new
+      // file never enter the slice census — decline, retrain.
+      if (tradeBackfilled(s, newFiles, sp0)) None
+      else Some {
       val maxRow = pairs.agg(max(col("o_orderkey"))).head()
       val maxKey = if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0)
-      val sp1 = math.max(7L * maxKey / 8L, sp0) // keys are monotone
+      val sp1 = math.max(7L * maxKey / 8L, sp0) // monotone, now CHECKED
       val cenS = pairs
         .filter(col("o_orderkey") >= sp0 && col("o_orderkey") < sp1)
         .groupBy("c", "s").agg(count(lit(1)).as("cnt"))
@@ -580,6 +611,7 @@ object Graph {
       (sp1, cen1, eo1,
         mergeDelta(lab0, symmetricEdges(newE).localCheckpoint())
           .localCheckpoint())
+      }
     }
     val deltaEo = durable(pairs).exceptAll(baseEo) // newly-durable pairs
     componentCensus(mergeDelta(baseLab, symmetricEdges(deltaEo)))
@@ -675,6 +707,15 @@ object Graph {
       s, "pr-base", d) {
       trainBase(splitOf)
     } { case (eo0, b1, b2, bf) =>
+      // NO backfill guard here, deliberately (round-15 verdict #1 sweep):
+      // unlike the monoid-merge bases, this refresh re-derives eo1 from
+      // a FULL filtered scan of the current corpus (below) and seeds the
+      // blast radius from the edge diff eo1 \ eo0 — a backfilled key
+      // surfaces as a new edge and is recomputed inside the radius (or
+      // floods to trainBase), correct either way. A backfilled pair that
+      // only raises an already-durable edge's count changes neither the
+      // edge set nor the degrees' derivation from it. See
+      // [[tradeBackfilled]].
       // REFREEZE (round-11 verdict #1): ranks are NOT a simple monoid —
       // r_i(v) couples v to its i-hop in-neighborhood — but the SAME
       // blast-radius argument the serve path proves hash-green applies
@@ -1426,7 +1467,7 @@ object Graph {
       .join(T.lineitem(s, d), col("l_orderkey") === col("o_orderkey"))
       .select(col("o_orderkey"), col("o_custkey").as("c"),
         col("l_suppkey").as("s"))
-    graft.core.ModelCache.getOrRefresh(s, "tri-base", d) {
+    graft.core.ModelCache.getOrRefreshGuarded(s, "tri-base", d) {
       val pairs = pairsOf
       val maxRow = pairs.agg(max(col("o_orderkey"))).head()
       val maxKey = if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0)
@@ -1437,12 +1478,16 @@ object Graph {
       val cp = triPairCensus(eo).localCheckpoint()
       val ce = cp.filter(col("w") >= TriMinShared).select("u", "v")
       (sp, cen, cp, triCount(ce).head().getLong(0))
-    } { case (sp0, cen0, cp0, tri0) =>
+    } { case ((sp0, cen0, cp0, tri0), newFiles) =>
       // REFREEZE: merge the monoidal censuses with the [sp0, sp1) slice
       // and roll the triangle count forward with the SAME delta algebra
       // the serve path runs — the old graph's pair join never re-runs.
       // RefreshSpec pins refresh == retrain bit-identically, including
       // cnt and w threshold crossings caused by the slice.
+      // Backfill guard (round-15 verdict #1): keys below sp0 in a new
+      // file never enter the slice census — decline, retrain.
+      if (tradeBackfilled(s, newFiles, sp0)) None
+      else Some {
       val pairs = pairsOf
       val maxRow = pairs.agg(max(col("o_orderkey"))).head()
       val maxKey = if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0)
@@ -1482,6 +1527,7 @@ object Graph {
           cp0.join(dwK, Seq("u", "v"), "left_anti").unionAll(cpTouched))
         (sp1, cen1, cp1,
           tri0 + triDeltaCount(m.ceNew, m.ceAll).head().getLong(0))
+      }
       }
     }
   }

@@ -252,9 +252,20 @@ object Layout {
     * monoid over disjoint id slices (counts add). */
   private def fileCensus(s: org.apache.spark.sql.SparkSession, d: String,
       lo: Long, hi: Long): org.apache.spark.sql.DataFrame =
-    T.events(s, d)
-      .filter(col("event_id") >= lo && col("event_id") < hi)
-      .groupBy(col("event_type"),
+    censusOf(T.events(s, d)
+      .filter(col("event_id") >= lo && col("event_id") < hi))
+
+  /** Unbounded-upper slice census (filter only `event_id >= lo`) — the
+    * SERVE delta leg's form, so a row at event_id == Long.MaxValue is
+    * counted exactly as the from-scratch planner and the SQL oracle
+    * count it (round-15 advice; `< hi` would silently exclude it). */
+  private def fileCensusFrom(s: org.apache.spark.sql.SparkSession, d: String,
+      lo: Long): org.apache.spark.sql.DataFrame =
+    censusOf(T.events(s, d).filter(col("event_id") >= lo))
+
+  private def censusOf(ev: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    ev.groupBy(col("event_type"),
         expr("unix_micros(ts) div 86400000000").as("day"))
       .agg(count(lit(1)).as("n"))
 
@@ -266,23 +277,34 @@ object Layout {
     * O(delta events + census rows), the old corpus never re-read. The
     * checkpoint re-written per refresh is the census itself, which is
     * O(event_types × days) — FILE-count-sized, not corpus-sized, so the
-    * lp-base no-O(corpus)-write rule holds trivially. */
+    * lp-base no-O(corpus)-write rule holds trivially.
+    *
+    * BACKFILL GUARD (round-15 verdict #1): the merge above is exact only
+    * when appended files carry ids at-or-above the frozen split — a
+    * backfilled slice below it would be invisible to both the frozen
+    * census and the delta scan, silently under-counting the plan. The
+    * guard probes min(event_id) over ONLY the new files and declines the
+    * merge (→ ModelCache retrains from scratch) when the contract is
+    * broken; RefreshSpec's below-split case pins the fallback. */
   private[graft] def layoutBase(s: org.apache.spark.sql.SparkSession,
       d: String): (Long, org.apache.spark.sql.DataFrame) =
-    graft.core.ModelCache.getOrRefresh(
+    graft.core.ModelCache.getOrRefreshGuarded(
       s, "layout-base", s"$d/events.parquet") {
       val maxRow = T.events(s, d).agg(max(col("event_id"))).head()
       val maxId = if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0)
       val sp = 7L * maxId / 8L
       (sp, fileCensus(s, d, Long.MinValue, sp).localCheckpoint())
-    } { case (sp0, cen0) =>
-      val maxRow = T.events(s, d).agg(max(col("event_id"))).head()
-      val maxId = if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0)
-      val sp1 = math.max(7L * maxId / 8L, sp0) // ids are monotone at ingest
-      val cenS = fileCensus(s, d, sp0, sp1)
-      (sp1, cen0.unionAll(cenS)
-        .groupBy("event_type", "day").agg(sum(col("n")).as("n"))
-        .localCheckpoint())
+    } { case ((sp0, cen0), newFiles) =>
+      if (graft.core.Backfill.below(s, newFiles, "event_id", sp0)) None
+      else Some {
+        val maxRow = T.events(s, d).agg(max(col("event_id"))).head()
+        val maxId = if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0)
+        val sp1 = math.max(7L * maxId / 8L, sp0) // monotone, now CHECKED
+        val cenS = fileCensus(s, d, sp0, sp1)
+        (sp1, cen0.unionAll(cenS)
+          .groupBy("event_type", "day").agg(sum(col("n")).as("n"))
+          .localCheckpoint())
+      }
     }
 
   /** q_compact_plan_delta: the compaction plan served INCREMENTALLY —
@@ -297,7 +319,7 @@ object Layout {
     * contract (q_concurrency_delta / q_bm25_delta precedent). */
   val compactPlanDelta: Q = Q("q_compact_plan_delta", compactPlanSql) { (s, d) =>
     val (split, cenB) = layoutBase(s, d)
-    val cenD = fileCensus(s, d, split, Long.MaxValue)
+    val cenD = fileCensusFrom(s, d, split)
     binPlan(cenB.unionAll(cenD)
       .groupBy("event_type", "day").agg(sum(col("n")).as("n"))
       .select(col("event_type"), col("day"), (col("n") * 100).as("bytes")))

@@ -505,17 +505,22 @@ object LlmPipeline {
   private[graft] def bm25Base(s: org.apache.spark.sql.SparkSession, d: String)
       : (Long, DataFrame, DataFrame, DataFrame, DataFrame) = {
     val docs = T.documents(s, d).select(col("doc_id"), col("text"))
-    graft.core.ModelCache.getOrRefresh(s, "bm25-base", s"$d/documents.parquet") {
+    graft.core.ModelCache.getOrRefreshGuarded(s, "bm25-base", s"$d/documents.parquet") {
       val maxRow = docs.agg(max(col("doc_id"))).head()
       val maxId = if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0)
       val sp = 7L * maxId / 8L
       val (tf, dl, df, nd) = bm25Index(docs.filter(col("doc_id") < sp))
       (sp, tf.localCheckpoint(), dl.localCheckpoint(),
         df.localCheckpoint(), nd.localCheckpoint())
-    } { case (sp0, tf0, dl0, df0, nd0) =>
+    } { case ((sp0, tf0, dl0, df0, nd0), newFiles) =>
+      // Backfill guard (round-15 verdict #1): a new file carrying
+      // doc_id < sp0 is invisible to the [sp0, sp1) slice — decline the
+      // merge, ModelCache retrains over the whole corpus.
+      if (graft.core.Backfill.below(s, newFiles, "doc_id", sp0)) None
+      else Some {
       val maxRow = docs.agg(max(col("doc_id"))).head()
       val maxId = if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0)
-      val sp1 = math.max(7L * maxId / 8L, sp0) // ids are monotone at ingest
+      val sp1 = math.max(7L * maxId / 8L, sp0) // monotone, now CHECKED
       val (tfS, dlS, dfS, ndS) = bm25Index(
         docs.filter(col("doc_id") >= sp0 && col("doc_id") < sp1), freeze = true)
       val df1 = df0.unionAll(dfS).groupBy("token").agg(sum(col("df")).as("df"))
@@ -532,6 +537,7 @@ object LlmPipeline {
       (sp1, graft.core.Session.flattenWide(tf0.unionAll(tfS.localCheckpoint())),
         graft.core.Session.flattenWide(dl0.unionAll(dlS.localCheckpoint())),
         df1.localCheckpoint(), nd1.localCheckpoint())
+      }
     }
   }
 

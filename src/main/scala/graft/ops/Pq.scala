@@ -192,19 +192,23 @@ object Pq {
       val r = T.embeddings(s, d).agg(max(col("vec_id"))).head()
       if (r.isNullAt(0)) -1L else r.getLong(0)
     }
-    val (_, ex, top) = graft.core.ModelCache.getOrRefresh(
+    val (_, ex, top) = graft.core.ModelCache.getOrRefreshGuarded(
       s, "truth-l2-base", s"$d/embeddings.parquet") {
       val ex = scoreOf(codesOf).localCheckpoint()
       (maxIdOf, ex, topOf(ex).localCheckpoint())
-    } { case (max0, ex0, top0) =>
+    } { case ((max0, ex0, top0), newFiles) =>
       // REFREEZE: same monoidal argument as Similarity.truthBase — new
       // vectors only add scored rows for the fixed query set; top-10
       // re-derives from old-top ∪ delta. RefreshSpec pins refresh ==
-      // retrain.
-      val exD = scoreOf(codesOf.filter(col("vec_id") > max0)).localCheckpoint()
-      // flattenWide: pin the stored union's plan depth (leg per refresh)
-      (maxIdOf, graft.core.Session.flattenWide(ex0.unionAll(exD)),
-        topOf(top0.drop("rn").unionAll(exD)).localCheckpoint())
+      // retrain. Backfill guard (round-15 verdict #1): vec_id <= max0 in
+      // a new file never enters the delta scan — decline, retrain.
+      if (graft.core.Backfill.below(s, newFiles, "vec_id", max0 + 1)) None
+      else Some {
+        val exD = scoreOf(codesOf.filter(col("vec_id") > max0)).localCheckpoint()
+        // flattenWide: pin the stored union's plan depth (leg per refresh)
+        (maxIdOf, graft.core.Session.flattenWide(ex0.unionAll(exD)),
+          topOf(top0.drop("rn").unionAll(exD)).localCheckpoint())
+      }
     }
     (ex, top)
   }

@@ -779,22 +779,28 @@ object Similarity {
       val r = T.embeddings(s, d).agg(max(col("vec_id"))).head()
       if (r.isNullAt(0)) -1L else r.getLong(0)
     }
-    val (_, ex, top) = graft.core.ModelCache.getOrRefresh(
+    val (_, ex, top) = graft.core.ModelCache.getOrRefreshGuarded(
       s, "truth-base", s"$d/embeddings.parquet") {
       val ex = scoreOf(baseOf).localCheckpoint()
       (maxIdOf, ex, topOf(ex).localCheckpoint())
-    } { case (max0, ex0, top0) =>
+    } { case ((max0, ex0, top0), newFiles) =>
       // REFREEZE: the scored table is monoidal — new corpus vectors only
       // ADD (qid, cand, score) rows for the fixed query set, so the next
       // frozen truth = old rows ∪ delta-only scoring, and the global
       // top-10 re-derives from old-top ∪ delta (any new member is in one
       // of the two). Old vectors are never re-scored. RefreshSpec pins
-      // refresh == retrain.
-      val exD = scoreOf(baseOf.filter(col("vec_id") > max0)).localCheckpoint()
-      // flattenWide: the stored union grows a leg per refresh generation —
-      // pin plan depth by re-materializing once every ~8 generations
-      val ex1 = graft.core.Session.flattenWide(ex0.unionAll(exD))
-      (maxIdOf, ex1, topOf(top0.drop("rn").unionAll(exD)).localCheckpoint())
+      // refresh == retrain. Backfill guard (round-15 verdict #1): a new
+      // vec_id at-or-below the frozen high-water never enters the
+      // `> max0` delta scan — and can even CHANGE the lowest-id query
+      // set itself — so decline the merge, ModelCache retrains.
+      if (graft.core.Backfill.below(s, newFiles, "vec_id", max0 + 1)) None
+      else Some {
+        val exD = scoreOf(baseOf.filter(col("vec_id") > max0)).localCheckpoint()
+        // flattenWide: the stored union grows a leg per refresh generation —
+        // pin plan depth by re-materializing once every ~8 generations
+        val ex1 = graft.core.Session.flattenWide(ex0.unionAll(exD))
+        (maxIdOf, ex1, topOf(top0.drop("rn").unionAll(exD)).localCheckpoint())
+      }
     }
     (ex, top)
   }

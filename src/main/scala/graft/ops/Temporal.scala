@@ -760,14 +760,22 @@ object Temporal {
     * monotonicity across the split (round-13 advice). */
   private[graft] def sessBase(s: SparkSession, d: String)
       : (Long, DataFrame, DataFrame) =
-    graft.core.ModelCache.getOrRefresh(s, "sess-base", s"$d/events.parquet") {
+    graft.core.ModelCache.getOrRefreshGuarded(s, "sess-base", s"$d/events.parquet") {
       val maxRow = T.events(s, d).agg(max(col("event_id"))).head()
       val maxId = if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0)
       val sp = 7L * maxId / 8L
       val sess = sessionsOf(T.eventsRawSlice(s, d, -1L, sp))
       val (closed, tails) = splitTails(sess)
       (sp, closed.localCheckpoint(), tails.localCheckpoint())
-    } { case (sp0, closed0, tails0) =>
+    } { case ((sp0, closed0, tails0), newFiles) =>
+      // Backfill guard (round-15 verdict #1): [[stitch]]'s late-arrival
+      // routing covers EVENT-TIME disorder within the delta slice, but an
+      // appended file with event_id < sp0 never enters the slice at all —
+      // an ID backfill, the orthogonal axis — so the stitch can't even
+      // see it. Decline the merge; ModelCache retrains from scratch.
+      if (graft.core.Backfill.below(s, newFiles, "event_id", sp0))
+        None
+      else Some {
       val maxRow = T.events(s, d).agg(max(col("event_id"))).head()
       val maxId = if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0)
       val sp1 = math.max(7L * maxId / 8L, sp0)
@@ -780,6 +788,7 @@ object Temporal {
       val (closedNew, tailsNew) = stitch(closed0, tails0, delta,
         T.eventsRawSlice(s, d, -1L, sp1), freeze = true)
       (sp1, closedNew, tailsNew)
+      }
     }
 
   /** (user_id, session_id, start_us, last_us, n) over an event slice —

@@ -548,12 +548,17 @@ object TextAnalysis {
       val r = T.documents(s, d).agg(max(col("doc_id"))).head()
       if (r.isNullAt(0)) -1L else r.getLong(0)
     }
-    val (_, bc, uc, vocab) = graft.core.ModelCache.getOrRefresh(
+    val (_, bc, uc, vocab) = graft.core.ModelCache.getOrRefreshGuarded(
       s, "lm-base", s"$d/documents.parquet") {
       val uc = ucOf(T.documents(s, d)).localCheckpoint()
       (maxIdOf, bcOf(T.documents(s, d)).localCheckpoint(), uc,
         java.lang.Long.valueOf(uc.count()))
-    } { case (max0, bc0, uc0, _) =>
+    } { case ((max0, bc0, uc0, _), newFiles) =>
+      // Backfill guard (round-15 verdict #1): a new file with
+      // doc_id <= the frozen high-water never enters the `> max0` delta
+      // scan — decline the merge, ModelCache retrains.
+      if (graft.core.Backfill.below(s, newFiles, "doc_id", max0 + 1)) None
+      else Some {
       // REFREEZE (round-11 verdict #1 family): both censuses are count
       // monoids over disjoint doc sets — growth tokenizes only docs
       // above the frozen high-water id and merges with one groupBy-sum;
@@ -566,6 +571,7 @@ object TextAnalysis {
         bc0.unionAll(bcOf(delta)).groupBy("bigram")
           .agg(sum(col("bc")).as("bc")).localCheckpoint(),
         uc1, java.lang.Long.valueOf(uc1.count()))
+      }
     }
     LmModel(bc, uc, vocab)
   }
@@ -901,20 +907,25 @@ object TextAnalysis {
   private[graft] def bpeHistBase(s: org.apache.spark.sql.SparkSession,
       d: String): (Long, org.apache.spark.sql.DataFrame) = {
     val docs = T.documents(s, d).select(col("doc_id"), col("text"))
-    graft.core.ModelCache.getOrRefresh(
+    graft.core.ModelCache.getOrRefreshGuarded(
       s, "bpe-hist-base", s"$d/documents.parquet") {
       val maxRow = docs.agg(max(col("doc_id"))).head()
       val maxId = if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0)
       val sp = 7L * maxId / 8L
       (sp, wordHist(docs.filter(col("doc_id") < sp)).localCheckpoint())
-    } { case (sp0, hist0) =>
-      val maxRow = docs.agg(max(col("doc_id"))).head()
-      val maxId = if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0)
-      val sp1 = math.max(7L * maxId / 8L, sp0) // ids are monotone at ingest
-      val histS = wordHist(docs.filter(col("doc_id") >= sp0 && col("doc_id") < sp1))
-      (sp1, hist0.unionAll(histS)
-        .groupBy("word").agg(sum(col("cnt")).as("cnt"))
-        .localCheckpoint())
+    } { case ((sp0, hist0), newFiles) =>
+      // Backfill guard (round-15 verdict #1): doc_id < sp0 in a new file
+      // never enters the slice scan — decline the merge, retrain.
+      if (graft.core.Backfill.below(s, newFiles, "doc_id", sp0)) None
+      else Some {
+        val maxRow = docs.agg(max(col("doc_id"))).head()
+        val maxId = if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0)
+        val sp1 = math.max(7L * maxId / 8L, sp0) // monotone, now CHECKED
+        val histS = wordHist(docs.filter(col("doc_id") >= sp0 && col("doc_id") < sp1))
+        (sp1, hist0.unionAll(histS)
+          .groupBy("word").agg(sum(col("cnt")).as("cnt"))
+          .localCheckpoint())
+      }
     }
   }
 

@@ -644,4 +644,191 @@ class RefreshSpec extends SparkSuite {
     assert(viaDelta == fromScratch,
       "q_concurrency_delta over a late-arrival corpus must equal q_concurrency")
   }
+
+  // --- BACKFILL guards (round-15 verdict #1) ----------------------------
+  // An append whose ids land BELOW the frozen split is invisible to an
+  // id-sliced delta scan: the monoid merge would silently under-count.
+  // Each guarded base must probe the NEW FILES ONLY, decline the merge
+  // (lifecycle event "retrained", distinct from "trained"/"refreshed"),
+  // and still equal a from-scratch build on the full corpus.
+
+  private def writeEvents(d: String, range: Range): Unit =
+    spark.createDataFrame(range.map { i =>
+      (i.toLong, (i % 7).toLong,
+        new java.sql.Timestamp(1700000000000L + i.toLong * 3600_000L),
+        s"t${i % 3}")
+    }).toDF("event_id", "user_id", "ts", "event_type")
+      .coalesce(1).write.mode("append").parquet(s"$d/events.parquet")
+
+  test("layout-base: a BACKFILL append declines the merge (retrained) and stays exact") {
+    val d = tmpDir("backfill-layout")
+    ModelCache.clear()
+    writeEvents(d, 100 until 400) // split freezes at 7*399/8 = 349
+    graft.ops.Layout.compactPlanDelta.fn(spark, d).collect()
+    assert(ModelCache.lastEvent("layout-base", s"$d/events.parquet")
+      .contains("trained"))
+    writeEvents(d, 0 until 50) // ids BELOW the frozen split
+    val viaGuard = rowsOf(graft.ops.Layout.compactPlanDelta.fn(spark, d))
+    assert(ModelCache.lastEvent("layout-base", s"$d/events.parquet")
+      .contains("retrained"),
+      "a below-split append must decline the merge and retrain")
+    assert(viaGuard == rowsOf(graft.ops.Layout.compactPlan.fn(spark, d)),
+      "post-backfill incremental plan must equal the from-scratch planner")
+    ModelCache.clear()
+    assert(viaGuard == rowsOf(graft.ops.Layout.compactPlanDelta.fn(spark, d)))
+    // a subsequent MONOTONE append on the retrained base refreshes again
+    writeEvents(d, 400 until 450)
+    graft.ops.Layout.compactPlanDelta.fn(spark, d).collect()
+    assert(ModelCache.lastEvent("layout-base", s"$d/events.parquet")
+      .contains("refreshed"), "the guard must not poison later clean appends")
+  }
+
+  test("document bases (dedup/bm25/bpe-hist/lm): a backfill append retrains and stays exact") {
+    val d = tmpDir("backfill-docs")
+    ModelCache.clear()
+    writeDocs(d, 100 until 300) // dedup/bm25/bpe split = 7*299/8 = 261
+    val src = s"$d/documents.parquet"
+    graft.ops.Dedup.dedupBase(spark, d)
+    graft.ops.LlmPipeline.bm25Base(spark, d)
+    graft.ops.TextAnalysis.bpeHistBase(spark, d)
+    graft.ops.TextAnalysis.lmModel(spark, d)
+    writeDocs(d, 0 until 50) // below every frozen split / high-water
+    val (spG, aggG) = graft.ops.Dedup.dedupBase(spark, d)
+    val bmG = graft.ops.LlmPipeline.bm25Base(spark, d)
+    val bpeG = graft.ops.TextAnalysis.bpeHistBase(spark, d)
+    val lmG = graft.ops.TextAnalysis.lmModel(spark, d)
+    for (k <- Seq("dedup-base", "bm25-base", "bpe-hist-base", "lm-base"))
+      assert(ModelCache.lastEvent(k, src).contains("retrained"),
+        s"$k must decline the backfill merge and retrain")
+    val guarded = (spG, rowsOf(aggG), rowsOf(bmG._2), rowsOf(bmG._3),
+      rowsOf(bmG._4), rowsOf(bmG._5), bpeG._1, rowsOf(bpeG._2),
+      rowsOf(lmG.bc), rowsOf(lmG.uc), lmG.vocab)
+    ModelCache.clear()
+    val (spR, aggR) = graft.ops.Dedup.dedupBase(spark, d)
+    val bmR = graft.ops.LlmPipeline.bm25Base(spark, d)
+    val bpeR = graft.ops.TextAnalysis.bpeHistBase(spark, d)
+    val lmR = graft.ops.TextAnalysis.lmModel(spark, d)
+    assert(guarded == (spR, rowsOf(aggR), rowsOf(bmR._2), rowsOf(bmR._3),
+      rowsOf(bmR._4), rowsOf(bmR._5), bpeR._1, rowsOf(bpeR._2),
+      rowsOf(lmR.bc), rowsOf(lmR.uc), lmR.vocab),
+      "guard-retrained artifacts must equal a from-scratch build")
+  }
+
+  test("containment-base: the INCLUSIVE split's off-by-one — doc_id == sp0 is a backfill, sp0+1 is not") {
+    val d = tmpDir("backfill-contain")
+    ModelCache.clear()
+    writeDocs(d, 0 until 100) // freezes doc_id <= sp0 = 7*99/8 = 86
+    graft.ops.Dedup.containmentBase(spark, d)
+    val src = s"$d/documents.parquet"
+    // append AT the inclusive bound: inside the frozen prefix → retrain
+    writeDocs(d, 86 until 87)
+    graft.ops.Dedup.containmentBase(spark, d)
+    assert(ModelCache.lastEvent("containment-base", src).contains("retrained"),
+      "doc_id == sp0 sits inside the frozen (inclusive) prefix")
+    // the retrain moved the split to 7*99/8 = 86 again; append ABOVE it
+    writeDocs(d, 87 until 88)
+    graft.ops.Dedup.containmentBase(spark, d)
+    assert(ModelCache.lastEvent("containment-base", src).contains("refreshed"),
+      "doc_id just above the inclusive bound is a clean delta")
+    // and the served census still equals a cold rebuild
+    val viaGuard = rowsOf(graft.ops.Dedup.dedupContainment.fn(spark, d))
+    ModelCache.clear()
+    assert(viaGuard == rowsOf(graft.ops.Dedup.dedupContainment.fn(spark, d)))
+  }
+
+  test("sess-base: an event_id backfill (orthogonal to late EVENT-TIME arrivals) retrains") {
+    val d = tmpDir("backfill-sess")
+    ModelCache.clear()
+    def write(rows: Seq[(Long, Long, Long)]): Unit =
+      spark.createDataFrame(rows.map { case (id, uid, tsSec) =>
+        (id, uid, new java.sql.Timestamp(1700000000000L + tsSec * 1000L))
+      }).toDF("event_id", "user_id", "ts")
+        .coalesce(1).write.mode("append").parquet(s"$d/events.parquet")
+    write((100L to 120L).map(i => (i, i % 3, i * 100)))
+    graft.ops.Temporal.sessionizeDelta.fn(spark, d).collect()
+    assert(ModelCache.lastEvent("sess-base", s"$d/events.parquet")
+      .contains("trained"))
+    // ids below the frozen split (~7*120/8 = 105): the stitch's late-ts
+    // routing CANNOT see these (they never enter the delta slice)
+    write(Seq((10L, 0L, 500L), (11L, 1L, 600L)))
+    val viaGuard = rowsOf(graft.ops.Temporal.sessionizeDelta.fn(spark, d))
+    assert(ModelCache.lastEvent("sess-base", s"$d/events.parquet")
+      .contains("retrained"), "id backfill must decline the stitch")
+    ModelCache.clear()
+    assert(viaGuard == rowsOf(graft.ops.Temporal.sessionizeDelta.fn(spark, d)))
+  }
+
+  test("tri-base / cc-base / lp-base: a lineitem-only backfill under an OLD orderkey retrains") {
+    val d = tmpDir("backfill-tri")
+    ModelCache.clear()
+    val pairsA = (1L to 3L).flatMap(c => Seq((c, 101L), (c, 102L)))
+    writeTrades(d, 0L, pairsA, rep = 2)
+    writeTrades(d, 1000L, Seq((9L, 109L)), rep = 2) // pins split at 875
+    graft.SparkEntry.queries("q_triangles_delta")(spark, d).collect()
+    graft.SparkEntry.queries("q_components_delta")(spark, d).collect()
+    graft.SparkEntry.queries("q_label_prop")(spark, d).collect()
+    // new LINEITEMS for an orderkey inside the frozen prefix — the order
+    // side gains nothing, so only the l_orderkey probe can catch this
+    Seq((3L, 103L)).map { case (k, s) => (k, s) }
+      .toDF("l_orderkey", "l_suppkey")
+      .coalesce(1).write.mode("append").parquet(s"$d/lineitem.parquet")
+    val triG = rowsOf(graft.SparkEntry.queries("q_triangles_delta")(spark, d))
+    val ccG = rowsOf(graft.SparkEntry.queries("q_components_delta")(spark, d))
+    val lpG = rowsOf(graft.SparkEntry.queries("q_label_prop")(spark, d))
+    for (k <- Seq("tri-base", "cc-base", "lp-base"))
+      assert(ModelCache.lastEvent(k, d).contains("retrained"),
+        s"$k must catch the lineitem-side backfill")
+    ModelCache.clear()
+    assert(triG == rowsOf(graft.SparkEntry.queries("q_triangles_delta")(spark, d)))
+    assert(ccG == rowsOf(graft.SparkEntry.queries("q_components_delta")(spark, d)))
+    assert(lpG == rowsOf(graft.SparkEntry.queries("q_label_prop")(spark, d)))
+  }
+
+  test("truth bases: a vec_id backfill (which can change the query set itself) retrains") {
+    val d = tmpDir("backfill-truth")
+    ModelCache.clear()
+    def emb(i: Long): Array[Float] =
+      Array.tabulate(8)(j => (((i * 31 + j * 17) % 13) - 6).toFloat / 7f)
+    def write(r: Range): Unit =
+      r.map(i => (i.toLong, emb(i))).toDF("vec_id", "embedding")
+        .coalesce(1).write.mode("append").parquet(s"$d/embeddings.parquet")
+    write(10 until 50)
+    graft.ops.Similarity.truthBase(spark, d)
+    graft.ops.Pq.truthL2Base(spark, d)
+    write(0 until 5) // below the frozen high-water AND below the old min
+    val (exG, topG) = graft.ops.Similarity.truthBase(spark, d)
+    val (exL, topL) = graft.ops.Pq.truthL2Base(spark, d)
+    assert(ModelCache.lastEvent("truth-base", s"$d/embeddings.parquet")
+      .contains("retrained"))
+    assert(ModelCache.lastEvent("truth-l2-base", s"$d/embeddings.parquet")
+      .contains("retrained"))
+    val guarded = Seq(exG, topG, exL, topL).map(rowsOf)
+    ModelCache.clear()
+    val (exR, topR) = graft.ops.Similarity.truthBase(spark, d)
+    val (exL2, topL2) = graft.ops.Pq.truthL2Base(spark, d)
+    assert(Seq(exR, topR, exL2, topL2).map(rowsOf) == guarded,
+      "guard-retrained truth tables must equal the cold build")
+  }
+
+  test("pr-base: a backfill is ABSORBED by the edge-diff blast radius (documented why-not)") {
+    // pr-base deliberately carries no guard: its refresh re-derives the
+    // edge set from a full filtered scan, so backfilled keys surface as
+    // new edges inside the radius. Prove the claim: backfill, then the
+    // delta query must still equal the full PageRank.
+    val d = tmpDir("backfill-pr")
+    ModelCache.clear()
+    val pairsA = (0L until 20L).map(i => (i, 100L + i))
+    writeTrades(d, 100L, pairsA, rep = 2)
+    writeTrades(d, 10000L, Seq((90L, 190L)), rep = 2) // pins split high
+    graft.SparkEntry.queries("q_pagerank_delta")(spark, d).collect()
+    assert(ModelCache.lastEvent("pr-base", d).contains("trained"))
+    // backfill at keys 0..3: a brand-new durable pair BELOW the split
+    writeTrades(d, 0L, Seq((50L, 150L)), rep = 2)
+    val viaDelta = rowsOf(graft.SparkEntry.queries("q_pagerank_delta")(spark, d))
+    assert(ModelCache.lastEvent("pr-base", d).contains("refreshed"),
+      "pr-base takes the refresh path even on backfill — by design")
+    val full = rowsOf(graft.SparkEntry.queries("q_pagerank")(spark, d))
+    assert(viaDelta == full,
+      "the refreshed pr-base must absorb the backfilled edge exactly")
+  }
 }
