@@ -907,7 +907,68 @@ def gen_signed(rng):
                    f"LIMIT {rng.randint(100, 1000)}")
 
 
+def gen_layout(rng):
+    # the q_compact_plan next-fit binning class (round-15 ask #7): the
+    # closed-form bin id — floor(exclusive-prefix-sum / target) over a
+    # per-partition-key file census — had a single hand-written oracle
+    # and no generated coverage. Each query derives a randomized census
+    # (group key × id-bucket "day", bytes = count * mult), computes the
+    # exclusive prefix sum BOTH ways — the window running sum the engine
+    # uses, and an independent smaller-day join re-aggregation — and
+    # asserts bin-id agreement IN-QUERY as expect_zero on top of the
+    # cross-engine compare of the binned plan itself. (g, day) is unique
+    # by construction (GROUP BY), so the window order is total (H6).
+    key, g, tbl = rng.choice([
+        ("event_id", "event_type", "events"),
+        ("o_orderkey", "o_orderpriority", "orders"),
+        ("l_orderkey", "l_returnflag", "lineitem"),
+        ("doc_id", "lang", "documents"),
+        ("doc_id", "source", "documents"),
+    ])
+    bucket = rng.choice([7, 20, 53, 100, 256, 500])
+    mult = rng.choice([1, 10, 50, 100, 137])
+    target = rng.choice([500, 1000, 5000, 20000, 50000])
+    where = pred(rng, TABLES[tbl])
+    base = (
+        f"WITH f AS (SELECT {g} AS g, "
+        f"CAST(FLOOR({key} / {bucket}) AS BIGINT) AS day, "
+        f"CAST(count(*) * {mult} AS BIGINT) AS bytes "
+        f"FROM {tbl} WHERE {where} GROUP BY 1, 2), "
+        f"w AS (SELECT g, day, bytes, "
+        f"CAST(SUM(bytes) OVER (PARTITION BY g ORDER BY day "
+        f"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - bytes "
+        f"AS BIGINT) AS so_w FROM f), "
+        f"j AS (SELECT a.g AS g, a.day AS day, "
+        f"CAST(COALESCE(SUM(b.bytes), 0) AS BIGINT) AS so_j "
+        f"FROM f a LEFT JOIN f b ON b.g = a.g AND b.day < a.day "
+        f"GROUP BY a.g, a.day), "
+        f"m AS (SELECT w.g, w.day, w.bytes, w.so_w, j.so_j, "
+        f"CAST(FLOOR(w.so_w / {target}) AS BIGINT) AS bin_w, "
+        f"CAST(FLOOR(j.so_j / {target}) AS BIGINT) AS bin_j "
+        f"FROM w JOIN j ON j.g = w.g AND j.day = w.day) ")
+    if rng.random() < 0.5:
+        # summary branch: prefix-sum identity + bin-id identity in-query
+        return base + (
+            "SELECT CAST(count(*) AS BIGINT) AS n_files, "
+            "CAST(COALESCE(SUM(CASE WHEN so_w != so_j OR bin_w != bin_j "
+            "THEN 1 ELSE 0 END), 0) AS BIGINT) AS expect_zero, "
+            "CAST(COALESCE(SUM(bin_w), 0) AS BIGINT) AS chk_bins, "
+            "CAST(COALESCE(MAX(so_w + bytes), 0) AS BIGINT) AS chk_off FROM m")
+    # plan branch: the full binned compaction plan, cross-engine row
+    # compare, with the identity violation count riding along per bin
+    return base + (
+        "SELECT g, bin_w AS bin_id, CAST(count(*) AS BIGINT) AS n_files, "
+        "CAST(SUM(bytes) AS BIGINT) AS bytes_total, "
+        "CAST(MIN(day) AS BIGINT) AS day_min, CAST(MAX(day) AS BIGINT) AS day_max, "
+        "CAST(COALESCE(SUM(CASE WHEN bin_w != bin_j THEN 1 ELSE 0 END), 0) "
+        "AS BIGINT) AS expect_zero "
+        "FROM m GROUP BY 1, 2 ORDER BY 1, 2")
+
+
 def gen_query(rng):
+    roll = rng.random()
+    if roll < 0.025:
+        return gen_layout(rng)
     roll = rng.random()
     if roll < 0.03:
         return gen_containment(rng)
@@ -1015,7 +1076,7 @@ def main():
         gens = {"containment": gen_containment, "sweepcarry": gen_sweepcarry,
                 "bitmask": gen_bitmask, "chisq": gen_chisq,
                 "basket": gen_basket, "tridelta": gen_tridelta,
-                "rank": gen_rank, "signed": gen_signed}
+                "rank": gen_rank, "signed": gen_signed, "layout": gen_layout}
         fns = [gens[f] for f in fam.split(",")]
         queries = {f"fz_{i:04d}": fns[i % len(fns)](rng) for i in range(n)}
     else:

@@ -6,7 +6,9 @@ Bench.scala's anchorClose.
 
 Selection rules per the verdict: spread <= 1.15 (the reported min
 reproduced), runtime >= 0.25 s (timing signal above scheduler noise),
-4-6 per family so no shape class dominates the median.
+top-4 per family (PER_FAMILY, matching Bench.scala's anchor comment) so
+no shape class dominates the median; further eligible anchors in a
+family are deliberately dropped in favor of breadth across families.
 
 Usage: python3 scripts/pin_anchors.py [bench_queries.json]
 """

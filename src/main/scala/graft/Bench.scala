@@ -143,6 +143,65 @@ object Bench {
       }
     val anchorNow = anchorRatios.map { case (n, _) => results(n) }.sum
     val anchorAtClose = anchorRatios.map { case (n, _) => anchorClose(n) }.sum
+    // ---- anchor self-check (round-15 verdict #2) -----------------------
+    // r14 proved the anchor instrument can silently decay ~15% from the
+    // bulk it claims to represent — and the divergence was found by a
+    // judge, not by the tool. Every FULL bench now validates the anchors
+    // against the whole query population: take the most recent
+    // bench_history entry at the same sf with a full map, compute the
+    // median now/prev ratio over (a) the anchor set and (b) ALL shared
+    // queries, and report drift_gap = anchor/bulk − 1. Both medians share
+    // one reference run, so genuine host drift cancels and the gap
+    // isolates anchor-set decay. Past |3%| (the bar BASELINE.md
+    // documents) the bench prints a LOUD stderr warning naming the fix
+    // (scripts/pin_anchors.py re-pin). Filtered runs skip the check —
+    // no population to validate against.
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted; val k = s.size
+      if (k == 0) -1.0
+      else if (k % 2 == 1) s(k / 2) else (s(k / 2 - 1) + s(k / 2)) / 2
+    }
+    def lastFullHistory(minQ: Int): Option[Map[String, Double]] = {
+      val p = java.nio.file.Paths.get("bench_history.jsonl")
+      if (!java.nio.file.Files.exists(p)) return None
+      val qre = java.util.regex.Pattern.compile("\"queries\":\\{([^}]*)\\}")
+      val kvre = java.util.regex.Pattern.compile("\"(q_\\w+)\":(-?[0-9.]+)")
+      scala.jdk.CollectionConverters.ListHasAsScala(
+          java.nio.file.Files.readAllLines(p)).asScala
+        .reverseIterator
+        .filter(_.contains("\"sf\":\"" + sfDir + "\""))
+        .flatMap { line =>
+          val m = qre.matcher(line)
+          if (!m.find()) None
+          else {
+            val b = Map.newBuilder[String, Double]
+            val kv = kvre.matcher(m.group(1))
+            while (kv.find()) b += kv.group(1) -> kv.group(2).toDouble
+            Some(b.result()).filter(_.size >= minQ)
+          }
+        }
+        .nextOption()
+    }
+    val (driftGap, anchorDriftPrev, bulkDriftPrev) =
+      if (only.nonEmpty) (-1.0, -1.0, -1.0)
+      else lastFullHistory(ordered.size / 2) match {
+        case None => (-1.0, -1.0, -1.0)
+        case Some(prev) =>
+          def ratios(names: Iterable[String]): Seq[Double] = names.toSeq
+            .flatMap(n => for {
+              p <- prev.get(n); c <- results.get(n); if p > 0 && c > 0
+            } yield c / p)
+          val a = median(ratios(anchorClose.keys))
+          val b = median(ratios(ordered.map(_._1)))
+          if (a <= 0 || b <= 0) (-1.0, a, b) else (a / b - 1.0, a, b)
+      }
+    if (driftGap != -1.0 && math.abs(driftGap) > 0.03)
+      System.err.println(
+        f"[bench] WARNING: anchor drift (${anchorDriftPrev}%.4f vs last full run) " +
+          f"diverges ${driftGap * 100}%.1f%% from the ${ordered.size}-query bulk " +
+          f"(${bulkDriftPrev}%.4f) — past the 3%% bar. The anchor set no longer " +
+          "represents the population: re-pin with scripts/pin_anchors.py and " +
+          "update Bench.anchorClose + BASELINE.md in the same commit.")
     // ---- cold model-train costs (round-12 verdict #2) ------------------
     // ModelCache artifacts (ivf, pq, bpe, bm25, truth bases, …) train once
     // per session — the warmup pass pays, measured passes serve warm, so
@@ -159,7 +218,7 @@ object Bench {
     // always fully inside the capture tail.
     val all = results.toSeq.sortBy(_._1)
     val fullLine =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${jmap(all)},"spread":${jmap(spreads.toSeq.sortBy(_._1))},"drift":${fmt(drift)},"anchor_now":${fmt(anchorNow)},"anchor_close":${fmt(anchorAtClose)},"anchor_ratios":${jmap(anchorRatios)},"model_train":${jmap(trainCosts)},"model_train_total":${fmt(trainTotal)},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${jmap(all)},"spread":${jmap(spreads.toSeq.sortBy(_._1))},"drift":${fmt(drift)},"drift_gap":${fmt(driftGap)},"anchor_drift_prev":${fmt(anchorDriftPrev)},"bulk_drift_prev":${fmt(bulkDriftPrev)},"anchor_now":${fmt(anchorNow)},"anchor_close":${fmt(anchorAtClose)},"anchor_ratios":${jmap(anchorRatios)},"model_train":${jmap(trainCosts)},"model_train_total":${fmt(trainTotal)},"sf":"$sfDir"}"""
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("bench_queries.json"), fullLine)
     catch { case e: Throwable => System.err.println(s"[bench] file dump failed: ${e.getMessage}") }
@@ -186,7 +245,7 @@ object Bench {
     // flags the driver gate should consult before calling a regression
     val loose = spreads.toSeq.filter(_._2 > 1.5).sortBy(-_._2).take(10)
     val spreadMax = spreads.values.filter(_ > 0).maxOption.getOrElse(-1.0)
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${jmap(slowest)},"sf":"$sfDir","n_queries":${results.size},"n_failed":${failed.size},"failed":$failedJson,"n_retried":${needRetry.size},"spread_max":${fmt(spreadMax)},"spread_gt15":${jmap(loose)},"drift":${fmt(drift)},"total_drift_adj":${fmt(if (drift > 0) total / drift else -1.0)},"model_train":${jmap(trainCosts)},"model_train_total":${fmt(trainTotal)},"queries_shown":"slowest20","full_map":"bench_queries.json"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${jmap(slowest)},"sf":"$sfDir","n_queries":${results.size},"n_failed":${failed.size},"failed":$failedJson,"n_retried":${needRetry.size},"spread_max":${fmt(spreadMax)},"spread_gt15":${jmap(loose)},"drift":${fmt(drift)},"drift_gap":${fmt(driftGap)},"total_drift_adj":${fmt(if (drift > 0) total / drift else -1.0)},"model_train":${jmap(trainCosts)},"model_train_total":${fmt(trainTotal)},"queries_shown":"slowest20","full_map":"bench_queries.json"}""")
     System.out.flush()
     spark.stop()
   }

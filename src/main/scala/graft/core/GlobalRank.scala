@@ -117,7 +117,12 @@ object GlobalRank {
     * Constraints: `joinKeys` must uniquely identify rows of `df`; every
     * spec key must be a NULL-free integral or floating column (the slot
     * normalization is exact for both; decimals would silently lose
-    * order under a double cast, so they are rejected — pre-cast). */
+    * order under a double cast, so they are rejected — pre-cast); and
+    * each spec's key sequence must be a TOTAL order over `df`'s rows —
+    * append a unique tiebreak column (the H6 rule, same as the
+    * object-level doc): tied (tag, slots) rows would get
+    * nondeterministic global ranks and thus tiles that can diverge from
+    * the window-ntile oracle between runs. */
   def withNtiles(df: DataFrame, joinKeys: Seq[String],
                  specs: Seq[(String, Int, Seq[Column])]): DataFrame = {
     require(specs.nonEmpty, "withNtiles needs at least one (out, k, keys) spec")

@@ -1225,19 +1225,26 @@ object Graph {
     * triangleCensus. */
   val triangles: Q = Q(
     "q_triangles",
-    s"""WITH $triEoSql,
-       |cp AS (SELECT a.c AS u, b.c AS v, count(*) AS w
+    // Every CTE is MATERIALIZED (round-15 ask #4): the headline SELECT
+    // reads the chain through SIX scalar subqueries, and DuckDB's
+    // default CTE inlining re-planned the whole quadratic pipeline once
+    // per subquery — at the 10× dir that compounded into the temp-disk
+    // abort that put this oracle on the exception list. Materialized,
+    // each step runs once (measured: the full chain is ~8 s at 10×) and
+    // the 10× gate turns green. Pure evaluation hint, zero semantics.
+    s"""WITH ${triEoSql.replaceFirst("eo AS \\(", "eo AS MATERIALIZED (")},
+       |cp AS MATERIALIZED (SELECT a.c AS u, b.c AS v, count(*) AS w
        |  FROM eo a JOIN eo b ON a.s = b.s AND a.c < b.c GROUP BY 1, 2),
-       |ce AS (SELECT u, v FROM cp WHERE w >= $TriMinShared),
-       |sym AS (SELECT u AS x, v AS y FROM ce UNION ALL SELECT v AS x, u AS y FROM ce),
-       |deg AS (SELECT x, count(*) AS dg FROM sym GROUP BY x),
-       |oe AS (SELECT s.x AS src, s.y AS dst FROM sym s
+       |ce AS MATERIALIZED (SELECT u, v FROM cp WHERE w >= $TriMinShared),
+       |sym AS MATERIALIZED (SELECT u AS x, v AS y FROM ce UNION ALL SELECT v AS x, u AS y FROM ce),
+       |deg AS MATERIALIZED (SELECT x, count(*) AS dg FROM sym GROUP BY x),
+       |oe AS MATERIALIZED (SELECT s.x AS src, s.y AS dst FROM sym s
        |  JOIN deg da ON da.x = s.x JOIN deg db ON db.x = s.y
        |  WHERE (da.dg, s.x) < (db.dg, s.y)),
-       |tri AS (SELECT count(*) AS t FROM oe a
+       |tri AS MATERIALIZED (SELECT count(*) AS t FROM oe a
        |  JOIN oe b ON b.src = a.src AND b.dst != a.dst
        |  JOIN oe cl ON cl.src = a.dst AND cl.dst = b.dst),
-       |wsum AS (SELECT coalesce(sum(dg * (dg - 1) // 2), 0) AS nw FROM deg)
+       |wsum AS MATERIALIZED (SELECT coalesce(sum(dg * (dg - 1) // 2), 0) AS nw FROM deg)
        |SELECT (SELECT CAST(count(*) AS BIGINT) FROM deg) AS n_nodes,
        |  (SELECT CAST(count(*) AS BIGINT) FROM ce) AS n_edges,
        |  (SELECT CAST(nw AS BIGINT) FROM wsum) AS n_wedges,

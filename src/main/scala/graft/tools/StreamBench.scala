@@ -82,6 +82,11 @@ object StreamBench {
     // half the drops. One drop per batch is pinned by maxFilesPerTrigger.
     while ({ harvest(q, prog); prog.size < drops } &&
       System.nanoTime() < deadline) Thread.sleep(100)
+    // the deadline must FAIL loudly, not fall through to stats over a
+    // partial harvest (round-15 advice: lat.max on an empty seq throws
+    // an unrelated error; a part-harvest prints rates as if complete)
+    require(prog.size == drops,
+      s"timed out: harvested ${prog.size}/$drops batches before the deadline")
     val sec = (System.nanoTime() - t0) / 1e9
     val lat = prog.values.map(_._2).toSeq
     q.stop()
@@ -123,6 +128,8 @@ object StreamBench {
     val dDeadline = System.nanoTime() + 600L * 1000 * 1000 * 1000
     while ({ harvest(dq, dProg); dProg.size < drops } &&
       System.nanoTime() < dDeadline) Thread.sleep(100)
+    require(dProg.size == drops,
+      s"timed out: harvested ${dProg.size}/$drops dedup batches before the deadline")
     val dSec = (System.nanoTime() - t1) / 1e9
     val dLat = dProg.values.map(_._2).toSeq
     dq.stop()

@@ -90,4 +90,41 @@ class InventorySpec extends AnyFunSuite {
     assert(stale.isEmpty,
       s"stale ledger sites (run scripts/gen_ledger.py --write): ${stale.mkString("; ")}")
   }
+
+  // ---- spec-count + verify-skill drift guard (round-15 verdict #8) ----
+  // The stale-count class recurred every round (README 393→402→406, each
+  // fixed by hand after advice). Every spec in this tree is registered
+  // statically — one `test(` call at the start of a line per spec, never
+  // inside a loop — so the suite count is derivable from source: this
+  // count has matched `sbt test`'s reported total exactly at every
+  // close since the convention started. If someone ever registers tests
+  // in a loop, the derived count diverges from the runner's and THIS
+  // test's message says where the convention broke.
+
+  private def specCount: Int = {
+    val root = java.nio.file.Paths.get("src/test/scala")
+    val decl = """(?m)^\s*test\(""".r
+    java.nio.file.Files.walk(root).iterator().asScala
+      .filter(_.toString.endsWith(".scala"))
+      .map(p => decl.findAllMatchIn(read(p.toString)).size)
+      .sum
+  }
+
+  test("README.md and the verify skill state the registered spec count") {
+    val n = specCount
+    assert(read("README.md").contains(s"# $n specs"),
+      s"README must state '# $n specs' (statically registered test() calls)")
+    assert(read(".claude/skills/verify/SKILL.md").contains(s"`sbt test` = $n specs"),
+      s"verify SKILL.md must state '`sbt test` = $n specs'")
+  }
+
+  test("the verify skill's oracle-gate expect line matches the registry") {
+    val skill = read(".claude/skills/verify/SKILL.md")
+    assert(skill.contains(s"== $nDeclared pass / 0 fail =="),
+      s"verify SKILL.md must expect '== $nDeclared pass / 0 fail =='")
+    assert(skill.contains(
+      s"($nOracle hash-compared + ${nDeclared - nOracle} no-oracle rows-only)"),
+      s"verify SKILL.md must state '($nOracle hash-compared + " +
+        s"${nDeclared - nOracle} no-oracle rows-only)'")
+  }
 }
