@@ -492,17 +492,47 @@ object CdcPipeline {
           (fresh, now)
         }
     }
-    listing.map {
+    // Per-table capture legs run CONCURRENTLY: each touches only its own
+    // metadata/output/state dirs (processBatch has no cross-table state),
+    // and Spark schedules concurrent driver-side jobs fine — so the
+    // consistent tick's latency is the MAX of the per-table costs, not
+    // the SUM. Measured (StreamBench fanout, 6 tables, sf0.1): the
+    // sequential loop grew tick p50 761 → 2,455 ms at 6 tables; the
+    // epoch/listing semantics are untouched because the shared listing
+    // and pin are taken BEFORE any capture starts. Bounded pool: table
+    // count is config-sized, but don't let a 100-table deployment open
+    // 100 concurrent jobs.
+    if (listing.size <= 1) listing.map {
       case (_, None) => false
-      case (cfg, Some(file)) =>
-        val reader = spark.read
-        if (cfg.inputFormat == "csv")
-          reader.option("header", "true").option("inferSchema", "true")
-        val batch = reader.format(cfg.inputFormat).load(file)
-        processBatch(spark, batch, cfg, captureEmpty = true,
-          batchId = Some(epoch), epoch = Some(epoch),
-          captureTs = Some(new java.sql.Timestamp(tickTs)))
+      case (cfg, Some(file)) => tickTable(spark, cfg, file, epoch, tickTs)
+    } else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(listing.size, 8))
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutor(pool)
+      try scala.concurrent.Await.result(
+        scala.concurrent.Future.sequence(listing.map {
+          case (_, None) => scala.concurrent.Future.successful(false)
+          case (cfg, Some(file)) => scala.concurrent.Future {
+            SparkSession.setActiveSession(spark)
+            tickTable(spark, cfg, file, epoch, tickTs)
+          }
+        }), scala.concurrent.duration.Duration.Inf)
+      finally pool.shutdown()
     }
+  }
+
+  /** One table's leg of a consistent tick: read its pinned snapshot and
+    * run the detect+capture path under the shared epoch/timestamp. */
+  private def tickTable(spark: SparkSession, cfg: Config, file: String,
+      epoch: Long, tickTs: Long): Boolean = {
+    val reader = spark.read
+    if (cfg.inputFormat == "csv")
+      reader.option("header", "true").option("inferSchema", "true")
+    val batch = reader.format(cfg.inputFormat).load(file)
+    processBatch(spark, batch, cfg, captureEmpty = true,
+      batchId = Some(epoch), epoch = Some(epoch),
+      captureTs = Some(new java.sql.Timestamp(tickTs)))
   }
 
   /** Streaming driver for [[pollTickAll]]: a rate ticker fires one

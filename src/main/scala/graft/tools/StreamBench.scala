@@ -27,7 +27,18 @@ import java.nio.file.{Files, Paths, StandardCopyOption}
   * Run: SPARK_GRAFT_SF_DIR=... runMain graft.tools.StreamBench [K]
   */
 object StreamBench {
-  def main(args: Array[String]): Unit = {
+  /** Modes: no args / `[K]` = the original CDC + dedup pair;
+    * `tws [K]` = rate the transformWithState ports against their
+    * fMGWS / native twins (round-15 ask #3); `fanout [K] [D]` = rate
+    * multi-table consistent ticks vs query-per-table (round-15 ask #6,
+    * R22's Spark disposition). */
+  def main(args: Array[String]): Unit = args.headOption match {
+    case Some("tws") => twsMain(args.drop(1))
+    case Some("fanout") => fanoutMain(args.drop(1))
+    case _ => cdcMain(args)
+  }
+
+  private def cdcMain(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val drops = if (args.nonEmpty) args(0).toInt else 10
@@ -137,6 +148,240 @@ object StreamBench {
     require(admitted.get() == nRows,
       s"gate must admit exactly one wave: admitted ${admitted.get()} of $nRows")
     println(s"""{"metric":"s_stream_dedup","drops":$drops,"rows_in":${seen.get()},"rows_admitted":${admitted.get()},"wall_sec":${fmt(dSec)},"rows_per_sec":${fmt(seen.get() / dSec)},"batch_ms_p50":${fmt(pct(dLat, 0.5))},"batch_ms_p99":${fmt(pct(dLat, 0.99))},"batch_ms_max":${fmt(dLat.max)},"sf":"$sfDir"}""")
+    spark.stop()
+  }
+
+  private def fmt(v: Double): String =
+    BigDecimal(v).setScale(1, BigDecimal.RoundingMode.HALF_UP).toString
+  private def pct(xs: Seq[Double], p: Double): Double =
+    if (xs.isEmpty) -1.0
+    else xs.sorted.apply(math.min(xs.size - 1, (p * xs.size).toInt))
+
+  /** Slice `df` into `k` single-file drops by contiguous ranges of
+    * `idCol` (the stream-arrival order) under `dir`, atomically moved in
+    * so the file source sees whole drops. Returns total staged rows. */
+  private def stageSlices(spark: SparkSession, df: org.apache.spark.sql.DataFrame,
+      idCol: String, k: Int, work: String, dir: String): Long = {
+    Files.createDirectories(Paths.get(dir))
+    val r = df.agg(min(col(idCol)), max(col(idCol))).head()
+    val (lo, hi) = (r.getLong(0), r.getLong(1))
+    val span = hi - lo + 1
+    var total = 0L
+    (0 until k).foreach { i =>
+      val a = lo + span * i / k
+      val b = if (i == k - 1) hi + 1 else lo + span * (i + 1) / k
+      val stage = s"$work/twsstage$i"
+      val slice = df.filter(col(idCol) >= a && col(idCol) < b)
+      total += slice.count()
+      slice.coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = Files.list(Paths.get(stage)).toArray.map(_.toString)
+        .filter(_.endsWith(".parquet")).head
+      Files.move(Paths.get(part), Paths.get(s"$dir/drop_$i.parquet"),
+        StandardCopyOption.ATOMIC_MOVE)
+    }
+    total
+  }
+
+  /** Poll a started query until `drops` data batches commit (loud fail
+    * on the 600 s deadline), then emit one JSON rating line carrying
+    * rows/s, per-batch p50/p99, and the STATE-STORE share of each batch.
+    * The store metrics (commitTimeMs + allUpdatesTimeMs +
+    * allRemovalsTimeMs) are summed ACROSS TASKS by Spark, so the raw
+    * sum routinely exceeds the batch's wall duration; `state_share`
+    * therefore normalizes by the state-partition count (`parts`):
+    * share = Σ state-task-ms / (Σ trigger-ms × parts) — the fraction of
+    * each parallel slot's batch time spent in the store. High share →
+    * the store is the bottleneck; low share → shuffle/compute is. */
+  private def rateQuery(metric: String, engine: String, drops: Int,
+      rowsIn: Long, sfDir: String, parts: Int)
+      (start: => org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+    val prog = scala.collection.mutable.Map.empty[Long, (Double, Double)]
+    val t0 = System.nanoTime()
+    val q = start
+    val deadline = t0 + 600L * 1000 * 1000 * 1000
+    def harvest(): Unit = q.recentProgress.filter(_.numInputRows > 0).foreach { pr =>
+      val so = pr.stateOperators
+      prog(pr.batchId) = (
+        pr.durationMs.get("triggerExecution").toDouble,
+        so.map(s => s.commitTimeMs + s.allUpdatesTimeMs + s.allRemovalsTimeMs)
+          .sum.toDouble)
+    }
+    while ({ harvest(); prog.size < drops } &&
+      System.nanoTime() < deadline) Thread.sleep(100)
+    require(prog.size == drops,
+      s"$metric/$engine timed out: ${prog.size}/$drops batches")
+    val sec = (System.nanoTime() - t0) / 1e9
+    q.stop()
+    val trig = prog.values.map(_._1).toSeq
+    val st = prog.values.map(_._2).toSeq
+    val share = if (trig.sum > 0) st.sum / (trig.sum * parts) else -1.0
+    println(s"""{"metric":"$metric","engine":"$engine","drops":$drops,"rows_in":$rowsIn,"wall_sec":${fmt(sec)},"rows_per_sec":${fmt(rowsIn / sec)},"batch_ms_p50":${fmt(pct(trig, 0.5))},"batch_ms_p99":${fmt(pct(trig, 0.99))},"state_task_ms_p50":${fmt(pct(st, 0.5))},"state_share":${BigDecimal(share).setScale(3, BigDecimal.RoundingMode.HALF_UP)},"sf":"$sfDir"}""")
+  }
+
+  private val RocksDb =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
+  /** Rate the transformWithState ports (round-15 ask #3) against their
+    * fMGWS / native twins on the SAME drops protocol as cdcMain: K
+    * contiguous event-id slices of the sf events table (the stream in
+    * arrival order) and K doc-id slices of the documents token stream,
+    * one file per drop, maxFilesPerTrigger=1, 50 ms trigger, foreachBatch
+    * count sink. TWS queries run on RocksDB (the API's requirement);
+    * fMGWS twins run on the default HDFS-backed store (their production
+    * shape) — the state_share column separates store cost from
+    * shuffle/compute either way. ChecksumProcessor is deliberately NOT
+    * rated: its input is one digest row per table per tick — rating it
+    * measures the harness, not the engine. */
+  private def twsMain(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val drops = if (args.nonEmpty) args(0).toInt else 10
+    val spark = graft.core.Session.local(cpus.toInt, cpus.toInt)
+    import spark.implicits._
+    spark.sparkContext.setLogLevel("ERROR")
+    val work = Files.createTempDirectory("graft-twsbench").toString
+
+    val ev = graft.core.Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val evRows = stageSlices(spark, ev, "event_id", drops, work, s"$work/ev")
+    val evSchema = spark.read.parquet(s"$work/ev/drop_0.parquet").schema
+    def evStream = spark.readStream.schema(evSchema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$work/ev")
+
+    val toks = graft.core.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+    val tokRows = stageSlices(spark, toks, "doc_id", drops, work, s"$work/tok")
+    val tokSchema = spark.read.parquet(s"$work/tok/drop_0.parquet").schema
+    def tokStream = spark.readStream.schema(tokSchema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$work/tok")
+      .select(col("token")).as[String]
+
+    def sinkCount(ds: org.apache.spark.sql.DataFrame, ckpt: String,
+        mode: String = "append") =
+      ds.writeStream.outputMode(mode)
+        .option("checkpointLocation", s"$work/$ckpt")
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.count(); ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(50L))
+
+    def withRocks[T](body: => T): T = {
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass", RocksDb)
+      try body
+      finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+
+    rateQuery("s_stream_concurrency", "fmgws-hdfs", drops, evRows, sfDir, cpus.toInt) {
+      sinkCount(graft.streaming.Stateful.concurrencyEvents(evStream).toDF(),
+        "c1").start()
+    }
+    withRocks {
+      rateQuery("s_stream_concurrency", "tws-rocksdb", drops, evRows, sfDir, cpus.toInt) {
+        sinkCount(graft.streaming.Stateful.concurrencyEventsTws(evStream).toDF(),
+          "c2").start()
+      }
+    }
+    rateQuery("s_stream_topk", "fmgws-hdfs", drops, tokRows, sfDir, cpus.toInt) {
+      sinkCount(graft.streaming.Stateful.runningTokenCounts(tokStream).toDF(),
+        "t1").start()
+    }
+    withRocks {
+      rateQuery("s_stream_topk", "tws-rocksdb", drops, tokRows, sfDir, cpus.toInt) {
+        sinkCount(graft.streaming.Stateful.runningTokenCountsTws(tokStream).toDF(),
+          "t2").start()
+      }
+    }
+    rateQuery("s_session_window", "native-agg-hdfs", drops, evRows, sfDir, cpus.toInt) {
+      sinkCount(graft.streaming.Stateful.sessionCounts(
+          evStream.select(col("user_id"), col("ts"))),
+        "s1").start()
+    }
+    withRocks {
+      rateQuery("s_session_timer", "tws-rocksdb", drops, evRows, sfDir, cpus.toInt) {
+        sinkCount(graft.streaming.Stateful.sessionCountsTws(
+            evStream.select(col("user_id"), col("ts"))).toDF(),
+          "s2").start()
+      }
+    }
+    spark.stop()
+  }
+
+  /** Rate R22's multi-table fan-out (round-15 ask #6): K table configs
+    * driven through ONE consistent tick stream (pollTickAll under
+    * startConsistent — the reference's one-copy-per-tick semantics) vs
+    * K INDEPENDENT per-table streaming queries (startAll), vs the K=1
+    * baseline. Protocol: every table gets the same sf customer data (so
+    * fan-out cost is isolated from table-size variance), D generations
+    * are dropped live — each next generation lands only after the
+    * previous one's captures are visible in every output — and the line
+    * reports captured rows/s plus the tick/batch duration spread. */
+  private def fanoutMain(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val k = if (args.length > 0) args(0).toInt else 6
+    val gens = if (args.length > 1) args(1).toInt else 5
+    val spark = graft.core.Session.local(cpus.toInt, cpus.toInt)
+    spark.sparkContext.setLogLevel("ERROR")
+    val src = spark.read.parquet(s"$sfDir/customer.parquet")
+    val nRows = src.count()
+
+    def runProtocol(label: String, nTables: Int,
+        mkQueries: (String, Seq[graft.streaming.CdcPipeline.Config])
+          => Seq[org.apache.spark.sql.streaming.StreamingQuery]): Unit = {
+      val work = Files.createTempDirectory(s"graft-fanout-$label").toString
+      val cfgs = (0 until nTables).map { t =>
+        graft.streaming.CdcPipeline.Config(
+          inputDir = s"$work/in$t", outputDir = s"$work/out$t",
+          metadataDir = s"$work/meta$t", checkpointDir = s"$work/ckpt$t",
+          tableName = s"t$t", triggerMs = 50L)
+      }
+      cfgs.foreach(c => Files.createDirectories(Paths.get(c.inputDir)))
+      // pre-build every generation's file once; drops are atomic moves
+      val genFiles = (0 until gens).map { g =>
+        val stage = s"$work/gen$g"
+        src.withColumn("c_acctbal", col("c_acctbal") + g)
+          .coalesce(1).write.mode("overwrite").parquet(stage)
+        Files.list(Paths.get(stage)).toArray.map(_.toString)
+          .filter(_.endsWith(".parquet")).head
+      }
+      val queries = mkQueries(work, cfgs)
+      def captured(t: Int): Long = {
+        val out = Paths.get(cfgs(t).outputDir)
+        if (!Files.exists(out)) 0L
+        else spark.read.json(cfgs(t).outputDir).count()
+      }
+      val t0 = System.nanoTime()
+      (0 until gens).foreach { g =>
+        cfgs.zipWithIndex.foreach { case (c, t) =>
+          Files.copy(Paths.get(genFiles(g)),
+            Paths.get(s"${c.inputDir}/gen_$g.parquet"))
+        }
+        val want = nRows * (g + 1)
+        val dl = System.nanoTime() + 600L * 1000 * 1000 * 1000
+        while ((0 until nTables).exists(t =>
+            (try captured(t) catch { case _: Throwable => 0L }) < want) &&
+          System.nanoTime() < dl) Thread.sleep(100)
+        require((0 until nTables).forall(t => captured(t) >= want),
+          s"$label gen $g: capture timed out")
+      }
+      val sec = (System.nanoTime() - t0) / 1e9
+      val lats = queries.flatMap(_.recentProgress.toSeq)
+        .map(_.durationMs.get("triggerExecution").toDouble)
+      queries.foreach(_.stop())
+      val total = nRows * gens * nTables
+      println(s"""{"metric":"cdc_fanout","mode":"$label","tables":$nTables,"gens":$gens,"rows_captured":$total,"wall_sec":${fmt(sec)},"rows_per_sec":${fmt(total / sec)},"tick_ms_p50":${fmt(pct(lats, 0.5))},"tick_ms_p99":${fmt(pct(lats, 0.99))},"tick_ms_max":${fmt(if (lats.isEmpty) -1.0 else lats.max)},"sf":"$sfDir"}""")
+    }
+
+    // K=1 baseline, then consistent ticks over K, then query-per-table
+    runProtocol("single", 1, (w, cfgs) => Seq(
+      graft.streaming.CdcPipeline.startConsistent(spark, cfgs, s"$w/cons-ckpt",
+        triggerMs = 50L)))
+    runProtocol("consistent", k, (w, cfgs) => Seq(
+      graft.streaming.CdcPipeline.startConsistent(spark, cfgs, s"$w/cons-ckpt",
+        triggerMs = 50L)))
+    runProtocol("per-table", k, (_, cfgs) =>
+      graft.streaming.CdcPipeline.startAll(spark,
+        cfgs.map(c => (c, src.schema))))
     spark.stop()
   }
 }
