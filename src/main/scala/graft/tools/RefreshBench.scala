@@ -69,9 +69,14 @@ object RefreshBench {
     // events: event_id AND user_id shift per replica — growth arrives as
     // new users with fresh ids (the id-monotone ingest contract)
     replicate("events", Seq("event_id", "user_id"), 0 until k)
+    replicate("embeddings", Seq("vec_id"), 0 until k)
     replicateTrades(0 until k)
 
     val artifacts: Seq[(String, () => Any)] = Seq(
+      // ivf is the warm-start member (round-15 ask #5): refresh seeds
+      // Lloyd from the frozen centroids and runs ONE round instead of
+      // Iters — quality-parity contract (RefreshSpec), economics here
+      "ivf" -> (() => graft.ops.Similarity.trainedParts(spark, work)),
       "dedup-base" -> (() => graft.ops.Dedup.dedupBase(spark, work)),
       "bm25-base" -> (() => graft.ops.LlmPipeline.bm25Base(spark, work)),
       "bpe-hist-base" -> (() => graft.ops.TextAnalysis.bpeHistBase(spark, work)),
@@ -85,6 +90,7 @@ object RefreshBench {
 
     replicate("documents", Seq("doc_id"), k until k + 1)
     replicate("events", Seq("event_id", "user_id"), k until k + 1)
+    replicate("embeddings", Seq("vec_id"), k until k + 1)
     replicateTrades(k until k + 1)
 
     val tRefresh = artifacts.map { case (name, f) =>
@@ -94,6 +100,7 @@ object RefreshBench {
         s"$work/documents.parquet"
       else if (name.contains("sess") || name.contains("layout"))
         s"$work/events.parquet"
+      else if (name == "ivf") s"$work/embeddings.parquet"
       else work
       require(graft.core.ModelCache.lastEvent(name, path).contains("refreshed"),
         s"$name did not take the refresh path")

@@ -810,6 +810,49 @@ class RefreshSpec extends SparkSuite {
       "guard-retrained truth tables must equal the cold build")
   }
 
+  test("ivf: warm-start refresh — quality parity with retrain, full coverage, cells sane") {
+    // Round-15 ask #5: Lloyd seeds from the frozen centroids on append
+    // (1 round instead of Iters). Centroids are NOT monoidal, so the
+    // contract is QUALITY parity, not bit parity: the warm index must
+    // cover the grown corpus exactly once per vector and its k-means
+    // objective (intraCellCosine) must not fall materially below the
+    // cold retrain's on the same corpus.
+    val d = tmpDir("refresh-ivf")
+    ModelCache.clear()
+    def emb(i: Long): Array[Float] =
+      Array.tabulate(64)(j => (((i * 31 + j * 17) % 29) - 14).toFloat / 15f)
+    def write(r: Range): Unit =
+      r.map(i => (i.toLong, emb(i))).toDF("vec_id", "embedding")
+        .coalesce(1).write.mode("append").parquet(s"$d/embeddings.parquet")
+    write(0 until 400)
+    graft.ops.Similarity.trainedParts(spark, d)
+    assert(ModelCache.lastEvent("ivf", s"$d/embeddings.parquet")
+      .contains("trained"))
+    // append: n grows 400 -> 640, so k = ceil(sqrt(n)) grows 20 -> 26 —
+    // the warm path must TOP UP seeds beyond the frozen centroid set
+    write(400 until 640)
+    val (warmParts, warmProbe) = graft.ops.Similarity.trainedParts(spark, d)
+    assert(ModelCache.lastEvent("ivf", s"$d/embeddings.parquet")
+      .contains("refreshed"), "append-only growth must take the warm path")
+    val warmAssign = warmParts.assign.select("vec_id", "cid").collect()
+    assert(warmAssign.length == 640, "every vector assigned exactly once")
+    assert(warmAssign.map(_.getLong(0)).distinct.length == 640)
+    val warmCells = warmParts.cents.count()
+    assert(warmCells >= 16 && warmCells <= 26,
+      s"cell count $warmCells outside [16, k=26]")
+    assert(warmProbe.count() > 0, "probe must re-derive on the warm index")
+    val warmQ = graft.ops.Similarity.intraCellCosine(spark, d,
+      warmParts.assign.select("vec_id", "cid"))
+    ModelCache.clear()
+    val (coldParts, _) = graft.ops.Similarity.trainedParts(spark, d)
+    assert(ModelCache.lastEvent("ivf", s"$d/embeddings.parquet")
+      .contains("trained"))
+    val coldQ = graft.ops.Similarity.intraCellCosine(spark, d,
+      coldParts.assign.select("vec_id", "cid"))
+    assert(warmQ >= coldQ - 0.02,
+      s"warm-start objective $warmQ fell materially below cold retrain $coldQ")
+  }
+
   test("pr-base: a backfill is ABSORBED by the edge-diff blast radius (documented why-not)") {
     // pr-base deliberately carries no guard: its refresh re-derives the
     // edge set from a full filtered scan, so backfilled keys surface as
