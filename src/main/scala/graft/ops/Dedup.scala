@@ -1205,10 +1205,156 @@ object Dedup {
       .orderBy("engulfed", "engulfer")
   }
 
+  // ---------------------------------------------------------------------
+  // n-gram novelty: first-seen shingle census (round 16)
+  // ---------------------------------------------------------------------
+
+  /** Oracle SQL shared VERBATIM by q_ngram_novelty and q_novelty_delta
+    * (the delta-family contract): per-shingle first owner = min doc_id,
+    * novelty of a doc = the distinct shingles it owns / its distinct
+    * shingles, in exact-integer ppm. */
+  private val noveltySql =
+    """WITH toksr AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |sh0 AS (
+      |  SELECT doc_id, unnest([array_to_string(toks[i:i+7], ' ')
+      |                         for i in generate_series(1, len(toks) - 7)]) AS shingle
+      |  FROM toksr WHERE len(toks) >= 8),
+      |sh AS MATERIALIZED (SELECT DISTINCT doc_id, shingle FROM sh0),
+      |own AS (SELECT shingle, min(doc_id) AS owner FROM sh GROUP BY 1),
+      |nv AS (SELECT owner AS doc_id, CAST(count(*) AS BIGINT) AS n_novel
+      |       FROM own GROUP BY 1),
+      |sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles
+      |       FROM sh GROUP BY 1)
+      |SELECT s.doc_id, s.n_shingles,
+      |  CAST(coalesce(n.n_novel, 0) AS BIGINT) AS n_novel,
+      |  CAST((coalesce(n.n_novel, 0) * 1000000) // s.n_shingles AS BIGINT)
+      |    AS novelty_ppm
+      |FROM sz s LEFT JOIN nv n ON n.doc_id = s.doc_id
+      |ORDER BY s.doc_id""".stripMargin
+
+  /** Per-doc novelty from a (doc_id, shingle) relation and an owner
+    * census restricted to the docs the caller wants novelty credited to
+    * — shared by the full query, the frozen-base train, its refresh
+    * slice, and the delta serve leg, so all four can only differ in how
+    * the inputs were sliced. */
+  private def noveltyFrom(sh: DataFrame, own: DataFrame): DataFrame = {
+    val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+    val nv = own.groupBy(col("owner").as("doc_id"))
+      .agg(count(lit(1)).as("n_novel"))
+    sz.join(nv, Seq("doc_id"), "left")
+      .withColumn("n_novel", coalesce(col("n_novel"), lit(0L)))
+      .withColumn("novelty_ppm", expr("(n_novel * 1000000) div n_shingles"))
+      .select("doc_id", "n_shingles", "n_novel", "novelty_ppm")
+  }
+
+  /** q_ngram_novelty: ingest-order content-freshness census — for each
+    * document, how much of its distinct 8-token-shingle content is seen
+    * HERE FIRST (owner = min doc_id over the corpus, the ingest-id
+    * order)? The curation signal between exact dedup (novelty 0 for a
+    * byte-clone) and near-dup Jaccard: boilerplate-heavy docs score low
+    * without any pair ever being formed, and a sampling policy can keep
+    * high-novelty docs preferentially (the epoch/importance planners'
+    * natural input).
+    *
+    * Scale shape: text never crosses a shuffle (shingles explode
+    * map-side and hash-partition by shingle); the owner census is ONE
+    * min-aggregation over distinct (doc, shingle) — the dedup-base
+    * monoid — and per-doc novel counts fall out of the census itself
+    * (group the O(distinct shingles) owner table by owner), so there is
+    * no second pass over the corpus and never any pair join. O(corpus
+    * shingles) total, three partial-aggregating shuffles. */
+  val ngramNovelty: Q = Q("q_ngram_novelty", noveltySql) { (s, d) =>
+    val sh = shinglesOf(T.documents(s, d).select(col("doc_id"), col("text")))
+      .localCheckpoint() // feeds sizes + owner census
+    noveltyFrom(sh,
+      sh.groupBy("shingle").agg(min(col("doc_id")).as("owner")))
+      .orderBy("doc_id")
+  }
+
+  /** Frozen first-owner artifact for [[noveltyDelta]] — the novelty
+    * member of the delta family: (split, per-shingle owner census over
+    * docs below the split, frozen per-doc novelty rows). Both halves are
+    * append-stable BY THE MIN MONOID: a new doc's id exceeds every
+    * frozen id, so it can never steal ownership — frozen per-doc rows
+    * are immutable and the owner census only gains rows. REFRESH rolls
+    * forward with delta-sized writes only (new-shingle owners + the
+    * slice's result rows; the stored unions stay lazy behind
+    * flattenWide). BACKFILL GUARD from day one (this round's mechanism):
+    * a new file with doc_id < split COULD steal ownership, so the probe
+    * declines the merge and ModelCache retrains. */
+  private[graft] def noveltyBase(s: SparkSession, d: String)
+      : (Long, DataFrame, DataFrame) =
+    graft.core.ModelCache.getOrRefreshGuarded(
+      s, "novelty-base", s"$d/documents.parquet") {
+      val docs = T.documents(s, d).select(col("doc_id"), col("text"))
+      val maxRow = docs.agg(max(col("doc_id"))).head()
+      val maxId = if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0)
+      val sp = 7L * maxId / 8L
+      val sh = shinglesOf(docs.filter(col("doc_id") < sp)).localCheckpoint()
+      val own = sh.groupBy("shingle").agg(min(col("doc_id")).as("owner"))
+        .localCheckpoint()
+      (sp, own, noveltyFrom(sh, own).localCheckpoint())
+    } { case ((sp0, own0, res0), newFiles) =>
+      if (graft.core.Backfill.below(s, newFiles, "doc_id", sp0)) None
+      else Some {
+        val docs = T.documents(s, d).select(col("doc_id"), col("text"))
+        val maxRow = docs.agg(max(col("doc_id"))).head()
+        val maxId = if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0)
+        val sp1 = math.max(7L * maxId / 8L, sp0) // monotone, now CHECKED
+        val shS = shinglesOf(
+          docs.filter(col("doc_id") >= sp0 && col("doc_id") < sp1))
+          .localCheckpoint() // feeds new-owner census + slice sizes
+        // only shingles UNSEEN below sp0 gain an owner; within the slice
+        // the min decides — old-owned shingles drop behind the anti-join
+        val newOwn = shS
+          .join(own0.select("shingle"), Seq("shingle"), "left_anti")
+          .groupBy("shingle").agg(min(col("doc_id")).as("owner"))
+          .localCheckpoint()
+        (sp1,
+          graft.core.Session.flattenWide(own0.unionByName(newOwn)),
+          graft.core.Session.flattenWide(
+            res0.unionByName(noveltyFrom(shS, newOwn).localCheckpoint())))
+      }
+    }
+
+  /** The CURRENT seen-shingle membership view: frozen owner census ⊕ the
+    * live (id ≥ split) slice's shingles — the containmentServe shape,
+    * what the streaming novelty gate probes (an ARRIVING doc is novel
+    * against the whole corpus as of now, not just the frozen prefix).
+    * O(live slice) scan per resolve; the frozen side never re-reads. */
+  private[graft] def noveltyServe(s: SparkSession, d: String): DataFrame = {
+    val (split, own, _) = noveltyBase(s, d)
+    own.select(col("shingle")).unionByName(
+      shinglesOf(T.documents(s, d).select(col("doc_id"), col("text"))
+          .filter(col("doc_id") >= split))
+        .select(col("shingle")))
+      .distinct()
+  }
+
+  /** q_novelty_delta: the novelty census served INCREMENTALLY — frozen
+    * per-doc rows verbatim (immutable under append by the min monoid),
+    * live docs (id ≥ split) scored against the frozen owner census plus
+    * a live-only min: a live doc's shingle is novel iff no frozen doc
+    * owns it AND no smaller-id live doc does. Zero re-reads of the
+    * frozen corpus; the live leg's doc_id ≥ split predicate reaches the
+    * parquet scan. ORACLE: q_ngram_novelty's SQL VERBATIM — the
+    * incremental path must reproduce the from-scratch census
+    * bit-for-bit, the delta-family contract. */
+  val noveltyDelta: Q = Q("q_novelty_delta", noveltySql) { (s, d) =>
+    val (split, own, res) = noveltyBase(s, d)
+    val shL = shinglesOf(T.documents(s, d)
+        .select(col("doc_id"), col("text"))
+        .filter(col("doc_id") >= split))
+      .localCheckpoint() // feeds live-owner census + live sizes
+    val ownL = shL.join(own.select("shingle"), Seq("shingle"), "left_anti")
+      .groupBy("shingle").agg(min(col("doc_id")).as("owner"))
+    res.unionByName(noveltyFrom(shL, ownL)).orderBy("doc_id")
+  }
+
   val all: Seq[Q] =
     Seq(dedupMinhash, dedupSimhash, ngramJaccard, simhashHamming,
       dedupEditDistance, neardupPipeline, dedupClusters, dedupReport,
       minhashJaccardEst, substringDedup, substringScrub, dedupDelta,
       sourceOverlap, dedupSweep, dedupContainment, containmentEst,
-      containmentDelta)
+      containmentDelta, ngramNovelty, noveltyDelta)
 }

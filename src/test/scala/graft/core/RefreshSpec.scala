@@ -810,6 +810,47 @@ class RefreshSpec extends SparkSuite {
       "guard-retrained truth tables must equal the cold build")
   }
 
+  test("novelty-base: refresh == retrain == the full census, and backfill (ownership theft) retrains") {
+    // Round 16: the novelty member of the delta family. Frozen rows are
+    // immutable only because new ids cannot steal first-ownership — the
+    // exact property an id backfill breaks, so this member ships with
+    // the guard from day one.
+    val d = tmpDir("refresh-novelty")
+    ModelCache.clear()
+    // 10-token docs → 3 shingles each; overlapping windows across docs
+    // share shingles, so ownership actually contends
+    def text(i: Long): String =
+      (0 until 10).map(j => s"w${(i * 2 + j) % 40}").mkString(" ")
+    def write(r: Range): Unit =
+      spark.createDataFrame(r.map(i => (i.toLong, text(i))))
+        .toDF("doc_id", "text")
+        .coalesce(1).write.mode("append").parquet(s"$d/documents.parquet")
+    def full(): Seq[String] =
+      rowsOf(graft.ops.Dedup.ngramNovelty.fn(spark, d))
+    def delta(): Seq[String] =
+      rowsOf(graft.ops.Dedup.noveltyDelta.fn(spark, d))
+    val src = s"$d/documents.parquet"
+    write(100 until 300) // split freezes at 7*299/8 = 261
+    assert(delta() == full(), "incremental must equal the census (gen A)")
+    assert(ModelCache.lastEvent("novelty-base", src).contains("trained"))
+    // append: slice [261, 315) rolls into the base; the rest serves live
+    write(300 until 360)
+    val viaRefresh = delta()
+    assert(ModelCache.lastEvent("novelty-base", src).contains("refreshed"),
+      "append-only growth must take the merge path")
+    assert(viaRefresh == full(), "incremental must equal the census (gen B)")
+    ModelCache.clear()
+    assert(delta() == viaRefresh, "refresh must equal the retrain")
+    // backfill: doc ids BELOW the frozen split would steal ownership of
+    // every shingle they saw first — the merge must decline
+    write(0 until 40)
+    val viaGuard = delta()
+    assert(ModelCache.lastEvent("novelty-base", src).contains("retrained"),
+      "a below-split append must decline the merge and retrain")
+    assert(viaGuard == full(),
+      "post-backfill incremental must equal the census (ownership re-derived)")
+  }
+
   test("ivf: warm-start refresh — quality parity with retrain, full coverage, cells sane") {
     // Round-15 ask #5: Lloyd seeds from the frozen centroids on append
     // (1 round instead of Iters). Centroids are NOT monoidal, so the

@@ -850,6 +850,80 @@ class StatefulSpec extends SparkSuite {
       "the later clone's probe census counts the batch-local smaller id in each band")
   }
 
+  test("s_stream_novelty: one-batch verdicts equal q_novelty_delta's live rows") {
+    // the gate must agree with the DECLARED batch member: the corpus's
+    // own live slice fed as ONE batch against the same frozen census
+    // reproduces q_novelty_delta's rows for doc_id >= split exactly
+    val sf = "/root/testdata/sf0.001"
+    graft.core.ModelCache.clear()
+    val (splitId, own, _) = graft.ops.Dedup.noveltyBase(spark, sf)
+    val live = spark.read.parquet(s"$sf/documents.parquet")
+      .filter(org.apache.spark.sql.functions.col("doc_id") >= splitId)
+      .select($"doc_id", $"text")
+    val viaGate = Stateful.noveltyVerdictsBatch(live, own).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val viaOp = graft.SparkEntry.queries("q_novelty_delta")(spark, sf).collect()
+      .filter(_.getLong(0) >= splitId)
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(viaGate == viaOp,
+      "gate verdicts must equal the declared batch member's live leg")
+    assert(viaGate.nonEmpty, "fixture must have live docs with >= 8 tokens")
+  }
+
+  test("s_stream_novelty: same-batch shingle contention — only the smaller id is credited") {
+    val sf = "/root/testdata/sf0.001"
+    graft.core.ModelCache.clear()
+    val (_, own, _) = graft.ops.Dedup.noveltyBase(spark, sf)
+    val fresh = "axion dilaton graviton tachyon instanton soliton skyrmion braneon"
+    val batch = Seq((5000L, fresh), (5001L, fresh)).toDF("doc_id", "text")
+    val got = Stateful.noveltyVerdictsBatch(batch, own).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got(5000L) == ((1L, 1L, 1000000L)),
+      "the smaller id owns the batch-new shingle")
+    assert(got(5001L) == ((1L, 0L, 0L)),
+      "its same-batch twin cannot also claim the novelty")
+  }
+
+  test("s_stream_novelty: the gate streams per micro-batch and re-points after an append") {
+    implicit val sqlCtx = spark.sqlContext
+    graft.core.ModelCache.clear()
+    val d = tmpDir("novelty-stream")
+    def text(i: Long): String =
+      (0 until 10).map(j => s"w${(i * 2 + j) % 40}").mkString(" ")
+    (100L until 300L).map(i => (i, text(i))).toDF("doc_id", "text")
+      .coalesce(1).write.mode("append").parquet(s"$d/documents.parquet")
+    val results = scala.collection.mutable.Map.empty[Long, Map[Long, Long]]
+    val in = MemoryStream[(Long, String)]
+    val q = Stateful.noveltyStream(in.toDS().toDF("doc_id", "text"), d) {
+      (verdicts, id) =>
+        results(id) = verdicts.collect()
+          .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    }
+    try {
+      val fresh = "axion dilaton graviton tachyon instanton soliton skyrmion braneon"
+      // batch 0: one brand-new doc — full credit for its unseen shingle
+      in.addData((1000L, fresh))
+      q.processAllAvailable()
+      assert(results.values.flatten.toMap.apply(1000L) == 1L)
+      // batch 1: the SAME text again. The frozen census hasn't moved, so
+      // per-batch crediting awards it again — exactly the documented
+      // between-refreezes disposition (state lives in the artifact
+      // lifecycle, not per-batch accumulation)
+      in.addData((1001L, fresh))
+      q.processAllAvailable()
+      assert(results.values.flatten.toMap.apply(1001L) == 1L,
+        "between refreezes the gate credits per batch vs the frozen census")
+      // the corpus absorbs the text (append) → the registry-resolved
+      // census re-points mid-stream and the next arrival is NOT novel
+      Seq((400L, fresh)).toDF("doc_id", "text")
+        .coalesce(1).write.mode("append").parquet(s"$d/documents.parquet")
+      in.addData((1002L, fresh))
+      q.processAllAvailable()
+      assert(results.values.flatten.toMap.apply(1002L) == 0L,
+        "an appended corpus must re-point the gate mid-stream")
+    } finally q.stop()
+  }
+
   test("s_stream_admission: a running stream re-points at a refreshed base mid-stream") {
     implicit val sqlCtx = spark.sqlContext
     graft.core.ModelCache.clear()
