@@ -965,9 +965,52 @@ def gen_layout(rng):
         "FROM m GROUP BY 1, 2 ORDER BY 1, 2")
 
 
+def gen_novelty(rng):
+    # the q_ngram_novelty first-owner class (round 16): ownership of a
+    # value = min id holding it, computed BOTH ways — the min-groupby
+    # census the engine uses and an independent correlated NOT EXISTS
+    # (no strictly-smaller id with the same value) — with the mismatch
+    # count as in-query expect_zero on top of the cross-engine compare
+    # of the per-owner census.
+    key, val, tbl = rng.choice([
+        ("event_id", "CAST(FLOOR(value * 10) AS BIGINT)", "events"),
+        ("event_id", "user_id", "events"),
+        ("o_orderkey", "o_custkey", "orders"),
+        ("c_custkey", "c_nationkey", "customer"),
+        ("l_orderkey * 10 + l_linenumber", "l_partkey", "lineitem"),
+        ("doc_id", "n_chars", "documents"),
+    ])
+    where = pred(rng, TABLES[tbl])
+    base = (
+        f"WITH p AS (SELECT {key} AS id, CAST({val} AS BIGINT) AS v "
+        f"FROM {tbl} WHERE {where}), "
+        f"own AS (SELECT v, min(id) AS owner FROM p GROUP BY v), "
+        f"chk AS (SELECT p.id, p.v, "
+        f"CASE WHEN o.owner = p.id THEN 1 ELSE 0 END AS f_min, "
+        f"CASE WHEN NOT EXISTS (SELECT 1 FROM p p2 "
+        f"WHERE p2.v = p.v AND p2.id < p.id) THEN 1 ELSE 0 END AS f_ex "
+        f"FROM p JOIN own o ON o.v = p.v) ")
+    if rng.random() < 0.5:
+        return base + (
+            "SELECT CAST(count(*) AS BIGINT) AS n_rows, "
+            "CAST(COALESCE(SUM(CASE WHEN f_min != f_ex THEN 1 ELSE 0 END), 0) "
+            "AS BIGINT) AS expect_zero, "
+            "CAST(COALESCE(SUM(f_min), 0) AS BIGINT) AS n_owners, "
+            "CAST(COALESCE(SUM(CASE WHEN f_min = 1 THEN id ELSE 0 END), 0) "
+            "AS BIGINT) AS chk_ownersum FROM chk")
+    return base + (
+        "SELECT v, CAST(min(id) AS BIGINT) AS owner, "
+        "CAST(count(*) AS BIGINT) AS n_rows, "
+        "CAST(COALESCE(SUM(CASE WHEN f_min != f_ex THEN 1 ELSE 0 END), 0) "
+        "AS BIGINT) AS expect_zero "
+        f"FROM chk GROUP BY v ORDER BY v LIMIT {rng.randint(100, 800)}")
+
+
 def gen_query(rng):
     roll = rng.random()
-    if roll < 0.025:
+    if roll < 0.02:
+        return gen_novelty(rng)
+    if roll < 0.045:
         return gen_layout(rng)
     roll = rng.random()
     if roll < 0.03:
@@ -1076,7 +1119,8 @@ def main():
         gens = {"containment": gen_containment, "sweepcarry": gen_sweepcarry,
                 "bitmask": gen_bitmask, "chisq": gen_chisq,
                 "basket": gen_basket, "tridelta": gen_tridelta,
-                "rank": gen_rank, "signed": gen_signed, "layout": gen_layout}
+                "rank": gen_rank, "signed": gen_signed, "layout": gen_layout,
+                "novelty": gen_novelty}
         fns = [gens[f] for f in fam.split(",")]
         queries = {f"fz_{i:04d}": fns[i % len(fns)](rng) for i in range(n)}
     else:

@@ -398,7 +398,84 @@ object Multimodal {
       .orderBy(col("n_occ").desc, col("frame_md5"))
   }
 
+  /** Scene-boundary census — the shot/scene segmentation video curation
+    * runs before sampling (a frame budget spent uniformly over a long
+    * static shot wastes most of it; spending per SCENE is the standard
+    * fix): consecutive 16-byte frames per asset, a per-frame "luma"
+    * drawn deterministically from the frame digest (md5's leading byte,
+    * 0..255 — the container has no codecs, so the digest stands in for
+    * the decoded frame statistic; the segmentation math is exactly what
+    * runs over real luma), and a CUT wherever the absolute luma delta
+    * to the previous frame exceeds 96 (the threshold form every
+    * frame-difference detector uses). Per asset: frame count, scene
+    * count, the longest scene, and mean scene length in exact-integer
+    * ppm — the numbers a per-scene sampling budget reads.
+    *
+    * Scale shape: the frame explode is a map-side Generate over
+    * O(total bytes / 16) rows; both windows (lag, running cut-sum)
+    * partition BY ASSET — no global window, partitions bounded by the
+    * largest single asset, the same bound q_audio_windows carries. The
+    * scene-length reduction is two partial-aggregating groupBys. Hex →
+    * int via the H1-proven conv/'0x'-cast pair (core/Canonical). */
+  val sceneCuts: Q = Q(
+    "q_scene_cuts",
+    """WITH meta AS (SELECT doc_id AS asset_id, hex(encode(text)) AS hx,
+      |    CAST(octet_length(encode(text)) // 16 AS BIGINT) AS n_frames
+      |  FROM documents),
+      |fr0 AS (SELECT asset_id, n_frames, hx,
+      |    unnest(generate_series(0, n_frames - 1)) AS idx
+      |  FROM meta WHERE n_frames > 0),
+      |fr AS (SELECT asset_id, n_frames, idx,
+      |    ('0x' || substr(md5(substr(hx, CAST(idx * 32 + 1 AS BIGINT), 32)),
+      |      1, 2))::BIGINT AS luma
+      |  FROM fr0),
+      |b AS (SELECT asset_id, n_frames, idx,
+      |    CASE WHEN lag(luma) OVER w IS NULL THEN 0
+      |         WHEN abs(luma - lag(luma) OVER w) > 96 THEN 1 ELSE 0 END AS cut
+      |  FROM fr WINDOW w AS (PARTITION BY asset_id ORDER BY idx)),
+      |sc AS (SELECT asset_id, n_frames, idx,
+      |    CAST(SUM(cut) OVER (PARTITION BY asset_id ORDER BY idx
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS scene_id
+      |  FROM b),
+      |sl AS (SELECT asset_id, n_frames, scene_id,
+      |    CAST(count(*) AS BIGINT) AS len
+      |  FROM sc GROUP BY 1, 2, 3)
+      |SELECT asset_id, n_frames, CAST(count(*) AS BIGINT) AS n_scenes,
+      |  CAST(max(len) AS BIGINT) AS max_scene_frames,
+      |  CAST((n_frames * 1000000) // count(*) AS BIGINT) AS avg_scene_ppm
+      |FROM sl GROUP BY asset_id, n_frames ORDER BY asset_id""".stripMargin
+  ) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val bin = encode(col("text"), "UTF-8")
+    val w = Window.partitionBy("asset_id").orderBy("idx")
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fr = T.documents(s, d)
+      .select(col("doc_id").as("asset_id"), hex(bin).as("hx"),
+        expr("octet_length(encode(text, 'UTF-8')) div 16").cast("long")
+          .as("n_frames"))
+      .filter(col("n_frames") > 0)
+      .withColumn("idx", explode(sequence(lit(0L), col("n_frames") - 1L)))
+      .withColumn("luma",
+        conv(substring(md5(expr("substr(hx, cast(idx * 32 + 1 as int), 32)")),
+          1, 2), 16, 10).cast("long"))
+      .drop("hx")
+    fr.withColumn("prev", lag(col("luma"), 1).over(w))
+      .withColumn("cut",
+        when(col("prev").isNull, 0L)
+          .when(abs(col("luma") - col("prev")) > 96L, 1L).otherwise(0L))
+      .withColumn("scene_id", sum(col("cut")).over(wRun))
+      .groupBy("asset_id", "n_frames", "scene_id")
+      .agg(count(lit(1)).as("len"))
+      .groupBy("asset_id", "n_frames")
+      .agg(count(lit(1)).as("n_scenes"), max(col("len")).as("max_scene_frames"))
+      .withColumn("avg_scene_ppm", expr("(n_frames * 1000000) div n_scenes"))
+      .select("asset_id", "n_frames", "n_scenes", "max_scene_frames",
+        "avg_scene_ppm")
+      .orderBy("asset_id")
+  }
+
   val all: Seq[Q] =
     Seq(multimodalDecode, frameSchedule, frameExtract, audioWindows, imageTiles,
-      frameDedup)
+      frameDedup, sceneCuts)
 }
