@@ -417,9 +417,10 @@ object Multimodal {
     * largest single asset, the same bound q_audio_windows carries. The
     * scene-length reduction is two partial-aggregating groupBys. Hex →
     * int via the H1-proven conv/'0x'-cast pair (core/Canonical). */
-  val sceneCuts: Q = Q(
-    "q_scene_cuts",
-    """WITH meta AS (SELECT doc_id AS asset_id, hex(encode(text)) AS hx,
+  /** The frame → luma → cut → scene-id CTE chain shared VERBATIM by
+    * q_scene_cuts and q_keyframes, so the two cannot desynchronize. */
+  private val sceneCtesSql =
+    """meta AS (SELECT doc_id AS asset_id, hex(encode(text)) AS hx,
       |    CAST(octet_length(encode(text)) // 16 AS BIGINT) AS n_frames
       |  FROM documents),
       |fr0 AS (SELECT asset_id, n_frames, hx,
@@ -437,20 +438,17 @@ object Multimodal {
       |    CAST(SUM(cut) OVER (PARTITION BY asset_id ORDER BY idx
       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
       |      AS scene_id
-      |  FROM b),
-      |sl AS (SELECT asset_id, n_frames, scene_id,
-      |    CAST(count(*) AS BIGINT) AS len
-      |  FROM sc GROUP BY 1, 2, 3)
-      |SELECT asset_id, n_frames, CAST(count(*) AS BIGINT) AS n_scenes,
-      |  CAST(max(len) AS BIGINT) AS max_scene_frames,
-      |  CAST((n_frames * 1000000) // count(*) AS BIGINT) AS avg_scene_ppm
-      |FROM sl GROUP BY asset_id, n_frames ORDER BY asset_id""".stripMargin
-  ) { (s, d) =>
+      |  FROM b)""".stripMargin
+
+  /** The Spark twin of [[sceneCtesSql]]: (asset_id, n_frames, idx,
+    * scene_id) frames, both windows partitioned by asset. */
+  private def sceneFramesOn(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val bin = encode(col("text"), "UTF-8")
     val w = Window.partitionBy("asset_id").orderBy("idx")
     val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val fr = T.documents(s, d)
+    docs
       .select(col("doc_id").as("asset_id"), hex(bin).as("hx"),
         expr("octet_length(encode(text, 'UTF-8')) div 16").cast("long")
           .as("n_frames"))
@@ -460,11 +458,26 @@ object Multimodal {
         conv(substring(md5(expr("substr(hx, cast(idx * 32 + 1 as int), 32)")),
           1, 2), 16, 10).cast("long"))
       .drop("hx")
-    fr.withColumn("prev", lag(col("luma"), 1).over(w))
+      .withColumn("prev", lag(col("luma"), 1).over(w))
       .withColumn("cut",
         when(col("prev").isNull, 0L)
           .when(abs(col("luma") - col("prev")) > 96L, 1L).otherwise(0L))
       .withColumn("scene_id", sum(col("cut")).over(wRun))
+      .select("asset_id", "n_frames", "idx", "scene_id")
+  }
+
+  val sceneCuts: Q = Q(
+    "q_scene_cuts",
+    s"""WITH $sceneCtesSql,
+      |sl AS (SELECT asset_id, n_frames, scene_id,
+      |    CAST(count(*) AS BIGINT) AS len
+      |  FROM sc GROUP BY 1, 2, 3)
+      |SELECT asset_id, n_frames, CAST(count(*) AS BIGINT) AS n_scenes,
+      |  CAST(max(len) AS BIGINT) AS max_scene_frames,
+      |  CAST((n_frames * 1000000) // count(*) AS BIGINT) AS avg_scene_ppm
+      |FROM sl GROUP BY asset_id, n_frames ORDER BY asset_id""".stripMargin
+  ) { (s, d) =>
+    sceneFramesOn(T.documents(s, d))
       .groupBy("asset_id", "n_frames", "scene_id")
       .agg(count(lit(1)).as("len"))
       .groupBy("asset_id", "n_frames")
@@ -475,7 +488,47 @@ object Multimodal {
       .orderBy("asset_id")
   }
 
+  /** Keyframe extraction — one canonical frame per scene (the thumbnail/
+    * representative-frame step that follows segmentation everywhere):
+    * the scene's MIDDLE frame (floor median index — deterministic, no
+    * content scoring needed), emitted with the byte offset a seek-read
+    * decoder needs and the frame digest downstream dedup keys on. Built
+    * on the SAME scene chain as q_scene_cuts ([[sceneCtesSql]] /
+    * [[sceneFramesOn]]) so the two operators cannot disagree about where
+    * scenes are. Output is O(scenes), not O(frames) — exactly the
+    * reduction a per-scene sampling budget buys at 100 TB of video.
+    *
+    * Scale shape: the scene reduction is one partial-aggregating groupBy
+    * over the frame stream; the digest lookup re-reads each KEYFRAME's
+    * 16 bytes via a broadcast-friendly join back to the asset blob —
+    * O(scenes) probe rows against O(assets) blobs on the asset key. */
+  val keyframes: Q = Q(
+    "q_keyframes",
+    s"""WITH $sceneCtesSql,
+      |kf AS (SELECT asset_id, scene_id, CAST(count(*) AS BIGINT) AS scene_frames,
+      |    CAST(min(idx) + (count(*) - 1) // 2 AS BIGINT) AS key_idx
+      |  FROM sc GROUP BY 1, 2)
+      |SELECT k.asset_id, k.scene_id, k.scene_frames, k.key_idx,
+      |  CAST(k.key_idx * 16 AS BIGINT) AS byte_off,
+      |  md5(substr(m.hx, CAST(k.key_idx * 32 + 1 AS BIGINT), 32)) AS key_md5
+      |FROM kf k JOIN meta m ON m.asset_id = k.asset_id
+      |ORDER BY k.asset_id, k.scene_id""".stripMargin
+  ) { (s, d) =>
+    val bin = encode(col("text"), "UTF-8")
+    val blobs = T.documents(s, d)
+      .select(col("doc_id").as("asset_id"), hex(bin).as("hx"))
+    sceneFramesOn(T.documents(s, d))
+      .groupBy("asset_id", "scene_id")
+      .agg(count(lit(1)).as("scene_frames"),
+        (min(col("idx")) + expr("(count(*) - 1) div 2")).as("key_idx"))
+      .join(blobs, "asset_id")
+      .select(col("asset_id"), col("scene_id"), col("scene_frames"),
+        col("key_idx"), (col("key_idx") * 16L).as("byte_off"),
+        md5(expr("substr(hx, cast(key_idx * 32 + 1 as int), 32)")).as("key_md5"))
+      .orderBy("asset_id", "scene_id")
+  }
+
   val all: Seq[Q] =
     Seq(multimodalDecode, frameSchedule, frameExtract, audioWindows, imageTiles,
-      frameDedup, sceneCuts)
+      frameDedup, sceneCuts, keyframes)
 }
