@@ -1531,4 +1531,35 @@ class OperatorSpec extends SparkSuite {
     assert(got.nonEmpty && got == expect,
       "rule set and all three ppm metrics must equal the brute-force recompute")
   }
+
+  test("q_scene_cuts / q_keyframes: scene partition identities hold and the two agree") {
+    // scene lengths are a PARTITION of the frame stream, and keyframes
+    // are exactly one per scene with the index inside its scene's span —
+    // structural identities the oracle's row-hash cannot localize
+    val scenes = run("q_scene_cuts").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toMap
+    assert(scenes.nonEmpty)
+    val kf = run("q_keyframes").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getString(5)))
+    val kfByAsset = kf.groupBy(_._1)
+    assert(kfByAsset.keySet == scenes.keySet,
+      "every segmented asset yields keyframes and vice versa")
+    scenes.foreach { case (asset, (nFrames, nScenes, maxLen, avgPpm)) =>
+      val ks = kfByAsset(asset).sortBy(_._2)
+      assert(ks.length.toLong == nScenes, s"asset $asset: one keyframe per scene")
+      assert(ks.map(_._2).toSeq == (0L until nScenes),
+        s"asset $asset: scene ids are dense 0..n-1")
+      assert(ks.map(_._3).sum == nFrames,
+        s"asset $asset: scene lengths partition the $nFrames frames")
+      assert(ks.map(_._3).max == maxLen, s"asset $asset: max scene length agrees")
+      assert(avgPpm == nFrames * 1000000L / nScenes)
+      // key indices: strictly increasing, inside [0, n_frames), offset = 16·idx
+      assert(ks.map(_._4).sliding(2).forall(p => p.length < 2 || p(0) < p(1)),
+        s"asset $asset: keyframe indices must increase with scene id")
+      assert(ks.forall(k => k._4 >= 0 && k._4 < nFrames && k._5 == k._4 * 16))
+      assert(ks.forall(_._6.length == 32), "md5 digests are 32 hex chars")
+    }
+  }
 }

@@ -545,4 +545,45 @@ class PlanShapeSpec extends SparkSuite {
       "totals come from ONE unpartitioned window over the O(types) census " +
         "(one plan, no separate aggregate leg re-running the event scans)")
   }
+
+  test("q_ngram_novelty: owner census partial-aggregates; no pair join anywhere") {
+    val p = plan("q_ngram_novelty")
+    assert(p.contains("partial_"),
+      "the distinct-shingle and owner censuses must partial-aggregate")
+    assert(!p.contains("CartesianProduct"), "novelty must never form pairs")
+    // the shingle relation is checkpointed once and reused by both
+    // consumers (sizes + owner census) — no second corpus scan
+    assert("FileScan parquet".r.findAllIn(p).size == 0,
+      "serve reads the checkpointed shingle relation, not parquet twice")
+  }
+
+  test("q_novelty_delta: serve plan never re-reads the frozen corpus") {
+    graft.core.ModelCache.clear()
+    val p = plan("q_novelty_delta")
+    // every leg is either a frozen artifact or the checkpointed live
+    // slice (whose doc_id >= split pushdown happened at checkpoint
+    // materialization) — the serve-time plan touches NO parquet at all,
+    // the lp-base zero-live-corpus-scan rule
+    assert("FileScan parquet".r.findAllIn(p).size == 0,
+      "serve must read frozen artifacts + checkpointed delta legs only")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q_scene_cuts / q_keyframes: frame fan-out is a Generate; windows partition by asset") {
+    for (name <- Seq("q_scene_cuts", "q_keyframes")) {
+      val p = plan(name)
+      assert("Generate".r.findAllIn(p).size >= 1,
+        s"$name: the frame explode is the operator's input")
+      // the lag/running-cut windows must be keyed by asset — a global
+      // (unpartitioned) window would single-partition the frame stream
+      assert(!p.contains("Window [") ||
+        "partitionBy|PartitioningCollection|hashpartitioning\\(asset_id".r
+          .findFirstIn(p).isDefined, s"$name: windows must key on asset_id")
+      assert(p.contains("hashpartitioning(asset_id"),
+        s"$name: frame windows must hash-partition by asset_id")
+      assert(!p.contains("SinglePartition, Window") &&
+        !p.contains("Window Partition: []"),
+        s"$name: no global window over the frame stream")
+    }
+  }
 }
