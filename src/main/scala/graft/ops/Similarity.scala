@@ -833,33 +833,75 @@ object Similarity {
     * train-rarely artifact — the first call per (session, corpus state)
     * trains; the rest reuse the localCheckpointed assignment/centroids.
     * A new snapshot drop changes the content fingerprint and re-trains. */
-  /** IVF warm-start refresh (round-15 ask #5 — the last artifact with no
-    * refresh story): on append-only growth Lloyd RE-SEEDS from the frozen
-    * centroids (trainOn's `warm` path, 1 round instead of Iters) instead
-    * of retraining from id-seeds. Centroids are NOT monoidal, so the
-    * contract is RECALL/QUALITY PARITY, not bit-parity: RefreshSpec pins
-    * warm k-means objective (intraCellCosine) ≥ cold − ε, full
-    * assignment coverage, and cell-count sanity; the driver's oracle
-    * gate always exercises the cold path (its sf dirs are immutable, so
-    * the first build per corpus state IS a train), keeping q_ann_recall /
-    * q_ivf_census hash-green by construction. No backfill guard is
-    * needed, deliberately: the warm path re-derives codes, sample, and
-    * the full assignment from the CURRENT corpus — the frozen artifact
-    * contributes only seed positions, so there is no id-sliced scan a
-    * backfilled file could hide from (contrast Backfill.scala's bases). */
+  /** IVF refresh (round-15 ask #5 — the last artifact with no refresh
+    * story), a THREE-WAY policy keyed on what the append actually
+    * changed:
+    *
+    *  1. BIT-PARITY DELTA (the common production case): training is
+    *     sample-capped (ids < TrainCap) and seeded by ids < k, so a pure
+    *     high-id append with k and the sample unchanged leaves every
+    *     training input BYTE-IDENTICAL — a cold retrain would reproduce
+    *     the frozen centroids exactly. The refresh therefore reuses them
+    *     verbatim and assigns ONLY the delta slice: O(delta · K) instead
+    *     of O(n · K), with the old assignment rows frozen (per-vector
+    *     assignment depends only on the vector and the centroids).
+    *     RefreshSpec pins assign/cents/probe == retrain bit-for-bit.
+    *  2. WARM START (k or the sample moved — the corpus crossed the next
+    *     √n cell count or is still under TrainCap): Lloyd re-seeds from
+    *     the frozen centroids, topped up to the new k, and runs 1 round
+    *     instead of Iters. Centroids aren't monoidal, so this path's
+    *     contract is QUALITY parity (intraCellCosine within ε of a cold
+    *     retrain — RefreshSpec), not bit parity.
+    *  3. RETRAIN: a backfilled file (any new vec_id at or below the
+    *     frozen max) can mutate the training sample itself and hides
+    *     from the id-sliced delta scan — decline, ModelCache retrains
+    *     (lifecycle event `retrained`).
+    *
+    * The driver's oracle gate always exercises the cold path (its sf
+    * dirs are immutable, so the first build per corpus state IS a
+    * train), keeping q_ann_recall / q_ivf_census hash-green by
+    * construction. */
   private[graft] def trainedParts(s: SparkSession, d: String): (IvfParts, DataFrame) =
-    graft.core.ModelCache.getOrRefresh(s, "ivf", s"$d/embeddings.parquet") {
+    graft.core.ModelCache.getOrRefreshGuarded(s, "ivf", s"$d/embeddings.parquet") {
       trainedPartsUncached(s, d)
-    } { case (parts0, _) =>
-      trainedPartsUncached(s, d, warm = Some(parts0.cents))
+    } { case ((parts0, _), newFiles) =>
+      val stats = parts0.assign.agg(max(col("vec_id")), count(lit(1))).head()
+      if (stats.isNullAt(0)) None // empty previous corpus: plain retrain
+      else {
+        val (max0, n0) = (stats.getLong(0), stats.getLong(1))
+        if (graft.core.Backfill.below(s, newFiles, "vec_id", max0 + 1)) None
+        else Some {
+          val n1 = corpusCount(s, d)
+          val sampleSame =
+            math.min(n0, TrainCap.toLong) == math.min(n1, TrainCap.toLong)
+          if (kCellsOf(n0) == kCellsOf(n1) && sampleSame) {
+            def dotD(a: Column, b: Column): Column =
+              graft.functions.VectorOps.vecDotD(s, a, b)
+            val deltaQc = codesOf(s,
+              T.embeddings(s, d).filter(col("vec_id") > max0))
+            val qc1 = graft.core.Session.flattenWide(
+              parts0.qc.unionByName(deltaQc))
+            val a1 = graft.core.Session.flattenWide(parts0.assign.unionByName(
+              assignAgainst(s, deltaQc, parts0.cents).localCheckpoint()))
+            val cosToCent =
+              when(col("n2") === 0.0d || col("cn2") === 0.0d, lit(-2.0d))
+                .otherwise(round(dotD(col("cd"), col("ccd")) /
+                  (sqrt(col("n2")) * sqrt(col("cn2"))), 6))
+            (IvfParts(qc1, a1, parts0.cents, cosToCent), probeOf(s, d, a1))
+          } else trainedPartsUncached(s, d, warm = Some(parts0.cents))
+        }
+      }
     }
 
-  private def trainedPartsUncached(s: SparkSession, d: String,
-      warm: Option[DataFrame] = None): (IvfParts, DataFrame) = {
-    val parts = trainOn(s, T.embeddings(s, d), corpusCount(s, d), warm)
+  /** The qid-16..20 own-cell probe over an assignment — frozen WITH the
+    * model: every consumer (q_similarity_ivf, q_ann_recall's own-cell
+    * channel and its qid spine) reads the 15-row result instead of
+    * re-running the candidate scoring. Factored so both the train path
+    * and the delta refresh (which reuses frozen centroids but must
+    * re-derive the probe over the GROWN cells) build it identically. */
+  private def probeOf(s: SparkSession, d: String, a2: DataFrame): DataFrame = {
     def dot(a: Column, b: Column): Column =
       graft.functions.VectorOps.vecDot(s, a, b)
-    val a2 = parts.assign
     val base = T.embeddings(s, d)
       .select(col("vec_id"), col("embedding"),
         sqrt(dot(col("embedding"), col("embedding"))).as("nrm"))
@@ -873,15 +915,17 @@ object Similarity {
       .select(col("qid"), col("cand_id"),
         round(dot(col("qe"), col("cande")) / (col("qn") * col("candn")), 6).as("score"))
     val wRank = Window.partitionBy("qid").orderBy(col("score").desc, col("cand_id").asc)
-    val probe = cscore.withColumn("rn", row_number().over(wRank))
+    cscore.withColumn("rn", row_number().over(wRank))
       .filter(col("rn") <= 3)
       .select(col("qid"), col("rn"), col("cand_id").as("vec_id"), col("score"))
       .orderBy("qid", "rn")
-      // frozen WITH the model: every consumer (q_similarity_ivf,
-      // q_ann_recall's own-cell channel and its qid spine) reads the
-      // 15-row result instead of re-running the candidate scoring
       .localCheckpoint()
-    (parts, probe)
+  }
+
+  private def trainedPartsUncached(s: SparkSession, d: String,
+      warm: Option[DataFrame] = None): (IvfParts, DataFrame) = {
+    val parts = trainOn(s, T.embeddings(s, d), corpusCount(s, d), warm)
+    (parts, probeOf(s, d, parts.assign))
   }
 
   /** Assignment against an EXTERNAL (e.g. parquet-persisted) centroid

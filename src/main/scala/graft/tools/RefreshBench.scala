@@ -78,6 +78,7 @@ object RefreshBench {
       // Iters — quality-parity contract (RefreshSpec), economics here
       "ivf" -> (() => graft.ops.Similarity.trainedParts(spark, work)),
       "dedup-base" -> (() => graft.ops.Dedup.dedupBase(spark, work)),
+      "novelty-base" -> (() => graft.ops.Dedup.noveltyBase(spark, work)),
       "bm25-base" -> (() => graft.ops.LlmPipeline.bm25Base(spark, work)),
       "bpe-hist-base" -> (() => graft.ops.TextAnalysis.bpeHistBase(spark, work)),
       "lp-base" -> (() => graft.ops.Graph.lpBase(spark, work)),
@@ -96,7 +97,8 @@ object RefreshBench {
     val tRefresh = artifacts.map { case (name, f) =>
       val t = timed(f())
       val path = if (name.contains("dedup") || name.contains("bm25") ||
-        name.contains("bpe") || name.contains("containment"))
+        name.contains("bpe") || name.contains("containment") ||
+        name.contains("novelty"))
         s"$work/documents.parquet"
       else if (name.contains("sess") || name.contains("layout"))
         s"$work/events.parquet"
@@ -112,6 +114,41 @@ object RefreshBench {
 
     artifacts.foreach { case (name, _) =>
       println(s"""{"artifact":"$name","k":$k,"train_sec":${fmt(tTrain(name))},"refresh_sec":${fmt(tRefresh(name))},"retrain_sec":${fmt(tRetrain(name))},"speedup":${fmt(tRetrain(name) / math.max(tRefresh(name), 1e-9))}}""")
+    }
+
+    // ivf SMALL-DELTA (round-16): the +1-replica growth above moves
+    // k = ⌈√n⌉, so the main ivf row measures the WARM branch. Production
+    // appends are small relative to the corpus — append ~0.5% with high
+    // ids, sized to keep k and the TrainCap sample unchanged, so the
+    // BIT-PARITY delta branch (centroids reused verbatim, O(delta·K)
+    // assignment) is what gets timed.
+    {
+      graft.ops.Similarity.trainedParts(spark, work) // live generation
+      val emb = spark.read.parquet(s"$work/embeddings.parquet")
+      val er = emb.agg(max(col("vec_id")), count(lit(1))).head()
+      val (maxV, n) = (er.getLong(0), er.getLong(1))
+      val s = math.round(math.sqrt(n.toDouble))
+      val kc = math.max(16L,
+        if ((s - 1) * (s - 1) >= n) s - 1 else if (s * s >= n) s else s + 1)
+      val room = kc * kc - n
+      val want = math.min(room, math.max(1L, n / 200L))
+      if (room <= 0) println(s"""{"artifact":"ivf-smalldelta","k":$k,"skipped":"n=$n sits exactly at k^2"}""")
+      else {
+        spark.read.parquet(s"$src/embeddings.parquet")
+          .orderBy("vec_id").limit(want.toInt)
+          .withColumn("vec_id",
+            org.apache.spark.sql.functions.row_number().over(
+              org.apache.spark.sql.expressions.Window.orderBy("vec_id"))
+              .cast("long") + lit(maxV))
+          .write.mode("append").parquet(s"$work/embeddings.parquet")
+        val tDelta = timed(graft.ops.Similarity.trainedParts(spark, work))
+        require(graft.core.ModelCache
+          .lastEvent("ivf", s"$work/embeddings.parquet").contains("refreshed"),
+          "small high-id append must take the refresh path")
+        graft.core.ModelCache.clear()
+        val tRe = timed(graft.ops.Similarity.trainedParts(spark, work))
+        println(s"""{"artifact":"ivf-smalldelta","k":$k,"delta_rows":$want,"refresh_sec":${fmt(tDelta)},"retrain_sec":${fmt(tRe)},"speedup":${fmt(tRe / math.max(tDelta, 1e-9))}}""")
+      }
     }
 
     // Round-14 ask #6: a SKEWED delta for sess-base — one replica's worth

@@ -284,4 +284,45 @@ class ModelCacheSpec extends SparkSuite {
     ModelCache.clear()
     assert(ModelCache.buildCosts.isEmpty)
   }
+
+  test("getOrRefreshGuarded: refresh receives EXACTLY the appended files; None falls back to retrain as 'retrained'") {
+    // the backfill guards' whole contract hangs on `newFiles` being the
+    // precise listing diff — a missed file means a missed backfill, an
+    // extra one means a spurious O(old-corpus) probe
+    val dir = tmpDir("mc-guard")
+    java.nio.file.Files.createDirectories(Paths.get(s"$dir/t"))
+    java.nio.file.Files.write(Paths.get(s"$dir/t/p1.parquet"), "a".getBytes)
+    var seen: Seq[String] = null
+    var trains = 0
+    def access(decline: Boolean): String =
+      ModelCache.getOrRefreshGuarded(spark, "guard-kind", s"$dir/t") {
+        trains += 1; s"train$trains"
+      } { (prev, newFiles) =>
+        seen = newFiles
+        if (decline) None else Some(prev + "+d")
+      }
+    assert(access(decline = false) == "train1")
+    assert(ModelCache.lastEvent("guard-kind", s"$dir/t").contains("trained"))
+    // append two files → refresh sees exactly those two, full paths
+    java.nio.file.Files.write(Paths.get(s"$dir/t/p2.parquet"), "bb".getBytes)
+    java.nio.file.Files.write(Paths.get(s"$dir/t/p3.parquet"), "ccc".getBytes)
+    assert(access(decline = false) == "train1+d")
+    assert(ModelCache.lastEvent("guard-kind", s"$dir/t").contains("refreshed"))
+    assert(seen != null && seen.map(p => p.substring(p.lastIndexOf('/') + 1)).sorted
+      == Seq("p2.parquet", "p3.parquet"),
+      s"newFiles must be exactly the listing diff: $seen")
+    assert(seen.forall(_.contains(s"t/p")), "paths must be full, resolvable paths")
+    // append one more but DECLINE → from-scratch retrain, event 'retrained'
+    java.nio.file.Files.write(Paths.get(s"$dir/t/p4.parquet"), "dddd".getBytes)
+    assert(access(decline = true) == "train2",
+      "a declined merge must rebuild from scratch")
+    assert(ModelCache.lastEvent("guard-kind", s"$dir/t").contains("retrained"),
+      "the guard fallback must be observable as its own lifecycle event")
+    // and the NEXT clean append refreshes off the retrained generation
+    java.nio.file.Files.write(Paths.get(s"$dir/t/p5.parquet"), "e".getBytes)
+    assert(access(decline = false) == "train2+d")
+    assert(seen.map(p => p.substring(p.lastIndexOf('/') + 1)) == Seq("p5.parquet"),
+      "the diff must be against the retrained generation, not the original")
+    ModelCache.clear()
+  }
 }

@@ -851,6 +851,38 @@ class RefreshSpec extends SparkSuite {
       "post-backfill incremental must equal the census (ownership re-derived)")
   }
 
+  test("ivf: BIT-PARITY delta when k and the training sample are unchanged") {
+    // Training is sample-capped at TrainCap=4096 ids and seeded by
+    // ids < k, so a pure high-id append that moves neither k = ⌈√n⌉ nor
+    // min(n, TrainCap) leaves every training input byte-identical — the
+    // refresh must reuse the frozen centroids verbatim, assign ONLY the
+    // delta, and still equal a cold retrain bit-for-bit.
+    val d = tmpDir("refresh-ivf-delta")
+    ModelCache.clear()
+    def emb(i: Long): Array[Float] =
+      Array.tabulate(64)(j => (((i * 31 + j * 17) % 29) - 14).toFloat / 15f)
+    def write(r: Range): Unit =
+      r.map(i => (i.toLong, emb(i))).toDF("vec_id", "embedding")
+        .coalesce(1).write.mode("append").parquet(s"$d/embeddings.parquet")
+    // n0 = 4150 > TrainCap → sample = first 4096 ids, frozen; k = 65.
+    // n1 = 4220 ≤ 65² = 4225 → k stays 65. Both invariants hold.
+    write(0 until 4150)
+    graft.ops.Similarity.trainedParts(spark, d)
+    write(4150 until 4220)
+    val (p1, probe1) = graft.ops.Similarity.trainedParts(spark, d)
+    assert(ModelCache.lastEvent("ivf", s"$d/embeddings.parquet")
+      .contains("refreshed"), "a sample-stable append must take the delta path")
+    val viaDelta = (rowsOf(p1.assign.select("vec_id", "cid")),
+      rowsOf(p1.cents.select("cid")), rowsOf(probe1))
+    ModelCache.clear()
+    val (p2, probe2) = graft.ops.Similarity.trainedParts(spark, d)
+    assert(ModelCache.lastEvent("ivf", s"$d/embeddings.parquet")
+      .contains("trained"))
+    assert(viaDelta == (rowsOf(p2.assign.select("vec_id", "cid")),
+      rowsOf(p2.cents.select("cid")), rowsOf(probe2)),
+      "delta-refreshed assignment/cells/probe must equal the cold retrain bit-for-bit")
+  }
+
   test("ivf: warm-start refresh — quality parity with retrain, full coverage, cells sane") {
     // Round-15 ask #5: Lloyd seeds from the frozen centroids on append
     // (1 round instead of Iters). Centroids are NOT monoidal, so the
