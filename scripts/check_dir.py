@@ -22,10 +22,28 @@ TABLES = ["region", "nation", "customer", "supplier", "part",
 
 def main(sf_dir, out_dir, names):
     con = duckdb.connect()
-    con.sql("PRAGMA memory_limit='48GB'")
-    con.sql("PRAGMA threads=24")
-    os.makedirs("/tmp/duckdb_tmp", exist_ok=True)
-    con.sql("PRAGMA temp_directory='/tmp/duckdb_tmp'")
+    # PRAGMAs derived from the host, env-overridable (round-16 advice: the
+    # old hardcoded 48GB/24-thread values assumed this container; a
+    # memory_limit above physical RAM defeats DuckDB's spill heuristics
+    # and OOM-kills the gate instead of spilling). Default: ~40% of
+    # physical RAM, 3/4 of the CPUs, spill dir beside the (big-volume)
+    # scale dir rather than /tmp.
+    mem = os.environ.get("GRAFT_DUCKDB_MEM")
+    if not mem:
+        try:
+            page = os.sysconf("SC_PAGE_SIZE") * os.sysconf("SC_PHYS_PAGES")
+            mem = f"{max(1, int(page * 0.4) // (1 << 30))}GB"
+        except (ValueError, OSError):
+            mem = "8GB"
+    threads = os.environ.get("GRAFT_DUCKDB_THREADS") or max(
+        1, (os.cpu_count() or 4) * 3 // 4)
+    tmp = os.environ.get("GRAFT_DUCKDB_TMP") or os.path.join(
+        os.path.dirname(os.path.abspath(sf_dir)), "duckdb_tmp")
+    con.sql(f"PRAGMA memory_limit='{mem}'")
+    con.sql(f"PRAGMA threads={threads}")
+    os.makedirs(tmp, exist_ok=True)
+    con.sql(f"PRAGMA temp_directory='{tmp}'")
+    print(f"NOTE duckdb pragmas: memory_limit={mem} threads={threads} tmp={tmp}")
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
         if os.path.isdir(p):

@@ -23,6 +23,44 @@ SURVEY = ROOT / "SURVEY.md"
 # `Q(` or `Q.noOracle(` with the q_* name literal on the same or next line.
 DECL = re.compile(r'\bQ(?:\.noOracle)?\(\s*\n?\s*"(q_[a-z0-9_]+)"')
 
+# StreamInventory entries: (key, file, member, note) — the streaming
+# table's source of truth (round-16 verdict ask #2).
+INVENTORY = SRC / "streaming/StreamInventory.scala"
+ENTRY = re.compile(
+    r'Entry\("(s_[a-z0-9_]+)",\s*"([^"]+)",\s*"([^"]+)",\s*"([^"]*)"\)')
+
+
+def resolve_member(rel_file, member):
+    """file:line of the unique top-level declaration of `member`."""
+    path = SRC / rel_file
+    if not path.exists():
+        sys.exit(f"StreamInventory: no such file {rel_file}")
+    pat = re.compile(
+        r"^\s*(?:final\s+)?(?:def|class|object|val)\s+" +
+        re.escape(member) + r"\b", re.M)
+    text = path.read_text()
+    hits = [text.count("\n", 0, m.start()) + 1 for m in pat.finditer(text)]
+    if len(hits) != 1:
+        sys.exit(f"StreamInventory: {member} resolves to {len(hits)} "
+                 f"declarations in {rel_file} (need exactly 1)")
+    return f"{rel_file}:{hits[0]}"
+
+
+def collect_stream():
+    text = INVENTORY.read_text()
+    entries = ENTRY.findall(text)
+    keys = [e[0] for e in entries]
+    if len(set(keys)) != len(keys):
+        sys.exit("StreamInventory: duplicate pipeline keys")
+    return [(k, resolve_member(f, m), m, note) for k, f, m, note in entries]
+
+
+def render_stream(entries):
+    header = ("| pipeline | site | what |\n|---|---|---|")
+    rows = [f"| {k} | `{site}` (`{m}`) | {note} |"
+            for k, site, m, note in entries]
+    return header + "\n" + "\n".join(rows) + "\n"
+
 
 def collect_sites():
     sites = {}
@@ -53,26 +91,39 @@ def render(sites):
     return header + "\n" + "\n".join(rows) + "\n"
 
 
+def replace_block(text, pattern, table, what, n):
+    m = re.search(pattern, text)
+    if not m:
+        sys.exit(f"SURVEY.md: {what} table header not found")
+    if m.group(0) == table:
+        print(f"SURVEY.md {what} ledger current ({n} keys)")
+        return text, False
+    if "--write" in sys.argv:
+        print(f"SURVEY.md {what} ledger rewritten ({n} keys)")
+        return text[:m.start()] + table + text[m.end():], True
+    print(table)
+    print(f"SURVEY.md {what} ledger is STALE — rerun with --write",
+          file=sys.stderr)
+    return text, None
+
+
 def main():
     sites = collect_sites()
-    table = render(sites)
+    stream = collect_stream()
     text = SURVEY.read_text()
-    # the table block: from its header row through the last consecutive |-row
-    m = re.search(
+    text, ch1 = replace_block(
+        text,
         r"\| batch key \| site \| batch key \| site \|\n\|---\|---\|---\|---\|\n(?:\|[^\n]*\|\n)+",
-        text)
-    if not m:
-        sys.exit("SURVEY.md: ledger table header not found")
-    if m.group(0) == table:
-        print(f"SURVEY.md ledger current ({len(sites)} keys)")
-        return 0
-    if "--write" in sys.argv:
-        SURVEY.write_text(text[:m.start()] + table + text[m.end():])
-        print(f"SURVEY.md ledger rewritten ({len(sites)} keys)")
-        return 0
-    print(table)
-    print("SURVEY.md ledger is STALE — rerun with --write", file=sys.stderr)
-    return 1
+        render(sites), "batch", len(sites))
+    text, ch2 = replace_block(
+        text,
+        r"\| pipeline \| site(?: \| what)? \|\n\|---\|---(?:\|---)?\|\n(?:\|[^\n]*\|\n)+",
+        render_stream(stream), "streaming", len(stream))
+    if ch1 is None or ch2 is None:
+        return 1
+    if ch1 or ch2:
+        SURVEY.write_text(text)
+    return 0
 
 
 if __name__ == "__main__":

@@ -11,8 +11,21 @@ no shape class dominates the median; further eligible anchors in a
 family are deliberately dropped in favor of breadth across families.
 
 Usage: python3 scripts/pin_anchors.py [bench_queries.json]
+       python3 scripts/pin_anchors.py --check [bench_history.jsonl]
+
+--check (round-16 verdict #6) makes the re-pin policy EXECUTABLE — the
+two-strike rule the r16 maiden firing was resolved by judgment: scan the
+history's FULL runs (drift_gap computed, i.e. not filtered), and
+  - if the latest full run's |drift_gap| <= 3%: all clear, exit 0;
+  - if exactly the latest is past the bar: strike 1 — re-evaluate at the
+    next full (ideally close) run, exit 0 with a warning;
+  - if the latest TWO consecutive full runs are past the bar: the anchor
+    set no longer represents the population — emit the fresh anchor map
+    from the latest full run's own per-query/spread data and exit 2. The
+    commit convention: paste the map into Bench.anchorClose and update
+    BASELINE.md's "Drift anchor" row IN THE SAME COMMIT.
 """
-import json, sys
+import json, re, sys
 
 FAMILIES = {
     "graph-iterative": ["q_pagerank", "q_salsa", "q_components", "q_label_prop",
@@ -43,9 +56,7 @@ FAMILIES = {
 PER_FAMILY = 4
 
 
-def main():
-    path = sys.argv[1] if len(sys.argv) > 1 else "bench_queries.json"
-    run = json.load(open(path))
+def emit_map(run):
     q, spread = run["queries"], run["spread"]
     picked = {}
     for fam, names in FAMILIES.items():
@@ -68,5 +79,58 @@ def main():
         print(f"      {line}{sep}")
 
 
+GAP_BAR = 0.03
+
+
+def check(history):
+    """Two-strike re-pin policy over the committed bench history."""
+    fulls = []
+    for line in open(history):
+        try:
+            entry = json.loads(line)["line"]
+        except (json.JSONDecodeError, KeyError):
+            continue
+        gap = entry.get("drift_gap", -1.0)
+        # filtered runs and no-reference runs record -1 — not a verdict
+        if gap == -1.0 or "spread" not in entry:
+            continue
+        fulls.append((gap, entry))
+    if not fulls:
+        print("pin_anchors --check: no full runs with a drift_gap verdict "
+              "in history — nothing to check", file=sys.stderr)
+        return 0
+    gaps = [g for g, _ in fulls]
+    latest = gaps[-1]
+    print(f"pin_anchors --check: {len(fulls)} full runs; "
+          f"last gaps: {['%+.1f%%' % (g * 100) for g in gaps[-4:]]}")
+    if abs(latest) <= GAP_BAR:
+        print(f"all clear: latest drift_gap {latest * +100:+.1f}% inside "
+              f"the ±{GAP_BAR * 100:.0f}% bar")
+        return 0
+    if len(gaps) < 2 or abs(gaps[-2]) <= GAP_BAR:
+        print(f"STRIKE 1 of 2: latest drift_gap {latest * 100:+.1f}% is past "
+              f"the bar but the previous full run was clean — re-evaluate at "
+              f"the next full (ideally close) run before re-pinning",
+              file=sys.stderr)
+        return 0
+    print(f"TWO STRIKES: the last two full runs read "
+          f"{gaps[-2] * 100:+.1f}% and {latest * 100:+.1f}% — the anchor set "
+          f"no longer represents the population. Fresh anchor map from the "
+          f"latest full run (paste into Bench.anchorClose and update "
+          f"BASELINE.md 'Drift anchor' in the SAME commit):",
+          file=sys.stderr)
+    emit_map(fulls[-1][1])
+    return 2
+
+
+def main():
+    if len(sys.argv) > 1 and sys.argv[1] == "--check":
+        path = sys.argv[2] if len(sys.argv) > 2 else "bench_history.jsonl"
+        return check(path)
+    path = sys.argv[1] if len(sys.argv) > 1 else "bench_queries.json"
+    emit_map(json.load(open(path)))
+    return 0
+
+
 if __name__ == "__main__":
-    main()
+    sys.exit(main())

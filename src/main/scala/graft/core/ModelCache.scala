@@ -187,9 +187,11 @@ object ModelCache {
   private val latest = new java.util.IdentityHashMap[
     SparkSession, java.util.concurrent.ConcurrentHashMap[String, Frozen]]()
 
-  /** Last lifecycle event per (session, kind|path): "trained" or
-    * "refreshed" — spec/observability surface, so a refresh test can
-    * assert the cheap path actually ran. */
+  /** Last lifecycle event per (session, kind|path): "trained",
+    * "refreshed", "refreshed-warm" (inexact merge, see
+    * [[markWarmRefresh]]), or "retrained" (guard declined) —
+    * spec/observability surface, so a refresh test can assert the cheap
+    * path actually ran AND which contract the served value carries. */
   private val events = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   private def latestFor(spark: SparkSession)
@@ -209,6 +211,25 @@ object ModelCache {
 
   def lastEvent(kind: String, sourcePath: String): Option[String] =
     Option(events.get(s"$kind|$sourcePath"))
+
+  /** Set by a refresh closure (via [[markWarmRefresh]]) to downgrade the
+    * recorded lifecycle event from "refreshed" to "refreshed-warm". The
+    * closure runs in the same thread that records the event (Holder
+    * bodies compute single-threaded under the cache), so a ThreadLocal
+    * carries the mark without widening the closure signature. */
+  private val warmFlag = new ThreadLocal[java.lang.Boolean] {
+    override def initialValue(): java.lang.Boolean = java.lang.Boolean.FALSE
+  }
+
+  /** Called from INSIDE a [[getOrRefreshGuarded]] refresh closure to mark
+    * the value it returns as a WARM merge: quality parity with a cold
+    * retrain, NOT the extensional (bit-parity) identity the refresh
+    * contract documents. The lifecycle event is recorded as
+    * "refreshed-warm" so specs and live consumers can tell the inexact
+    * generation apart from the bit-parity delta path (round-16 advice:
+    * the two branches were indistinguishable in the event stream, yet
+    * only one reproduces the DuckDB oracle's cold-train hashes). */
+  def markWarmRefresh(): Unit = warmFlag.set(java.lang.Boolean.TRUE)
 
   /** Accumulated wall seconds spent INSIDE train/refresh closures, per
     * model kind (round-12 verdict #2: the bench must grade real costs —
@@ -271,7 +292,16 @@ object ModelCache {
     * min(id) over ONLY the new files (O(delta files), column-pruned) and
     * refuse the monoid merge when any id lands below the frozen split —
     * the merge would silently under-count, while a retrain re-censuses
-    * the whole corpus correctly. See [[Backfill.minId]]. */
+    * the whole corpus correctly. See [[Backfill.minId]].
+    *
+    * CONTRACT EXCEPTION: a closure may return a merge that guarantees
+    * only QUALITY parity (not the extensional identity above) when the
+    * artifact isn't monoidal along the changed axis — e.g. the IVF
+    * warm-start when k or the training sample moved. Such a closure MUST
+    * call [[markWarmRefresh]] before returning, so the served generation
+    * is recorded as "refreshed-warm" and consumers that need cold-train
+    * bit parity (oracle comparisons, cross-engine hashes) can detect and
+    * force a retrain instead of silently serving the inexact value. */
   def getOrRefreshGuarded[T <: AnyRef](spark: SparkSession, kind: String,
       sourcePath: String)(train: => T)(refresh: (T, Seq[String]) => Option[T]): T = {
     val pathed = listingPathed(spark, sourcePath)
@@ -292,8 +322,13 @@ object ModelCache {
             val newPaths = pathed.collect {
               case (e, p) if !f.files.contains(e) => p
             }
+            warmFlag.remove()
             refresh(f.value.asInstanceOf[T], newPaths) match {
-              case Some(v) => events.put(lkey, "refreshed"); v
+              case Some(v) =>
+                events.put(lkey,
+                  if (warmFlag.get()) "refreshed-warm" else "refreshed")
+                warmFlag.remove()
+                v
               case None => events.put(lkey, "retrained"); train
             }
           case _ =>

@@ -501,7 +501,9 @@ object Multimodal {
     * Scale shape: the scene reduction is one partial-aggregating groupBy
     * over the frame stream; the digest lookup re-reads each KEYFRAME's
     * 16 bytes via a broadcast-friendly join back to the asset blob —
-    * O(scenes) probe rows against O(assets) blobs on the asset key. */
+    * O(scenes) probe rows against O(assets) blobs on the asset key, and
+    * the blob side ships raw BINARY (hex only on the extracted slice),
+    * halving the exchange bytes vs the hex-blob form (round-16 #8). */
   val keyframes: Q = Q(
     "q_keyframes",
     s"""WITH $sceneCtesSql,
@@ -514,9 +516,16 @@ object Multimodal {
       |FROM kf k JOIN meta m ON m.asset_id = k.asset_id
       |ORDER BY k.asset_id, k.scene_id""".stripMargin
   ) { (s, d) =>
+    // the blob side ships BINARY, not hex (round-16 verdict #8): hex
+    // doubles the bytes through the kf⋈blob exchange, and the keyframe
+    // digest only needs 32 hex chars per scene — so the slice is taken
+    // on the binary (byte positions) and hexed AFTER extraction.
+    // hex(substr(bin, i·16+1, 16)) ≡ substr(hex(bin), i·32+1, 32)
+    // byte-for-byte (hex is positional per byte; both engines uppercase —
+    // the luma path already depends on that), so key_md5 is unchanged.
     val bin = encode(col("text"), "UTF-8")
     val blobs = T.documents(s, d)
-      .select(col("doc_id").as("asset_id"), hex(bin).as("hx"))
+      .select(col("doc_id").as("asset_id"), bin.as("b"))
     sceneFramesOn(T.documents(s, d))
       .groupBy("asset_id", "scene_id")
       .agg(count(lit(1)).as("scene_frames"),
@@ -524,7 +533,8 @@ object Multimodal {
       .join(blobs, "asset_id")
       .select(col("asset_id"), col("scene_id"), col("scene_frames"),
         col("key_idx"), (col("key_idx") * 16L).as("byte_off"),
-        md5(expr("substr(hx, cast(key_idx * 32 + 1 as int), 32)")).as("key_md5"))
+        md5(hex(expr("substr(b, cast(key_idx * 16 + 1 as int), 16)")))
+          .as("key_md5"))
       .orderBy("asset_id", "scene_id")
   }
 

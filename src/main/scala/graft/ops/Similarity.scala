@@ -631,17 +631,33 @@ object Similarity {
   private[ops] final case class IvfParts(
       qc: DataFrame, assign: DataFrame, cents: DataFrame, cosExpr: Column)
 
-  /** integer-code projection of an embeddings-shaped frame, materialized
-    * once (it feeds every Lloyd round + the probe; localCheckpoint, not
-    * cache, so blocks release when the plan is GC'd). */
-  private def codesOf(s: SparkSession, src: DataFrame): DataFrame = {
+  /** Diagnostic stage hook (tools.IvfProbe): called with (stage, nanos)
+    * after each eager materialization in the IVF build. No-op by
+    * default; measurement-only, never load-bearing. */
+  private[graft] var ivfStageHook: (String, Long) => Unit = (_, _) => ()
+  private def staged[T](name: String)(body: => T): T = {
+    val t0 = System.nanoTime()
+    val r = body
+    ivfStageHook(name, System.nanoTime() - t0)
+    r
+  }
+
+  /** integer-code projection of an embeddings-shaped frame — LAZY: the
+    * round-16 ask #5 fusion computes codes inline inside the one
+    * full-corpus assignment scan instead of materializing them first. */
+  private def codesProj(s: SparkSession, src: DataFrame): DataFrame = {
     def dotD(a: Column, b: Column): Column = graft.functions.VectorOps.vecDotD(s, a, b)
     val e = col("embedding").cast(ArrayType(DoubleType))
     val codes = transform(e, x => round(x * Scale, 0))
     src.select(col("vec_id"), codes.as("cd"))
       .withColumn("n2", dotD(col("cd"), col("cd")))
-      .localCheckpoint()
   }
+
+  /** [[codesProj]] materialized (localCheckpoint, not cache, so blocks
+    * release when the plan is GC'd) — the delta-refresh path and the
+    * external-centroid assign still want a frozen code slice. */
+  private def codesOf(s: SparkSession, src: DataFrame): DataFrame =
+    staged("codes-scan-ckpt")(codesProj(s, src).localCheckpoint())
 
   /** argmax-cosine assignment of `qc` codes against a (broadcast) centroid
     * table — a hash-aggregate max over struct(cos, -cid): same pick as
@@ -663,18 +679,64 @@ object Similarity {
       agg.select(col("vec_id"), (-col("__m.negcid")).as("cid"))
   }
 
+  /** argmax-cosine assignment that CARRIES the code columns through the
+    * aggregate — `first(cd)`/`first(n2)` are deterministic because every
+    * crossJoin-expanded row of a vec_id shares them. This is the fusion
+    * kernel of the round-16 ask #5 rebuild: one scan + one shuffle yields
+    * (vec_id, cd, n2, cid), so the corpus codes and the index assignment
+    * materialize together instead of as two jobs, and the Lloyd rounds
+    * need no assignment→codes re-join for the centroid update. */
+  private def assignCarry(s: SparkSession, qc: DataFrame, cents: DataFrame): DataFrame = {
+    def dotD(a: Column, b: Column): Column = graft.functions.VectorOps.vecDotD(s, a, b)
+    val cos = when(col("n2") === 0.0d || col("cn2") === 0.0d, lit(-2.0d))
+      .otherwise(round(dotD(col("cd"), col("ccd")) / (sqrt(col("n2")) * sqrt(col("cn2"))), 6))
+    qc.crossJoin(broadcast(cents))
+      .withColumn("cos", cos)
+      .groupBy("vec_id")
+      .agg(max(struct(col("cos"), (-col("cid")).as("negcid"))).as("__m"),
+        first(col("cd")).as("cd"), first(col("n2")).as("n2"))
+      .select(col("vec_id"), col("cd"), col("n2"),
+        (-col("__m.negcid")).as("cid"))
+  }
+
   /** Deterministic k-means training over `src` (an embeddings-shaped
     * frame with `n` rows): derived KCells seeds, `Iters` Lloyd rounds over
-    * the first min(n, TrainCap) ids, then ONE full-corpus assignment
-    * against the trained centroids — each training round costs
-    * O(sample · K); only the final index-build assignment is O(n · K). */
+    * the first min(n, TrainCap) ids, then ONE full-corpus fused
+    * codes+assignment pass against the trained centroids.
+    *
+    * Round-16 ask #5 (cold-build fusion) restructured the passes:
+    *  - the training slice (ids < max(k, TrainCap)) is the ONLY eager
+    *    pre-materialization, a parquet-pushdown scan of ≤ max(k, 4096)
+    *    rows — the old design checkpointed the FULL corpus' codes first;
+    *  - Lloyd rounds run on [[assignCarry]], so the centroid update
+    *    aggregates straight off the assignment (no per-round
+    *    assignment→codes join in the plan);
+    *  - the full corpus is touched by exactly ONE job: a fused scan that
+    *    computes codes inline and assigns against the broadcast trained
+    *    centroids in the same shuffle, checkpointed once as
+    *    (vec_id, cd, n2, cid) — `IvfParts.qc` and `.assign` are cheap
+    *    projections of that single materialization.
+    * Training rounds cost O(sample · K); the fused index build is the
+    * only O(n · K) pass. Bit-for-bit output parity with the pre-fusion
+    * shape (same argmax, same code arithmetic) — RefreshSpec and the
+    * oracle gate pin it. */
   private[ops] def trainOn(s: SparkSession, src: DataFrame, n: Long,
       warm: Option[DataFrame] = None): IvfParts = {
     def dotD(a: Column, b: Column): Column = graft.functions.VectorOps.vecDotD(s, a, b)
     val dims = 1 to 64
     val k = kCellsOf(n)
-    val qc = codesOf(s, src)
-    val qct = qc.filter(col("vec_id") < math.min(n, TrainCap.toLong))
+    // one pushdown head scan covers both the seed ids (< k) and the
+    // training sample (< TrainCap) — k can exceed TrainCap past n ≈ 16.7M.
+    // Checkpointed: the Lloyd fold references the slice ~5 times (seeds +
+    // per-round sample assign/update), and re-scanning even a pushdown
+    // slice per reference measured slower (warm 4.05 s vs 3.28 s) than
+    // one ≤ max(k, 4096)-row materialization. This is the only
+    // pre-training action, and it is sample-sized, not corpus-sized (the
+    // pre-fusion shape checkpointed the FULL corpus' codes here).
+    val headCap = math.max(k.toLong, math.min(n, TrainCap.toLong))
+    val qcHead = staged("head-scan-ckpt")(
+      codesProj(s, src.filter(col("vec_id") < headCap)).localCheckpoint())
+    val qct = qcHead.filter(col("vec_id") < math.min(n, TrainCap.toLong))
     // WARM START (round-15 ask #5): `warm` carries the previous
     // generation's trained centroids. Lloyd then starts from a
     // near-converged solution instead of the raw id-seeds, so ONE round
@@ -686,12 +748,12 @@ object Similarity {
     // (old cids ARE seed vec_ids below the old k).
     val (seeds, rounds) = warm match {
       case None =>
-        (qc.filter(col("vec_id") < k)
+        (qcHead.filter(col("vec_id") < k)
           .select(col("vec_id").as("cid"), col("cd").as("ccd"), col("n2").as("cn2")),
           Iters)
       case Some(c0) =>
         (c0.select("cid", "ccd", "cn2").unionByName(
-          qc.filter(col("vec_id") < k)
+          qcHead.filter(col("vec_id") < k)
             .join(c0.select(col("cid")), col("vec_id") === col("cid"), "left_anti")
             .select(col("vec_id").as("cid"), col("cd").as("ccd"), col("n2").as("cn2"))),
           1)
@@ -699,32 +761,36 @@ object Similarity {
     def update(a: DataFrame): DataFrame = {
       // 64 per-dim SUM columns: native partial (map-side) aggregation, no
       // explode — each partition ships one 64-long vector per cell.
+      // NOTE the sample rounds keep the assignment→codes JOIN (against
+      // the 4096-row checkpointed slice) rather than the assignCarry
+      // form: max(struct) over scalars stays inside whole-stage codegen,
+      // while carrying the 64-double array through the agg forces the
+      // object-hash fallback — measured slower on the training loop.
       val sums = dims.map(i => sum(element_at(col("cd"), i)).as(s"s$i"))
       a.join(qct.select("vec_id", "cd"), "vec_id")
         .groupBy("cid").agg(sums.head, sums.tail: _*)
         .select(col("cid"), array(dims.map(i => col(s"s$i")): _*).as("ccd"))
         .withColumn("cn2", dotD(col("ccd"), col("ccd")))
     }
-    val (_, cFinal) = (1 to rounds)
-      .foldLeft((assignAgainst(s, qct, seeds), seeds)) { case ((a, _), i) =>
-        // intermediate rounds assign the sample; the fold's last centroid
-        // table is what the full corpus is assigned against below
-        val c = update(a)
-        (if (i < rounds) assignAgainst(s, qct, c) else a, c)
-      }
+    val cFinal = (1 to rounds).foldLeft(seeds) { case (c, _) =>
+      update(assignAgainst(s, qct, c))
+    }
     // the centroid table's lineage is the whole Lloyd fold: without a
     // checkpoint every consumer referencing cents (the multi-probe cell
     // ranking, the census, frozen-model collection) silently REPLAYS
     // training — measured as q_ann_recall's residual 1.6 s/run even with
     // everything else frozen. K rows; checkpoint once with the model.
-    val cF = cFinal.localCheckpoint()
-    val trained = assignAgainst(s, qc, cF)
-    // assignment is referenced on both sides of downstream self-joins;
-    // localCheckpoint so the Lloyd rounds run once, not twice.
-    val a2 = trained.localCheckpoint()
+    val cF = staged("lloyd-rounds-ckpt")(cFinal.localCheckpoint())
+    // the ONE full-corpus pass: codes computed inline, assigned in the
+    // same shuffle, checkpointed once; qc/assign are projections of it
+    // (the assignment is referenced on both sides of downstream
+    // self-joins — the shared checkpoint covers that too)
+    val qca = staged("fused-codes-assign-ckpt")(
+      assignCarry(s, codesProj(s, src), cF).localCheckpoint())
     val cosToCent = when(col("n2") === 0.0d || col("cn2") === 0.0d, lit(-2.0d))
       .otherwise(round(dotD(col("cd"), col("ccd")) / (sqrt(col("n2")) * sqrt(col("cn2"))), 6))
-    IvfParts(qc, a2, cF, cosToCent)
+    IvfParts(qca.select("vec_id", "cd", "n2"),
+      qca.select("vec_id", "cid"), cF, cosToCent)
   }
 
   /** Hash-split of an assignment into capped subcells: nsub =
@@ -846,12 +912,16 @@ object Similarity {
     *     of O(n · K), with the old assignment rows frozen (per-vector
     *     assignment depends only on the vector and the centroids).
     *     RefreshSpec pins assign/cents/probe == retrain bit-for-bit.
+    *     Lifecycle event `refreshed`.
     *  2. WARM START (k or the sample moved — the corpus crossed the next
     *     √n cell count or is still under TrainCap): Lloyd re-seeds from
     *     the frozen centroids, topped up to the new k, and runs 1 round
     *     instead of Iters. Centroids aren't monoidal, so this path's
     *     contract is QUALITY parity (intraCellCosine within ε of a cold
-    *     retrain — RefreshSpec), not bit parity.
+    *     retrain — RefreshSpec), not bit parity. Lifecycle event
+    *     `refreshed-warm` (via ModelCache.markWarmRefresh), so live
+    *     consumers needing cold-train hash parity can detect the inexact
+    *     generation and force a retrain.
     *  3. RETRAIN: a backfilled file (any new vec_id at or below the
     *     frozen max) can mutate the training sample itself and hides
     *     from the id-sliced delta scan — decline, ModelCache retrains
@@ -888,7 +958,14 @@ object Similarity {
                 .otherwise(round(dotD(col("cd"), col("ccd")) /
                   (sqrt(col("n2")) * sqrt(col("cn2"))), 6))
             (IvfParts(qc1, a1, parts0.cents, cosToCent), probeOf(s, d, a1))
-          } else trainedPartsUncached(s, d, warm = Some(parts0.cents))
+          } else {
+            // warm start is QUALITY parity only (Lloyd re-seeded from the
+            // frozen centroids is not bit-identical to a cold train) —
+            // mark it so the lifecycle event reads "refreshed-warm" and
+            // oracle-parity consumers can tell this generation apart
+            graft.core.ModelCache.markWarmRefresh()
+            trainedPartsUncached(s, d, warm = Some(parts0.cents))
+          }
         }
       }
     }
@@ -902,24 +979,29 @@ object Similarity {
   private def probeOf(s: SparkSession, d: String, a2: DataFrame): DataFrame = {
     def dot(a: Column, b: Column): Column =
       graft.functions.VectorOps.vecDot(s, a, b)
-    val base = T.embeddings(s, d)
-      .select(col("vec_id"), col("embedding"),
-        sqrt(dot(col("embedding"), col("embedding"))).as("nrm"))
+    // norms are computed ABOVE the candidate join (round-16 ask #5): the
+    // old shape projected sqrt(dot(e,e)) below the join, paying the norm
+    // for ALL n rows in each scan leg; the probe only ever reads the 5
+    // query cells' members. Same arithmetic (sqrt(dot)·sqrt(dot), then
+    // round 6) — hash parity unchanged.
+    val base = T.embeddings(s, d).select(col("vec_id"), col("embedding"))
     val qa = a2.filter(col("vec_id").between(16, 20))
       .select(col("vec_id").as("qid"), col("cid"))
     val cand = qa.join(a2.select(col("vec_id").as("cand_id"), col("cid")), Seq("cid"))
       .filter(col("cand_id") =!= col("qid"))
-    val vq = base.select(col("vec_id").as("qid"), col("embedding").as("qe"), col("nrm").as("qn"))
-    val vc = base.select(col("vec_id").as("cand_id"), col("embedding").as("cande"), col("nrm").as("candn"))
+    val vq = base.select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val vc = base.select(col("vec_id").as("cand_id"), col("embedding").as("cande"))
     val cscore = cand.join(vq, Seq("qid")).join(vc, Seq("cand_id"))
       .select(col("qid"), col("cand_id"),
-        round(dot(col("qe"), col("cande")) / (col("qn") * col("candn")), 6).as("score"))
+        round(dot(col("qe"), col("cande")) /
+          (sqrt(dot(col("qe"), col("qe"))) *
+            sqrt(dot(col("cande"), col("cande")))), 6).as("score"))
     val wRank = Window.partitionBy("qid").orderBy(col("score").desc, col("cand_id").asc)
-    cscore.withColumn("rn", row_number().over(wRank))
+    staged("probe-ckpt")(cscore.withColumn("rn", row_number().over(wRank))
       .filter(col("rn") <= 3)
       .select(col("qid"), col("rn"), col("cand_id").as("vec_id"), col("score"))
       .orderBy("qid", "rn")
-      .localCheckpoint()
+      .localCheckpoint())
   }
 
   private def trainedPartsUncached(s: SparkSession, d: String,

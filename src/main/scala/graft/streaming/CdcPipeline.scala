@@ -510,15 +510,37 @@ object CdcPipeline {
         math.min(listing.size, 8))
       implicit val ec: scala.concurrent.ExecutionContext =
         scala.concurrent.ExecutionContext.fromExecutor(pool)
+      // BOUNDED await + cancel-on-failure (round-16 advice): Duration.Inf
+      // meant one hung table leg stalled the tick (and the stream) forever
+      // with no diagnostic, and after a first failure the sibling futures
+      // kept writing captures into an epoch that had already thrown. Now:
+      // a generous per-tick ceiling (10 min — two orders past the rated
+      // p50 of 492 ms at 6 tables) turns a hang into a named TimeoutException,
+      // and the first failure cancels the still-queued legs via
+      // shutdownNow + Spark job-group interrupt. Epoch-overwrite
+      // idempotence already makes the replay of a half-written tick safe.
+      val group = s"cdc-tick-$epoch"
+      spark.sparkContext.setJobGroup(group, "consistent CDC tick",
+        interruptOnCancel = true)
       try scala.concurrent.Await.result(
         scala.concurrent.Future.sequence(listing.map {
           case (_, None) => scala.concurrent.Future.successful(false)
           case (cfg, Some(file)) => scala.concurrent.Future {
             SparkSession.setActiveSession(spark)
+            spark.sparkContext.setJobGroup(group, "consistent CDC tick",
+              interruptOnCancel = true)
             tickTable(spark, cfg, file, epoch, tickTs)
           }
-        }), scala.concurrent.duration.Duration.Inf)
-      finally pool.shutdown()
+        }), scala.concurrent.duration.Duration(10, "min"))
+      catch {
+        case e: Throwable =>
+          pool.shutdownNow() // drop queued legs; running ones get...
+          spark.sparkContext.cancelJobGroup(group) // ...their jobs killed
+          throw e
+      } finally {
+        spark.sparkContext.clearJobGroup()
+        pool.shutdown()
+      }
     }
   }
 

@@ -1489,68 +1489,105 @@ object Stateful {
     * ask #3; ChecksumProcessor and ConcurrencyProcessor use only
     * ValueState). Where [[sessionCounts]]'s session_window aggregation
     * closes sessions retroactively when the watermark overtakes them,
-    * here the state machine is explicit and forward-looking: each
-    * user's open session holds one EVENT-TIME timer at
-    * last_event + 30 min; an arriving event extends the session and
-    * SLIDES the timer (deleteTimer + registerTimer); a mid-batch gap
-    * parks the closed session in a ListState under its own timer; and
-    * [[handleExpiredTimer]] emits exactly when the watermark crosses a
-    * session's gap boundary. Merge rule matches session_window's
-    * half-open windows (merge iff next < last + gap, strictly).
-    * StatefulSpec replays one stream through both gates and asserts the
-    * emitted session sets are identical. */
+    * here the state machine is explicit and forward-looking, and — since
+    * round 17 — CHURN-FREE. The first cut slid one timer per open
+    * session on every event (deleteTimer + registerTimer per touched
+    * user per batch); the StreamBench 10× rating showed that registry
+    * churn, not the state store (state_share collapsed to 0.106),
+    * capped the port at 36k rows/s vs the aggregation's 127k
+    * (BASELINE.md "TWS scaling point").
+    *
+    * The churn-free design keeps ONE outstanding alarm per key, stored
+    * as the fourth long of the open-session ValueState:
+    *   - an arriving event extends the session WITHOUT touching the
+    *     timer registry — if an alarm is already outstanding it covers
+    *     every session this key holds (the alarm was registered off an
+    *     older `last`, so it fires at or before any newer boundary's
+    *     bucket);
+    *   - an alarm is registered only when none is outstanding, at the
+    *     earliest unemitted gap boundary rounded UP to a 60 s bucket;
+    *   - [[handleExpiredTimer]] emits every session whose boundary the
+    *     watermark has crossed and re-registers once at the earliest
+    *     REMAINING boundary's bucket (a live session therefore re-arms
+    *     about once per gap-length of watermark progress, not once per
+    *     batch).
+    * Mid-batch gaps still park in the ListState; they ride the shared
+    * alarm instead of owning a timer. The bucket ceiling trades ≤60 s of
+    * event-time emission latency (content is bit-identical; only the
+    * emitting micro-batch can shift) for an O(fires) registry write
+    * rate. Merge rule matches session_window's half-open windows (merge
+    * iff next < last + gap, strictly). StatefulSpec replays one stream
+    * through both gates and asserts the emitted session sets are
+    * identical. */
   class SessionProcessor
       extends StatefulProcessor[Long, SessEvIn, SessionOut] {
     private val GapUs = 1800000000L
+    private val BucketMs = 60000L
     private def expiryMs(lastUs: Long): Long = lastUs / 1000L + 30L * 60L * 1000L
+    private def bucketCeil(ms: Long): Long =
+      ((ms + BucketMs - 1L) / BucketMs) * BucketMs
     private def startTs(startUs: Long) = new java.sql.Timestamp(startUs / 1000L)
 
-    @transient private var open: ValueState[(Long, Long, Long)] = _
+    // open = (start_us, last_us, n_events, alarm_ms); alarm_ms is the
+    // timestamp of this key's single outstanding timer, 0 when none.
+    @transient private var open: ValueState[(Long, Long, Long, Long)] = _
     @transient private var pending: ListState[(Long, Long, Long)] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
-      val enc = Encoders.tuple(
-        Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaLong)
-      open = getHandle.getValueState("open", enc, TTLConfig.NONE)
-      pending = getHandle.getListState("pending", enc, TTLConfig.NONE)
+      open = getHandle.getValueState("open", Encoders.tuple(
+        Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaLong,
+        Encoders.scalaLong), TTLConfig.NONE)
+      pending = getHandle.getListState("pending", Encoders.tuple(
+        Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaLong),
+        TTLConfig.NONE)
     }
 
     override def handleInputRows(uid: Long, rows: Iterator[SessEvIn],
         timers: TimerValues): Iterator[SessionOut] = {
       val prev = Option(open.get())
-      var cur = prev
+      val alarm = prev.map(_._4).getOrElse(0L)
+      var cur = prev.map(p => (p._1, p._2, p._3))
       val parked = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
       rows.toSeq.sortBy(_.ts_us).foreach { e =>
         cur match {
           case Some((start, last, n)) if e.ts_us - last < GapUs =>
             cur = Some((start, math.max(last, e.ts_us), n + 1L))
           case Some(closed) =>
-            // gap inside the batch: park under its own timer — it still
-            // emits only when the WATERMARK passes its boundary, exactly
-            // like the aggregation form
+            // gap inside the batch: park — it emits when the WATERMARK
+            // passes its boundary, under the shared alarm
             parked += closed
             cur = Some((e.ts_us, e.ts_us, 1L))
           case None =>
             cur = Some((e.ts_us, e.ts_us, 1L))
         }
       }
-      // slide the open-session timer: drop the pre-batch one, then cover
-      // every parked boundary and the new open session
-      prev.foreach(p => getHandle.deleteTimer(expiryMs(p._2)))
-      parked.foreach { p =>
-        pending.appendValue(p)
-        getHandle.registerTimer(expiryMs(p._2))
-      }
-      cur.foreach { c =>
-        open.update(c)
-        getHandle.registerTimer(expiryMs(c._2))
+      parked.foreach(pending.appendValue)
+      cur.foreach { case (start, last, n) =>
+        val newAlarm =
+          if (alarm != 0L) alarm // outstanding timer already covers us
+          else {
+            // earliest unemitted boundary: the first parked session's if
+            // any (parked boundaries precede the open session's), else
+            // the open session's
+            val minLast = parked.headOption.map(_._2).getOrElse(last)
+            val t = bucketCeil(expiryMs(minLast))
+            getHandle.registerTimer(t)
+            t
+          }
+        open.update((start, last, n, newAlarm))
       }
       Iterator.empty
     }
 
     override def handleExpiredTimer(uid: Long, timers: TimerValues,
         info: ExpiredTimerInfo): Iterator[SessionOut] = {
-      val fired = info.getExpiryTimeInMs
+      // emit against the CURRENT WATERMARK, not just the fired alarm's
+      // timestamp: the single shared alarm may sit far behind the
+      // watermark (it was armed off an old boundary), and one fire must
+      // drain every boundary the watermark has already crossed — exactly
+      // session_window's emission rule
+      val fired = math.max(info.getExpiryTimeInMs,
+        timers.getCurrentWatermarkInMs())
       val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
       val keep = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
       pending.get().foreach { case s @ (start, last, n) =>
@@ -1561,12 +1598,26 @@ object Stateful {
         pending.clear()
         keep.foreach(pending.appendValue)
       }
-      Option(open.get()).foreach { case (start, last, n) =>
-        if (expiryMs(last) <= fired) {
-          out += SessionOut(uid, startTs(start), n)
-          open.clear()
-        }
+      var openRemains: Option[(Long, Long, Long)] = None
+      Option(open.get()).foreach { case (start, last, n, _) =>
+        if (expiryMs(last) <= fired) out += SessionOut(uid, startTs(start), n)
+        else openRemains = Some((start, last, n))
       }
+      // re-arm once at the earliest remaining boundary's bucket (strictly
+      // past `fired`, since everything due at `fired` just emitted)
+      val remaining = keep.map(s => expiryMs(s._2)) ++
+        openRemains.map(o => expiryMs(o._2))
+      if (remaining.nonEmpty) {
+        val next = bucketCeil(remaining.min)
+        getHandle.registerTimer(next)
+        openRemains match {
+          case Some((start, last, n)) => open.update((start, last, n, next))
+          // keep-only (parked boundaries always precede the open one, so
+          // this is defensive): the timer is armed but has no alarm slot;
+          // the next input batch re-arms, and a duplicate fire is a no-op
+          case None => open.clear()
+        }
+      } else open.clear()
       out.iterator
     }
   }

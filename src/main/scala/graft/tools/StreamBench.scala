@@ -38,6 +38,58 @@ object StreamBench {
     case _ => cdcMain(args)
   }
 
+  /** Round-16 ask #3: the streaming twin of bench_history.jsonl. Every
+    * rating line is (1) printed, (2) appended (with a UTC `ts`) to
+    * stream_history.jsonl — env GRAFT_STREAM_HISTORY overrides the path,
+    * "off" disables — and (3) checked against history: the printed
+    * `stream_check` line carries this run's rows_per_sec ratio vs the
+    * MEDIAN of the last ≤3 prior entries sharing the same identity
+    * (metric, engine, mode, tables, drops, sf). Median-of-3 rather than
+    * single-last so one contaminated window can't skew every later
+    * comparison, and a missing reference is LOGGED rather than silently
+    * skipped (both per the round-16 advice on the batch anchor check).
+    * Interpretation discipline mirrors the batch bench: host windows
+    * swing 1.2–1.4× on byte-identical code, so a single ratio inside
+    * that band is weather; two consecutive runs past it is a regression
+    * (BASELINE.md "stream history" row). */
+  private def emit(line: String): Unit = {
+    println(line)
+    val path = sys.env.getOrElse("GRAFT_STREAM_HISTORY", "stream_history.jsonl")
+    if (path == "off") return
+    def field(src: String, k: String): Option[String] =
+      ("\"" + k + "\":\"?([^,\"}]+)\"?").r.findFirstMatchIn(src).map(_.group(1))
+    val idKeys = Seq("metric", "engine", "mode", "tables", "drops", "sf")
+    def ident(src: String) = idKeys.map(k => field(src, k))
+    val metric = field(line, "metric").getOrElse("?")
+    try {
+      val me = ident(line)
+      val p = Paths.get(path)
+      val prior =
+        if (Files.exists(p))
+          scala.jdk.CollectionConverters.IteratorHasAsScala(
+            Files.lines(p).iterator()).asScala.toList
+        else Nil
+      val refs = prior.filter(ident(_) == me)
+        .flatMap(field(_, "rows_per_sec")).flatMap(_.toDoubleOption)
+        .takeRight(3)
+      (refs, field(line, "rows_per_sec").flatMap(_.toDoubleOption)) match {
+        case (rs, Some(cur)) if rs.nonEmpty =>
+          val med = rs.sorted.apply(rs.size / 2)
+          println(f"""{"stream_check":"$metric","rows_per_sec_ratio_vs_median":${cur / med}%.3f,"n_ref":${rs.size}}""")
+        case _ =>
+          println(s"""{"stream_check":"$metric","note":"no prior matching history entry — ratio check skipped"}""")
+      }
+      val stamped = line.dropRight(1) +
+        s""","ts":"${java.time.Instant.now()}"}""" + "\n"
+      Files.write(p, stamped.getBytes("UTF-8"),
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
+    } catch {
+      case e: Exception =>
+        println(s"""{"stream_check":"$metric","note":"history append failed: ${e.getClass.getSimpleName}"}""")
+    }
+  }
+
   private def cdcMain(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -104,7 +156,7 @@ object StreamBench {
     val captured = spark.read.json(s"$work/out").count()
     require(captured == nRows * drops,
       s"end-to-end loss: captured $captured of ${nRows * drops}")
-    println(s"""{"metric":"s_poll_pipeline","drops":$drops,"rows_per_drop":$nRows,"rows_captured":$captured,"wall_sec":${fmt(sec)},"rows_per_sec":${fmt(captured / sec)},"batch_ms_p50":${fmt(pct(lat, 0.5))},"batch_ms_p99":${fmt(pct(lat, 0.99))},"batch_ms_max":${fmt(lat.max)},"sf":"$sfDir"}""")
+    emit(s"""{"metric":"s_poll_pipeline","drops":$drops,"rows_per_drop":$nRows,"rows_captured":$captured,"wall_sec":${fmt(sec)},"rows_per_sec":${fmt(captured / sec)},"batch_ms_p50":${fmt(pct(lat, 0.5))},"batch_ms_p99":${fmt(pct(lat, 0.99))},"batch_ms_max":${fmt(lat.max)},"sf":"$sfDir"}""")
 
     // ---- 2. s_stream_dedup admission gate over the same drops ----------
     // events-shaped input: give each customer row an event_id/ts; every
@@ -147,7 +199,7 @@ object StreamBench {
     seen.set(nRows * drops)
     require(admitted.get() == nRows,
       s"gate must admit exactly one wave: admitted ${admitted.get()} of $nRows")
-    println(s"""{"metric":"s_stream_dedup","drops":$drops,"rows_in":${seen.get()},"rows_admitted":${admitted.get()},"wall_sec":${fmt(dSec)},"rows_per_sec":${fmt(seen.get() / dSec)},"batch_ms_p50":${fmt(pct(dLat, 0.5))},"batch_ms_p99":${fmt(pct(dLat, 0.99))},"batch_ms_max":${fmt(dLat.max)},"sf":"$sfDir"}""")
+    emit(s"""{"metric":"s_stream_dedup","drops":$drops,"rows_in":${seen.get()},"rows_admitted":${admitted.get()},"wall_sec":${fmt(dSec)},"rows_per_sec":${fmt(seen.get() / dSec)},"batch_ms_p50":${fmt(pct(dLat, 0.5))},"batch_ms_p99":${fmt(pct(dLat, 0.99))},"batch_ms_max":${fmt(dLat.max)},"sf":"$sfDir"}""")
     spark.stop()
   }
 
@@ -215,7 +267,7 @@ object StreamBench {
     val trig = prog.values.map(_._1).toSeq
     val st = prog.values.map(_._2).toSeq
     val share = if (trig.sum > 0) st.sum / (trig.sum * parts) else -1.0
-    println(s"""{"metric":"$metric","engine":"$engine","drops":$drops,"rows_in":$rowsIn,"wall_sec":${fmt(sec)},"rows_per_sec":${fmt(rowsIn / sec)},"batch_ms_p50":${fmt(pct(trig, 0.5))},"batch_ms_p99":${fmt(pct(trig, 0.99))},"state_task_ms_p50":${fmt(pct(st, 0.5))},"state_share":${BigDecimal(share).setScale(3, BigDecimal.RoundingMode.HALF_UP)},"sf":"$sfDir"}""")
+    emit(s"""{"metric":"$metric","engine":"$engine","drops":$drops,"rows_in":$rowsIn,"wall_sec":${fmt(sec)},"rows_per_sec":${fmt(rowsIn / sec)},"batch_ms_p50":${fmt(pct(trig, 0.5))},"batch_ms_p99":${fmt(pct(trig, 0.99))},"state_task_ms_p50":${fmt(pct(st, 0.5))},"state_share":${BigDecimal(share).setScale(3, BigDecimal.RoundingMode.HALF_UP)},"sf":"$sfDir"}""")
   }
 
   private val RocksDb =
@@ -369,7 +421,7 @@ object StreamBench {
         .map(_.durationMs.get("triggerExecution").toDouble)
       queries.foreach(_.stop())
       val total = nRows * gens * nTables
-      println(s"""{"metric":"cdc_fanout","mode":"$label","tables":$nTables,"gens":$gens,"rows_captured":$total,"wall_sec":${fmt(sec)},"rows_per_sec":${fmt(total / sec)},"tick_ms_p50":${fmt(pct(lats, 0.5))},"tick_ms_p99":${fmt(pct(lats, 0.99))},"tick_ms_max":${fmt(if (lats.isEmpty) -1.0 else lats.max)},"sf":"$sfDir"}""")
+      emit(s"""{"metric":"cdc_fanout","mode":"$label","tables":$nTables,"gens":$gens,"rows_captured":$total,"wall_sec":${fmt(sec)},"rows_per_sec":${fmt(total / sec)},"tick_ms_p50":${fmt(pct(lats, 0.5))},"tick_ms_p99":${fmt(pct(lats, 0.99))},"tick_ms_max":${fmt(if (lats.isEmpty) -1.0 else lats.max)},"sf":"$sfDir"}""")
     }
 
     // K=1 baseline, then consistent ticks over K, then query-per-table

@@ -91,6 +91,64 @@ class InventorySpec extends AnyFunSuite {
       s"stale ledger sites (run scripts/gen_ledger.py --write): ${stale.mkString("; ")}")
   }
 
+  // ---- streaming ledger validation (round-16 verdict #2) ----
+  // The streaming table was the hand-maintained half of the ledger and
+  // had drifted (stale file:line refs, rows with no line). It is now
+  // GENERATED from streaming/StreamInventory.scala by gen_ledger.py;
+  // here the same resolution runs in Scala: every pipeline's `member`
+  // must resolve to exactly one top-level declaration in its `file`,
+  // and the SURVEY table must carry exactly that file:line.
+
+  private def streamTrueSites: Map[String, String] = {
+    graft.streaming.StreamInventory.pipelines.map { e =>
+      val text = read(s"src/main/scala/graft/${e.file}")
+      val pat = ("""(?m)^\s*(?:final\s+)?(?:def|class|object|val)\s+""" +
+        java.util.regex.Pattern.quote(e.member) + """\b""").r
+      val hits = pat.findAllMatchIn(text)
+        .map(m => text.substring(0, m.start).count(_ == '\n') + 1).toSeq
+      assert(hits.size == 1,
+        s"${e.key}: member ${e.member} resolves to ${hits.size} " +
+          s"declarations in ${e.file} (need exactly 1)")
+      e.key -> s"${e.file}:${hits.head}"
+    }.toMap
+  }
+
+  private def streamLedgerSites: Map[String, String] = {
+    val survey = read("SURVEY.md")
+    val start = survey.indexOf("| pipeline | site | what |")
+    assert(start >= 0, "SURVEY.md streaming table header not found")
+    val rows = survey.substring(start).linesIterator
+      .takeWhile(_.startsWith("|")).toSeq.drop(2)
+    val cell = """\| (s_[a-z0-9_]+) \| `([^`]+)`""".r
+    rows.flatMap(r => cell.findFirstMatchIn(r).map(m => m.group(1) -> m.group(2)))
+      .toMap
+  }
+
+  test("SURVEY.md streaming table lists every StreamInventory pipeline exactly once") {
+    val ledger = streamLedgerSites.keySet
+    val reg = graft.streaming.StreamInventory.pipelines.map(_.key)
+    assert(reg.distinct.size == reg.size, "StreamInventory has duplicate keys")
+    assert(ledger == reg.toSet,
+      s"streaming ledger missing: ${(reg.toSet -- ledger).toSeq.sorted.mkString(",")}; " +
+        s"stale extras: ${(ledger -- reg.toSet).toSeq.sorted.mkString(",")} " +
+        "(run scripts/gen_ledger.py --write)")
+  }
+
+  test("every SURVEY.md streaming site resolves to its pipeline's named declaration") {
+    val truth = streamTrueSites
+    val stale = streamLedgerSites.collect {
+      case (k, site) if truth.get(k).exists(_ != site) => s"$k: $site -> ${truth(k)}"
+    }
+    assert(stale.isEmpty,
+      s"stale streaming sites (run scripts/gen_ledger.py --write): ${stale.mkString("; ")}")
+  }
+
+  test("SURVEY.md closing inventory states the streaming pipeline count") {
+    val n = graft.streaming.StreamInventory.pipelines.size
+    assert(read("SURVEY.md").contains(s"$n streaming pipelines"),
+      s"SURVEY closing inventory must state '$n streaming pipelines'")
+  }
+
   // ---- spec-count + verify-skill drift guard (round-15 verdict #8) ----
   // The stale-count class recurred every round (README 393→402→406, each
   // fixed by hand after advice). Every spec in this tree is registered

@@ -905,8 +905,12 @@ class RefreshSpec extends SparkSuite {
     // the warm path must TOP UP seeds beyond the frozen centroid set
     write(400 until 640)
     val (warmParts, warmProbe) = graft.ops.Similarity.trainedParts(spark, d)
+    // round-16 advice: the warm branch must be DISTINGUISHABLE from the
+    // bit-parity delta branch in the lifecycle event stream — a consumer
+    // needing cold-train hash parity can't treat this generation as exact
     assert(ModelCache.lastEvent("ivf", s"$d/embeddings.parquet")
-      .contains("refreshed"), "append-only growth must take the warm path")
+      .contains("refreshed-warm"),
+      "k growth must take the warm path AND record the inexact event")
     val warmAssign = warmParts.assign.select("vec_id", "cid").collect()
     assert(warmAssign.length == 640, "every vector assigned exactly once")
     assert(warmAssign.map(_.getLong(0)).distinct.length == 640)
