@@ -1152,7 +1152,7 @@ object Graph {
     * share ≥2 such suppliers (a single shared supplier floods the
     * projection — measured 358k edges vs 94k at sf0.01). */
   private val TriMinRepeats = 2
-  private val TriMinShared = 2
+  private[graft] val TriMinShared = 2
 
   private val triEoSql =
     s"""eo AS (SELECT o_custkey AS c, l_suppkey AS s
@@ -1288,7 +1288,7 @@ object Graph {
     * `ce` down, returned as a 1-row DataFrame. Paid only when tri-base
     * TRAINS; the refresh and serve paths count triangles incrementally
     * ([[triDeltaCount]]) and never run this on the full graph again. */
-  private def triCount(ce: DataFrame): DataFrame = {
+  private[graft] def triCount(ce: DataFrame): DataFrame = {
     val sym = ce.select(col("u").as("x"), col("v").as("y"))
       .unionAll(ce.select(col("v").as("x"), col("u").as("y")))
     val deg = sym.groupBy("x").agg(count(lit(1)).as("dg"))

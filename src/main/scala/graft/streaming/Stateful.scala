@@ -1706,28 +1706,46 @@ object Stateful {
       .unionAll(cpOv)
     val cenD = batch.groupBy("c", "s").agg(count(lit(1)).as("cnt"))
       .localCheckpoint()
-    // streaming ticks are small by nature, so the gate runs the delta
-    // joins unconditionally — a BULK backfill belongs in the batch
-    // refreeze (tri-base refresh), whose flood probe falls back to the
-    // bounded full recount
-    val m = graft.ops.Graph.triMergeOf(cenView, cpView, cenD)
-    val dTri = graft.ops.Graph.triDeltaCount(m.ceNew, m.ceAll)
-      .head().getLong(0)
-    val nNewE = m.eoNew.count()
-    val nNewP = m.ceNew.count()
-    // roll the overlays: touched keys take their merged counts; the
-    // frozen base legs are read, never rewritten
+    val em = graft.ops.Graph.triEoNew(cenView, cenD)
+    val nNewE = em.eoNew.count()
+    // roll the cen overlay (delta-sized either route): touched keys take
+    // their merged counts; the frozen base leg is read, never rewritten
     val dK = cenD.select("c", "s")
-    val cenT = cenView.join(dK, Seq("c", "s"), "left_semi").unionAll(cenD)
-      .groupBy("c", "s").agg(sum(col("cnt")).as("cnt"))
-    val cenOv2 = cenOv.join(dK, Seq("c", "s"), "left_anti").unionAll(cenT)
+    val cenOv2 = cenOv.join(dK, Seq("c", "s"), "left_anti")
+      .unionAll(em.cenTouched)
       .localCheckpoint()
-    val dwK = m.dw.select("u", "v")
-    val cpT = cpView.join(dwK, Seq("u", "v"), "left_semi")
-      .unionAll(m.dw.select(col("u"), col("v"), col("dw").as("w")))
-      .groupBy("u", "v").agg(sum(col("w")).as("w"))
-    val cpOv2 = cpOv.join(dwK, Seq("u", "v"), "left_anti").unionAll(cpT)
-      .localCheckpoint()
+    // FLOOD ROUTE (round-17, found by the gates rating): the first cut
+    // ran the per-new-edge delta joins unconditionally ("streaming ticks
+    // are small by nature") — a bulk tick (1/10 of the sf0.1 corpus per
+    // drop) blew the per-new-edge join volume past the heap and KILLED
+    // the JVM, not just ran slow. The gate now runs the same flood probe
+    // as the q_triangles_delta serve path (frac=4, readable before any
+    // quadratic work): a flooded tick recomputes the projection through
+    // the BOUNDED pair-census machinery (wedge caps) and folds the whole
+    // census into the overlay — the honest O(census) cost of a bulk
+    // admission, paid through plans that spill instead of allocate.
+    val (dTri, nNewP, cpOv2) =
+      if (graft.ops.Graph.triEdgeFlooded(em.eoNew, em.eo0, frac = 4L)) {
+        val cpAll = graft.ops.Graph.triPairCensus(
+          em.eo0.unionAll(em.eoNew).localCheckpoint()).localCheckpoint()
+        val minW = graft.ops.Graph.TriMinShared.toLong
+        val ce = cpAll.filter(col("w") >= minW).select("u", "v")
+        val nTri = graft.ops.Graph.triCount(ce).head().getLong(0)
+        // append-only: ce only grows, so new-projection count = count diff
+        val ceOldN = cpView.filter(col("w") >= minW).count()
+        (nTri - tri0, ce.count() - ceOldN, cpAll)
+      } else {
+        val m = graft.ops.Graph.triMergeFrom(em.eoNew, em.eo0, cpView)
+        val d = graft.ops.Graph.triDeltaCount(m.ceNew, m.ceAll)
+          .head().getLong(0)
+        val dwK = m.dw.select("u", "v")
+        val cpT = cpView.join(dwK, Seq("u", "v"), "left_semi")
+          .unionAll(m.dw.select(col("u"), col("v"), col("dw").as("w")))
+          .groupBy("u", "v").agg(sum(col("w")).as("w"))
+        (d, m.ceNew.count(),
+          cpOv.join(dwK, Seq("u", "v"), "left_anti").unionAll(cpT)
+            .localCheckpoint())
+      }
     handle.advance(id, cenOv2, cpOv2, tri0 + dTri)
     val sp = batch.sparkSession
     import sp.implicits._

@@ -53,7 +53,7 @@ object StreamInventory {
     Entry("s_stream_substring", "streaming/Stateful.scala", "substringDupCandidates", "span-hash substring-dup candidates at ingest"),
     Entry("s_stream_tiles", "ops/Multimodal.scala", "imageTilesOn", "image tiling over a stream (shared kernel with q_image_tiles)"),
     Entry("s_stream_topk", "streaming/Stateful.scala", "runningTokenCounts", "running token counts; tws twin TokenShardProcessor (64-way MapState shards, TTL injectable)"),
-    Entry("s_stream_triangles", "streaming/Stateful.scala", "triangleStream", "live triangle-impact census: overlay state over the frozen tri-base, q_triangles_delta's merge algebra"),
+    Entry("s_stream_triangles", "streaming/Stateful.scala", "triangleStream", "live triangle-impact census: overlay state over the frozen tri-base, q_triangles_delta's merge algebra + frac=4 flood routing to the bounded recount"),
     Entry("s_stream_twap", "streaming/Stateful.scala", "twapGate", "running LOCF TWAP integral, five longs of state per user"),
     Entry("s_stream_watermark", "streaming/Stateful.scala", "watermarkStream", "per-batch lateness census, O(1) carried high-water mark"),
     Entry("s_watermark_late", "streaming/Stateful.scala", "watermarkedCounts", "watermarked windowed counts with late-row discipline")

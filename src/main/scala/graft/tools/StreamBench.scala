@@ -31,11 +31,83 @@ object StreamBench {
     * `tws [K]` = rate the transformWithState ports against their
     * fMGWS / native twins (round-15 ask #3); `fanout [K] [D]` = rate
     * multi-table consistent ticks vs query-per-table (round-15 ask #6,
-    * R22's Spark disposition). */
+    * R22's Spark disposition); `gates [K]` = rate the state-heavy
+    * ingest gates (round-16 ask #4). */
   def main(args: Array[String]): Unit = args.headOption match {
     case Some("tws") => twsMain(args.drop(1))
     case Some("fanout") => fanoutMain(args.drop(1))
+    case Some("gates") => gatesMain(args.drop(1))
     case _ => cdcMain(args)
+  }
+
+  /** Rate the three state-heavy ingest gates the round-16 verdict named
+    * as spec'd-but-unrated (ask #4): s_stream_containment,
+    * s_stream_novelty (frozen-artifact admission gates over arriving
+    * document batches) and s_stream_triangles (overlay-state graph-impact
+    * census over arriving trade pairs). Same drops protocol as the tws
+    * mode: K contiguous id slices, one file per drop,
+    * maxFilesPerTrigger=1, count sink. The frozen artifacts
+    * (containment-base, novelty-base, tri-base) are built BEFORE the
+    * stream starts — their cost prints as its own model_build line, so
+    * batch 0 rates the gate, not the artifact train (the same separation
+    * Bench.scala's model_train itemization enforces). state_share reads
+    * 0 here by construction: these gates hold state in driver-side
+    * overlay frames / frozen artifacts, not in a state store — the
+    * per-batch p50/p99 decomposition is the bottleneck signal. */
+  private def gatesMain(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val drops = if (args.nonEmpty) args(0).toInt else 10
+    val spark = graft.core.Session.local(cpus.toInt, cpus.toInt)
+    spark.sparkContext.setLogLevel("ERROR")
+    val work = Files.createTempDirectory("graft-gatesbench").toString
+
+    val docs = graft.core.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"))
+    val docRows = stageSlices(spark, docs, "doc_id", drops, work, s"$work/docs")
+    val docSchema = spark.read.parquet(s"$work/docs/drop_0.parquet").schema
+    def docStream = spark.readStream.schema(docSchema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$work/docs")
+
+    def build[T](kind: String)(body: => T): T = {
+      val t0 = System.nanoTime()
+      val r = body
+      println(s"""{"metric":"model_build","kind":"$kind","sec":${fmt((System.nanoTime() - t0) / 1e9)},"sf":"$sfDir"}""")
+      r
+    }
+    build("containment-base")(graft.ops.Dedup.containmentServe(spark, sfDir))
+    build("novelty-base")(graft.ops.Dedup.noveltyServe(spark, sfDir))
+    val (triSplit, triHandle) =
+      build("tri-base")(graft.streaming.Stateful.triangleHandleOf(spark, sfDir))
+
+    // the gate's documented deployment: base frozen at the 7/8 orderkey
+    // split, the stream ADMITS the tail — so the drops are the tail's
+    // order lines in arrival order, not a re-admission of the base
+    val pairs = spark.read.parquet(s"$sfDir/orders.parquet")
+      .filter(col("o_orderkey") >= triSplit)
+      .select(col("o_orderkey").as("ok"), col("o_custkey").as("c"))
+      .join(spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .select(col("l_orderkey").as("ok"), col("l_suppkey").as("s")), "ok")
+    val pairRows = stageSlices(spark, pairs, "ok", drops, work, s"$work/pairs")
+    val pairSchema = spark.read.parquet(s"$work/pairs/drop_0.parquet").schema
+    def pairStream = spark.readStream.schema(pairSchema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$work/pairs")
+      .select(col("c"), col("s"))
+
+    val sink = (b: org.apache.spark.sql.DataFrame, _: Long) => { b.count(); () }
+    rateQuery("s_stream_containment", "foreachbatch-artifact", drops, docRows,
+      sfDir, cpus.toInt) {
+      graft.streaming.Stateful.containmentStream(docStream, sfDir)(sink)
+    }
+    rateQuery("s_stream_novelty", "foreachbatch-artifact", drops, docRows,
+      sfDir, cpus.toInt) {
+      graft.streaming.Stateful.noveltyStream(docStream, sfDir)(sink)
+    }
+    rateQuery("s_stream_triangles", "foreachbatch-overlay", drops, pairRows,
+      sfDir, cpus.toInt) {
+      graft.streaming.Stateful.triangleStream(pairStream, triHandle)(sink)
+    }
+    spark.stop()
   }
 
   /** Round-16 ask #3: the streaming twin of bench_history.jsonl. Every

@@ -1847,4 +1847,44 @@ class StatefulSpec extends SparkSuite {
     assert(buf.lastOption.contains(handle.triangles),
       "the last emitted total must be the cumulative count")
   }
+
+  test("s_stream_triangles: a FLOOD tick routes through the bounded recount and stays exact") {
+    // Round-17 (found by the StreamBench gates rating): a bulk tick used
+    // to run the per-new-edge delta joins unconditionally and OOM'd the
+    // JVM at 1/10-corpus drops. The gate now shares q_triangles_delta's
+    // frac=4 flood probe. This case drives ONE bulk batch that trips the
+    // probe (new durable edges ≫ base edges) and asserts the cumulative
+    // count still equals the from-scratch census — both probe branches
+    // of the GATE now have generated coverage, not just the serve path.
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    val d = tmpDir("stream-tri-flood")
+    // base: one durable pair only (1 durable edge, no triangles)
+    writeTrades(d, 0L, Seq((1L, 101L)), rep = 2)
+    writeTrades(d, 5000L, Seq((50L, 500L)), rep = 2)
+    graft.core.ModelCache.clear()
+    val (_, handle) = Stateful.triangleHandleOf(spark, d)
+    // bulk tick: a K5 × 2-supplier clique block — 10 new durable edges
+    // vs 2 base edges, far past the 1/4 probe
+    val bulk = (1L to 5L).flatMap(c => Seq((c, 101L), (c, 102L)))
+      .flatMap(p => Seq(p, p)) // rep=2 → durable
+    val b = Stateful.triangleImpactBatch(handle,
+      bulk.toDF("c", "s"), 0L).head()
+    // ground truth: all 5 customers co-trade pairwise via both suppliers
+    // (w=2 ≥ TriMinShared) → K5 → C(5,3) = 10 triangles
+    assert(handle.triangles == 10L,
+      s"flood tick must land the exact census: ${handle.triangles}")
+    assert(b.getLong(3) == 10L && b.getLong(4) == 10L,
+      s"flood tick verdict must carry d=10, total=10: $b")
+    assert(b.getLong(2) == 10L,
+      s"flood tick must report C(5,2)=10 new projection edges: $b")
+    // follow-up SMALL tick on the flood-rolled overlay: the delta path
+    // must read the folded census correctly (customer 6 joins both
+    // suppliers → K6 closes C(5,2)=10 more triangles)
+    val b2 = Stateful.triangleImpactBatch(handle,
+      Seq((6L, 101L), (6L, 101L), (6L, 102L), (6L, 102L)).toDF("c", "s"),
+      1L).head()
+    assert(handle.triangles == 20L && b2.getLong(3) == 10L,
+      s"small tick after a flood must stay exact: $b2, ${handle.triangles}")
+  }
 }
