@@ -679,43 +679,25 @@ object Similarity {
       agg.select(col("vec_id"), (-col("__m.negcid")).as("cid"))
   }
 
-  /** argmax-cosine assignment that CARRIES the code columns through the
-    * aggregate — `first(cd)`/`first(n2)` are deterministic because every
-    * crossJoin-expanded row of a vec_id shares them. This is the fusion
-    * kernel of the round-16 ask #5 rebuild: one scan + one shuffle yields
-    * (vec_id, cd, n2, cid), so the corpus codes and the index assignment
-    * materialize together instead of as two jobs, and the Lloyd rounds
-    * need no assignment→codes re-join for the centroid update. */
-  private def assignCarry(s: SparkSession, qc: DataFrame, cents: DataFrame): DataFrame = {
-    def dotD(a: Column, b: Column): Column = graft.functions.VectorOps.vecDotD(s, a, b)
-    val cos = when(col("n2") === 0.0d || col("cn2") === 0.0d, lit(-2.0d))
-      .otherwise(round(dotD(col("cd"), col("ccd")) / (sqrt(col("n2")) * sqrt(col("cn2"))), 6))
-    qc.crossJoin(broadcast(cents))
-      .withColumn("cos", cos)
-      .groupBy("vec_id")
-      .agg(max(struct(col("cos"), (-col("cid")).as("negcid"))).as("__m"),
-        first(col("cd")).as("cd"), first(col("n2")).as("n2"))
-      .select(col("vec_id"), col("cd"), col("n2"),
-        (-col("__m.negcid")).as("cid"))
-  }
-
   /** Deterministic k-means training over `src` (an embeddings-shaped
     * frame with `n` rows): derived KCells seeds, `Iters` Lloyd rounds over
     * the first min(n, TrainCap) ids, then ONE full-corpus fused
     * codes+assignment pass against the trained centroids.
     *
-    * Round-16 ask #5 (cold-build fusion) restructured the passes:
+    * Round-16 ask #5 (cold-build fusion) restructured the passes; three
+    * forms were A/B'd at the bench metric (first(array)-carry agg, codes
+    * checkpoint + codegen agg, lazy-qc fused scan) and the last kept:
     *  - the training slice (ids < max(k, TrainCap)) is the ONLY eager
     *    pre-materialization, a parquet-pushdown scan of ≤ max(k, 4096)
     *    rows — the old design checkpointed the FULL corpus' codes first;
-    *  - Lloyd rounds run on [[assignCarry]], so the centroid update
-    *    aggregates straight off the assignment (no per-round
-    *    assignment→codes join in the plan);
-    *  - the full corpus is touched by exactly ONE job: a fused scan that
-    *    computes codes inline and assigns against the broadcast trained
-    *    centroids in the same shuffle, checkpointed once as
-    *    (vec_id, cd, n2, cid) — `IvfParts.qc` and `.assign` are cheap
-    *    projections of that single materialization.
+    *  - the full corpus is touched by exactly ONE job: the assignment
+    *    scan computes codes inline and argmaxes against the broadcast
+    *    trained centroids through the scalar max(struct) aggregate
+    *    (whole-stage codegen end to end), checkpointing only
+    *    (vec_id, cid) — 16 B/row, not the 520 B/row code cache;
+    *  - `IvfParts.qc` is a LAZY projection of the immutable source: its
+    *    only readers are pushdown slices and the refresh, which
+    *    re-derives it over the grown dir.
     * Training rounds cost O(sample · K); the fused index build is the
     * only O(n · K) pass. Bit-for-bit output parity with the pre-fusion
     * shape (same argmax, same code arithmetic) — RefreshSpec and the
@@ -781,16 +763,22 @@ object Similarity {
     // training — measured as q_ann_recall's residual 1.6 s/run even with
     // everything else frozen. K rows; checkpoint once with the model.
     val cF = staged("lloyd-rounds-ckpt")(cFinal.localCheckpoint())
-    // the ONE full-corpus pass: codes computed inline, assigned in the
-    // same shuffle, checkpointed once; qc/assign are projections of it
-    // (the assignment is referenced on both sides of downstream
-    // self-joins — the shared checkpoint covers that too)
-    val qca = staged("fused-codes-assign-ckpt")(
-      assignCarry(s, codesProj(s, src), cF).localCheckpoint())
+    // the ONE full-corpus pass: codes are computed INLINE in the
+    // assignment scan (crossJoin against the broadcast centroids, then
+    // the scalar max(struct) argmax — whole-stage-codegen throughout;
+    // the A/B'd first(array) carry form fell out of codegen and
+    // measured slower in the semi-warm bench regime). The corpus codes
+    // themselves are never materialized: `qc` is a LAZY projection of
+    // the immutable source — its only consumers are tiny pushdown
+    // slices (the qid 16–20 query rows, the every-50th spec sample) and
+    // the refresh, which re-derives it over the grown dir. The
+    // checkpointed artifact shrinks to (vec_id, cid) — 16 B/row instead
+    // of the 520 B/row code cache.
+    val a2 = staged("fused-scan-assign-ckpt")(
+      assignAgainst(s, codesProj(s, src), cF).localCheckpoint())
     val cosToCent = when(col("n2") === 0.0d || col("cn2") === 0.0d, lit(-2.0d))
       .otherwise(round(dotD(col("cd"), col("ccd")) / (sqrt(col("n2")) * sqrt(col("cn2"))), 6))
-    IvfParts(qca.select("vec_id", "cd", "n2"),
-      qca.select("vec_id", "cid"), cF, cosToCent)
+    IvfParts(codesProj(s, src), a2, cF, cosToCent)
   }
 
   /** Hash-split of an assignment into capped subcells: nsub =
@@ -949,8 +937,10 @@ object Similarity {
               graft.functions.VectorOps.vecDotD(s, a, b)
             val deltaQc = codesOf(s,
               T.embeddings(s, d).filter(col("vec_id") > max0))
-            val qc1 = graft.core.Session.flattenWide(
-              parts0.qc.unionByName(deltaQc))
+            // qc is a pure projection of the immutable source (round-17:
+            // no longer materialized) — re-derive it lazily over the
+            // GROWN dir; extensionally identical to old-qc ∪ delta-qc
+            val qc1 = codesProj(s, T.embeddings(s, d))
             val a1 = graft.core.Session.flattenWide(parts0.assign.unionByName(
               assignAgainst(s, deltaQc, parts0.cents).localCheckpoint()))
             val cosToCent =
