@@ -35,8 +35,14 @@ def resolve_member(rel_file, member):
     path = SRC / rel_file
     if not path.exists():
         sys.exit(f"StreamInventory: no such file {rel_file}")
+    # Anchored to top-level indentation (object members sit at 0-2
+    # spaces; a same-named val/def nested inside a method body is
+    # deeper and must NOT win), and accepting visibility modifiers so
+    # adding `private[graft]` to an inventoried member stays loud
+    # (round-17 advice) instead of silently resolving to a shadow.
     pat = re.compile(
-        r"^\s*(?:final\s+)?(?:def|class|object|val)\s+" +
+        r"^ {0,2}(?:(?:private|protected)(?:\[\w+\])?\s+)?(?:final\s+)?"
+        r"(?:def|class|object|val)\s+" +
         re.escape(member) + r"\b", re.M)
     text = path.read_text()
     hits = [text.count("\n", 0, m.start()) + 1 for m in pat.finditer(text)]

@@ -99,6 +99,16 @@ def check(history):
         print("pin_anchors --check: no full runs with a drift_gap verdict "
               "in history — nothing to check", file=sys.stderr)
         return 0
+    # Strikes are same-sf only (mirrors Bench.lastFullHistories): a full
+    # run at a different scale factor has its own runtime population and
+    # must neither trigger nor mask a re-pin of the sf-of-record anchors.
+    sf = fulls[-1][1].get("sf")
+    skipped = [e.get("sf") for _, e in fulls if e.get("sf") != sf]
+    fulls = [(g, e) for g, e in fulls if e.get("sf") == sf]
+    if skipped:
+        print(f"pin_anchors --check: ignoring {len(skipped)} full runs at "
+              f"other sf dirs {sorted(set(map(str, skipped)))}; verdict is "
+              f"over sf={sf}", file=sys.stderr)
     gaps = [g for g, _ in fulls]
     latest = gaps[-1]
     print(f"pin_anchors --check: {len(fulls)} full runs; "

@@ -322,15 +322,21 @@ object ModelCache {
             val newPaths = pathed.collect {
               case (e, p) if !f.files.contains(e) => p
             }
-            warmFlag.remove()
-            refresh(f.value.asInstanceOf[T], newPaths) match {
+            // Save/restore around the closure (round-17 advice): a refresh
+            // that transitively re-enters getOrRefreshGuarded on this
+            // thread must not have its own mark wiped by the nested call's
+            // reset — each nesting level reads only the marks ITS closure
+            // set, and the outer level's pending mark survives the inner
+            // refresh untouched.
+            val outerMark = warmFlag.get()
+            warmFlag.set(java.lang.Boolean.FALSE)
+            try refresh(f.value.asInstanceOf[T], newPaths) match {
               case Some(v) =>
                 events.put(lkey,
                   if (warmFlag.get()) "refreshed-warm" else "refreshed")
-                warmFlag.remove()
                 v
               case None => events.put(lkey, "retrained"); train
-            }
+            } finally warmFlag.set(outerMark)
           case _ =>
             events.put(lkey, "trained")
             train

@@ -1175,6 +1175,48 @@ object Dedup {
         shD.groupBy("bdoc").agg(count(lit(1)).as("n_base"))))
   }
 
+  /** Verdict-ready PINNED view for the STREAMING containment gate
+    * (round-17 verdict #2). [[containmentServe]] stays a lazy per-call
+    * merge — right for the batch delta census, which runs once — but a
+    * gate tick that re-derived it paid, EVERY tick: a re-shingle +
+    * localCheckpoint of the live slice, a df-census merge, and the
+    * rare-band join, all before the first verdict row (the "~10 jobs
+    * per verdict batch" BASELINE named as the bottleneck). Here the two
+    * relations a verdict actually probes are materialized ONCE per
+    * corpus state — memoized through ModelCache exactly like the base
+    * artifact, so an append re-points the gate (rebuild via the base's
+    * delta refresh) and a rewrite retrains, preserving the mid-stream
+    * re-point contract — and pinned HASH-PARTITIONED AND SORTED on
+    * their per-tick join keys: localCheckpoint preserves partitioning
+    * and ordering through LogicalRDD, so every tick's join exchanges
+    * and sorts only the O(micro-batch) side while the corpus-sized side
+    * is probed in place, never reshuffled. */
+  final case class GateView(full: org.apache.spark.sql.DataFrame,
+      rareIdx: org.apache.spark.sql.DataFrame)
+
+  private[graft] def containmentGateView(s: SparkSession, d: String): GateView =
+    graft.core.ModelCache.getOrTrain(s, "contain-gate", s"$d/documents.parquet") {
+      val v = containmentServe(s, d)
+      GateView(
+        v.full.repartition(col("bdoc"), col("shingle"))
+          .sortWithinPartitions("bdoc", "shingle").localCheckpoint(),
+        v.rareCand
+          .join(v.df.filter(col("df") <= 8).select("shingle"), "shingle")
+          .repartition(col("shingle")).sortWithinPartitions("shingle")
+          .localCheckpoint())
+    }
+
+  /** The novelty gate's pinned twin of [[containmentGateView]]: the
+    * seen-shingle membership view materialized once per corpus state,
+    * partitioned and sorted on `shingle` so a verdict tick's probe join
+    * shuffles only the arriving micro-batch. */
+  private[graft] def noveltySeenView(s: SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame =
+    graft.core.ModelCache.getOrTrain(s, "novelty-seen", s"$d/documents.parquet") {
+      noveltyServe(s, d).repartition(col("shingle"))
+        .sortWithinPartitions("shingle").localCheckpoint()
+    }
+
   val containmentDelta: Q = Q("q_containment_delta", containmentSql) { (s, d) =>
     val view = containmentServe(s, d)
     val rare = view.df.filter(col("df").between(2, 8)).select("shingle")

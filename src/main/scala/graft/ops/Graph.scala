@@ -479,7 +479,7 @@ object Graph {
        |      UNION ALL SELECT $SuppOffset + s AS src, c AS dst FROM eo)""".stripMargin
 
   /** Distinct durable (customer, supplier) pairs. */
-  private def durablePairs(s: org.apache.spark.sql.SparkSession, d: String): DataFrame =
+  private[graft] def durablePairs(s: org.apache.spark.sql.SparkSession, d: String): DataFrame =
     T.orders(s, d)
       .join(T.lineitem(s, d), col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("o_custkey").as("c"), col("l_suppkey").as("s"))
@@ -1151,7 +1151,7 @@ object Graph {
     * graph thins to nothing past sf0.01), projected customer pairs must
     * share ≥2 such suppliers (a single shared supplier floods the
     * projection — measured 358k edges vs 94k at sf0.01). */
-  private val TriMinRepeats = 2
+  private[graft] val TriMinRepeats = 2
   private[graft] val TriMinShared = 2
 
   private val triEoSql =

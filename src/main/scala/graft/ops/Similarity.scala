@@ -631,6 +631,38 @@ object Similarity {
   private[ops] final case class IvfParts(
       qc: DataFrame, assign: DataFrame, cents: DataFrame, cosExpr: Column)
 
+  /** A/B instrument for the cold-build fusion's SCALE claim (round-17
+    * verdict #3): runs the full-corpus index pass in both A/B'd forms —
+    * FUSED (codes computed inline in the one assignment scan,
+    * checkpointing 16 B/row (vec_id, cid); the shipped trainOn shape)
+    * vs CHECKPOINT-CODES (the rejected pre-fusion shape: materialize
+    * the 520 B/row code cache first, then assign from it) — against the
+    * SAME trained centroids, twice each in alternating order so pass 2
+    * is past JIT/codegen warmup. sf0.1 is codegen-bound (±3 s run
+    * spread swamps the form difference — the round-17 honest miss);
+    * this exists to be run at the 10×/30× dirs, where the corpus-sized
+    * materialization the old form pays is big enough to measure.
+    * Measurement-only, never load-bearing. */
+  private[graft] def indexPassAB(s: SparkSession, d: String)
+      : Seq[(String, Int, Double)] = {
+    val src = T.embeddings(s, d)
+    val (parts, _) = trainedParts(s, d) // centroids via the normal cache
+    val cents = parts.cents
+    def run(body: => DataFrame): Double = {
+      val t0 = System.nanoTime()
+      body.localCheckpoint()
+      (System.nanoTime() - t0) / 1e9
+    }
+    (1 to 2).flatMap { pass =>
+      Seq(
+        ("fused", pass, run(assignAgainst(s, codesProj(s, src), cents))),
+        ("checkpoint-codes", pass, run {
+          val qcAll = codesProj(s, src).localCheckpoint()
+          assignAgainst(s, qcAll, cents)
+        }))
+    }
+  }
+
   /** Diagnostic stage hook (tools.IvfProbe): called with (stage, nanos)
     * after each eager materialization in the IVF build. No-op by
     * default; measurement-only, never load-bearing. */

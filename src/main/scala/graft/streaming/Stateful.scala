@@ -800,7 +800,9 @@ object Stateful {
       : org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        val seen = graft.ops.Dedup.noveltyServe(batch.sparkSession, d)
+        // pinned seen-view (round-18): rebuilt only when the corpus
+        // fingerprint moves; unchanged ticks probe in-place blocks
+        val seen = graft.ops.Dedup.noveltySeenView(batch.sparkSession, d)
         sink(noveltyVerdictsBatch(batch, seen), id)
       }
       .start()
@@ -828,16 +830,26 @@ object Stateful {
     * the delta refresh and a rewrite retrains, neither restarting the
     * stream; StatefulSpec's mid-stream re-point case). */
   def containmentVerdictsBatch(docs: DataFrame,
-      view: graft.ops.Dedup.ContainView): DataFrame = {
+      view: graft.ops.Dedup.ContainView): DataFrame =
+    containmentVerdictsBatch(docs, view.full,
+      view.rareCand
+        .join(view.df.filter(col("df") <= 8).select("shingle"), "shingle"))
+
+  /** The verdict computation against pre-resolved relations — the form
+    * the streaming gate serves per tick, with `full` and `rareIdx`
+    * PINNED and pre-partitioned on the join keys
+    * (Dedup.containmentGateView), so each micro-batch shuffles only its
+    * own O(batch) shingles. Bit-identical to the ContainView overload —
+    * rareIdx there is exactly this relation, derived lazily. */
+  def containmentVerdictsBatch(docs: DataFrame, full: DataFrame,
+      rareIdx: DataFrame): DataFrame = {
     val sNew = graft.ops.Dedup.shinglesOf(docs)
     val nNew = sNew.groupBy("doc_id").agg(count(lit(1)).as("n_new"))
-    val rareIdx = view.rareCand
-      .join(view.df.filter(col("df") <= 8).select("shingle"), "shingle")
     val cand = sNew.join(rareIdx, "shingle")
       .select("doc_id", "bdoc").distinct()
     val common = cand
       .join(sNew, Seq("doc_id"))
-      .join(view.full, Seq("bdoc", "shingle"))
+      .join(full, Seq("bdoc", "shingle"))
       .groupBy("doc_id", "bdoc").agg(count(lit(1)).as("n_common"))
     val best = common.join(nNew, "doc_id")
       .select(col("doc_id"), col("bdoc"),
@@ -857,14 +869,20 @@ object Stateful {
   }
 
   /** Streaming driver for [[containmentVerdictsBatch]] (admissionStream
-    * shape): the static side re-resolves through ModelCache per batch. */
+    * shape): the static side re-resolves through ModelCache per batch —
+    * since round 18 via the PINNED gate view (Dedup.containmentGateView),
+    * so an unchanged corpus pays only a driver-side listing per tick and
+    * the tick's single action joins against in-place pinned blocks; an
+    * append still re-points the gate (the view's fingerprint moves →
+    * rebuild through the base's delta refresh) and a rewrite retrains,
+    * neither restarting the stream (StatefulSpec's re-point case). */
   def containmentStream(docs: DataFrame, d: String)(
       sink: (DataFrame, Long) => Unit)
       : org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        val view = graft.ops.Dedup.containmentServe(batch.sparkSession, d)
-        sink(containmentVerdictsBatch(batch, view), id)
+        val gv = graft.ops.Dedup.containmentGateView(batch.sparkSession, d)
+        sink(containmentVerdictsBatch(batch, gv.full, gv.rareIdx), id)
       }
       .start()
 
@@ -1655,21 +1673,61 @@ object Stateful {
     * (the WatermarkHandle recipe), so a replayed batch recomputes the
     * identical census and re-advances to the identical state. */
   final class TriangleHandle(
-      private[streaming] val cen0: DataFrame,
-      private[streaming] val cp0: DataFrame,
+      @volatile private[streaming] var cen0: DataFrame,
+      @volatile private[streaming] var cp0: DataFrame,
       @volatile private[streaming] var cenOv: DataFrame,
       @volatile private[streaming] var cpOv: DataFrame,
-      @volatile private[streaming] var tri: Long) {
+      @volatile private[streaming] var tri: Long,
+      val compactEvery: Int = 32) {
+    require(compactEvery > 0, s"compactEvery must be > 0, got $compactEvery")
     private var lastBatchId = -1L
-    private var before: (DataFrame, DataFrame, Long) = (cenOv, cpOv, tri)
-    private[streaming] def stateFor(id: Long): (DataFrame, DataFrame, Long) =
+    // the full pre-batch snapshot — BASE frames included, so a replay of
+    // the same id after a compaction recomputes against the exact state
+    // the batch first saw (a compacted base already contains the folded
+    // overlay; reading it with the old overlay would double-merge)
+    private var before: (DataFrame, DataFrame, DataFrame, DataFrame, Long) =
+      (cen0, cp0, cenOv, cpOv, tri)
+    private var sinceCompact = 0
+    private[streaming] def stateFor(id: Long)
+        : (DataFrame, DataFrame, DataFrame, DataFrame, Long) =
       synchronized {
-        if (id != lastBatchId) { lastBatchId = id; before = (cenOv, cpOv, tri) }
+        if (id != lastBatchId) {
+          lastBatchId = id; before = (cen0, cp0, cenOv, cpOv, tri)
+        }
         before
       }
     private[streaming] def advance(id: Long, c: DataFrame, p: DataFrame,
-        t: Long): Unit =
-      synchronized { if (id == lastBatchId) { cenOv = c; cpOv = p; tri = t } }
+        t: Long, flooded: Boolean = false): Unit =
+      synchronized {
+        if (id == lastBatchId) {
+          cenOv = c; cpOv = p; tri = t
+          sinceCompact += 1
+          // COMPACTION (round-17 verdict #4): the overlay grows with
+          // everything admitted since seed — at 100× uptime every tick's
+          // anti-join + re-checkpoint against it is the OOM the gates
+          // rating found in miniature. Fold it into the frozen base
+          // every compactEvery ticks, and IMMEDIATELY after a flood tick
+          // (the flood route leaves a census-sized overlay — carrying it
+          // to the next scheduled fold taxes every intervening tick).
+          // The fold is the overlay-wins set merge every tick's view
+          // already computes, materialized once; replay-safe because
+          // stateFor snapshots the base, and idempotent because folding
+          // a recomputed identical overlay reproduces the same frames.
+          if (sinceCompact >= compactEvery || flooded) compactNow()
+        }
+      }
+    /** Fold overlay → base and reset the overlay to empty. Package-
+      * visible so StatefulSpec can pin verdict identity across a
+      * compaction boundary it places deliberately. */
+    private[streaming] def compactNow(): Unit = synchronized {
+      sinceCompact = 0
+      cen0 = cen0.join(cenOv.select("c", "s"), Seq("c", "s"), "left_anti")
+        .unionAll(cenOv).localCheckpoint()
+      cp0 = cp0.join(cpOv.select("u", "v"), Seq("u", "v"), "left_anti")
+        .unionAll(cpOv).localCheckpoint()
+      cenOv = cen0.limit(0).localCheckpoint()
+      cpOv = cp0.limit(0).localCheckpoint()
+    }
     /** Cumulative triangle count over base ⊕ everything admitted. */
     def triangles: Long = synchronized(tri)
   }
@@ -1677,10 +1735,12 @@ object Stateful {
   /** Seed a [[TriangleHandle]] from the frozen tri-base artifact of
     * `d`; returns the split orderkey so the deployment knows where the
     * tail replay starts. */
-  def triangleHandleOf(s: SparkSession, d: String): (Long, TriangleHandle) = {
+  def triangleHandleOf(s: SparkSession, d: String,
+      compactEvery: Int = 32): (Long, TriangleHandle) = {
     val (sp, cen0, cp0, tri0) = graft.ops.Graph.triBase(s, d)
     (sp, new TriangleHandle(cen0, cp0,
-      cen0.limit(0).localCheckpoint(), cp0.limit(0).localCheckpoint(), tri0))
+      cen0.limit(0).localCheckpoint(), cp0.limit(0).localCheckpoint(), tri0,
+      compactEvery))
   }
 
   /** One micro-batch of the s_stream_triangles census — the streaming
@@ -1697,12 +1757,16 @@ object Stateful {
     * Package-visible so the spec can replay a batch id. */
   private[graft] def triangleImpactBatch(handle: TriangleHandle,
       batch: DataFrame, id: Long): DataFrame = {
-    val (cenOv, cpOv, tri0) = handle.stateFor(id)
+    // base frames come from the SNAPSHOT, not the handle fields: after a
+    // compaction the handle's base already contains the folded overlay,
+    // and a same-id replay reading it with the pre-batch overlay would
+    // double-merge (see TriangleHandle.stateFor)
+    val (cen0, cp0, cenOv, cpOv, tri0) = handle.stateFor(id)
     val ovCK = cenOv.select("c", "s")
     val ovPK = cpOv.select("u", "v")
-    val cenView = handle.cen0.join(ovCK, Seq("c", "s"), "left_anti")
+    val cenView = cen0.join(ovCK, Seq("c", "s"), "left_anti")
       .unionAll(cenOv)
-    val cpView = handle.cp0.join(ovPK, Seq("u", "v"), "left_anti")
+    val cpView = cp0.join(ovPK, Seq("u", "v"), "left_anti")
       .unionAll(cpOv)
     val cenD = batch.groupBy("c", "s").agg(count(lit(1)).as("cnt"))
       .localCheckpoint()
@@ -1724,8 +1788,9 @@ object Stateful {
     // the BOUNDED pair-census machinery (wedge caps) and folds the whole
     // census into the overlay — the honest O(census) cost of a bulk
     // admission, paid through plans that spill instead of allocate.
+    val flooded = graft.ops.Graph.triEdgeFlooded(em.eoNew, em.eo0, frac = 4L)
     val (dTri, nNewP, cpOv2) =
-      if (graft.ops.Graph.triEdgeFlooded(em.eoNew, em.eo0, frac = 4L)) {
+      if (flooded) {
         val cpAll = graft.ops.Graph.triPairCensus(
           em.eo0.unionAll(em.eoNew).localCheckpoint()).localCheckpoint()
         val minW = graft.ops.Graph.TriMinShared.toLong
@@ -1746,7 +1811,7 @@ object Stateful {
           cpOv.join(dwK, Seq("u", "v"), "left_anti").unionAll(cpT)
             .localCheckpoint())
       }
-    handle.advance(id, cenOv2, cpOv2, tri0 + dTri)
+    handle.advance(id, cenOv2, cpOv2, tri0 + dTri, flooded)
     val sp = batch.sparkSession
     import sp.implicits._
     Seq((id, nNewE, nNewP, dTri, tri0 + dTri))

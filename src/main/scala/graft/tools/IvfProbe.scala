@@ -9,6 +9,8 @@ package graft.tools
   * state a long-lived session sees.
   *
   * Run: SPARK_GRAFT_SF_DIR=... runMain graft.tools.IvfProbe
+  * A/B the index-pass forms (round-17 verdict #3):
+  *      SPARK_GRAFT_SF_DIR=<10x/30x dir> runMain graft.tools.IvfProbe ab
   */
 object IvfProbe {
   def main(args: Array[String]): Unit = {
@@ -16,6 +18,14 @@ object IvfProbe {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = graft.core.Session.local(cpus.toInt, cpus.toInt)
     spark.sparkContext.setLogLevel("ERROR")
+    if (args.headOption.contains("ab")) {
+      graft.ops.Similarity.indexPassAB(spark, sfDir).foreach {
+        case (form, pass, sec) =>
+          println(f"[ivfprobe-ab] $sfDir pass$pass $form%-17s $sec%8.3f s")
+      }
+      spark.stop()
+      return
+    }
     // diagnosis knob: IVF_PROBE_NO_WSC=1 disables whole-stage codegen so
     // compile-vs-data cost separates in the stage timings
     if (sys.env.get("IVF_PROBE_NO_WSC").contains("1"))

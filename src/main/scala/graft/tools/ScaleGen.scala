@@ -1,6 +1,6 @@
 package graft.tools
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Scale-sensitivity harness: writes a K×-replicated copy of a test-data
@@ -62,34 +62,73 @@ object ScaleGen {
     if (r.isNullAt(0)) 1L else r.getLong(0) + 1L
   }
 
+  /** Domains whose key IS the primary key of the owning table. `userid`
+    * is the one exception: events.user_id is a many-rows-per-key FK-like
+    * attribute with no dimension table, so hub rows there must NOT be
+    * deduplicated (every replica's events legitimately pile onto the
+    * hub user — that pile-up is the point of hub mode). */
+  private val pkDomains: Set[String] = domains.keySet - "userid"
+
+  /** Deterministic hub predicate on the ORIGINAL key value: a key is a
+    * hub iff xxhash64(key, domain) mod 10000 < hubFrac·10000. Keyed per
+    * domain so each domain draws its own ~hubFrac sample; a function of
+    * the original value only, so every table referencing the domain
+    * agrees on hubness and FKs stay consistent. */
+  private def isHub(c: String, domain: String, hubFrac: Double): Column =
+    pmod(xxhash64(col(c), lit(domain)), lit(10000L)) <
+      lit(math.round(hubFrac * 10000).max(1L))
+
   /** K replicas of `df`, each key column shifted by replica·(its domain's
     * base) — replica 0 equals the original, replicas occupy disjoint key
     * ranges, and FK columns shift by the SAME base as the PK they point
-    * at, so every replica's joins land inside that replica. */
+    * at, so every replica's joins land inside that replica.
+    *
+    * HUB MODE (`hubFrac > 0`, round-17 verdict #1): a ~hubFrac sample of
+    * each domain's keys ("hubs") keeps its ORIGINAL value in every
+    * replica instead of shifting — so all K replicas' referencing rows
+    * pile onto the one hub key and its degree grows K×, while non-hub
+    * keys keep the volume-scaling per-key degree. This is the skew shape
+    * plain replication can't produce: per-key fan-out GROWS with scale,
+    * the regime the wedge caps / salted joins exist for. PK domains
+    * (everything but userid) drop hub replicas >0 in the OWNING table so
+    * primary keys stay unique — children still reference the hub K×. */
   def replicate(spark: SparkSession, df: DataFrame,
-      keys: Seq[(String, String)], bases: Map[String, Long], k: Int): DataFrame = {
+      keys: Seq[(String, String)], bases: Map[String, Long], k: Int,
+      table: String = "", hubFrac: Double = 0.0): DataFrame = {
     if (keys.isEmpty || k <= 1) return df
     val reps = spark.range(k.toLong).toDF("__rep")
-    val shifted = keys.foldLeft(df.crossJoin(broadcast(reps))) {
-      case (acc, (c, domain)) =>
-        acc.withColumn(c, col(c) + col("__rep") * bases(domain))
+    val crossed = df.crossJoin(broadcast(reps))
+    val deduped = keys.foldLeft(crossed) { case (acc, (c, domain)) =>
+      if (hubFrac > 0 && pkDomains(domain) && domains(domain) == (table, c))
+        acc.filter(!(isHub(c, domain, hubFrac) && col("__rep") > 0))
+      else acc
+    }
+    val shifted = keys.foldLeft(deduped) { case (acc, (c, domain)) =>
+      val moved = col(c) + col("__rep") * bases(domain)
+      acc.withColumn(c,
+        if (hubFrac > 0) when(isHub(c, domain, hubFrac), col(c)).otherwise(moved)
+        else moved)
     }
     shifted.drop("__rep")
   }
 
   def main(args: Array[String]): Unit = {
-    require(args.length >= 2, "usage: ScaleGen <srcSfDir> <outDir> [k]")
+    require(args.length >= 2,
+      "usage: ScaleGen <srcSfDir> <outDir> [k] [hubFrac]")
     val (src, out) = (args(0), args(1))
     val k = if (args.length > 2) args(2).toInt else 10
+    val hubFrac = if (args.length > 3) args(3).toDouble else 0.0
+    require(hubFrac >= 0 && hubFrac < 1, s"hubFrac $hubFrac outside [0, 1)")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16").toInt
     val spark = graft.core.Session.local(cpus, cpus)
     spark.sparkContext.setLogLevel("ERROR")
     val bases = domains.keys.map(dm => dm -> domainBase(spark, src, dm)).toMap
     graft.core.Tables.all.foreach { t =>
       val df = graft.core.Tables.table(spark, src, t)
-      val scaled = replicate(spark, df, keyCols(t), bases, k)
+      val scaled = replicate(spark, df, keyCols(t), bases, k, t, hubFrac)
       scaled.write.mode("overwrite").parquet(s"$out/$t.parquet")
-      println(s"[scalegen] $t: ${df.count()} -> ${scaled.count()} rows")
+      println(s"[scalegen] $t: ${df.count()} -> ${scaled.count()} rows" +
+        (if (hubFrac > 0) s" (hubFrac=$hubFrac)" else ""))
     }
     spark.stop()
   }

@@ -102,7 +102,11 @@ class InventorySpec extends AnyFunSuite {
   private def streamTrueSites: Map[String, String] = {
     graft.streaming.StreamInventory.pipelines.map { e =>
       val text = read(s"src/main/scala/graft/${e.file}")
-      val pat = ("""(?m)^\s*(?:final\s+)?(?:def|class|object|val)\s+""" +
+      // mirrors gen_ledger.py resolve_member exactly: top-level
+      // indentation only (0-2 spaces), optional visibility modifiers —
+      // nested same-named shadows can't win, modifier changes stay loud
+      val pat = ("""(?m)^ {0,2}(?:(?:private|protected)(?:\[\w+\])?\s+)?""" +
+        """(?:final\s+)?(?:def|class|object|val)\s+""" +
         java.util.regex.Pattern.quote(e.member) + """\b""").r
       val hits = pat.findAllMatchIn(text)
         .map(m => text.substring(0, m.start).count(_ == '\n') + 1).toSeq

@@ -325,4 +325,40 @@ class ModelCacheSpec extends SparkSuite {
       "the diff must be against the retrained generation, not the original")
     ModelCache.clear()
   }
+
+  test("markWarmRefresh is nesting-safe: an inner refresh cannot wipe the outer mark") {
+    // Round-17 advice: the warm mark was a ThreadLocal cleared
+    // unconditionally on refresh entry, so an outer closure that marks
+    // warm and THEN transitively enters another getOrRefreshGuarded had
+    // its mark erased by the nested call — the outer generation recorded
+    // "refreshed" for a quality-parity-only merge. Save/restore around
+    // the closure body fixes it; this pins the contract.
+    val dir = tmpDir("mc-warm-nest")
+    for (t <- Seq("outer", "inner"))
+      java.nio.file.Files.createDirectories(Paths.get(s"$dir/$t"))
+    def seed(t: String, f: String): Unit =
+      java.nio.file.Files.write(Paths.get(s"$dir/$t/$f"), f.getBytes)
+    def accessInner(): String =
+      ModelCache.getOrRefreshGuarded(spark, "nest-inner", s"$dir/inner") {
+        "inner-train"
+      } { (prev, _) => Some(prev + "+d") } // exact merge: no warm mark
+    def accessOuter(): String =
+      ModelCache.getOrRefreshGuarded(spark, "nest-outer", s"$dir/outer") {
+        "outer-train"
+      } { (prev, _) =>
+        ModelCache.markWarmRefresh() // outer merge is quality-parity only
+        accessInner()                // nested refresh on the SAME thread
+        Some(prev + "+w")
+      }
+    seed("outer", "p1.parquet"); seed("inner", "p1.parquet")
+    assert(accessOuter() == "outer-train" && accessInner() == "inner-train")
+    seed("outer", "p2.parquet"); seed("inner", "p2.parquet")
+    assert(accessOuter() == "outer-train+w")
+    assert(ModelCache.lastEvent("nest-inner", s"$dir/inner").contains("refreshed")
+      && !ModelCache.lastEvent("nest-inner", s"$dir/inner").contains("refreshed-warm"),
+      "the unmarked inner merge must stay a plain 'refreshed'")
+    assert(ModelCache.lastEvent("nest-outer", s"$dir/outer").contains("refreshed-warm"),
+      "the outer mark must survive a nested refresh on the same thread")
+    ModelCache.clear()
+  }
 }

@@ -1878,6 +1878,11 @@ class StatefulSpec extends SparkSuite {
       s"flood tick verdict must carry d=10, total=10: $b")
     assert(b.getLong(2) == 10L,
       s"flood tick must report C(5,2)=10 new projection edges: $b")
+    // round-18: a flood tick triggers an IMMEDIATE fold (the census-
+    // sized overlay must not tax every following tick), so the small
+    // tick below runs across a compaction boundary
+    assert(handle.cpOv.isEmpty && handle.cenOv.isEmpty,
+      "flood must fold the census into the base right away")
     // follow-up SMALL tick on the flood-rolled overlay: the delta path
     // must read the folded census correctly (customer 6 joins both
     // suppliers → K6 closes C(5,2)=10 more triangles)
@@ -1886,5 +1891,50 @@ class StatefulSpec extends SparkSuite {
       1L).head()
     assert(handle.triangles == 20L && b2.getLong(3) == 10L,
       s"small tick after a flood must stay exact: $b2, ${handle.triangles}")
+  }
+
+  test("s_stream_triangles: verdicts identical across compaction boundaries; replay after a fold is idempotent") {
+    // Round-17 verdict #4: the overlay grows with everything admitted
+    // since seed — TriangleHandle now folds it into the frozen base
+    // every compactEvery ticks. Drive the same tick sequence through a
+    // fold-after-every-tick handle and an effectively-never-folding
+    // control: every verdict, the cumulative count, and a same-id
+    // replay across a fold must be identical.
+    implicit val sqlCtx = spark.sqlContext
+    val d = tmpDir("stream-tri-compact")
+    val pairsA = (1L to 3L).flatMap(c => Seq((c, 101L), (c, 102L))) ++
+      Seq((4L, 101L))
+    writeTrades(d, 0L, pairsA, rep = 2)
+    writeTrades(d, 10000L, Seq((99L, 999L)), rep = 2)
+    graft.core.ModelCache.clear()
+    val (_, hc) = Stateful.triangleHandleOf(spark, d, compactEvery = 1)
+    val (_, hn) = Stateful.triangleHandleOf(spark, d, compactEvery = 1000)
+    val ticks = Seq(
+      Seq((99L, 999L), (99L, 999L)),                          // padding
+      Seq((4L, 102L), (4L, 102L)),                            // K4 closes
+      Seq((5L, 101L), (5L, 101L), (5L, 102L), (5L, 102L)))    // K5 closes
+    var lastVc: org.apache.spark.sql.Row = null
+    ticks.zipWithIndex.foreach { case (t, i) =>
+      val vc = Stateful.triangleImpactBatch(hc, t.toDF("c", "s"), i.toLong).head()
+      val vn = Stateful.triangleImpactBatch(hn, t.toDF("c", "s"), i.toLong).head()
+      assert(vc.toString == vn.toString,
+        s"tick $i: compacted $vc != uncompacted $vn")
+      lastVc = vc
+    }
+    assert(hc.triangles == 10L && hn.triangles == 10L,
+      s"K5 over both suppliers = C(5,3) = 10: ${hc.triangles}/${hn.triangles}")
+    // the bound the policy exists for: a folded handle carries NO overlay
+    assert(hc.cenOv.isEmpty && hc.cpOv.isEmpty,
+      "post-fold overlay must be empty")
+    assert(!hn.cpOv.isEmpty,
+      "the never-folding control must still carry overlay rows")
+    // at-least-once replay of the last id across its fold: the snapshot
+    // (base INCLUDED) must reproduce the pre-batch world, not double-
+    // merge the folded overlay
+    val vr = Stateful.triangleImpactBatch(hc,
+      ticks.last.toDF("c", "s"), (ticks.size - 1).toLong).head()
+    assert(vr.toString == lastVc.toString,
+      s"same-id replay across a fold must be idempotent: $vr vs $lastVc")
+    assert(hc.triangles == 10L, "replay must not re-count across a fold")
   }
 }
