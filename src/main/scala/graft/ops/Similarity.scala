@@ -644,22 +644,48 @@ object Similarity {
     * materialization the old form pays is big enough to measure.
     * Measurement-only, never load-bearing. */
   private[graft] def indexPassAB(s: SparkSession, d: String)
-      : Seq[(String, Int, Double)] = {
+      : Seq[(String, Int, Double, Long)] = {
     val src = T.embeddings(s, d)
     val (parts, _) = trainedParts(s, d) // centroids via the normal cache
     val cents = parts.cents
-    def run(body: => DataFrame): Double = {
+    val sc = s.sparkContext
+    // Each measured run releases every block it pinned before the next
+    // starts — without this the 520 B/row code caches of earlier rounds
+    // accumulate and memory pressure, not form, drives the numbers.
+    def run(body: => DataFrame): (Double, Long) = {
+      val before = sc.getPersistentRDDs.keySet
       val t0 = System.nanoTime()
       body.localCheckpoint()
-      (System.nanoTime() - t0) / 1e9
+      val sec = (System.nanoTime() - t0) / 1e9
+      val newIds = sc.getPersistentRDDs.keySet -- before
+      val bytes = sc.getRDDStorageInfo
+        .filter(i => newIds.contains(i.id))
+        .map(i => i.memSize + i.diskSize).sum
+      sc.getPersistentRDDs.filter(kv => newIds.contains(kv._1))
+        .values.foreach(_.unpersist(true))
+      (sec, bytes)
     }
-    (1 to 2).flatMap { pass =>
-      Seq(
-        ("fused", pass, run(assignAgainst(s, codesProj(s, src), cents))),
-        ("checkpoint-codes", pass, run {
-          val qcAll = codesProj(s, src).localCheckpoint()
-          assignAgainst(s, qcAll, cents)
-        }))
+    val width = sc.defaultParallelism
+    (1 to 3).flatMap { pass =>
+      Seq("fused", "checkpoint-codes", "fused-repart").map { form =>
+        val (sec, bytes) = run {
+          form match {
+            case "fused" => assignAgainst(s, codesProj(s, src), cents)
+            case "fused-repart" =>
+              // the scan-parallelism hazard this A/B surfaced: ScaleGen
+              // replication compresses to ONE parquet part, so the
+              // O(n·k) argmax runs at file parallelism — one task.
+              // An explicit width repartition shuffles the codes once
+              // (transient, spillable) and runs the compute at cluster
+              // width.
+              assignAgainst(s, codesProj(s, src).repartition(width), cents)
+            case _ =>
+              val qcAll = codesProj(s, src).localCheckpoint()
+              assignAgainst(s, qcAll, cents)
+          }
+        }
+        (form, pass, sec, bytes)
+      }
     }
   }
 
@@ -806,8 +832,22 @@ object Similarity {
     // the refresh, which re-derives it over the grown dir. The
     // checkpointed artifact shrinks to (vec_id, cid) — 16 B/row instead
     // of the 520 B/row code cache.
+    // WIDTH GUARD (round-18, found by the indexPassAB instrument): the
+    // fused pass inherits the SCAN's parallelism, and a replicated or
+    // dictionary-compressed corpus can pack millions of rows into one
+    // parquet split — the O(n·k) argmax then runs in ONE task (measured
+    // 12.9-17.7 s at the 30× dir vs 2.4-3.2 s repartitioned, a 5-6×
+    // win; the same hazard on a 100 TB cluster is a thousand idle
+    // executors). One explicit shuffle to cluster width — transient,
+    // spillable, row-identical (the argmax agg is order-independent) —
+    // only when the scan is narrower than the cluster.
+    val qcFull = {
+      val proj = codesProj(s, src)
+      val width = s.sparkContext.defaultParallelism
+      if (proj.rdd.getNumPartitions < width) proj.repartition(width) else proj
+    }
     val a2 = staged("fused-scan-assign-ckpt")(
-      assignAgainst(s, codesProj(s, src), cF).localCheckpoint())
+      assignAgainst(s, qcFull, cF).localCheckpoint())
     val cosToCent = when(col("n2") === 0.0d || col("cn2") === 0.0d, lit(-2.0d))
       .otherwise(round(dotD(col("cd"), col("ccd")) / (sqrt(col("n2")) * sqrt(col("cn2"))), 6))
     IvfParts(codesProj(s, src), a2, cF, cosToCent)

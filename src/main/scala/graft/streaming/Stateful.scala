@@ -746,13 +746,23 @@ object Stateful {
     * the caller owns delivery). */
   def admissionStream(docs: DataFrame, d: String)(
       sink: (DataFrame, Long) => Unit)
-      : org.apache.spark.sql.streaming.StreamingQuery =
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    // Resolve artifacts against the stream-OWNING session, never
+    // batch.sparkSession: foreachBatch hands a batch bound to the
+    // stream's CLONED session, and the per-session model registry
+    // treats a clone as a stranger — the first tick silently retrained
+    // the whole base under the clone (measured 5.0 s of the 5.5 s cold
+    // first tick at sf0.1, GateProbe round 18). The owning session's
+    // artifacts share the SparkContext, so their pinned blocks serve
+    // the clone's batches directly.
+    val owner = docs.sparkSession
     docs.writeStream
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        val (_, baseAgg) = graft.ops.Dedup.dedupBase(batch.sparkSession, d)
+        val (_, baseAgg) = graft.ops.Dedup.dedupBase(owner, d)
         sink(dedupVerdictsBatch(batch, baseAgg), id)
       }
       .start()
+  }
 
   /** s_stream_novelty: ingest-side content-FRESHNESS gate — the
     * streaming twin of q_novelty_delta against the frozen first-owner
@@ -798,14 +808,18 @@ object Stateful {
   def noveltyStream(docs: DataFrame, d: String)(
       sink: (DataFrame, Long) => Unit)
       : org.apache.spark.sql.streaming.StreamingQuery =
+  {
+    // owner-session resolution — see admissionStream for the clone trap
+    val owner = docs.sparkSession
     docs.writeStream
       .foreachBatch { (batch: DataFrame, id: Long) =>
         // pinned seen-view (round-18): rebuilt only when the corpus
         // fingerprint moves; unchanged ticks probe in-place blocks
-        val seen = graft.ops.Dedup.noveltySeenView(batch.sparkSession, d)
+        val seen = graft.ops.Dedup.noveltySeenView(owner, d)
         sink(noveltyVerdictsBatch(batch, seen), id)
       }
       .start()
+  }
 
   /** s_stream_containment: ingest-side ENGULFMENT admission gate — the
     * streaming twin of q_dedup_containment with the base corpus's
@@ -878,13 +892,16 @@ object Stateful {
     * neither restarting the stream (StatefulSpec's re-point case). */
   def containmentStream(docs: DataFrame, d: String)(
       sink: (DataFrame, Long) => Unit)
-      : org.apache.spark.sql.streaming.StreamingQuery =
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    // owner-session resolution — see admissionStream for the clone trap
+    val owner = docs.sparkSession
     docs.writeStream
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        val gv = graft.ops.Dedup.containmentGateView(batch.sparkSession, d)
+        val gv = graft.ops.Dedup.containmentGateView(owner, d)
         sink(containmentVerdictsBatch(batch, gv.full, gv.rareIdx), id)
       }
       .start()
+  }
 
   /** s_stream_watermark: live out-of-orderness census — the streaming
     * twin of q_watermark_plan (ops/Temporal.scala): the batch op sizes
@@ -1700,20 +1717,28 @@ object Stateful {
         t: Long, flooded: Boolean = false): Unit =
       synchronized {
         if (id == lastBatchId) {
-          cenOv = c; cpOv = p; tri = t
+          cenOv = c; tri = t
+          // A flood tick's pair frame IS the complete census over
+          // base ⊕ everything admitted (triPairCensus over the full
+          // edge set), so it REPLACES the cp base outright — a pointer
+          // swap, no fold join — instead of becoming a census-sized
+          // overlay that taxes every following tick (and that the first
+          // cut of this policy re-materialized via an immediate fold:
+          // measured 2× tick cost in the all-flood 10× drops regime).
+          if (flooded) { cp0 = p; cpOv = p.limit(0).localCheckpoint() }
+          else cpOv = p
           sinceCompact += 1
-          // COMPACTION (round-17 verdict #4): the overlay grows with
+          // COMPACTION (round-17 verdict #4): the overlays grow with
           // everything admitted since seed — at 100× uptime every tick's
-          // anti-join + re-checkpoint against it is the OOM the gates
-          // rating found in miniature. Fold it into the frozen base
-          // every compactEvery ticks, and IMMEDIATELY after a flood tick
-          // (the flood route leaves a census-sized overlay — carrying it
-          // to the next scheduled fold taxes every intervening tick).
-          // The fold is the overlay-wins set merge every tick's view
-          // already computes, materialized once; replay-safe because
-          // stateFor snapshots the base, and idempotent because folding
-          // a recomputed identical overlay reproduces the same frames.
-          if (sinceCompact >= compactEvery || flooded) compactNow()
+          // anti-join + re-checkpoint against them is the OOM the gates
+          // rating found in miniature. Fold them into the frozen base
+          // every compactEvery ticks: the fold is the overlay-wins set
+          // merge every tick's view already computes, materialized once
+          // — O(base) amortized over compactEvery ticks. Replay-safe
+          // because stateFor snapshots the base, and idempotent because
+          // folding a recomputed identical overlay reproduces the same
+          // frames.
+          if (sinceCompact >= compactEvery) compactNow()
         }
       }
     /** Fold overlay → base and reset the overlay to empty. Package-

@@ -20,8 +20,9 @@ object IvfProbe {
     spark.sparkContext.setLogLevel("ERROR")
     if (args.headOption.contains("ab")) {
       graft.ops.Similarity.indexPassAB(spark, sfDir).foreach {
-        case (form, pass, sec) =>
-          println(f"[ivfprobe-ab] $sfDir pass$pass $form%-17s $sec%8.3f s")
+        case (form, pass, sec, bytes) =>
+          println(f"[ivfprobe-ab] $sfDir pass$pass $form%-17s $sec%8.3f s " +
+            f"pinned=${bytes / 1048576.0}%8.1f MiB")
       }
       spark.stop()
       return

@@ -1878,11 +1878,12 @@ class StatefulSpec extends SparkSuite {
       s"flood tick verdict must carry d=10, total=10: $b")
     assert(b.getLong(2) == 10L,
       s"flood tick must report C(5,2)=10 new projection edges: $b")
-    // round-18: a flood tick triggers an IMMEDIATE fold (the census-
-    // sized overlay must not tax every following tick), so the small
-    // tick below runs across a compaction boundary
-    assert(handle.cpOv.isEmpty && handle.cenOv.isEmpty,
-      "flood must fold the census into the base right away")
+    // round-18: a flood tick's census REPLACES the cp base outright (a
+    // pointer swap — the census is complete by construction), so no
+    // census-sized overlay taxes the following ticks; the small tick
+    // below runs against the swapped base
+    assert(handle.cpOv.isEmpty,
+      "flood must swap the census into the cp base, leaving no overlay")
     // follow-up SMALL tick on the flood-rolled overlay: the delta path
     // must read the folded census correctly (customer 6 joins both
     // suppliers → K6 closes C(5,2)=10 more triangles)
