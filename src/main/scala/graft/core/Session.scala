@@ -41,12 +41,27 @@ object Session {
     * appends a per-context UUID subdir, so repeated setCheckpointDir
     * calls would leak empty dirs). */
   def truncate(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    truncate(df, eager = true)
+
+  /** `eager = false` variant for the probed-fixpoint shape ONLY (round-18
+    * optimization, guide §1.2/§2.4): every round does
+    * `lab = truncate(step); probe(lab)` — the convergence probe is the
+    * sole consumer at materialization time, so a lazy checkpoint folds
+    * the dedicated materialization job into the probe job (one driver
+    * round trip per round instead of two) while the probe still pins the
+    * data before the next round's multi-consumer reads hit the cache.
+    * Do NOT use lazy for a checkpoint whose FIRST action has several
+    * branches reading it (e.g. a self-join directly on the fresh frame):
+    * concurrent stages would each compute the unpersisted RDD — the
+    * duplicated work eager materialization exists to prevent. */
+  def truncate(df: org.apache.spark.sql.DataFrame, eager: Boolean)
+      : org.apache.spark.sql.DataFrame =
     df.sparkSession.conf.getOption(CheckpointDirKey).filter(_.nonEmpty) match {
       case Some(dir) =>
         val sc = df.sparkSession.sparkContext
         if (sc.getCheckpointDir.isEmpty) sc.setCheckpointDir(dir)
-        df.checkpoint()
-      case None => df.localCheckpoint()
+        df.checkpoint(eager)
+      case None => df.localCheckpoint(eager)
     }
 
   /** Flatten an incrementally-grown union once its analyzed plan carries

@@ -339,7 +339,8 @@ object Dedup {
       lab = graft.core.Session.truncate(
         lab.join(parents, col("root") === col("p_doc"), "left")
           .select(col("doc_id"),
-            least(col("root"), coalesce(col("p_root"), col("root"))).as("root")))
+            least(col("root"), coalesce(col("p_root"), col("root"))).as("root")),
+        eager = false) // probed next — the sum probe job materializes
       // roots only decrease; the sum is a cheap monotone fixpoint probe
       // (coalesce: SUM over an empty frame is NULL — a corpus with no
       // near-dup candidates must converge, not throw)
@@ -539,7 +540,16 @@ object Dedup {
        |FROM tok t LEFT JOIN mask m ON m.doc_id = t.doc_id AND m.p = t.p
        |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin
   ) { (s, d) =>
-    val spans = spansOf(s, d)
+    // Round-18 optimization (guide §1.2 step 1 / §8): the span table feeds
+    // TWO consumers (the duplicated-span census g and the mask join), and
+    // both legs previously re-ran the full tokenize + W-token-window md5
+    // pass — the single most expensive map-side work in this query.
+    // Checkpoint it once (eager: the two consumers would otherwise race
+    // to compute it concurrently in the final job). The artifact is
+    // O(tokens) fixed-width digests — the same bound the exchange already
+    // carries; at cluster scale the alternative (recompute the digest
+    // pass per consumer) doubles corpus-scan CPU instead.
+    val spans = spansOf(s, d).localCheckpoint()
     val g = spans.groupBy("h", "doc_id").agg(count(lit(1)).as("c"))
       .groupBy("h").agg(count(lit(1)).as("nd"), min(col("doc_id")).as("keeper"))
       .filter(col("nd") > 1).select("h", "keeper")

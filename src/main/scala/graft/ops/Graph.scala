@@ -296,7 +296,7 @@ object Graph {
           affected.unionAll(
               ed1.join(affected.withColumnRenamed("node", "src"), "src")
                 .select(col("dst").as("node")))
-            .distinct())
+            .distinct(), eager = false) // count() probe below materializes
         hops += 1
         flooded = 2L * affected.count() > nNodes
       }
@@ -742,7 +742,7 @@ object Graph {
           affected.unionAll(
               e1.join(affected.withColumnRenamed("node", "src"), "src")
                 .select(col("dst").as("node")))
-            .distinct())
+            .distinct(), eager = false) // count() probe below materializes
         hops += 1
         flooded = 2L * affected.count() > nNodes
       }
@@ -765,7 +765,8 @@ object Graph {
             withSrcRank.select(col("dst"), expr("rsrc div d").as("contrib"))
               .groupBy("dst")
               .agg((lit(150000L) + expr("(85 * sum(contrib)) div 100")).as("r"))
-              .select(col("dst").as("node"), col("r")))
+              .select(col("dst").as("node"), col("r")),
+            eager = false) // single consumer per round — next round (or the final union) materializes
           merged += baseRs0(i - 1).join(affected, Seq("node"), "left_anti")
             .unionAll(rDelta).localCheckpoint()
         }
@@ -803,7 +804,7 @@ object Graph {
         affected.unionAll(
             e.join(affected.withColumnRenamed("node", "src"), "src")
               .select(col("dst").as("node")))
-          .distinct())
+          .distinct(), eager = false) // count() probe below materializes
       hops += 1
       flooded = 2L * affected.count() > nNodes
     }
@@ -832,7 +833,8 @@ object Graph {
           withSrcRank.select(col("dst"), expr("rsrc div d").as("contrib"))
             .groupBy("dst")
             .agg((lit(150000L) + expr("(85 * sum(contrib)) div 100")).as("r"))
-            .select(col("dst").as("node"), col("r")))
+            .select(col("dst").as("node"), col("r")),
+          eager = false) // single consumer per round — the final union materializes
       }
       prPresent(baseRF.join(affected, Seq("node"), "left_anti")
         .unionAll(rDelta))
@@ -911,7 +913,8 @@ object Graph {
       lab = graft.core.Session.truncate(
         stepped.join(parents, col("lbl") === col("p_node"), "left")
           .select(col("node"),
-            least(col("lbl"), coalesce(col("p_lbl"), col("lbl"))).as("lbl")))
+            least(col("lbl"), coalesce(col("p_lbl"), col("lbl"))).as("lbl")),
+        eager = false) // probed next line — the probe job materializes
       // labels only decrease; an unchanged sum IS the fixpoint (coalesce:
       // an edgeless graph must converge on the empty frame, not throw)
       val labSum = lab.agg(coalesce(sum(col("lbl")), lit(0L))).head().getLong(0)
@@ -984,7 +987,7 @@ object Graph {
           .select(col("dst").as("node"), (col("d") + 1L).as("d"))
           .unionAll(dist)
           .groupBy("node").agg(min(col("d")).as("d"))
-        dist = graft.core.Session.truncate(stepped)
+        dist = graft.core.Session.truncate(stepped, eager = false) // probe below materializes
         // the reachable set only grows and distances only decrease, so an
         // unchanged (count, sum) pair IS the fixpoint
         val probe = dist.agg(count(lit(1)), coalesce(sum(col("d")), lit(0L))).head()
@@ -1716,7 +1719,8 @@ object Graph {
       .partitionBy("node").orderBy(col("nh").desc)
     var h = graft.core.Session.truncate(
       e.groupBy("src").agg(count(lit(1)).as("h"))
-        .select(col("src").as("node"), col("h")))
+        .select(col("src").as("node"), col("h")),
+      eager = false) // the round-cap sum probe below materializes
     // Graph-derived round cap (round-12 advice: a fixed 64 fails a
     // long-chain peel cascade the DuckDB oracle would iterate through).
     // Values are monotone non-increasing and a non-converged round
@@ -1734,7 +1738,8 @@ object Graph {
         .select(col("src").as("node"), col("nh"))
       h = graft.core.Session.truncate(
         nbr.withColumn("rk", row_number().over(w).cast("long"))
-          .groupBy("node").agg(max(least(col("rk"), col("nh"))).as("h")))
+          .groupBy("node").agg(max(least(col("rk"), col("nh"))).as("h")),
+        eager = false) // probed next line
       // h is monotonically non-increasing per node (Lü et al. thm 1), so
       // an unchanged sum IS the fixpoint (coalesce: empty graph converges
       // on the empty frame instead of throwing)
@@ -2058,21 +2063,30 @@ object Graph {
     // degree normalization stays NODE-level (h div deg joined on the
     // score table, O(nodes) rows) rather than widening every pair row
     // with both degrees — the pair-level join per half-round then ships
-    // only (key, contribution)
-    val dc = eo.groupBy("c").agg(count(lit(1)).as("cd")).localCheckpoint()
-    val ds = eo.groupBy("s").agg(count(lit(1)).as("sd")).localCheckpoint()
+    // only (key, contribution). Lazy checkpoints: each is first consumed
+    // by exactly one round-1 broadcast build, which materializes it.
+    val dc = eo.groupBy("c").agg(count(lit(1)).as("cd")).localCheckpoint(false)
+    val ds = eo.groupBy("s").agg(count(lit(1)).as("sd")).localCheckpoint(false)
     val h0 = dc.select(col("c"), lit(1000000L).as("hv"))
-    // checkpoint each half-round: the final union's two branches (top-15
-    // authorities, top-15 hubs) would otherwise each replay the whole
-    // alternating chain from round 1 — the artifact-lineage-replay lesson
+    // Round-18 optimization (guide §2.4): the alternating chain is a pure
+    // single-consumer sequence (a_i feeds only h_i, h_i feeds only
+    // a_{i+1}), so per-half-round checkpoints bought nothing but 2·Iters
+    // extra materialization jobs — Iters is a fixed small constant, so
+    // the unmaterialized chain depth is bounded. Only the LAST authority
+    // table is truncated (eagerly): it has two downstream consumers (the
+    // top-15 authority branch and the final h-round feeding the hub
+    // branch), which would otherwise replay the whole chain twice — the
+    // original artifact-lineage-replay lesson, now applied only where the
+    // fan-out actually is.
     val (aF, hF) = (1 to Iters).foldLeft((null: DataFrame, h0)) {
-      case ((_, h), _) =>
-        val a = graft.core.Session.truncate(
+      case ((_, h), i) =>
+        val a0 =
           eo.join(h.join(dc, "c").select(col("c"), expr("hv div cd").as("hc")), "c")
-            .groupBy("s").agg(sum(col("hc")).as("av")))
-        val hn = graft.core.Session.truncate(
+            .groupBy("s").agg(sum(col("hc")).as("av"))
+        val a = if (i == Iters) graft.core.Session.truncate(a0) else a0
+        val hn =
           eo.join(a.join(ds, "s").select(col("s"), expr("av div sd").as("ac")), "s")
-            .groupBy("c").agg(sum(col("ac")).as("hv")))
+            .groupBy("c").agg(sum(col("ac")).as("hv"))
         (a, hn)
     }
     aF.orderBy(col("av").desc, col("s")).limit(15)
@@ -2125,16 +2139,22 @@ object Graph {
        |  ${(0 to WalkSteps).map(t => s"SELECT * FROM w$t").mkString(" UNION ALL ")})
        |ORDER BY walk_id, step""".stripMargin
   ) { (s, d) =>
-    val (e, deg) = edgesOf(s, d)
+    val (e, _) = edgesOf(s, d)
     val w = org.apache.spark.sql.expressions.Window.partitionBy("src")
-    // degree comes from the already-aggregated deg table, not a second
-    // window pass: count-over-partition needs a different frame than
-    // row_number and would cost its own sort
+    // Round-18 optimization (guide §2.4): degree as a SECOND window over
+    // the same partitioning instead of the deg-aggregate join — the
+    // count window needs only src-clustering, which the row_number sort
+    // on (src, dst) already provides, so Catalyst plans both WindowExecs
+    // over ONE exchange and ONE sort. The previous shape paid a separate
+    // full aggregation pass over e plus a join to re-attach d.
     val adj = e
       .withColumn("rn", row_number().over(w.orderBy("dst")).cast("long"))
-      .join(deg, "src")
+      .withColumn("d", count(lit(1)).over(w))
       .localCheckpoint() // every step probes it
-    val starts = deg.orderBy(col("d").desc, col("src")).limit(WalkStarts)
+    // top-degree starts read the checkpointed adjacency (rn = 1 picks one
+    // row per src) instead of re-aggregating e
+    val starts = adj.filter(col("rn") === 1L)
+      .orderBy(col("d").desc, col("src")).limit(WalkStarts)
       .select(col("src").as("node"))
     val w0 = starts.select(col("node").as("walk_id"), lit(0L).as("step"), col("node"))
     // checkpoint each frontier: the final union evaluates every step

@@ -1057,7 +1057,13 @@ object TextAnalysis {
       .partitionBy("unit").orderBy("checkpoint")
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
         org.apache.spark.sql.expressions.Window.currentRow)
-    nd.crossJoin(units.select("unit").distinct())
+    // Round-18 optimization (guide §2.4): the distinct unit list reads the
+    // fd census, not the raw units explode — fd's aggregate exchange is
+    // already in the plan for the nu leg, so Catalyst reuses it
+    // (ReusedExchange) and the corpus-wide token/shingle explode runs
+    // ONCE instead of twice. Same unit set by construction (fd is the
+    // (unit, u) dedup of units).
+    nd.crossJoin(fd.select("unit").distinct())
       .join(nu, Seq("unit", "k"), "left")
       .select(col("k").as("checkpoint"), col("unit"), col("bound").as("bound_id"),
         col("n_docs"), coalesce(col("new_units"), lit(0L)).as("new_units"))
