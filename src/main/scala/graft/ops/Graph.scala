@@ -84,9 +84,14 @@ object Graph {
        |FROM r$Iters ORDER BY rank_scaled DESC, node LIMIT 25""".stripMargin
 
   val pagerank: Q = Q("q_pagerank", pagerankSql) { (s, d) =>
-    val (e, deg) = edgesOf(s, d)
-    // edges + degrees feed every round: materialize once, not per round
-    val ed = e.join(deg, "src").localCheckpoint()
+    val (e, deg0) = edgesOf(s, d)
+    // Round-18: checkpoint the degree table once — it feeds BOTH the
+    // ed join and r0, which previously each re-ran the union+aggregate
+    // over the cached pair list. ed itself checkpoints lazily: its first
+    // consumer is the single round-1 join, which materializes it; later
+    // rounds read the cache (guide §2.4).
+    val deg = deg0.localCheckpoint()
+    val ed = e.join(deg, "src").localCheckpoint(false)
     val r0 = deg.select(col("src").as("node"), lit(1000000L).as("r"))
     val rFinal = (1 to Iters).foldLeft(r0) { case (r, _) =>
       ed.join(r.withColumnRenamed("node", "src"), "src")
@@ -1671,8 +1676,11 @@ object Graph {
     for (i <- 1 to rounds) {
       val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
         .localCheckpoint()
+      // keep is a narrow filter of the ALREADY-checkpointed deg — each
+      // consumer re-filters the cached rows map-side for free, so its own
+      // checkpoint bought nothing but a job per round (round-18, §2.4)
       val keep = deg.filter(col("deg") >= k)
-        .select(col("src").as("node")).localCheckpoint()
+        .select(col("src").as("node"))
       val e2 = e
         .join(keep.withColumnRenamed("node", "src"), Seq("src"), "left_semi")
         .join(keep.withColumnRenamed("node", "dst"), Seq("dst"), "left_semi")
@@ -2063,10 +2071,13 @@ object Graph {
     // degree normalization stays NODE-level (h div deg joined on the
     // score table, O(nodes) rows) rather than widening every pair row
     // with both degrees — the pair-level join per half-round then ships
-    // only (key, contribution). Lazy checkpoints: each is first consumed
-    // by exactly one round-1 broadcast build, which materializes it.
-    val dc = eo.groupBy("c").agg(count(lit(1)).as("cd")).localCheckpoint(false)
-    val ds = eo.groupBy("s").agg(count(lit(1)).as("sd")).localCheckpoint(false)
+    // only (key, contribution). Eager checkpoints: dc feeds h0 AND every
+    // a-round's normalization join (ds every h-round's) — with the chain
+    // below unmaterialized those are concurrent consumers inside ONE
+    // job, and a lazy checkpoint would let each leg recompute the
+    // aggregate before any of them persists it.
+    val dc = eo.groupBy("c").agg(count(lit(1)).as("cd")).localCheckpoint()
+    val ds = eo.groupBy("s").agg(count(lit(1)).as("sd")).localCheckpoint()
     val h0 = dc.select(col("c"), lit(1000000L).as("hv"))
     // Round-18 optimization (guide §2.4): the alternating chain is a pure
     // single-consumer sequence (a_i feeds only h_i, h_i feeds only
@@ -2258,8 +2269,20 @@ object Graph {
         (r.getLong(0), nEdges, r.getLong(1), r.getLong(2))
       }
     }
-    val (nb, eb, cb, gb) = summary(e)
-    val (na, ea, ca, ga) = summary(e2)
+    // Round-18 optimization (guide §2.6): the before/after closures are
+    // INDEPENDENT fixpoints over already-checkpointed edge lists — run
+    // them as concurrent driver threads so the after-graph's rounds
+    // back-fill cores idled by the before-graph's convergence tail.
+    // Results are unchanged (each fixpoint is deterministic and touches
+    // only its own frames); Spark's scheduler interleaves the two job
+    // streams, FIFO.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val fb = Future(summary(e))
+    val fa = Future(summary(e2))
+    val (nb, eb, cb, gb) = Await.result(fb, Duration.Inf)
+    val (na, ea, ca, ga) = Await.result(fa, Duration.Inf)
     import s.implicits._
     Seq(("after", na, ea, ca, ga, nb - PercK - na),
       ("before", nb, eb, cb, gb, 0L))
