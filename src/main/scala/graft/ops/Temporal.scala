@@ -835,8 +835,17 @@ object Temporal {
     * driver-side existence probe keeps the happy-path plan identical),
     * never O(corpus). RefreshSpec's late-arrival case pins
     * refresh == retrain across a closed-session bridge. */
-  private def stitch(closed0: DataFrame, tails0: DataFrame, delta: DataFrame,
+  private def stitch(closed0: DataFrame, tails0: DataFrame, delta0: DataFrame,
       fullEvents: DataFrame, freeze: Boolean = false): (DataFrame, DataFrame) = {
+    // Round-18 (guide §2.4/§5): the delta slice feeds THREE consumers —
+    // the late-arrival probe, the touched-user dedup, and the marker
+    // sessionize — each previously its own pushed-down re-scan of the
+    // events parquet. One O(delta)-row checkpoint turns them into cache
+    // reads; the checkpoint is LAZY (the probed-fixpoint shape): the
+    // late-arrival probe is the sole first consumer and materializes it,
+    // then every later leg (including the refresh path's frozen legs)
+    // reads the same cached block.
+    val delta = delta0.localCheckpoint(false)
     val lateUsers = delta.groupBy("user_id").agg(min(col("ts_us")).as("__dmin"))
       .join(tails0.select(col("user_id"), col("last_us")), Seq("user_id"))
       .filter(col("__dmin") < col("last_us"))

@@ -1050,20 +1050,45 @@ object TextAnalysis {
           "transform(sequence(1, size(t) - 7), i -> concat_ws(' ', slice(t, i, 8)))"))
           .as("u"), col("doc_id")))
     val fd = units.groupBy("unit", "u").agg(min(col("doc_id")).as("fdoc"))
-    val nu = fd.join(broadcast(b), col("fdoc") <= col("bound"))
-      .groupBy("unit", "u").agg(min(col("k")).as("k"))
+    // Round-18 optimization #2 on this query (guide §2.3/§2.4): the oracle
+    // formulates "first checkpoint containing fdoc" as a range join
+    // (fd ⋈ b ON fdoc <= bound) + min(k) re-aggregation — on the Spark
+    // side that fanned every distinct unit out to up to 4 rows and paid a
+    // SECOND full (unit, u) shuffle of wide shingle strings just to take
+    // min(k). The bounds are 4 driver-side constants (computed from the
+    // same 1-row census the b table is built from) and are monotone in k,
+    // so min{k : fdoc <= bound_k} is a pure CASE over fdoc: bucketize
+    // map-side and partial-aggregate straight to (unit, k) — the O(units)
+    // string exchange and the 4x fan-out disappear from the plan.
+    val bucketK = bounds.init.foldRight(lit(bounds.last._1): org.apache.spark.sql.Column) {
+      case ((k, bd), acc) => when(col("fdoc") <= bd, lit(k)).otherwise(acc)
+    }
+    // nu is O(units · checkpoints) = ≤ 8 rows, and it feeds BOTH the
+    // left-join leg and the distinct-unit axis below. Exchange reuse
+    // cannot be relied on for the second consumer (RemoveRedundantAggregates
+    // rewrites `nu.select("unit").distinct()` into a distinct over the raw
+    // explode — the optimizer prunes the inner aggregates and with them
+    // the shared subtree), so the corpus-wide token/shingle census is
+    // pinned with ONE eager checkpoint: the explode runs exactly once,
+    // every consumer reads 8 cached rows.
+    val nu = fd.select(col("unit"), bucketK.as("k"))
       .groupBy("unit", "k").agg(count(lit(1)).as("new_units"))
+      .localCheckpoint()
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("unit").orderBy("checkpoint")
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
         org.apache.spark.sql.expressions.Window.currentRow)
     // Round-18 optimization (guide §2.4): the distinct unit list reads the
-    // fd census, not the raw units explode — fd's aggregate exchange is
-    // already in the plan for the nu leg, so Catalyst reuses it
-    // (ReusedExchange) and the corpus-wide token/shingle explode runs
-    // ONCE instead of twice. Same unit set by construction (fd is the
-    // (unit, u) dedup of units).
-    nd.crossJoin(fd.select("unit").distinct())
+    // O(units)-collapsed nu census, NOT fd — `fd.select("unit").distinct()`
+    // looked free but prunes min(fdoc) out of fd's aggregate, so its
+    // exchange subtree no longer matches fd's and Catalyst re-ran the
+    // corpus-wide token/shingle explode for the 2-row unit list (the
+    // before-plan shows the second Generate pair; no ReusedExchange).
+    // nu's own exchange feeds both consumers VERBATIM, so the explode and
+    // the (unit, u) census run once. Same unit set by construction:
+    // aggregates preserve their key set (units → fd → nu never drops a
+    // unit — every fd row lands in some checkpoint bucket).
+    nd.crossJoin(nu.select("unit").distinct())
       .join(nu, Seq("unit", "k"), "left")
       .select(col("k").as("checkpoint"), col("unit"), col("bound").as("bound_id"),
         col("n_docs"), coalesce(col("new_units"), lit(0L)).as("new_units"))
