@@ -365,6 +365,16 @@ object TextAnalysis {
     val tok = T.documents(s, d)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
     val tf = tok.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    // cf feeds the scoring join AND the 1-row total census, so the
+    // explode + (doc, token) aggregate appears three times in the plan.
+    // Checkpointing the O(vocab) cf census was A/B'd in one host window
+    // (round 18) and LOST at sf0.1 — 1.10 s lazy vs 1.43 s checkpointed:
+    // the duplicate subtrees overlap inside one job across all cores and
+    // the checkpoint's barrier costs more than the re-explode it saves
+    // (the q_mad lazy-re-scan lesson). `.localCheckpoint()` on cf is the
+    // documented switch for a bandwidth-bound cluster where three corpus
+    // passes ARE the cost; tf must stay lazy either way (an O(corpus)
+    // materialization is the measured anti-pattern).
     val cf = tf.groupBy("token").agg(sum(col("tf")).as("cnt"))
     val tot = cf.agg(sum(col("cnt")).as("n"))
     tf.join(cf, "token").crossJoin(broadcast(tot))
@@ -431,8 +441,14 @@ object TextAnalysis {
       .localCheckpoint()
     val nd = T.documents(s, d).agg(count(lit(1)).as("n"))
     val df = tok.groupBy("token").agg(count(lit(1)).as("df"))
+    // ft backs THREE broadcast builds (the spine filter for ftok, fa, fb);
+    // each build re-ran the df aggregation over the cached token stream.
+    // ft is O(frequent tokens) — bounded by the ≥10%-of-corpus spine — so
+    // one eager checkpoint turns three census passes into cache reads
+    // (guide §2.4).
     val ft = df.crossJoin(broadcast(nd)).filter(col("df") * 10 >= col("n"))
       .select("token", "df")
+      .localCheckpoint()
     val ftok = tok.join(broadcast(ft.select("token")), "token")
     val pair = ftok.as("a")
       .join(ftok.as("b"),
@@ -507,6 +523,16 @@ object TextAnalysis {
       .select(col("doc_id"), col("z.0").as("t1"), col("z.1").as("bigram"))
     val un = docs.select(explode(toksC).as("token"))
     val bc = bg.groupBy("bigram").agg(count(lit(1)).as("bc"))
+    // uc feeds the scoring join AND the vocabulary-size census, so the
+    // unigram explode appears twice in the plan. Checkpointing the
+    // O(vocab) census was A/B'd in one host window (round 18) and LOST at
+    // sf0.1 — 1.52 s lazy vs 1.83 s checkpointed: the duplicate subtrees
+    // run CONCURRENTLY inside one job across all cores, while the eager
+    // checkpoint serializes a barrier in front of them (the q_mad
+    // lazy-re-scan lesson on the explode axis). On a bandwidth-bound
+    // cluster where two corpus passes are the cost, `.localCheckpoint()`
+    // on uc (and bc) is the one-line switch — lmModel's streaming gate
+    // already serves exactly those checkpointed censuses.
     val uc = un.groupBy("token").agg(count(lit(1)).as("uc"))
     val vs = uc.agg(count(lit(1)).as("v"))
     bg.join(bc, "bigram")
