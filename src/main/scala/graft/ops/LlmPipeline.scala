@@ -628,6 +628,17 @@ object LlmPipeline {
       |WHERE rn <= 5 ORDER BY qid, rn""".stripMargin
   ) { (s, d) =>
     val (vs, ls) = rankChannels(s, d)
+    // vtop/ltop each feed two consumers (the union-of-candidates leg and
+    // a left join) and the static plan prints both channels' subtrees
+    // twice (6 Generates / 32 scans) — but that duplication is PAPER
+    // ONLY: the copies are canonically identical, so runtime exchange
+    // reuse dedupes them at AQE stage creation. Measured in round 18:
+    // the old shape serves in 23 jobs; pinning both top-10 lists with
+    // eager checkpoints RAISED it to 29 jobs at equal wall time (the
+    // checkpoint barriers add driver round trips, the reused stages were
+    // already free) — rejected. Contrast q_vocab_growth, where the
+    // duplicated subtree is pruned DIFFERENTLY per consumer (no reuse
+    // possible) and the pin is a genuine win.
     val wv = Window.partitionBy("qid").orderBy(col("vscore").desc, col("id"))
     val vtop = vs.withColumn("r", row_number().over(wv).cast(LongType))
       .filter(col("r") <= 10).select("qid", "id", "r")
