@@ -129,7 +129,17 @@ object Bench {
       "q_rollup" -> 0.8586, "q_salsa" -> 3.9634,
       "q_sessionize" -> 0.7688, "q_sessionize_delta" -> 1.3183,
       "q_twap" -> 0.5377, "q_unpivot" -> 1.7265,
-      "q_vocab_growth" -> 2.2666, "q_window_rank" -> 0.5065,
+      // Round-18 re-pin: q_vocab_growth was optimized (single corpus
+      // explode, ~12% wall win reproduced in two ABAB stash pairs), so
+      // its frozen value scales by the PAIRED ratio 2.55/2.90 — the
+      // same-window estimate, not a cross-window normalization. The
+      // seven other anchors touched in round 18 (components,
+      // concurrency_delta, cooccur_lift, core_numbers, random_walk,
+      // salsa, sessionize_delta) measured wall-NEUTRAL in their ABAB
+      // pairs (their cuts were serve-job counts / scan counts, not
+      // local wall), so their pins still represent them — see
+      // BASELINE.md "Drift anchor re-pin (r18)".
+      "q_vocab_growth" -> 1.9931, "q_window_rank" -> 0.5065,
       "q_winsorize" -> 2.1014)
     val anchorRatios: Seq[(String, Double)] = anchorClose.toSeq
       .flatMap { case (n, c) => results.get(n).filter(_ > 0).map(n -> _ / c) }
