@@ -2079,25 +2079,25 @@ object Graph {
     val dc = eo.groupBy("c").agg(count(lit(1)).as("cd")).localCheckpoint()
     val ds = eo.groupBy("s").agg(count(lit(1)).as("sd")).localCheckpoint()
     val h0 = dc.select(col("c"), lit(1000000L).as("hv"))
-    // Round-18 optimization (guide §2.4): the alternating chain is a pure
-    // single-consumer sequence (a_i feeds only h_i, h_i feeds only
-    // a_{i+1}), so per-half-round checkpoints bought nothing but 2·Iters
-    // extra materialization jobs — Iters is a fixed small constant, so
-    // the unmaterialized chain depth is bounded. Only the LAST authority
-    // table is truncated (eagerly): it has two downstream consumers (the
-    // top-15 authority branch and the final h-round feeding the hub
-    // branch), which would otherwise replay the whole chain twice — the
-    // original artifact-lineage-replay lesson, now applied only where the
-    // fan-out actually is.
+    // Checkpoint EACH half-round (the round-17 shape, re-instated in
+    // round 19): round 18 dematerialized the single-consumer chain and
+    // truncated only the final authority fan-out (46 → 28-30 serve
+    // jobs), but the driver bench regressed 0.82× and a round-19
+    // order-balanced A/B (4 runs per shape, one binary, env-switched,
+    // normalized by two code-identical control queries in the same
+    // filtered runs) reproduced it: dematerialized 5.58-6.20 s vs
+    // per-half-round 4.72-5.59 s — 3 of 4 normalized pairs lose outside
+    // the window noise. Fewer driver round trips did NOT buy wall here;
+    // the paired-measurement rule (BASELINE.md) says the wall evidence
+    // wins, so the checkpoints stay.
     val (aF, hF) = (1 to Iters).foldLeft((null: DataFrame, h0)) {
-      case ((_, h), i) =>
-        val a0 =
+      case ((_, h), _) =>
+        val a = graft.core.Session.truncate(
           eo.join(h.join(dc, "c").select(col("c"), expr("hv div cd").as("hc")), "c")
-            .groupBy("s").agg(sum(col("hc")).as("av"))
-        val a = if (i == Iters) graft.core.Session.truncate(a0) else a0
-        val hn =
+            .groupBy("s").agg(sum(col("hc")).as("av")))
+        val hn = graft.core.Session.truncate(
           eo.join(a.join(ds, "s").select(col("s"), expr("av div sd").as("ac")), "s")
-            .groupBy("c").agg(sum(col("ac")).as("hv"))
+            .groupBy("c").agg(sum(col("ac")).as("hv")))
         (a, hn)
     }
     aF.orderBy(col("av").desc, col("s")).limit(15)

@@ -845,6 +845,10 @@ object Temporal {
     // late-arrival probe is the sole first consumer and materializes it,
     // then every later leg (including the refresh path's frozen legs)
     // reads the same cached block.
+    // Kept after a round-19 order-balanced A/B (the r18 driver bench read
+    // q_concurrency_delta 0.90× and flagged this site): with the pin,
+    // normalized serve wall is FASTER in 7 of 8 cross-comparisons vs the
+    // unpinned r17 shape — the regression was window weather.
     val delta = delta0.localCheckpoint(false)
     val lateUsers = delta.groupBy("user_id").agg(min(col("ts_us")).as("__dmin"))
       .join(tails0.select(col("user_id"), col("last_us")), Seq("user_id"))
