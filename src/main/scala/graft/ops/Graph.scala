@@ -1353,7 +1353,11 @@ object Graph {
       .filter(col("cnt") >= TriMinRepeats &&
         coalesce(col("cnt0"), lit(0L)) < TriMinRepeats)
       .select("c", "s")
-      .localCheckpoint() // feeds the probe, new×old, new×new (2×), eoAll
+      // LAZY (round-19, guide §1.2/§2.4): every caller's FIRST action is
+      // the flood probe's count() — the probed-fixpoint shape — which
+      // materializes the cache before the fan-out consumers (new×old,
+      // new×new ×2, eoAll) read it. Eager bought a dedicated job.
+      .localCheckpoint(false)
     TriEdges(eoNew, cen0.filter(col("cnt") >= TriMinRepeats).select("c", "s"),
       mergedTouched, dKeys)
   }
@@ -1364,19 +1368,20 @@ object Graph {
     * 1/`frac` of the merged edge set, the per-new-edge delta joins
     * would cost more than rebuilding the projection through the bounded
     * machinery — the q_pagerank_delta flood-fallback convention. The
-    * two callers pass MEASURED thresholds, not guesses (k=10 replica
+    * callers pass MEASURED thresholds, not guesses (k=10 replica
     * board): the REFREEZE uses frac=16 — a 9%-of-edges bulk slice
     * through the unoriented delta joins plus the census rolls ran 0.79×
     * of retrain, the 0.1% local slice 1.6×, so 1/16 sits between them —
     * while the SERVE path uses frac=4: it pays no census rolls, and its
     * structural 1/8 tail ran 3.5 s incremental vs 4.7 s rebuilt at
-    * sf0.1. Two bounded control reads on checkpointed/derived
-    * censuses. */
-  private[graft] def triEdgeFlooded(eoNew: DataFrame, eo0: DataFrame,
-      frac: Long): Boolean = {
-    val nNew = eoNew.count()
-    nNew > 0L && frac * nNew > eo0.count() + nNew
-  }
+    * sf0.1. Round-19: takes COUNTS, not frames — |eo0| is frozen in the
+    * tri-base artifact (rolled forward arithmetically: durable edges
+    * only appear under append) and |eoNew| is the count that
+    * materializes the lazy eoNew checkpoint, so the probe itself costs
+    * zero jobs beyond that one materialization. */
+  private[graft] def triEdgeFlooded(nNew: Long, nEo0: Long,
+      frac: Long): Boolean =
+    nNew > 0L && frac * nNew > nEo0 + nNew
 
   private[graft] def triMergeOf(cen0: DataFrame, cp0: DataFrame,
       cenD: DataFrame): TriMerge = {
@@ -1398,7 +1403,10 @@ object Graph {
       .select(col("a.nv").as("u"), col("b.nv").as("v"))
     val dw = no.unionAll(nn).groupBy("u", "v")
       .agg(count(lit(1)).as("dw"))
-      .localCheckpoint() // feeds ceNew + the refreeze's cp roll-forward
+      // LAZY (round-19): the first consumer is ceNew's EAGER checkpoint
+      // job just below — single consumer at materialization time, and it
+      // pins the cache for the refreeze's cp roll-forward reads.
+      .localCheckpoint(false)
     val ceNew = dw
       .join(cp0.select(col("u"), col("v"), col("w").as("w0")),
         Seq("u", "v"), "left")
@@ -1406,9 +1414,13 @@ object Graph {
         coalesce(col("w0"), lit(0L)) + col("dw") >= TriMinShared)
       .select("u", "v")
       .localCheckpoint() // feeds A (2× via symNew), W2, T3 (3×)
+    // NO checkpoint (round-19, the q_kcore keep-filter lesson): ceAll is
+    // a narrow filter of the checkpointed cp0 unioned with the
+    // checkpointed ceNew — each consumer (symAll ×2, W2 close,
+    // presentation) re-derives it map-side from cache for free, so its
+    // eager checkpoint bought nothing but a serve job and a barrier.
     val ceAll = cp0.filter(col("w") >= TriMinShared).select("u", "v")
       .unionAll(ceNew)
-      .localCheckpoint() // feeds symAll (2×), W2 close, presentation
     TriMerge(eoNew, dw, ceNew, ceAll)
   }
 
@@ -1477,7 +1489,7 @@ object Graph {
     * evidence — a semantic change that must then live in the oracle
     * too), or retrains on a cadence instead of refreshing. */
   private[graft] def triBase(s: SparkSession, d: String)
-      : (Long, DataFrame, DataFrame, Long) = {
+      : (Long, DataFrame, DataFrame, Long, Long) = {
     def pairsOf = T.orders(s, d)
       .join(T.lineitem(s, d), col("l_orderkey") === col("o_orderkey"))
       .select(col("o_orderkey"), col("o_custkey").as("c"),
@@ -1492,8 +1504,13 @@ object Graph {
       val eo = cen.filter(col("cnt") >= TriMinRepeats).select("c", "s")
       val cp = triPairCensus(eo).localCheckpoint()
       val ce = cp.filter(col("w") >= TriMinShared).select("u", "v")
-      (sp, cen, cp, triCount(ce).head().getLong(0))
-    } { case ((sp0, cen0, cp0, tri0), newFiles) =>
+      // |eo| is FROZEN into the artifact (round-19 verdict ask #4): the
+      // serve path's flood probe read it with a count() over the cached
+      // census on EVERY serve — a count the artifact already knows. Paid
+      // once here (train-side), rolled forward arithmetically below
+      // (durable edges only appear under append: |eo'| = |eo| + |eoNew|).
+      (sp, cen, cp, triCount(ce).head().getLong(0), eo.count())
+    } { case ((sp0, cen0, cp0, tri0, nEo0), newFiles) =>
       // REFREEZE: merge the monoidal censuses with the [sp0, sp1) slice
       // and roll the triangle count forward with the SAME delta algebra
       // the serve path runs — the old graph's pair join never re-runs.
@@ -1510,6 +1527,9 @@ object Graph {
       val cenS = pairs
         .filter(col("o_orderkey") >= sp0 && col("o_orderkey") < sp1)
         .groupBy("c", "s").agg(count(lit(1)).as("cnt"))
+        // eager pin — same differently-pruned-consumers rationale as the
+        // serve path's cenD (and em.dKeys feeds the cen1 anti-join too)
+        .localCheckpoint()
       val em = triEoNew(cen0, cenS)
       // the containment-base roll shape: checkpoint only the TOUCHED
       // slice, keep the stored census a lazy anti-join ∪ overlay view
@@ -1519,7 +1539,8 @@ object Graph {
       val cenTouched = em.cenTouched.localCheckpoint()
       val cen1 = graft.core.Session.flattenWide(
         cen0.join(em.dKeys, Seq("c", "s"), "left_anti").unionAll(cenTouched))
-      if (triEdgeFlooded(em.eoNew, em.eo0, frac = 16L)) {
+      val nNew = em.eoNew.count() // materializes the lazy eoNew checkpoint
+      if (triEdgeFlooded(nNew, nEo0, frac = 16L)) {
         // bulk slice: rebuild the projection through the bounded
         // (blocked + oriented) machinery — only the old ORDER SCAN is
         // saved (cen rolls forward); refresh ≈ retrain, never worse.
@@ -1531,7 +1552,7 @@ object Graph {
           .localCheckpoint()
         val cp1 = triPairCensus(eo1).localCheckpoint()
         val ce1 = cp1.filter(col("w") >= TriMinShared).select("u", "v")
-        (sp1, cen1, cp1, triCount(ce1).head().getLong(0))
+        (sp1, cen1, cp1, triCount(ce1).head().getLong(0), eo1.count())
       } else {
         val m = triMergeFrom(em.eoNew, em.eo0, cp0)
         val dwK = m.dw.select("u", "v")
@@ -1541,7 +1562,8 @@ object Graph {
         val cp1 = graft.core.Session.flattenWide(
           cp0.join(dwK, Seq("u", "v"), "left_anti").unionAll(cpTouched))
         (sp1, cen1, cp1,
-          tri0 + triDeltaCount(m.ceNew, m.ceAll).head().getLong(0))
+          tri0 + triDeltaCount(m.ceNew, m.ceAll).head().getLong(0),
+          nEo0 + nNew)
       }
       }
     }
@@ -1568,16 +1590,25 @@ object Graph {
     * inclusion–exclusion on a hand-built graph with 1-, 2- and
     * 3-new-edge triangles; RefreshSpec covers BOTH probe branches. */
   val trianglesDelta: Q = Q("q_triangles_delta", triangles.oracle.get) { (s, d) =>
-    val (sp, cen0, cp0, tri0) = triBase(s, d)
+    val (sp, cen0, cp0, tri0, nEo0) = triBase(s, d)
     val cenD = T.orders(s, d)
       .join(T.lineitem(s, d), col("l_orderkey") === col("o_orderkey"))
       .filter(col("o_orderkey") >= sp)
       .groupBy(col("o_custkey").as("c"), col("l_suppkey").as("s"))
       .agg(count(lit(1)).as("cnt"))
+      // EAGER pin (round-19, the vocab_growth/cooccur_lift lesson): the
+      // two triEoNew legs consume cenD under DIFFERENT projections
+      // (mergedTouched keeps cnt, dKeys prunes to (c, s) — column
+      // pruning rewrites the aggregate), so their canonical plans differ
+      // and runtime exchange reuse cannot dedupe them: the order-tail
+      // scan + delta census ran twice per serve. One O(delta) checkpoint
+      // runs it once — the same pin the streaming gate already carries.
+      .localCheckpoint()
     val em = triEoNew(cen0, cenD)
     val (eoNew, eo0) = (em.eoNew, em.eo0)
+    val nNew = eoNew.count() // materializes the lazy eoNew checkpoint
     val (ceAll, nTri) =
-      if (triEdgeFlooded(eoNew, eo0, frac = 4L)) {
+      if (triEdgeFlooded(nNew, nEo0, frac = 4L)) {
         // bulk tail (e.g. a long no-refreeze period): recompute the
         // projection through the bounded machinery rather than the
         // per-new-edge delta joins — the flood-fallback convention

@@ -1695,6 +1695,12 @@ object Stateful {
       @volatile private[streaming] var cenOv: DataFrame,
       @volatile private[streaming] var cpOv: DataFrame,
       @volatile private[streaming] var tri: Long,
+      // running durable-edge count over base ⊕ everything admitted
+      // (round-19): seeded from the tri-base artifact's frozen |eo0| and
+      // rolled forward arithmetically (|eo'| = |eo| + |eoNew| — durable
+      // edges only appear under append), so the per-tick flood probe
+      // stops paying a count() over the merged census view.
+      @volatile private[streaming] var nEo: Long,
       val compactEvery: Int = 32) {
     require(compactEvery > 0, s"compactEvery must be > 0, got $compactEvery")
     private var lastBatchId = -1L
@@ -1702,22 +1708,22 @@ object Stateful {
     // the same id after a compaction recomputes against the exact state
     // the batch first saw (a compacted base already contains the folded
     // overlay; reading it with the old overlay would double-merge)
-    private var before: (DataFrame, DataFrame, DataFrame, DataFrame, Long) =
-      (cen0, cp0, cenOv, cpOv, tri)
+    private var before: (DataFrame, DataFrame, DataFrame, DataFrame, Long, Long) =
+      (cen0, cp0, cenOv, cpOv, tri, nEo)
     private var sinceCompact = 0
     private[streaming] def stateFor(id: Long)
-        : (DataFrame, DataFrame, DataFrame, DataFrame, Long) =
+        : (DataFrame, DataFrame, DataFrame, DataFrame, Long, Long) =
       synchronized {
         if (id != lastBatchId) {
-          lastBatchId = id; before = (cen0, cp0, cenOv, cpOv, tri)
+          lastBatchId = id; before = (cen0, cp0, cenOv, cpOv, tri, nEo)
         }
         before
       }
     private[streaming] def advance(id: Long, c: DataFrame, p: DataFrame,
-        t: Long, flooded: Boolean = false): Unit =
+        t: Long, nEo2: Long, flooded: Boolean = false): Unit =
       synchronized {
         if (id == lastBatchId) {
-          cenOv = c; tri = t
+          cenOv = c; tri = t; nEo = nEo2
           // A flood tick's pair frame IS the complete census over
           // base ⊕ everything admitted (triPairCensus over the full
           // edge set), so it REPLACES the cp base outright — a pointer
@@ -1762,10 +1768,10 @@ object Stateful {
     * tail replay starts. */
   def triangleHandleOf(s: SparkSession, d: String,
       compactEvery: Int = 32): (Long, TriangleHandle) = {
-    val (sp, cen0, cp0, tri0) = graft.ops.Graph.triBase(s, d)
+    val (sp, cen0, cp0, tri0, nEo0) = graft.ops.Graph.triBase(s, d)
     (sp, new TriangleHandle(cen0, cp0,
       cen0.limit(0).localCheckpoint(), cp0.limit(0).localCheckpoint(), tri0,
-      compactEvery))
+      nEo0, compactEvery))
   }
 
   /** One micro-batch of the s_stream_triangles census — the streaming
@@ -1786,7 +1792,7 @@ object Stateful {
     // compaction the handle's base already contains the folded overlay,
     // and a same-id replay reading it with the pre-batch overlay would
     // double-merge (see TriangleHandle.stateFor)
-    val (cen0, cp0, cenOv, cpOv, tri0) = handle.stateFor(id)
+    val (cen0, cp0, cenOv, cpOv, tri0, nEo0) = handle.stateFor(id)
     val ovCK = cenOv.select("c", "s")
     val ovPK = cpOv.select("u", "v")
     val cenView = cen0.join(ovCK, Seq("c", "s"), "left_anti")
@@ -1813,7 +1819,10 @@ object Stateful {
     // the BOUNDED pair-census machinery (wedge caps) and folds the whole
     // census into the overlay — the honest O(census) cost of a bulk
     // admission, paid through plans that spill instead of allocate.
-    val flooded = graft.ops.Graph.triEdgeFlooded(em.eoNew, em.eo0, frac = 4L)
+    // counts-only probe (round-19): |eoNew| is already in hand (the
+    // count above materialized the lazy checkpoint) and |eo0| rides the
+    // handle's running durable-edge count — no per-tick census count job
+    val flooded = graft.ops.Graph.triEdgeFlooded(nNewE, nEo0, frac = 4L)
     val (dTri, nNewP, cpOv2) =
       if (flooded) {
         val cpAll = graft.ops.Graph.triPairCensus(
@@ -1836,7 +1845,7 @@ object Stateful {
           cpOv.join(dwK, Seq("u", "v"), "left_anti").unionAll(cpT)
             .localCheckpoint())
       }
-    handle.advance(id, cenOv2, cpOv2, tri0 + dTri, flooded)
+    handle.advance(id, cenOv2, cpOv2, tri0 + dTri, nEo0 + nNewE, flooded)
     val sp = batch.sparkSession
     import sp.implicits._
     Seq((id, nNewE, nNewP, dTri, tri0 + dTri))

@@ -223,7 +223,7 @@ class RefreshSpec extends SparkSuite {
       val cenD = pairs.filter(col("o_orderkey") >= sp)
         .groupBy("c", "s").agg(count(lit(1)).as("cnt"))
       val em = graft.ops.Graph.triEoNew(cen0, cenD)
-      assert(graft.ops.Graph.triEdgeFlooded(em.eoNew, em.eo0, 4L),
+      assert(graft.ops.Graph.triEdgeFlooded(em.eoNew.count(), em.eo0.count(), 4L),
         "fixture must genuinely flood the serve probe")
     }
 
@@ -266,7 +266,7 @@ class RefreshSpec extends SparkSuite {
         .filter(col("o_orderkey") >= sp0 && col("o_orderkey") < sp1)
         .groupBy("c", "s").agg(count(lit(1)).as("cnt"))
       val em = graft.ops.Graph.triEoNew(cen0, cenS)
-      assert(graft.ops.Graph.triEdgeFlooded(em.eoNew, em.eo0, 16L),
+      assert(graft.ops.Graph.triEdgeFlooded(em.eoNew.count(), em.eo0.count(), 16L),
         "fixture must genuinely flood the refreeze probe")
     }
   }
