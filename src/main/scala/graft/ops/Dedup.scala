@@ -840,19 +840,67 @@ object Dedup {
       .orderBy("thr_pct")
   }
 
+  /** Census-key digest switch (round-19 verdict ask #3, guide §2.3
+    * "narrower types"): when ON, the shingle/bigram census families key
+    * their exchanges on `xxhash64` 8-byte fingerprints instead of the
+    * ~50-byte shingle strings — every downstream groupBy/join/distinct
+    * is key-only (the strings never surface in any declared output), so
+    * the exchanges, checkpoints and frozen artifacts shrink ~6× at
+    * identical semantics (modulo 64-bit collisions: ~3e-8 at 1e6
+    * distinct shingles; the 10× oracle gate hash-verifies the switch ON
+    * end to end). Config `spark.graft.censusDigest` = on | off | auto
+    * (default auto); env SPARK_GRAFT_CENSUS_DIGEST overrides for A/Bs.
+    * AUTO resolves by input size: ON once the documents table under `d`
+    * exceeds 2 MB — i.e. OFF at the driver's sf0.001–0.1 dirs (bench
+    * comparability: the extra map-side hash pass is a small local
+    * regression on single-row-group scans, the r18 measured rejection)
+    * and ON at ScaleGen 10×+ dirs, where exchange bytes are the cost.
+    * The flag must be stable within a session for a given dir (frozen
+    * artifacts store digested keys); specs that flip it call
+    * ModelCache.clear() first. q_containment_est deliberately stays on
+    * strings: its MinHash leg pins md5-of-the-shingle-STRING semantics
+    * against the oracle. */
+  private[graft] def censusDigest(s: SparkSession, d: String): Boolean =
+    sys.env.get("SPARK_GRAFT_CENSUS_DIGEST").filter(_.nonEmpty)
+      .orElse(s.conf.getOption("spark.graft.censusDigest"))
+      .getOrElse("auto") match {
+      case "on"  => true
+      case "off" => false
+      case _ =>
+        val p = java.nio.file.Paths.get(d, "documents.parquet")
+        val bytes =
+          try {
+            if (java.nio.file.Files.isDirectory(p)) {
+              val st = java.nio.file.Files.walk(p)
+              try st.filter(java.nio.file.Files.isRegularFile(_))
+                .mapToLong(java.nio.file.Files.size(_)).sum()
+              finally st.close()
+            } else java.nio.file.Files.size(p)
+          } catch { case _: Throwable => 0L } // non-local FS: stay off
+        bytes >= 2L * 1024 * 1024
+    }
+
   /** The canonical 8-token shingle relation (doc_id, shingle), distinct
     * per doc — q_contamination's definition, shared by the containment
     * census, its streaming admission gate, and their specs so all four
-    * see the same shingles. */
-  private[graft] def shinglesOf(docs: org.apache.spark.sql.DataFrame)
-      : org.apache.spark.sql.DataFrame =
-    docs
+    * see the same shingles. With `digest` (see [[censusDigest]]) the
+    * shingle column is its xxhash64 fingerprint (LongType) — callers
+    * that only ever key on the column are oblivious; the streaming
+    * verdict helpers auto-detect from the base relation's dtype so an
+    * arriving micro-batch always matches its frozen artifact. */
+  private[graft] def shinglesOf(docs: org.apache.spark.sql.DataFrame,
+      digest: Boolean = false): org.apache.spark.sql.DataFrame = {
+    val raw = docs
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .filter(size(col("toks")) >= 8)
       .select(col("doc_id"), explode(expr(
         "transform(sequence(1, size(toks) - 7), i -> concat_ws(' ', slice(toks, i, 8)))"))
         .as("shingle"))
+    // hash BEFORE the distinct so even the first exchange ships 8-byte keys
+    (if (digest) raw.select(col("doc_id"), xxhash64(col("shingle")).as("shingle"))
+     else raw)
       .distinct()
+  }
 
   /** Frozen engulfment-probe artifact for the streaming admission gate:
     * the covered doc-id bound, the base corpus's full shingle relation,
@@ -895,7 +943,7 @@ object Dedup {
       // base ⊕ delta merge ([[containmentServe]]) is exercised by the
       // oracle gate on every run, never structurally empty
       val sp = if (maxRow.isNullAt(0)) -1L else 7L * maxRow.getLong(0) / 8L
-      val sh = shinglesOf(docs.filter(col("doc_id") <= sp))
+      val sh = shinglesOf(docs.filter(col("doc_id") <= sp), censusDigest(s, d))
         .select(col("doc_id").as("bdoc"), col("shingle"))
         .localCheckpoint()
       val df = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
@@ -915,7 +963,8 @@ object Dedup {
       val sp1 = math.max(
         if (maxRow.isNullAt(0)) -1L else 7L * maxRow.getLong(0) / 8L, sp0)
       val shD = shinglesOf(
-          docs.filter(col("doc_id") > sp0 && col("doc_id") <= sp1))
+          docs.filter(col("doc_id") > sp0 && col("doc_id") <= sp1),
+          censusDigest(s, d))
         .select(col("doc_id").as("bdoc"), col("shingle"))
         .localCheckpoint()
       val dfD = shD.groupBy("shingle").agg(count(lit(1)).as("df"))
@@ -1011,7 +1060,8 @@ object Dedup {
     "q_dedup_containment",
     containmentSql
   ) { (s, d) =>
-    val sh = shinglesOf(T.documents(s, d).select(col("doc_id"), col("text")))
+    val sh = shinglesOf(T.documents(s, d).select(col("doc_id"), col("text")),
+        censusDigest(s, d))
       .localCheckpoint() // reused by sz, rare, both pair sides, verify
     val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val rare = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
@@ -1097,6 +1147,9 @@ object Dedup {
       |WHERE 100 * n_common >= 50 * least(sa.n, sb.n)
       |ORDER BY 1, 2""".stripMargin
   ) { (s, d) =>
+    // digest=false ALWAYS: the sig leg below collect_lists the shingle
+    // STRINGS and MinhashSig md5-hashes them — the oracle's el/sig CTEs
+    // pin md5-of-the-string, so this family cannot ride the digest switch
     val sh = shinglesOf(T.documents(s, d).select(col("doc_id"), col("text")))
       .localCheckpoint() // census, rare, pair sides, verify, and sigs
     val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
@@ -1167,7 +1220,7 @@ object Dedup {
     val base = containmentBase(s, d)
     val shD = shinglesOf(
         T.documents(s, d).select(col("doc_id"), col("text"))
-          .filter(col("doc_id") > base.sp))
+          .filter(col("doc_id") > base.sp), censusDigest(s, d))
       .select(col("doc_id").as("bdoc"), col("shingle"))
       .localCheckpoint()
     val dfD = shD.groupBy("shingle").agg(count(lit(1)).as("df"))
@@ -1316,7 +1369,8 @@ object Dedup {
     * no second pass over the corpus and never any pair join. O(corpus
     * shingles) total, three partial-aggregating shuffles. */
   val ngramNovelty: Q = Q("q_ngram_novelty", noveltySql) { (s, d) =>
-    val sh = shinglesOf(T.documents(s, d).select(col("doc_id"), col("text")))
+    val sh = shinglesOf(T.documents(s, d).select(col("doc_id"), col("text")),
+        censusDigest(s, d))
       .localCheckpoint() // feeds sizes + owner census
     noveltyFrom(sh,
       sh.groupBy("shingle").agg(min(col("doc_id")).as("owner")))
@@ -1342,7 +1396,8 @@ object Dedup {
       val maxRow = docs.agg(max(col("doc_id"))).head()
       val maxId = if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0)
       val sp = 7L * maxId / 8L
-      val sh = shinglesOf(docs.filter(col("doc_id") < sp)).localCheckpoint()
+      val sh = shinglesOf(docs.filter(col("doc_id") < sp), censusDigest(s, d))
+        .localCheckpoint()
       val own = sh.groupBy("shingle").agg(min(col("doc_id")).as("owner"))
         .localCheckpoint()
       (sp, own, noveltyFrom(sh, own).localCheckpoint())
@@ -1354,7 +1409,8 @@ object Dedup {
         val maxId = if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0)
         val sp1 = math.max(7L * maxId / 8L, sp0) // monotone, now CHECKED
         val shS = shinglesOf(
-          docs.filter(col("doc_id") >= sp0 && col("doc_id") < sp1))
+          docs.filter(col("doc_id") >= sp0 && col("doc_id") < sp1),
+          censusDigest(s, d))
           .localCheckpoint() // feeds new-owner census + slice sizes
         // only shingles UNSEEN below sp0 gain an owner; within the slice
         // the min decides — old-owned shingles drop behind the anti-join
@@ -1378,7 +1434,7 @@ object Dedup {
     val (split, own, _) = noveltyBase(s, d)
     own.select(col("shingle")).unionByName(
       shinglesOf(T.documents(s, d).select(col("doc_id"), col("text"))
-          .filter(col("doc_id") >= split))
+          .filter(col("doc_id") >= split), censusDigest(s, d))
         .select(col("shingle")))
       .distinct()
   }
@@ -1396,7 +1452,7 @@ object Dedup {
     val (split, own, res) = noveltyBase(s, d)
     val shL = shinglesOf(T.documents(s, d)
         .select(col("doc_id"), col("text"))
-        .filter(col("doc_id") >= split))
+        .filter(col("doc_id") >= split), censusDigest(s, d))
       .localCheckpoint() // feeds live-owner census + live sizes
     val ownL = shL.join(own.select("shingle"), Seq("shingle"), "left_anti")
       .groupBy("shingle").agg(min(col("doc_id")).as("owner"))

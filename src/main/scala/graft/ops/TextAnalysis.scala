@@ -488,10 +488,15 @@ object TextAnalysis {
     * (zip_with, no positional join); the model is two partial-aggregated
     * censuses (bigram counts, unigram counts) joined back on their keys
     * plus a 1-row vocabulary census broadcast; scoring is one
-    * partial-aggregating groupBy(doc). The bigram strings themselves
-    * cross the census shuffles — at 100 TB the same plan runs over
-    * 64-bit fingerprints of the bigrams (functions/FingerprintSig, the
-    * q_substring_dedup kernel) to keep exchanges fixed-width. */
+    * partial-aggregating groupBy(doc). Round-19 (verdict ask #3): the
+    * census-digest switch (Dedup.censusDigest — on/off/auto by corpus
+    * size) keys both censuses and the scoring joins on xxhash64 8-byte
+    * fingerprints of the bigram/token strings instead of the strings,
+    * so every exchange is fixed-width; the strings never reach any
+    * declared output (doc_id, counts, ppm only) and the vocabulary size
+    * V = count over the token census is collision-exact at any
+    * realistic vocab (64-bit). OFF at the driver's sf dirs (auto),
+    * hash-verified ON at the 10× dir. */
   val bigramLm: Q = Q(
     "q_bigram_lm",
     """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
@@ -515,13 +520,16 @@ object TextAnalysis {
     val toksC = split(col("text"), " ")
     val len1 = greatest(size(toksC) - 1, lit(0))
     val docs = T.documents(s, d)
+    val dig = graft.ops.Dedup.censusDigest(s, d)
+    def key(c: org.apache.spark.sql.Column) = if (dig) xxhash64(c) else c
     val bg = docs.select(col("doc_id"),
         explode(arrays_zip(
           slice(toksC, lit(1), len1),
           zip_with(slice(toksC, lit(1), len1), slice(toksC, lit(2), len1),
             (x, y) => concat(x, lit("_"), y)))).as("z"))
-      .select(col("doc_id"), col("z.0").as("t1"), col("z.1").as("bigram"))
-    val un = docs.select(explode(toksC).as("token"))
+      .select(col("doc_id"), key(col("z.0")).as("t1"), key(col("z.1")).as("bigram"))
+    val un = docs.select(explode(toksC).as("tok0"))
+      .select(key(col("tok0")).as("token"))
     val bc = bg.groupBy("bigram").agg(count(lit(1)).as("bc"))
     // uc feeds the scoring join AND the vocabulary-size census, so the
     // unigram explode appears twice in the plan. Checkpointing the

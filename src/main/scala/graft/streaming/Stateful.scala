@@ -787,7 +787,11 @@ object Stateful {
     * leg and the intra-batch contention case. */
   def noveltyVerdictsBatch(docs: DataFrame, own: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window.partitionBy("shingle")
-    graft.ops.Dedup.shinglesOf(docs)
+    // digest state rides the BASE relation's dtype (round-19 census-digest
+    // switch): an arriving micro-batch must shingle exactly the way the
+    // frozen census it probes was built
+    graft.ops.Dedup.shinglesOf(docs,
+        own.schema("shingle").dataType == org.apache.spark.sql.types.LongType)
       .withColumn("rk", row_number().over(w.orderBy("doc_id")).cast("long"))
       .join(own.select(col("shingle")).withColumn("__seen", lit(1)),
         Seq("shingle"), "left")
@@ -857,7 +861,9 @@ object Stateful {
     * rareIdx there is exactly this relation, derived lazily. */
   def containmentVerdictsBatch(docs: DataFrame, full: DataFrame,
       rareIdx: DataFrame): DataFrame = {
-    val sNew = graft.ops.Dedup.shinglesOf(docs)
+    // dtype-matched shingling — see noveltyVerdictsBatch
+    val sNew = graft.ops.Dedup.shinglesOf(docs,
+      full.schema("shingle").dataType == org.apache.spark.sql.types.LongType)
     val nNew = sNew.groupBy("doc_id").agg(count(lit(1)).as("n_new"))
     val cand = sNew.join(rareIdx, "shingle")
       .select("doc_id", "bdoc").distinct()
