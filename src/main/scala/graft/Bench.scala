@@ -53,7 +53,25 @@ object Bench {
           name -> -1.0
       }
     }.toMap
-    val warm = timedPass(ordered)
+    // Warmup additionally records which query FIRST trains each
+    // ModelCache kind — the trigger set the train-retry pass below
+    // re-runs after a cache clear (round-19 verdict #5).
+    val trainTrigger = scala.collection.mutable.LinkedHashMap[
+      String, (SparkSession, String) => org.apache.spark.sql.DataFrame]()
+    val warm: Map[String, Double] = ordered.map { case (name, fn) =>
+      val kindsBefore = graft.core.ModelCache.buildCosts.keySet
+      val t0 = System.nanoTime()
+      val sec =
+        try { run(fn); (System.nanoTime() - t0) / 1e9 }
+        catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+            -1.0
+        }
+      if ((graft.core.ModelCache.buildCosts.keySet -- kindsBefore).nonEmpty)
+        trainTrigger(name) = fn
+      name -> sec
+    }.toMap
     val p2 = timedPass(ordered)
     val p3 = timedPass(ordered)
     // Round-11 tightening: 30/150 queries showed spread 1.3-1.6 in the
@@ -246,7 +264,41 @@ object Bench {
     // per-query numbers are SERVE costs. The per-kind train seconds are
     // reported as their own lines so the gate grades real costs instead
     // of crediting whichever query happened to train first.
-    val trainCosts = graft.core.ModelCache.buildCosts.toSeq.sortBy(_._1)
+    //
+    // Round-19 MEASUREMENT FIX (verdict #5, declared in
+    // OPTIMIZATION_r19.md): the r18 driver window read pq-base at 49.4 s
+    // against a 2.1–2.6 s band everywhere else — a single contended
+    // window distorted 100+ s of model_train_total because each kind had
+    // exactly ONE sample. Kinds now get the same retry/min protocol the
+    // queries get: after the measured passes, the model cache is cleared
+    // and the trigger queries recorded at warmup re-run once, giving
+    // every kind a second independent build sample; "model_train" is the
+    // per-kind MIN. The retry sample runs on a warm JVM, so the min
+    // typically reads the JIT-warm build cost — the same bias the
+    // per-query min already carries by protocol. The first-window
+    // (pre-r19 semantics) numbers are KEPT: "model_train_first" in the
+    // full map / history line, "model_train_first_total" in the
+    // headline. Timed query passes are untouched.
+    val trainFirstCosts = graft.core.ModelCache.buildCosts
+    val trainRetryCosts: Map[String, Double] =
+      if (trainTrigger.isEmpty) Map.empty
+      else {
+        graft.core.ModelCache.clear()
+        trainTrigger.foreach { case (n, fn) =>
+          try run(fn)
+          catch {
+            case e: Throwable => System.err.println(
+              s"[bench] train-retry trigger $n FAILED: ${e.getMessage}")
+          }
+        }
+        graft.core.ModelCache.buildCosts
+      }
+    val trainFirst = trainFirstCosts.toSeq.sortBy(_._1)
+    val trainCosts = trainFirstCosts.keys.toSeq.sorted.map { k =>
+      k -> math.min(trainFirstCosts(k),
+        trainRetryCosts.getOrElse(k, Double.MaxValue))
+    }
+    val trainFirstTotal = trainFirst.map(_._2).sum
     val trainTotal = trainCosts.map(_._2).sum
     // The harness keeps only the TAIL of stdout (~2,000 chars); at 100+
     // queries the full per-query map alone exceeds that, so rounds 1-3 all
@@ -256,7 +308,7 @@ object Bench {
     // always fully inside the capture tail.
     val all = results.toSeq.sortBy(_._1)
     val fullLine =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${jmap(all)},"spread":${jmap(spreads.toSeq.sortBy(_._1))},"drift":${fmt(drift)},"drift_gap":${fmt(driftGap)},"anchor_drift_prev":${fmt(anchorDriftPrev)},"bulk_drift_prev":${fmt(bulkDriftPrev)},"anchor_now":${fmt(anchorNow)},"anchor_close":${fmt(anchorAtClose)},"anchor_ratios":${jmap(anchorRatios)},"model_train":${jmap(trainCosts)},"model_train_total":${fmt(trainTotal)},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${jmap(all)},"spread":${jmap(spreads.toSeq.sortBy(_._1))},"drift":${fmt(drift)},"drift_gap":${fmt(driftGap)},"anchor_drift_prev":${fmt(anchorDriftPrev)},"bulk_drift_prev":${fmt(bulkDriftPrev)},"anchor_now":${fmt(anchorNow)},"anchor_close":${fmt(anchorAtClose)},"anchor_ratios":${jmap(anchorRatios)},"model_train":${jmap(trainCosts)},"model_train_total":${fmt(trainTotal)},"model_train_first":${jmap(trainFirst)},"model_train_first_total":${fmt(trainFirstTotal)},"sf":"$sfDir"}"""
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("bench_queries.json"), fullLine)
     catch { case e: Throwable => System.err.println(s"[bench] file dump failed: ${e.getMessage}") }
@@ -283,7 +335,7 @@ object Bench {
     // flags the driver gate should consult before calling a regression
     val loose = spreads.toSeq.filter(_._2 > 1.5).sortBy(-_._2).take(10)
     val spreadMax = spreads.values.filter(_ > 0).maxOption.getOrElse(-1.0)
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${jmap(slowest)},"sf":"$sfDir","n_queries":${results.size},"n_failed":${failed.size},"failed":$failedJson,"n_retried":${needRetry.size},"spread_max":${fmt(spreadMax)},"spread_gt15":${jmap(loose)},"drift":${fmt(drift)},"drift_gap":${fmt(driftGap)},"total_drift_adj":${fmt(if (drift > 0) total / drift else -1.0)},"model_train":${jmap(trainCosts)},"model_train_total":${fmt(trainTotal)},"queries_shown":"slowest20","full_map":"bench_queries.json"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${jmap(slowest)},"sf":"$sfDir","n_queries":${results.size},"n_failed":${failed.size},"failed":$failedJson,"n_retried":${needRetry.size},"spread_max":${fmt(spreadMax)},"spread_gt15":${jmap(loose)},"drift":${fmt(drift)},"drift_gap":${fmt(driftGap)},"total_drift_adj":${fmt(if (drift > 0) total / drift else -1.0)},"model_train":${jmap(trainCosts)},"model_train_total":${fmt(trainTotal)},"model_train_first_total":${fmt(trainFirstTotal)},"queries_shown":"slowest20","full_map":"bench_queries.json"}""")
     System.out.flush()
     spark.stop()
   }
