@@ -1094,6 +1094,12 @@ object TextAnalysis {
     // so min{k : fdoc <= bound_k} is a pure CASE over fdoc: bucketize
     // map-side and partial-aggregate straight to (unit, k) — the O(units)
     // string exchange and the 4x fan-out disappear from the plan.
+    // Equivalence note (round-19, advice #2): the final otherwise() arm
+    // assigns a NULL fdoc to the last checkpoint, whereas the oracle's
+    // inner range join would DROP such a row. Unreachable today — doc_id
+    // is non-null by the TESTDATA contract and min() over non-null input
+    // is non-null — but if a nullable doc_id source ever feeds this,
+    // the CASE must gain a when(fdoc.isNotNull, …) guard to keep parity.
     val bucketK = bounds.init.foldRight(lit(bounds.last._1): org.apache.spark.sql.Column) {
       case ((k, bd), acc) => when(col("fdoc") <= bd, lit(k)).otherwise(acc)
     }
@@ -1104,7 +1110,12 @@ object TextAnalysis {
     // explode — the optimizer prunes the inner aggregates and with them
     // the shared subtree), so the corpus-wide token/shingle census is
     // pinned with ONE eager checkpoint: the explode runs exactly once,
-    // every consumer reads 8 cached rows.
+    // every consumer reads 8 cached rows. NOTE (round-19, advice #3):
+    // the checkpoint is eager and lives in the query BUILDER, so
+    // explain-only callers (PlanDump) execute the corpus census to
+    // print this plan — accepted: the builder already runs a head()
+    // census to derive the bounds, so plan inspection was never free
+    // here.
     val nu = fd.select(col("unit"), bucketK.as("k"))
       .groupBy("unit", "k").agg(count(lit(1)).as("new_units"))
       .localCheckpoint()
